@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship extraction pipeline on /root/testdata/sf0.001
+  (synthetic transcript corpus derived deterministically from the sf).
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible ones;
+  column names and rounding match the Ray outputs exactly.
 """
 
 from __future__ import annotations
@@ -20,25 +17,102 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: read synthetic transcript shards →
+    actor-pool extraction → validation.  Returns the validated Dataset
+    (flat columns only, for stable driver-side conversion)."""
+    from ocr_engine_ray.pipelines.queries import q_flagship_extract
+
+    return q_flagship_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_engine_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # transcript pipelines (rows-only driver check; pytest oracle
+        # asserts per-turn equality)
+        "flagship_extract": q.q_flagship_extract,
+        "conv_rollup": q.q_conv_rollup,
+        "assemble_conversations": q.q_assemble_conversations,
+        # SQL-checked operators over the driver testdata tables
+        "events_conv_rollup": q.q_events_conv_rollup,
+        "events_filter_purchases": q.q_events_filter_purchases,
+        "events_first_last": q.q_events_first_last,
+        "documents_dedup_exact": q.q_documents_dedup_exact,
+        "documents_token_stats": q.q_documents_token_stats,
+        "lineitem_pricing_summary": q.q_lineitem_pricing_summary,
+        "top_customers": q.q_top_customers,
+        "events_daily": q.q_events_daily,
+        "distinct_event_types": q.q_distinct_event_types,
+        "nation_region_join": q.q_nation_region_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_conv_rollup": """
+            SELECT user_id,
+                   COUNT(*)            AS n_events,
+                   ROUND(SUM(value),2) AS sum_value,
+                   MIN(ts)             AS first_ts,
+                   MAX(ts)             AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "events_filter_purchases": """
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase' AND value > 50.0
+        """,
+        "events_first_last": """
+            SELECT user_id,
+                   arg_min(event_type, ts) AS first_event,
+                   arg_max(event_type, ts) AS last_event,
+                   COUNT(*)                AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "documents_dedup_exact": """
+            SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "documents_token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x IN ('the', 'a'))) AS n_stopwords,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x IN ('the', 'a')))
+                       / GREATEST(len(string_split(text, ' ')), 1)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)      AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                                                  AS sum_disc_price,
+                   COUNT(*)                       AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o_custkey,
+                   ROUND(SUM(o_totalprice), 2) AS total_spent,
+                   ANY_VALUE(c_name)           AS c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+            ORDER BY total_spent DESC, o_custkey ASC
+            LIMIT 10
+        """,
+        "events_daily": """
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(*)              AS n_events,
+                   ROUND(SUM(value), 2)  AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "nation_region_join": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+    }

@@ -1,0 +1,172 @@
+r"""Field extractors over extracted main-content text — re-expressions of
+the reference's regex/heuristic extractors (``app/utils/data_extractor.py``):
+
+- invoice number  (:374-384, three patterns tried in order)
+- vendor + address (:386-425, first-line name, lines 2-4 address)
+- totals           (:427-444, subtotal/tax/total amount regexes)
+- line items       (:446-468, table rows with ≥4 cells, header skipped)
+- key:value pairs  (``app/utils/ocr_engine.py:342-353``)
+
+All functions are pure and deterministic; amounts are integer cents
+(see ``core.money``).  Each extractor also reports character spans into
+the input text so the pipeline can emit a ``spans`` column.
+
+Documented deviation: the reference's total regex ``(?i)total[:\s]*...``
+also matches the tail of the word "Subtotal"; this engine anchors
+``total``/``tax`` at a non-letter boundary so "Subtotal: 10.00" cannot be
+captured as the final total.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .money import parse_money_cents
+
+Span = tuple[int, int, str]  # (start, end, kind)
+
+INVOICE_NUMBER_PATTERNS = [
+    re.compile(r"invoice\s*number?[:\s]*([A-Za-z0-9-]{5,})", re.IGNORECASE),
+    re.compile(r"invoice\s*#[:\s]*([A-Za-z0-9-]{5,})", re.IGNORECASE),
+    re.compile(r"inv[:\s]*([A-Za-z0-9-]{5,})", re.IGNORECASE),
+]
+
+_SUBTOTAL_RE = re.compile(r"subtotal[:\s]*\$?([\d,]+\.\d{2})", re.IGNORECASE)
+_TAX_RE = re.compile(r"(?<![a-z])tax(?:es)?[:\s]*\$?([\d,]+\.\d{2})", re.IGNORECASE)
+_TOTAL_RE = re.compile(r"(?<![a-z])total[:\s]*\$?([\d,]+\.\d{2})", re.IGNORECASE)
+
+_POSTAL_RE = re.compile(r"\b\d{5}(?:-\d{4})?\b")
+_CITY_STATE_RE = re.compile(r"([A-Za-z\s]+),\s*([A-Z]{2})")
+
+_KV_SPLIT_RE = re.compile(r"^([^:|]{1,60}?)\s*:\s*(.+)$")
+
+
+@dataclass
+class Item:
+    description: str = ""
+    quantity: int | None = None
+    unit_price_cents: int | None = None
+    total_cents: int | None = None
+
+
+@dataclass
+class Fields:
+    invoice_number: str | None = None
+    vendor_name: str = ""
+    vendor_street: str = ""
+    vendor_city: str = ""
+    vendor_state: str = ""
+    vendor_postal: str = ""
+    grand_total_cents: int | None = None
+    taxes_cents: int | None = None
+    final_total_cents: int | None = None
+    items: list[Item] = field(default_factory=list)
+    kv_pairs: list[tuple[str, str]] = field(default_factory=list)
+    spans: list[Span] = field(default_factory=list)
+
+
+def extract_invoice_number(text: str) -> tuple[str | None, Span | None]:
+    for pat in INVOICE_NUMBER_PATTERNS:
+        m = pat.search(text)
+        if m:
+            return m.group(1), (m.start(1), m.end(1), "id")
+    return None, None
+
+
+def extract_totals(text: str) -> tuple[dict[str, int | None], list[Span]]:
+    """subtotal→grand_total, tax→taxes, total→final_total (reference naming)."""
+    out: dict[str, int | None] = {
+        "grand_total_cents": None, "taxes_cents": None, "final_total_cents": None,
+    }
+    spans: list[Span] = []
+    for key, pat in (
+        ("grand_total_cents", _SUBTOTAL_RE),
+        ("taxes_cents", _TAX_RE),
+        ("final_total_cents", _TOTAL_RE),
+    ):
+        m = pat.search(text)
+        if m:
+            out[key] = parse_money_cents(m.group(1))
+            spans.append((m.start(1), m.end(1), "money"))
+    return out, spans
+
+
+def extract_vendor(text: str) -> dict[str, str]:
+    """First non-extracted-structure line = vendor name; next lines 2-4 =
+    address block (reference :386-397).  Lines that are table rows or
+    ``key: value`` lines are not vendor material."""
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    lines = [ln for ln in lines if " | " not in ln and not _KV_SPLIT_RE.match(ln)]
+    out = {"vendor_name": "", "vendor_street": "", "vendor_city": "",
+           "vendor_state": "", "vendor_postal": ""}
+    if not lines:
+        return out
+    out["vendor_name"] = lines[0].strip()
+    addr_lines = lines[1:4]
+    if addr_lines:
+        out["vendor_street"] = addr_lines[0].strip()
+    if len(addr_lines) > 1:
+        address_line = addr_lines[1]
+        pm = _POSTAL_RE.search(address_line)
+        if pm:
+            out["vendor_postal"] = pm.group(0)
+        cm = _CITY_STATE_RE.search(address_line)
+        if cm:
+            out["vendor_city"] = cm.group(1).strip()
+            out["vendor_state"] = cm.group(2)
+    return out
+
+
+def extract_kv_pairs(text: str) -> list[tuple[str, str]]:
+    """``key: value`` lines (reference ``_extract_key_value_pair``).
+    The key must be short (≤60 chars, no pipe) to avoid swallowing prose;
+    first colon splits."""
+    pairs: list[tuple[str, str]] = []
+    for ln in text.split("\n"):
+        m = _KV_SPLIT_RE.match(ln.strip())
+        if m:
+            key, val = m.group(1).strip(), m.group(2).strip()
+            if key and val:
+                pairs.append((key, val))
+    return pairs
+
+
+def _tables_from_text(text: str) -> list[list[list[str]]]:
+    """Contiguous runs of ``a | b | c`` lines form one table each (the
+    uniform table shape produced by the html/markdown/pdf extractors)."""
+    tables: list[list[list[str]]] = []
+    cur: list[list[str]] = []
+    for ln in text.split("\n"):
+        if " | " in ln:
+            cur.append([c.strip() for c in ln.split(" | ")])
+        else:
+            if cur:
+                tables.append(cur)
+                cur = []
+    if cur:
+        tables.append(cur)
+    return tables
+
+
+def extract_items(text: str) -> list[Item]:
+    """Reference ``_extract_items``: for each table skip the header row,
+    keep rows with ≥4 cells as (description, quantity, unit price,
+    total); a row whose quantity cell is non-empty but non-integer is
+    skipped (the reference's ValueError → continue)."""
+    items: list[Item] = []
+    for table in _tables_from_text(text):
+        for row in table[1:] if len(table) > 1 else []:
+            if len(row) < 4:
+                continue
+            try:
+                qty = int(row[1]) if row[1].strip() else None
+            except ValueError:
+                continue
+            items.append(Item(
+                description=row[0],
+                quantity=qty,
+                unit_price_cents=parse_money_cents(row[2]) if row[2].strip() else None,
+                total_cents=parse_money_cents(row[3]) if row[3].strip() else None,
+            ))
+    return items

@@ -1,0 +1,156 @@
+"""Flagship extraction pipeline (SURVEY §3 "Rebuild" graph)::
+
+    read_parquet(shards)                      # column-pruned
+      → map_batches(TurnExtractor, actor pool)  # normalize+sniff+extract
+      → map_batches(validate_batch)             # warnings/flags/is_valid
+      [→ groupby(conv_id) rollup | ordered assembly | write_parquet]
+
+Replaces the reference's E1/E2/E3 entry points (single-file, multi-file
+and Celery fan-out, ``app/main.py:86-265``, ``app/celery_app.py:50-212``)
+with one lazily-executed streaming Dataset graph.
+
+Extraction is strictly per-turn (no cross-turn state), so it runs as an
+embarrassingly-parallel actor-pool ``map_batches`` — no shuffle.  The
+only shuffles are the per-conversation stages (rollup / assembly), both
+keyed on ``conv_id`` and both fed by per-batch partial aggregation so
+the all-to-all exchange moves one row per (conv, batch), not one row
+per turn.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..core.extract import DEFAULT_AS_OF
+from ..schema import TRANSCRIPT_SCHEMA
+from ..stages.extract import TurnExtractor
+from ..stages.validate import validate_batch
+
+DEFAULT_BATCH_SIZE = 512  # extraction is CPU-heavy per row; small batches pipeline better
+
+
+def _default_concurrency() -> tuple[int, int]:
+    try:
+        cpus = int(ray.available_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
+
+
+def read_transcripts(paths: str | list[str]) -> Dataset:
+    """Column-pruned read of transcript shards (prune-at-the-read: the
+    pipeline needs all six schema columns, and only those)."""
+    return rd.read_parquet(paths, columns=list(TRANSCRIPT_SCHEMA.names))
+
+
+def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
+                      batch_size: int = DEFAULT_BATCH_SIZE,
+                      concurrency: int | tuple[int, int] | None = None) -> Dataset:
+    """transcripts → VALIDATED_SCHEMA rows (no shuffle)."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    ds = ds.map_batches(
+        TurnExtractor,
+        fn_constructor_kwargs={"as_of": as_of},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return ds.map_batches(lambda b: validate_batch(b, as_of),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+def flagship(paths: str | list[str], as_of: date = DEFAULT_AS_OF,
+             **kw) -> Dataset:
+    return extract_validated(read_transcripts(paths), as_of=as_of, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Per-conversation rollup (FIXTURES §F3; reference exporter rollup A1 +
+# job counters A2) — partial aggregation inside map_batches, then a small
+# groupby over the partials (SURVEY §2.6 / ray_guide "Aggregation at scale").
+# ---------------------------------------------------------------------------
+
+def _rollup_partials(batch: pa.Table) -> pa.Table:
+    t = batch.append_column(
+        "chars", pc.utf8_length(batch.column("extracted_text")).cast(pa.int64()))
+    t = t.append_column(
+        "flagged",
+        pc.cast(pc.greater(pc.list_value_length(t.column("flags")), 0), pa.int64()))
+    g = t.group_by("conv_id").aggregate([
+        ("turn_idx", "count"), ("chars", "sum"), ("flagged", "sum"),
+        ("ts", "min"), ("ts", "max"),
+        ("items_qty", "sum"), ("items_total_cents", "sum"),
+    ])
+    return g.rename_columns([
+        "conv_id", "p_turns", "p_chars", "p_flagged",
+        "p_first_ts", "p_last_ts", "p_qty", "p_total_cents",
+    ])
+
+
+def conv_rollup(validated: Dataset) -> Dataset:
+    """VALIDATED rows → one row per conversation.
+
+    The shuffle input is the per-batch partials (≈ #convs touched per
+    batch), so a hot conversation with millions of turns contributes one
+    partial row per batch — skew-tolerant without salting (the combine
+    is associative)."""
+    partials = validated.map_batches(_rollup_partials, batch_format="pyarrow")
+    agg = partials.groupby("conv_id").aggregate(
+        Sum("p_turns", alias_name="n_turns"),
+        Sum("p_chars", alias_name="total_chars"),
+        Sum("p_flagged", alias_name="n_flagged"),
+        Min("p_first_ts", alias_name="first_ts"),
+        Max("p_last_ts", alias_name="last_ts"),
+        Sum("p_qty", alias_name="items_qty"),
+        Sum("p_total_cents", alias_name="items_total_cents"),
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversation assembly (A4 — the analogue of the reference's
+# multipage merge, app/utils/ocr_engine.py:229-237): groupby(conv_id) with
+# in-group sort on turn_idx.  Never relies on global order.
+# ---------------------------------------------------------------------------
+
+def _assemble_group(group: pa.Table) -> pa.Table:
+    g = group.sort_by([("turn_idx", "ascending")])
+    conv_id = g.column("conv_id")[0].as_py()
+    texts = g.column("extracted_text").to_pylist()
+    turn_idxs = g.column("turn_idx").to_pylist()
+    # exact-duplicate turns (same turn_idx) keep first occurrence, like the
+    # reference's md5-cache short-circuit (app/utils/ocr_engine.py:123-126)
+    seen: set[int] = set()
+    doc_parts, kept = [], 0
+    for ti, tx in zip(turn_idxs, texts):
+        if ti in seen:
+            continue
+        seen.add(ti)
+        kept += 1
+        if tx:
+            doc_parts.append(tx)
+    return pa.table({
+        "conv_id": pa.array([conv_id], pa.string()),
+        "n_turns": pa.array([kept], pa.int64()),
+        "doc_text": pa.array(["\n\n".join(doc_parts)], pa.string()),
+        "doc_chars": pa.array([sum(len(p) for p in doc_parts)], pa.int64()),
+    })
+
+
+def assemble_conversations(validated: Dataset) -> Dataset:
+    """One merged document per conversation, turns in turn_idx order.
+    Partitioning assumption: a conversation fits in one group/block
+    (hot conversations are bounded by turn count, not bytes × turns —
+    for truly unbounded groups, the rollup path is the scalable one)."""
+    return validated.select_columns(
+        ["conv_id", "turn_idx", "extracted_text"]
+    ).groupby("conv_id").map_groups(_assemble_group, batch_format="pyarrow")

@@ -1,0 +1,287 @@
+"""Driver-contract query pipelines (__ray_entry__.queries()).
+
+Each function takes ``sf_dir`` (a /root/testdata/sfX directory) and
+returns a Dataset / pyarrow Table.  SQL-expressible ones have a matching
+DuckDB oracle in ``oracle_sql()`` — column NAMES and rounding must match
+exactly (the driver hash-compares values after sorting columns by name).
+
+Transcript-based pipelines synthesize their input deterministically (the
+corpus is a pure function of (sf, seed=42)) into /tmp and read it back
+through Parquet, so they exercise the same read path as production.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..sources.synth import materialize_transcripts
+
+SYNTH_ROOT = "/tmp/ocr_engine_ray_synth"
+TURNS_PER_SF = 2_000_000  # sf0.001 → 2k turns, sf0.01 → 20k, sf0.1 → 200k
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir.rstrip("/"))
+    return float(m.group(1)) if m else 0.001
+
+
+def transcript_paths(sf_dir: str, seed: int = 42) -> list[str]:
+    sf = sf_from_dir(sf_dir)
+    n_turns = max(200, int(TURNS_PER_SF * sf))
+    out_dir = os.path.join(SYNTH_ROOT, f"sf{sf}")
+    n_shards = max(4, min(64, n_turns // 4000))
+    return materialize_transcripts(out_dir, n_turns, seed=seed, n_shards=n_shards)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Transcript pipelines (rows-only driver check; pytest oracle covers values)
+# ---------------------------------------------------------------------------
+
+def q_flagship_extract(sf_dir: str) -> Dataset:
+    from .flagship import flagship
+
+    ds = flagship(transcript_paths(sf_dir))
+    return ds.select_columns([
+        "conv_id", "turn_idx", "content_type", "extracted_text",
+        "invoice_number", "invoice_date", "final_total_cents", "is_valid",
+    ])
+
+
+def q_conv_rollup(sf_dir: str) -> Dataset:
+    from .flagship import conv_rollup, flagship
+
+    return conv_rollup(flagship(transcript_paths(sf_dir)))
+
+
+def q_assemble_conversations(sf_dir: str) -> Dataset:
+    from .flagship import assemble_conversations, flagship
+
+    return assemble_conversations(flagship(transcript_paths(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked operators over the driver testdata tables
+# ---------------------------------------------------------------------------
+
+def q_events_conv_rollup(sf_dir: str) -> Dataset:
+    """events ≅ transcripts: user_id ≅ conv_id.  Per-conversation rollup
+    (FIXTURES §F3 shape) with per-batch partial aggregation before the
+    shuffle (SURVEY §2.6 A1/A2 scale pattern)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate(
+            [("ts", "count"), ("value", "sum"), ("ts", "min"), ("ts", "max")])
+        return g.rename_columns(["user_id", "p_n", "p_sum", "p_min", "p_max"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(
+        Sum("p_n", alias_name="n_events"),
+        Sum("p_sum", alias_name="sum_value"),
+        Min("p_min", alias_name="first_ts"),
+        Max("p_max", alias_name="last_ts"),
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                               pc.round(b.column("sum_value"), 2)),
+        batch_format="pyarrow")
+
+
+def q_events_filter_purchases(sf_dir: str) -> Dataset:
+    """Predicate filter + projection (M1) as a vectorized Arrow mask."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b.column("event_type"), "purchase"),
+                                   pc.greater(b.column("value"), 50.0)))
+                   .drop_columns(["event_type"]),
+        batch_format="pyarrow")
+
+
+def q_events_first_last(sf_dir: str) -> Dataset:
+    """Per-conversation ordering (A4 analogue): first/last event type by
+    ts via groupby(key).map_groups with in-group sort."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def first_last(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending")])
+        return pa.table({
+            "user_id": [g.column("user_id")[0].as_py()],
+            "first_event": [g.column("event_type")[0].as_py()],
+            "last_event": [g.column("event_type")[-1].as_py()],
+            "n_events": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(first_last, batch_format="pyarrow")
+
+
+def q_documents_dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup (A5/J3 semantics): group identical payloads, keep the
+    lowest doc_id as representative + multiplicity.  Grouping key is the
+    text itself here (small corpus); the transcript pipeline's exact
+    dedup uses a sha1 key column instead (see stages/dedup.py) so the
+    shuffle moves 20-byte keys, not payloads."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count("text", alias_name="n_copies"),
+    )
+
+
+def q_documents_token_stats(sf_dir: str) -> Dataset:
+    """Vectorized token counting + stopword ratio over documents
+    (text-analysis operator; ray_guide 'Stay vectorized')."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        n_tokens = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=pa.array(["the", "a"]))
+        # per-row stopword counts via list offsets
+        import numpy as np
+        stop_np = is_stop.to_numpy(zero_copy_only=False).astype("int64")
+        lens = n_tokens.to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(stop_np)])
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        n_stop = csum[offs[1:]] - csum[offs[:-1]]
+        # no rounding: n_stop/len on the same ints is bit-identical to the
+        # DuckDB oracle's division; rounding would reintroduce
+        # half-even-vs-half-away mismatches at knife-edge values
+        ratio = n_stop / np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": n_tokens,
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "stopword_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_lineitem_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H Q1-shaped grouped aggregate with per-batch partials."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = b.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"),
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            b = b.set_column(b.schema.get_field_index(col), col,
+                             pc.round(b.column(col), 2))
+        return b
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_customers(sf_dir: str) -> pa.Table:
+    """Broadcast hash join (J1/J2/J4 pattern): the small customer side is
+    ray.put once and looked up inside map_batches — no shuffle join."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                                  cust.column("c_name").to_pylist())))
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
+        return g.rename_columns(["o_custkey", "p_total"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("o_custkey").aggregate(Sum("p_total", alias_name="total_spent"))
+
+    class AttachName:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k, "") for k in b.column("o_custkey").to_pylist()]
+            b = b.append_column("c_name", pa.array(names, pa.string()))
+            return b.set_column(b.schema.get_field_index("total_spent"), "total_spent",
+                                pc.round(b.column("total_spent"), 2))
+
+    joined = agg.map_batches(AttachName, fn_constructor_args=(lookup_ref,),
+                             batch_format="pyarrow", concurrency=2)
+    top = joined.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
+    return pa.Table.from_pylist(top.take_all())
+
+
+def q_events_daily(sf_dir: str) -> Dataset:
+    """Tumbling 1-day event-time window as a grouped aggregate
+    (streaming-shaped workload; ray_guide 'Streaming-shaped')."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day, "value": b.column("value")})
+        g = t.group_by("day").aggregate([("value", "count"), ("value", "sum")])
+        return g.rename_columns(["day", "p_n", "p_sum"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day").aggregate(
+        Sum("p_n", alias_name="n_events"),
+        Sum("p_sum", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                               pc.round(b.column("sum_value"), 2)),
+        batch_format="pyarrow")
+
+
+def q_distinct_event_types(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_nation_region_join(sf_dir: str) -> pa.Table:
+    """Tiny dimension-dimension broadcast join."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(_t(sf_dir, "region"))
+    rlookup = dict(zip(region.column("r_regionkey").to_pylist(),
+                       region.column("r_name").to_pylist()))
+    ds = rd.read_parquet(_t(sf_dir, "nation"))
+
+    def attach(b: pa.Table) -> pa.Table:
+        rn = [rlookup.get(k, "") for k in b.column("n_regionkey").to_pylist()]
+        return pa.table({
+            "n_nationkey": b.column("n_nationkey"),
+            "n_name": b.column("n_name"),
+            "r_name": pa.array(rn, pa.string()),
+        })
+
+    return pa.Table.from_pylist(ds.map_batches(attach, batch_format="pyarrow").take_all())

@@ -1,0 +1,115 @@
+"""Ray pipeline vs single-process oracle: per-turn equality under stable
+turn ordering (the north-rule invariant), plus shuffle-invariance and
+per-conversation stages (SURVEY §5.2-5.3)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+def _sorted_pylist(table: pa.Table) -> list[dict]:
+    return table.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("extracted_text", "ascending")]
+    ).to_pylist()
+
+
+@pytest.fixture(scope="module")
+def oracle_out(small_corpus):
+    from ocr_engine_ray.oracle import oracle_extract
+
+    return oracle_extract(small_corpus)
+
+
+@pytest.fixture(scope="module")
+def ray_out(ray_session, small_corpus):
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    ds = rd.from_arrow(small_corpus).repartition(7)  # force multi-block
+    out = extract_validated(ds, batch_size=64, concurrency=2)
+    return pa.Table.from_pylist(out.take_all())
+
+
+def test_per_turn_equality(ray_out, oracle_out):
+    got = _sorted_pylist(ray_out)
+    want = _sorted_pylist(oracle_out)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["conv_id"] == w["conv_id"] and g["turn_idx"] == w["turn_idx"]
+        # byte-identical extracted text + spans (north rule)
+        assert g["extracted_text"] == w["extracted_text"], (g["conv_id"], g["turn_idx"])
+        assert g["spans"] == w["spans"]
+    # full-record equality on every remaining column
+    for col in ray_out.column_names:
+        for g, w in zip(got, want):
+            assert g[col] == w[col], col
+
+
+def test_shuffled_input_same_output(ray_session, small_corpus, oracle_out):
+    """Input row order must not matter (exercises ordering discipline)."""
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    idx = list(range(small_corpus.num_rows))
+    import random
+
+    random.Random(99).shuffle(idx)
+    shuffled = small_corpus.take(pa.array(idx))
+    out = extract_validated(rd.from_arrow(shuffled).repartition(5),
+                            batch_size=97, concurrency=2)
+    got = _sorted_pylist(pa.Table.from_pylist(out.take_all()))
+    want = _sorted_pylist(oracle_out)
+    assert [r["extracted_text"] for r in got] == [r["extracted_text"] for r in want]
+    assert [r["warnings"] for r in got] == [r["warnings"] for r in want]
+
+
+def test_conv_rollup_matches_oracle(ray_session, small_corpus, oracle_out):
+    import ray.data as rd
+
+    from ocr_engine_ray.oracle import oracle_conv_rollup
+    from ocr_engine_ray.pipelines.flagship import conv_rollup, extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus).repartition(6),
+                                  batch_size=128, concurrency=2)
+    got = pa.Table.from_pylist(conv_rollup(validated).take_all()).sort_by("conv_id")
+    want = oracle_conv_rollup(oracle_out)
+    assert got.num_rows == want.num_rows
+    gl, wl = got.to_pylist(), want.to_pylist()
+    for g, w in zip(gl, wl):
+        for k in ("conv_id", "n_turns", "total_chars", "n_flagged",
+                  "first_ts", "last_ts", "items_qty", "items_total_cents"):
+            assert g[k] == w[k], (k, g["conv_id"])
+
+
+def test_assemble_conversations_ordered(ray_session, small_corpus):
+    """Merged doc must be in turn_idx order regardless of input order and
+    duplicates collapse to first occurrence."""
+    import ray.data as rd
+
+    from ocr_engine_ray.oracle import oracle_extract
+    from ocr_engine_ray.pipelines.flagship import assemble_conversations, extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus).repartition(4),
+                                  batch_size=128, concurrency=2)
+    got = {r["conv_id"]: r for r in assemble_conversations(validated).take_all()}
+
+    # oracle: same merge, single process
+    want_tbl = oracle_extract(small_corpus)
+    want: dict[str, list] = {}
+    seen: dict[str, set] = {}
+    for r in want_tbl.to_pylist():
+        c = r["conv_id"]
+        if r["turn_idx"] in seen.setdefault(c, set()):
+            continue
+        seen[c].add(r["turn_idx"])
+        if r["extracted_text"]:
+            want.setdefault(c, []).append(r["extracted_text"])
+        else:
+            want.setdefault(c, [])
+    assert set(got) == set(want)
+    for c, parts in want.items():
+        assert got[c]["doc_text"] == "\n\n".join(parts), c
+        assert got[c]["n_turns"] == len(seen[c])
