@@ -45,6 +45,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": q.q_events_daily,
         "distinct_event_types": q.q_distinct_event_types,
         "nation_region_join": q.q_nation_region_join,
+        # dedup / similarity / text-analysis suite
+        "transcripts_dedup_exact": q.q_transcripts_dedup_exact,
+        "documents_minhash_neardup": q.q_documents_minhash_neardup,
+        "documents_simhash_neardup": q.q_documents_simhash_neardup,
+        "documents_textstats": q.q_documents_textstats,
+        "embeddings_neardup": q.q_embeddings_neardup,
+        "embeddings_ann_topk": q.q_embeddings_ann_topk,
+        "embeddings_ann_topk_lsh": q.q_embeddings_ann_topk_lsh,
     }
 
 
@@ -114,5 +122,24 @@ def oracle_sql() -> dict[str, str]:
         "nation_region_join": """
             SELECT n_nationkey, n_name, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "embeddings_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "embeddings_ann_topk": """
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROUND(list_cosine_similarity(q.embedding, c.embedding), 6)
+                         AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                                  DESC, c.vec_id ASC) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 8) t
+            WHERE rank <= 5
         """,
     }

@@ -46,6 +46,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     n_turns = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
+    # untimed warmup: spin up Ray worker processes / Ray Data executor once
+    # on a single shard so timings measure steady-state compute, not
+    # first-execution infrastructure startup
+    flagship(paths[:1]).count()
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):

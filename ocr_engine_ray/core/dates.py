@@ -59,6 +59,7 @@ MONTHS = {
     "november": 11, "december": 12, "sept": 9,
 }
 
+_ANY_DIGIT_RE = re.compile(r"\d")
 _NUM_SPLIT_RE = re.compile(r"[/\.\-\s]+")
 _MONTH_TOKEN_RE = re.compile(r"^([A-Za-z]{3,9})\.?,?$")
 _DAY_TOKEN_RE = re.compile(r"^(\d{1,2}),?$")
@@ -150,8 +151,17 @@ def find_date(text: str, as_of: date) -> tuple[date | None, tuple[int, int] | No
     (2) whole-text scan with each family; (3) dotted two-digit-year form.
     First successful parse wins.
     """
-    # 1. keyword proximity (reference :64-91)
-    for _kw, kre in _KEYWORD_RES:
+    # every pattern family requires at least one digit; texts without any
+    # digits (most prose) short-circuit (pure optimization, same result)
+    if not _ANY_DIGIT_RE.search(text):
+        return None, None
+    text_lower = text.lower()
+
+    # 1. keyword proximity (reference :64-91); the substring gate skips
+    # the regex scan for absent keywords without changing semantics
+    for kw, kre in _KEYWORD_RES:
+        if kw not in text_lower:
+            continue
         for m in kre.finditer(text):
             window = m.group(1)
             base = m.start(1)

@@ -96,8 +96,13 @@ def extract_vendor(text: str) -> dict[str, str]:
     """First non-extracted-structure line = vendor name; next lines 2-4 =
     address block (reference :386-397).  Lines that are table rows or
     ``key: value`` lines are not vendor material."""
-    lines = [ln for ln in text.split("\n") if ln.strip()]
-    lines = [ln for ln in lines if " | " not in ln and not _KV_SPLIT_RE.match(ln)]
+    lines = []
+    for ln in text.split("\n"):
+        if not ln.strip() or " | " in ln or _KV_SPLIT_RE.match(ln):
+            continue
+        lines.append(ln)
+        if len(lines) == 4:  # only name + 3 address lines are ever used
+            break
     out = {"vendor_name": "", "vendor_street": "", "vendor_city": "",
            "vendor_state": "", "vendor_postal": ""}
     if not lines:

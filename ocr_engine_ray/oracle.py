@@ -17,7 +17,6 @@ import pyarrow as pa
 
 from .core.extract import DEFAULT_AS_OF
 from .stages.extract import extract_batch
-from .stages.validate import validate_batch
 
 
 def oracle_extract(table: pa.Table, as_of: date = DEFAULT_AS_OF,
@@ -25,10 +24,7 @@ def oracle_extract(table: pa.Table, as_of: date = DEFAULT_AS_OF,
     """Extract (and validate) every turn, single-process, output sorted
     by (conv_id, turn_idx)."""
     table = table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    out = extract_batch(table, as_of)
-    if validated:
-        out = validate_batch(out, as_of)
-    return out
+    return extract_batch(table, as_of, validate=validated)
 
 
 def oracle_conv_rollup(validated: pa.Table) -> pa.Table:

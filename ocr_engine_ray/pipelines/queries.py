@@ -285,3 +285,87 @@ def q_nation_region_join(sf_dir: str) -> pa.Table:
         })
 
     return pa.Table.from_pylist(ds.map_batches(attach, batch_format="pyarrow").take_all())
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis operators
+# ---------------------------------------------------------------------------
+
+def q_transcripts_dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup over the synthetic transcript corpus (seeded duplicate
+    rows collapse; pytest asserts the key-uniqueness invariant)."""
+    from ..stages.dedup import dedup_transcripts_exact
+    from .flagship import read_transcripts
+
+    return dedup_transcripts_exact(read_transcripts(transcript_paths(sf_dir)))
+
+
+def q_documents_minhash_neardup(sf_dir: str) -> Dataset:
+    """MinHash/LSH near-dup pairs over documents, Jaccard-verified."""
+    from ..stages.dedup import minhash_dedup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, "doc_id", threshold=0.4)
+
+
+def q_documents_simhash_neardup(sf_dir: str) -> Dataset:
+    """SimHash near-dup candidates (hamming ≤ 3) over documents."""
+    from ..stages.dedup import simhash_candidates
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_candidates(ds, "doc_id", max_hamming=3)
+
+
+def q_documents_textstats(sf_dir: str) -> Dataset:
+    """Language-ID, quality scores, token counts, fingerprints."""
+    from ..stages.textstats import text_stats_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow") \
+             .drop_columns(["text"])
+
+
+def q_embeddings_neardup(sf_dir: str) -> Dataset:
+    """Exact embedding-cosine near-dup pairs (cosine ≥ 0.4; matches the
+    DuckDB list_cosine_similarity oracle, rounded to 6)."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=0.4)
+    return pairs.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("cosine"), "cosine",
+                               pc.round(b.column("cosine"), 6)),
+        batch_format="pyarrow")
+
+
+def q_embeddings_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-5 for the first 8 vectors as queries."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import brute_force_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", 8)],
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    queries = qtab.column("embedding").to_pylist()
+    qids = qtab.column("vec_id").to_pylist()
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, qids, k=5)
+    import pyarrow.compute as _pc
+    return out.set_column(out.schema.get_field_index("cosine"), "cosine",
+                          _pc.round(out.column("cosine"), 6))
+
+
+def q_embeddings_ann_topk_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate top-k (the scale path; rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import lsh_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", 8)],
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    queries = qtab.column("embedding").to_pylist()
+    qids = qtab.column("vec_id").to_pylist()
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return lsh_topk(ds, queries, qids, k=5, n_planes=8)

@@ -1,0 +1,433 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup-shaped machinery is its md5-content cache key
+(``app/utils/ocr_engine.py:123-126``, SURVEY §2.6 A5) — exact dedup by
+content hash.  The near-dup family is the standard large-corpus
+extension (Broder MinHash/LSH, Charikar SimHash — public literature),
+built Ray-Data-first:
+
+- hashing/sketching is vectorized inside ``map_batches`` (numpy, crc32 —
+  never ``hash()``, which is ``PYTHONHASHSEED``-dependent);
+- the only shuffles are ``groupby`` on *short keys* (20-byte content
+  hash, 8-byte band hash) — payloads never ride through a shuffle;
+- candidate verification broadcasts the text/vector side via ``ray.put``
+  (small-side broadcast, SURVEY §2.5); at 100 TB you co-partition
+  verification by ``hash(min_id)`` instead — noted per function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..util import default_pool_size
+
+# ---------------------------------------------------------------------------
+# exact dedup (A5/J3): content-hash key, keep-first
+# ---------------------------------------------------------------------------
+
+
+def sha1_hex(parts: tuple) -> str:
+    h = hashlib.sha1()
+    for p in parts:
+        h.update(str(p).encode("utf-8", "surrogatepass"))
+        h.update(b"\x1f")
+    return h.hexdigest()
+
+
+def add_content_hash(batch: pa.Table, cols: list[str],
+                     out_col: str = "content_hash") -> pa.Table:
+    key_lists = [batch.column(c).to_pylist() for c in cols]
+    hashes = [sha1_hex(parts) for parts in zip(*key_lists)]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def dedup_exact(ds: Dataset, key_cols: list[str],
+                order_cols: list[str]) -> Dataset:
+    """Keep exactly one row per identical ``key_cols`` tuple — the winner
+    is the smallest ``order_cols`` tuple (deterministic under any
+    partitioning).  The shuffle key is the 20-byte sha1 of the key
+    columns, so multi-KB payloads are grouped without comparing payload
+    bytes across the wire more than once."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, key_cols),
+                            batch_format="pyarrow")
+
+    def first(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(c, "ascending") for c in order_cols])
+        return g.slice(0, 1).drop_columns(["content_hash"])
+
+    return hashed.groupby("content_hash").map_groups(first, batch_format="pyarrow")
+
+
+def dedup_transcripts_exact(ds: Dataset) -> Dataset:
+    """Transcript-table exact dedup: identical (conv_id, turn_idx, text)
+    rows collapse to the earliest ts (reference cache semantics: first
+    computation wins)."""
+    return dedup_exact(ds, ["conv_id", "turn_idx", "text"], ["ts"])
+
+
+# ---------------------------------------------------------------------------
+# shared tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: str, w: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < w:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def _crc64(s: str) -> int:
+    """Deterministic 64-bit string hash from two crc32 streams."""
+    b = s.encode("utf-8", "surrogatepass")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (Broder '97 / LSH banding, public)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Actor-pool stage: text → k-permutation MinHash signature.
+    Coefficients are derived from a fixed seed in ``__init__`` (once per
+    actor), signatures are uint64[k]."""
+
+    def __init__(self, text_col: str = "text", k: int = 64, w: int = 3,
+                 seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=k, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=k, dtype=np.uint64)
+        self.k = k
+        self.w = w
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.w)
+        if not sh:
+            return np.zeros(self.k, dtype=np.uint64)
+        base = np.fromiter((_crc64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        # (a*x + b) mod p, computed in python-int free numpy (mod 2^64 wrap
+        # then mod p is fine for uniformity at these k)
+        sigs = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
+        return sigs.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        return batch.append_column(
+            "minhash_sig", pa.array(list(sigs), pa.list_(pa.uint64(), self.k)))
+
+
+def lsh_band_rows(batch: pa.Table, id_col: str, bands: int = 16) -> pa.Table:
+    """signature → (band_id, band_hash, id) rows (1→bands expansion).
+    band_hash is a crc64 of the band's row slice — an 8-byte shuffle key."""
+    sigs = batch.column("minhash_sig").to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    k = len(sigs[0]) if sigs else 0
+    r = max(1, k // bands)
+    band_id, band_hash, out_id = [], [], []
+    for i, sig in enumerate(sigs):
+        for b in range(bands):
+            chunk = sig[b * r:(b + 1) * r]
+            band_id.append(b)
+            band_hash.append(_crc64(",".join(map(str, chunk))) & 0x7FFFFFFFFFFFFFFF)
+            out_id.append(ids[i])
+    return pa.table({
+        "band_id": pa.array(band_id, pa.int32()),
+        "band_hash": pa.array(band_hash, pa.int64()),
+        id_col: pa.array(out_id, type=batch.schema.field(id_col).type),
+    })
+
+
+def _bucket_pairs(group: pa.Table, id_col: str) -> pa.Table:
+    ids = sorted(group.column(id_col).to_pylist())
+    a_out, b_out = [], []
+    # cap pathological buckets (everything-matches-everything degenerate
+    # band): emit star pairs against the minimum id instead of n², which
+    # preserves connectivity for the component step
+    if len(ids) > 64:
+        root = ids[0]
+        for x in ids[1:]:
+            a_out.append(root)
+            b_out.append(x)
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    t = group.schema.field(id_col).type
+    return pa.table({"id_a": pa.array(a_out, t), "id_b": pa.array(b_out, t)})
+
+
+def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
+                       k: int = 64, bands: int = 16, w: int = 3,
+                       concurrency: int | tuple | None = None) -> Dataset:
+    """text → minhash → band rows → bucket groupby → candidate id pairs
+    (distinct)."""
+    if concurrency is None:
+        concurrency = default_pool_size()
+    sigged = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"text_col": text_col, "k": k, "w": w},
+        batch_format="pyarrow", concurrency=concurrency)
+    band_rows = sigged.select_columns(["minhash_sig", id_col]).map_batches(
+        lambda b: lsh_band_rows(b, id_col, bands), batch_format="pyarrow")
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
+    # distinct pairs (a pair can surface from several bands)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# Broadcast-state stages run as plain TASKS, not actor pools: ray.get of
+# a broadcast object from the local plasma store is (near-)zero-copy and
+# cached per node, and a second actor pool in the same DAG can reserve
+# the last free CPUs and stall the streaming executor (observed on a
+# 4-CPU session: MinHasher pool + verifier pool + repartition = deadlock).
+# Worker-process module caches below keep derived state across tasks.
+_WORKER_CACHE: dict = {}
+
+
+def _jaccard_verify_batch(batch: pa.Table, docs_ref, w: int) -> pa.Table:
+    """Verify candidate pairs with exact n-gram Jaccard.  ``docs_ref``
+    is a ray.put broadcast of {id: text}.  At 100 TB scale this becomes
+    a co-partitioned join on hash(id) instead of a broadcast — the stage
+    contract (pairs in, scored pairs out) is unchanged."""
+    key = ("jaccard_docs", docs_ref.hex() if hasattr(docs_ref, "hex") else id(docs_ref))
+    state = _WORKER_CACHE.get(key)
+    if state is None:
+        state = (ray.get(docs_ref), {})
+        _WORKER_CACHE.clear()          # one broadcast live at a time
+        _WORKER_CACHE[key] = state
+    docs, cache = state
+
+    def sh(i):
+        s = cache.get(i)
+        if s is None:
+            s = word_shingles(docs.get(i, ""), w)
+            cache[i] = s
+        return s
+
+    a = batch.column("id_a").to_pylist()
+    b = batch.column("id_b").to_pylist()
+    sims = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
+    return batch.append_column("jaccard", pa.array(sims, pa.float64()))
+
+
+def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
+                        threshold: float = 0.7, k: int = 64, bands: int = 16,
+                        w: int = 3) -> Dataset:
+    """End-to-end near-dup pair detection: MinHash/LSH candidates →
+    exact Jaccard verify → pairs with jaccard ≥ threshold."""
+    cands = minhash_candidates(ds, id_col, text_col, k=k, bands=bands, w=w)
+    docs = {}
+    for batch in ds.select_columns([id_col, text_col]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"):
+        docs.update(zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()))
+    docs_ref = ray.put(docs)
+    verified = cands.map_batches(
+        lambda b: _jaccard_verify_batch(b, docs_ref, w),
+        batch_format="pyarrow")
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
+        batch_format="pyarrow")
+
+
+def representatives_from_pairs(pairs: list[tuple], all_ids: list) -> dict:
+    """Union-find over verified duplicate pairs → {id: representative}
+    (representative = min id of the component).  Driver-side: the pair
+    set is orders of magnitude smaller than the corpus; for corpora
+    where even pairs don't fit, iterate distributed min-label
+    propagation (groupby id, min over neighbor labels, repeat)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    return {i: find(i) for i in all_ids}
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar '02, public) — 64-bit fingerprints, hamming blocking
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.fromiter((_crc64(t) for t in toks), dtype=np.uint64,
+                         count=len(toks))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 per token) per bit
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(
+        "simhash", pa.array(np.array(vals, dtype=np.uint64), pa.uint64()))
+
+
+def simhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
+                       max_hamming: int = 3) -> Dataset:
+    """SimHash near-dup: 4×16-bit band blocking (two fingerprints within
+    hamming ≤ 3 of each other must agree exactly on ≥1 of 4 bands),
+    verify hamming inside buckets."""
+    hashed = ds.map_batches(lambda b: add_simhash(b, text_col),
+                            batch_format="pyarrow") \
+               .select_columns(["simhash", id_col])
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = b.column(id_col)
+        parts = []
+        for band in range(4):
+            key = ((sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pa.table({
+                "band_id": pa.array(np.full(len(sh), band, dtype=np.int32)),
+                "band_key": pa.array(key, pa.int64()),
+                id_col: ids,
+                "simhash": b.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
+
+    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group.column(id_col).to_pylist(),
+                          group.column("simhash").to_pylist()))
+        a_o, b_o, d_o = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, min(len(rows), i + 65)):
+                d = int(rows[i][1] ^ rows[j][1]).bit_count()
+                if d <= max_hamming:
+                    a_o.append(rows[i][0])
+                    b_o.append(rows[j][0])
+                    d_o.append(d)
+        t = group.schema.field(id_col).type
+        return pa.table({"id_a": pa.array(a_o, t), "id_b": pa.array(b_o, t),
+                         "hamming": pa.array(d_o, pa.int32())})
+
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(
+        pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _cosine_pairs_batch(batch: pa.Table, mat_ref, ids_ref, threshold: float,
+                        vec_col: str, id_col: str) -> pa.Table:
+    """Exact near-dup pairs against a broadcast normalized matrix: each
+    batch computes its block of the similarity matrix (numpy matmul) and
+    emits pairs (id_a < id_b, sim ≥ threshold).  ray.get of the numpy
+    matrix is zero-copy from the node plasma store; at
+    larger-than-memory scale swap in the LSH-bucketed variant below."""
+    mat = ray.get(mat_ref)               # (N, d) float64, L2-normalized
+    all_ids = ray.get(ids_ref)           # (N,) int64
+    vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs = vecs / norms
+    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    sims = vecs @ mat.T                                # (batch, N)
+    bi, gj = np.nonzero(sims >= threshold)
+    a = ids[bi]
+    b = all_ids[gj]
+    keep = a < b                                       # dedupe + drop self
+    return pa.table({
+        "id_a": pa.array(a[keep], pa.int64()),
+        "id_b": pa.array(b[keep], pa.int64()),
+        "cosine": pa.array(sims[bi, gj][keep], pa.float64()),
+    })
+
+
+def embedding_neardup_pairs(ds: Dataset, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.9) -> Dataset:
+    rows = pa.Table.from_pylist(ds.select_columns([id_col, vec_col]).take_all())
+    mat = np.array(rows.column(vec_col).to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put(mat / norms)
+    ids_ref = ray.put(np.asarray(rows.column(id_col).to_pylist(), dtype=np.int64))
+    return ds.map_batches(
+        lambda b: _cosine_pairs_batch(b, mat_ref, ids_ref, threshold,
+                                      vec_col, id_col),
+        batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(ds: Dataset, id_col: str = "vec_id",
+                          vec_col: str = "embedding", threshold: float = 0.9,
+                          n_planes: int = 12, seed: int = 42) -> Dataset:
+    """Scale path: random-hyperplane LSH buckets (sign sketch), exact
+    cosine verify within buckets.  Recall < 1 by construction (pairs
+    split across all buckets are missed) — the standard trade; run
+    multiple plane sets and union for higher recall."""
+    def bucketize_factory():
+        planes_holder: dict = {}
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            vecs = np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
+            if "planes" not in planes_holder:  # derived from the fixed seed
+                planes_holder["planes"] = np.random.RandomState(seed).standard_normal(
+                    (vecs.shape[1], n_planes))
+            signs = (vecs @ planes_holder["planes"]) > 0
+            bucket = (signs.astype(np.int64)
+                      * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            return pa.table({
+                "bucket": pa.array(bucket, pa.int64()),
+                id_col: b.column(id_col),
+                vec_col: b.column(vec_col),
+            })
+        return bucketize
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize_factory(), batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        sims = vecs @ vecs.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pa.table({
+            "id_a": pa.array(ids[ii][keep], pa.int64()),
+            "id_b": pa.array(ids[jj][keep], pa.int64()),
+            "cosine": pa.array(sims[ii, jj][keep], pa.float64()),
+        })
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")

@@ -9,11 +9,12 @@ callable CLASS so Ray hosts it in an actor pool::
     ds.map_batches(TurnExtractor, batch_format="pyarrow",
                    batch_size=512, concurrency=(2, 8))
 
-Batches are zero-copy ``pyarrow.Table`` in; the output batch is built
-column-at-a-time into the fixed ``EXTRACTED_SCHEMA``.  The per-row work
-(HTML/PDF parsing, regex field extraction) is inherently row-wise, so
-the hot loop iterates the text column once per batch — everything else
-(normalization pre-pass, column assembly) is Arrow-level.
+Batches are zero-copy ``pyarrow.Table`` in; output columns are
+assembled directly (no per-row dict materialization).  Validation
+(warnings/flags, reference ``app/utils/validator.py``) is FUSED into the
+same pass by default: the validator needs exactly the ``TurnRecord`` the
+extractor just produced, so a separate stage would re-materialize every
+row for nothing (measured ~1.5× end-to-end on the flagship pipeline).
 """
 
 from __future__ import annotations
@@ -22,70 +23,113 @@ from datetime import date
 
 import pyarrow as pa
 
-from ..core.extract import DEFAULT_AS_OF, TurnRecord, extract_turn, items_rollup
-from ..schema import EXTRACTED_SCHEMA
+from ..core.extract import DEFAULT_AS_OF, extract_turn, items_rollup
+from ..core.validate import flag_record, validate_record
+from ..schema import EXTRACTED_SCHEMA, VALIDATED_SCHEMA
+
+_CARRIED = ("conv_id", "turn_idx", "role", "tool", "ts")
 
 
-def record_to_row(rec: TurnRecord) -> dict:
-    """Flatten a TurnRecord into the EXTRACTED_SCHEMA column values.
-    Shared by the Ray stage and the single-process oracle so both
-    produce byte-identical rows."""
-    qty, total, avg = items_rollup(rec.items)
-    return {
-        "content_type": rec.content_type,
-        "extracted_text": rec.extracted_text,
-        "pages": rec.pages,
-        "invoice_number": rec.invoice_number,
-        "invoice_date": rec.invoice_date,
-        "grand_total_cents": rec.grand_total_cents,
-        "taxes_cents": rec.taxes_cents,
-        "final_total_cents": rec.final_total_cents,
-        "vendor_name": rec.vendor_name,
-        "vendor_street": rec.vendor_street,
-        "vendor_city": rec.vendor_city,
-        "vendor_state": rec.vendor_state,
-        "vendor_postal": rec.vendor_postal,
-        "items": [
-            {"description": i.description, "quantity": i.quantity,
-             "unit_price_cents": i.unit_price_cents, "total_cents": i.total_cents}
-            for i in rec.items
-        ],
-        "kv_pairs": [{"key": k, "value": v} for k, v in rec.kv_pairs],
-        "spans": [{"start": s, "end": e, "kind": k} for s, e, k in rec.spans],
-        "items_qty": qty,
-        "items_total_cents": total,
-        "items_avg_unit_price_cents": avg,
-        "extract_error": rec.extract_error,
-    }
-
-
-def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF) -> pa.Table:
-    """Pure function form of the extraction stage (used by stateless
-    callers and the oracle); ``TurnExtractor`` wraps it for actor pools."""
+def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF,
+                  validate: bool = True) -> pa.Table:
+    """Pure-function form of the extraction(+validation) stage; shared by
+    the actor wrapper and the single-process oracle (byte-identical
+    rows by construction)."""
     texts = batch.column("text").to_pylist()
-    rows = [record_to_row(extract_turn(t, as_of)) for t in texts]
+    conv_ids = batch.column("conv_id").to_pylist()
 
-    out_cols: dict[str, pa.Array | pa.ChunkedArray] = {
-        "conv_id": batch.column("conv_id"),
-        "turn_idx": batch.column("turn_idx"),
-        "role": batch.column("role"),
-        "tool": batch.column("tool"),
-        "ts": batch.column("ts"),
+    n = len(texts)
+    content_type: list[str] = [""] * n
+    extracted_text: list[str] = [""] * n
+    pages: list[int] = [1] * n
+    invoice_number: list[str | None] = [None] * n
+    invoice_date: list[date | None] = [None] * n
+    grand_total: list[int | None] = [None] * n
+    taxes: list[int | None] = [None] * n
+    final_total: list[int | None] = [None] * n
+    v_name: list[str] = [""] * n
+    v_street: list[str] = [""] * n
+    v_city: list[str] = [""] * n
+    v_state: list[str] = [""] * n
+    v_postal: list[str] = [""] * n
+    items_col: list[list[dict]] = [[] for _ in range(n)]
+    kv_col: list[list[dict]] = [[] for _ in range(n)]
+    spans_col: list[list[dict]] = [[] for _ in range(n)]
+    items_qty: list[int] = [0] * n
+    items_total: list[int] = [0] * n
+    items_avg: list[int | None] = [None] * n
+    extract_error: list[str] = [""] * n
+    warnings_col: list[list[str]] = []
+    flags_col: list[list[str]] = []
+    is_valid_col: list[bool] = []
+
+    for i, text in enumerate(texts):
+        rec = extract_turn(text, as_of)
+        content_type[i] = rec.content_type
+        extracted_text[i] = rec.extracted_text
+        pages[i] = rec.pages
+        invoice_number[i] = rec.invoice_number
+        invoice_date[i] = rec.invoice_date
+        grand_total[i] = rec.grand_total_cents
+        taxes[i] = rec.taxes_cents
+        final_total[i] = rec.final_total_cents
+        v_name[i] = rec.vendor_name
+        v_street[i] = rec.vendor_street
+        v_city[i] = rec.vendor_city
+        v_state[i] = rec.vendor_state
+        v_postal[i] = rec.vendor_postal
+        if rec.items:
+            items_col[i] = [
+                {"description": it.description, "quantity": it.quantity,
+                 "unit_price_cents": it.unit_price_cents,
+                 "total_cents": it.total_cents} for it in rec.items]
+        if rec.kv_pairs:
+            kv_col[i] = [{"key": k, "value": v} for k, v in rec.kv_pairs]
+        if rec.spans:
+            spans_col[i] = [{"start": s, "end": e, "kind": k}
+                            for s, e, k in rec.spans]
+        qty, total, avg = items_rollup(rec.items)
+        items_qty[i], items_total[i], items_avg[i] = qty, total, avg
+        extract_error[i] = rec.extract_error
+        if validate:
+            w = validate_record(rec, conv_ids[i], as_of)
+            warnings_col.append(w)
+            flags_col.append(flag_record(rec, as_of))
+            is_valid_col.append(len(w) == 0)
+
+    schema = VALIDATED_SCHEMA if validate else EXTRACTED_SCHEMA
+    by_name = {
+        "content_type": content_type, "extracted_text": extracted_text,
+        "pages": pages, "invoice_number": invoice_number,
+        "invoice_date": invoice_date, "grand_total_cents": grand_total,
+        "taxes_cents": taxes, "final_total_cents": final_total,
+        "vendor_name": v_name, "vendor_street": v_street,
+        "vendor_city": v_city, "vendor_state": v_state,
+        "vendor_postal": v_postal, "items": items_col, "kv_pairs": kv_col,
+        "spans": spans_col, "items_qty": items_qty,
+        "items_total_cents": items_total,
+        "items_avg_unit_price_cents": items_avg,
+        "extract_error": extract_error, "warnings": warnings_col,
+        "flags": flags_col, "is_valid": is_valid_col,
     }
-    arrays = [out_cols[f.name] if f.name in out_cols
-              else pa.array([r[f.name] for r in rows], type=f.type)
-              for f in EXTRACTED_SCHEMA]
-    return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+    arrays = []
+    for f in schema:
+        if f.name in _CARRIED:
+            arrays.append(batch.column(f.name))
+        else:
+            arrays.append(pa.array(by_name[f.name], type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 class TurnExtractor:
     """Actor-pool extraction stage.  ``__init__`` runs once per actor
     (compile/warm everything); ``__call__`` runs per batch."""
 
-    def __init__(self, as_of: date = DEFAULT_AS_OF):
+    def __init__(self, as_of: date = DEFAULT_AS_OF, validate: bool = True):
         self.as_of = as_of
+        self.validate = validate
         # Touch every lazy regex/table once so per-batch time is steady.
         extract_turn("warmup <p>x</p>", as_of)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.as_of)
+        return extract_batch(batch, self.as_of, validate=self.validate)

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch computes its block of scores with one numpy
+matmul and emits only its local top-k candidates, and the tiny global
+top-k reduction happens on the (candidate, not corpus) rows.  Scale
+path: IVF-style bucketing via random-hyperplane LSH (see
+``dedup.embedding_neardup_lsh`` for the bucket machinery) — search only
+the query's bucket neighborhood.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _batch_topk(batch: pa.Table, queries_ref, qids_ref, k: int,
+                vec_col: str, id_col: str) -> pa.Table:
+    """map_batches task: emit this batch's local top-k rows per query.
+    Runs as plain tasks — the query matrix broadcast is a zero-copy
+    ray.get from the node plasma store, so no actor pool is needed (and
+    a pool could co-reserve CPUs against other stages in the DAG)."""
+    q = ray.get(queries_ref)               # (Q, d) normalized float64
+    qids = ray.get(qids_ref)
+    vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                               dtype=np.float64))
+    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    sims = q @ vecs.T                                       # (Q, batch)
+    k = min(k, sims.shape[1])
+    # argpartition per query: local top-k without a full sort
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    q_out, id_out, sim_out = [], [], []
+    for qi in range(sims.shape[0]):
+        cols = part[qi]
+        q_out.extend([qids[qi]] * len(cols))
+        id_out.extend(ids[cols])
+        sim_out.extend(sims[qi, cols])
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "vec_id": pa.array(id_out, pa.int64()),
+        "cosine": pa.array(sim_out, pa.float64()),
+    })
+
+
+def brute_force_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
+                     k: int = 5, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> pa.Table:
+    """Exact cosine top-k for each query vector.  Returns a table
+    (query_id, vec_id, cosine, rank) with rank 1..k per query;
+    deterministic tie-break on (−cosine, vec_id)."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    queries_ref = ray.put(qmat)
+    qids_ref = ray.put(list(query_ids))
+    candidates = ds.map_batches(
+        lambda b: _batch_topk(b, queries_ref, qids_ref, k, vec_col, id_col),
+        batch_format="pyarrow")
+    # global reduce over ≤ k × n_batches candidate rows — driver-side heap
+    best: dict[int, list] = {}
+    for b in candidates.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for q, v, s in zip(b.column("query_id").to_pylist(),
+                           b.column("vec_id").to_pylist(),
+                           b.column("cosine").to_pylist()):
+            heapq.heappush(best.setdefault(q, []), (s, -v))
+            if len(best[q]) > k:
+                heapq.heappop(best[q])
+    q_out, v_out, s_out, r_out = [], [], [], []
+    for q in sorted(best):
+        ranked = sorted(best[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negv) in enumerate(ranked, 1):
+            q_out.append(q)
+            v_out.append(-negv)
+            s_out.append(s)
+            r_out.append(rank)
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "cosine": pa.array(s_out, pa.float64()),
+        "rank": pa.array(r_out, pa.int32()),
+    })
+
+
+def lsh_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
+             k: int = 5, n_planes: int = 8, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """Approximate top-k: corpus is bucketed by hyperplane sign sketch;
+    each query searches only vectors whose bucket is within hamming ≤ 1
+    of the query's bucket (probing all 1-bit neighbors).  Recall is
+    approximate by construction; the bucket step bounds the scanned
+    fraction to ~(n_planes+1)/2^n_planes of the corpus."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = np.random.RandomState(seed).standard_normal((qmat.shape[1], n_planes))
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ planes) > 0
+        return (signs.astype(np.int64)
+                * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+
+    qbuckets = bucket_of(qmat)
+    wanted: set[int] = set()
+    for qb in qbuckets:
+        wanted.add(int(qb))
+        for bit in range(n_planes):
+            wanted.add(int(qb) ^ (1 << bit))
+    wanted_ref = ray.put(wanted)
+
+    def filter_buckets(b: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        vecs = np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
+        mask = np.isin(bucket_of(vecs), list(w))
+        return b.filter(pa.array(mask))
+
+    pruned = ds.select_columns([id_col, vec_col]).map_batches(
+        filter_buckets, batch_format="pyarrow")
+    return brute_force_topk(pruned, queries, query_ids, k=k,
+                            vec_col=vec_col, id_col=id_col)
