@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_neardup": q.q_embeddings_neardup,
         "embeddings_ann_topk": q.q_embeddings_ann_topk,
         "embeddings_ann_topk_lsh": q.q_embeddings_ann_topk_lsh,
+        # multimodal plumbing + resumable/lineage pipeline
+        "media_decode": q.q_media_decode,
+        "flagship_resumable": q.q_flagship_resumable,
     }
 
 

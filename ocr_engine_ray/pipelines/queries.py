@@ -369,3 +369,34 @@ def q_embeddings_ann_topk_lsh(sf_dir: str) -> pa.Table:
     qids = qtab.column("vec_id").to_pylist()
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return lsh_topk(ds, queries, qids, k=5, n_planes=8)
+
+
+def q_media_decode(sf_dir: str) -> Dataset:
+    """Multimodal plumbing: synthetic binary media corpus → actor-pool
+    decode (stubbed codecs) + byte-histogram features.  Sized by sf."""
+    from ..stages.multimodal import decode_media, synth_media
+
+    n = max(30, int(3000 * sf_from_dir(sf_dir) * 10))
+    ds = rd.from_arrow(synth_media(n, seed=42))
+    return decode_media(ds).drop_columns(["features"])
+
+
+def q_flagship_resumable(sf_dir: str) -> pa.Table:
+    """Resumable flagship run: per-shard partitions + lineage manifest
+    (fresh output dir per call; the manifest protocol is what's under
+    test — see tests/test_lineage.py for crash/resume coverage)."""
+    import shutil
+    import tempfile
+
+    from ..state.lineage import run_resumable
+    from .flagship import flagship
+
+    paths = transcript_paths(sf_dir)[:4]
+    out = tempfile.mkdtemp(prefix="ocr_engine_lineage_", dir="/tmp")
+    try:
+        recs = run_resumable(paths, out, lambda p: flagship([p]))
+        return pa.Table.from_pylist([
+            {"input_shard": r.input_shard, "row_count": r.row_count,
+             "checksum": r.checksum} for r in recs])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,99 @@
+"""Partitioning & skew handling (north rule: "repartitions on
+hash(conv_id) with salting for hot conversations, handles skew via
+split_blocks on oversized Arrow batches").
+
+Hash partitioning is deterministic crc32 — never Python ``hash()``
+(``PYTHONHASHSEED``-dependent).  The salting contract: a *hot* key's
+rows spread over ``salt_factor`` buckets (by ``turn_idx``), which is
+safe exactly because per-turn extraction is stateless and per-conv
+aggregation is associative (partial-agg + final combine).  Stages that
+genuinely need a whole conversation co-located (ordered assembly) must
+not consume salted buckets — they use the plain ``groupby(conv_id)``
+path and document the bounded-group-size assumption.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+_SALT_PRIME = 2654435761  # Knuth multiplicative
+
+
+def crc_bucket(keys: list[str], n_buckets: int) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(k.encode("utf-8", "surrogatepass")) % n_buckets
+         for k in keys),
+        dtype=np.int32, count=len(keys))
+
+
+def detect_hot_keys(ds: Dataset, key_col: str,
+                    threshold_frac: float = 0.05) -> list[str]:
+    """Keys holding more than ``threshold_frac`` of all rows, found with
+    per-batch partial counts (the shuffle moves one row per (key, batch),
+    so this is safe to run on the full corpus)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "p_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby(key_col).aggregate(Sum("p_n", alias_name="n"))
+    rows = counts.take_all()
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        return []
+    return sorted(r[key_col] for r in rows if r["n"] / total >= threshold_frac)
+
+
+def add_salted_bucket(batch: pa.Table, key_col: str, n_buckets: int,
+                      hot_keys: frozenset, salt_col: str = "turn_idx",
+                      salt_factor: int = 8,
+                      out_col: str = "bucket") -> pa.Table:
+    """bucket = crc32(key) % n  — except hot keys, whose rows fan out to
+    ``salt_factor`` distinct buckets driven by ``salt_col``."""
+    keys = batch.column(key_col).to_pylist()
+    buckets = crc_bucket(keys, n_buckets).astype(np.int64)
+    if hot_keys:
+        salts = batch.column(salt_col).to_pylist()
+        for i, k in enumerate(keys):
+            if k in hot_keys:
+                buckets[i] = (buckets[i]
+                              + 1
+                              + (int(salts[i] or 0) % salt_factor) * _SALT_PRIME
+                              ) % n_buckets
+    return batch.append_column(out_col, pa.array(buckets, pa.int64()))
+
+
+def salted_partition(ds: Dataset, key_col: str, n_buckets: int,
+                     hot_keys: list[str] | None = None,
+                     salt_col: str = "turn_idx",
+                     salt_factor: int = 8) -> Dataset:
+    """Attach the salted bucket column (auto-detecting hot keys when not
+    given).  Downstream co-location = ``groupby('bucket')``; the bucket
+    column is the ONE partitioning key reused across stages."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(ds, key_col)
+    hot_ref = ray.put(frozenset(hot_keys))
+
+    def add(b: pa.Table) -> pa.Table:
+        return add_salted_bucket(b, key_col, n_buckets, ray.get(hot_ref),
+                                 salt_col=salt_col, salt_factor=salt_factor)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def configure_for_wide_rows(max_block_mb: int = 64) -> None:
+    """Cap block bytes so multi-MB text rows can't produce oversized
+    Arrow batches (split_blocks pressure valve; call before building
+    pipelines over wide-row corpora)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.target_max_block_size = max_block_mb * 1024 * 1024

@@ -1,0 +1,159 @@
+"""Resumable partitioned output with per-partition lineage records
+(north rule; FIXTURES.md §F4).  Replaces the reference's Redis
+md5-keyed result cache (``app/utils/ocr_engine.py:123-135,154-160``)
+with deterministic partition layout + a commit manifest:
+
+- one output partition per input shard (or shard group): the resume
+  unit;
+- write protocol: write Parquet into ``<out>/.tmp-<part>/`` → fsync
+  manifest line → atomic rename to ``<out>/<part>/`` — a partition
+  either exists completely or not at all;
+- lineage record per partition: input shard(s), output path, row count,
+  order-insensitive content checksum, committed_at;
+- a resumed run lists committed partitions from the manifest and skips
+  them (idempotent, no duplicates, no gaps — proven by checksum in
+  tests).
+
+Checksum = (sum mod 2^64 of per-row sha1-derived uint64 over the key
+columns, row count) — order-insensitive, duplicate-sensitive; computed
+inside the same streaming pass that writes the partition (a pass-through
+``map_batches`` stage feeding a per-partition accumulator actor), so no
+second read of the data is needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+MANIFEST = "_MANIFEST.jsonl"
+_MASK = (1 << 64) - 1
+
+
+@dataclass
+class LineageRecord:
+    input_shard: str
+    partition_id: int
+    output_path: str
+    row_count: int
+    checksum: str
+    committed_at: float
+
+
+def row_hash64(parts: tuple) -> int:
+    h = hashlib.sha1()
+    for p in parts:
+        h.update(str(p).encode("utf-8", "surrogatepass"))
+        h.update(b"\x1f")
+    return int.from_bytes(h.digest()[:8], "big")
+
+
+def table_checksum(table: pa.Table, key_cols: list[str]) -> tuple[int, int]:
+    """(sum-of-row-hashes mod 2^64, row_count) — order-insensitive."""
+    cols = [table.column(c).to_pylist() for c in key_cols]
+    total = 0
+    for parts in zip(*cols):
+        total = (total + row_hash64(parts)) & _MASK
+    return total, table.num_rows
+
+
+@ray.remote(num_cpus=0)
+class _ChecksumActor:
+    def __init__(self) -> None:
+        self.sum = 0
+        self.rows = 0
+
+    def add(self, partial_sum: int, rows: int) -> None:
+        self.sum = (self.sum + partial_sum) & _MASK
+        self.rows += rows
+
+    def result(self) -> tuple[int, int]:
+        return self.sum, self.rows
+
+
+def _checksum_stage(actor, key_cols: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        s, n = table_checksum(batch, key_cols)
+        actor.add.remote(s, n)
+        return batch
+
+    return fn
+
+
+def load_manifest(out_dir: str) -> dict[str, LineageRecord]:
+    path = os.path.join(out_dir, MANIFEST)
+    records: dict[str, LineageRecord] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = LineageRecord(**json.loads(line))
+                    records[rec.input_shard] = rec
+    return records
+
+
+def _append_manifest(out_dir: str, rec: LineageRecord) -> None:
+    path = os.path.join(out_dir, MANIFEST)
+    with open(path, "a") as f:
+        f.write(json.dumps(asdict(rec)) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def run_resumable(input_shards: list[str], out_dir: str, make_ds,
+                  key_cols: list[str] = ("conv_id", "turn_idx", "extracted_text"),
+                  metrics=None) -> list[LineageRecord]:
+    """Process each input shard into its own committed output partition,
+    skipping shards already in the manifest.
+
+    ``make_ds(shard_path) -> Dataset`` builds the (lazy) pipeline for one
+    shard; each shard's Dataset executes with full cluster parallelism,
+    shards run in sequence (at fleet scale each shard group is its own
+    ``ray job submit`` — the manifest protocol is identical).
+
+    Returns the lineage records committed by THIS run (skipped shards
+    excluded)."""
+    os.makedirs(out_dir, exist_ok=True)
+    committed = load_manifest(out_dir)
+    new_records: list[LineageRecord] = []
+    for part_id, shard in enumerate(input_shards):
+        shard_key = os.path.basename(shard)
+        if shard_key in committed:
+            continue
+        part_name = f"part-{os.path.splitext(shard_key)[0]}"
+        final_dir = os.path.join(out_dir, part_name)
+        tmp_dir = os.path.join(out_dir, f".tmp-{part_name}")
+        if os.path.exists(tmp_dir):  # crashed attempt — start clean
+            import shutil
+            shutil.rmtree(tmp_dir)
+        ds: Dataset = make_ds(shard)
+        actor = _ChecksumActor.remote()
+        ds = ds.map_batches(_checksum_stage(actor, list(key_cols)),
+                            batch_format="pyarrow")
+        ds.write_parquet(tmp_dir)
+        csum, rows = ray.get(actor.result.remote())
+        if os.path.exists(final_dir):
+            import shutil
+            shutil.rmtree(final_dir)
+        os.replace(tmp_dir, final_dir)
+        rec = LineageRecord(
+            input_shard=shard_key, partition_id=part_id,
+            output_path=final_dir, row_count=rows,
+            checksum=f"{csum:016x}", committed_at=time.time(),
+        )
+        _append_manifest(out_dir, rec)
+        new_records.append(rec)
+        if metrics is not None:
+            metrics.incr_many.remote({
+                "partitions_committed_total": 1.0,
+                "rows_committed_total": float(rows),
+            })
+    return new_records
