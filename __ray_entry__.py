@@ -56,6 +56,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing + resumable/lineage pipeline
         "media_decode": q.q_media_decode,
         "flagship_resumable": q.q_flagship_resumable,
+        # windows / set ops / export shaping / anti-join / sampling
+        "events_sessionize": q.q_events_sessionize,
+        "events_union_distinct": q.q_events_union_distinct,
+        "export_rows": q.q_export_rows,
+        "unapproved_vendors": q.q_unapproved_vendors,
+        "events_sample": q.q_events_sample,
     }
 
 
@@ -132,6 +138,31 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                               OR LAG(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps
+            )
+            SELECT user_id, session_id,
+                   COUNT(*)             AS n_events,
+                   MIN(ts)              AS session_start,
+                   MAX(ts)              AS session_end,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_union_distinct": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+            UNION
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         """,
         "embeddings_ann_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (

@@ -6,10 +6,14 @@ Runs the headline pipelines over $GRAFT_SF_DIR (default
     {"metric": ..., "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
 
-``--scaling`` runs the flagship pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on identical input and reports both
-throughputs + scaling efficiency (the sandbox evidence for the north
-rule's N vs 4N cluster criterion).
+``--scaling`` runs the flagship pipeline in fresh processes at
+num_cpus=2, 8 and 32 on identical input — the same actor-pool fraction
+(cpus/2) at every level — and reports throughput at each level, the
+2→4N and 8→4N efficiencies, and the machine's measured parallel
+capacity (this sandbox is SMT/steal-limited well below 32 hardware
+threads, which bounds the raw 8→32 number; a real 4N-node cluster adds
+whole nodes).  This is the sandbox evidence for the north rule's
+N vs 4N cluster criterion.
 """
 
 from __future__ import annotations
@@ -86,22 +90,84 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _run_flagship_only(sf_dir: str, num_cpus: int, pool: int) -> dict:
+    """One timed flagship run with an explicit actor-pool width — used by
+    --scaling so both parallelism levels run the same pool FRACTION
+    (pool = cpus/2), keeping the comparison apples-to-apples."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ocr_engine_ray.pipelines import queries as q
+    from ocr_engine_ray.pipelines.flagship import flagship
+
+    paths = q.transcript_paths(sf_dir)
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+    flagship(paths[:1], concurrency=pool).count()  # untimed warmup
+    t0 = time.perf_counter()
+    n = flagship(paths, concurrency=pool).count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"value": round(dt, 3), "n_turns": n,
+            "turns_per_sec": round(n / dt, 1), "num_cpus": num_cpus,
+            "pool": pool, "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])}
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _measure_cpu_capacity() -> dict:
+    """The sandbox machine's real parallel capacity (SMT/steal-limited):
+    how many CPU-seconds per wall-second k worker processes actually get.
+    Reported so the raw 8→32 efficiency can be read against the hardware
+    ceiling — a real 4N-node cluster adds whole nodes, not SMT siblings."""
+    import multiprocessing as mp
+
+    burn = _burn
+    n = 4_000_000
+    t0 = time.perf_counter()
+    burn(n)
+    t1 = time.perf_counter() - t0
+    out = {}
+    for k in (2, 8, 32):
+        with mp.Pool(k) as p:
+            t0 = time.perf_counter()
+            p.map(burn, [n] * k)
+            out[f"capacity_{k}"] = round(k * t1 / (time.perf_counter() - t0), 2)
+    return out
+
+
 def _scaling(sf_dir: str) -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                   GRAFT_SCALING_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
-    eff = (tp_hi / tp_lo) / (32 / 8)
+    results = {n: run(n) for n in (2, 8, 32)}
+    tp = {n: results[n]["turns_per_sec"] for n in results}
     return {
-        "metric": "scaling efficiency flagship 8→32 cpus (1.0 = linear)",
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "turns_per_sec_8": tp_lo, "turns_per_sec_32": tp_hi,
-        "scaling_efficiency": round(eff, 3),
-        "sf": lo["sf"], "n_turns": lo["n_turns"],
+        "metric": "flagship scaling efficiency N→4N cpus (1.0 = linear), "
+                  "same pool fraction (cpus/2) at every level",
+        "turns_per_sec": {str(n): tp[n] for n in tp},
+        "sec": {str(n): results[n]["value"] for n in results},
+        "scaling_efficiency_2_to_8": round((tp[8] / tp[2]) / 4, 3),
+        "scaling_efficiency_8_to_32": round((tp[32] / tp[8]) / 4, 3),
+        "machine_parallel_capacity": _measure_cpu_capacity(),
+        "sf": results[2]["sf"], "n_turns": results[2]["n_turns"],
     }
 
 
@@ -109,6 +175,10 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         print(json.dumps(_scaling(sf_dir)))
+        return
+    if "--flagship-only" in sys.argv:
+        ncpu = int(os.environ.get("GRAFT_SCALING_CPUS", "8"))
+        print(json.dumps(_run_flagship_only(sf_dir, ncpu, max(1, ncpu // 2))))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
     print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))

@@ -66,7 +66,16 @@ class TurnRecord:
     extract_error: str = ""
 
 
-_CONTENT_EXTRACTORS = {
+# ---------------------------------------------------------------------------
+# Extractor registry (§2.8 user-extension surface): the reference's
+# de-facto plugin point is its fallback-chain extractor selection
+# (app/utils/data_extractor.py:259-268) plus the dormant template-dir /
+# swappable-OCR-engine hooks (app/config.py:38, README.md:195-198).
+# Here it is explicit: content-type extractors are registered by name,
+# and a `tool` value can override the sniff-based choice entirely.
+# ---------------------------------------------------------------------------
+
+CONTENT_EXTRACTORS: dict[str, callable] = {
     "html": extract_html,
     "markdown": extract_markdown,
     "pdf": extract_pdf_layout,
@@ -74,24 +83,37 @@ _CONTENT_EXTRACTORS = {
     "empty": lambda t: "",
 }
 
+TOOL_EXTRACTORS: dict[str, callable] = {}
 
-def extract_main_text(text: str) -> tuple[str, str, int]:
+
+def register_extractor(content_type: str, fn) -> None:
+    """Register/override the extractor for a sniffed content type."""
+    CONTENT_EXTRACTORS[content_type] = fn
+
+
+def register_tool_extractor(tool: str, fn) -> None:
+    """Route every turn produced by ``tool`` through ``fn`` regardless of
+    sniffed content type (content_type becomes ``tool:<name>``)."""
+    TOOL_EXTRACTORS[tool] = fn
+
+
+def extract_main_text(text: str, tool: str = "") -> tuple[str, str, int]:
     """normalize + sniff + content extraction (+ fallback).
 
     Returns ``(content_type, extracted_text, pages)``.
     """
     norm = normalize_text(text)
+    if tool and tool in TOOL_EXTRACTORS:
+        extracted = TOOL_EXTRACTORS[tool](norm)
+        return f"tool:{tool}", extracted, 1
     ctype = sniff_content_type(norm)
-    extracted = _CONTENT_EXTRACTORS[ctype](norm)
+    extracted = CONTENT_EXTRACTORS[ctype](norm)
     # fallback chain: specific extractor produced nothing from a non-empty
     # payload → degrade to the plain path (reference :259-274 semantics)
     if not extracted.strip() and norm.strip():
-        ctype_out = ctype
         extracted = norm
-    else:
-        ctype_out = ctype
     pages = num_pages(norm) if ctype == "pdf" else 1
-    return ctype_out, extracted, pages
+    return ctype, extracted, pages
 
 
 def _line_spans(text: str, pred, kind: str) -> list[tuple[int, int, str]]:
@@ -105,15 +127,16 @@ def _line_spans(text: str, pred, kind: str) -> list[tuple[int, int, str]]:
     return spans
 
 
-def extract_turn(text: str, as_of: date = DEFAULT_AS_OF) -> TurnRecord:
+def extract_turn(text: str, as_of: date = DEFAULT_AS_OF,
+                 tool: str = "") -> TurnRecord:
     try:
-        return _extract_turn_inner(text, as_of)
+        return _extract_turn_inner(text, as_of, tool)
     except Exception as e:  # degrade, never poison the batch
         return TurnRecord(extract_error=f"{type(e).__name__}: {e}"[:200])
 
 
-def _extract_turn_inner(text: str, as_of: date) -> TurnRecord:
-    ctype, extracted, pages = extract_main_text(text or "")
+def _extract_turn_inner(text: str, as_of: date, tool: str = "") -> TurnRecord:
+    ctype, extracted, pages = extract_main_text(text or "", tool)
     rec = TurnRecord(content_type=ctype, extracted_text=extracted, pages=pages)
     if not extracted:
         return rec

@@ -1,0 +1,120 @@
+"""Export / row-shaping pipeline — re-expression of the reference's
+exporter (``app/utils/exporter.py``).
+
+``shape_export_rows`` is S9 (``_create_dataframe_sync``, :38-84): one
+flat row per record with the address concatenated and the per-record
+line-item rollup (Σqty, Σtotal, avg unit price) — the same 12-column
+layout, field-mapped to the transcript substrate:
+
+    Filename→conv_id/turn_idx, Invoice Number, Vendor Name, Address,
+    Invoice Date, Grand Total, Taxes, Final Total, Quantity, Unit Price,
+    Total, Pages
+
+Money renders as canonical 2-decimal strings (the reference's
+``float_format='%.2f'``, :94) from exact cents.
+
+Sinks: Parquet (primary, distributed, partitioned), CSV (distributed,
+``Dataset.write_csv``), Excel (S8 — driver-side convenience, gated on
+openpyxl which is absent here → NotImplementedError, plumbing tested
+via the gate)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..core.money import cents_to_str
+
+EXPORT_COLUMNS = [
+    "filename", "invoice_number", "vendor_name", "address", "invoice_date",
+    "grand_total", "taxes", "final_total", "quantity", "unit_price",
+    "total", "pages",
+]
+
+
+def shape_export_batch(batch: pa.Table) -> pa.Table:
+    rows = batch.select([
+        "conv_id", "turn_idx", "invoice_number", "vendor_name",
+        "vendor_street", "vendor_city", "vendor_state", "vendor_postal",
+        "invoice_date", "grand_total_cents", "taxes_cents",
+        "final_total_cents", "items_qty", "items_total_cents",
+        "items_avg_unit_price_cents", "pages",
+    ]).to_pylist()
+    out: dict[str, list] = {c: [] for c in EXPORT_COLUMNS}
+    for r in rows:
+        # address concat, empty parts dropped (exporter.py:41-49)
+        parts = [r["vendor_street"], r["vendor_city"], r["vendor_state"],
+                 r["vendor_postal"]]
+        out["filename"].append(f"{r['conv_id']}#{r['turn_idx']}")
+        out["invoice_number"].append(r["invoice_number"] or "")
+        out["vendor_name"].append(r["vendor_name"])
+        out["address"].append(", ".join(p for p in parts if p))
+        out["invoice_date"].append(
+            r["invoice_date"].isoformat() if r["invoice_date"] else "")
+        out["grand_total"].append(cents_to_str(r["grand_total_cents"]))
+        out["taxes"].append(cents_to_str(r["taxes_cents"]))
+        out["final_total"].append(cents_to_str(r["final_total_cents"]))
+        out["quantity"].append(r["items_qty"])
+        out["unit_price"].append(cents_to_str(r["items_avg_unit_price_cents"]))
+        out["total"].append(cents_to_str(r["items_total_cents"]))
+        out["pages"].append(r["pages"])
+    return pa.table({
+        **{c: pa.array(out[c], pa.string()) for c in EXPORT_COLUMNS
+           if c not in ("quantity", "pages")},
+        "quantity": pa.array(out["quantity"], pa.int64()),
+        "pages": pa.array(out["pages"], pa.int32()),
+    }).select(EXPORT_COLUMNS)
+
+
+def shape_export_rows(validated: Dataset) -> Dataset:
+    return validated.map_batches(shape_export_batch, batch_format="pyarrow")
+
+
+def write_export(validated: Dataset, out_dir: str, fmt: str = "parquet") -> None:
+    """Distributed sinks (S7): a directory of part files, never one giant
+    file (resumable layout lives in state/lineage.py)."""
+    shaped = shape_export_rows(validated)
+    if fmt == "parquet":
+        shaped.write_parquet(out_dir)
+    elif fmt == "csv":
+        shaped.write_csv(out_dir)
+    else:
+        raise ValueError(f"Unsupported export format: {fmt}")
+
+
+def export_excel(validated: Dataset, path: str) -> None:
+    """S8 Excel sink — driver-side convenience like the reference
+    (exporter.py:100-120, openpyxl).  openpyxl is not in this container,
+    so the gate raises; with it installed this materializes the (small)
+    shaped result and writes one styled sheet."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel export requires openpyxl (not available in this "
+            "environment); use write_export(..., fmt='csv'|'parquet')") from e
+    df = shape_export_rows(validated).to_pandas()  # pragma: no cover
+    df.to_excel(path, index=False)  # pragma: no cover
+
+
+def flag_unapproved_vendors(validated: Dataset,
+                            approved: set[str] | list[str]) -> Dataset:
+    """J4 (README unapproved-vendor flagging): broadcast ANTI-join of the
+    extracted vendor name against a small approved list — membership
+    check inside map_batches, no shuffle.  Adds ``vendor_approved`` and
+    keeps only rows that extracted a vendor at all."""
+    import ray
+
+    approved_ref = ray.put(frozenset(v.strip().lower() for v in approved))
+
+    def flag(b: pa.Table) -> pa.Table:
+        ok = ray.get(approved_ref)
+        names = b.column("vendor_name").to_pylist()
+        mask = [bool(n and n.strip()) for n in names]
+        sub = b.filter(pa.array(mask))
+        names = sub.column("vendor_name").to_pylist()
+        return sub.append_column(
+            "vendor_approved",
+            pa.array([n.strip().lower() in ok for n in names], pa.bool_()))
+
+    return validated.map_batches(flag, batch_format="pyarrow")

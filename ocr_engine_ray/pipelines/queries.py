@@ -400,3 +400,84 @@ def q_flagship_resumable(sf_dir: str) -> pa.Table:
              "checksum": r.checksum} for r in recs])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def q_events_sessionize(sf_dir: str) -> Dataset:
+    """Session windows (streaming-shaped): per user, a >30-minute gap
+    starts a new session; groupby(key).map_groups over the ts-sorted
+    group (ray_guide 'Streaming-shaped workloads')."""
+    GAP_US = 30 * 60 * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_pylist()
+        vals = g.column("value").to_pylist()
+        uid = g.column("user_id")[0].as_py()
+        out = {"user_id": [], "session_id": [], "n_events": [],
+               "session_start": [], "session_end": [], "sum_value": []}
+        sid, start = 0, 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > GAP_US:
+                sid += 1
+                out["user_id"].append(uid)
+                out["session_id"].append(sid)
+                out["n_events"].append(i - start)
+                out["session_start"].append(ts[start])
+                out["session_end"].append(ts[i - 1])
+                out["sum_value"].append(round(sum(vals[start:i]), 2))
+                start = i
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_id": pa.array(out["session_id"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "session_start": pa.array(out["session_start"], pa.int64()).cast(
+                pa.timestamp("us")),
+            "session_end": pa.array(out["session_end"], pa.int64()).cast(
+                pa.timestamp("us")),
+            "sum_value": pa.array(out["sum_value"], pa.float64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def q_events_union_distinct(sf_dir: str) -> pa.Table:
+    """Set op (union + distinct): users who signed up OR purchased."""
+    base = ["user_id", "event_type"]
+    a = rd.read_parquet(_t(sf_dir, "events"), columns=base).map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "signup")),
+        batch_format="pyarrow")
+    b = rd.read_parquet(_t(sf_dir, "events"), columns=base).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")),
+        batch_format="pyarrow")
+    users = sorted(a.union(b).unique("user_id"))
+    return pa.table({"user_id": pa.array(users, pa.int64())})
+
+
+def q_export_rows(sf_dir: str) -> Dataset:
+    """Reference 12-column export row shaping (exporter.py:38-84) over
+    the flagship output, money as canonical 2-decimal strings."""
+    from .export import shape_export_rows
+    from .flagship import flagship
+
+    return shape_export_rows(flagship(transcript_paths(sf_dir)))
+
+
+def q_unapproved_vendors(sf_dir: str) -> Dataset:
+    """J4 broadcast anti-join: extracted vendors not on the approved
+    list (the synthetic corpus draws vendors from 5 known names)."""
+    from .export import flag_unapproved_vendors
+    from .flagship import flagship
+
+    approved = ["Acme Supplies Inc", "Globex Corporation", "Initech LLC"]
+    flagged = flag_unapproved_vendors(flagship(transcript_paths(sf_dir)), approved)
+    return flagged.map_batches(
+        lambda b: b.filter(pc.invert(b.column("vendor_approved"))),
+        batch_format="pyarrow").select_columns(
+        ["conv_id", "turn_idx", "vendor_name", "vendor_approved"])
+
+
+def q_events_sample(sf_dir: str) -> Dataset:
+    """Seeded random sample (rows-only: sampling is engine-defined)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    return ds.random_sample(0.1, seed=42)

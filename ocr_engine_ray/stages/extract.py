@@ -37,6 +37,7 @@ def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF,
     rows by construction)."""
     texts = batch.column("text").to_pylist()
     conv_ids = batch.column("conv_id").to_pylist()
+    tools = batch.column("tool").to_pylist()
 
     n = len(texts)
     content_type: list[str] = [""] * n
@@ -64,7 +65,7 @@ def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF,
     is_valid_col: list[bool] = []
 
     for i, text in enumerate(texts):
-        rec = extract_turn(text, as_of)
+        rec = extract_turn(text, as_of, tools[i] or "")
         content_type[i] = rec.content_type
         extracted_text[i] = rec.extracted_text
         pages[i] = rec.pages
@@ -133,3 +134,32 @@ class TurnExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return extract_batch(batch, self.as_of, validate=self.validate)
+
+
+def explode_pages_batch(batch: pa.Table) -> pa.Table:
+    """1→N page explosion (S4/S5 analogue — ZIP member / PDF page
+    expansion, reference ``app/utils/file_handler.py:134-186``): each
+    extracted turn becomes one row per page ("\\f"-separated for pdf
+    payloads; exactly one page otherwise), carrying (page_idx,
+    total_pages) like the reference's page records (:171-175).  Use via
+    ``ds.map_batches(explode_pages_batch)`` — a map_batches returning
+    more rows than its input, the Ray-native flat_map."""
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    texts = batch.column("extracted_text").to_pylist()
+    o_conv, o_turn, o_page, o_total, o_text = [], [], [], [], []
+    for c, t, x in zip(conv_ids, turn_idxs, texts):
+        pages = x.split("\f") if x else [""]
+        for pi, ptext in enumerate(pages):
+            o_conv.append(c)
+            o_turn.append(t)
+            o_page.append(pi)
+            o_total.append(len(pages))
+            o_text.append(ptext)
+    return pa.table({
+        "conv_id": pa.array(o_conv, pa.string()),
+        "turn_idx": pa.array(o_turn, pa.int32()),
+        "page_idx": pa.array(o_page, pa.int32()),
+        "total_pages": pa.array(o_total, pa.int32()),
+        "page_text": pa.array(o_text, pa.string()),
+    })

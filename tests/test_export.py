@@ -1,0 +1,118 @@
+"""Export shaping, vendor anti-join, page explode, extractor registry."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_shape_export_batch_matches_reference_layout(ray_session, small_corpus):
+    from ocr_engine_ray.oracle import oracle_extract
+    from ocr_engine_ray.pipelines.export import EXPORT_COLUMNS, shape_export_batch
+
+    validated = oracle_extract(small_corpus)
+    out = shape_export_batch(validated)
+    assert out.column_names == EXPORT_COLUMNS
+    assert out.num_rows == validated.num_rows
+    rows = out.to_pylist()
+    src = validated.to_pylist()
+    for r, s in zip(rows, src):
+        assert r["filename"] == f"{s['conv_id']}#{s['turn_idx']}"
+        if s["final_total_cents"] is not None:
+            euros = r["final_total"]
+            assert "." in euros and len(euros.split(".")[1]) == 2
+        if s["items_qty"]:
+            assert r["quantity"] == s["items_qty"]
+        # address concat drops empty parts, comma-joined
+        assert ",," not in r["address"]
+
+
+def test_write_export_csv_and_parquet(ray_session, small_corpus, tmp_path):
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import write_export
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus.slice(0, 200)),
+                                  concurrency=2, batch_size=64)
+    write_export(validated, str(tmp_path / "pq"), fmt="parquet")
+    import glob
+
+    import pyarrow.parquet as pq
+    files = glob.glob(str(tmp_path / "pq" / "*.parquet"))
+    assert files
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 200
+    with pytest.raises(ValueError):
+        write_export(validated, str(tmp_path / "x"), fmt="xml")
+
+
+def test_export_excel_gated(ray_session, small_corpus):
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import export_excel
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus.slice(0, 10)),
+                                  concurrency=1, batch_size=8)
+    with pytest.raises(NotImplementedError):
+        export_excel(validated, "/tmp/never.xlsx")
+
+
+def test_flag_unapproved_vendors(ray_session, small_corpus):
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import flag_unapproved_vendors
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus), concurrency=2)
+    out = pa.Table.from_pylist(
+        flag_unapproved_vendors(validated, ["Acme Supplies Inc"]).take_all())
+    assert out.num_rows > 0
+    for r in out.to_pylist():
+        assert r["vendor_approved"] == (
+            r["vendor_name"].strip().lower() == "acme supplies inc")
+
+
+def test_explode_pages(ray_session):
+    from ocr_engine_ray.stages.extract import explode_pages_batch
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "extracted_text": pa.array(["p1\fp2\fp3", "single"], pa.string()),
+    })
+    out = explode_pages_batch(t)
+    assert out.num_rows == 4
+    rows = out.to_pylist()
+    assert [r["page_idx"] for r in rows] == [0, 1, 2, 0]
+    assert rows[0]["total_pages"] == 3 and rows[3]["total_pages"] == 1
+    assert rows[2]["page_text"] == "p3"
+
+
+def test_extractor_registry_tool_override():
+    from ocr_engine_ray.core.extract import (
+        TOOL_EXTRACTORS, extract_turn, register_tool_extractor)
+
+    def shouty(text: str) -> str:
+        return text.upper()
+
+    register_tool_extractor("shout", shouty)
+    try:
+        rec = extract_turn("hello there", tool="shout")
+        assert rec.content_type == "tool:shout"
+        assert rec.extracted_text == "HELLO THERE"
+        # unregistered tools keep sniff-based behavior
+        rec2 = extract_turn("hello there", tool="browser")
+        assert rec2.content_type == "plain"
+    finally:
+        TOOL_EXTRACTORS.pop("shout", None)
+
+
+def test_register_content_extractor_roundtrip():
+    from ocr_engine_ray.core.extract import (
+        CONTENT_EXTRACTORS, extract_turn, register_extractor)
+
+    orig = CONTENT_EXTRACTORS["plain"]
+    register_extractor("plain", lambda t: t.replace("a", "@"))
+    try:
+        assert "@" in extract_turn("banana").extracted_text
+    finally:
+        register_extractor("plain", orig)
