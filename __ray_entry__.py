@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_rows": q.q_export_rows,
         "unapproved_vendors": q.q_unapproved_vendors,
         "events_sample": q.q_events_sample,
+        "orders_lineitem_join": q.q_orders_lineitem_join,
     }
 
 
@@ -158,6 +159,14 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts)              AS session_end,
                    ROUND(SUM(value), 2) AS sum_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "orders_lineitem_join": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         "events_union_distinct": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'

@@ -140,7 +140,8 @@ def parse_date_candidate(s: str, as_of: date) -> date | None:
     return None
 
 
-def find_date(text: str, as_of: date) -> tuple[date | None, tuple[int, int] | None]:
+def find_date(text: str, as_of: date,
+              lower: str | None = None) -> tuple[date | None, tuple[int, int] | None]:
     """Extract the invoice-date analogue from ``text``.
 
     Returns ``(date, (start, end))`` where the span covers the matched
@@ -155,7 +156,7 @@ def find_date(text: str, as_of: date) -> tuple[date | None, tuple[int, int] | No
     # digits (most prose) short-circuit (pure optimization, same result)
     if not _ANY_DIGIT_RE.search(text):
         return None, None
-    text_lower = text.lower()
+    text_lower = lower if lower is not None else text.lower()
 
     # 1. keyword proximity (reference :64-91); the substring gate skips
     # the regex scan for absent keywords without changing semantics

@@ -28,13 +28,10 @@ from datetime import date
 
 from .dates import find_date
 from .fields import (
-    Fields,
     Item,
+    Structures,
     extract_invoice_number,
-    extract_items,
-    extract_kv_pairs,
     extract_totals,
-    extract_vendor,
 )
 from .html_extract import extract_html
 from .markdown_extract import extract_markdown
@@ -141,21 +138,22 @@ def _extract_turn_inner(text: str, as_of: date, tool: str = "") -> TurnRecord:
     if not extracted:
         return rec
 
-    f = Fields()
-    rec.invoice_number, id_span = extract_invoice_number(extracted)
-    totals, money_spans = extract_totals(extracted)
+    lower = extracted.lower()
+    rec.invoice_number, id_span = extract_invoice_number(extracted, lower)
+    totals, money_spans = extract_totals(extracted, lower)
     rec.grand_total_cents = totals["grand_total_cents"]
     rec.taxes_cents = totals["taxes_cents"]
     rec.final_total_cents = totals["final_total_cents"]
-    rec.invoice_date, date_span = find_date(extracted, as_of)
-    vendor = extract_vendor(extracted)
+    rec.invoice_date, date_span = find_date(extracted, as_of, lower)
+    structures = Structures(extracted)  # one pass: vendor + kv + tables
+    vendor = structures.vendor
     rec.vendor_name = vendor["vendor_name"]
     rec.vendor_street = vendor["vendor_street"]
     rec.vendor_city = vendor["vendor_city"]
     rec.vendor_state = vendor["vendor_state"]
     rec.vendor_postal = vendor["vendor_postal"]
-    rec.items = extract_items(extracted)
-    rec.kv_pairs = extract_kv_pairs(extracted)
+    rec.items = structures.items
+    rec.kv_pairs = structures.kv_pairs
 
     spans: list[tuple[int, int, str]] = []
     if id_span:
@@ -163,7 +161,7 @@ def _extract_turn_inner(text: str, as_of: date, tool: str = "") -> TurnRecord:
     if date_span:
         spans.append((date_span[0], date_span[1], "date"))
     spans.extend(money_spans)
-    spans.extend(_line_spans(extracted, lambda ln: " | " in ln, "table_row"))
+    spans.extend(structures.table_row_spans)
     spans.sort(key=lambda s: (s[0], s[1], s[2]))
     rec.spans = spans
     return rec

@@ -66,7 +66,12 @@ class Fields:
     spans: list[Span] = field(default_factory=list)
 
 
-def extract_invoice_number(text: str) -> tuple[str | None, Span | None]:
+def extract_invoice_number(text: str,
+                           lower: str | None = None) -> tuple[str | None, Span | None]:
+    if lower is None:
+        lower = text.lower()
+    if "inv" not in lower:  # all three patterns require it (pure gate)
+        return None, None
     for pat in INVOICE_NUMBER_PATTERNS:
         m = pat.search(text)
         if m:
@@ -74,12 +79,17 @@ def extract_invoice_number(text: str) -> tuple[str | None, Span | None]:
     return None, None
 
 
-def extract_totals(text: str) -> tuple[dict[str, int | None], list[Span]]:
+def extract_totals(text: str,
+                   lower: str | None = None) -> tuple[dict[str, int | None], list[Span]]:
     """subtotal→grand_total, tax→taxes, total→final_total (reference naming)."""
     out: dict[str, int | None] = {
         "grand_total_cents": None, "taxes_cents": None, "final_total_cents": None,
     }
     spans: list[Span] = []
+    if lower is None:
+        lower = text.lower()
+    if "total" not in lower and "tax" not in lower:  # pure gate
+        return out, spans
     for key, pat in (
         ("grand_total_cents", _SUBTOTAL_RE),
         ("taxes_cents", _TAX_RE),
@@ -92,17 +102,9 @@ def extract_totals(text: str) -> tuple[dict[str, int | None], list[Span]]:
     return out, spans
 
 
-def extract_vendor(text: str) -> dict[str, str]:
-    """First non-extracted-structure line = vendor name; next lines 2-4 =
-    address block (reference :386-397).  Lines that are table rows or
-    ``key: value`` lines are not vendor material."""
-    lines = []
-    for ln in text.split("\n"):
-        if not ln.strip() or " | " in ln or _KV_SPLIT_RE.match(ln):
-            continue
-        lines.append(ln)
-        if len(lines) == 4:  # only name + 3 address lines are ever used
-            break
+def _vendor_from_lines(lines: list[str]) -> dict[str, str]:
+    """lines = the first ≤4 vendor-material lines (non-blank, non-table,
+    non-kv), reference :386-425 semantics."""
     out = {"vendor_name": "", "vendor_street": "", "vendor_city": "",
            "vendor_state": "", "vendor_postal": ""}
     if not lines:
@@ -121,6 +123,20 @@ def extract_vendor(text: str) -> dict[str, str]:
             out["vendor_city"] = cm.group(1).strip()
             out["vendor_state"] = cm.group(2)
     return out
+
+
+def extract_vendor(text: str) -> dict[str, str]:
+    """First non-extracted-structure line = vendor name; next lines 2-4 =
+    address block (reference :386-397).  Lines that are table rows or
+    ``key: value`` lines are not vendor material."""
+    lines = []
+    for ln in text.split("\n"):
+        if not ln.strip() or " | " in ln or _KV_SPLIT_RE.match(ln):
+            continue
+        lines.append(ln)
+        if len(lines) == 4:  # only name + 3 address lines are ever used
+            break
+    return _vendor_from_lines(lines)
 
 
 def extract_kv_pairs(text: str) -> list[tuple[str, str]]:
@@ -154,13 +170,13 @@ def _tables_from_text(text: str) -> list[list[list[str]]]:
     return tables
 
 
-def extract_items(text: str) -> list[Item]:
+def _items_from_tables(tables: list[list[list[str]]]) -> list[Item]:
     """Reference ``_extract_items``: for each table skip the header row,
     keep rows with ≥4 cells as (description, quantity, unit price,
     total); a row whose quantity cell is non-empty but non-integer is
     skipped (the reference's ValueError → continue)."""
     items: list[Item] = []
-    for table in _tables_from_text(text):
+    for table in tables:
         for row in table[1:] if len(table) > 1 else []:
             if len(row) < 4:
                 continue
@@ -175,3 +191,59 @@ def extract_items(text: str) -> list[Item]:
                 total_cents=parse_money_cents(row[3]) if row[3].strip() else None,
             ))
     return items
+
+
+def extract_items(text: str) -> list[Item]:
+    return _items_from_tables(_tables_from_text(text))
+
+
+class Structures:
+    """Single-pass line classification over extracted text: vendor
+    material, ``key: value`` pairs, pipe tables (+ their row spans) —
+    everything the downstream extractors need from lines, computed with
+    ONE split and ONE kv-regex match per line instead of four separate
+    line scans (pure optimization; per-extractor semantics unchanged and
+    pinned by the individual extract_* unit tests)."""
+
+    __slots__ = ("vendor", "kv_pairs", "items", "table_row_spans")
+
+    def __init__(self, text: str) -> None:
+        vendor_lines: list[str] = []
+        kv_pairs: list[tuple[str, str]] = []
+        tables: list[list[list[str]]] = []
+        cur_table: list[list[str]] = []
+        spans: list[Span] = []
+        pos = 0
+        for ln in text.split("\n"):
+            end = pos + len(ln)
+            if " | " in ln:
+                cur_table.append([c.strip() for c in ln.split(" | ")])
+                start = pos + (len(ln) - len(ln.lstrip()))
+                spans.append((start, pos + len(ln.rstrip()), "table_row"))
+                # parity with extract_kv_pairs: a table row whose text
+                # before the first pipe holds "k: v" still yields a pair
+                m = _KV_SPLIT_RE.match(ln.strip())
+                if m:
+                    key, val = m.group(1).strip(), m.group(2).strip()
+                    if key and val:
+                        kv_pairs.append((key, val))
+            else:
+                if cur_table:
+                    tables.append(cur_table)
+                    cur_table = []
+                stripped = ln.strip()
+                if stripped:
+                    m = _KV_SPLIT_RE.match(stripped)
+                    if m:
+                        key, val = m.group(1).strip(), m.group(2).strip()
+                        if key and val:
+                            kv_pairs.append((key, val))
+                    elif len(vendor_lines) < 4:
+                        vendor_lines.append(ln)
+            pos = end + 1
+        if cur_table:
+            tables.append(cur_table)
+        self.vendor = _vendor_from_lines(vendor_lines)
+        self.kv_pairs = kv_pairs
+        self.items = _items_from_tables(tables)
+        self.table_row_spans = spans

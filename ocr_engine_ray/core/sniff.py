@@ -47,10 +47,14 @@ def sniff_content_type(text: str) -> str:
         return "pdf"
     if head.startswith("<!doctype html") or head.startswith("<html"):
         return "html"
-    tags = HTML_TAG_RE.findall(text)
-    if len({t.lower() for t in tags}) >= 2:
-        return "html"
-    md_hits = sum(1 for rx in _MD_SIGNALS if rx.search(text))
-    if md_hits >= 2:
-        return "markdown"
+    if "<" in text:
+        tags = HTML_TAG_RE.findall(text)
+        if len({t.lower() for t in tags}) >= 2:
+            return "html"
+    # ≥2 distinct markdown signals are required, and every signal except
+    # the ordered-list one contains one of these characters (pure gate)
+    if any(c in text for c in "#`*-[+"):
+        md_hits = sum(1 for rx in _MD_SIGNALS if rx.search(text))
+        if md_hits >= 2:
+            return "markdown"
     return "plain"

@@ -103,6 +103,9 @@ def conv_rollup(validated: Dataset) -> Dataset:
     batch), so a hot conversation with millions of turns contributes one
     partial row per batch — skew-tolerant without salting (the combine
     is associative)."""
+    # no projection stage before the partials: the partial-agg map is the
+    # very next (local) stage and already drops every heavy column before
+    # the shuffle, so a select_columns here only adds a block rewrite
     partials = validated.map_batches(_rollup_partials, batch_format="pyarrow")
     agg = partials.groupby("conv_id").aggregate(
         Sum("p_turns", alias_name="n_turns"),

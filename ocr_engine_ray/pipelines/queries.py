@@ -481,3 +481,35 @@ def q_events_sample(sf_dir: str) -> Dataset:
     """Seeded random sample (rows-only: sampling is engine-defined)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     return ds.random_sample(0.1, seed=42)
+
+
+def q_orders_lineitem_join(sf_dir: str) -> Dataset:
+    """Large-large hash join via ``Dataset.join`` (Ray Data ≥2.46,
+    SURVEY §2.5 J2): revenue per order priority = orders ⋈ lineitem on
+    orderkey, then partial-agg rollup.  Both sides are column-pruned at
+    the read; the join hash-partitions on the key."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount"])
+    joined = orders.join(line, join_type="inner", num_partitions=16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                      "rev": rev})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(["o_orderpriority", "p_rev", "p_n"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+                .groupby("o_orderpriority").aggregate(
+                    Sum("p_rev", alias_name="revenue"),
+                    Sum("p_n", alias_name="n_items"))
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("revenue"), "revenue",
+                               pc.round(b.column("revenue"), 2)),
+        batch_format="pyarrow")
