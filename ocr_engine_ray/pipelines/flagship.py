@@ -65,6 +65,11 @@ def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        # stage-level retry (reference tenacity ×3, ocr_engine.py:96):
+        # dead actors restart, in-flight batches retry; per-ROW failures
+        # never surface here — extract_turn degrades them in-UDF
+        max_restarts=3,
+        max_task_retries=3,
     )
 
 
@@ -157,3 +162,66 @@ def assemble_conversations(validated: Dataset) -> Dataset:
     return validated.select_columns(
         ["conv_id", "turn_idx", "extracted_text"]
     ).groupby("conv_id").map_groups(_assemble_group, batch_format="pyarrow")
+
+
+def assemble_conversations_scalable(validated: Dataset,
+                                    range_size: int = 4096) -> Dataset:
+    """Hierarchical ordered assembly for UNBOUNDED conversations (the
+    skew-safe variant of ``assemble_conversations``): turns are first
+    assembled per (conv_id, turn-range bucket) — bucket = turn_idx //
+    range_size, so each bucket is a contiguous slice of the conversation
+    and in-bucket dedup-by-turn_idx stays correct — then the per-bucket
+    segments (already ordered) are concatenated per conversation in
+    bucket order.  A hot conversation with millions of turns never forms
+    one giant group; the second groupby sees one short row per bucket."""
+
+    def assemble_segment(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("turn_idx", "ascending")])
+        conv_id = g.column("conv_id")[0].as_py()
+        bucket = g.column("bucket")[0].as_py()
+        seen: set[int] = set()
+        parts, kept = [], 0
+        for ti, tx in zip(g.column("turn_idx").to_pylist(),
+                          g.column("extracted_text").to_pylist()):
+            if ti in seen:
+                continue
+            seen.add(ti)
+            kept += 1
+            if tx:
+                parts.append(tx)
+        return pa.table({
+            "conv_id": pa.array([conv_id], pa.string()),
+            "bucket": pa.array([bucket], pa.int64()),
+            "n_turns": pa.array([kept], pa.int64()),
+            "seg_chars": pa.array([sum(len(p) for p in parts)], pa.int64()),
+            "seg_text": pa.array(["\n\n".join(parts)], pa.string()),
+        })
+
+    def concat_segments(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("bucket", "ascending")])
+        conv_id = g.column("conv_id")[0].as_py()
+        segs = [s for s in g.column("seg_text").to_pylist() if s]
+        doc = "\n\n".join(segs)
+        return pa.table({
+            "conv_id": pa.array([conv_id], pa.string()),
+            "n_turns": pa.array([int(pc.sum(g.column("n_turns")).as_py())],
+                                pa.int64()),
+            "doc_text": pa.array([doc], pa.string()),
+            # doc_chars = Σ per-turn text lengths (separator-free), same
+            # definition as the single-level assembly
+            "doc_chars": pa.array([int(pc.sum(g.column("seg_chars")).as_py())],
+                                  pa.int64()),
+        })
+
+    bucketed = validated.select_columns(
+        ["conv_id", "turn_idx", "extracted_text"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "bucket",
+            pc.cast(pc.divide(b.column("turn_idx").cast(pa.int64()),
+                              pa.scalar(range_size, pa.int64())), pa.int64())),
+        batch_format="pyarrow")
+    segments = bucketed.groupby(["conv_id", "bucket"]).map_groups(
+        assemble_segment, batch_format="pyarrow")
+    return segments.groupby("conv_id").map_groups(
+        concat_segments, batch_format="pyarrow")

@@ -113,3 +113,26 @@ def test_assemble_conversations_ordered(ray_session, small_corpus):
     for c, parts in want.items():
         assert got[c]["doc_text"] == "\n\n".join(parts), c
         assert got[c]["n_turns"] == len(seen[c])
+
+
+def test_scalable_assembly_equals_plain(ray_session, small_corpus):
+    """Hierarchical (turn-range-bucketed) assembly must produce exactly
+    the same documents as the single-group assembly, even with a bucket
+    size small enough that every conversation spans several buckets."""
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.flagship import (
+        assemble_conversations, assemble_conversations_scalable,
+        extract_validated)
+
+    validated = extract_validated(rd.from_arrow(small_corpus).repartition(5),
+                                  batch_size=100, concurrency=2)
+    plain = {r["conv_id"]: r for r in assemble_conversations(validated).take_all()}
+    scalable = {r["conv_id"]: r
+                for r in assemble_conversations_scalable(
+                    validated, range_size=8).take_all()}
+    assert set(plain) == set(scalable)
+    for c in plain:
+        assert scalable[c]["doc_text"] == plain[c]["doc_text"], c
+        assert scalable[c]["n_turns"] == plain[c]["n_turns"], c
+        assert scalable[c]["doc_chars"] == plain[c]["doc_chars"], c
