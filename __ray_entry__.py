@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unapproved_vendors": q.q_unapproved_vendors,
         "events_sample": q.q_events_sample,
         "orders_lineitem_join": q.q_orders_lineitem_join,
+        "documents_quality_filter": q.q_documents_quality_filter,
+        "documents_minhash_dedup_keep": q.q_documents_minhash_dedup_keep,
     }
 
 
@@ -167,6 +169,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "documents_quality_filter": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+              AND len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a')))
+                  / GREATEST(len(string_split(text, ' ')), 1) >= 0.02
         """,
         "events_union_distinct": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'

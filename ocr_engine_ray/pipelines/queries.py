@@ -513,3 +513,31 @@ def q_orders_lineitem_join(sf_dir: str) -> Dataset:
         lambda b: b.set_column(b.schema.get_field_index("revenue"), "revenue",
                                pc.round(b.column("revenue"), 2)),
         batch_format="pyarrow")
+
+
+def q_documents_quality_filter(sf_dir: str) -> Dataset:
+    """Quality gate (C4/Gopher-shaped filter): keep documents with ≥5
+    whitespace tokens and stopword_ratio ≥ 0.02 — the SQL-expressible
+    core of the quality score (the full composite score is in
+    q_documents_textstats)."""
+    ds = q_documents_token_stats(sf_dir)
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("n_tokens"), 5),
+            pc.greater_equal(b.column("stopword_ratio"), 0.02))),
+        batch_format="pyarrow").select_columns(["doc_id", "n_tokens"])
+
+
+def q_documents_minhash_dedup_keep(sf_dir: str) -> pa.Table:
+    """End-to-end near-dup DEDUP: MinHash/LSH pairs → union-find
+    components → keep one representative (min doc_id) per component,
+    return the kept doc ids."""
+    from ..stages.dedup import minhash_dedup_pairs, representatives_from_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    all_ids = sorted(ds.unique("doc_id"))
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             minhash_dedup_pairs(ds, "doc_id", threshold=0.4).take_all()]
+    reps = representatives_from_pairs(sorted(pairs), all_ids)
+    kept = sorted(i for i in all_ids if reps[i] == i)
+    return pa.table({"doc_id": pa.array(kept, pa.int64())})
