@@ -225,3 +225,28 @@ def assemble_conversations_scalable(validated: Dataset,
         assemble_segment, batch_format="pyarrow")
     return segments.groupby("conv_id").map_groups(
         concat_segments, batch_format="pyarrow")
+
+
+def extract_validated_ordered(ds: Dataset,
+                              as_of: date = DEFAULT_AS_OF) -> Dataset:
+    """Ordered-extraction variant (the north star's literal shape):
+    ``groupby(conv_id)`` + in-group ``turn_idx`` sort BEFORE extraction,
+    so each conversation's turns pass through the extractor as one
+    ordered group (the analogue of the reference's sequential per-
+    document page loop, ``app/utils/ocr_engine.py:188-216``).
+
+    Because per-turn extraction is stateless, this produces byte-
+    identical records to the unordered ``extract_validated`` (proven in
+    tests) — the default pipeline therefore skips this shuffle entirely
+    and pays it only in the stages that need co-location (assembly /
+    rollup).  This variant exists for extractors that DO need ordered
+    cross-turn context (e.g. a future conversation-level model): swap it
+    in and the ordering guarantee is already enforced.
+    """
+    from ..stages.extract import extract_batch
+
+    def extract_group(group: pa.Table) -> pa.Table:
+        return extract_batch(group.sort_by([("turn_idx", "ascending")]), as_of)
+
+    return ds.groupby("conv_id").map_groups(extract_group,
+                                            batch_format="pyarrow")

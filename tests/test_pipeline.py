@@ -136,3 +136,21 @@ def test_scalable_assembly_equals_plain(ray_session, small_corpus):
         assert scalable[c]["doc_text"] == plain[c]["doc_text"], c
         assert scalable[c]["n_turns"] == plain[c]["n_turns"], c
         assert scalable[c]["doc_chars"] == plain[c]["doc_chars"], c
+
+
+def test_ordered_extraction_equals_unordered(ray_session, small_corpus, oracle_out):
+    """The groupby(conv_id)+sort(turn_idx)-before-extraction variant must
+    produce byte-identical records to the shuffle-free default (per-turn
+    statelessness), and both equal the oracle."""
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.flagship import extract_validated_ordered
+
+    out = extract_validated_ordered(rd.from_arrow(small_corpus).repartition(6))
+    got = _sorted_pylist(pa.Table.from_pylist(out.take_all()))
+    want = _sorted_pylist(oracle_out)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["extracted_text"] == w["extracted_text"]
+        assert g["spans"] == w["spans"]
+        assert g["warnings"] == w["warnings"]

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the deterministic core:
+robustness on arbitrary inputs, roundtrips, order-insensitivity."""
+
+from datetime import date
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_engine_ray.core.extract import extract_turn
+from ocr_engine_ray.core.dates import find_date
+from ocr_engine_ray.core.html_extract import extract_html
+from ocr_engine_ray.core.money import cents_to_str, parse_money_cents
+from ocr_engine_ray.core.textnorm import normalize_text
+
+AS_OF = date(2026, 1, 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-10**12, max_value=10**12))
+def test_money_roundtrip(cents):
+    assert parse_money_cents(cents_to_str(cents)) == cents
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dates(min_value=date(1990, 1, 1), max_value=date(2045, 12, 28)))
+def test_date_unambiguous_renders_roundtrip(d):
+    for render in (d.strftime("%Y-%m-%d"), d.strftime("%Y%m%d"),
+                   d.strftime("%d %b %Y")):
+        got, span = find_date(f"Invoice Date: {render} end", AS_OF)
+        assert got == d, render
+        assert span is not None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dates(min_value=date(2000, 1, 13), max_value=date(2045, 12, 28))
+       .filter(lambda d: d.day > 12))
+def test_date_dmy_slash_roundtrip(d):
+    # day > 12 makes d/m/Y unambiguous under the DMY→MDY preference
+    got, _ = find_date(f"date: {d.strftime('%d/%m/%Y')}", AS_OF)
+    assert got == d
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=800))
+def test_extract_turn_total_function(s):
+    """extract_turn never raises, never returns None, and its spans
+    always index into extracted_text."""
+    rec = extract_turn(s, AS_OF)
+    assert rec.extract_error == "" or rec.extracted_text == ""
+    for start, end, _kind in rec.spans:
+        assert 0 <= start <= end <= len(rec.extracted_text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=800))
+def test_html_extract_never_raises(s):
+    out = extract_html(s)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.text(min_size=1, max_size=20),
+                          st.integers(0, 1000), st.text(max_size=50)),
+                min_size=1, max_size=30, unique=True),
+       st.randoms(use_true_random=False))
+def test_checksum_order_insensitive(rows, rnd):
+    from ocr_engine_ray.state.lineage import table_checksum
+
+    cols = list(zip(*rows))
+    t1 = pa.table({"conv_id": pa.array(cols[0], pa.string()),
+                   "turn_idx": pa.array(cols[1], pa.int32()),
+                   "extracted_text": pa.array(cols[2], pa.string())})
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    cols2 = list(zip(*shuffled))
+    t2 = pa.table({"conv_id": pa.array(cols2[0], pa.string()),
+                   "turn_idx": pa.array(cols2[1], pa.int32()),
+                   "extracted_text": pa.array(cols2[2], pa.string())})
+    key = ["conv_id", "turn_idx", "extracted_text"]
+    assert table_checksum(t1, key) == table_checksum(t2, key)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_simhash_and_fingerprint_deterministic(s):
+    from ocr_engine_ray.stages.dedup import simhash64
+    from ocr_engine_ray.stages.textstats import fingerprint64
+
+    assert simhash64(s) == simhash64(s)
+    assert fingerprint64(s) == fingerprint64(s)
