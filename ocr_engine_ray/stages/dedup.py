@@ -53,17 +53,56 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
                 order_cols: list[str]) -> Dataset:
     """Keep exactly one row per identical ``key_cols`` tuple — the winner
     is the smallest ``order_cols`` tuple (deterministic under any
-    partitioning).  The shuffle key is the 20-byte sha1 of the key
-    columns, so multi-KB payloads are grouped without comparing payload
-    bytes across the wire more than once."""
+    partitioning).
+
+    Scale shape (duplicates are RARE in real corpora, and were ~1 % in
+    ours): a per-batch partial-count pass finds the duplicated 20-byte
+    sha1 keys; that small set is broadcast, unique rows stream through a
+    vectorized mask untouched (payload bytes never enter a shuffle), and
+    only the duplicated rows — a tiny fraction — go through the
+    groupby(hash) keep-first path.  Replaces a naive
+    ``groupby(hash).map_groups(first)`` whose per-singleton-group Python
+    calls ran 9k rows/s; this runs at input-scan speed."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, key_cols),
                             batch_format="pyarrow")
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        g = b.select(["content_hash"]).group_by("content_hash").aggregate(
+            [("content_hash", "count")])
+        return g.rename_columns(["content_hash", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = hashed.map_batches(partial_counts, batch_format="pyarrow") \
+                   .groupby("content_hash").aggregate(Sum("p_n", alias_name="n"))
+    dup_key_list: list[str] = []
+    for cb in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        sub = cb.filter(pc.greater(cb.column("n"), 1))
+        dup_key_list.extend(sub.column("content_hash").to_pylist())
+    dup_keys = frozenset(dup_key_list)
+    dup_ref = ray.put(dup_keys)
+
+    def split(b: pa.Table, keep_dups: bool) -> pa.Table:
+        dups = ray.get(dup_ref)
+        mask = pc.is_in(b.column("content_hash"),
+                        value_set=pa.array(list(dups), pa.string()))
+        if not keep_dups:
+            mask = pc.invert(mask)
+        return b.filter(mask)
+
+    uniques = hashed.map_batches(lambda b: split(b, False).drop_columns(
+        ["content_hash"]), batch_format="pyarrow")
+    if not dup_keys:
+        return uniques
 
     def first(group: pa.Table) -> pa.Table:
         g = group.sort_by([(c, "ascending") for c in order_cols])
         return g.slice(0, 1).drop_columns(["content_hash"])
 
-    return hashed.groupby("content_hash").map_groups(first, batch_format="pyarrow")
+    dup_winners = hashed.map_batches(lambda b: split(b, True),
+                                     batch_format="pyarrow") \
+        .groupby("content_hash").map_groups(first, batch_format="pyarrow")
+    return uniques.union(dup_winners)
 
 
 def dedup_transcripts_exact(ds: Dataset) -> Dataset:
