@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": q.q_orders_lineitem_join,
         "documents_quality_filter": q.q_documents_quality_filter,
         "documents_minhash_dedup_keep": q.q_documents_minhash_dedup_keep,
+        "events_value_stats": q.q_events_value_stats,
+        "events_approx_distinct_users": q.q_events_approx_distinct_users,
     }
 
 
@@ -177,6 +179,14 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_filter(string_split(text, ' '),
                                   x -> x IN ('the', 'a')))
                   / GREATEST(len(string_split(text, ' ')), 1) >= 0.02
+        """,
+        "events_value_stats": """
+            SELECT event_type,
+                   COUNT(*)                       AS n_events,
+                   MIN(value)                     AS min_value,
+                   MAX(value)                     AS max_value,
+                   ROUND(SUM(value) / COUNT(*), 4) AS mean_value
+            FROM events GROUP BY event_type
         """,
         "events_union_distinct": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'

@@ -541,3 +541,40 @@ def q_documents_minhash_dedup_keep(sf_dir: str) -> pa.Table:
     reps = representatives_from_pairs(sorted(pairs), all_ids)
     kept = sorted(i for i in all_ids if reps[i] == i)
     return pa.table({"doc_id": pa.array(kept, pa.int64())})
+
+
+def q_events_value_stats(sf_dir: str) -> Dataset:
+    """Per-event-type numeric profile (mean/min/max/count; rounded)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count"),
+             ("value", "min"), ("value", "max")])
+        return g.rename_columns(["event_type", "p_sum", "p_n", "p_min", "p_max"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("event_type").aggregate(
+                Sum("p_sum", alias_name="s"),
+                Sum("p_n", alias_name="n_events"),
+                Min("p_min", alias_name="min_value"),
+                Max("p_max", alias_name="max_value"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = pc.round(pc.divide(b.column("s"), b.column("n_events")), 4)
+        out = b.drop_columns(["s"])
+        return out.append_column("mean_value", mean)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) — a mergeable
+    per-batch sketch (4 KB/batch) merged driver-side; rows-only check
+    (estimate is deterministic; tests bound the error at <5 %)."""
+    from ..stages.sketches import approx_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_distinct_users": pa.array([round(est, 1)],
+                                                       pa.float64())})

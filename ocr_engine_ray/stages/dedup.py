@@ -131,9 +131,13 @@ def jaccard(a: set, b: set) -> float:
 
 
 def _crc64(s: str) -> int:
-    """Deterministic 64-bit string hash from two crc32 streams."""
-    b = s.encode("utf-8", "surrogatepass")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    """Deterministic 64-bit string hash (blake2b).  Two concatenated
+    crc32 streams were tried first and are subtly WRONG: CRC is linear,
+    so the two halves differ by a length-dependent constant — correlated
+    bits degrade SimHash (mirrored bit planes) and bias HLL."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8", "surrogatepass"),
+                        digest_size=8).digest(), "big")
 
 
 # ---------------------------------------------------------------------------

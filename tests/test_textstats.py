@@ -102,3 +102,37 @@ def test_lsh_topk_reasonable_recall(ray_session):
     e_pairs = {(r["query_id"], r["vec_id"]) for r in exact}
     a_pairs = {(r["query_id"], r["vec_id"]) for r in approx}
     assert len(a_pairs & e_pairs) >= 4  # at least the self-hits overlap
+
+
+def test_hll_accuracy_and_merge():
+    import numpy as np
+
+    from ocr_engine_ray.stages.sketches import HyperLogLog
+
+    h = HyperLogLog(p=12)
+    vals = [f"user-{i}" for i in range(50_000)]
+    h.add_strings(vals)
+    est = h.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.05
+    # mergeability: two halves merged == whole (register-wise max)
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.add_strings(vals[:25_000])
+    h2.add_strings(vals[20_000:])  # overlap on purpose
+    merged = h1.merge(h2)
+    assert abs(merged.estimate() - est) / est < 0.02
+    # serialization roundtrip
+    rt = HyperLogLog.deserialize(merged.serialize(), 12)
+    assert rt.estimate() == merged.estimate()
+
+
+def test_approx_distinct_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.sketches import approx_distinct
+
+    n_distinct = 5_000
+    t = pa.table({"k": pa.array([f"u{i % n_distinct}" for i in range(20_000)],
+                                pa.string())})
+    est = approx_distinct(rd.from_arrow(t).repartition(6), "k")
+    assert abs(est - n_distinct) / n_distinct < 0.05
