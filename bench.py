@@ -74,6 +74,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_documents_token_stats(sf_dir).count())
     timed("documents_dedup_exact",
           lambda: q.q_documents_dedup_exact(sf_dir).count())
+    timed("transcripts_dedup_exact",
+          lambda: q.q_transcripts_dedup_exact(sf_dir).count())
+    timed("documents_minhash_neardup",
+          lambda: q.q_documents_minhash_neardup(sf_dir).count())
+    timed("embeddings_ann_topk",
+          lambda: q.q_embeddings_ann_topk(sf_dir).num_rows)
 
     ray.shutdown()
     headline = timings["flagship_extract"]

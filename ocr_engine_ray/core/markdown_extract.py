@@ -55,15 +55,29 @@ def extract_markdown(text: str) -> str:
             if cells:
                 out.append(" | ".join(cells))
             continue
-        s = _HEADING_RE.sub("", line)
-        s = _QUOTE_RE.sub("", s)
-        s = _ULIST_RE.sub("", s)
-        s = _OLIST_RE.sub("", s)
-        s = _IMG_RE.sub("", s)
-        s = _LINK_RE.sub(r"\1", s)
-        s = _BOLD_RE.sub(r"\2", s)
-        s = _EM_RE.sub(r"\2", s)
-        s = _CODE_RE.sub(r"\1", s)
+        # each sub is gated on a cheap substring test (pure optimization);
+        # gates re-check the head after each strip so stacked prefixes
+        # ("> - item") unwrap exactly like the ungated sequential subs
+        s = line
+        head = s.lstrip()[:1]
+        if head == "#":
+            s = _HEADING_RE.sub("", s)
+            head = s.lstrip()[:1]
+        if head == ">":
+            s = _QUOTE_RE.sub("", s)
+            head = s.lstrip()[:1]
+        if head in "-*+" and head:
+            s = _ULIST_RE.sub("", s)
+        elif head.isdigit():
+            s = _OLIST_RE.sub("", s)
+        if "[" in s:
+            s = _IMG_RE.sub("", s)
+            s = _LINK_RE.sub(r"\1", s)
+        if "*" in s or "_" in s:
+            s = _BOLD_RE.sub(r"\2", s)
+            s = _EM_RE.sub(r"\2", s)
+        if "`" in s:
+            s = _CODE_RE.sub(r"\1", s)
         s = s.strip()
         if s:
             out.append(s)

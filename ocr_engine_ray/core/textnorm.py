@@ -19,19 +19,28 @@ from __future__ import annotations
 import re
 import unicodedata
 
-_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 _SPACE_RUN_RE = re.compile(r"[ \t]+")
 _TRAIL_RE = re.compile(r" +\n")
 _BLANK_RUN_RE = re.compile(r"\n{3,}")
+# C-level deletion table for control chars (except \n, \t) — ~10× faster
+# than a regex sub pass
+_CTRL_TABLE = {c: None for c in (*range(0x00, 0x09), 0x0B, 0x0C,
+                                 *range(0x0E, 0x20), 0x7F)}
 
 
 def normalize_text(text: str) -> str:
     if not text:
         return ""
-    t = unicodedata.normalize("NFC", text)
-    t = t.replace("\r\n", "\n").replace("\r", "\n")
-    t = _CTRL_RE.sub("", t)
-    t = _SPACE_RUN_RE.sub(" ", t)
-    t = _TRAIL_RE.sub("\n", t)
-    t = _BLANK_RUN_RE.sub("\n\n", t)
+    # NFC is the identity on pure ASCII (the common case) — skip it there
+    t = text if text.isascii() else unicodedata.normalize("NFC", text)
+    if "\r" in t:
+        t = t.replace("\r\n", "\n").replace("\r", "\n")
+    t = t.translate(_CTRL_TABLE)
+    # substring gates: each sub only runs when its pattern can match
+    if "\t" in t or "  " in t:
+        t = _SPACE_RUN_RE.sub(" ", t)
+    if " \n" in t:
+        t = _TRAIL_RE.sub("\n", t)
+    if "\n\n\n" in t:
+        t = _BLANK_RUN_RE.sub("\n\n", t)
     return t.strip()
