@@ -52,9 +52,13 @@ def read_transcripts(paths: str | list[str]) -> Dataset:
 
 
 def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
-                      batch_size: int = DEFAULT_BATCH_SIZE,
+                      batch_size: int | None = None,
                       concurrency: int | tuple[int, int] | None = None) -> Dataset:
     """transcripts → VALIDATED_SCHEMA rows (no shuffle)."""
+    if batch_size is None:
+        from ..config import extract_batch_size
+
+        batch_size = extract_batch_size()
     if concurrency is None:
         concurrency = _default_concurrency()
     # validation is fused into the extraction pass (see stages/extract.py)
