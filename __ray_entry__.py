@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_minhash_dedup_keep": q.q_documents_minhash_dedup_keep,
         "events_value_stats": q.q_events_value_stats,
         "events_approx_distinct_users": q.q_events_approx_distinct_users,
+        "events_asof_join": q.q_events_asof_join,
+        "events_top2_per_user": q.q_events_top2_per_user,
     }
 
 
@@ -187,6 +189,22 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value)                     AS max_value,
                    ROUND(SUM(value) / COUNT(*), 4) AS mean_value
             FROM events GROUP BY event_type
+        """,
+        "events_asof_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   v.event_id AS prior_view_event_id,
+                   v.ts       AS prior_view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "events_top2_per_user": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) t
+            WHERE rn <= 2
         """,
         "events_union_distinct": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'

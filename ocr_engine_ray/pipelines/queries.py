@@ -578,3 +578,59 @@ def q_events_approx_distinct_users(sf_dir: str) -> pa.Table:
     est = approx_distinct(ds, "user_id", p=12)
     return pa.table({"approx_distinct_users": pa.array([round(est, 1)],
                                                        pa.float64())})
+
+
+def q_events_asof_join(sf_dir: str) -> Dataset:
+    """As-of join (custom operator the Dataset API lacks natively,
+    SURVEY 'custom operators' path (a)): for every purchase, the most
+    recent 'view' event by the same user at or before the purchase ts.
+    Composition: filter both sides → groupby(user_id) → pandas
+    merge_asof inside map_groups (per-key sorted merge; the partitioning
+    assumption is user_id co-location, provided by the groupby)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    both = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"),
+                                    value_set=pa.array(["purchase", "view"]))),
+        batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.event_type == "purchase"].sort_values("ts")
+        right = g[g.event_type == "view"].sort_values("ts")
+        if left.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                         "prior_view_event_id", "prior_view_ts"])
+        merged = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "ts"]].rename(
+                columns={"event_id": "prior_view_event_id",
+                         "ts": "prior_view_ts"}),
+            left_on="ts", right_on="prior_view_ts", direction="backward")
+        return merged
+
+    out = both.groupby("user_id").map_groups(asof, batch_format="pandas")
+    # normalize dtypes for the hash compare (prior_* nullable)
+    def cast(b: pa.Table) -> pa.Table:
+        return b.cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("prior_view_event_id", pa.int64()),
+            ("prior_view_ts", pa.timestamp("us")),
+        ]))
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_events_top2_per_user(sf_dir: str) -> Dataset:
+    """Per-group top-k: each user's 2 highest-value events
+    (deterministic tiebreak on event_id)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value"])
+
+    def top2(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("value", "descending"), ("event_id", "ascending")])
+        return s.slice(0, 2)
+
+    return ds.groupby("user_id").map_groups(top2, batch_format="pyarrow")
