@@ -161,7 +161,7 @@ def _extract_turn_inner(text: str, as_of: date, tool: str = "") -> TurnRecord:
     if date_span:
         spans.append((date_span[0], date_span[1], "date"))
     spans.extend(money_spans)
-    spans.extend(structures.table_row_spans)
+    spans.extend(structures.line_spans)
     spans.sort(key=lambda s: (s[0], s[1], s[2]))
     rec.spans = spans
     return rec

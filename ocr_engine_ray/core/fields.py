@@ -199,13 +199,13 @@ def extract_items(text: str) -> list[Item]:
 
 class Structures:
     """Single-pass line classification over extracted text: vendor
-    material, ``key: value`` pairs, pipe tables (+ their row spans) —
+    material, ``key: value`` pairs, pipe tables (+ table-row/kv line spans) —
     everything the downstream extractors need from lines, computed with
     ONE split and ONE kv-regex match per line instead of four separate
     line scans (pure optimization; per-extractor semantics unchanged and
     pinned by the individual extract_* unit tests)."""
 
-    __slots__ = ("vendor", "kv_pairs", "items", "table_row_spans")
+    __slots__ = ("vendor", "kv_pairs", "items", "line_spans")
 
     def __init__(self, text: str) -> None:
         vendor_lines: list[str] = []
@@ -238,6 +238,8 @@ class Structures:
                         key, val = m.group(1).strip(), m.group(2).strip()
                         if key and val:
                             kv_pairs.append((key, val))
+                            start = pos + (len(ln) - len(ln.lstrip()))
+                            spans.append((start, pos + len(ln.rstrip()), "kv"))
                     elif len(vendor_lines) < 4:
                         vendor_lines.append(ln)
             pos = end + 1
@@ -246,4 +248,4 @@ class Structures:
         self.vendor = _vendor_from_lines(vendor_lines)
         self.kv_pairs = kv_pairs
         self.items = _items_from_tables(tables)
-        self.table_row_spans = spans
+        self.line_spans = spans

@@ -307,3 +307,11 @@ def test_flags_thresholds():
     rec.items = [Item(f"i{k}", 1, 1, 1) for k in range(21)]
     assert flag_record(rec, AS_OF) == [
         "Future date", "Unusually high total amount", "Large number of line items"]
+
+
+def test_kv_spans_emitted():
+    rec = extract_turn("Acme Inc\nPO Number: 7788\nplain", AS_OF)
+    kv_spans = [s for s in rec.spans if s[2] == "kv"]
+    assert len(kv_spans) == 1
+    s, e, _ = kv_spans[0]
+    assert rec.extracted_text[s:e] == "PO Number: 7788"

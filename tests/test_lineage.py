@@ -145,3 +145,17 @@ def test_hot_key_rollup_unaffected_by_salt(ray_session, small_corpus):
     got = pa.Table.from_pylist(conv_rollup(validated).take_all()).sort_by("conv_id")
     want = oracle_conv_rollup(oracle_extract(small_corpus))
     assert got.column("n_turns").to_pylist() == want.column("n_turns").to_pylist()
+
+
+def test_run_resumable_reports_metrics(ray_session, shard_paths, tmp_path):
+    import ray
+
+    from ocr_engine_ray.state.lineage import run_resumable
+    from ocr_engine_ray.state.metrics import get_or_create_metrics
+
+    m = get_or_create_metrics("lineage_metrics_test")
+    out = str(tmp_path / "out3")
+    recs = run_resumable(shard_paths[:2], out, _make_ds, metrics=m)
+    counters = ray.get(m.get_all.remote())
+    assert counters["partitions_committed_total"] == 2.0
+    assert counters["rows_committed_total"] == sum(r.row_count for r in recs)

@@ -154,3 +154,24 @@ def test_ordered_extraction_equals_unordered(ray_session, small_corpus, oracle_o
         assert g["extracted_text"] == w["extracted_text"]
         assert g["spans"] == w["spans"]
         assert g["warnings"] == w["warnings"]
+
+
+def test_standalone_validate_stage(ray_session, small_corpus):
+    """The unfused two-stage path (extract-only → validate stage) must
+    agree with the fused single-pass output."""
+    import ray.data as rd
+
+    from ocr_engine_ray.oracle import oracle_extract
+    from ocr_engine_ray.stages.extract import TurnExtractor
+    from ocr_engine_ray.stages.validate import validate_batch
+
+    sub = small_corpus.slice(0, 200)
+    ds = rd.from_arrow(sub).map_batches(
+        TurnExtractor, fn_constructor_kwargs={"validate": False},
+        batch_format="pyarrow", batch_size=64, concurrency=2)
+    two_stage = ds.map_batches(validate_batch, batch_format="pyarrow")
+    got = _sorted_pylist(pa.Table.from_pylist(two_stage.take_all()))
+    want = _sorted_pylist(oracle_extract(sub))
+    assert [r["warnings"] for r in got] == [r["warnings"] for r in want]
+    assert [r["is_valid"] for r in got] == [r["is_valid"] for r in want]
+    assert [r["flags"] for r in got] == [r["flags"] for r in want]
