@@ -96,3 +96,31 @@ def test_simhash_and_fingerprint_deterministic(s):
 
     assert simhash64(s) == simhash64(s)
     assert fingerprint64(s) == fingerprint64(s)
+
+
+def test_cross_process_determinism_hashseed():
+    """Outputs must be identical across interpreters with different
+    PYTHONHASHSEED (no builtin hash() anywhere in the data path)."""
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from ocr_engine_ray.sources.synth import generate_transcripts\n"
+        "from ocr_engine_ray.oracle import oracle_extract\n"
+        "from ocr_engine_ray.state.lineage import table_checksum\n"
+        "from ocr_engine_ray.stages.dedup import simhash64\n"
+        "from ocr_engine_ray.stages.textstats import fingerprint64\n"
+        "t = generate_transcripts(300, seed=21)\n"
+        "out = oracle_extract(t)\n"
+        "c, n = table_checksum(out, ['conv_id', 'turn_idx', 'extracted_text'])\n"
+        "print(c, n, simhash64('alpha beta gamma'), fingerprint64('a b c d e'))\n"
+    )
+    results = set()
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, check=True)
+        results.add(out.stdout.strip())
+    assert len(results) == 1, results
