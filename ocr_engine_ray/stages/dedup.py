@@ -145,6 +145,37 @@ def _crc64(s: str) -> int:
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 constants (public)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _MIX1)
+    x = (x ^ (x >> np.uint64(30))) * _MIX2
+    x = (x ^ (x >> np.uint64(27))) * _MIX3
+    return x ^ (x >> np.uint64(31))
+
+
+def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of the word ``w``-shingles, vectorized:
+    one blake2b per TOKEN (not per shingle), then a splitmix64-mixed
+    rolling combine over the token-hash array in numpy.  ~w× fewer
+    digest calls than hashing each shingle string."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_crc64(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    if len(toks) < w:
+        acc = th[0]
+        for h in th[1:]:
+            acc = _splitmix64(acc * _MIX2 ^ h)
+        return np.unique(np.array([acc], dtype=np.uint64))
+    acc = th[: len(th) - w + 1].copy()
+    for j in range(1, w):
+        acc = _splitmix64(acc * _MIX2 ^ th[j: len(th) - w + 1 + j])
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -162,10 +193,9 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.w)
-        if not sh:
+        base = shingle_hashes(text, self.w)
+        if base.size == 0:
             return np.zeros(self.k, dtype=np.uint64)
-        base = np.fromiter((_crc64(s) for s in sh), dtype=np.uint64, count=len(sh))
         # (a*x + b) mod p, computed in python-int free numpy (mod 2^64 wrap
         # then mod p is fine for uniformity at these k)
         sigs = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
