@@ -23,7 +23,7 @@ the reference's ``date.today()`` reads for reproducibility.
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, field
+from dataclasses import dataclass, field
 from datetime import date
 
 from .dates import find_date

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from ..core.extract import DEFAULT_AS_OF
 from ..schema import TRANSCRIPT_SCHEMA

@@ -19,7 +19,6 @@ built Ray-Data-first:
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa

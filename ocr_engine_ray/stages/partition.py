@@ -18,7 +18,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
