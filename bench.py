@@ -66,6 +66,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     # headline: flagship extraction (read → extract actor pool → validate)
     n_extracted = timed("flagship_extract", lambda: flagship(paths).count())
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bench_write_", dir="/tmp")
+    try:
+        timed("flagship_write_parquet",
+              lambda: flagship(paths).write_parquet(out_dir))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     timed("conv_rollup", lambda: conv_rollup(flagship(paths)).count())
     timed("events_conv_rollup", lambda: q.q_events_conv_rollup(sf_dir).count())
     timed("lineitem_pricing_summary",

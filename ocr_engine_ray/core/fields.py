@@ -35,6 +35,14 @@ INVOICE_NUMBER_PATTERNS = [
 _SUBTOTAL_RE = re.compile(r"subtotal[:\s]*\$?([\d,]+\.\d{2})", re.IGNORECASE)
 _TAX_RE = re.compile(r"(?<![a-z])tax(?:es)?[:\s]*\$?([\d,]+\.\d{2})", re.IGNORECASE)
 _TOTAL_RE = re.compile(r"(?<![a-z])total[:\s]*\$?([\d,]+\.\d{2})", re.IGNORECASE)
+# single-pass alternation over the three totals patterns: one scan instead
+# of three; first match per kind wins, which is identical to three
+# independent re.search calls (alternatives can't overlap: the lookbehind
+# stops "total" from matching inside an already-consumed "subtotal")
+_TOTALS_ALL_RE = re.compile(
+    r"(?:(subtotal)|(?<![a-z])(tax)(?:es)?|(?<![a-z])(total))"
+    r"[:\s]*\$?([\d,]+\.\d{2})",
+    re.IGNORECASE)
 
 _POSTAL_RE = re.compile(r"\b\d{5}(?:-\d{4})?\b")
 _CITY_STATE_RE = re.compile(r"([A-Za-z\s]+),\s*([A-Z]{2})")
@@ -90,15 +98,21 @@ def extract_totals(text: str,
         lower = text.lower()
     if "total" not in lower and "tax" not in lower:  # pure gate
         return out, spans
-    for key, pat in (
-        ("grand_total_cents", _SUBTOTAL_RE),
-        ("taxes_cents", _TAX_RE),
-        ("final_total_cents", _TOTAL_RE),
-    ):
-        m = pat.search(text)
-        if m:
-            out[key] = parse_money_cents(m.group(1))
-            spans.append((m.start(1), m.end(1), "money"))
+    _KEY_BY_GROUP = ("grand_total_cents", "taxes_cents", "final_total_cents")
+    found: dict[str, tuple] = {}
+    for m in _TOTALS_ALL_RE.finditer(text):
+        kind = 0 if m.group(1) else (1 if m.group(2) else 2)
+        key = _KEY_BY_GROUP[kind]
+        if key not in found:
+            found[key] = (parse_money_cents(m.group(4)),
+                          (m.start(4), m.end(4), "money"))
+            if len(found) == 3:
+                break
+    # emit in the reference's fixed order (subtotal, tax, total)
+    for key in _KEY_BY_GROUP:
+        if key in found:
+            out[key] = found[key][0]
+            spans.append(found[key][1])
     return out, spans
 
 
