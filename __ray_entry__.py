@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_distinct_users": q.q_events_approx_distinct_users,
         "events_asof_join": q.q_events_asof_join,
         "events_top2_per_user": q.q_events_top2_per_user,
+        "transcripts_stratified_sample": q.q_transcripts_stratified_sample,
     }
 
 

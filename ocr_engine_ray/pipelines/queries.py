@@ -634,3 +634,17 @@ def q_events_top2_per_user(sf_dir: str) -> Dataset:
         return s.slice(0, 2)
 
     return ds.groupby("user_id").map_groups(top2, batch_format="pyarrow")
+
+
+def q_transcripts_stratified_sample(sf_dir: str) -> Dataset:
+    """Deterministic per-conversation stratified sample (30 %): the
+    keep/drop decision is a pure hash of (conv_id, turn_idx, seed), so
+    the sample is identical across reruns/partitionings (resume-safe,
+    unlike engine-random sampling)."""
+    from ..stages.partition import stratified_sample
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir))
+    return stratified_sample(ds, "conv_id", 0.3,
+                             id_cols=["conv_id", "turn_idx"]) \
+        .select_columns(["conv_id", "turn_idx", "role"])

@@ -96,3 +96,29 @@ def configure_for_wide_rows(max_block_mb: int = 64) -> None:
 
     ctx = DataContext.get_current()
     ctx.target_max_block_size = max_block_mb * 1024 * 1024
+
+
+def stratified_sample(ds: Dataset, key_col: str, frac: float,
+                      id_cols: list[str] | None = None,
+                      seed: int = 42) -> Dataset:
+    """Deterministic per-stratum sampling: within every ``key_col``
+    stratum, keep ~``frac`` of rows chosen by a seeded hash of the row's
+    identity (``id_cols``, default the key itself + a stable row
+    attribute supplied by the caller).  Unlike ``Dataset.random_sample``
+    the decision is a pure function of the row — stable across reruns,
+    partitionings and cluster sizes (resume-safe)."""
+    threshold = int(frac * 0xFFFFFFFF)
+    cols = id_cols if id_cols is not None else [key_col]
+    seed_bytes = str(seed).encode()
+
+    def pick(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        parts = [b.column(c).to_pylist() for c in cols]
+        keep = [
+            _z.crc32(b"\x1f".join(str(v).encode("utf-8", "surrogatepass")
+                                  for v in row) + seed_bytes) <= threshold
+            for row in zip(*parts)
+        ]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -159,3 +159,23 @@ def test_run_resumable_reports_metrics(ray_session, shard_paths, tmp_path):
     counters = ray.get(m.get_all.remote())
     assert counters["partitions_committed_total"] == 2.0
     assert counters["rows_committed_total"] == sum(r.row_count for r in recs)
+
+
+def test_stratified_sample_deterministic_and_proportional(ray_session, small_corpus):
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.partition import stratified_sample
+
+    ds1 = stratified_sample(rd.from_arrow(small_corpus), "conv_id", 0.3,
+                            id_cols=["conv_id", "turn_idx"])
+    ds2 = stratified_sample(rd.from_arrow(small_corpus).repartition(7),
+                            "conv_id", 0.3, id_cols=["conv_id", "turn_idx"])
+    t1 = pa.Table.from_pylist(ds1.take_all())
+    t2 = pa.Table.from_pylist(ds2.take_all())
+    k1 = sorted(zip(t1.column("conv_id").to_pylist(),
+                    t1.column("turn_idx").to_pylist()))
+    k2 = sorted(zip(t2.column("conv_id").to_pylist(),
+                    t2.column("turn_idx").to_pylist()))
+    assert k1 == k2, "sample must not depend on partitioning"
+    frac = t1.num_rows / small_corpus.num_rows
+    assert 0.2 < frac < 0.4
