@@ -303,21 +303,78 @@ def _jaccard_verify_batch(batch: pa.Table, docs_ref, w: int) -> pa.Table:
     return batch.append_column("jaccard", pa.array(sims, pa.float64()))
 
 
-def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
-                        threshold: float = 0.7, k: int = 64, bands: int = 16,
-                        w: int = 3) -> Dataset:
-    """End-to-end near-dup pair detection: MinHash/LSH candidates →
-    exact Jaccard verify → pairs with jaccard ≥ threshold."""
-    cands = minhash_candidates(ds, id_col, text_col, k=k, bands=bands, w=w)
+def _verify_pairs_broadcast(ds: Dataset, cands: Dataset, id_col: str,
+                            text_col: str, w: int) -> Dataset:
+    """Broadcast verify: {id: text} is ray.put once (fits-in-memory
+    corpora — the bench path)."""
     docs = {}
     for batch in ds.select_columns([id_col, text_col]).iter_batches(
             batch_size=8192, batch_format="pyarrow"):
         docs.update(zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()))
     docs_ref = ray.put(docs)
-    verified = cands.map_batches(
-        lambda b: _jaccard_verify_batch(b, docs_ref, w),
-        batch_format="pyarrow")
+    return cands.map_batches(lambda b: _jaccard_verify_batch(b, docs_ref, w),
+                             batch_format="pyarrow")
+
+
+def _verify_pairs_join(ds: Dataset, cands: Dataset, id_col: str,
+                       text_col: str, w: int,
+                       num_partitions: int | None = None) -> Dataset:
+    """Co-partitioned verify (the 100 TB path): no driver-side corpus, no
+    broadcast — two hash joins attach text_a then text_b to the pair
+    rows (``Dataset.join`` hash-partitions on the key), then one
+    vectorized map computes the exact n-gram Jaccard.  Payload rows move
+    at most twice, partitioned by id — never through a single node.
+
+    The candidate-pair side is materialized first: pairs are tiny
+    (candidate ids only), and keeping the MinHasher actor pool and the
+    join aggregator actors in ONE streaming DAG can reserve every CPU on
+    small clusters and stall the executor (the known pool-starvation
+    failure mode — see util.default_pool_size)."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(16, cpus // 2))
+    cands = cands.materialize()
+    docs = ds.select_columns([id_col, text_col])
+    a_side = docs.map_batches(
+        lambda b: b.rename_columns(["id_a", "text_a"]), batch_format="pyarrow")
+    b_side = docs.map_batches(
+        lambda b: b.rename_columns(["id_b", "text_b"]), batch_format="pyarrow")
+    with_a = cands.join(a_side, join_type="inner",
+                        num_partitions=num_partitions, on=("id_a",))
+    with_ab = with_a.join(b_side, join_type="inner",
+                          num_partitions=num_partitions, on=("id_b",))
+
+    def score(b: pa.Table) -> pa.Table:
+        sims = [jaccard(word_shingles(x or "", w), word_shingles(y or "", w))
+                for x, y in zip(b.column("text_a").to_pylist(),
+                                b.column("text_b").to_pylist())]
+        return b.drop_columns(["text_a", "text_b"]).append_column(
+            "jaccard", pa.array(sims, pa.float64()))
+
+    return with_ab.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
+                        threshold: float = 0.7, k: int = 64, bands: int = 16,
+                        w: int = 3, verify: str = "broadcast") -> Dataset:
+    """End-to-end near-dup pair detection: MinHash/LSH candidates →
+    exact Jaccard verify → pairs with jaccard ≥ threshold.
+
+    ``verify="broadcast"`` (default) ray.puts the corpus text map —
+    right when the corpus fits comfortably in the object store.
+    ``verify="join"`` is the co-partitioned scale path: text attaches to
+    candidate pairs via two hash-partitioned ``Dataset.join`` calls —
+    no driver materialization, no broadcast.  Both produce identical
+    pairs (tested)."""
+    cands = minhash_candidates(ds, id_col, text_col, k=k, bands=bands, w=w)
+    if verify == "join":
+        verified = _verify_pairs_join(ds, cands, id_col, text_col, w)
+    else:
+        verified = _verify_pairs_broadcast(ds, cands, id_col, text_col, w)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
         batch_format="pyarrow")

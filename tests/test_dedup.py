@@ -138,3 +138,18 @@ def test_embedding_neardup_lsh_subset_of_exact(ray_session):
         embedding_neardup_lsh(ds, threshold=0.95, n_planes=6).take_all()).to_pylist()}
     assert approx <= exact
     assert (0, 1) in approx  # near-identical vectors share every bucket
+
+
+def test_minhash_join_verify_equals_broadcast(ray_session):
+    """The co-partitioned (Dataset.join) verify path must produce the
+    same verified pairs as the broadcast path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(3)
+    broadcast = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                 for r in minhash_dedup_pairs(
+                     ds, "doc_id", threshold=0.5).take_all()}
+    joined = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+              for r in minhash_dedup_pairs(
+                  ds, "doc_id", threshold=0.5, verify="join").take_all()}
+    assert broadcast == joined and broadcast
