@@ -142,10 +142,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embeddings_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 6)
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
                        AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
         "events_sessionize": """
             WITH gaps AS (
@@ -156,8 +158,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sess AS (
               SELECT user_id, ts, value,
-                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM gaps
             )
             SELECT user_id, session_id,
@@ -215,10 +217,12 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ann_topk": """
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                     ROUND(list_cosine_similarity(q.embedding, c.embedding), 6)
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6)
                          AS cosine,
                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                         ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[])
                                   DESC, c.vec_id ASC) AS rank
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 8) t

@@ -23,6 +23,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.synth import materialize_transcripts
+from ..util import round_sql, round_sql_f
 
 SYNTH_ROOT = "/tmp/ocr_engine_ray_synth"
 TURNS_PER_SF = 2_000_000  # sf0.001 → 2k turns, sf0.01 → 20k, sf0.1 → 200k
@@ -95,7 +96,7 @@ def q_events_conv_rollup(sf_dir: str) -> Dataset:
     )
     return agg.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
-                               pc.round(b.column("sum_value"), 2)),
+                               round_sql(b.column("sum_value"), 2)),
         batch_format="pyarrow")
 
 
@@ -200,7 +201,7 @@ def q_lineitem_pricing_summary(sf_dir: str) -> Dataset:
     def finish(b: pa.Table) -> pa.Table:
         for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
             b = b.set_column(b.schema.get_field_index(col), col,
-                             pc.round(b.column(col), 2))
+                             round_sql(b.column(col), 2))
         return b
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -232,7 +233,7 @@ def q_top_customers(sf_dir: str) -> pa.Table:
             names = [self.lookup.get(k, "") for k in b.column("o_custkey").to_pylist()]
             b = b.append_column("c_name", pa.array(names, pa.string()))
             return b.set_column(b.schema.get_field_index("total_spent"), "total_spent",
-                                pc.round(b.column("total_spent"), 2))
+                                round_sql(b.column("total_spent"), 2))
 
     joined = agg.map_batches(AttachName, fn_constructor_args=(lookup_ref,),
                              batch_format="pyarrow", concurrency=2)
@@ -257,7 +258,7 @@ def q_events_daily(sf_dir: str) -> Dataset:
     )
     return agg.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
-                               pc.round(b.column("sum_value"), 2)),
+                               round_sql(b.column("sum_value"), 2)),
         batch_format="pyarrow")
 
 
@@ -334,7 +335,7 @@ def q_embeddings_neardup(sf_dir: str) -> Dataset:
     pairs = embedding_neardup_pairs(ds, threshold=0.4)
     return pairs.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("cosine"), "cosine",
-                               pc.round(b.column("cosine"), 6)),
+                               round_sql(b.column("cosine"), 6)),
         batch_format="pyarrow")
 
 
@@ -353,7 +354,7 @@ def q_embeddings_ann_topk(sf_dir: str) -> pa.Table:
     out = brute_force_topk(ds, queries, qids, k=5)
     import pyarrow.compute as _pc
     return out.set_column(out.schema.get_field_index("cosine"), "cosine",
-                          _pc.round(out.column("cosine"), 6))
+                          round_sql(out.column("cosine"), 6))
 
 
 def q_embeddings_ann_topk_lsh(sf_dir: str) -> pa.Table:
@@ -425,7 +426,7 @@ def q_events_sessionize(sf_dir: str) -> Dataset:
                 out["n_events"].append(i - start)
                 out["session_start"].append(ts[start])
                 out["session_end"].append(ts[i - 1])
-                out["sum_value"].append(round(sum(vals[start:i]), 2))
+                out["sum_value"].append(round_sql_f(sum(vals[start:i]), 2))
                 start = i
         return pa.table({
             "user_id": pa.array(out["user_id"], pa.int64()),
@@ -511,7 +512,7 @@ def q_orders_lineitem_join(sf_dir: str) -> Dataset:
                     Sum("p_n", alias_name="n_items"))
     return agg.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("revenue"), "revenue",
-                               pc.round(b.column("revenue"), 2)),
+                               round_sql(b.column("revenue"), 2)),
         batch_format="pyarrow")
 
 
@@ -561,7 +562,7 @@ def q_events_value_stats(sf_dir: str) -> Dataset:
                 Max("p_max", alias_name="max_value"))
 
     def finish(b: pa.Table) -> pa.Table:
-        mean = pc.round(pc.divide(b.column("s"), b.column("n_events")), 4)
+        mean = round_sql(pc.divide(b.column("s"), b.column("n_events")), 4)
         out = b.drop_columns(["s"])
         return out.append_column("mean_value", mean)
 

@@ -1,8 +1,46 @@
-"""Small shared helpers for stage sizing."""
+"""Small shared helpers for stage sizing and SQL-exact arithmetic."""
 
 from __future__ import annotations
 
 import ray
+
+
+def round_sql(arr, ndigits: int):
+    """Round a float64 Arrow array/ChunkedArray bit-identically to DuckDB's
+    ``ROUND(x, n)``, which computes ``std::round(x * 10^n) / 10^n`` (round
+    half away from zero, then a true division).  numpy's ``np.round`` /
+    pyarrow's ``pc.round`` instead multiply by ``10^-n`` at the end, which
+    differs in the last ulp for large sums (e.g. 527868276.59000003 vs
+    527868276.59) — enough to break the driver's value-hash comparison
+    against the DuckDB oracle.  std::round is emulated exactly via
+    floor-of-abs (the fractional part of ``|s| - floor(|s|)`` is exact in
+    IEEE754 for |s| < 2^52, so the >= 0.5 comparison is exact too)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    p = np.float64(10.0) ** ndigits
+    s = v * p
+    a = np.abs(s)
+    fa = np.floor(a)
+    r = np.where(a - fa >= 0.5, fa + 1.0, fa)
+    return pa.array(np.copysign(r, s) / p, pa.float64())
+
+
+def round_sql_f(x: float, ndigits: int) -> float:
+    """Scalar twin of :func:`round_sql` (DuckDB ROUND semantics).  Python's
+    built-in ``round`` is correctly-rounded-to-decimal, which can differ
+    from DuckDB's scale/std::round/divide by one ulp."""
+    import math
+
+    p = float(10.0 ** ndigits)
+    s = x * p
+    a = abs(s)
+    fa = math.floor(a)
+    r = fa + 1.0 if a - fa >= 0.5 else fa
+    return math.copysign(r, s) / p
 
 
 def default_pool_size(cap: int | None = None) -> int:

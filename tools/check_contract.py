@@ -28,15 +28,32 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-equivalent canonicalization: sort columns by name, sort rows,
+    widen ints to int64 / timestamps to us — but do NOT round floats.  The
+    driver hashes values bit-exact, so local green must mean driver green
+    (round-1 shipped 3 red rows because this function used to round(6))."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def kind(dtype) -> str:
+    """Dtype class for cross-checking: the driver's value hash distinguishes
+    int64(3) from float64(3.0) (round-1 events_sessionize failure), so we
+    must too."""
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    return "object"
 
 
 def main() -> int:
@@ -82,10 +99,16 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        kinds_got = [kind(got[c].dtype) for c in got.columns]
+        kinds_want = [kind(want[c].dtype) for c in want.columns]
+        if kinds_got != kinds_want:
+            print(f"FAIL {name}: dtype kinds {kinds_got} != {kinds_want}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                          check_exact=False, atol=1e-6)
-            print(f"ok   {name}: {len(got)} rows match oracle")
+                                          check_exact=True)
+            print(f"ok   {name}: {len(got)} rows match oracle (bit-exact)")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
             failures += 1
