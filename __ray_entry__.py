@@ -70,11 +70,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": q.q_events_asof_join,
         "events_top2_per_user": q.q_events_top2_per_user,
         "transcripts_stratified_sample": q.q_transcripts_stratified_sample,
+        # round 2: raw-transcript SQL twins, range join, exact quantiles
+        "transcripts_raw_rollup": q.q_transcripts_raw_rollup,
+        "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
+        "lineitem_quantiles": q.q_lineitem_quantiles,
+        "events_range_join": q.q_events_range_join,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # The transcript-table oracles read the deterministic synthetic
+    # corpus the transcript queries themselves consume.  Materializing it
+    # here (pure-Python Parquet write, idempotent, no Ray needed) makes
+    # the oracle valid regardless of whether the driver runs the SQL or
+    # the Ray pipeline first.  The driver's correctness gate runs at
+    # sf0.01, so the SQL pins that corpus.
+    import os
+
+    from ocr_engine_ray.pipelines.queries import transcript_paths
+
+    synth_glob = os.path.join(
+        os.path.dirname(transcript_paths("/root/testdata/sf0.01")[0]),
+        "*.parquet")
+    transcripts = f"read_parquet('{synth_glob}')"
     return {
+        "transcripts_dedup_exact": f"""
+            SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,
+                   ANY_VALUE(tool) AS tool, MIN(ts) AS ts
+            FROM {transcripts}
+            GROUP BY conv_id, turn_idx, text
+        """,
+        "transcripts_raw_rollup": f"""
+            SELECT conv_id,
+                   COUNT(*)                              AS n_turns,
+                   MIN(ts)                               AS first_ts,
+                   MAX(ts)                               AS last_ts,
+                   CAST(SUM(length(text)) AS BIGINT)     AS total_chars
+            FROM {transcripts} GROUP BY conv_id
+        """,
+        "transcripts_assemble_raw": f"""
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   string_agg(text, chr(10) || chr(10)
+                              ORDER BY turn_idx, ts, text) AS doc_text
+            FROM {transcripts} GROUP BY conv_id
+        """,
+        "transcripts_stratified_sample": f"""
+            SELECT conv_id, turn_idx, role FROM {transcripts}
+            WHERE substr(md5(conv_id || chr(31) || turn_idx::VARCHAR
+                             || chr(31) || '42'), 1, 8) <= '4ccccccc'
+        """,
+        "events_sample": """
+            SELECT event_id, user_id FROM events
+            WHERE substr(md5(event_id::VARCHAR || chr(31) || '42'), 1, 8)
+                  <= '19999999'
+        """,
+        "lineitem_quantiles": """
+            SELECT col, q25, q50, q75 FROM (
+              SELECT 'l_quantity' AS col,
+                     quantile_disc(l_quantity, 0.25) AS q25,
+                     quantile_disc(l_quantity, 0.5)  AS q50,
+                     quantile_disc(l_quantity, 0.75) AS q75 FROM lineitem
+              UNION ALL
+              SELECT 'l_discount',
+                     quantile_disc(l_discount, 0.25),
+                     quantile_disc(l_discount, 0.5),
+                     quantile_disc(l_discount, 0.75) FROM lineitem
+              UNION ALL
+              SELECT 'l_tax',
+                     quantile_disc(l_tax, 0.25),
+                     quantile_disc(l_tax, 0.5),
+                     quantile_disc(l_tax, 0.75) FROM lineitem) t
+        """,
+        "events_range_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(COUNT(v.event_id) AS BIGINT) AS n_views_1h
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+                 AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+            GROUP BY p.event_id, p.user_id, p.ts
+        """,
         "events_conv_rollup": """
             SELECT user_id,
                    COUNT(*)            AS n_events,

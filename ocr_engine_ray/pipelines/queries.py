@@ -302,11 +302,13 @@ def q_transcripts_dedup_exact(sf_dir: str) -> Dataset:
 
 
 def q_documents_minhash_neardup(sf_dir: str) -> Dataset:
-    """MinHash/LSH near-dup pairs over documents, Jaccard-verified."""
+    """MinHash/LSH near-dup pairs over documents, Jaccard-verified via
+    the co-partitioned join path (the 100 TB shape: no full-corpus
+    broadcast reachable from the driver contract)."""
     from ..stages.dedup import minhash_dedup_pairs
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, "doc_id", threshold=0.4)
+    return minhash_dedup_pairs(ds, "doc_id", threshold=0.4, verify="join")
 
 
 def q_documents_simhash_neardup(sf_dir: str) -> Dataset:
@@ -479,9 +481,14 @@ def q_unapproved_vendors(sf_dir: str) -> Dataset:
 
 
 def q_events_sample(sf_dir: str) -> Dataset:
-    """Seeded random sample (rows-only: sampling is engine-defined)."""
+    """Deterministic ~10 % Bernoulli sample: the keep decision is
+    md5(event_id, seed) — a pure row function, resume-safe, and exactly
+    reproducible by the DuckDB oracle (substr(md5(...), 1, 8) ≤
+    threshold), unlike engine-random sampling."""
+    from ..stages.partition import deterministic_sample
+
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
-    return ds.random_sample(0.1, seed=42)
+    return deterministic_sample(ds, 0.1, ["event_id"], seed=42)
 
 
 def q_orders_lineitem_join(sf_dir: str) -> Dataset:
@@ -649,3 +656,103 @@ def q_transcripts_stratified_sample(sf_dir: str) -> Dataset:
     return stratified_sample(ds, "conv_id", 0.3,
                              id_cols=["conv_id", "turn_idx"]) \
         .select_columns(["conv_id", "turn_idx", "role"])
+
+
+def q_transcripts_raw_rollup(sf_dir: str) -> Dataset:
+    """Raw-transcript per-conversation rollup (A1 on the input side, no
+    extraction in the loop — SQL-expressible, so the driver can
+    hash-check the groupby/partial-agg machinery itself): n_turns,
+    first/last ts, total text chars per conv_id."""
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "ts", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": b.column("conv_id"),
+            "ts": b.column("ts"),
+            "chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+        })
+        g = t.group_by("conv_id").aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max"), ("chars", "sum")])
+        return g.rename_columns(["conv_id", "p_n", "p_min", "p_max", "p_chars"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("conv_id").aggregate(
+                 Sum("p_n", alias_name="n_turns"),
+                 Min("p_min", alias_name="first_ts"),
+                 Max("p_max", alias_name="last_ts"),
+                 Sum("p_chars", alias_name="total_chars"))
+
+
+def q_transcripts_assemble_raw(sf_dir: str) -> Dataset:
+    """Per-conversation ordered assembly over RAW text (A4's ordering
+    semantics with a SQL twin — string_agg ORDER BY): turns sorted by
+    (turn_idx, ts, text), joined with blank lines."""
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "ts", "text"])
+
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending"),
+                       ("text", "ascending")])
+        return pa.table({
+            "conv_id": [g.column("conv_id")[0].as_py()],
+            "n_turns": pa.array([g.num_rows], pa.int64()),
+            "doc_text": ["\n\n".join(g.column("text").to_pylist())],
+        })
+
+    return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def q_lineitem_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles (quantile_disc semantics) over the
+    bounded-domain lineitem columns via a value-count histogram — the
+    shuffle moves (value, count) rows only."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_quantity", "l_discount", "l_tax"])
+    return exact_quantiles(ds, ["l_quantity", "l_discount", "l_tax"])
+
+
+def q_events_range_join(sf_dir: str) -> Dataset:
+    """Range join (interval predicate the Dataset API lacks natively):
+    for each purchase, how many views by the same user in the hour
+    before it.  Composition path (SURVEY 'custom operators' (a)):
+    filter both sides → groupby(user_id) → per-group sorted
+    searchsorted window count (the partitioning assumption is user_id
+    co-location, provided by the groupby)."""
+    import numpy as np
+
+    HOUR_US = 3_600_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    both = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"),
+                                    value_set=pa.array(["purchase", "view"]))),
+        batch_format="pyarrow")
+
+    def window_count(g: pa.Table) -> pa.Table:
+        is_p = pc.equal(g.column("event_type"), "purchase")
+        p = g.filter(is_p)
+        if p.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "n_views_1h": pa.array([], pa.int64())})
+        v_ts = np.sort(g.filter(pc.invert(is_p)).column("ts")
+                        .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        p_ts = p.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # views in [p.ts - 1h, p.ts): inclusive lower, exclusive upper
+        n = (np.searchsorted(v_ts, p_ts, side="left")
+             - np.searchsorted(v_ts, p_ts - HOUR_US, side="left"))
+        return pa.table({"event_id": p.column("event_id"),
+                         "user_id": p.column("user_id"),
+                         "ts": p.column("ts"),
+                         "n_views_1h": pa.array(n, pa.int64())})
+
+    return both.groupby("user_id").map_groups(window_count,
+                                              batch_format="pyarrow")

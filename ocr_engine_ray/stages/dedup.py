@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from ..util import default_pool_size
@@ -49,7 +50,8 @@ def add_content_hash(batch: pa.Table, cols: list[str],
 
 
 def dedup_exact(ds: Dataset, key_cols: list[str],
-                order_cols: list[str]) -> Dataset:
+                order_cols: list[str],
+                cache_hashed: bool = True) -> Dataset:
     """Keep exactly one row per identical ``key_cols`` tuple — the winner
     is the smallest ``order_cols`` tuple (deterministic under any
     partitioning).
@@ -61,9 +63,18 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
     only the duplicated rows — a tiny fraction — go through the
     groupby(hash) keep-first path.  Replaces a naive
     ``groupby(hash).map_groups(first)`` whose per-singleton-group Python
-    calls ran 9k rows/s; this runs at input-scan speed."""
+    calls ran 9k rows/s; this runs at input-scan speed.
+
+    ``cache_hashed=True`` materializes the hashed dataset once (object
+    store, spills past memory) so the read+sha1 pass runs once instead of
+    up to three times across the counts/uniques/winners consumers.  Set
+    False on corpora where re-reading the source beats holding a full
+    copy in the store (e.g. 100 TB inputs on fast storage — sha1 then
+    runs per consumer but nothing is ever held twice)."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, key_cols),
                             batch_format="pyarrow")
+    if cache_hashed:
+        hashed = hashed.materialize()
 
     def partial_counts(b: pa.Table) -> pa.Table:
         g = b.select(["content_hash"]).group_by("content_hash").aggregate(
@@ -79,12 +90,17 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
         sub = cb.filter(pc.greater(cb.column("n"), 1))
         dup_key_list.extend(sub.column("content_hash").to_pylist())
     dup_keys = frozenset(dup_key_list)
-    dup_ref = ray.put(dup_keys)
+    dup_ref = ray.put(sorted(dup_keys))
 
     def split(b: pa.Table, keep_dups: bool) -> pa.Table:
-        dups = ray.get(dup_ref)
-        mask = pc.is_in(b.column("content_hash"),
-                        value_set=pa.array(list(dups), pa.string()))
+        # value_set Arrow array built once per worker per dup set (it was
+        # previously rebuilt from the broadcast list on every batch)
+        key = ("dedup_value_set", dup_ref.hex())
+        value_set = _WORKER_CACHE.get(key)
+        if value_set is None:
+            value_set = pa.array(ray.get(dup_ref), pa.string())
+            _WORKER_CACHE[key] = value_set
+        mask = pc.is_in(b.column("content_hash"), value_set=value_set)
         if not keep_dups:
             mask = pc.invert(mask)
         return b.filter(mask)
@@ -360,7 +376,9 @@ def _verify_pairs_join(ds: Dataset, cands: Dataset, id_col: str,
 
 def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
                         threshold: float = 0.7, k: int = 64, bands: int = 16,
-                        w: int = 3, verify: str = "broadcast") -> Dataset:
+                        w: int = 3, verify: str = "broadcast",
+                        expand_components: bool = True,
+                        max_expand_component: int = 4096) -> Dataset:
     """End-to-end near-dup pair detection: MinHash/LSH candidates →
     exact Jaccard verify → pairs with jaccard ≥ threshold.
 
@@ -369,15 +387,75 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
     ``verify="join"`` is the co-partitioned scale path: text attaches to
     candidate pairs via two hash-partitioned ``Dataset.join`` calls —
     no driver materialization, no broadcast.  Both produce identical
-    pairs (tested)."""
+    pairs (tested).
+
+    ``expand_components=True`` restores PAIR completeness lost to the
+    ``_bucket_pairs`` star cap (degenerate >64-id buckets emit only
+    star pairs, which preserves connectivity but can drop direct pairs):
+    after verification, union-find components of the above-threshold
+    pairs are re-expanded to all within-component pairs, and any pair
+    never verified is scored too.  Components larger than
+    ``max_expand_component`` keep star pairs only (n² guard; logged)."""
     cands = minhash_candidates(ds, id_col, text_col, k=k, bands=bands, w=w)
     if verify == "join":
         verified = _verify_pairs_join(ds, cands, id_col, text_col, w)
     else:
         verified = _verify_pairs_broadcast(ds, cands, id_col, text_col, w)
-    return verified.map_batches(
+    above = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
         batch_format="pyarrow")
+    if not expand_components:
+        return above
+
+    # Driver-side completeness pass over PAIRS (≪ corpus): components of
+    # the confirmed duplicates, re-expand, score never-verified pairs.
+    above_rows = above.take_all()
+    if not above_rows:
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table(
+            {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+             "jaccard": pa.array([], pa.float64())}))
+    seen: set[tuple] = set()
+    for cb in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        seen.update(zip(cb.column("id_a").to_pylist(),
+                        cb.column("id_b").to_pylist()))
+    conf_pairs = [(r["id_a"], r["id_b"]) for r in above_rows]
+    members = sorted({i for p in conf_pairs for i in p})
+    reps = representatives_from_pairs(sorted(conf_pairs), members)
+    comps: dict = {}
+    for i, r in reps.items():
+        comps.setdefault(r, []).append(i)
+    missing_a, missing_b = [], []
+    for comp in comps.values():
+        if len(comp) > max_expand_component:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash_dedup_pairs: component of %d ids exceeds "
+                "max_expand_component=%d — pair output incomplete for it "
+                "(connectivity preserved)", len(comp), max_expand_component)
+            continue
+        comp = sorted(comp)
+        for x in range(len(comp)):
+            for y in range(x + 1, len(comp)):
+                p = (comp[x], comp[y])
+                if p not in seen:
+                    missing_a.append(p[0])
+                    missing_b.append(p[1])
+    above_tab = pa.Table.from_pylist(above_rows)
+    if not missing_a:
+        return rd.from_arrow(above_tab)
+    id_type = above_tab.schema.field("id_a").type
+    extra_cands = rd.from_arrow(pa.table({
+        "id_a": pa.array(missing_a, id_type),
+        "id_b": pa.array(missing_b, id_type)}))
+    if verify == "join":
+        extra = _verify_pairs_join(ds, extra_cands, id_col, text_col, w)
+    else:
+        extra = _verify_pairs_broadcast(ds, extra_cands, id_col, text_col, w)
+    extra_above = extra.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
+        batch_format="pyarrow")
+    return rd.from_arrow(above_tab).union(extra_above)
 
 
 def representatives_from_pairs(pairs: list[tuple], all_ids: list) -> dict:
@@ -475,45 +553,76 @@ def simhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def _cosine_pairs_batch(batch: pa.Table, mat_ref, ids_ref, threshold: float,
-                        vec_col: str, id_col: str) -> pa.Table:
-    """Exact near-dup pairs against a broadcast normalized matrix: each
-    batch computes its block of the similarity matrix (numpy matmul) and
-    emits pairs (id_a < id_b, sim ≥ threshold).  ray.get of the numpy
-    matrix is zero-copy from the node plasma store; at
-    larger-than-memory scale swap in the LSH-bucketed variant below."""
-    mat = ray.get(mat_ref)               # (N, d) float64, L2-normalized
-    all_ids = ray.get(ids_ref)           # (N,) int64
-    vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    vecs = vecs / norms
-    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-    sims = vecs @ mat.T                                # (batch, N)
-    bi, gj = np.nonzero(sims >= threshold)
-    a = ids[bi]
-    b = all_ids[gj]
-    keep = a < b                                       # dedupe + drop self
+def _block_vec_ids(tab: pa.Table, vec_col: str, id_col: str):
+    """(ids int64, L2-normalized float64 matrix) from an Arrow block."""
+    vecs = np.array(tab.column(vec_col).to_pylist(), dtype=np.float64)
+    if vecs.ndim == 1:                       # empty block
+        vecs = vecs.reshape(0, 0)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True) if vecs.size else None
+    if norms is not None:
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+    ids = np.asarray(tab.column(id_col).to_pylist(), dtype=np.int64)
+    return ids, vecs
+
+
+@ray.remote
+def _block_pair_sims(tab_a: pa.Table, tab_b: pa.Table, threshold: float,
+                     vec_col: str, id_col: str, same_block: bool) -> pa.Table:
+    """One tile of the exact all-pairs cosine grid: pairs between block A
+    and block B with sim ≥ threshold, emitted canonically (id_a < id_b).
+    A diagonal tile sees each unordered pair twice (keep a < b dedupes);
+    an off-diagonal tile sees it once (reorder, never drop)."""
+    ids_a, va = _block_vec_ids(tab_a, vec_col, id_col)
+    ids_b, vb = _block_vec_ids(tab_b, vec_col, id_col)
+    if va.size == 0 or vb.size == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    sims = va @ vb.T
+    ai, bj = np.nonzero(sims >= threshold)
+    a, b = ids_a[ai], ids_b[bj]
+    if same_block:
+        keep = a < b                          # dedupe + drop self
+        a, b, s = a[keep], b[keep], sims[ai, bj][keep]
+    else:
+        s = sims[ai, bj]
+        lo = np.minimum(a, b)
+        b = np.maximum(a, b)
+        a = lo
     return pa.table({
-        "id_a": pa.array(a[keep], pa.int64()),
-        "id_b": pa.array(b[keep], pa.int64()),
-        "cosine": pa.array(sims[bi, gj][keep], pa.float64()),
+        "id_a": pa.array(a, pa.int64()),
+        "id_b": pa.array(b, pa.int64()),
+        "cosine": pa.array(s, pa.float64()),
     })
 
 
 def embedding_neardup_pairs(ds: Dataset, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.9) -> Dataset:
-    rows = pa.Table.from_pylist(ds.select_columns([id_col, vec_col]).take_all())
-    mat = np.array(rows.column(vec_col).to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat_ref = ray.put(mat / norms)
-    ids_ref = ray.put(np.asarray(rows.column(id_col).to_pylist(), dtype=np.int64))
-    return ds.map_batches(
-        lambda b: _cosine_pairs_batch(b, mat_ref, ids_ref, threshold,
-                                      vec_col, id_col),
-        batch_format="pyarrow")
+                            threshold: float = 0.9,
+                            target_blocks: int | None = None) -> Dataset:
+    """Exact all-pairs cosine near-dup (sim ≥ threshold) as a distributed
+    block-pair task grid: the corpus is repartitioned into B blocks held
+    in the OBJECT STORE (never the driver), and each of the B·(B+1)/2
+    block tiles is one Ray task doing a single numpy matmul.  Exact
+    all-pairs is inherently O(N²) compute — the grid distributes it
+    without any full-corpus broadcast or driver materialization; at
+    100 TB the LSH variant below is the right tool, this is the exact
+    oracle-matching path.  Raw ``@ray.remote`` is justified here (SURVEY
+    'custom operators' path (c)): the Dataset API cannot express a
+    self-cross-product without materializing one side per task."""
+    if target_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        target_blocks = max(2, min(16, cpus))
+    prepped = ds.select_columns([id_col, vec_col]).repartition(target_blocks)
+    refs = prepped.to_arrow_refs()
+    out = [_block_pair_sims.remote(refs[i], refs[j], threshold,
+                                   vec_col, id_col, i == j)
+           for i in range(len(refs)) for j in range(i, len(refs))]
+    return rd.from_arrow_refs(out)
 
 
 def embedding_neardup_lsh(ds: Dataset, id_col: str = "vec_id",

@@ -98,27 +98,54 @@ def configure_for_wide_rows(max_block_mb: int = 64) -> None:
     ctx.target_max_block_size = max_block_mb * 1024 * 1024
 
 
-def stratified_sample(ds: Dataset, key_col: str, frac: float,
-                      id_cols: list[str] | None = None,
-                      seed: int = 42) -> Dataset:
-    """Deterministic per-stratum sampling: within every ``key_col``
-    stratum, keep ~``frac`` of rows chosen by a seeded hash of the row's
-    identity (``id_cols``, default the key itself + a stable row
-    attribute supplied by the caller).  Unlike ``Dataset.random_sample``
-    the decision is a pure function of the row — stable across reruns,
-    partitionings and cluster sizes (resume-safe)."""
-    threshold = int(frac * 0xFFFFFFFF)
-    cols = id_cols if id_cols is not None else [key_col]
-    seed_bytes = str(seed).encode()
+def sample_threshold_hex(frac: float) -> str:
+    """The 8-hex-digit keep threshold for :func:`deterministic_sample` —
+    exposed so a SQL oracle can embed the same constant."""
+    return format(int(frac * 0xFFFFFFFF), "08x")
+
+
+def deterministic_sample(ds: Dataset, frac: float, id_cols: list[str],
+                         seed: int = 42) -> Dataset:
+    """Deterministic Bernoulli(~frac) sampling: a row is kept iff the
+    first 8 hex chars of ``md5(str(v1) + '\\x1f' + ... + '\\x1f' +
+    str(seed))`` compare ≤ :func:`sample_threshold_hex`.  Unlike
+    ``Dataset.random_sample`` the decision is a pure function of the
+    row's identity — stable across reruns, partitionings and cluster
+    sizes (resume-safe), and exactly reproducible in SQL
+    (``substr(md5(c1 || chr(31) || ... || chr(31) || '42'), 1, 8)``),
+    so the driver's DuckDB oracle can hash-match the sample."""
+    if not id_cols:
+        raise ValueError("deterministic_sample requires id_cols: the hash "
+                         "must cover the row's identity, not just a stratum "
+                         "key (hashing only the key keeps or drops whole "
+                         "strata wholesale)")
+    import hashlib as _hl
+
+    threshold = sample_threshold_hex(frac)
+    sep = "\x1f"
+    tail = sep + str(seed)
 
     def pick(b: pa.Table) -> pa.Table:
-        import zlib as _z
-        parts = [b.column(c).to_pylist() for c in cols]
+        parts = [b.column(c).to_pylist() for c in id_cols]
         keep = [
-            _z.crc32(b"\x1f".join(str(v).encode("utf-8", "surrogatepass")
-                                  for v in row) + seed_bytes) <= threshold
+            _hl.md5((sep.join(str(v) for v in row) + tail)
+                    .encode("utf-8", "surrogatepass")).hexdigest()[:8]
+            <= threshold
             for row in zip(*parts)
         ]
         return b.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(ds: Dataset, key_col: str, frac: float,
+                      id_cols: list[str], seed: int = 42) -> Dataset:
+    """Per-stratum deterministic sampling: within every ``key_col``
+    stratum, keep ~``frac`` of rows chosen by a seeded hash of the row's
+    identity.  ``id_cols`` is REQUIRED and must identify the row within
+    its stratum (e.g. ``[key_col, "turn_idx"]``) — hashing the key alone
+    would keep or drop entire strata wholesale."""
+    cols = list(id_cols)
+    if key_col not in cols:
+        cols = [key_col] + cols
+    return deterministic_sample(ds, frac, cols, seed=seed)

@@ -37,11 +37,16 @@ def _batch_topk(batch: pa.Table, queries_ref, qids_ref, k: int,
     ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
     sims = q @ vecs.T                                       # (Q, batch)
     k = min(k, sims.shape[1])
-    # argpartition per query: local top-k without a full sort
-    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    # argpartition per query: local top-k without a full sort.  The cut
+    # is then widened to every row TIED with the k-th value — otherwise
+    # exact-cosine ties at the boundary (duplicate embeddings are real
+    # in near-dup corpora) are resolved arbitrarily and can drop the
+    # candidate the (−cosine, vec_id) tie-break would keep.
+    part = np.argpartition(-sims, k - 1, axis=1)
     q_out, id_out, sim_out = [], [], []
     for qi in range(sims.shape[0]):
-        cols = part[qi]
+        kth_val = sims[qi, part[qi, k - 1]]
+        cols = np.nonzero(sims[qi] >= kth_val)[0]
         q_out.extend([qids[qi]] * len(cols))
         id_out.extend(ids[cols])
         sim_out.extend(sims[qi, cols])

@@ -140,6 +140,53 @@ def test_embedding_neardup_lsh_subset_of_exact(ray_session):
     assert (0, 1) in approx  # near-identical vectors share every bucket
 
 
+def test_minhash_pairs_complete_in_large_cluster(ray_session):
+    """Star-capped buckets (>64 ids) must not drop direct pairs from the
+    PAIRS output: a 70-member near-dup cluster yields all C(70,2) pairs
+    above threshold (component re-expansion restores completeness)."""
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "text": BASE + f" extra{i}"} for i in range(70)]
+    fillers = [
+        "streaming shuffles move arrow blocks between executor nodes",
+        "the parquet reader prunes row groups using column statistics",
+        "actor pools amortize model loading across many small batches",
+        "object store spilling keeps backpressure stable under load",
+        "hash partitioning colocates keys for the aggregation stage",
+    ]
+    rows += [{"doc_id": 100 + i, "text": t} for i, t in enumerate(fillers)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_dedup_pairs(ds, "doc_id",
+                                          threshold=0.5).take_all()}
+    expected = {(a, b) for a in range(70) for b in range(a + 1, 70)}
+    assert expected <= pairs
+    assert not any(p[0] >= 100 or p[1] >= 100 for p in pairs)
+
+
+def test_embedding_pairs_cross_block_ordering(ray_session):
+    """Off-diagonal tiles of the block-pair grid see each unordered pair
+    once — pairs whose lower id lands in the later block must still be
+    emitted (canonicalized), not dropped."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    vecs = [base + rng.standard_normal(16) * 0.01 for _ in range(12)]
+    # descending ids so canonical (min, max) ordering crosses blocks
+    tab = pa.table({"vec_id": pa.array(list(range(11, -1, -1)), pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tab)
+    pairs = pa.Table.from_pylist(
+        embedding_neardup_pairs(ds, threshold=0.99,
+                                target_blocks=4).take_all())
+    found = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    expected = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert found == expected
+    assert all(r["id_a"] < r["id_b"] for r in pairs.to_pylist())
+
+
 def test_minhash_join_verify_equals_broadcast(ray_session):
     """The co-partitioned (Dataset.join) verify path must produce the
     same verified pairs as the broadcast path."""

@@ -1,0 +1,124 @@
+"""Exact quantiles, t-digest sketch, deterministic sampling, range join."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_engine_ray.stages.partition import (
+    deterministic_sample, sample_threshold_hex, stratified_sample,
+)
+from ocr_engine_ray.stages.quantiles import TDigest, approx_quantiles, exact_quantiles
+
+
+def test_exact_quantiles_match_duckdb(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(1, 51, size=5000).astype(np.float64)
+    other = np.round(rng.uniform(0, 0.1, size=5000), 2)
+    tab = pa.table({"a": pa.array(vals), "b": pa.array(other)})
+    got = exact_quantiles(rd.from_arrow(tab).repartition(6), ["a", "b"])
+    con = duckdb.connect()
+    con.register("t", tab)
+    for i, col in enumerate(got.column("col").to_pylist()):
+        for q, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            want = con.sql(
+                f"SELECT quantile_disc({col}, {q}) FROM t").fetchone()[0]
+            assert got.column(name)[i].as_py() == want, (col, q)
+
+
+def test_tdigest_error_bound(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    vals = rng.standard_normal(20000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(8)
+    est = approx_quantiles(ds, "x", qs=(0.25, 0.5, 0.75, 0.99))
+    for q, e in est.items():
+        exact = np.quantile(vals, q)
+        # absolute error on a unit-variance distribution
+        assert abs(e - exact) < 0.05, (q, e, exact)
+
+
+def test_tdigest_merge_associative():
+    rng = np.random.RandomState(5)
+    a, b = rng.uniform(0, 1, 3000), rng.uniform(2, 3, 3000)
+    d1 = TDigest().add(a)
+    d2 = TDigest().add(b)
+    merged = d1.merge(d2)
+    assert abs(merged.quantile(0.5) - np.quantile(np.concatenate([a, b]), 0.5)) < 0.15
+
+
+def test_deterministic_sample_requires_id_cols(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(ValueError, match="id_cols"):
+        deterministic_sample(ds, 0.5, [])
+
+
+def test_deterministic_sample_stable_across_partitioning(ray_session):
+    import ray.data as rd
+
+    tab = pa.table({"id": pa.array(list(range(2000)), pa.int64())})
+    a = sorted(r["id"] for r in deterministic_sample(
+        rd.from_arrow(tab), 0.2, ["id"]).take_all())
+    b = sorted(r["id"] for r in deterministic_sample(
+        rd.from_arrow(tab).repartition(7), 0.2, ["id"]).take_all())
+    assert a == b
+    assert 0.15 < len(a) / 2000 < 0.25
+
+
+def test_deterministic_sample_matches_duckdb(ray_session):
+    """The keep decision is exactly reproducible in SQL — the property
+    the driver's oracle relies on."""
+    import ray.data as rd
+
+    tab = pa.table({"id": pa.array(list(range(500)), pa.int64())})
+    got = sorted(r["id"] for r in deterministic_sample(
+        rd.from_arrow(tab), 0.3, ["id"], seed=42).take_all())
+    con = duckdb.connect()
+    con.register("t", tab)
+    thr = sample_threshold_hex(0.3)
+    want = [r[0] for r in con.sql(
+        "SELECT id FROM t WHERE substr(md5(id::VARCHAR || chr(31) || '42'),"
+        f" 1, 8) <= '{thr}' ORDER BY id").fetchall()]
+    assert got == want
+
+
+def test_stratified_sample_within_strata(ray_session):
+    """Each stratum keeps a ~frac subset (not all-or-nothing)."""
+    import ray.data as rd
+
+    rows = [{"k": f"s{s}", "i": i} for s in range(5) for i in range(400)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    kept = stratified_sample(ds, "k", 0.3, id_cols=["i"]).take_all()
+    by_stratum: dict = {}
+    for r in kept:
+        by_stratum.setdefault(r["k"], 0)
+        by_stratum[r["k"]] += 1
+    assert set(by_stratum) == {f"s{s}" for s in range(5)}
+    for n in by_stratum.values():
+        assert 0.18 * 400 < n < 0.45 * 400
+
+
+def test_range_join_matches_duckdb(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_events_range_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = pa.Table.from_pylist(q_events_range_join(sf_dir).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = con.sql("""
+        SELECT p.event_id, CAST(COUNT(v.event_id) AS BIGINT) AS n_views_1h
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        GROUP BY p.event_id ORDER BY p.event_id
+    """).fetchall()
+    got_map = dict(zip(got.column("event_id").to_pylist(),
+                       got.column("n_views_1h").to_pylist()))
+    assert got_map == dict(want)
+    assert any(v > 0 for v in got_map.values())
