@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript pipelines (rows-only driver check; pytest oracle
         # asserts per-turn equality)
         "flagship_extract": q.q_flagship_extract,
+        "flagship_extract_templated": q.q_flagship_extract_templated,
         "conv_rollup": q.q_conv_rollup,
         "assemble_conversations": q.q_assemble_conversations,
         # SQL-checked operators over the driver testdata tables

@@ -61,6 +61,7 @@ class TurnRecord:
     kv_pairs: list[tuple[str, str]] = field(default_factory=list)
     spans: list[tuple[int, int, str]] = field(default_factory=list)
     extract_error: str = ""
+    backend: str = "generic"  # which field backend produced the record
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +83,14 @@ CONTENT_EXTRACTORS: dict[str, callable] = {
 
 TOOL_EXTRACTORS: dict[str, callable] = {}
 
+# Field-level backends (M7 parity, app/utils/data_extractor.py:259-274):
+# a preferred backend keyed by the turn's ``tool``; its record is used
+# only if it passes the reference's validity predicate, else the generic
+# regex backend runs (primary → secondary → plain-content fallback).
+# Registered per worker process (actor ``__init__``), like the
+# reference's per-worker DocAI client.
+FIELD_BACKENDS: dict[str, callable] = {}
+
 
 def register_extractor(content_type: str, fn) -> None:
     """Register/override the extractor for a sniffed content type."""
@@ -92,6 +101,20 @@ def register_tool_extractor(tool: str, fn) -> None:
     """Route every turn produced by ``tool`` through ``fn`` regardless of
     sniffed content type (content_type becomes ``tool:<name>``)."""
     TOOL_EXTRACTORS[tool] = fn
+
+
+def register_field_backend(tool: str, backend) -> None:
+    """Prefer ``backend(extracted_text, as_of) -> TurnRecord | None``
+    for turns produced by ``tool``; falls back to the generic field
+    extractor when the backend abstains or its record is invalid."""
+    FIELD_BACKENDS[tool] = backend
+
+
+def record_is_valid(rec: "TurnRecord") -> bool:
+    """The reference's fallback predicate (_is_invoice_valid,
+    app/utils/data_extractor.py:269-274): any core field present."""
+    return bool(rec.invoice_number or rec.vendor_name or rec.invoice_date
+                or rec.grand_total_cents is not None)
 
 
 def extract_main_text(text: str, tool: str = "") -> tuple[str, str, int]:
@@ -137,6 +160,16 @@ def _extract_turn_inner(text: str, as_of: date, tool: str = "") -> TurnRecord:
     rec = TurnRecord(content_type=ctype, extracted_text=extracted, pages=pages)
     if not extracted:
         return rec
+
+    # preferred field backend for this tool (primary); generic regexes
+    # below are the secondary (reference chain, data_extractor.py:259-274)
+    if tool and tool in FIELD_BACKENDS:
+        alt = FIELD_BACKENDS[tool](extracted, as_of)
+        if alt is not None and record_is_valid(alt):
+            alt.content_type = ctype
+            alt.extracted_text = extracted
+            alt.pages = pages
+            return alt
 
     lower = extracted.lower()
     rec.invoice_number, id_span = extract_invoice_number(extracted, lower)

@@ -68,7 +68,12 @@ def validate_record(rec: TurnRecord, conv_id: str, as_of: date = DEFAULT_AS_OF) 
     if (rec.grand_total_cents is not None and rec.taxes_cents is not None
             and rec.final_total_cents is not None):
         if abs((rec.grand_total_cents + rec.taxes_cents) - rec.final_total_cents) > 1:
-            w.append("Total amounts may not match")
+            from .money import cents_to_str
+
+            w.append("Total amounts may not match: "
+                     f"{cents_to_str(rec.grand_total_cents)} + "
+                     f"{cents_to_str(rec.taxes_cents)} ≈ "
+                     f"{cents_to_str(rec.final_total_cents)}")
     # V8 pages (validator.py:102-108)
     if rec.pages < 1:
         w.append(f"Unusual number of pages: {rec.pages}")

@@ -53,7 +53,8 @@ def read_transcripts(paths: str | list[str]) -> Dataset:
 
 def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
                       batch_size: int | None = None,
-                      concurrency: int | tuple[int, int] | None = None) -> Dataset:
+                      concurrency: int | tuple[int, int] | None = None,
+                      template_tools: tuple[str, ...] = ()) -> Dataset:
     """transcripts → VALIDATED_SCHEMA rows (no shuffle)."""
     if batch_size is None:
         from ..config import extract_batch_size
@@ -64,7 +65,8 @@ def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
     # validation is fused into the extraction pass (see stages/extract.py)
     return ds.map_batches(
         TurnExtractor,
-        fn_constructor_kwargs={"as_of": as_of, "validate": True},
+        fn_constructor_kwargs={"as_of": as_of, "validate": True,
+                               "template_tools": template_tools},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -60,6 +60,20 @@ def q_flagship_extract(sf_dir: str) -> Dataset:
     ])
 
 
+def q_flagship_extract_templated(sf_dir: str) -> Dataset:
+    """Flagship extraction with the rule-pack TEMPLATE backend preferred
+    for pdf_reader-tool turns (M7 two-backend chain: template → generic
+    → plain).  Rows-only driver check; pytest asserts field-level parity
+    with the generic backend on clean invoice turns."""
+    from .flagship import flagship
+
+    ds = flagship(transcript_paths(sf_dir), template_tools=("pdf_reader",))
+    return ds.select_columns([
+        "conv_id", "turn_idx", "content_type", "extracted_text",
+        "invoice_number", "invoice_date", "final_total_cents", "is_valid",
+    ])
+
+
 def q_conv_rollup(sf_dir: str) -> Dataset:
     from .flagship import conv_rollup, flagship
 

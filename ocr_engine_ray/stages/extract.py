@@ -124,11 +124,27 @@ def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF,
 
 class TurnExtractor:
     """Actor-pool extraction stage.  ``__init__`` runs once per actor
-    (compile/warm everything); ``__call__`` runs per batch."""
+    (compile/warm everything); ``__call__`` runs per batch.
 
-    def __init__(self, as_of: date = DEFAULT_AS_OF, validate: bool = True):
+    ``template_tools`` routes those ``tool`` values through the
+    rule-pack template backend (core/templates.py) as the PREFERRED
+    field extractor, with the generic regex backend as fallback — the
+    reference's DocAI→GCV two-backend chain shape
+    (app/utils/data_extractor.py:259-274).  Registration happens here,
+    once per worker process, exactly like the reference builds its
+    preferred-backend client per worker."""
+
+    def __init__(self, as_of: date = DEFAULT_AS_OF, validate: bool = True,
+                 template_tools: tuple[str, ...] = ()):
         self.as_of = as_of
         self.validate = validate
+        if template_tools:
+            from ..core.extract import register_field_backend
+            from ..core.templates import TemplatePack
+
+            pack = TemplatePack()  # compiled once per actor
+            for tool in template_tools:
+                register_field_backend(tool, pack.extract)
         # Touch every lazy regex/table once so per-batch time is steady.
         extract_turn("warmup <p>x</p>", as_of)
 

@@ -16,9 +16,11 @@ with deterministic partition layout + a commit manifest:
 
 Checksum = (sum mod 2^64 of per-row sha1-derived uint64 over the key
 columns, row count) — order-insensitive, duplicate-sensitive; computed
-inside the same streaming pass that writes the partition (a pass-through
-``map_batches`` stage feeding a per-partition accumulator actor), so no
-second read of the data is needed.
+by READING BACK the written partition as a pure dataset aggregate
+(column-pruned, key columns only), so the manifest records what is
+actually on disk and the computation is idempotent under Ray Data task
+retries (a side-effecting accumulator actor would double-count
+re-executed tasks and can race the driver's read).
 """
 
 from __future__ import annotations
@@ -64,27 +66,28 @@ def table_checksum(table: pa.Table, key_cols: list[str]) -> tuple[int, int]:
     return total, table.num_rows
 
 
-@ray.remote(num_cpus=0)
-class _ChecksumActor:
-    def __init__(self) -> None:
-        self.sum = 0
-        self.rows = 0
+def dataset_checksum(ds: Dataset, key_cols: list[str]) -> tuple[int, int]:
+    """Distributed order-insensitive checksum: per-batch partial sums
+    (one tiny row per batch) reduced driver-side.  The checksum is part
+    of the DATASET RESULT — unlike the earlier fire-and-forget
+    accumulator-actor design, it cannot race the driver's read
+    (cross-caller actor calls are unordered) and cannot double-count
+    when Ray Data re-executes a task after a failure: a retried batch
+    simply reproduces the same partial row."""
 
-    def add(self, partial_sum: int, rows: int) -> None:
-        self.sum = (self.sum + partial_sum) & _MASK
-        self.rows += rows
+    def partial(b: pa.Table) -> pa.Table:
+        s, n = table_checksum(b, key_cols)
+        return pa.table({"p_sum": pa.array([s], pa.uint64()),
+                         "p_n": pa.array([n], pa.int64())})
 
-    def result(self) -> tuple[int, int]:
-        return self.sum, self.rows
-
-
-def _checksum_stage(actor, key_cols: list[str]):
-    def fn(batch: pa.Table) -> pa.Table:
-        s, n = table_checksum(batch, key_cols)
-        actor.add.remote(s, n)
-        return batch
-
-    return fn
+    total, rows = 0, 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for s, n in zip(b.column("p_sum").to_pylist(),
+                        b.column("p_n").to_pylist()):
+            total = (total + s) & _MASK
+            rows += n
+    return total, rows
 
 
 def load_manifest(out_dir: str) -> dict[str, LineageRecord]:
@@ -135,11 +138,14 @@ def run_resumable(input_shards: list[str], out_dir: str, make_ds,
             import shutil
             shutil.rmtree(tmp_dir)
         ds: Dataset = make_ds(shard)
-        actor = _ChecksumActor.remote()
-        ds = ds.map_batches(_checksum_stage(actor, list(key_cols)),
-                            batch_format="pyarrow")
         ds.write_parquet(tmp_dir)
-        csum, rows = ray.get(actor.result.remote())
+        # checksum the WRITTEN partition (read-back): commits record what
+        # is actually on disk, and the computation is a pure dataset
+        # aggregate — idempotent under task retries, no ordering hazard
+        import ray.data as rd
+
+        csum, rows = dataset_checksum(
+            rd.read_parquet(tmp_dir, columns=list(key_cols)), list(key_cols))
         if os.path.exists(final_dir):
             import shutil
             shutil.rmtree(final_dir)

@@ -287,9 +287,13 @@ def test_validate_clean_record_country_only():
 def test_validate_totals_mismatch_tolerance():
     rec = _full_record()
     rec.final_total_cents = 11001  # off by 1 cent → within tolerance
-    assert "Total amounts may not match" not in validate_record(rec, "c", AS_OF)
-    rec.final_total_cents = 11002  # off by 2 cents → warned
-    assert "Total amounts may not match" in validate_record(rec, "c", AS_OF)
+    assert not any(w.startswith("Total amounts may not match")
+                   for w in validate_record(rec, "c", AS_OF))
+    rec.final_total_cents = 11002  # off by 2 cents → warned, with the
+    # reference's formatted-amounts suffix (validator.py:99)
+    warns = validate_record(rec, "c", AS_OF)
+    assert any(w.startswith("Total amounts may not match: ") and "≈" in w
+               for w in warns)
 
 
 def test_validate_item_math():
@@ -315,3 +319,83 @@ def test_kv_spans_emitted():
     assert len(kv_spans) == 1
     s, e, _ = kv_spans[0]
     assert rec.extracted_text[s:e] == "PO Number: 7788"
+
+
+# -- template rule-pack backend (M7 two-backend chain) ----------------------
+
+INVOICE_TEXT = (
+    "Acme Supplies Inc\n12 Industrial Way\nSpringfield, IL 62704\n"
+    "Invoice Number: INV-12345\nInvoice Date: 2024-03-05\n"
+    "Description | Qty | Unit Price | Total\n"
+    "widget thing | 2 | 3.00 | 6.00\n"
+    "Subtotal: $6.00\nTax: $0.60\nTotal: $6.60"
+)
+
+
+@pytest.fixture
+def template_backend():
+    from ocr_engine_ray.core.extract import FIELD_BACKENDS, register_field_backend
+    from ocr_engine_ray.core.templates import TemplatePack
+
+    register_field_backend("pdf_reader", TemplatePack().extract)
+    yield
+    FIELD_BACKENDS.pop("pdf_reader", None)
+
+
+def test_template_backend_extracts_and_matches_generic(template_backend):
+    rec = extract_turn(INVOICE_TEXT, AS_OF, tool="pdf_reader")
+    assert rec.backend == "template:acme"
+    assert rec.invoice_number == "INV-12345"
+    assert rec.invoice_date == date(2024, 3, 5)
+    assert (rec.grand_total_cents, rec.taxes_cents, rec.final_total_cents) == (600, 60, 660)
+    assert rec.vendor_name == "Acme Supplies Inc"
+    assert (rec.vendor_street, rec.vendor_city, rec.vendor_state,
+            rec.vendor_postal) == ("12 Industrial Way", "Springfield", "IL", "62704")
+    assert len(rec.items) == 1 and rec.items[0].quantity == 2
+    # field-level parity with the generic (secondary) backend
+    gen = extract_turn(INVOICE_TEXT, AS_OF)
+    assert gen.backend == "generic"
+    for f in ("invoice_number", "invoice_date", "grand_total_cents",
+              "taxes_cents", "final_total_cents", "vendor_name",
+              "vendor_street", "vendor_city", "vendor_state", "vendor_postal"):
+        assert getattr(rec, f) == getattr(gen, f), f
+    assert [(i.quantity, i.unit_price_cents, i.total_cents) for i in rec.items] \
+        == [(i.quantity, i.unit_price_cents, i.total_cents) for i in gen.items]
+
+
+def test_template_backend_chain_fallbacks(template_backend):
+    # keyword present but no invoice fields → template abstains → generic
+    rec = extract_turn("Acme Supplies Inc was mentioned in passing today",
+                       AS_OF, tool="pdf_reader")
+    assert rec.backend == "generic"
+    # unknown vendor → template abstains → generic
+    rec = extract_turn(INVOICE_TEXT.replace("Acme Supplies Inc", "Nobody Co"),
+                       AS_OF, tool="pdf_reader")
+    assert rec.backend == "generic"
+    # tool not routed → generic untouched
+    rec = extract_turn(INVOICE_TEXT, AS_OF, tool="browser")
+    assert rec.backend == "generic"
+
+
+def test_template_invalid_record_falls_back():
+    """A backend returning an INVALID record (reference _is_invoice_valid
+    predicate) must lose to the generic secondary."""
+    from ocr_engine_ray.core.extract import FIELD_BACKENDS, register_field_backend
+
+    register_field_backend("search", lambda text, as_of: TurnRecord(backend="fake"))
+    try:
+        rec = extract_turn(INVOICE_TEXT, AS_OF, tool="search")
+        assert rec.backend == "generic"
+        assert rec.invoice_number == "INV-12345"
+    finally:
+        FIELD_BACKENDS.pop("search", None)
+
+
+def test_template_chain_plain_content_fallback(template_backend):
+    """Bottom of the chain: specific content extractor yields nothing →
+    plain-text content fallback still applies with a field backend
+    registered."""
+    rec = extract_turn("just ordinary words with no structure",
+                       AS_OF, tool="pdf_reader")
+    assert rec.backend == "generic"
+    assert rec.extracted_text == "just ordinary words with no structure"

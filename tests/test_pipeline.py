@@ -175,3 +175,23 @@ def test_standalone_validate_stage(ray_session, small_corpus):
     assert [r["warnings"] for r in got] == [r["warnings"] for r in want]
     assert [r["is_valid"] for r in got] == [r["is_valid"] for r in want]
     assert [r["flags"] for r in got] == [r["flags"] for r in want]
+
+
+def test_flagship_templated_matches_generic_corpus(ray_session):
+    """M7 backend parity on the synthetic corpus: routing pdf_reader
+    turns through the template rule-pack backend yields the same
+    projected fields as the generic backend wherever both extract (the
+    chain only prefers a template record that passes the reference's
+    validity predicate)."""
+    import pandas as pd
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_flagship_extract, q_flagship_extract_templated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pd.DataFrame(q_flagship_extract_templated(sf).take_all()) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    g = pd.DataFrame(q_flagship_extract(sf).take_all()) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(t, g)
