@@ -36,7 +36,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
 
     from ocr_engine_ray.pipelines import queries as q
-    from ocr_engine_ray.pipelines.flagship import conv_rollup, flagship
+    from ocr_engine_ray.pipelines.flagship import conv_rollup, flagship, flagship_composed
 
     # untimed: materialize the synthetic corpus (cached across runs) and
     # warm the page cache so we measure compute+shuffle, not cold disk
@@ -75,7 +75,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
               lambda: flagship(paths).write_parquet(out_dir))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    timed("conv_rollup", lambda: conv_rollup(flagship(paths)).count())
+    timed("conv_rollup", lambda: conv_rollup(flagship_composed(paths)).count())
     timed("events_conv_rollup", lambda: q.q_events_conv_rollup(sf_dir).count())
     timed("lineitem_pricing_summary",
           lambda: q.q_lineitem_pricing_summary(sf_dir).count())

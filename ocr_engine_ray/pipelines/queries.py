@@ -75,15 +75,15 @@ def q_flagship_extract_templated(sf_dir: str) -> Dataset:
 
 
 def q_conv_rollup(sf_dir: str) -> Dataset:
-    from .flagship import conv_rollup, flagship
+    from .flagship import conv_rollup, flagship_composed
 
-    return conv_rollup(flagship(transcript_paths(sf_dir)))
+    return conv_rollup(flagship_composed(transcript_paths(sf_dir)))
 
 
 def q_assemble_conversations(sf_dir: str) -> Dataset:
-    from .flagship import assemble_conversations, flagship
+    from .flagship import assemble_conversations, flagship_composed
 
-    return assemble_conversations(flagship(transcript_paths(sf_dir)))
+    return assemble_conversations(flagship_composed(transcript_paths(sf_dir)))
 
 
 # ---------------------------------------------------------------------------

@@ -342,18 +342,17 @@ def _verify_pairs_join(ds: Dataset, cands: Dataset, id_col: str,
     vectorized map computes the exact n-gram Jaccard.  Payload rows move
     at most twice, partitioned by id — never through a single node.
 
-    The candidate-pair side is materialized first: pairs are tiny
-    (candidate ids only), and keeping the MinHasher actor pool and the
-    join aggregator actors in ONE streaming DAG can reserve every CPU on
-    small clusters and stall the executor (the known pool-starvation
-    failure mode — see util.default_pool_size)."""
+    The candidate-pair side must be MATERIALIZED by the caller: pairs
+    are tiny (candidate ids only), and keeping the MinHasher actor pool
+    and the join aggregator actors in ONE streaming DAG can reserve
+    every CPU on small clusters and stall the executor (the known
+    pool-starvation failure mode — see util.default_pool_size)."""
     if num_partitions is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
         num_partitions = max(2, min(16, cpus // 2))
-    cands = cands.materialize()
     docs = ds.select_columns([id_col, text_col])
     a_side = docs.map_batches(
         lambda b: b.rename_columns(["id_a", "text_a"]), batch_format="pyarrow")
@@ -396,9 +395,19 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
     pairs are re-expanded to all within-component pairs, and any pair
     never verified is scored too.  Components larger than
     ``max_expand_component`` keep star pairs only (n² guard; logged)."""
-    cands = minhash_candidates(ds, id_col, text_col, k=k, bands=bands, w=w)
+    # Candidates are materialized ONCE (pairs of ids — tiny): the verify
+    # stage, the expansion's `seen` scan and any downstream consumer all
+    # reuse the same blocks instead of re-running the MinHasher +
+    # LSH-groupby pipeline per consumer (measured 4× on the bench).
+    cands = minhash_candidates(ds, id_col, text_col,
+                               k=k, bands=bands, w=w).materialize()
     if verify == "join":
-        verified = _verify_pairs_join(ds, cands, id_col, text_col, w)
+        # partition count follows the PAIR volume (both joins key on pair
+        # ids): a 16-way join over a few hundred pairs is pure aggregator
+        # overhead, while millions of pairs want the fan-out
+        n_parts = max(2, min(64, cands.count() // 4096 + 2))
+        verified = _verify_pairs_join(ds, cands, id_col, text_col, w,
+                                      num_partitions=n_parts)
     else:
         verified = _verify_pairs_broadcast(ds, cands, id_col, text_col, w)
     above = verified.map_batches(
