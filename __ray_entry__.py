@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_neardup": q.q_embeddings_neardup,
         "embeddings_ann_topk": q.q_embeddings_ann_topk,
         "embeddings_ann_topk_lsh": q.q_embeddings_ann_topk_lsh,
+        "embeddings_ann_topk_ivf": q.q_embeddings_ann_topk_ivf,
         # multimodal plumbing + resumable/lineage pipeline
         "media_decode": q.q_media_decode,
         "flagship_resumable": q.q_flagship_resumable,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top2_per_user": q.q_events_top2_per_user,
         "transcripts_stratified_sample": q.q_transcripts_stratified_sample,
         # round 2: raw-transcript SQL twins, range join, exact quantiles
+        "transcripts_dedup_streaming": q.q_transcripts_dedup_streaming,
         "transcripts_raw_rollup": q.q_transcripts_raw_rollup,
         "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
         "lineitem_quantiles": q.q_lineitem_quantiles,
@@ -96,6 +98,14 @@ def oracle_sql() -> dict[str, str]:
     transcripts = f"read_parquet('{synth_glob}')"
     return {
         "transcripts_dedup_exact": f"""
+            SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,
+                   ANY_VALUE(tool) AS tool, MIN(ts) AS ts
+            FROM {transcripts}
+            GROUP BY conv_id, turn_idx, text
+        """,
+        # duplicates in the corpus are exact full-row copies, so the
+        # streaming (any-winner) dedup output equals keep-first
+        "transcripts_dedup_streaming": f"""
             SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,
                    ANY_VALUE(tool) AS tool, MIN(ts) AS ts
             FROM {transcripts}

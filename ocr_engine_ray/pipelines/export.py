@@ -14,9 +14,9 @@ Money renders as canonical 2-decimal strings (the reference's
 ``float_format='%.2f'``, :94) from exact cents.
 
 Sinks: Parquet (primary, distributed, partitioned), CSV (distributed,
-``Dataset.write_csv``), Excel (S8 — driver-side convenience, gated on
-openpyxl which is absent here → NotImplementedError, plumbing tested
-via the gate)."""
+``Dataset.write_csv``), Excel (S8 — driver-side report sink on the
+stdlib SpreadsheetML writer in ``core/xlsx.py``; styled sheet matching
+exporter.py:99-119, no openpyxl required)."""
 
 from __future__ import annotations
 
@@ -82,19 +82,26 @@ def write_export(validated: Dataset, out_dir: str, fmt: str = "parquet") -> None
         raise ValueError(f"Unsupported export format: {fmt}")
 
 
-def export_excel(validated: Dataset, path: str) -> None:
-    """S8 Excel sink — driver-side convenience like the reference
-    (exporter.py:100-120, openpyxl).  openpyxl is not in this container,
-    so the gate raises; with it installed this materializes the (small)
-    shaped result and writes one styled sheet."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel export requires openpyxl (not available in this "
-            "environment); use write_export(..., fmt='csv'|'parquet')") from e
-    df = shape_export_rows(validated).to_pandas()  # pragma: no cover
-    df.to_excel(path, index=False)  # pragma: no cover
+def export_excel(validated: Dataset, path: str,
+                 max_rows: int = 1_048_575) -> None:
+    """S8 Excel sink (exporter.py:99-119): one 'Invoices' sheet, bold
+    header, auto column widths = max cell length + 2 — written by the
+    stdlib SpreadsheetML writer (core/xlsx.py; openpyxl isn't in this
+    container and isn't needed).  Driver-side like the reference: Excel
+    is a REPORT format — the sheet cap is Excel's own 2^20-row limit,
+    and big results belong in the parquet/csv sinks."""
+    from ..core.xlsx import write_xlsx
+
+    shaped = shape_export_rows(validated)
+    rows: list[list] = []
+    for b in shaped.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        cols = [b.column(c).to_pylist() for c in EXPORT_COLUMNS]
+        rows.extend([list(r) for r in zip(*cols)])
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"export_excel: result exceeds {max_rows} rows (Excel sheet "
+                "limit); use write_export(..., fmt='parquet'|'csv')")
+    write_xlsx(path, EXPORT_COLUMNS, rows, sheet_name="Invoices")
 
 
 def flag_unapproved_vendors(validated: Dataset,

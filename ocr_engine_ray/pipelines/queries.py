@@ -388,6 +388,22 @@ def q_embeddings_ann_topk_lsh(sf_dir: str) -> pa.Table:
     return lsh_topk(ds, queries, qids, k=5, n_planes=8)
 
 
+def q_embeddings_ann_topk_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN with trained (spherical k-means) centroids — the
+    clustered-data scale path beside the hyperplane-LSH variant."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ivf_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", 8)],
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    queries = qtab.column("embedding").to_pylist()
+    qids = qtab.column("vec_id").to_pylist()
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, qids, k=5, n_centroids=16, n_probe=4)
+
+
 def q_media_decode(sf_dir: str) -> Dataset:
     """Multimodal plumbing: synthetic binary media corpus → actor-pool
     decode (stubbed codecs) + byte-histogram features.  Sized by sf."""
@@ -670,6 +686,18 @@ def q_transcripts_stratified_sample(sf_dir: str) -> Dataset:
     return stratified_sample(ds, "conv_id", 0.3,
                              id_cols=["conv_id", "turn_idx"]) \
         .select_columns(["conv_id", "turn_idx", "role"])
+
+
+def q_transcripts_dedup_streaming(sf_dir: str) -> Dataset:
+    """One-pass exact dedup through the shared mutable index actors
+    (incremental-ingestion path).  The synthetic corpus's duplicates are
+    exact full-row copies, so any-winner output equals keep-first — the
+    same DuckDB oracle as transcripts_dedup_exact hash-checks it."""
+    from ..stages.dedup import dedup_exact_streaming
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir))
+    return dedup_exact_streaming(ds, ["conv_id", "turn_idx", "text"])
 
 
 def q_transcripts_raw_rollup(sf_dir: str) -> Dataset:

@@ -128,6 +128,92 @@ def dedup_transcripts_exact(ds: Dataset) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# incremental / streaming exact dedup: shared mutable index actors
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class DedupIndexShard:
+    """One shard of a shared mutable dedup index (the one pattern that
+    genuinely needs raw actors — SURVEY 'custom operators' path (c)):
+    ``check_and_add`` atomically tests-and-inserts a list of keys and
+    returns the is-new mask.  Actor method calls serialize per actor, so
+    first-wins is race-free within a shard; keys are hash-routed so each
+    key always lands on the same shard.  Memory: one 20-byte digest per
+    distinct key per shard — shard count scales the index horizontally."""
+
+    def __init__(self) -> None:
+        self.seen: set[bytes] = set()
+
+    def check_and_add(self, keys: list[bytes]) -> list[bool]:
+        seen = self.seen
+        out = []
+        for k in keys:
+            if k in seen:
+                out.append(False)
+            else:
+                seen.add(k)
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        return len(self.seen)
+
+
+class StreamingDeduper:
+    """Callable map_batches stage holding the shard handles: hashes the
+    key columns, routes digests to their shard, keeps first-seen rows.
+    Unlike :func:`dedup_exact` (two-pass, deterministic winner via
+    ``order_cols``) this is ONE pass and INCREMENTAL — later datasets
+    run against the same index drop everything already ingested — at the
+    cost of an arrival-order-dependent winner among non-identical
+    duplicate rows (for exact full-row duplicates the output is
+    identical either way)."""
+
+    def __init__(self, shards: list, key_cols: list[str]):
+        self.shards = shards
+        self.key_cols = key_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_pylist() for c in self.key_cols]
+        digests = [hashlib.sha1(
+            "\x1f".join(str(v) for v in row).encode("utf-8", "surrogatepass")
+        ).digest() for row in zip(*cols)]
+        n_shards = len(self.shards)
+        by_shard: dict[int, list[int]] = {}
+        for i, d in enumerate(digests):
+            by_shard.setdefault(d[0] % n_shards, []).append(i)
+        keep = [False] * len(digests)
+        futures = {
+            s: self.shards[s].check_and_add.remote([digests[i] for i in idxs])
+            for s, idxs in by_shard.items()
+        }
+        for s, idxs in by_shard.items():
+            for i, is_new in zip(idxs, ray.get(futures[s])):
+                keep[i] = is_new
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def make_dedup_index(num_shards: int = 8) -> list:
+    """Spawn the shared index shards (pass the list to every
+    :func:`dedup_exact_streaming` call that should share one index)."""
+    return [DedupIndexShard.remote() for _ in range(num_shards)]
+
+
+def dedup_exact_streaming(ds: Dataset, key_cols: list[str],
+                          index: list | None = None,
+                          num_shards: int = 8) -> Dataset:
+    """One-pass exact dedup against a shared mutable index — the
+    continuous-ingestion path (new shards arrive, run the same stage,
+    rows duplicating ANY prior ingestion drop).  For the batch path with
+    a deterministic winner use :func:`dedup_exact`."""
+    if index is None:
+        index = make_dedup_index(num_shards)
+    return ds.map_batches(StreamingDeduper(index, key_cols),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # shared tokenization / shingling
 # ---------------------------------------------------------------------------
 

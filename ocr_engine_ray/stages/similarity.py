@@ -94,6 +94,75 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
     })
 
 
+def _spherical_kmeans(mat: np.ndarray, k: int, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Cosine (spherical) k-means over L2-normalized rows — the IVF
+    coarse quantizer (standard public construction, e.g. FAISS IVF).
+    Deterministic: seeded init, fixed iteration count."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                cent[j] = c / n if n else cent[j]
+    return cent
+
+
+def ivf_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
+             k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             train_frac: float = 0.25, max_train: int = 65536,
+             seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> pa.Table:
+    """IVF approximate top-k with TRAINED centroids (vs the data-blind
+    hyperplane buckets of :func:`lsh_topk`):
+
+    1. train — spherical k-means on a deterministic row-hash sample
+       (bounded by ``max_train``; the sample comes to the driver, the
+       corpus never does);
+    2. assign+prune — centroids are broadcast once; one ``map_batches``
+       pass assigns each corpus vector to its nearest centroid and keeps
+       only vectors in some query's ``n_probe`` closest clusters;
+    3. exact top-k over the pruned subset (reuses the brute-force
+       scan's local-top-k + tiny driver reduce).
+
+    ``n_probe == n_centroids`` degenerates to the exact scan (tested).
+    At 100 TB the trained quantizer is what keeps recall high on
+    clustered real-world embeddings where random hyperplanes split
+    natural clusters."""
+    from .partition import deterministic_sample
+
+    sample_rows = deterministic_sample(
+        ds.select_columns([vec_col]), train_frac, [vec_col], seed=seed) \
+        .limit(max_train).take_all()
+    train = _normalize(np.array([r[vec_col] for r in sample_rows],
+                                dtype=np.float64))
+    cent = _spherical_kmeans(train, n_centroids, seed=seed)
+
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(c) for row in probe for c in row})
+    cent_ref = ray.put(cent)
+    wanted_ref = ray.put(np.asarray(wanted, dtype=np.int64))
+
+    def prune(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        w = ray.get(wanted_ref)
+        vecs = _normalize(np.array(b.column(vec_col).to_pylist(),
+                                   dtype=np.float64))
+        assign = (vecs @ c.T).argmax(axis=1)
+        return b.filter(pa.array(np.isin(assign, w)))
+
+    pruned = ds.select_columns([id_col, vec_col]).map_batches(
+        prune, batch_format="pyarrow")
+    return brute_force_topk(pruned, queries, query_ids, k=k,
+                            vec_col=vec_col, id_col=id_col)
+
+
 def lsh_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
              k: int = 5, n_planes: int = 8, seed: int = 42,
              vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:

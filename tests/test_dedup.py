@@ -200,3 +200,35 @@ def test_minhash_join_verify_equals_broadcast(ray_session):
               for r in minhash_dedup_pairs(
                   ds, "doc_id", threshold=0.5, verify="join").take_all()}
     assert broadcast == joined and broadcast
+
+
+def test_streaming_dedup_matches_batch(ray_session, small_corpus):
+    """One-pass shared-index dedup equals the two-pass batch dedup on a
+    corpus whose duplicates are exact row copies."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import dedup_exact_streaming
+
+    ds = rd.from_arrow(small_corpus).repartition(4)
+    batch = pa.Table.from_pylist(dedup_transcripts_exact(ds).take_all())
+    stream = pa.Table.from_pylist(
+        dedup_exact_streaming(ds, ["conv_id", "turn_idx", "text"]).take_all())
+    key = lambda t: sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in t.to_pylist())
+    assert key(batch) == key(stream)
+    assert stream.num_rows < small_corpus.num_rows  # corpus seeds dups
+
+
+def test_streaming_dedup_incremental(ray_session):
+    """The index persists across datasets: a second ingestion of the
+    same rows drops everything."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import dedup_exact_streaming, make_dedup_index
+
+    rows = [{"doc_id": i, "text": f"doc number {i}"} for i in range(50)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    index = make_dedup_index(num_shards=4)
+    first = dedup_exact_streaming(ds, ["text"], index=index).count()
+    second = dedup_exact_streaming(ds, ["text"], index=index).count()
+    assert first == 50 and second == 0

@@ -44,7 +44,44 @@ def test_write_export_csv_and_parquet(ray_session, small_corpus, tmp_path):
         write_export(validated, str(tmp_path / "x"), fmt="xml")
 
 
-def test_export_excel_gated(ray_session, small_corpus):
+def test_export_excel_writes_styled_sheet(ray_session, small_corpus, tmp_path):
+    """S8: the stdlib SpreadsheetML writer produces a real xlsx (ZIP of
+    XML parts) with the reference's sheet name, bold header and
+    auto-width columns — verified by parsing the parts back."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import EXPORT_COLUMNS, export_excel
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus.slice(0, 10)),
+                                  concurrency=1, batch_size=8)
+    path = str(tmp_path / "out.xlsx")
+    export_excel(validated, path)
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml", "xl/styles.xml"} <= names
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheet = wb.find(f"{NS}sheets/{NS}sheet")
+        assert sheet.get("name") == "Invoices"
+        ws = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = ws.findall(f"{NS}sheetData/{NS}row")
+        assert len(rows) == 11  # header + 10 records
+        header = [c.find(f"{NS}is/{NS}t").text for c in rows[0]]
+        assert header == EXPORT_COLUMNS
+        assert all(c.get("s") == "1" for c in rows[0])  # bold style
+        cols = ws.findall(f"{NS}cols/{NS}col")
+        assert len(cols) == len(EXPORT_COLUMNS)
+        # auto width = max cell length + 2 (>= header width + 2)
+        assert all(float(c.get("width")) >= len(h) + 2
+                   for c, h in zip(cols, header))
+
+
+def test_export_excel_row_cap(ray_session, small_corpus, tmp_path):
     import ray.data as rd
 
     from ocr_engine_ray.pipelines.export import export_excel
@@ -52,8 +89,8 @@ def test_export_excel_gated(ray_session, small_corpus):
 
     validated = extract_validated(rd.from_arrow(small_corpus.slice(0, 10)),
                                   concurrency=1, batch_size=8)
-    with pytest.raises(NotImplementedError):
-        export_excel(validated, "/tmp/never.xlsx")
+    with pytest.raises(ValueError, match="sheet"):
+        export_excel(validated, str(tmp_path / "cap.xlsx"), max_rows=3)
 
 
 def test_flag_unapproved_vendors(ray_session, small_corpus):

@@ -122,3 +122,48 @@ def test_range_join_matches_duckdb(ray_session):
                        got.column("n_views_1h").to_pylist()))
     assert got_map == dict(want)
     assert any(v > 0 for v in got_map.values())
+
+
+def test_ivf_topk_exact_when_probing_all(ray_session):
+    """n_probe == n_centroids scans everything → identical to the exact
+    brute-force top-k (including tie handling)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    qtab = pq.read_table(f"{sf}/embeddings.parquet",
+                         filters=[("vec_id", "<", 4)],
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    queries = qtab.column("embedding").to_pylist()
+    qids = qtab.column("vec_id").to_pylist()
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, queries, qids, k=5).to_pylist()
+    ivf_all = ivf_topk(ds, queries, qids, k=5, n_centroids=8,
+                       n_probe=8).to_pylist()
+    assert ivf_all == exact
+
+
+def test_ivf_topk_recall(ray_session):
+    """Probing a fraction of trained clusters keeps high top-k recall."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    qtab = pq.read_table(f"{sf}/embeddings.parquet",
+                         filters=[("vec_id", "<", 8)],
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    queries = qtab.column("embedding").to_pylist()
+    qids = qtab.column("vec_id").to_pylist()
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(ds, queries, qids, k=5).to_pylist()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_topk(ds, queries, qids, k=5, n_centroids=16,
+                                n_probe=6).to_pylist()}
+    assert len(approx & exact) / len(exact) >= 0.5
