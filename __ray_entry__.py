@@ -90,13 +90,44 @@ def oracle_sql() -> dict[str, str]:
     # sf0.01, so the SQL pins that corpus.
     import os
 
-    from ocr_engine_ray.pipelines.queries import transcript_paths
+    from ocr_engine_ray.pipelines.queries import (
+        media_parquet_path, transcript_paths,
+    )
 
     synth_glob = os.path.join(
         os.path.dirname(transcript_paths("/root/testdata/sf0.01")[0]),
         "*.parquet")
     transcripts = f"read_parquet('{synth_glob}')"
+    media = f"read_parquet('{media_parquet_path('/root/testdata/sf0.01')}')"
+
+    # little-endian u32 out of a hex-encoded blob (DuckDB 1.0 has
+    # to_hex(BLOB) but no byte indexing): per-byte nibble arithmetic
+    def hexbyte(i: int) -> str:  # 1-based byte offset in the blob
+        return (f"(16*(strpos('0123456789ABCDEF', substr(hx,{2 * i - 1},1))-1)"
+                f" + strpos('0123456789ABCDEF', substr(hx,{2 * i},1))-1)")
+
+    def le32(start: int) -> str:
+        return " + ".join(f"{256 ** j}*{hexbyte(start + j)}" for j in range(4))
+
+    media_sql = f"""
+        WITH h AS (
+          SELECT media_id, conv_id, turn_idx, kind, mime,
+                 CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+                 to_hex(payload) AS hx
+          FROM {media})
+        SELECT media_id, conv_id, turn_idx, kind, mime, payload_bytes,
+               CASE substr(hx, 1, 16)
+                 WHEN '46414B45494D4731' THEN 'image'
+                 WHEN '46414B4541554431' THEN 'audio'
+                 WHEN '46414B4556494431' THEN 'video'
+                 ELSE 'unknown' END AS decoded_kind,
+               CAST({le32(9)} AS BIGINT)  AS dim_a,
+               CAST({le32(13)} AS BIGINT) AS dim_b,
+               ''                          AS decode_error
+        FROM h
+    """
     return {
+        "media_decode": media_sql,
         "transcripts_dedup_exact": f"""
             SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,
                    ANY_VALUE(tool) AS tool, MIN(ts) AS ts

@@ -404,13 +404,23 @@ def q_embeddings_ann_topk_ivf(sf_dir: str) -> pa.Table:
     return ivf_topk(ds, queries, qids, k=5, n_centroids=16, n_probe=4)
 
 
-def q_media_decode(sf_dir: str) -> Dataset:
-    """Multimodal plumbing: synthetic binary media corpus → actor-pool
-    decode (stubbed codecs) + byte-histogram features.  Sized by sf."""
-    from ..stages.multimodal import decode_media, synth_media
-
+def media_parquet_path(sf_dir: str) -> str:
     n = max(30, int(3000 * sf_from_dir(sf_dir) * 10))
-    ds = rd.from_arrow(synth_media(n, seed=42))
+    from ..stages.multimodal import materialize_media
+
+    return materialize_media(
+        os.path.join(SYNTH_ROOT, f"media-sf{sf_from_dir(sf_dir)}.parquet"),
+        n, seed=42)
+
+
+def q_media_decode(sf_dir: str) -> Dataset:
+    """Multimodal plumbing: synthetic binary media corpus (read from
+    Parquet — the real binary-column read path) → actor-pool decode
+    (stubbed codecs) + byte-histogram features.  Sized by sf; the header
+    decode is hash-checked by a DuckDB oracle parsing the same bytes."""
+    from ..stages.multimodal import decode_media
+
+    ds = rd.read_parquet(media_parquet_path(sf_dir))
     return decode_media(ds).drop_columns(["features"])
 
 

@@ -74,6 +74,22 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
+def materialize_media(out_path: str, n: int, seed: int = 42) -> str:
+    """Write the synthetic media corpus to Parquet (idempotent, keyed by
+    path) so pipelines exercise the real binary-column read path and the
+    DuckDB oracle can read the same bytes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tmp = out_path + ".tmp"
+        pq.write_table(synth_media(n, seed), tmp)
+        os.replace(tmp, out_path)
+    return out_path
+
+
 def _byte_histogram(payload: bytes) -> np.ndarray:
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr, minlength=256).astype(np.float64)
