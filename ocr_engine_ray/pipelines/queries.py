@@ -222,13 +222,13 @@ def q_lineitem_pricing_summary(sf_dir: str) -> Dataset:
 
 
 def q_top_customers(sf_dir: str) -> pa.Table:
-    """Broadcast hash join (J1/J2/J4 pattern): the small customer side is
-    ray.put once and looked up inside map_batches — no shuffle join."""
+    """Top-10 customers by spend.  Scale shape: aggregate + sort + limit
+    FIRST (the only full-data work, all keyed on o_custkey), then attach
+    names to just the surviving 10 rows with a predicate-pushdown read
+    of the customer table — no corpus-sized driver dict, no shuffle
+    join of the dimension (the round-1 version built a full
+    {custkey: name} dict on the driver — unbounded at TPC-H scale)."""
     import pyarrow.parquet as pq
-
-    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
-                                  cust.column("c_name").to_pylist())))
 
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
@@ -238,21 +238,19 @@ def q_top_customers(sf_dir: str) -> pa.Table:
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
             .groupby("o_custkey").aggregate(Sum("p_total", alias_name="total_spent"))
-
-    class AttachName:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k, "") for k in b.column("o_custkey").to_pylist()]
-            b = b.append_column("c_name", pa.array(names, pa.string()))
-            return b.set_column(b.schema.get_field_index("total_spent"), "total_spent",
-                                round_sql(b.column("total_spent"), 2))
-
-    joined = agg.map_batches(AttachName, fn_constructor_args=(lookup_ref,),
-                             batch_format="pyarrow", concurrency=2)
-    top = joined.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
-    return pa.Table.from_pylist(top.take_all())
+    top = pa.Table.from_pylist(
+        agg.sort(["total_spent", "o_custkey"],
+                 descending=[True, False]).limit(10).take_all())
+    keys = top.column("o_custkey").to_pylist()
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"],
+                         filters=[("c_custkey", "in", keys)])
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
+    top = top.append_column(
+        "c_name", pa.array([names.get(k, "") for k in keys], pa.string()))
+    return top.set_column(top.schema.get_field_index("total_spent"),
+                          "total_spent", round_sql(top.column("total_spent"), 2))
 
 
 def q_events_daily(sf_dir: str) -> Dataset:
@@ -484,8 +482,11 @@ def q_events_sessionize(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
-def q_events_union_distinct(sf_dir: str) -> pa.Table:
-    """Set op (union + distinct): users who signed up OR purchased."""
+def q_events_union_distinct(sf_dir: str) -> Dataset:
+    """Set op (union + distinct): users who signed up OR purchased.
+    Distinct runs DISTRIBUTED (per-batch local dedup partial, then a
+    groupby keep-one — the shuffle moves one row per (key, batch)); the
+    result streams out instead of materializing on the driver."""
     base = ["user_id", "event_type"]
     a = rd.read_parquet(_t(sf_dir, "events"), columns=base).map_batches(
         lambda b: b.filter(pc.equal(b.column("event_type"), "signup")),
@@ -493,8 +494,13 @@ def q_events_union_distinct(sf_dir: str) -> pa.Table:
     b = rd.read_parquet(_t(sf_dir, "events"), columns=base).map_batches(
         lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")),
         batch_format="pyarrow")
-    users = sorted(a.union(b).unique("user_id"))
-    return pa.table({"user_id": pa.array(users, pa.int64())})
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["user_id"]).group_by("user_id").aggregate([])
+
+    return a.union(b).map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(lambda g: g.slice(0, 1),
+                                       batch_format="pyarrow")
 
 
 def q_export_rows(sf_dir: str) -> Dataset:
@@ -576,19 +582,29 @@ def q_documents_quality_filter(sf_dir: str) -> Dataset:
         batch_format="pyarrow").select_columns(["doc_id", "n_tokens"])
 
 
-def q_documents_minhash_dedup_keep(sf_dir: str) -> pa.Table:
-    """End-to-end near-dup DEDUP: MinHash/LSH pairs → union-find
-    components → keep one representative (min doc_id) per component,
-    return the kept doc ids."""
+def q_documents_minhash_dedup_keep(sf_dir: str) -> Dataset:
+    """End-to-end near-dup DEDUP: MinHash/LSH pairs → union-find over
+    the PAIRS (driver-side, pairs ≪ corpus) → broadcast the DROP set
+    (non-representative component members — also pairs-sized) → the
+    corpus streams through a vectorized anti-membership filter.  The
+    round-1 version pulled every doc_id to the driver via unique();
+    now only pair-touched ids ever leave the cluster."""
     from ..stages.dedup import minhash_dedup_pairs, representatives_from_pairs
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    all_ids = sorted(ds.unique("doc_id"))
     pairs = [(r["id_a"], r["id_b"]) for r in
              minhash_dedup_pairs(ds, "doc_id", threshold=0.4).take_all()]
-    reps = representatives_from_pairs(sorted(pairs), all_ids)
-    kept = sorted(i for i in all_ids if reps[i] == i)
-    return pa.table({"doc_id": pa.array(kept, pa.int64())})
+    members = sorted({i for p in pairs for i in p})
+    reps = representatives_from_pairs(sorted(pairs), members)
+    drop = pa.array(sorted(i for i in members if reps[i] != i), pa.int64())
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(b.column("doc_id"),
+                                  value_set=ray.get(drop_ref)))
+        return b.filter(mask).select(["doc_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def q_events_value_stats(sf_dir: str) -> Dataset:

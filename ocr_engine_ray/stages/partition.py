@@ -18,6 +18,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -43,12 +44,19 @@ def detect_hot_keys(ds: Dataset, key_col: str,
         return g.rename_columns([key_col, "p_n"])
 
     counts = ds.map_batches(partial, batch_format="pyarrow") \
-               .groupby(key_col).aggregate(Sum("p_n", alias_name="n"))
-    rows = counts.take_all()
-    total = sum(r["n"] for r in rows)
+               .groupby(key_col).aggregate(Sum("p_n", alias_name="n")) \
+               .materialize()
+    total = counts.sum("n") or 0
     if total == 0:
         return []
-    return sorted(r[key_col] for r in rows if r["n"] / total >= threshold_frac)
+    cut = threshold_frac * total
+    # filter DISTRIBUTED: only the (by definition ≤ 1/threshold_frac)
+    # hot keys ever reach the driver, not the full per-key count table
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            pc.cast(b.column("n"), pa.float64()), cut)),
+        batch_format="pyarrow")
+    return sorted(r[key_col] for r in hot.take_all())
 
 
 def add_salted_bucket(batch: pa.Table, key_col: str, n_buckets: int,
