@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
         "lineitem_quantiles": q.q_lineitem_quantiles,
         "events_range_join": q.q_events_range_join,
+        "events_weighted_sample": q.q_events_weighted_sample,
+        "events_reservoir_per_user": q.q_events_reservoir_per_user,
     }
 
 
@@ -182,6 +184,28 @@ def oracle_sql() -> dict[str, str]:
                      quantile_disc(l_tax, 0.25),
                      quantile_disc(l_tax, 0.5),
                      quantile_disc(l_tax, 0.75) FROM lineitem) t
+        """,
+        "events_weighted_sample": """
+            WITH t AS (
+              SELECT event_id, user_id, value,
+                     CAST(round(value * 100) AS BIGINT) AS w,
+                     (('0x' || substr(md5(event_id::VARCHAR || chr(31)
+                                          || '42'), 1, 8))::UBIGINT)::HUGEINT
+                         AS u
+              FROM events),
+            s AS (SELECT CAST(SUM(w) AS HUGEINT) AS S,
+                         CAST(COUNT(*) AS HUGEINT) AS n FROM t)
+            SELECT event_id, user_id, value FROM t, s
+            WHERE u * S * 10 < w::HUGEINT * n * 4294967296::HUGEINT
+        """,
+        "events_reservoir_per_user": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY md5(event_id::VARCHAR || chr(31) || '42'),
+                                 event_id::VARCHAR) AS rn
+              FROM events) t
+            WHERE rn <= 3
         """,
         "events_range_join": """
             SELECT p.event_id, p.user_id, p.ts,

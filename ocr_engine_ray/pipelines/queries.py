@@ -537,6 +537,26 @@ def q_events_sample(sf_dir: str) -> Dataset:
     return deterministic_sample(ds, 0.1, ["event_id"], seed=42)
 
 
+def q_events_weighted_sample(sf_dir: str) -> Dataset:
+    """Deterministic weighted Bernoulli sample (~10 %, probability ∝
+    event value) — exact integer decision, hash-matched by the oracle."""
+    from ..stages.partition import weighted_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value"])
+    return weighted_sample(ds, "value", 0.1, ["event_id"], seed=42)
+
+
+def q_events_reservoir_per_user(sf_dir: str) -> Dataset:
+    """Per-key deterministic reservoir: each user keeps the 3 events
+    with the smallest seeded row-hash (uniform without replacement)."""
+    from ..stages.partition import reservoir_per_key
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value"])
+    return reservoir_per_key(ds, "user_id", 3, ["event_id"], seed=42)
+
+
 def q_orders_lineitem_join(sf_dir: str) -> Dataset:
     """Large-large hash join via ``Dataset.join`` (Ray Data ≥2.46,
     SURVEY §2.5 J2): revenue per order priority = orders ⋈ lineitem on

@@ -146,6 +146,87 @@ def deterministic_sample(ds: Dataset, frac: float, id_cols: list[str],
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def weighted_sample(ds: Dataset, weight_col: str, frac: float,
+                    id_cols: list[str], seed: int = 42,
+                    weight_scale: int = 100) -> Dataset:
+    """Deterministic weighted Bernoulli sample: keep probability
+    proportional to the row's (non-negative) weight,
+    ``p_i = frac * w_i / mean(w)``, decided by the row's md5 hash.
+
+    The whole decision is EXACT integer arithmetic so a SQL oracle can
+    reproduce it bit-for-bit: weights scale to ints
+    (``round(w * weight_scale)``), the population total S and count n
+    come from one exact distributed integer aggregate, ``frac`` is taken
+    as an exact decimal fraction, and the predicate is
+    ``U * S * den < num * w_int * n * 2^32`` over arbitrary-precision
+    ints — no float boundary for the two sides to disagree on.  Rows
+    with ``p_i > 1`` saturate to certain-keep on both sides."""
+    from fractions import Fraction
+
+    if not id_cols:
+        raise ValueError("weighted_sample requires id_cols")
+    fr = Fraction(str(frac))
+    num, den = fr.numerator, fr.denominator
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b.column(weight_col).to_numpy(zero_copy_only=False)
+        w = np.floor(v * weight_scale + 0.5).astype(np.int64)
+        return pa.table({"p_s": pa.array([int(w.sum())], pa.int64()),
+                         "p_n": pa.array([len(w)], pa.int64())})
+
+    S = n = 0
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        S += sum(b.column("p_s").to_pylist())
+        n += sum(b.column("p_n").to_pylist())
+    if S <= 0:
+        raise ValueError("weighted_sample: non-positive total weight")
+    import hashlib as _hl
+
+    sep, tail = "\x1f", "\x1f" + str(seed)
+    rhs_const = num * n * 4294967296
+
+    def pick(b: pa.Table) -> pa.Table:
+        parts = [b.column(c).to_pylist() for c in id_cols]
+        v = b.column(weight_col).to_numpy(zero_copy_only=False)
+        w = np.floor(v * weight_scale + 0.5).astype(np.int64)
+        keep = []
+        for i, row in enumerate(zip(*parts)):
+            u = int(_hl.md5((sep.join(str(x) for x in row) + tail)
+                            .encode("utf-8", "surrogatepass"))
+                    .hexdigest()[:8], 16)
+            keep.append(u * S * den < rhs_const * int(w[i]))
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def reservoir_per_key(ds: Dataset, key_col: str, k: int,
+                      id_cols: list[str], seed: int = 42) -> Dataset:
+    """Deterministic per-key uniform sample WITHOUT replacement: every
+    key keeps its ``k`` rows with the smallest seeded md5 row-hash —
+    statistically a reservoir sample, but a pure row function (stable
+    across reruns/partitionings, resume-safe) and exactly reproducible
+    in SQL as ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY md5(...),
+    id) <= k``.  Co-location comes from ``groupby(key_col)``."""
+    if not id_cols:
+        raise ValueError("reservoir_per_key requires id_cols")
+    import hashlib as _hl
+
+    sep, tail = "\x1f", "\x1f" + str(seed)
+
+    def sample(g: pa.Table) -> pa.Table:
+        parts = [g.column(c).to_pylist() for c in id_cols]
+        keys = [(_hl.md5((sep.join(str(x) for x in row) + tail)
+                         .encode("utf-8", "surrogatepass")).hexdigest(),
+                 tuple(str(x) for x in row), i)
+                for i, row in enumerate(zip(*parts))]
+        keys.sort()
+        return g.take([i for _, _, i in keys[:k]])
+
+    return ds.groupby(key_col).map_groups(sample, batch_format="pyarrow")
+
+
 def stratified_sample(ds: Dataset, key_col: str, frac: float,
                       id_cols: list[str], seed: int = 42) -> Dataset:
     """Per-stratum deterministic sampling: within every ``key_col``

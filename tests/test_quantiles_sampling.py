@@ -167,3 +167,43 @@ def test_ivf_topk_recall(ray_session):
               for r in ivf_topk(ds, queries, qids, k=5, n_centroids=16,
                                 n_probe=6).to_pylist()}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_weighted_sample_proportional(ray_session):
+    """Heavier rows are kept more often; decision is stable across
+    partitionings."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.partition import weighted_sample
+
+    rows = [{"id": i, "w": 1.0 if i < 2000 else 10.0} for i in range(2400)]
+    tab = pa.Table.from_pylist(rows)
+    kept = weighted_sample(rd.from_arrow(tab), "w", 0.1, ["id"]).take_all()
+    light = sum(1 for r in kept if r["id"] < 2000)
+    heavy = sum(1 for r in kept if r["id"] >= 2000)
+    # E[light] = 2000 * 0.1 * 1/mean, E[heavy] = 400 * 0.1 * 10/mean
+    # mean = (2000 + 4000)/2400 = 2.5 → E[light]=80, E[heavy]=160
+    assert 40 < light < 130
+    assert 110 < heavy < 220
+    again = weighted_sample(rd.from_arrow(tab).repartition(7), "w", 0.1,
+                            ["id"]).take_all()
+    assert sorted(r["id"] for r in kept) == sorted(r["id"] for r in again)
+
+
+def test_reservoir_per_key(ray_session):
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.partition import reservoir_per_key
+
+    rows = [{"k": s % 5, "id": s} for s in range(500)]
+    tab = pa.Table.from_pylist(rows)
+    kept = reservoir_per_key(rd.from_arrow(tab), "k", 3, ["id"]).take_all()
+    by_key: dict = {}
+    for r in kept:
+        by_key.setdefault(r["k"], []).append(r["id"])
+    assert set(by_key) == set(range(5))
+    assert all(len(v) == 3 for v in by_key.values())
+    again = reservoir_per_key(rd.from_arrow(tab).repartition(9), "k", 3,
+                              ["id"]).take_all()
+    assert sorted((r["k"], r["id"]) for r in kept) \
+        == sorted((r["k"], r["id"]) for r in again)
