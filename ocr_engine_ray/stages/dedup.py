@@ -354,9 +354,13 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
                        k: int = 64, bands: int = 16, w: int = 3,
                        concurrency: int | tuple | None = None) -> Dataset:
     """text → minhash → band rows → bucket groupby → candidate id pairs
-    (distinct)."""
+    (distinct).  The signature pool AUTOSCALES (1 → pool): signature
+    work per batch is light relative to extraction, so a fixed
+    full-width pool spends more wall time spinning actors than hashing
+    on small corpora (measured 5.2 s → 3.7 s warm at sf0.1); big
+    corpora ramp to the same width either way."""
     if concurrency is None:
-        concurrency = default_pool_size()
+        concurrency = (1, default_pool_size())
     sigged = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "k": k, "w": w},
