@@ -557,12 +557,81 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
     return rd.from_arrow(above_tab).union(extra_above)
 
 
+def components_label_propagation(edges: Dataset, max_iters: int = 25,
+                                 num_partitions: int = 8) -> Dataset:
+    """Distributed connected components over an edge Dataset
+    ``(id_a, id_b)`` by iterative min-label propagation — the scale path
+    for when even the PAIR set exceeds driver memory (the union-find in
+    :func:`representatives_from_pairs` is the small-pairs path; both
+    produce min-id representatives).
+
+    Per round: attach each endpoint's current label to the edges (two
+    hash-partitioned joins), send it to the opposite endpoint, and take
+    the min per node — labels only ever decrease, so the label SUM is a
+    monotone convergence witness (no extra diff join).  Rounds needed =
+    component diameter; near-dup clusters are shallow (stars/cliques →
+    1-2 rounds).  Returns ``(id, rep)`` for every node that appears in
+    an edge; isolated nodes are their own rep by definition and never
+    enter the computation."""
+    from ray.data.aggregate import Min
+
+    edges = edges.select_columns(["id_a", "id_b"]).materialize()
+
+    def as_nodes(col: str):
+        return edges.select_columns([col]).map_batches(
+            lambda b, c=col: pa.table(
+                {"id": b.column(c), "label": b.column(c)}),
+            batch_format="pyarrow")
+
+    labels = as_nodes("id_a").union(as_nodes("id_b")) \
+        .groupby("id").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        la = labels.map_batches(
+            lambda b: pa.table({"id_a": b.column("id"),
+                                "label_a": b.column("label")}),
+            batch_format="pyarrow")
+        lb = labels.map_batches(
+            lambda b: pa.table({"id_b": b.column("id"),
+                                "label_b": b.column("label")}),
+            batch_format="pyarrow")
+        with_labels = edges \
+            .join(la, join_type="inner", num_partitions=num_partitions,
+                  on=("id_a",)) \
+            .join(lb, join_type="inner", num_partitions=num_partitions,
+                  on=("id_b",))
+
+        def msgs(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": pa.concat_arrays([
+                    b.column("id_a").combine_chunks(),
+                    b.column("id_b").combine_chunks()]),
+                "label": pa.concat_arrays([
+                    b.column("label_b").combine_chunks(),
+                    b.column("label_a").combine_chunks()]),
+            })
+
+        labels = labels.union(
+            with_labels.map_batches(msgs, batch_format="pyarrow")) \
+            .groupby("id").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda b: pa.table({"id": b.column("id"), "rep": b.column("label")}),
+        batch_format="pyarrow")
+
+
 def representatives_from_pairs(pairs: list[tuple], all_ids: list) -> dict:
     """Union-find over verified duplicate pairs → {id: representative}
     (representative = min id of the component).  Driver-side: the pair
     set is orders of magnitude smaller than the corpus; for corpora
-    where even pairs don't fit, iterate distributed min-label
-    propagation (groupby id, min over neighbor labels, repeat)."""
+    where even pairs don't fit, use the distributed
+    :func:`components_label_propagation` (same min-id representatives,
+    tested equivalent)."""
     parent: dict = {}
 
     def find(x):

@@ -296,3 +296,25 @@ def test_simhash_discriminates_on_prose(ray_session):
     # every true duplicate family is recalled
     same_family = sum(1 for a, b in found if a // 3 == b // 3)
     assert same_family >= 20
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """Distributed min-label components equal driver union-find on a
+    random graph plus a diameter-10 chain (multi-round convergence)."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import components_label_propagation
+
+    rng = np.random.RandomState(13)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(80, 2))
+             if a != b]
+    edges += [(100 + i, 101 + i) for i in range(4)]      # chain 100..104
+    tab = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], pa.int64())})
+    got = {r["id"]: r["rep"] for r in components_label_propagation(
+        rd.from_arrow(tab).repartition(4), num_partitions=2).take_all()}
+    nodes = sorted({i for e in edges for i in e})
+    canon_pairs = sorted((min(a, b), max(a, b)) for a, b in edges)
+    want = representatives_from_pairs(canon_pairs, nodes)
+    assert got == {i: want[i] for i in nodes}
+    assert got[104] == 100  # chain collapsed across 4 rounds
