@@ -72,6 +72,30 @@ DEFAULT_TEMPLATES: tuple[Template, ...] = tuple(
 )
 
 
+def load_template_dir(path: str) -> tuple[Template, ...]:
+    """Load rule packs from a directory of JSON files — the working
+    analogue of the reference's dormant ``INVOICE2DATA_TEMPLATES_DIR``
+    hook (``app/config.py:38``).  Each ``*.json`` file holds one pack:
+    ``{"name": ..., "keyword": ...}`` plus any :class:`Template` field
+    pattern to override (``invoice_number``, ``date_line``,
+    ``subtotal``, ``tax``, ``total``, ``item_line``, ``address``,
+    ``vendor_name``).  Files load in sorted order (deterministic match
+    priority)."""
+    import json
+    import os
+
+    packs = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(path, fname)) as f:
+            spec = json.load(f)
+        name = spec.pop("name")
+        keyword = spec.pop("keyword")
+        packs.append(Template(name=name, keyword=keyword, **spec))
+    return tuple(packs)
+
+
 class TemplatePack:
     """Compiled template set (compile once — in an actor's ``__init__``,
     never per batch).  ``extract`` returns a TurnRecord-shaped result or

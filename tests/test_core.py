@@ -399,3 +399,36 @@ def test_template_chain_plain_content_fallback(template_backend):
                        AS_OF, tool="pdf_reader")
     assert rec.backend == "generic"
     assert rec.extracted_text == "just ordinary words with no structure"
+
+
+def test_template_dir_loader_adds_capability(tmp_path):
+    """A JSON rule pack loaded from a template directory extracts a
+    vendor-specific format the generic regexes cannot parse at all —
+    the value templates add, not just a faster path."""
+    import json
+
+    from ocr_engine_ray.core.templates import TemplatePack, load_template_dir
+
+    (tmp_path / "quirky.json").write_text(json.dumps({
+        "name": "quirky",
+        "keyword": "Quirky Formats GmbH",
+        "invoice_number": r"(?m)^Beleg-Nr\.\s*//\s*(\S+)\s*$",
+        "date_line": r"(?m)^Datum\s*//\s*([^\n]+?)\s*$",
+        "total": r"(?m)^Endbetrag\s*//\s*EUR\s*([\d,]+\.\d{2})\s*$",
+        "subtotal": r"(?m)^Netto\s*//\s*EUR\s*([\d,]+\.\d{2})\s*$",
+        "tax": r"(?m)^MwSt\s*//\s*EUR\s*([\d,]+\.\d{2})\s*$",
+    }))
+    pack = TemplatePack(load_template_dir(str(tmp_path)))
+    text = ("Quirky Formats GmbH\nBeleg-Nr. // QF-778899\n"
+            "Datum // 15.06.2023\nNetto // EUR 100.00\n"
+            "MwSt // EUR 19.00\nEndbetrag // EUR 119.00")
+    rec = pack.extract(text, AS_OF)
+    assert rec is not None and rec.backend == "template:quirky"
+    assert rec.invoice_number == "QF-778899"
+    assert rec.invoice_date == date(2023, 6, 15)
+    assert (rec.grand_total_cents, rec.taxes_cents,
+            rec.final_total_cents) == (10000, 1900, 11900)
+    # the generic backend extracts none of these fields from this format
+    gen = extract_turn(text, AS_OF)
+    assert gen.invoice_number is None
+    assert gen.final_total_cents is None
