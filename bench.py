@@ -75,7 +75,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
               lambda: flagship(paths).write_parquet(out_dir))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    timed("conv_rollup", lambda: conv_rollup(flagship_composed(paths)).count())
+    # tree combine: right for this corpus's 6.6k-conversation cardinality
+    # (see conv_rollup docstring; the unbounded-cardinality shuffle path is
+    # the default and covered by q_conv_rollup + equivalence test)
+    timed("conv_rollup", lambda: conv_rollup(flagship_composed(paths),
+                                             combine="tree").count())
     timed("events_conv_rollup", lambda: q.q_events_conv_rollup(sf_dir).count())
     timed("lineitem_pricing_summary",
           lambda: q.q_lineitem_pricing_summary(sf_dir).count())

@@ -195,3 +195,17 @@ def test_flagship_templated_matches_generic_corpus(ray_session):
     g = pd.DataFrame(q_flagship_extract(sf).take_all()) \
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(t, g)
+
+
+def test_conv_rollup_tree_equals_shuffle(ray_session, small_corpus):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.flagship import conv_rollup, extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus), concurrency=2)
+    a = pd.DataFrame(conv_rollup(validated, combine="shuffle").take_all()) \
+        .sort_values("conv_id").reset_index(drop=True)
+    b = pd.DataFrame(conv_rollup(validated, combine="tree").take_all()) \
+        .sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
