@@ -124,3 +124,30 @@ def test_cross_process_determinism_hashseed():
                              capture_output=True, text=True, check=True)
         results.add(out.stdout.strip())
     assert len(results) == 1, results
+
+
+def test_round_sql_matches_duckdb_round():
+    """Property: round_sql is bit-identical to DuckDB ROUND(x, n) across
+    magnitudes, signs and digit counts (the driver's value hash depends
+    on it)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_engine_ray.util import round_sql, round_sql_f
+
+    rng = np.random.RandomState(77)
+    vals = np.concatenate([
+        rng.uniform(-1, 1, 300) * 10.0 ** rng.randint(-4, 10, 300),
+        np.array([0.0, -0.0, 0.005, -0.005, 2.675, 527868276.59000003,
+                  5707855.140000001]),
+    ])
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals, pa.float64())}))
+    for n in (0, 2, 4, 6):
+        want = [r[0] for r in con.sql(
+            f"SELECT round(x, {n}) FROM t").fetchall()]
+        got = round_sql(pa.array(vals, pa.float64()), n).to_pylist()
+        assert got == want, f"ndigits={n}"
+        got_f = [round_sql_f(float(v), n) for v in vals]
+        assert got_f == want, f"scalar ndigits={n}"
