@@ -90,6 +90,28 @@ def q_assemble_conversations(sf_dir: str) -> Dataset:
 # SQL-checked operators over the driver testdata tables
 # ---------------------------------------------------------------------------
 
+def _tree_combine(partials: Dataset, keys: list[str], spec: list[tuple],
+                  partial_names: list[str], final_names: list[str],
+                  width: int = 8) -> Dataset:
+    """Small-cardinality grouped combine: two Arrow ``group_by`` map
+    passes (``width`` blocks → one) instead of Ray's sort-shuffle
+    Aggregate, whose ~0.5 s/block fixed cost dominates tiny partial
+    tables (stats-profiled; see flagship.conv_rollup).  ONLY for keys
+    whose cardinality is structurally bounded (event types, calendar
+    days, TPC-H Q1's 6 flag pairs) so one row per distinct key always
+    fits one task — unbounded keys (users, conversations) stay on the
+    shuffle path."""
+    def comb(names):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.group_by(keys).aggregate(spec).rename_columns(names)
+        return fn
+
+    return partials.repartition(width) \
+        .map_batches(comb(partial_names), batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(comb(final_names), batch_format="pyarrow")
+
+
 def q_events_conv_rollup(sf_dir: str) -> Dataset:
     """events ≅ transcripts: user_id ≅ conv_id.  Per-conversation rollup
     (FIXTURES §F3 shape) with per-batch partial aggregation before the
@@ -204,13 +226,15 @@ def q_lineitem_pricing_summary(sf_dir: str) -> Dataset:
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("p_qty", alias_name="sum_qty"),
-            Sum("p_base", alias_name="sum_base_price"),
-            Sum("p_disc", alias_name="sum_disc_price"),
-            Sum("p_n", alias_name="count_order"),
-        )
+    # 6 (returnflag, linestatus) pairs — structurally bounded → tree
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("p_qty", "sum"), ("p_base", "sum"), ("p_disc", "sum"),
+         ("p_n", "sum")],
+        ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"],
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "count_order"])
 
     def finish(b: pa.Table) -> pa.Table:
         for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
@@ -264,10 +288,11 @@ def q_events_daily(sf_dir: str) -> Dataset:
         g = t.group_by("day").aggregate([("value", "count"), ("value", "sum")])
         return g.rename_columns(["day", "p_n", "p_sum"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day").aggregate(
-        Sum("p_n", alias_name="n_events"),
-        Sum("p_sum", alias_name="sum_value"),
-    )
+    # calendar days — structurally bounded by the time range → tree
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"],
+        [("p_n", "sum"), ("p_sum", "sum")],
+        ["day", "p_n", "p_sum"], ["day", "n_events", "sum_value"])
     return agg.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
                                round_sql(b.column("sum_value"), 2)),
@@ -637,12 +662,13 @@ def q_events_value_stats(sf_dir: str) -> Dataset:
              ("value", "min"), ("value", "max")])
         return g.rename_columns(["event_type", "p_sum", "p_n", "p_min", "p_max"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-            .groupby("event_type").aggregate(
-                Sum("p_sum", alias_name="s"),
-                Sum("p_n", alias_name="n_events"),
-                Min("p_min", alias_name="min_value"),
-                Max("p_max", alias_name="max_value"))
+    # a handful of event types — structurally bounded → tree
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"],
+        [("p_sum", "sum"), ("p_n", "sum"), ("p_min", "min"),
+         ("p_max", "max")],
+        ["event_type", "p_sum", "p_n", "p_min", "p_max"],
+        ["event_type", "s", "n_events", "min_value", "max_value"])
 
     def finish(b: pa.Table) -> pa.Table:
         mean = round_sql(pc.divide(b.column("s"), b.column("n_events")), 4)
