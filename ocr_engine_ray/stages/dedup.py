@@ -43,10 +43,28 @@ def sha1_hex(parts: tuple) -> str:
 
 
 def add_content_hash(batch: pa.Table, cols: list[str],
-                     out_col: str = "content_hash") -> pa.Table:
+                     out_col: str = "content_hash",
+                     key_col: str | None = None) -> pa.Table:
+    """Append the sha1-hex content hash, and optionally ``key_col`` — a
+    uint64 prefix of the same digest.  The int key is what rides through
+    the duplicate-DETECTION shuffle (8 bytes vs a 40-char string; a
+    64-bit birthday collision only routes a few extra rows down the
+    rare-duplicate path, where the full sha1 string still decides)."""
     key_lists = [batch.column(c).to_pylist() for c in cols]
-    hashes = [sha1_hex(parts) for parts in zip(*key_lists)]
-    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+    hex_out, int_out = [], []
+    for parts in zip(*key_lists):
+        h = hashlib.sha1()
+        for p in parts:
+            h.update(str(p).encode("utf-8", "surrogatepass"))
+            h.update(b"\x1f")
+        d = h.digest()
+        hex_out.append(d.hex())
+        int_out.append(int.from_bytes(d[:8], "big"))
+    out = batch.append_column(out_col, pa.array(hex_out, pa.string()))
+    if key_col is not None:
+        out = out.append_column(key_col,
+                                pa.array(int_out, pa.uint64()))
+    return out
 
 
 def dedup_exact(ds: Dataset, key_cols: list[str],
@@ -71,24 +89,25 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
     False on corpora where re-reading the source beats holding a full
     copy in the store (e.g. 100 TB inputs on fast storage — sha1 then
     runs per consumer but nothing is ever held twice)."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, key_cols),
-                            batch_format="pyarrow")
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, key_cols, key_col="content_key"),
+        batch_format="pyarrow")
     if cache_hashed:
         hashed = hashed.materialize()
 
     def partial_counts(b: pa.Table) -> pa.Table:
-        g = b.select(["content_hash"]).group_by("content_hash").aggregate(
-            [("content_hash", "count")])
-        return g.rename_columns(["content_hash", "p_n"])
+        g = b.select(["content_key"]).group_by("content_key").aggregate(
+            [("content_key", "count")])
+        return g.rename_columns(["content_key", "p_n"])
 
     from ray.data.aggregate import Sum
 
     counts = hashed.map_batches(partial_counts, batch_format="pyarrow") \
-                   .groupby("content_hash").aggregate(Sum("p_n", alias_name="n"))
-    dup_key_list: list[str] = []
+                   .groupby("content_key").aggregate(Sum("p_n", alias_name="n"))
+    dup_key_list: list[int] = []
     for cb in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
         sub = cb.filter(pc.greater(cb.column("n"), 1))
-        dup_key_list.extend(sub.column("content_hash").to_pylist())
+        dup_key_list.extend(sub.column("content_key").to_pylist())
     dup_keys = frozenset(dup_key_list)
     dup_ref = ray.put(sorted(dup_keys))
 
@@ -98,21 +117,24 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
         key = ("dedup_value_set", dup_ref.hex())
         value_set = _WORKER_CACHE.get(key)
         if value_set is None:
-            value_set = pa.array(ray.get(dup_ref), pa.string())
+            value_set = pa.array(ray.get(dup_ref), pa.uint64())
             _WORKER_CACHE[key] = value_set
-        mask = pc.is_in(b.column("content_hash"), value_set=value_set)
+        mask = pc.is_in(b.column("content_key"), value_set=value_set)
         if not keep_dups:
             mask = pc.invert(mask)
         return b.filter(mask)
 
+    drop_cols = ["content_hash", "content_key"]
     uniques = hashed.map_batches(lambda b: split(b, False).drop_columns(
-        ["content_hash"]), batch_format="pyarrow")
+        drop_cols), batch_format="pyarrow")
     if not dup_keys:
         return uniques
 
     def first(group: pa.Table) -> pa.Table:
+        # full sha1 string groups here, so a 64-bit content_key collision
+        # cannot merge two genuinely different rows
         g = group.sort_by([(c, "ascending") for c in order_cols])
-        return g.slice(0, 1).drop_columns(["content_hash"])
+        return g.slice(0, 1).drop_columns(drop_cols)
 
     dup_winners = hashed.map_batches(lambda b: split(b, True),
                                      batch_format="pyarrow") \
