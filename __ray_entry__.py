@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q.q_events_range_join,
         "events_weighted_sample": q.q_events_weighted_sample,
         "events_reservoir_per_user": q.q_events_reservoir_per_user,
+        "customers_without_orders": q.q_customers_without_orders,
+        "events_pivot_types": q.q_events_pivot_types,
     }
 
 
@@ -184,6 +186,26 @@ def oracle_sql() -> dict[str, str]:
                      quantile_disc(l_tax, 0.25),
                      quantile_disc(l_tax, 0.5),
                      quantile_disc(l_tax, 0.75) FROM lineitem) t
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
+        """,
+        "events_pivot_types": """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                       AS n_click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                       AS n_error,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       AS n_purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                       AS n_signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                       AS n_view
+            FROM events GROUP BY user_id
         """,
         "events_weighted_sample": """
             WITH t AS (

@@ -562,6 +562,55 @@ def q_events_sample(sf_dir: str) -> Dataset:
     return deterministic_sample(ds, 0.1, ["event_id"], seed=42)
 
 
+def q_customers_without_orders(sf_dir: str) -> Dataset:
+    """Large-side ANTI-join (J4 at scale): customers with no URGENT
+    order, via Ray's native hash-partitioned ``left_anti`` join — both
+    sides column-pruned, no broadcast, no driver-side key set."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    urgent = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                        "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    return cust.join(urgent, join_type="left_anti", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot_types(sf_dir: str) -> Dataset:
+    """Pivot / conditional aggregation: per-user event counts fanned out
+    to one column per event type.  Per-batch partial pivot (arrow
+    group_by on (user, type), then a tiny in-batch fold), then one
+    groupby(user) sum per column — the shuffle moves one pivoted row
+    per (user, batch)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    idx = {t: i for i, t in enumerate(_EVENT_TYPES)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        acc: dict[int, list[int]] = {}
+        for u, t, n in zip(g.column("user_id").to_pylist(),
+                           g.column("event_type").to_pylist(),
+                           g.column("event_type_count").to_pylist()):
+            acc.setdefault(u, [0] * len(_EVENT_TYPES))[idx[t]] += n
+        users = sorted(acc)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for i, t in enumerate(_EVENT_TYPES):
+            cols[f"p_{t}"] = pa.array([acc[u][i] for u in users], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            *[Sum(f"p_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
+
+
 def q_events_weighted_sample(sf_dir: str) -> Dataset:
     """Deterministic weighted Bernoulli sample (~10 %, probability ∝
     event value) — exact integer decision, hash-matched by the oracle."""
