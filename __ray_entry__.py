@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reservoir_per_user": q.q_events_reservoir_per_user,
         "customers_without_orders": q.q_customers_without_orders,
         "events_pivot_types": q.q_events_pivot_types,
+        "events_running_total": q.q_events_running_total,
+        "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
     }
 
 
@@ -186,6 +188,19 @@ def oracle_sql() -> dict[str, str]:
                      quantile_disc(l_tax, 0.25),
                      quantile_disc(l_tax, 0.5),
                      quantile_disc(l_tax, 0.75) FROM lineitem) t
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id, ts,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
+        """,
+        "lineitem_rollup_levels": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)    AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT)     AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

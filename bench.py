@@ -66,6 +66,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     # headline: flagship extraction (read → extract actor pool → validate)
     n_extracted = timed("flagship_extract", lambda: flagship(paths).count())
+    # steady-state: same pipeline with the actor images warm — what a
+    # long-running (100 TB) job sees after the first minutes
+    timed("flagship_extract_warm", lambda: flagship(paths).count())
     import shutil
     import tempfile
 

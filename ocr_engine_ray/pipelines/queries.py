@@ -562,6 +562,84 @@ def q_events_sample(sf_dir: str) -> Dataset:
     return deterministic_sample(ds, 0.1, ["event_id"], seed=42)
 
 
+def q_events_running_total(sf_dir: str) -> Dataset:
+    """Per-key running (cumulative) aggregate — the windowed
+    ``SUM() OVER (PARTITION BY ... ORDER BY ...)`` shape: per user, the
+    cumulative value sum in ts order.  groupby(key).map_groups over the
+    sorted group; vectorized cumsum."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending")])
+        csum = np.cumsum(g.column("value").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "running_value": round_sql(pa.array(csum, pa.float64()), 2),
+        })
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+def q_lineitem_rollup_levels(sf_dir: str) -> Dataset:
+    """Multi-level aggregation (GROUP BY ROLLUP): quantity totals at
+    (returnflag, linestatus), (returnflag) and grand-total levels, as
+    three partial-agg levels unioned — each level reuses the previous
+    level's (already tiny) output, so the input is scanned once."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty",
+                                 "p_n"])
+
+    level2 = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("p_qty", "sum"), ("p_n", "sum")],
+        ["l_returnflag", "l_linestatus", "p_qty", "p_n"],
+        ["l_returnflag", "l_linestatus", "p_qty", "p_n"]).materialize()
+
+    def finish(level: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if level == 2:
+                g = b
+            elif level == 1:
+                g = b.group_by(["l_returnflag"]).aggregate(
+                    [("p_qty", "sum"), ("p_n", "sum")]) \
+                    .rename_columns(["l_returnflag", "p_qty", "p_n"])
+                g = g.append_column("l_linestatus",
+                                    pa.array([None] * g.num_rows,
+                                             pa.string()))
+            else:
+                g = pa.table({
+                    "l_returnflag": pa.array([None], pa.string()),
+                    "p_qty": pa.array([pc.sum(b.column("p_qty")).as_py()],
+                                      pa.float64()),
+                    "p_n": pa.array([pc.sum(b.column("p_n")).as_py()],
+                                    pa.int64()),
+                    "l_linestatus": pa.array([None], pa.string()),
+                })
+            return pa.table({
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": round_sql(g.column("p_qty"), 2),
+                "n_items": g.column("p_n"),
+            })
+        return fn
+
+    parts = [level2.map_batches(finish(lv), batch_format="pyarrow")
+             for lv in (2, 1, 0)]
+    return parts[0].union(parts[1]).union(parts[2])
+
+
 def q_customers_without_orders(sf_dir: str) -> Dataset:
     """Large-side ANTI-join (J4 at scale): customers with no URGENT
     order, via Ray's native hash-partitioned ``left_anti`` join — both
