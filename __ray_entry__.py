@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_stratified_sample": q.q_transcripts_stratified_sample,
         # round 2: raw-transcript SQL twins, range join, exact quantiles
         "transcripts_dedup_streaming": q.q_transcripts_dedup_streaming,
+        "transcripts_normalize": q.q_transcripts_normalize,
         "transcripts_raw_rollup": q.q_transcripts_raw_rollup,
         "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
         "lineitem_quantiles": q.q_lineitem_quantiles,
@@ -147,6 +148,22 @@ def oracle_sql() -> dict[str, str]:
                    ANY_VALUE(tool) AS tool, MIN(ts) AS ts
             FROM {transcripts}
             GROUP BY conv_id, turn_idx, text
+        """,
+        "transcripts_normalize": rf"""
+            SELECT conv_id, turn_idx,
+              trim(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        replace(replace(text, chr(13)||chr(10), chr(10)),
+                                chr(13), chr(10)),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                      '[ \t]+', ' ', 'g'),
+                    ' +\n', chr(10), 'g'),
+                  '\n{{3,}}', chr(10)||chr(10), 'g'),
+                ' ' || chr(10) || chr(9)) AS norm_text
+            FROM {transcripts}
         """,
         "transcripts_raw_rollup": f"""
             SELECT conv_id,

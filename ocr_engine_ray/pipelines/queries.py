@@ -899,6 +899,31 @@ def q_transcripts_dedup_streaming(sf_dir: str) -> Dataset:
     return dedup_exact_streaming(ds, ["conv_id", "turn_idx", "text"])
 
 
+def q_transcripts_normalize(sf_dir: str) -> Dataset:
+    """The normalize stage (M2) in isolation, oracle-checked: the DuckDB
+    twin reproduces the whole deterministic cleanup (line endings →
+    control-char strip → whitespace collapse → blank-run limit → trim)
+    as a regexp_replace chain, verified char-exact.  (The SQL twin
+    covers the ASCII corpus; unicode NFC — a no-op on ASCII — has no
+    SQL equivalent and stays pytest-covered.)"""
+    from ..core.textnorm import normalize_text
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "norm_text": pa.array([normalize_text(t or "")
+                                   for t in b.column("text").to_pylist()],
+                                  pa.string()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def q_transcripts_raw_rollup(sf_dir: str) -> Dataset:
     """Raw-transcript per-conversation rollup (A1 on the input side, no
     extraction in the loop — SQL-expressible, so the driver can
