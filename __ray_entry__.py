@@ -15,6 +15,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# DuckDB twin of core/textnorm.normalize_text for the ASCII corpus
+# (unicode NFC is a no-op there); verified char-exact corpus-wide.
+_NORM_EXPR = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "replace(replace(text, chr(13)||chr(10), chr(10)), chr(13), chr(10)),"
+    r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),"
+    r"'[ \t]+', ' ', 'g'), ' +\n', chr(10), 'g'),"
+    r"'\n{3,}', chr(10)||chr(10), 'g'),"
+    " ' ' || chr(10) || chr(9))"
+)
+_AMT_RE = r"[\d,]+\.\d{2}"
+
+
+def _cents_sql(extract_expr: str) -> str:
+    """Money string → exact int cents, matching parse_money_cents
+    half-up on 2-decimal amounts."""
+    return ("CAST(round(replace(NULLIF(" + extract_expr
+            + ", ''), ',', '')::DOUBLE * 100) AS BIGINT)")
+
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001: read synthetic transcript shards →
@@ -75,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: raw-transcript SQL twins, range join, exact quantiles
         "transcripts_dedup_streaming": q.q_transcripts_dedup_streaming,
         "transcripts_normalize": q.q_transcripts_normalize,
+        "transcripts_invoice_numbers": q.q_transcripts_invoice_numbers,
+        "transcripts_totals": q.q_transcripts_totals,
         "transcripts_raw_rollup": q.q_transcripts_raw_rollup,
         "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
         "lineitem_quantiles": q.q_lineitem_quantiles,
@@ -116,6 +137,15 @@ def oracle_sql() -> dict[str, str]:
     def le32(start: int) -> str:
         return " + ".join(f"{256 ** j}*{hexbyte(start + j)}" for j in range(4))
 
+    sub_cents = _cents_sql(
+        r"regexp_extract(t, '(?i)subtotal[:\s]*\$?(" + _AMT_RE + r")', 1)")
+    tax_cents = _cents_sql(
+        r"regexp_extract(t, '(?i)(^|[^a-z])tax(?:es)?[:\s]*\$?("
+        + _AMT_RE + r")', 2)")
+    tot_cents = _cents_sql(
+        r"regexp_extract(t, '(?i)(^|[^a-z])total[:\s]*\$?("
+        + _AMT_RE + r")', 2)")
+
     media_sql = f"""
         WITH h AS (
           SELECT media_id, conv_id, turn_idx, kind, mime,
@@ -149,21 +179,32 @@ def oracle_sql() -> dict[str, str]:
             FROM {transcripts}
             GROUP BY conv_id, turn_idx, text
         """,
-        "transcripts_normalize": rf"""
-            SELECT conv_id, turn_idx,
-              trim(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(
-                      regexp_replace(
-                        replace(replace(text, chr(13)||chr(10), chr(10)),
-                                chr(13), chr(10)),
-                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                      '[ \t]+', ' ', 'g'),
-                    ' +\n', chr(10), 'g'),
-                  '\n{{3,}}', chr(10)||chr(10), 'g'),
-                ' ' || chr(10) || chr(9)) AS norm_text
+        "transcripts_normalize": f"""
+            SELECT conv_id, turn_idx, {_NORM_EXPR} AS norm_text
             FROM {transcripts}
+        """,
+        "transcripts_invoice_numbers": f"""
+            WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                       FROM {transcripts})
+            SELECT conv_id, turn_idx,
+              COALESCE(
+                NULLIF(regexp_extract(t,
+                  '(?i)invoice\\s*number?[:\\s]*([A-Za-z0-9-]{{5,}})', 1), ''),
+                NULLIF(regexp_extract(t,
+                  '(?i)invoice\\s*#[:\\s]*([A-Za-z0-9-]{{5,}})', 1), ''),
+                NULLIF(regexp_extract(t,
+                  '(?i)inv[:\\s]*([A-Za-z0-9-]{{5,}})', 1), '')
+              ) AS invoice_number
+            FROM n
+        """,
+        "transcripts_totals": f"""
+            WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                       FROM {transcripts})
+            SELECT conv_id, turn_idx,
+              {sub_cents} AS grand_total_cents,
+              {tax_cents} AS taxes_cents,
+              {tot_cents} AS final_total_cents
+            FROM n
         """,
         "transcripts_raw_rollup": f"""
             SELECT conv_id,

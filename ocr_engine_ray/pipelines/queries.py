@@ -924,6 +924,63 @@ def q_transcripts_normalize(sf_dir: str) -> Dataset:
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def q_transcripts_invoice_numbers(sf_dir: str) -> Dataset:
+    """The invoice-number field extractor (M9) as a standalone operator
+    over normalized raw text, oracle-checked: the DuckDB twin replays
+    the same three prioritized case-insensitive regexes via a
+    regexp_extract COALESCE chain (verified char-exact corpus-wide)."""
+    from ..core.fields import extract_invoice_number
+    from ..core.textnorm import normalize_text
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+
+    def ext(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            n = normalize_text(t or "")
+            out.append(extract_invoice_number(n, n.lower())[0])
+        return pa.table({"conv_id": b.column("conv_id"),
+                         "turn_idx": b.column("turn_idx"),
+                         "invoice_number": pa.array(out, pa.string())})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+def q_transcripts_totals(sf_dir: str) -> Dataset:
+    """The totals extractor (M13/M15: subtotal/tax/total → exact int
+    cents) as a standalone operator over normalized raw text,
+    oracle-checked — the SQL twin replicates the single-alternation
+    scan's first-occurrence-per-kind semantics with per-kind regexes
+    (the lookbehind becomes an (^|[^a-z]) group; divergence would need
+    a kind keyword inside another kind's matched span, which the amount
+    grammar makes impossible) and the half-up money parse via
+    round(x*100)."""
+    from ..core.fields import extract_totals
+    from ..core.textnorm import normalize_text
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+
+    def ext(b: pa.Table) -> pa.Table:
+        g_out, t_out, f_out = [], [], []
+        for t in b.column("text").to_pylist():
+            n = normalize_text(t or "")
+            totals, _ = extract_totals(n, n.lower())
+            g_out.append(totals["grand_total_cents"])
+            t_out.append(totals["taxes_cents"])
+            f_out.append(totals["final_total_cents"])
+        return pa.table({"conv_id": b.column("conv_id"),
+                         "turn_idx": b.column("turn_idx"),
+                         "grand_total_cents": pa.array(g_out, pa.int64()),
+                         "taxes_cents": pa.array(t_out, pa.int64()),
+                         "final_total_cents": pa.array(f_out, pa.int64())})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
 def q_transcripts_raw_rollup(sf_dir: str) -> Dataset:
     """Raw-transcript per-conversation rollup (A1 on the input side, no
     extraction in the loop — SQL-expressible, so the driver can
