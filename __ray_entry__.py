@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_normalize": q.q_transcripts_normalize,
         "transcripts_invoice_numbers": q.q_transcripts_invoice_numbers,
         "transcripts_totals": q.q_transcripts_totals,
+        "transcripts_vendors": q.q_transcripts_vendors,
         "transcripts_raw_rollup": q.q_transcripts_raw_rollup,
         "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
         "lineitem_quantiles": q.q_lineitem_quantiles,
@@ -205,6 +206,29 @@ def oracle_sql() -> dict[str, str]:
               {tax_cents} AS taxes_cents,
               {tot_cents} AS final_total_cents
             FROM n
+        """,
+        "transcripts_vendors": f"""
+            WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                       FROM {transcripts}),
+            l AS (SELECT conv_id, turn_idx,
+                    list_filter(string_split(t, chr(10)),
+                      x -> trim(x) != '' AND NOT contains(x, ' | ')
+                           AND NOT regexp_matches(trim(x),
+                                 '^[^:|]{{1,60}}?\\s*:\\s*(.+)$')) AS ls
+                  FROM n)
+            SELECT conv_id, turn_idx,
+              trim(COALESCE(ls[1], '')) AS vendor_name,
+              trim(COALESCE(ls[2], '')) AS vendor_street,
+              CASE WHEN len(ls) >= 3 THEN COALESCE(trim(regexp_extract(
+                ls[3], '([A-Za-z\\s]+),\\s*([A-Z]{{2}})', 1)), '')
+                ELSE '' END AS vendor_city,
+              CASE WHEN len(ls) >= 3 THEN COALESCE(regexp_extract(
+                ls[3], '([A-Za-z\\s]+),\\s*([A-Z]{{2}})', 2), '')
+                ELSE '' END AS vendor_state,
+              CASE WHEN len(ls) >= 3 THEN COALESCE(regexp_extract(
+                ls[3], '\\b\\d{{5}}(?:-\\d{{4}})?\\b', 0), '')
+                ELSE '' END AS vendor_postal
+            FROM l
         """,
         "transcripts_raw_rollup": f"""
             SELECT conv_id,

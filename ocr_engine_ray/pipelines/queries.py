@@ -981,6 +981,34 @@ def q_transcripts_totals(sf_dir: str) -> Dataset:
     return ds.map_batches(ext, batch_format="pyarrow")
 
 
+def q_transcripts_vendors(sf_dir: str) -> Dataset:
+    """The vendor/address extractor (M10/M11) as a standalone operator
+    over normalized raw text, oracle-checked: the SQL twin filters
+    vendor-material lines with list_filter (non-blank, non-table,
+    non-kv) and replays the city/state/postal regexes — char-exact
+    corpus-wide."""
+    from ..core.fields import extract_vendor
+    from ..core.textnorm import normalize_text
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+    keys = ("vendor_name", "vendor_street", "vendor_city", "vendor_state",
+            "vendor_postal")
+
+    def ext(b: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in keys}
+        for t in b.column("text").to_pylist():
+            v = extract_vendor(normalize_text(t or ""))
+            for k in keys:
+                cols[k].append(v[k])
+        return pa.table({"conv_id": b.column("conv_id"),
+                         "turn_idx": b.column("turn_idx"),
+                         **{k: pa.array(cols[k], pa.string()) for k in keys}})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
 def q_transcripts_raw_rollup(sf_dir: str) -> Dataset:
     """Raw-transcript per-conversation rollup (A1 on the input side, no
     extraction in the loop — SQL-expressible, so the driver can
