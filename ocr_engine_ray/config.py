@@ -49,6 +49,14 @@ def as_of_date() -> date:
     return DEFAULT_AS_OF
 
 
+def template_dir() -> str | None:
+    """Directory of JSON vendor rule packs for the template field
+    backend (OCR_ENGINE_TEMPLATES_DIR — the working analogue of the
+    reference's dormant INVOICE2DATA_TEMPLATES_DIR, app/config.py:38).
+    Unset → the built-in packs (core/templates.DEFAULT_TEMPLATES)."""
+    return os.environ.get("OCR_ENGINE_TEMPLATES_DIR") or None
+
+
 def max_block_mb() -> int:
     """Wide-row block cap in MiB (OCR_ENGINE_MAX_BLOCK_MB, default 64;
     see stages/partition.py:configure_for_wide_rows)."""

@@ -139,10 +139,14 @@ class TurnExtractor:
         self.as_of = as_of
         self.validate = validate
         if template_tools:
+            from ..config import template_dir
             from ..core.extract import register_field_backend
-            from ..core.templates import TemplatePack
+            from ..core.templates import TemplatePack, load_template_dir
 
-            pack = TemplatePack()  # compiled once per actor
+            tdir = template_dir()
+            # compiled once per actor; env knob swaps the rule packs
+            pack = TemplatePack(load_template_dir(tdir)) if tdir \
+                else TemplatePack()
             for tool in template_tools:
                 register_field_backend(tool, pack.extract)
         # Touch every lazy regex/table once so per-batch time is steady.

@@ -432,3 +432,38 @@ def test_template_dir_loader_adds_capability(tmp_path):
     gen = extract_turn(text, AS_OF)
     assert gen.invoice_number is None
     assert gen.final_total_cents is None
+
+
+def test_template_dir_env_knob(tmp_path, monkeypatch):
+    """OCR_ENGINE_TEMPLATES_DIR swaps the rule packs the extraction
+    stage compiles (the INVOICE2DATA_TEMPLATES_DIR analogue made live).
+    The stage object is exercised in-process — the same __init__/__call__
+    pair Ray runs per actor."""
+    import json
+
+    import pyarrow as pa
+
+    from ocr_engine_ray.core.extract import FIELD_BACKENDS
+    from ocr_engine_ray.stages.extract import TurnExtractor
+
+    (tmp_path / "quirky.json").write_text(json.dumps({
+        "name": "quirky", "keyword": "Quirky Formats GmbH",
+        "invoice_number": r"(?m)^Beleg-Nr\.\s*//\s*(\S+)\s*$",
+    }))
+    monkeypatch.setenv("OCR_ENGINE_TEMPLATES_DIR", str(tmp_path))
+    try:
+        stage = TurnExtractor(template_tools=("pdf_reader",))
+        batch = pa.table({
+            "conv_id": pa.array(["c"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["tool"], pa.string()),
+            "text": pa.array(["Quirky Formats GmbH\nBeleg-Nr. // QF-1\n"],
+                             pa.string()),
+            "tool": pa.array(["pdf_reader"], pa.string()),
+            "ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+        })
+        out = stage(batch)
+        assert out.column("invoice_number")[0].as_py() == "QF-1"
+        assert out.column("vendor_name")[0].as_py() == "Quirky Formats GmbH"
+    finally:
+        FIELD_BACKENDS.pop("pdf_reader", None)
