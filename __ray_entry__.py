@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_types": q.q_events_pivot_types,
         "events_running_total": q.q_events_running_total,
         "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
+        "lineitem_cube_levels": q.q_lineitem_cube_levels,
     }
 
 
@@ -283,6 +284,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT)     AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "lineitem_cube_levels": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)    AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT)     AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

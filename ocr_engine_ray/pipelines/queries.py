@@ -640,6 +640,35 @@ def q_lineitem_rollup_levels(sf_dir: str) -> Dataset:
     return parts[0].union(parts[1]).union(parts[2])
 
 
+def q_lineitem_cube_levels(sf_dir: str) -> Dataset:
+    """GROUP BY CUBE: all four grouping sets over (returnflag,
+    linestatus) — same one-scan folded-levels shape as the ROLLUP query
+    plus the (linestatus)-only level."""
+    base = q_lineitem_rollup_levels(sf_dir)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_linestatus", "p_qty", "p_n"])
+
+    status_level = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_linestatus"],
+        [("p_qty", "sum"), ("p_n", "sum")],
+        ["l_linestatus", "p_qty", "p_n"],
+        ["l_linestatus", "p_qty", "p_n"]).map_batches(
+        lambda b: pa.table({
+            "l_returnflag": pa.array([None] * b.num_rows, pa.string()),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": round_sql(b.column("p_qty"), 2),
+            "n_items": b.column("p_n"),
+        }), batch_format="pyarrow")
+    return base.union(status_level)
+
+
 def q_customers_without_orders(sf_dir: str) -> Dataset:
     """Large-side ANTI-join (J4 at scale): customers with no URGENT
     order, via Ray's native hash-partitioned ``left_anti`` join — both

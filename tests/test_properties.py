@@ -151,3 +151,23 @@ def test_round_sql_matches_duckdb_round():
         assert got == want, f"ndigits={n}"
         got_f = [round_sql_f(float(v), n) for v in vals]
         assert got_f == want, f"scalar ndigits={n}"
+
+
+def test_no_unsafe_rounding_in_query_surface():
+    """Lint guard: the oracle-facing query code must round via
+    round_sql/round_sql_f (bit-identical to DuckDB ROUND), never
+    pc.round / np.round / bare round( on floats destined for the hash
+    compare — the exact bug class that shipped three red rows in
+    round 1."""
+    import re
+    from pathlib import Path
+
+    src = Path("ocr_engine_ray/pipelines/queries.py").read_text()
+    assert "pc.round(" not in src
+    assert "np.round(" not in src
+    # bare round( allowed only in prose (docstrings/comments) and the
+    # HLL estimate line (rows-only query, no oracle)
+    for line in src.splitlines():
+        if re.search(r"(?<![_.\w])round\(", line):
+            assert ("approx_distinct" in line or line.lstrip().startswith("#")
+                    or '"' in line.replace('round("', "")), line
