@@ -104,6 +104,33 @@ def export_excel(validated: Dataset, path: str,
     write_xlsx(path, EXPORT_COLUMNS, rows, sheet_name="Invoices")
 
 
+def bundle_export(out_dir: str, zip_path: str) -> str:
+    """S10 (result download) minus the HTTP layer: package a finished
+    export directory (part files + any lineage manifest) into one
+    downloadable ZIP with a content listing — the artifact the
+    reference's download endpoint streams (``app.py`` /download,
+    ``app/utils/exporter.py`` BytesIO handoff).  Serving it is a web
+    framework's job, not the engine's; everything up to the bytes is
+    here."""
+    import json
+    import os
+    import zipfile
+
+    names = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(out_dir) for f in files)
+    if not names:
+        raise ValueError(f"bundle_export: nothing to bundle in {out_dir}")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        listing = []
+        for path in names:
+            arc = os.path.relpath(path, out_dir)
+            z.write(path, arc)
+            listing.append({"name": arc, "bytes": os.path.getsize(path)})
+        z.writestr("_LISTING.json", json.dumps(listing, indent=1))
+    return zip_path
+
+
 def flag_unapproved_vendors(validated: Dataset,
                             approved: set[str] | list[str]) -> Dataset:
     """J4 (README unapproved-vendor flagging): broadcast ANTI-join of the

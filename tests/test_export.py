@@ -153,3 +153,32 @@ def test_register_content_extractor_roundtrip():
         assert "@" in extract_turn("banana").extracted_text
     finally:
         register_extractor("plain", orig)
+
+
+def test_bundle_export(ray_session, small_corpus, tmp_path):
+    """S10 analogue: a finished export directory packages into one ZIP
+    with a content listing."""
+    import json
+    import zipfile
+
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import bundle_export, write_export
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus.slice(0, 50)),
+                                  concurrency=1, batch_size=32)
+    out = tmp_path / "exp"
+    write_export(validated, str(out), fmt="parquet")
+    zp = bundle_export(str(out), str(tmp_path / "bundle.zip"))
+    with zipfile.ZipFile(zp) as z:
+        names = z.namelist()
+        assert "_LISTING.json" in names
+        listing = json.loads(z.read("_LISTING.json"))
+        assert len(listing) == len(names) - 1
+        assert all(e["bytes"] > 0 for e in listing)
+        assert any(n.endswith(".parquet") for n in names)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bundle_export(str(tmp_path / "empty_dir_missing"), str(tmp_path / "x.zip"))
