@@ -124,11 +124,15 @@ def oracle_sql() -> dict[str, str]:
         media_parquet_path, transcript_paths,
     )
 
+    # The driver's correctness gate runs at sf0.01 (the default here);
+    # tools/check_contract.py exports GRAFT_ORACLE_SF_DIR so the
+    # synthetic-corpus oracles stay valid when checking other scales.
+    oracle_sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                   "/root/testdata/sf0.01")
     synth_glob = os.path.join(
-        os.path.dirname(transcript_paths("/root/testdata/sf0.01")[0]),
-        "*.parquet")
+        os.path.dirname(transcript_paths(oracle_sf_dir)[0]), "*.parquet")
     transcripts = f"read_parquet('{synth_glob}')"
-    media = f"read_parquet('{media_parquet_path('/root/testdata/sf0.01')}')"
+    media = f"read_parquet('{media_parquet_path(oracle_sf_dir)}')"
 
     # little-endian u32 out of a hex-encoded blob (DuckDB 1.0 has
     # to_hex(BLOB) but no byte indexing): per-byte nibble arithmetic
@@ -274,7 +278,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_running_total": """
             SELECT event_id, user_id, ts,
-                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 2) AS running_value
             FROM events
         """,

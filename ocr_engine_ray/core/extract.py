@@ -148,23 +148,30 @@ def _line_spans(text: str, pred, kind: str) -> list[tuple[int, int, str]]:
 
 
 def extract_turn(text: str, as_of: date = DEFAULT_AS_OF,
-                 tool: str = "") -> TurnRecord:
+                 tool: str = "",
+                 field_backends: dict | None = None) -> TurnRecord:
     try:
-        return _extract_turn_inner(text, as_of, tool)
+        return _extract_turn_inner(text, as_of, tool, field_backends)
     except Exception as e:  # degrade, never poison the batch
         return TurnRecord(extract_error=f"{type(e).__name__}: {e}"[:200])
 
 
-def _extract_turn_inner(text: str, as_of: date, tool: str = "") -> TurnRecord:
+def _extract_turn_inner(text: str, as_of: date, tool: str = "",
+                        field_backends: dict | None = None) -> TurnRecord:
     ctype, extracted, pages = extract_main_text(text or "", tool)
     rec = TurnRecord(content_type=ctype, extracted_text=extracted, pages=pages)
     if not extracted:
         return rec
 
     # preferred field backend for this tool (primary); generic regexes
-    # below are the secondary (reference chain, data_extractor.py:259-274)
-    if tool and tool in FIELD_BACKENDS:
-        alt = FIELD_BACKENDS[tool](extracted, as_of)
+    # below are the secondary (reference chain, data_extractor.py:259-274).
+    # Explicit ``field_backends`` (e.g. a TurnExtractor actor's own dict)
+    # takes precedence over the process-global registry, so one stage's
+    # template routing never leaks into another extractor in the same
+    # process.
+    backends = FIELD_BACKENDS if field_backends is None else field_backends
+    if tool and tool in backends:
+        alt = backends[tool](extracted, as_of)
         if alt is not None and record_is_valid(alt):
             alt.content_type = ctype
             alt.extracted_text = extracted

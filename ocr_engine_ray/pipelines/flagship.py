@@ -94,7 +94,18 @@ def flagship_composed(paths: str | list[str],
     but extraction→rollup end-to-end runs 13.4 s with this profile vs
     16-22 s with the wide pool — the fatter actors leave scheduler/CPU
     headroom for the concurrent partial-agg + shuffle stages instead of
-    starving them."""
+    starving them.
+
+    Small clusters (< 8 CPUs) fall back to the plain profile: one 2-CPU
+    actor on a 2-CPU cluster reserves EVERYTHING and stalls the
+    streaming executor (the failure mode util.default_pool_size
+    documents), and on 1 CPU the actor can never be placed."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if cpus < 8:
+        return flagship(paths, as_of=as_of)
     from ..util import default_pool_size
 
     pool = max(1, default_pool_size() // 2)
@@ -155,16 +166,10 @@ def conv_rollup(validated: Dataset, combine: str = "shuffle") -> Dataset:
     (≲10M conversations); both paths produce identical rows (tested)."""
     partials = validated.map_batches(_rollup_partials, batch_format="pyarrow")
     if combine == "tree":
-        def comb(names):
-            def fn(b: pa.Table) -> pa.Table:
-                g = b.group_by("conv_id").aggregate(_ROLLUP_COMBINE)
-                return g.rename_columns(names)
-            return fn
+        from ..util import tree_combine
 
-        return partials.repartition(8) \
-            .map_batches(comb(_ROLLUP_PARTIAL_NAMES), batch_format="pyarrow") \
-            .repartition(1) \
-            .map_batches(comb(_ROLLUP_FINAL_NAMES), batch_format="pyarrow")
+        return tree_combine(partials, ["conv_id"], _ROLLUP_COMBINE,
+                            _ROLLUP_PARTIAL_NAMES, _ROLLUP_FINAL_NAMES)
     agg = partials.groupby("conv_id").aggregate(
         Sum("p_turns", alias_name="n_turns"),
         Sum("p_chars", alias_name="total_chars"),

@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.synth import materialize_transcripts
 from ..util import round_sql, round_sql_f
+from ..util import tree_combine as _tree_combine
 
 SYNTH_ROOT = "/tmp/ocr_engine_ray_synth"
 TURNS_PER_SF = 2_000_000  # sf0.001 → 2k turns, sf0.01 → 20k, sf0.1 → 200k
@@ -89,28 +90,6 @@ def q_assemble_conversations(sf_dir: str) -> Dataset:
 # ---------------------------------------------------------------------------
 # SQL-checked operators over the driver testdata tables
 # ---------------------------------------------------------------------------
-
-def _tree_combine(partials: Dataset, keys: list[str], spec: list[tuple],
-                  partial_names: list[str], final_names: list[str],
-                  width: int = 8) -> Dataset:
-    """Small-cardinality grouped combine: two Arrow ``group_by`` map
-    passes (``width`` blocks → one) instead of Ray's sort-shuffle
-    Aggregate, whose ~0.5 s/block fixed cost dominates tiny partial
-    tables (stats-profiled; see flagship.conv_rollup).  ONLY for keys
-    whose cardinality is structurally bounded (event types, calendar
-    days, TPC-H Q1's 6 flag pairs) so one row per distinct key always
-    fits one task — unbounded keys (users, conversations) stay on the
-    shuffle path."""
-    def comb(names):
-        def fn(b: pa.Table) -> pa.Table:
-            return b.group_by(keys).aggregate(spec).rename_columns(names)
-        return fn
-
-    return partials.repartition(width) \
-        .map_batches(comb(partial_names), batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(comb(final_names), batch_format="pyarrow")
-
 
 def q_events_conv_rollup(sf_dir: str) -> Dataset:
     """events ≅ transcripts: user_id ≅ conv_id.  Per-conversation rollup
@@ -573,7 +552,11 @@ def q_events_running_total(sf_dir: str) -> Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def running(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending")])
+        # event_id tie-break: with duplicate (user_id, ts) rows a bare
+        # ts sort would make the intermediate running values depend on
+        # arbitrary order (latent in this corpus, where (user_id, ts)
+        # is unique — but determinism shouldn't rely on that)
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
         csum = np.cumsum(g.column("value").to_numpy(zero_copy_only=False))
         return pa.table({
             "event_id": g.column("event_id"),
@@ -585,11 +568,9 @@ def q_events_running_total(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
 
 
-def q_lineitem_rollup_levels(sf_dir: str) -> Dataset:
-    """Multi-level aggregation (GROUP BY ROLLUP): quantity totals at
-    (returnflag, linestatus), (returnflag) and grand-total levels, as
-    three partial-agg levels unioned — each level reuses the previous
-    level's (already tiny) output, so the input is scanned once."""
+def _lineitem_level2(sf_dir: str) -> Dataset:
+    """Materialized (returnflag, linestatus) quantity partials — the
+    6-row base every ROLLUP/CUBE level folds from (one lineitem scan)."""
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus",
                                   "l_quantity"])
@@ -600,13 +581,15 @@ def q_lineitem_rollup_levels(sf_dir: str) -> Dataset:
         return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty",
                                  "p_n"])
 
-    level2 = _tree_combine(
+    return _tree_combine(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
         [("p_qty", "sum"), ("p_n", "sum")],
         ["l_returnflag", "l_linestatus", "p_qty", "p_n"],
         ["l_returnflag", "l_linestatus", "p_qty", "p_n"]).materialize()
 
+
+def _rollup_from_level2(level2: Dataset) -> Dataset:
     def finish(level: int):
         def fn(b: pa.Table) -> pa.Table:
             if level == 2:
@@ -640,32 +623,31 @@ def q_lineitem_rollup_levels(sf_dir: str) -> Dataset:
     return parts[0].union(parts[1]).union(parts[2])
 
 
+def q_lineitem_rollup_levels(sf_dir: str) -> Dataset:
+    """Multi-level aggregation (GROUP BY ROLLUP): quantity totals at
+    (returnflag, linestatus), (returnflag) and grand-total levels —
+    every level folds the materialized level-2 partials, so the input
+    is scanned once."""
+    return _rollup_from_level2(_lineitem_level2(sf_dir))
+
+
 def q_lineitem_cube_levels(sf_dir: str) -> Dataset:
     """GROUP BY CUBE: all four grouping sets over (returnflag,
-    linestatus) — same one-scan folded-levels shape as the ROLLUP query
-    plus the (linestatus)-only level."""
-    base = q_lineitem_rollup_levels(sf_dir)
-
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_returnflag", "l_linestatus",
-                                  "l_quantity"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")])
-        return g.rename_columns(["l_linestatus", "p_qty", "p_n"])
-
-    status_level = _tree_combine(
-        ds.map_batches(partial, batch_format="pyarrow"), ["l_linestatus"],
-        [("p_qty", "sum"), ("p_n", "sum")],
-        ["l_linestatus", "p_qty", "p_n"],
-        ["l_linestatus", "p_qty", "p_n"]).map_batches(
-        lambda b: pa.table({
-            "l_returnflag": pa.array([None] * b.num_rows, pa.string()),
-            "l_linestatus": b.column("l_linestatus"),
-            "sum_qty": round_sql(b.column("p_qty"), 2),
-            "n_items": b.column("p_n"),
-        }), batch_format="pyarrow")
+    linestatus).  The (linestatus)-only level folds the SAME
+    already-materialized 6-row level-2 table the ROLLUP levels fold —
+    one lineitem scan total (quantity sums are integral in float64, so
+    re-summing partials is exact)."""
+    level2 = _lineitem_level2(sf_dir)
+    base = _rollup_from_level2(level2)
+    status_level = level2.map_batches(
+        lambda b: (lambda g: pa.table({
+            "l_returnflag": pa.array([None] * g.num_rows, pa.string()),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": round_sql(g.column("p_qty_sum"), 2),
+            "n_items": g.column("p_n_sum"),
+        }))(b.group_by(["l_linestatus"]).aggregate(
+            [("p_qty", "sum"), ("p_n", "sum")])),
+        batch_format="pyarrow")
     return base.union(status_level)
 
 

@@ -34,12 +34,18 @@ from ..util import default_pool_size
 # ---------------------------------------------------------------------------
 
 
-def sha1_hex(parts: tuple) -> str:
+def row_digest(parts: tuple) -> bytes:
+    """The ONE row-content digest every exact-dedup path shares (batch,
+    streaming, tests): sha1 over '\\x1f'-terminated str() parts."""
     h = hashlib.sha1()
     for p in parts:
         h.update(str(p).encode("utf-8", "surrogatepass"))
         h.update(b"\x1f")
-    return h.hexdigest()
+    return h.digest()
+
+
+def sha1_hex(parts: tuple) -> str:
+    return row_digest(parts).hex()
 
 
 def add_content_hash(batch: pa.Table, cols: list[str],
@@ -53,11 +59,7 @@ def add_content_hash(batch: pa.Table, cols: list[str],
     key_lists = [batch.column(c).to_pylist() for c in cols]
     hex_out, int_out = [], []
     for parts in zip(*key_lists):
-        h = hashlib.sha1()
-        for p in parts:
-            h.update(str(p).encode("utf-8", "surrogatepass"))
-            h.update(b"\x1f")
-        d = h.digest()
+        d = row_digest(parts)
         hex_out.append(d.hex())
         int_out.append(int.from_bytes(d[:8], "big"))
     out = batch.append_column(out_col, pa.array(hex_out, pa.string()))
@@ -112,13 +114,16 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
     dup_ref = ray.put(sorted(dup_keys))
 
     def split(b: pa.Table, keep_dups: bool) -> pa.Table:
-        # value_set Arrow array built once per worker per dup set (it was
-        # previously rebuilt from the broadcast list on every batch)
-        key = ("dedup_value_set", dup_ref.hex())
-        value_set = _WORKER_CACHE.get(key)
-        if value_set is None:
-            value_set = pa.array(ray.get(dup_ref), pa.uint64())
-            _WORKER_CACHE[key] = value_set
+        # value_set Arrow array built once per worker per dup set —
+        # SINGLE-slot cache (replaced when a different dedup run's ref
+        # shows up), so repeated dedup_exact calls in long-lived workers
+        # can't accumulate old arrays
+        ref_hex = dup_ref.hex()
+        cached = _DEDUP_VALUE_SET.get("cur")
+        if cached is None or cached[0] != ref_hex:
+            cached = (ref_hex, pa.array(ray.get(dup_ref), pa.uint64()))
+            _DEDUP_VALUE_SET["cur"] = cached
+        value_set = cached[1]
         mask = pc.is_in(b.column("content_key"), value_set=value_set)
         if not keep_dups:
             mask = pc.invert(mask)
@@ -198,9 +203,7 @@ class StreamingDeduper:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = [batch.column(c).to_pylist() for c in self.key_cols]
-        digests = [hashlib.sha1(
-            "\x1f".join(str(v) for v in row).encode("utf-8", "surrogatepass")
-        ).digest() for row in zip(*cols)]
+        digests = [row_digest(row) for row in zip(*cols)]
         n_shards = len(self.shards)
         by_shard: dict[int, list[int]] = {}
         for i, d in enumerate(digests):
@@ -402,7 +405,8 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
 # the last free CPUs and stall the streaming executor (observed on a
 # 4-CPU session: MinHasher pool + verifier pool + repartition = deadlock).
 # Worker-process module caches below keep derived state across tasks.
-_WORKER_CACHE: dict = {}
+_WORKER_CACHE: dict = {}     # jaccard broadcast-verify state (single slot)
+_DEDUP_VALUE_SET: dict = {}  # dedup_exact dup-key array (single slot)
 
 
 def _jaccard_verify_batch(batch: pa.Table, docs_ref, w: int) -> pa.Table:

@@ -31,7 +31,8 @@ _CARRIED = ("conv_id", "turn_idx", "role", "tool", "ts")
 
 
 def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF,
-                  validate: bool = True) -> pa.Table:
+                  validate: bool = True,
+                  field_backends: dict | None = None) -> pa.Table:
     """Pure-function form of the extraction(+validation) stage; shared by
     the actor wrapper and the single-process oracle (byte-identical
     rows by construction)."""
@@ -65,7 +66,8 @@ def extract_batch(batch: pa.Table, as_of: date = DEFAULT_AS_OF,
     is_valid_col: list[bool] = []
 
     for i, text in enumerate(texts):
-        rec = extract_turn(text, as_of, tools[i] or "")
+        rec = extract_turn(text, as_of, tools[i] or "",
+                           field_backends=field_backends)
         content_type[i] = rec.content_type
         extracted_text[i] = rec.extracted_text
         pages[i] = rec.pages
@@ -138,9 +140,13 @@ class TurnExtractor:
                  template_tools: tuple[str, ...] = ()):
         self.as_of = as_of
         self.validate = validate
+        # The stage holds its OWN backend dict (empty = generic only):
+        # registering into the process-global FIELD_BACKENDS here would
+        # leak template routing into other extractors sharing the
+        # worker process.
+        self.field_backends: dict = {}
         if template_tools:
             from ..config import template_dir
-            from ..core.extract import register_field_backend
             from ..core.templates import TemplatePack, load_template_dir
 
             tdir = template_dir()
@@ -148,12 +154,13 @@ class TurnExtractor:
             pack = TemplatePack(load_template_dir(tdir)) if tdir \
                 else TemplatePack()
             for tool in template_tools:
-                register_field_backend(tool, pack.extract)
+                self.field_backends[tool] = pack.extract
         # Touch every lazy regex/table once so per-batch time is steady.
         extract_turn("warmup <p>x</p>", as_of)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.as_of, validate=self.validate)
+        return extract_batch(batch, self.as_of, validate=self.validate,
+                             field_backends=self.field_backends)
 
 
 def explode_pages_batch(batch: pa.Table) -> pa.Table:

@@ -168,9 +168,18 @@ def weighted_sample(ds: Dataset, weight_col: str, frac: float,
     fr = Fraction(str(frac))
     num, den = fr.numerator, fr.denominator
 
+    def scale_w(v: np.ndarray) -> np.ndarray:
+        # exact std::round emulation (same technique as util.round_sql):
+        # floor(x + 0.5) is NOT it — the addition can round up one ulp
+        # below a .5 boundary where DuckDB's round(value*100) rounds down
+        s = v * weight_scale
+        a = np.abs(s)
+        fa = np.floor(a)
+        return np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa),
+                           s).astype(np.int64)
+
     def part(b: pa.Table) -> pa.Table:
-        v = b.column(weight_col).to_numpy(zero_copy_only=False)
-        w = np.floor(v * weight_scale + 0.5).astype(np.int64)
+        w = scale_w(b.column(weight_col).to_numpy(zero_copy_only=False))
         return pa.table({"p_s": pa.array([int(w.sum())], pa.int64()),
                          "p_n": pa.array([len(w)], pa.int64())})
 
@@ -188,8 +197,7 @@ def weighted_sample(ds: Dataset, weight_col: str, frac: float,
 
     def pick(b: pa.Table) -> pa.Table:
         parts = [b.column(c).to_pylist() for c in id_cols]
-        v = b.column(weight_col).to_numpy(zero_copy_only=False)
-        w = np.floor(v * weight_scale + 0.5).astype(np.int64)
+        w = scale_w(b.column(weight_col).to_numpy(zero_copy_only=False))
         keep = []
         for i, row in enumerate(zip(*parts)):
             u = int(_hl.md5((sep.join(str(x) for x in row) + tail)

@@ -38,9 +38,14 @@ def exact_quantiles(ds: Dataset, cols: list[str],
     bounded distinct-value domain per column (see module docstring)."""
 
     def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         parts = []
         for c in cols:
-            g = b.select([c]).group_by(c).aggregate([(c, "count")])
+            # NULLs are excluded, matching quantile_disc (and the None
+            # group would break the driver-side sort)
+            col = b.select([c]).filter(pc.is_valid(b.column(c)))
+            g = col.group_by(c).aggregate([(c, "count")])
             parts.append(pa.table({
                 "col": pa.array([c] * g.num_rows, pa.string()),
                 "value": g.column(c).cast(pa.float64()),

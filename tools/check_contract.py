@@ -59,6 +59,8 @@ def kind(dtype) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # keep the synthetic-corpus oracles aligned with the sf under test
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import ray
 
