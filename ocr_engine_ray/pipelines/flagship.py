@@ -101,9 +101,9 @@ def flagship_composed(paths: str | list[str],
     streaming executor (the failure mode util.default_pool_size
     documents), and on 1 CPU the actor can never be placed."""
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+        cpus = int(ray.cluster_resources().get("CPU", 0))
     except Exception:
-        cpus = 8
+        cpus = 0  # unknown (e.g. pre-init) → the safe plain profile
     if cpus < 8:
         return flagship(paths, as_of=as_of)
     from ..util import default_pool_size

@@ -502,9 +502,13 @@ def q_events_union_distinct(sf_dir: str) -> Dataset:
     def local_distinct(t: pa.Table) -> pa.Table:
         return t.select(["user_id"]).group_by("user_id").aggregate([])
 
+    # global distinct via a vectorized Count aggregate (a per-group
+    # map_groups(slice) would pay one Python call per distinct user —
+    # the ~9k rows/s per-singleton pattern dedup_exact already replaced)
     return a.union(b).map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(lambda g: g.slice(0, 1),
-                                       batch_format="pyarrow")
+        .groupby("user_id").aggregate(Count("user_id", alias_name="_n")) \
+        .map_batches(lambda t: t.drop_columns(["_n"]),
+                     batch_format="pyarrow")
 
 
 def q_export_rows(sf_dir: str) -> Dataset:
@@ -688,7 +692,11 @@ def q_events_pivot_types(sf_dir: str) -> Dataset:
         for u, t, n in zip(g.column("user_id").to_pylist(),
                            g.column("event_type").to_pylist(),
                            g.column("event_type_count").to_pylist()):
-            acc.setdefault(u, [0] * len(_EVENT_TYPES))[idx[t]] += n
+            i = idx.get(t)
+            row = acc.setdefault(u, [0] * len(_EVENT_TYPES))
+            if i is not None:   # unknown types ignored, like the
+                row[i] += n     # oracle's COUNT(CASE ...) form
+            # (the user still appears with zeros, matching GROUP BY)
         users = sorted(acc)
         cols = {"user_id": pa.array(users, pa.int64())}
         for i, t in enumerate(_EVENT_TYPES):

@@ -167,12 +167,23 @@ class DedupIndexShard:
     returns the is-new mask.  Actor method calls serialize per actor, so
     first-wins is race-free within a shard; keys are hash-routed so each
     key always lands on the same shard.  Memory: one 20-byte digest per
-    distinct key per shard — shard count scales the index horizontally."""
+    distinct key per shard — shard count scales the index horizontally.
+
+    Calls are IDEMPOTENT per ``caller_token``: a retried Ray Data task
+    (or a re-executed lazy stage) replays the same token and gets the
+    original reply instead of all-False — without this, a task retry
+    after a mid-run worker death would silently DROP every first-seen
+    row of the batch (the side-effecting-stage retry bug)."""
 
     def __init__(self) -> None:
         self.seen: set[bytes] = set()
+        self.replies: dict[bytes, list[bool]] = {}
 
-    def check_and_add(self, keys: list[bytes]) -> list[bool]:
+    def check_and_add(self, caller_token: bytes,
+                      keys: list[bytes]) -> list[bool]:
+        prev = self.replies.get(caller_token)
+        if prev is not None:
+            return prev
         seen = self.seen
         out = []
         for k in keys:
@@ -181,6 +192,7 @@ class DedupIndexShard:
             else:
                 seen.add(k)
                 out.append(True)
+        self.replies[caller_token] = out
         return out
 
     def size(self) -> int:
@@ -198,8 +210,15 @@ class StreamingDeduper:
     identical either way)."""
 
     def __init__(self, shards: list, key_cols: list[str]):
+        import os
+
         self.shards = shards
         self.key_cols = key_cols
+        # per-RUN nonce, drawn once on the driver: a retried task
+        # deserializes the same instance (same nonce + same batch bytes
+        # → replayed reply), while a genuinely new ingestion run
+        # constructs a new stage (fresh nonce → fresh decisions)
+        self.run_token = os.urandom(8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = [batch.column(c).to_pylist() for c in self.key_cols]
@@ -209,8 +228,12 @@ class StreamingDeduper:
         for i, d in enumerate(digests):
             by_shard.setdefault(d[0] % n_shards, []).append(i)
         keep = [False] * len(digests)
+        # deterministic batch identity × run nonce → idempotent under
+        # task retries, fresh across ingestion runs
+        token = hashlib.sha1(self.run_token + b"".join(digests)).digest()
         futures = {
-            s: self.shards[s].check_and_add.remote([digests[i] for i in idxs])
+            s: self.shards[s].check_and_add.remote(
+                token, [digests[i] for i in idxs])
             for s, idxs in by_shard.items()
         }
         for s, idxs in by_shard.items():
@@ -231,11 +254,16 @@ def dedup_exact_streaming(ds: Dataset, key_cols: list[str],
     """One-pass exact dedup against a shared mutable index — the
     continuous-ingestion path (new shards arrive, run the same stage,
     rows duplicating ANY prior ingestion drop).  For the batch path with
-    a deterministic winner use :func:`dedup_exact`."""
+    a deterministic winner use :func:`dedup_exact`.
+
+    The result is MATERIALIZED before returning: the stage mutates the
+    index, so a lazily re-executed pipeline would see every row as
+    already-ingested on its second run (per-task retries are separately
+    safe via the shard's caller_token idempotency)."""
     if index is None:
         index = make_dedup_index(num_shards)
     return ds.map_batches(StreamingDeduper(index, key_cols),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow").materialize()
 
 
 # ---------------------------------------------------------------------------
@@ -360,8 +388,10 @@ def _bucket_pairs(group: pa.Table, id_col: str) -> pa.Table:
     a_out, b_out = [], []
     # cap pathological buckets (everything-matches-everything degenerate
     # band): emit star pairs against the minimum id instead of n², which
-    # preserves connectivity for the component step
-    if len(ids) > 64:
+    # preserves connectivity for the component step; such pairs carry
+    # capped=1 so the completeness re-expansion only runs when needed
+    capped = int(len(ids) > 64)
+    if capped:
         root = ids[0]
         for x in ids[1:]:
             a_out.append(root)
@@ -372,7 +402,8 @@ def _bucket_pairs(group: pa.Table, id_col: str) -> pa.Table:
                 a_out.append(ids[i])
                 b_out.append(ids[j])
     t = group.schema.field(id_col).type
-    return pa.table({"id_a": pa.array(a_out, t), "id_b": pa.array(b_out, t)})
+    return pa.table({"id_a": pa.array(a_out, t), "id_b": pa.array(b_out, t),
+                     "capped": pa.array([capped] * len(a_out), pa.int32())})
 
 
 def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
@@ -386,6 +417,8 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
     corpora ramp to the same width either way."""
     if concurrency is None:
         concurrency = (1, default_pool_size())
+    from ray.data.aggregate import Max
+
     sigged = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "k": k, "w": w},
@@ -394,9 +427,11 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
         lambda b: lsh_band_rows(b, id_col, bands), batch_format="pyarrow")
     pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
-    # distinct pairs (a pair can surface from several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # distinct pairs (a pair can surface from several bands); vectorized
+    # aggregate, and capped survives as max so any star-capped sighting
+    # of the pair is visible downstream
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("capped", alias_name="capped"))
 
 
 # Broadcast-state stages run as plain TASKS, not actor pools: ray.get of
@@ -506,11 +541,17 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
 
     ``expand_components=True`` restores PAIR completeness lost to the
     ``_bucket_pairs`` star cap (degenerate >64-id buckets emit only
-    star pairs, which preserves connectivity but can drop direct pairs):
-    after verification, union-find components of the above-threshold
-    pairs are re-expanded to all within-component pairs, and any pair
-    never verified is scored too.  Components larger than
-    ``max_expand_component`` keep star pairs only (n² guard; logged)."""
+    star pairs, which preserves connectivity but can drop direct pairs).
+    The pass runs ONLY when some bucket actually hit the cap (candidate
+    rows carry a ``capped`` marker) — the common uncapped run stays
+    fully streaming, no driver materialization.  When it runs:
+    union-find components over the CANDIDATE pairs (not the confirmed
+    ones — a capped bucket whose star root fails verification must not
+    hide its members' true pairs), re-expand within components, verify
+    the never-scored pairs.  Components larger than
+    ``max_expand_component`` keep star pairs only (n² guard; logged).
+    Driver memory during the pass is pairs-sized (the documented
+    union-find trade; see representatives_from_pairs)."""
     # Candidates are materialized ONCE (pairs of ids — tiny): the verify
     # stage, the expansion's `seen` scan and any downstream consumer all
     # reuse the same blocks instead of re-running the MinHasher +
@@ -527,26 +568,24 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
     else:
         verified = _verify_pairs_broadcast(ds, cands, id_col, text_col, w)
     above = verified.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+                   .drop_columns(["capped"]),
         batch_format="pyarrow")
-    if not expand_components:
+    any_capped = expand_components and cands.map_batches(
+        lambda t: t.filter(pc.greater(t.column("capped"), 0)),
+        batch_format="pyarrow").count() > 0
+    if not any_capped:
         return above
 
-    # Driver-side completeness pass over PAIRS (≪ corpus): components of
-    # the confirmed duplicates, re-expand, score never-verified pairs.
-    above_rows = above.take_all()
-    if not above_rows:
-        id_type = ds.schema().base_schema.field(id_col).type
-        return rd.from_arrow(pa.table(
-            {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
-             "jaccard": pa.array([], pa.float64())}))
+    # Driver-side completeness pass over PAIRS (≪ corpus), reached only
+    # when star-capping occurred: components of the CANDIDATE graph,
+    # re-expand, score never-verified pairs.
     seen: set[tuple] = set()
     for cb in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
         seen.update(zip(cb.column("id_a").to_pylist(),
                         cb.column("id_b").to_pylist()))
-    conf_pairs = [(r["id_a"], r["id_b"]) for r in above_rows]
-    members = sorted({i for p in conf_pairs for i in p})
-    reps = representatives_from_pairs(sorted(conf_pairs), members)
+    members = sorted({i for p in seen for i in p})
+    reps = representatives_from_pairs(sorted(seen), members)
     comps: dict = {}
     for i, r in reps.items():
         comps.setdefault(r, []).append(i)
@@ -566,21 +605,22 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
                 if p not in seen:
                     missing_a.append(p[0])
                     missing_b.append(p[1])
-    above_tab = pa.Table.from_pylist(above_rows)
     if not missing_a:
-        return rd.from_arrow(above_tab)
-    id_type = above_tab.schema.field("id_a").type
+        return above
+    id_type = cands.schema().base_schema.field("id_a").type
     extra_cands = rd.from_arrow(pa.table({
         "id_a": pa.array(missing_a, id_type),
-        "id_b": pa.array(missing_b, id_type)}))
+        "id_b": pa.array(missing_b, id_type),
+        "capped": pa.array([0] * len(missing_a), pa.int32())})).materialize()
     if verify == "join":
         extra = _verify_pairs_join(ds, extra_cands, id_col, text_col, w)
     else:
         extra = _verify_pairs_broadcast(ds, extra_cands, id_col, text_col, w)
     extra_above = extra.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+                   .drop_columns(["capped"]),
         batch_format="pyarrow")
-    return rd.from_arrow(above_tab).union(extra_above)
+    return above.union(extra_above)
 
 
 def components_label_propagation(edges: Dataset, max_iters: int = 25,
@@ -646,6 +686,13 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # silent wrong answers are worse than a loud failure: an
+        # unconverged run splits components (each caller decides whether
+        # to retry with a higher max_iters)
+        raise RuntimeError(
+            f"components_label_propagation: not converged after "
+            f"{max_iters} rounds (component diameter exceeds max_iters)")
     return labels.map_batches(
         lambda b: pa.table({"id": b.column("id"), "rep": b.column("label")}),
         batch_format="pyarrow")

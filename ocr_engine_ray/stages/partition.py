@@ -112,6 +112,18 @@ def sample_threshold_hex(frac: float) -> str:
     return format(int(frac * 0xFFFFFFFF), "08x")
 
 
+def row_hash_hex(row: tuple, seed: int) -> str:
+    """THE seeded row-identity hash every sampler shares — and the exact
+    construction the DuckDB oracles replay:
+    ``md5(str(v1) || chr(31) || ... || chr(31) || str(seed))`` as the
+    full lowercase hexdigest.  Keep this in one place: three samplers
+    and their SQL twins desynchronize silently if the encoding drifts."""
+    import hashlib as _hl
+
+    payload = "\x1f".join([*(str(v) for v in row), str(seed)])
+    return _hl.md5(payload.encode("utf-8", "surrogatepass")).hexdigest()
+
+
 def deterministic_sample(ds: Dataset, frac: float, id_cols: list[str],
                          seed: int = 42) -> Dataset:
     """Deterministic Bernoulli(~frac) sampling: a row is kept iff the
@@ -127,20 +139,12 @@ def deterministic_sample(ds: Dataset, frac: float, id_cols: list[str],
                          "must cover the row's identity, not just a stratum "
                          "key (hashing only the key keeps or drops whole "
                          "strata wholesale)")
-    import hashlib as _hl
-
     threshold = sample_threshold_hex(frac)
-    sep = "\x1f"
-    tail = sep + str(seed)
 
     def pick(b: pa.Table) -> pa.Table:
         parts = [b.column(c).to_pylist() for c in id_cols]
-        keep = [
-            _hl.md5((sep.join(str(v) for v in row) + tail)
-                    .encode("utf-8", "surrogatepass")).hexdigest()[:8]
-            <= threshold
-            for row in zip(*parts)
-        ]
+        keep = [row_hash_hex(row, seed)[:8] <= threshold
+                for row in zip(*parts)]
         return b.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(pick, batch_format="pyarrow")
@@ -190,9 +194,6 @@ def weighted_sample(ds: Dataset, weight_col: str, frac: float,
         n += sum(b.column("p_n").to_pylist())
     if S <= 0:
         raise ValueError("weighted_sample: non-positive total weight")
-    import hashlib as _hl
-
-    sep, tail = "\x1f", "\x1f" + str(seed)
     rhs_const = num * n * 4294967296
 
     def pick(b: pa.Table) -> pa.Table:
@@ -200,9 +201,7 @@ def weighted_sample(ds: Dataset, weight_col: str, frac: float,
         w = scale_w(b.column(weight_col).to_numpy(zero_copy_only=False))
         keep = []
         for i, row in enumerate(zip(*parts)):
-            u = int(_hl.md5((sep.join(str(x) for x in row) + tail)
-                            .encode("utf-8", "surrogatepass"))
-                    .hexdigest()[:8], 16)
+            u = int(row_hash_hex(row, seed)[:8], 16)
             keep.append(u * S * den < rhs_const * int(w[i]))
         return b.filter(pa.array(keep, pa.bool_()))
 
@@ -219,14 +218,10 @@ def reservoir_per_key(ds: Dataset, key_col: str, k: int,
     id) <= k``.  Co-location comes from ``groupby(key_col)``."""
     if not id_cols:
         raise ValueError("reservoir_per_key requires id_cols")
-    import hashlib as _hl
-
-    sep, tail = "\x1f", "\x1f" + str(seed)
 
     def sample(g: pa.Table) -> pa.Table:
         parts = [g.column(c).to_pylist() for c in id_cols]
-        keys = [(_hl.md5((sep.join(str(x) for x in row) + tail)
-                         .encode("utf-8", "surrogatepass")).hexdigest(),
+        keys = [(row_hash_hex(row, seed),
                  tuple(str(x) for x in row), i)
                 for i, row in enumerate(zip(*parts))]
         keys.sort()

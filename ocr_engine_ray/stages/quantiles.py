@@ -63,7 +63,8 @@ def exact_quantiles(ds: Dataset, cols: list[str],
             hist[c].append((v, n))
 
     out: dict[str, list] = {"col": []}
-    q_names = [f"q{int(q * 100)}" for q in qs]
+    # int(round(...)): int(0.29*100) truncates to 28 under float repr
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
     for name in q_names:
         out[name] = []
     for c in cols:

@@ -26,7 +26,12 @@ def round_sql(arr, ndigits: int):
     a = np.abs(s)
     fa = np.floor(a)
     r = np.where(a - fa >= 0.5, fa + 1.0, fa)
-    return pa.array(np.copysign(r, s) / p, pa.float64())
+    # preserve the validity mask: to_numpy materializes nulls as NaN,
+    # but DuckDB ROUND keeps NULL as NULL — emitting NaN would break
+    # the hash parity this helper exists for
+    mask = arr.is_null().to_numpy(zero_copy_only=False) \
+        if arr.null_count else None
+    return pa.array(np.copysign(r, s) / p, pa.float64(), mask=mask)
 
 
 def tree_combine(partials, keys: list[str], spec: list[tuple],
