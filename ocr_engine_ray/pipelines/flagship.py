@@ -63,11 +63,19 @@ def extract_validated(ds: Dataset, as_of: date = DEFAULT_AS_OF,
         batch_size = extract_batch_size()
     if concurrency is None:
         concurrency = _default_concurrency()
+    # driver-side resolution of process-local state the worker-side
+    # actor __init__ cannot see: the env template-dir knob and any
+    # register_field_backend() registrations made on the driver
+    from ..config import template_dir
+    from ..core.extract import FIELD_BACKENDS
+
     # validation is fused into the extraction pass (see stages/extract.py)
     return ds.map_batches(
         TurnExtractor,
         fn_constructor_kwargs={"as_of": as_of, "validate": True,
-                               "template_tools": template_tools},
+                               "template_tools": template_tools,
+                               "template_dir_path": template_dir(),
+                               "extra_field_backends": dict(FIELD_BACKENDS)},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

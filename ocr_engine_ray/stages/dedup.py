@@ -36,16 +36,12 @@ from ..util import default_pool_size
 
 def row_digest(parts: tuple) -> bytes:
     """The ONE row-content digest every exact-dedup path shares (batch,
-    streaming, tests): sha1 over '\\x1f'-terminated str() parts."""
+    streaming): sha1 over '\\x1f'-terminated str() parts."""
     h = hashlib.sha1()
     for p in parts:
         h.update(str(p).encode("utf-8", "surrogatepass"))
         h.update(b"\x1f")
     return h.digest()
-
-
-def sha1_hex(parts: tuple) -> str:
-    return row_digest(parts).hex()
 
 
 def add_content_hash(batch: pa.Table, cols: list[str],
@@ -173,11 +169,23 @@ class DedupIndexShard:
     (or a re-executed lazy stage) replays the same token and gets the
     original reply instead of all-False — without this, a task retry
     after a mid-run worker death would silently DROP every first-seen
-    row of the batch (the side-effecting-stage retry bug)."""
+    row of the batch (the side-effecting-stage retry bug).  The reply
+    cache is BOUNDED (FIFO, newest ``_REPLY_CAP`` batches): retries
+    arrive within a short window, so old replies are safe to evict and
+    the index memory stays one digest per distinct key.  Known limit:
+    two DISTINCT batches in one run with byte-identical key sequences
+    (e.g. a whole input block duplicated on disk) share a token, so the
+    second keeps its rows — the conservative direction (a missed drop,
+    never lost data); use :func:`dedup_exact` when exact-duplicate
+    blocks must collapse deterministically."""
+
+    _REPLY_CAP = 4096
 
     def __init__(self) -> None:
+        from collections import OrderedDict
+
         self.seen: set[bytes] = set()
-        self.replies: dict[bytes, list[bool]] = {}
+        self.replies: OrderedDict[bytes, list[bool]] = OrderedDict()
 
     def check_and_add(self, caller_token: bytes,
                       keys: list[bytes]) -> list[bool]:
@@ -193,6 +201,8 @@ class DedupIndexShard:
                 seen.add(k)
                 out.append(True)
         self.replies[caller_token] = out
+        while len(self.replies) > self._REPLY_CAP:
+            self.replies.popitem(last=False)
         return out
 
     def size(self) -> int:
@@ -551,7 +561,11 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
     the never-scored pairs.  Components larger than
     ``max_expand_component`` keep star pairs only (n² guard; logged).
     Driver memory during the pass is pairs-sized (the documented
-    union-find trade; see representatives_from_pairs)."""
+    union-find trade; see representatives_from_pairs).  Note: pairs LSH
+    itself never surfaced (both docs similar but sharing no band —
+    recall < 1 by construction) are out of scope for this pass on
+    uncapped corpora; transitive closure of verified pairs is the
+    dedup-keep consumers' job (union-find / label propagation)."""
     # Candidates are materialized ONCE (pairs of ids — tiny): the verify
     # stage, the expansion's `seen` scan and any downstream consumer all
     # reuse the same blocks instead of re-running the MinHasher +
@@ -642,6 +656,7 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
     from ray.data.aggregate import Min
 
     edges = edges.select_columns(["id_a", "id_b"]).materialize()
+    converged = False
 
     def as_nodes(col: str):
         return edges.select_columns([col]).map_batches(
@@ -653,7 +668,10 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
         .groupby("id").aggregate(Min("label", alias_name="label")) \
         .materialize()
     prev_sum = labels.sum("label")
-    for _ in range(max_iters):
+    # max_iters + 1: labels that stabilize exactly on round max_iters
+    # need one extra no-change round to OBSERVE convergence — raising
+    # there would reject a fully correct result
+    for _ in range(max_iters + 1):
         la = labels.map_batches(
             lambda b: pa.table({"id_a": b.column("id"),
                                 "label_a": b.column("label")}),
@@ -684,9 +702,10 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
             .materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
-    else:
+    if not converged:
         # silent wrong answers are worse than a loud failure: an
         # unconverged run splits components (each caller decides whether
         # to retry with a higher max_iters)

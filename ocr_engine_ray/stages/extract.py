@@ -137,19 +137,33 @@ class TurnExtractor:
     preferred-backend client per worker."""
 
     def __init__(self, as_of: date = DEFAULT_AS_OF, validate: bool = True,
-                 template_tools: tuple[str, ...] = ()):
+                 template_tools: tuple[str, ...] = (),
+                 template_dir_path: str | None = "ENV",
+                 extra_field_backends: dict | None = None):
+        from ..core.extract import FIELD_BACKENDS
+
         self.as_of = as_of
         self.validate = validate
-        # The stage holds its OWN backend dict (empty = generic only):
-        # registering into the process-global FIELD_BACKENDS here would
-        # leak template routing into other extractors sharing the
-        # worker process.
-        self.field_backends: dict = {}
+        # The stage holds its OWN backend dict, seeded from this
+        # process's public registry plus ``extra_field_backends`` — the
+        # DRIVER-side registry snapshot a pipeline builder passes in
+        # (actors construct in worker processes, which never see
+        # driver-side register_field_backend calls).  The global is
+        # never mutated, so one stage's template routing can't leak into
+        # another extractor in the same worker process.
+        self.field_backends: dict = dict(FIELD_BACKENDS)
+        if extra_field_backends:
+            self.field_backends.update(extra_field_backends)
         if template_tools:
             from ..config import template_dir
             from ..core.templates import TemplatePack, load_template_dir
 
-            tdir = template_dir()
+            # "ENV" sentinel: resolve the env knob HERE (in-process /
+            # test use); pipeline builders resolve it on the driver and
+            # pass the value through, because Ray worker processes were
+            # spawned with the pre-init environment
+            tdir = template_dir() if template_dir_path == "ENV" \
+                else template_dir_path
             # compiled once per actor; env knob swaps the rule packs
             pack = TemplatePack(load_template_dir(tdir)) if tdir \
                 else TemplatePack()

@@ -14,6 +14,7 @@ path and document the bounded-group-size assumption.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -117,11 +118,10 @@ def row_hash_hex(row: tuple, seed: int) -> str:
     construction the DuckDB oracles replay:
     ``md5(str(v1) || chr(31) || ... || chr(31) || str(seed))`` as the
     full lowercase hexdigest.  Keep this in one place: three samplers
-    and their SQL twins desynchronize silently if the encoding drifts."""
-    import hashlib as _hl
-
-    payload = "\x1f".join([*(str(v) for v in row), str(seed)])
-    return _hl.md5(payload.encode("utf-8", "surrogatepass")).hexdigest()
+    and their SQL twins desynchronize silently if the encoding drifts.
+    (Called per row in sampler hot loops — keep it allocation-light.)"""
+    payload = "\x1f".join(map(str, row)) + "\x1f" + str(seed)
+    return hashlib.md5(payload.encode("utf-8", "surrogatepass")).hexdigest()
 
 
 def deterministic_sample(ds: Dataset, frac: float, id_cols: list[str],

@@ -209,3 +209,33 @@ def test_conv_rollup_tree_equals_shuffle(ray_session, small_corpus):
     b = pd.DataFrame(conv_rollup(validated, combine="tree").take_all()) \
         .sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_driver_registered_backend_reaches_actors(ray_session, small_corpus):
+    """register_field_backend on the DRIVER must reach TurnExtractor
+    actors (which construct in worker processes): extract_validated
+    snapshots the registry into the actor constructor args."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_engine_ray.core.extract import (
+        FIELD_BACKENDS, TurnRecord, register_field_backend,
+    )
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    def stamp_backend(text, as_of):
+        return TurnRecord(invoice_number="FROM-DRIVER-BACKEND",
+                          backend="driver-registered")
+
+    register_field_backend("browser", stamp_backend)
+    try:
+        out = pa.Table.from_pylist(
+            extract_validated(rd.from_arrow(small_corpus.slice(0, 64)),
+                              concurrency=1, batch_size=32).take_all())
+        browser_rows = [r for r in out.to_pylist() if r["tool"] == "browser"
+                        and r["extracted_text"]]
+        assert browser_rows, "corpus should contain browser-tool turns"
+        assert all(r["invoice_number"] == "FROM-DRIVER-BACKEND"
+                   for r in browser_rows)
+    finally:
+        FIELD_BACKENDS.pop("browser", None)
