@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": q.q_events_running_total,
         "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
         "lineitem_cube_levels": q.q_lineitem_cube_levels,
+        "events_distinct_users_per_type": q.q_events_distinct_users_per_type,
+        "events_ntile": q.q_events_ntile,
     }
 
 
@@ -316,6 +318,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN event_type = 'view' THEN 1 END)
                        AS n_view
             FROM events GROUP BY user_id
+        """,
+        "events_distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_ntile": """
+            SELECT event_id, event_type, value,
+                   CAST(NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS BIGINT) AS quartile
+            FROM events
         """,
         "events_weighted_sample": """
             WITH t AS (

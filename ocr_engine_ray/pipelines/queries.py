@@ -708,6 +708,52 @@ def q_events_pivot_types(sf_dir: str) -> Dataset:
             *[Sum(f"p_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
 
 
+def q_events_distinct_users_per_type(sf_dir: str) -> Dataset:
+    """Exact COUNT(DISTINCT) per group, two-level: local (type, user)
+    dedup partial → one global distinct on the pair → per-type partial
+    counts → tiny per-type sum.  Both shuffles move deduped pair/count
+    rows, never events."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]) \
+        .aggregate(Count("user_id", alias_name="_n"))
+
+    def per_type_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "p_users"])
+
+    return pairs.map_batches(per_type_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("p_users",
+                                             alias_name="n_users"))
+
+
+def q_events_ntile(sf_dir: str) -> Dataset:
+    """NTILE window: per event type, assign each event its value
+    quartile (deterministic (value, event_id) ordering).  Per-group
+    sorted map_groups with the standard NTILE split — the first
+    ``n % b`` tiles get the extra row."""
+    import numpy as np
+
+    B = 4
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def ntile(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("value", "ascending"), ("event_id", "ascending")])
+        n = g.num_rows
+        k, r = divmod(n, B)
+        bounds = np.cumsum([k + 1] * r + [k] * (B - r))
+        tiles = np.searchsorted(bounds, np.arange(n), side="right") + 1
+        return g.append_column("quartile", pa.array(tiles, pa.int64()))
+
+    return ds.groupby("event_type").map_groups(ntile, batch_format="pyarrow")
+
+
 def q_events_weighted_sample(sf_dir: str) -> Dataset:
     """Deterministic weighted Bernoulli sample (~10 %, probability ∝
     event value) — exact integer decision, hash-matched by the oracle."""
