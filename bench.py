@@ -28,6 +28,13 @@ import time
 def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # cheap load probe BEFORE ray.init: how many effective CPU-seconds per
+    # wall-second `num_cpus` workers get RIGHT NOW.  Every BENCH_r*.json
+    # self-reports the machine load it ran under (round-2's driver bench
+    # looked like a 40 % regression that was pure co-tenant load — this
+    # field makes that diagnosable instead of a wasted round of signal).
+    capacity = _measure_cpu_capacity(levels=(num_cpus,))
+
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -109,6 +116,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "n_turns": n_turns,
         "n_extracted": n_extracted,
         "turns_per_sec": round(n_turns / headline, 1) if headline else None,
+        "machine_parallel_capacity": capacity,
     }
 
 
@@ -154,7 +162,7 @@ def _burn(n):
     return x
 
 
-def _measure_cpu_capacity() -> dict:
+def _measure_cpu_capacity(levels=(2, 8, 32)) -> dict:
     """The sandbox machine's real parallel capacity (SMT/steal-limited):
     how many CPU-seconds per wall-second k worker processes actually get.
     Reported so the raw 8→32 efficiency can be read against the hardware
@@ -167,7 +175,7 @@ def _measure_cpu_capacity() -> dict:
     burn(n)
     t1 = time.perf_counter() - t0
     out = {}
-    for k in (2, 8, 32):
+    for k in levels:
         with mp.Pool(k) as p:
             t0 = time.perf_counter()
             p.map(burn, [n] * k)

@@ -11,6 +11,7 @@ general-purpose library.
 
 from __future__ import annotations
 
+import math
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -70,6 +71,10 @@ def _cell_xml(ref: str, value, style: int) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)) and not isinstance(value, bool):
+        # non-finite floats have no numeric SpreadsheetML representation
+        # (<v>nan</v> makes Excel reject the file) → empty cell
+        if isinstance(value, float) and not math.isfinite(value):
+            return f'<c r="{ref}"{s}/>'
         return f'<c r="{ref}"{s}><v>{value}</v></c>'
     text = escape("" if value is None else str(value))
     return f'<c r="{ref}"{s} t="inlineStr"><is><t>{text}</t></is></c>'
@@ -105,7 +110,8 @@ def write_xlsx(path: str, columns: list[str], rows: list[list],
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        f'<sheets><sheet name="{escape(sheet_name, {chr(34): "&quot;"})}"'
+        ' sheetId="1" r:id="rId1"/></sheets>'
         "</workbook>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:

@@ -711,7 +711,8 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
         # to retry with a higher max_iters)
         raise RuntimeError(
             f"components_label_propagation: not converged after "
-            f"{max_iters} rounds (component diameter exceeds max_iters)")
+            f"{max_iters + 1} propagation rounds (component diameter "
+            f"exceeds max_iters={max_iters})")
     return labels.map_batches(
         lambda b: pa.table({"id": b.column("id"), "rep": b.column("label")}),
         batch_format="pyarrow")

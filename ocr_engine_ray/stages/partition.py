@@ -152,7 +152,8 @@ def deterministic_sample(ds: Dataset, frac: float, id_cols: list[str],
 
 def weighted_sample(ds: Dataset, weight_col: str, frac: float,
                     id_cols: list[str], seed: int = 42,
-                    weight_scale: int = 100) -> Dataset:
+                    weight_scale: int = 100,
+                    materialize: bool = True) -> Dataset:
     """Deterministic weighted Bernoulli sample: keep probability
     proportional to the row's (non-negative) weight,
     ``p_i = frac * w_i / mean(w)``, decided by the row's md5 hash.
@@ -164,11 +165,22 @@ def weighted_sample(ds: Dataset, weight_col: str, frac: float,
     as an exact decimal fraction, and the predicate is
     ``U * S * den < num * w_int * n * 2^32`` over arbitrary-precision
     ints — no float boundary for the two sides to disagree on.  Rows
-    with ``p_i > 1`` saturate to certain-keep on both sides."""
+    with ``p_i > 1`` saturate to certain-keep on both sides.
+
+    The input is MATERIALIZED before the totals pre-pass: (S, n) and the
+    pick pass must observe identical rows, and a lazy upstream pipeline
+    would otherwise execute twice (correctness hazard if any upstream
+    stage is nondeterministic or order-dependent, plus a 2× compute
+    tax).  Callers sampling a raw ``read_parquet`` can pass
+    ``materialize=False`` to skip the object-store copy — a plain read
+    re-executes deterministically and re-reading beats holding the
+    corpus twice at scale."""
     from fractions import Fraction
 
     if not id_cols:
         raise ValueError("weighted_sample requires id_cols")
+    if materialize:
+        ds = ds.materialize()
     fr = Fraction(str(frac))
     num, den = fr.numerator, fr.denominator
 

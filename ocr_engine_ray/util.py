@@ -52,10 +52,17 @@ def tree_combine(partials, keys: list[str], spec: list[tuple],
             return b.group_by(keys).aggregate(spec).rename_columns(names)
         return fn
 
+    # batch_size=None pinned explicitly: correctness requires each combine
+    # to see its repartitioned block WHOLE (a fixed default batch size
+    # splitting the final single block would emit duplicate unsummed key
+    # rows with no error).  Ray 2.49 already defaults to whole-block
+    # batches; this pins the assumption rather than inheriting it.
     return partials.repartition(width) \
-        .map_batches(comb(partial_names), batch_format="pyarrow") \
+        .map_batches(comb(partial_names), batch_format="pyarrow",
+                     batch_size=None) \
         .repartition(1) \
-        .map_batches(comb(final_names), batch_format="pyarrow")
+        .map_batches(comb(final_names), batch_format="pyarrow",
+                     batch_size=None)
 
 
 def round_sql_f(x: float, ndigits: int) -> float:
