@@ -128,20 +128,46 @@ def q_events_filter_purchases(sf_dir: str) -> Dataset:
 
 def q_events_first_last(sf_dir: str) -> Dataset:
     """Per-conversation ordering (A4 analogue): first/last event type by
-    ts via groupby(key).map_groups with in-group sort."""
+    ts, as a partial-agg arg-min/arg-max — no map_groups, no per-key
+    Python.  The (ts, event_type) pair is packed into one lexically
+    sortable string (zero-padded 19-digit µs timestamp + 0x1f +
+    event_type), so Min/Max on the packed column IS arg-min/arg-max by
+    ts; per-batch partials mean the shuffle moves one row per
+    (user, batch) and the ~9k-groups/s per-key-Python ceiling of the
+    old map_groups shape is gone."""
+    from ray.data.aggregate import Max, Min, Sum
+
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type"])
 
-    def first_last(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending")])
+    def pack(b: pa.Table) -> pa.Table:
+        ts_s = pc.utf8_lpad(pc.cast(pc.cast(
+            b.column("ts"), pa.int64()), pa.string()), 19, padding="0")
+        packed = pc.binary_join_element_wise(
+            ts_s.combine_chunks(),
+            b.column("event_type").combine_chunks(), "\x1f")
+        t = pa.table({"user_id": b.column("user_id"), "packed": packed})
+        g = t.group_by("user_id").aggregate(
+            [("packed", "min"), ("packed", "max"), ("packed", "count")])
+        return g.rename_columns(["user_id", "p_min", "p_max", "p_n"])
+
+    agg = ds.map_batches(pack, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("p_min", alias_name="f"),
+            Max("p_max", alias_name="l"),
+            Sum("p_n", alias_name="n_events"))
+
+    def unpack(b: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": [g.column("user_id")[0].as_py()],
-            "first_event": [g.column("event_type")[0].as_py()],
-            "last_event": [g.column("event_type")[-1].as_py()],
-            "n_events": pa.array([g.num_rows], pa.int64()),
+            "user_id": b.column("user_id"),
+            "first_event": pc.utf8_slice_codeunits(
+                b.column("f"), 20, 1 << 30),
+            "last_event": pc.utf8_slice_codeunits(
+                b.column("l"), 20, 1 << 30),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(first_last, batch_format="pyarrow")
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 def q_documents_dedup_exact(sf_dir: str) -> Dataset:
@@ -455,32 +481,35 @@ def q_events_sessionize(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def sessions(g: pa.Table) -> pa.Table:
+        # fully vectorized (no per-event Python): gap boundaries via
+        # np.diff, per-session aggregates via np.add.reduceat — a hot
+        # user with 1e6 events costs numpy kernels, not 1e6 iterations
+        import numpy as np
+
         g = g.sort_by([("ts", "ascending")])
-        ts = g.column("ts").cast(pa.int64()).to_pylist()
-        vals = g.column("value").to_pylist()
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+             .to_numpy(zero_copy_only=False)
+        vals = g.column("value").combine_chunks() \
+               .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ts) > GAP_US) + 1))
+        ends = np.concatenate((starts[1:] - 1, [n - 1]))
+        # np.add.reduceat sums each [start, next_start) slice in element
+        # order (sequential, like the SQL window sum the oracle replays)
+        sums = np.add.reduceat(vals, starts)
+        sums = np.array([round_sql_f(float(s), 2) for s in sums])
         uid = g.column("user_id")[0].as_py()
-        out = {"user_id": [], "session_id": [], "n_events": [],
-               "session_start": [], "session_end": [], "sum_value": []}
-        sid, start = 0, 0
-        for i in range(1, len(ts) + 1):
-            if i == len(ts) or ts[i] - ts[i - 1] > GAP_US:
-                sid += 1
-                out["user_id"].append(uid)
-                out["session_id"].append(sid)
-                out["n_events"].append(i - start)
-                out["session_start"].append(ts[start])
-                out["session_end"].append(ts[i - 1])
-                out["sum_value"].append(round_sql_f(sum(vals[start:i]), 2))
-                start = i
+        k = len(starts)
         return pa.table({
-            "user_id": pa.array(out["user_id"], pa.int64()),
-            "session_id": pa.array(out["session_id"], pa.int64()),
-            "n_events": pa.array(out["n_events"], pa.int64()),
-            "session_start": pa.array(out["session_start"], pa.int64()).cast(
+            "user_id": pa.array(np.full(k, uid), pa.int64()),
+            "session_id": pa.array(np.arange(1, k + 1), pa.int64()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64()).cast(
                 pa.timestamp("us")),
-            "session_end": pa.array(out["session_end"], pa.int64()).cast(
+            "session_end": pa.array(ts[ends], pa.int64()).cast(
                 pa.timestamp("us")),
-            "sum_value": pa.array(out["sum_value"], pa.float64()),
+            "sum_value": pa.array(sums, pa.float64()),
         })
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")

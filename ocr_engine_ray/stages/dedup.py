@@ -44,30 +44,85 @@ def row_digest(parts: tuple) -> bytes:
     return h.digest()
 
 
-def add_content_hash(batch: pa.Table, cols: list[str],
-                     out_col: str = "content_hash",
-                     key_col: str | None = None) -> pa.Table:
-    """Append the sha1-hex content hash, and optionally ``key_col`` — a
-    uint64 prefix of the same digest.  The int key is what rides through
-    the duplicate-DETECTION shuffle (8 bytes vs a 40-char string; a
-    64-bit birthday collision only routes a few extra rows down the
-    rare-duplicate path, where the full sha1 string still decides)."""
+def joined_key_strings(batch: pa.Table, cols: list[str]) -> pa.Array:
+    """``'\\x1f'``-joined string of the key columns, built with Arrow
+    kernels (cast + binary_join_element_wise) — no per-row Python.
+    Nulls render as a sentinel that cannot collide with a real cast
+    value."""
+    arrs = []
+    for c in cols:
+        col = batch.column(c)
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arrs.append(col)
+    if len(arrs) == 1:
+        joined = arrs[0]
+        if joined.null_count:
+            joined = pc.fill_null(joined, "\x00<null>")
+        return joined
+    return pc.binary_join_element_wise(
+        *arrs, "\x1f", null_handling="replace",
+        null_replacement="\x00<null>")
+
+
+def add_content_key(batch: pa.Table, cols: list[str],
+                    key_col: str = "content_key") -> pa.Table:
+    """Append a VECTORIZED 64-bit content key for duplicate DETECTION:
+    a deterministic siphash (``pandas.util.hash_pandas_object``, fixed
+    hash key) over the Arrow-joined key string.  Replaces the per-row
+    Python sha1 loop that capped dedup scan rate (~1M rows/s/core); the
+    full-width sha1 digest is now computed only inside the rare
+    duplicate-winner path (:func:`add_full_hash`), where a 64-bit
+    birthday collision would otherwise merge two genuinely different
+    rows."""
+    import pandas as pd
+
+    joined = joined_key_strings(batch, cols)
+    keys = pd.util.hash_pandas_object(
+        joined.to_pandas(), index=False).to_numpy()
+    return batch.append_column(key_col, pa.array(keys, pa.uint64()))
+
+
+def add_full_hash(batch: pa.Table, cols: list[str],
+                  out_col: str = "content_hash") -> pa.Table:
+    """Append the full sha1-hex content hash (per-row; used only on the
+    rare duplicate rows so a 64-bit detection-key collision cannot merge
+    two different rows in the winner groupby)."""
     key_lists = [batch.column(c).to_pylist() for c in cols]
-    hex_out, int_out = [], []
-    for parts in zip(*key_lists):
-        d = row_digest(parts)
-        hex_out.append(d.hex())
-        int_out.append(int.from_bytes(d[:8], "big"))
-    out = batch.append_column(out_col, pa.array(hex_out, pa.string()))
-    if key_col is not None:
-        out = out.append_column(key_col,
-                                pa.array(int_out, pa.uint64()))
-    return out
+    hex_out = [row_digest(parts).hex() for parts in zip(*key_lists)]
+    return batch.append_column(out_col, pa.array(hex_out, pa.string()))
+
+
+def _should_cache_hashed(ds: Dataset) -> bool:
+    """Adaptive default for ``dedup_exact(cache_hashed=...)``: caching
+    holds a second copy of the corpus in the object store (it saves up
+    to 3 re-reads), which is the right trade only while that copy FITS.
+    Estimate in-memory size from the input files' on-disk bytes (cheap
+    metadata, no execution; Parquet decompresses ~4×) and cache only
+    when the estimate stays under half the cluster's object store —
+    past that, re-reading the source beats spilling a full copy."""
+    try:
+        files = ds.input_files()
+        if not files:
+            return True
+        import os
+
+        disk = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        if disk <= 0:
+            return True
+        store = ray.cluster_resources().get("object_store_memory", 0)
+        if not store:
+            return True
+        return 4 * disk < 0.5 * store
+    except Exception:
+        return True
 
 
 def dedup_exact(ds: Dataset, key_cols: list[str],
                 order_cols: list[str],
-                cache_hashed: bool = True) -> Dataset:
+                cache_hashed: bool | None = None) -> Dataset:
     """Keep exactly one row per identical ``key_cols`` tuple — the winner
     is the smallest ``order_cols`` tuple (deterministic under any
     partitioning).
@@ -82,13 +137,18 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
     calls ran 9k rows/s; this runs at input-scan speed.
 
     ``cache_hashed=True`` materializes the hashed dataset once (object
-    store, spills past memory) so the read+sha1 pass runs once instead of
+    store, spills past memory) so the read+hash pass runs once instead of
     up to three times across the counts/uniques/winners consumers.  Set
     False on corpora where re-reading the source beats holding a full
-    copy in the store (e.g. 100 TB inputs on fast storage — sha1 then
-    runs per consumer but nothing is ever held twice)."""
+    copy in the store (e.g. 100 TB inputs on fast storage — the hash then
+    runs per consumer but nothing is ever held twice).  The default
+    (``None``) decides from the input files' sizes vs the cluster's
+    object store (:func:`_should_cache_hashed`), so callers don't need
+    to know the failure mode."""
+    if cache_hashed is None:
+        cache_hashed = _should_cache_hashed(ds)
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, key_cols, key_col="content_key"),
+        lambda b: add_content_key(b, key_cols),
         batch_format="pyarrow")
     if cache_hashed:
         hashed = hashed.materialize()
@@ -98,14 +158,46 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
             [("content_key", "count")])
         return g.rename_columns(["content_key", "p_n"])
 
-    from ray.data.aggregate import Sum
+    partials = hashed.map_batches(partial_counts, batch_format="pyarrow")
+    # Combining the per-block partials: the driver-side numpy reduce is
+    # exact and skips the sort-shuffle's ~5 s fixed machinery (measured
+    # at 200k keys / 32 cpus: 5.5 s groupby vs <1 s reduce), but it
+    # holds every distinct 8-byte key once — bounded here to ~320 MB
+    # (20M partial rows).  Past the cap (the 100 TB regime, where
+    # distinct keys ≈ corpus rows) the shuffle groupby is the only
+    # shape that scales, and its fixed cost has long since amortized.
+    DRIVER_REDUCE_CAP = 20_000_000
+    key_parts: list[np.ndarray] = []
+    cnt_parts: list[np.ndarray] = []
+    total = 0
+    for cb in partials.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+        total += cb.num_rows
+        if total > DRIVER_REDUCE_CAP:
+            key_parts = []
+            break
+        key_parts.append(cb.column("content_key").to_numpy(
+            zero_copy_only=False))
+        cnt_parts.append(cb.column("p_n").to_numpy(zero_copy_only=False))
+    if key_parts or total == 0:
+        if total == 0:
+            dup_key_list: list[int] = []
+        else:
+            keys = np.concatenate(key_parts)
+            cnts = np.concatenate(cnt_parts)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            sums = np.bincount(inv, weights=cnts)
+            dup_key_list = uniq[sums > 1].tolist()
+    else:
+        from ray.data.aggregate import Sum
 
-    counts = hashed.map_batches(partial_counts, batch_format="pyarrow") \
-                   .groupby("content_key").aggregate(Sum("p_n", alias_name="n"))
-    dup_key_list: list[int] = []
-    for cb in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
-        sub = cb.filter(pc.greater(cb.column("n"), 1))
-        dup_key_list.extend(sub.column("content_key").to_pylist())
+        counts = partials.groupby("content_key") \
+                         .aggregate(Sum("p_n", alias_name="n"))
+        dup_key_list = []
+        for cb in counts.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+            sub = cb.filter(pc.greater(cb.column("n"), 1))
+            dup_key_list.extend(sub.column("content_key").to_pylist())
     dup_keys = frozenset(dup_key_list)
     dup_ref = ray.put(sorted(dup_keys))
 
@@ -125,9 +217,8 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
             mask = pc.invert(mask)
         return b.filter(mask)
 
-    drop_cols = ["content_hash", "content_key"]
     uniques = hashed.map_batches(lambda b: split(b, False).drop_columns(
-        drop_cols), batch_format="pyarrow")
+        ["content_key"]), batch_format="pyarrow")
     if not dup_keys:
         return uniques
 
@@ -135,10 +226,13 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
         # full sha1 string groups here, so a 64-bit content_key collision
         # cannot merge two genuinely different rows
         g = group.sort_by([(c, "ascending") for c in order_cols])
-        return g.slice(0, 1).drop_columns(drop_cols)
+        return g.slice(0, 1).drop_columns(["content_hash", "content_key"])
 
-    dup_winners = hashed.map_batches(lambda b: split(b, True),
-                                     batch_format="pyarrow") \
+    # the full-width digest is computed ONLY on the rare duplicate rows
+    # (per-row sha1; everything upstream of here is vectorized)
+    dup_winners = hashed.map_batches(
+        lambda b: add_full_hash(split(b, True), key_cols),
+        batch_format="pyarrow") \
         .groupby("content_hash").map_groups(first, batch_format="pyarrow")
     return uniques.union(dup_winners)
 
@@ -208,6 +302,15 @@ class DedupIndexShard:
     def size(self) -> int:
         return len(self.seen)
 
+    def snapshot(self) -> bytes:
+        """All ingested digests, concatenated (20 bytes each), sorted so
+        the snapshot is deterministic for a given index state."""
+        return b"".join(sorted(self.seen))
+
+    def restore(self, blob: bytes) -> int:
+        self.seen.update(blob[i:i + 20] for i in range(0, len(blob), 20))
+        return len(self.seen)
+
 
 class StreamingDeduper:
     """Callable map_batches stage holding the shard handles: hashes the
@@ -231,8 +334,13 @@ class StreamingDeduper:
         self.run_token = os.urandom(8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = [batch.column(c).to_pylist() for c in self.key_cols]
-        digests = [row_digest(row) for row in zip(*cols)]
+        # join the key columns with Arrow kernels; the remaining per-row
+        # work is ONE sha1 call over the joined bytes (the full-width
+        # digest is load-bearing here: a 64-bit key collision in a
+        # shared index would silently DROP a non-duplicate row)
+        joined = joined_key_strings(batch, self.key_cols).to_pylist()
+        digests = [hashlib.sha1(j.encode("utf-8", "surrogatepass")).digest()
+                   for j in joined]
         n_shards = len(self.shards)
         by_shard: dict[int, list[int]] = {}
         for i, d in enumerate(digests):
@@ -256,6 +364,64 @@ def make_dedup_index(num_shards: int = 8) -> list:
     """Spawn the shared index shards (pass the list to every
     :func:`dedup_exact_streaming` call that should share one index)."""
     return [DedupIndexShard.remote() for _ in range(num_shards)]
+
+
+_INDEX_META = "_INDEX_META.json"
+
+
+def save_dedup_index(index: list, dir_path: str) -> None:
+    """Snapshot the streaming-dedup index to disk so the ingestion
+    history survives a driver restart (the shards are otherwise
+    RAM-only, and incremental semantics depend on that history).  Same
+    commit discipline as the lineage manifest (state/lineage.py): write
+    ``.tmp`` → atomic rename per shard, meta last — a snapshot is either
+    complete or invisible to :func:`load_dedup_index`.
+
+    Call AFTER the ingestion run's Dataset has materialized (the
+    streaming stage mutates shards while executing; snapshotting
+    mid-run would capture a prefix)."""
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    meta_path = os.path.join(dir_path, _INDEX_META)
+    if os.path.exists(meta_path):  # replacing an older snapshot
+        os.remove(meta_path)
+    blobs = ray.get([s.snapshot.remote() for s in index])
+    for i, blob in enumerate(blobs):
+        path = os.path.join(dir_path, f"shard-{i:04d}.bin")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_shards": len(index), "digest_bytes": 20}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)
+
+
+def load_dedup_index(dir_path: str) -> list:
+    """Spawn fresh shards and restore a :func:`save_dedup_index`
+    snapshot into them.  Shard count comes from the snapshot meta — the
+    ``digest[0] % n_shards`` routing is only stable at the same width."""
+    import json
+    import os
+
+    meta_path = os.path.join(dir_path, _INDEX_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    index = make_dedup_index(meta["num_shards"])
+    futures = []
+    for i, shard in enumerate(index):
+        path = os.path.join(dir_path, f"shard-{i:04d}.bin")
+        with open(path, "rb") as f:
+            futures.append(shard.restore.remote(f.read()))
+    ray.get(futures)
+    return index
 
 
 def dedup_exact_streaming(ds: Dataset, key_cols: list[str],

@@ -234,6 +234,45 @@ def test_streaming_dedup_incremental(ray_session):
     assert first == 50 and second == 0
 
 
+def test_streaming_dedup_index_persist_restore(ray_session, tmp_path):
+    """Driver kill/resume: a snapshot saved after run 1 and restored
+    into FRESH shards still drops every row ingested before the kill,
+    and keeps genuinely new rows."""
+    import ray
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import (
+        dedup_exact_streaming,
+        load_dedup_index,
+        make_dedup_index,
+        save_dedup_index,
+    )
+
+    rows1 = [{"doc_id": i, "text": f"doc number {i}"} for i in range(40)]
+    ds1 = rd.from_arrow(pa.Table.from_pylist(rows1)).repartition(3)
+    index = make_dedup_index(num_shards=4)
+    assert dedup_exact_streaming(ds1, ["text"], index=index).count() == 40
+    snap = str(tmp_path / "dedup_index")
+    save_dedup_index(index, snap)
+    # simulate the driver restart: the original shard actors die
+    for s in index:
+        ray.kill(s)
+
+    restored = load_dedup_index(snap)
+    rows2 = rows1[:25] + [
+        {"doc_id": 100 + i, "text": f"fresh doc {i}"} for i in range(7)]
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows2)).repartition(2)
+    out = pa.Table.from_pylist(
+        dedup_exact_streaming(ds2, ["text"], index=restored).take_all())
+    assert out.num_rows == 7
+    assert all(r["doc_id"] >= 100 for r in out.to_pylist())
+    # a second snapshot round-trips the union of both ingestions
+    snap2 = str(tmp_path / "dedup_index2")
+    save_dedup_index(restored, snap2)
+    again = load_dedup_index(snap2)
+    assert dedup_exact_streaming(ds2, ["text"], index=again).count() == 0
+
+
 def _prose_corpus(n_docs=60, seed=9):
     """Prose-like synthetic docs: sentences assembled from a realistic
     word distribution (Zipf-ish sampling over a vocabulary), so shingle
