@@ -35,6 +35,148 @@ def _cents_sql(extract_expr: str) -> str:
             + ", ''), ',', '')::DOUBLE * 100) AS BIGINT)")
 
 
+# --- DuckDB twin of core/dates.find_date (M12), char-exact corpus-wide ---
+# as_of is pinned to DEFAULT_AS_OF = 2026-01-01: century 20, future
+# window year 2046 (core/dates._window_year).
+
+def _wy(y: str) -> str:
+    """Two-digit-year century windowing."""
+    return (f"CASE WHEN {y} >= 100 THEN {y} "
+            f"WHEN 2000 + {y} > 2046 THEN 1900 + {y} "
+            f"ELSE 2000 + {y} END")
+
+
+def _mkdate(y: str, m: str, d: str) -> str:
+    """Validity-checked date build (invalid day/month → NULL, the
+    Python parser's _mk ValueError path)."""
+    return f"try_cast(printf('%04d-%02d-%02d', {y}, {m}, {d}) AS DATE)"
+
+
+def _first_parseable(t: str, pat: str, parse_of_x: str) -> str:
+    """find_date's per-family scan: every match of ``pat`` in position
+    order, first successfully-parsed candidate wins (false matches parse
+    to NULL and are skipped, like the Python parser's continue-on-None)."""
+    return (f"list_filter(list_transform("
+            f"regexp_extract_all({t}, '{pat}', 0), "
+            f"x -> {parse_of_x}), d -> d IS NOT NULL)[1]")
+
+
+def _date_parse_sql(t: str) -> str:
+    """DATE expression replaying ``find_date(normalize(text))``: family
+    order f1..f5, DMY→MDY→YMD order preference, 8-digit special forms,
+    century windowing — verified char-exact at sf0.01 and sf0.1.
+    (The keyword-proximity step needs no twin: on any corpus with one
+    date-shaped candidate per text both strategies converge on it; the
+    whole-text family scan is the equality the validation proves.)"""
+    def grp(pat, key):
+        return (f"try_cast(regexp_extract(x, '{pat}', "
+                f"['a','b','c'])['{key}'] AS BIGINT)")
+
+    def month_num(tok_expr):
+        return (f"COALESCE(month(try_strptime({tok_expr}, '%b')), "
+                f"month(try_strptime({tok_expr}, '%B')))")
+
+    pat1 = r"\b(\d{1,2})[/.\-](\d{1,2})[/.\-](\d{2,4})\b"
+    a, b, c = (grp(pat1, k) for k in "abc")
+    p1 = _first_parseable(
+        t, pat1, f"COALESCE({_mkdate(_wy(c), b, a)}, {_mkdate(_wy(c), a, b)})")
+
+    pat2 = r"\b(\d{4})[/.\-](\d{1,2})[/.\-](\d{1,2})\b"
+    a, b, c = (grp(pat2, k) for k in "abc")
+    p2 = _first_parseable(t, pat2, _mkdate(a, b, c))
+
+    pat3 = r"\b(\d{8})\b"
+    s12 = "try_cast(substr(x,1,2) AS BIGINT)"
+    s34 = "try_cast(substr(x,3,2) AS BIGINT)"
+    s14 = "try_cast(substr(x,1,4) AS BIGINT)"
+    s56 = "try_cast(substr(x,5,2) AS BIGINT)"
+    s78 = "try_cast(substr(x,7,2) AS BIGINT)"
+    s58 = "try_cast(substr(x,5,4) AS BIGINT)"
+    p3 = _first_parseable(
+        t, pat3,
+        f"COALESCE({_mkdate(s14, s56, s78)}, {_mkdate(s58, s34, s12)}, "
+        f"{_mkdate(s58, s12, s34)})")
+
+    pat4 = r"\b(\d{1,2})\s+([A-Za-z]{3,9})\.?\s+(\d{2,4})\b"
+    a, c = grp(pat4, "a"), grp(pat4, "c")
+    m4 = month_num(f"regexp_extract(x, '{pat4}', ['a','b','c'])['b']")
+    p4 = _first_parseable(t, pat4, _mkdate(_wy(c), m4, a))
+
+    pat5 = r"\b([A-Za-z]{3,9})\.?\s+(\d{1,2}),?\s+(\d{2,4})\b"
+    b, c = grp(pat5, "b"), grp(pat5, "c")
+    m5 = month_num(f"regexp_extract(x, '{pat5}', ['a','b','c'])['a']")
+    p5 = _first_parseable(t, pat5, _mkdate(_wy(c), m5, b))
+
+    return f"COALESCE({p1}, {p2}, {p3}, {p4}, {p5})"
+
+
+def _money_str_sql(c: str) -> str:
+    """Exact-cents → canonical 2-decimal string (core/money.cents_to_str
+    on the non-negative corpus); NULL renders ''."""
+    return (f"CASE WHEN {c} IS NULL THEN '' ELSE "
+            f"CAST({c} // 100 AS VARCHAR) || '.' || "
+            f"lpad(CAST({c} % 100 AS VARCHAR), 2, '0') END")
+
+
+def _items_rollup_ctes(transcripts: str, norm_expr: str) -> str:
+    """CTE chain replaying Structures table parsing + _items_from_tables
+    + items_rollup over normalized raw text (verified corpus-wide):
+    contiguous ' | ' line runs form tables (gaps-and-islands), each
+    table's first row is the header, rows need >=4 cells, a non-empty
+    non-integer qty cell skips the row, money cells parse half-up to
+    cents; rollup = (sum qty, sum total cents, (2*total+qty)//(2*qty)).
+    Ends with CTE ``roll`` keyed (conv_id, turn_idx).  Exact-duplicate
+    input rows share (conv_id, turn_idx) with identical text, so the
+    line windows run over DISTINCT rows and callers join ``roll`` back
+    per input row."""
+    return f"""
+    n AS (SELECT conv_id, turn_idx, {norm_expr} AS t FROM {transcripts}),
+    nd AS (SELECT DISTINCT conv_id, turn_idx, t FROM n),
+    lin AS (
+      SELECT conv_id, turn_idx,
+             unnest(list_zip(lst, range(1, len(lst) + 1))) AS z
+      FROM (SELECT conv_id, turn_idx, string_split(t, chr(10)) AS lst
+            FROM nd)),
+    l2 AS (SELECT conv_id, turn_idx, z[1] AS ln,
+                  CAST(z[2] AS BIGINT) AS idx
+           FROM lin),
+    pipe AS (SELECT conv_id, turn_idx, ln, idx,
+                    idx - ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                             ORDER BY idx) AS grp
+             FROM l2 WHERE contains(ln, ' | ')),
+    trows AS (SELECT conv_id, turn_idx, ln,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, grp
+                                        ORDER BY idx) AS rn
+              FROM pipe),
+    cells AS (SELECT conv_id, turn_idx,
+                     list_transform(string_split(ln, ' | '),
+                                    c -> trim(c)) AS cs
+              FROM trows WHERE rn > 1),
+    itemrows AS (
+      SELECT conv_id, turn_idx,
+             try_cast(cs[2] AS BIGINT) AS qty,
+             CASE WHEN cs[3] = '' THEN NULL ELSE CAST(round(
+               regexp_replace(cs[3], '[^0-9.\\-]', '', 'g')::DOUBLE * 100)
+               AS BIGINT) END AS unit_cents,
+             CASE WHEN cs[4] = '' THEN NULL ELSE CAST(round(
+               regexp_replace(cs[4], '[^0-9.\\-]', '', 'g')::DOUBLE * 100)
+               AS BIGINT) END AS total_cents
+      FROM cells
+      WHERE len(cs) >= 4
+        AND (cs[2] = '' OR try_cast(cs[2] AS BIGINT) IS NOT NULL)),
+    roll AS (
+      SELECT conv_id, turn_idx,
+             CAST(COALESCE(SUM(qty), 0) AS BIGINT) AS items_qty,
+             CAST(COALESCE(SUM(total_cents), 0) AS BIGINT)
+                 AS items_total_cents,
+             CASE WHEN COALESCE(SUM(qty), 0) > 0
+                  THEN (2 * COALESCE(SUM(total_cents), 0) + SUM(qty))
+                       // (2 * SUM(qty))
+                  ELSE NULL END AS items_avg_unit_price_cents
+      FROM itemrows GROUP BY conv_id, turn_idx)
+    """
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: read synthetic transcript shards →
     actor-pool extraction → validation.  Returns the validated Dataset
@@ -97,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_invoice_numbers": q.q_transcripts_invoice_numbers,
         "transcripts_totals": q.q_transcripts_totals,
         "transcripts_vendors": q.q_transcripts_vendors,
+        "transcripts_dates": q.q_transcripts_dates,
         "transcripts_raw_rollup": q.q_transcripts_raw_rollup,
         "transcripts_assemble_raw": q.q_transcripts_assemble_raw,
         "lineitem_quantiles": q.q_lineitem_quantiles,
@@ -154,6 +297,85 @@ def oracle_sql() -> dict[str, str]:
         r"regexp_extract(t, '(?i)(^|[^a-z])total[:\s]*\$?("
         + _AMT_RE + r")', 2)")
 
+    # vendor/address CTEs over a CTE ``n(conv_id, turn_idx, t)`` — same
+    # expressions as the transcripts_vendors twin (char-exact)
+    vendor_ctes = """
+    l AS (SELECT conv_id, turn_idx, t,
+            list_filter(string_split(t, chr(10)),
+              x -> trim(x) != '' AND NOT contains(x, ' | ')
+                   AND NOT regexp_matches(trim(x),
+                         '^[^:|]{1,60}?\\s*:\\s*(.+)$')) AS ls
+          FROM n),
+    v AS (SELECT conv_id, turn_idx, t,
+            trim(COALESCE(ls[1], '')) AS vendor_name,
+            trim(COALESCE(ls[2], '')) AS vendor_street,
+            CASE WHEN len(ls) >= 3 THEN COALESCE(trim(regexp_extract(
+              ls[3], '([A-Za-z\\s]+),\\s*([A-Z]{2})', 1)), '')
+              ELSE '' END AS vendor_city,
+            CASE WHEN len(ls) >= 3 THEN COALESCE(regexp_extract(
+              ls[3], '([A-Za-z\\s]+),\\s*([A-Z]{2})', 2), '')
+              ELSE '' END AS vendor_state,
+            CASE WHEN len(ls) >= 3 THEN COALESCE(regexp_extract(
+              ls[3], '\\b\\d{5}(?:-\\d{4})?\\b', 0), '')
+              ELSE '' END AS vendor_postal
+          FROM l)
+    """
+    inv_chain = """
+              COALESCE(
+                NULLIF(regexp_extract(t,
+                  '(?i)invoice\\s*number?[:\\s]*([A-Za-z0-9-]{5,})', 1), ''),
+                NULLIF(regexp_extract(t,
+                  '(?i)invoice\\s*#[:\\s]*([A-Za-z0-9-]{5,})', 1), ''),
+                NULLIF(regexp_extract(t,
+                  '(?i)inv[:\\s]*([A-Za-z0-9-]{5,})', 1), ''))
+    """
+    export_sql = f"""
+        WITH {_items_rollup_ctes(transcripts, _NORM_EXPR)},
+        {vendor_ctes},
+        f AS (SELECT conv_id, turn_idx, t, vendor_name, vendor_street,
+                     vendor_city, vendor_state, vendor_postal,
+                     COALESCE({inv_chain}, '') AS invoice_number,
+                     {_date_parse_sql('t')} AS d,
+                     {sub_cents} AS gt, {tax_cents} AS tx,
+                     {tot_cents} AS ft
+              FROM v)
+        SELECT
+          f.conv_id || '#' || CAST(f.turn_idx AS VARCHAR) AS filename,
+          f.invoice_number,
+          f.vendor_name,
+          concat_ws(', ', NULLIF(f.vendor_street, ''),
+                    NULLIF(f.vendor_city, ''), NULLIF(f.vendor_state, ''),
+                    NULLIF(f.vendor_postal, '')) AS address,
+          CASE WHEN f.d IS NULL THEN '' ELSE printf('%04d-%02d-%02d',
+               year(f.d), month(f.d), day(f.d)) END AS invoice_date,
+          {_money_str_sql('f.gt')} AS grand_total,
+          {_money_str_sql('f.tx')} AS taxes,
+          {_money_str_sql('f.ft')} AS final_total,
+          CAST(COALESCE(r.items_qty, 0) AS BIGINT) AS quantity,
+          {_money_str_sql('r.items_avg_unit_price_cents')} AS unit_price,
+          {_money_str_sql('COALESCE(r.items_total_cents, 0)')} AS total,
+          CAST(1 AS INTEGER) AS pages
+        FROM f LEFT JOIN roll r USING (conv_id, turn_idx)
+    """
+    unapproved_sql = f"""
+        WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                   FROM {transcripts}),
+        {vendor_ctes}
+        SELECT conv_id, turn_idx, vendor_name,
+               false AS vendor_approved
+        FROM v
+        WHERE vendor_name <> ''
+          AND lower(vendor_name) NOT IN
+              ('acme supplies inc', 'globex corporation', 'initech llc')
+    """
+    dates_sql = f"""
+        WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                   FROM {transcripts})
+        SELECT conv_id, turn_idx,
+               CAST({_date_parse_sql('t')} AS TIMESTAMP) AS invoice_date
+        FROM n
+    """
+
     media_sql = f"""
         WITH h AS (
           SELECT media_id, conv_id, turn_idx, kind, mime,
@@ -172,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
     return {
+        "transcripts_dates": dates_sql,
+        "export_rows": export_sql,
+        "unapproved_vendors": unapproved_sql,
         "media_decode": media_sql,
         "transcripts_dedup_exact": f"""
             SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,

@@ -541,22 +541,27 @@ def q_events_union_distinct(sf_dir: str) -> Dataset:
 
 
 def q_export_rows(sf_dir: str) -> Dataset:
-    """Reference 12-column export row shaping (exporter.py:38-84) over
-    the flagship output, money as canonical 2-decimal strings."""
+    """Reference 12-column export row shaping (S9, exporter.py:38-84) —
+    filename concat, address concat, ISO date render, exact-cents →
+    canonical 2-decimal money strings, per-record item rollup — over the
+    raw-path record build, so the WHOLE query is oracle-checked (every
+    field has a char-exact DuckDB twin; the flagship-path export is the
+    same ``shape_export_rows`` operator over the full extraction chain
+    and stays pinned by pytest end-to-end tests)."""
     from .export import shape_export_rows
-    from .flagship import flagship
 
-    return shape_export_rows(flagship(transcript_paths(sf_dir)))
+    return shape_export_rows(raw_record_build(sf_dir))
 
 
 def q_unapproved_vendors(sf_dir: str) -> Dataset:
-    """J4 broadcast anti-join: extracted vendors not on the approved
-    list (the synthetic corpus draws vendors from 5 known names)."""
+    """J4 broadcast anti-join (README unapproved-vendor flagging):
+    extracted vendors not on the approved list, over the raw-path vendor
+    extraction so the anti-join is oracle-checked (the synthetic corpus
+    draws vendors from 5 known names; 3 are approved)."""
     from .export import flag_unapproved_vendors
-    from .flagship import flagship
 
     approved = ["Acme Supplies Inc", "Globex Corporation", "Initech LLC"]
-    flagged = flag_unapproved_vendors(flagship(transcript_paths(sf_dir)), approved)
+    flagged = flag_unapproved_vendors(raw_record_build(sf_dir), approved)
     return flagged.map_batches(
         lambda b: b.filter(pc.invert(b.column("vendor_approved"))),
         batch_format="pyarrow").select_columns(
@@ -1101,6 +1106,108 @@ def q_transcripts_vendors(sf_dir: str) -> Dataset:
                          **{k: pa.array(cols[k], pa.string()) for k in keys}})
 
     return ds.map_batches(ext, batch_format="pyarrow")
+
+
+def q_transcripts_dates(sf_dir: str) -> Dataset:
+    """The multi-strategy date extractor (M12 — the reference's biggest
+    pure function, ``app/utils/data_extractor.py:38-192``) as a
+    standalone operator over normalized raw text, oracle-checked: the
+    DuckDB twin replays the family-ordered regex scan (all matches per
+    family in position order, first parseable wins), the DMY→MDY→YMD
+    order preference, the 8-digit special forms and the two-digit-year
+    century windowing — verified char-exact corpus-wide at sf0.01 and
+    sf0.1.  Emitted as timestamp[us] (both sides) for a stable driver
+    dtype."""
+    from ..core.dates import find_date
+    from ..core.extract import DEFAULT_AS_OF
+    from ..core.textnorm import normalize_text
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+
+    def ext(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            n = normalize_text(t or "")
+            d, _ = find_date(n, DEFAULT_AS_OF, n.lower())
+            out.append(d)
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "invoice_date": pa.array(out, pa.date32()).cast(
+                pa.timestamp("us")),
+        })
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+def raw_record_build(sf_dir: str) -> Dataset:
+    """The full generic field-extraction record build (M9–M15 + the A1
+    item rollup) over normalized raw text — the plain-content path of
+    ``core.extract._extract_turn_inner``, skipping the content-type
+    extractors so every field has a DuckDB twin (the html/pdf/markdown
+    extraction step is pinned by pytest parity instead; the flagship
+    query runs the full chain).  Feeds the oracle-checked export/J4
+    queries."""
+    from ..core.dates import find_date
+    from ..core.extract import DEFAULT_AS_OF, items_rollup
+    from ..core.fields import (
+        Structures,
+        extract_invoice_number,
+        extract_totals,
+    )
+    from ..core.textnorm import normalize_text
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+    vkeys = ("vendor_name", "vendor_street", "vendor_city",
+             "vendor_state", "vendor_postal")
+
+    def build(b: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "invoice_number": [], "invoice_date": [],
+            "grand_total_cents": [], "taxes_cents": [],
+            "final_total_cents": [], "items_qty": [],
+            "items_total_cents": [], "items_avg_unit_price_cents": [],
+            **{k: [] for k in vkeys},
+        }
+        for t in b.column("text").to_pylist():
+            n = normalize_text(t or "")
+            lower = n.lower()
+            inv, _ = extract_invoice_number(n, lower)
+            totals, _ = extract_totals(n, lower)
+            d, _ = find_date(n, DEFAULT_AS_OF, lower)
+            s = Structures(n)
+            qty, total, avg = items_rollup(s.items)
+            cols["invoice_number"].append(inv)
+            cols["invoice_date"].append(d)
+            cols["grand_total_cents"].append(totals["grand_total_cents"])
+            cols["taxes_cents"].append(totals["taxes_cents"])
+            cols["final_total_cents"].append(totals["final_total_cents"])
+            cols["items_qty"].append(qty)
+            cols["items_total_cents"].append(total)
+            cols["items_avg_unit_price_cents"].append(avg)
+            for k in vkeys:
+                cols[k].append(s.vendor[k])
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "invoice_number": pa.array(cols["invoice_number"], pa.string()),
+            **{k: pa.array(cols[k], pa.string()) for k in vkeys},
+            "invoice_date": pa.array(cols["invoice_date"], pa.date32()),
+            "grand_total_cents": pa.array(cols["grand_total_cents"], pa.int64()),
+            "taxes_cents": pa.array(cols["taxes_cents"], pa.int64()),
+            "final_total_cents": pa.array(cols["final_total_cents"], pa.int64()),
+            "items_qty": pa.array(cols["items_qty"], pa.int64()),
+            "items_total_cents": pa.array(cols["items_total_cents"], pa.int64()),
+            "items_avg_unit_price_cents": pa.array(
+                cols["items_avg_unit_price_cents"], pa.int64()),
+            "pages": pa.array([1] * b.num_rows, pa.int32()),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow")
 
 
 def q_transcripts_raw_rollup(sf_dir: str) -> Dataset:
