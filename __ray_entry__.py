@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube_levels": q.q_lineitem_cube_levels,
         "events_distinct_users_per_type": q.q_events_distinct_users_per_type,
         "events_ntile": q.q_events_ntile,
+        # round 3: LAG window, grouping sets, exact n-gram Jaccard pairs
+        "events_lag_delta": q.q_events_lag_delta,
+        "lineitem_grouping_sets": q.q_lineitem_grouping_sets,
+        "documents_jaccard_pairs": q.q_documents_jaccard_pairs,
     }
 
 
@@ -554,6 +558,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(4) OVER (PARTITION BY event_type
                         ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+        "events_lag_delta": """
+            SELECT event_id, user_id, ts,
+                   LAG(ts) OVER w AS prev_ts,
+                   date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "lineitem_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT)  AS n_items
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "documents_jaccard_pairs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN s b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                       JOIN sizes sb ON inter.id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         """,
         "events_weighted_sample": """
             WITH t AS (

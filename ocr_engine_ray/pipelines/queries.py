@@ -1308,3 +1308,142 @@ def q_events_range_join(sf_dir: str) -> Dataset:
 
     return both.groupby("user_id").map_groups(window_count,
                                               batch_format="pyarrow")
+
+
+def q_events_lag_delta(sf_dir: str) -> Dataset:
+    """LAG window shape (``LAG(ts) OVER (PARTITION BY user ORDER BY
+    ts)``): per event, the previous event's ts and the gap in exact
+    integer microseconds (NULL on each user's first event).  Vectorized
+    shift inside the per-key sorted group — same shape as
+    running_total/NTILE, no per-event Python."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def lag(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+             .to_numpy(zero_copy_only=False)
+        prev = np.empty_like(ts)
+        prev[1:] = ts[:-1]
+        mask = np.zeros(len(ts), dtype=bool)
+        if len(ts):
+            mask[0] = True
+            prev[0] = 0
+        prev_arr = pa.array(prev, pa.int64(), mask=mask)
+        gap = pa.array(ts - prev, pa.int64(), mask=mask)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "prev_ts": prev_arr.cast(pa.timestamp("us")),
+            "gap_us": gap,
+        })
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pyarrow")
+
+
+def q_lineitem_grouping_sets(sf_dir: str) -> Dataset:
+    """GROUP BY GROUPING SETS ((returnflag), (linestatus)) — the
+    grouping-sets shape beyond ROLLUP/CUBE: two independent single-key
+    levels, both folded from the same materialized 6-row level-2
+    partial table (one lineitem scan total)."""
+    level2 = _lineitem_level2(sf_dir)
+
+    def fold(key: str, null_key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            g = b.group_by([key]).aggregate(
+                [("p_qty", "sum"), ("p_n", "sum")])
+            cols = {
+                "l_returnflag": g.column(key) if key == "l_returnflag"
+                else pa.array([None] * g.num_rows, pa.string()),
+                "l_linestatus": g.column(key) if key == "l_linestatus"
+                else pa.array([None] * g.num_rows, pa.string()),
+                "sum_qty": round_sql(g.column("p_qty_sum"), 2),
+                "n_items": g.column("p_n_sum"),
+            }
+            return pa.table(cols)
+        return fn
+
+    return level2.map_batches(fold("l_returnflag", "l_linestatus"),
+                              batch_format="pyarrow", batch_size=None) \
+        .union(level2.map_batches(fold("l_linestatus", "l_returnflag"),
+                                  batch_format="pyarrow", batch_size=None))
+
+
+def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
+    """EXACT n-gram Jaccard near-dup pairs, oracle-checked — the exact
+    twin of the MinHash estimate (LLM-pipeline dedup suite): word
+    3-gram shingle sets, pairs generated DISTRIBUTED via an inverted
+    shingle index (flat_map shingles → co-shingle join → per-pair
+    intersection counts → two hash joins against the per-doc set
+    sizes), jaccard = |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5.
+
+    Scale shape: no driver-side state — candidate pairs exist only for
+    docs sharing a shingle, intersection counts come from a groupby on
+    the pair key, and set sizes arrive by join (not broadcast).  On
+    prose corpora, stop-shingle filtering (drop shingles above a
+    document-frequency cap) bounds the inverted-index fanout; this
+    corpus's uniform vocabulary needs none."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def shingles(b: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            toks = (txt or "").split(" ")
+            for s in {" ".join(toks[i:i + 3])
+                      for i in range(len(toks) - 2)}:
+                ids.append(did)
+                shs.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(shs, pa.string())})
+
+    sh = ds.map_batches(shingles, batch_format="pyarrow").materialize()
+    sizes = sh.groupby("doc_id").aggregate(Count("sh", alias_name="n"))
+
+    # inverted index: co-occurring (a < b) doc pairs per shingle, then
+    # the per-pair common-shingle count
+    pairs = sh.join(sh.map_batches(
+        lambda b: b.rename_columns(["doc_id_b", "sh"]),
+        batch_format="pyarrow"), join_type="inner",
+        num_partitions=8, on=("sh",)) \
+        .map_batches(
+            lambda b: (lambda f: pa.table(
+                {"id_a": f.column("doc_id"),
+                 "id_b": f.column("doc_id_b")}))(
+                b.filter(pc.less(b.column("doc_id"),
+                                 b.column("doc_id_b")))),
+            batch_format="pyarrow")
+    inter = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count("id_a", alias_name="c"))
+
+    sized = inter.join(
+        sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_a",)) \
+        .join(
+        sizes.map_batches(lambda b: b.rename_columns(["id_b", "n_b"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_b",))
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        sim = c / (na + nb - c)
+        keep = sim >= 0.5
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "jaccard": round_sql(pa.array(sim[keep], pa.float64()), 6),
+        })
+
+    return sized.map_batches(score, batch_format="pyarrow")

@@ -357,3 +357,34 @@ def test_label_propagation_matches_union_find(ray_session):
     want = representatives_from_pairs(canon_pairs, nodes)
     assert got == {i: want[i] for i in nodes}
     assert got[104] == 100  # chain collapsed across 4 rounds
+
+
+def test_jaccard_pairs_exact_vs_local(ray_session):
+    """q_documents_jaccard_pairs (inverted-index distributed exact
+    jaccard) equals a brute-force O(n²) local computation."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_documents_jaccard_pairs
+    from ocr_engine_ray.util import round_sql_f
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    sets = {}
+    for r in docs:
+        toks = (r["text"] or "").split(" ")
+        sets[r["doc_id"]] = {" ".join(toks[i:i + 3])
+                             for i in range(len(toks) - 2)}
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            sim = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if sim >= 0.5:
+                expected[(a, b)] = round_sql_f(sim, 6)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in q_documents_jaccard_pairs(sf).take_all()}
+    assert got == expected and expected  # corpus seeds exact dups
