@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_topk_ivf": q.q_embeddings_ann_topk_ivf,
         # multimodal plumbing + resumable/lineage pipeline
         "media_decode": q.q_media_decode,
+        "media_resize_plan": q.q_media_resize_plan,
+        "media_frame_sample": q.q_media_frame_sample,
         "flagship_resumable": q.q_flagship_resumable,
         # windows / set ops / export shaping / anti-join / sampling
         "events_sessionize": q.q_events_sessionize,
@@ -380,6 +382,53 @@ def oracle_sql() -> dict[str, str]:
         FROM n
     """
 
+    media_resize_sql = f"""
+        WITH h AS (
+          SELECT media_id, conv_id, turn_idx, to_hex(payload) AS hx
+          FROM {media}
+          WHERE octet_length(payload) >= 16
+            AND substr(to_hex(payload), 1, 16) = '46414B45494D4731'),
+        dims AS (
+          SELECT media_id, conv_id, turn_idx,
+                 CAST({le32(9)} AS BIGINT)  AS w,
+                 CAST({le32(13)} AS BIGINT) AS h
+          FROM h)
+        SELECT media_id, conv_id, turn_idx, w AS width, h AS height,
+               CASE WHEN greatest(w, h) > 256
+                    THEN w * 256 // greatest(w, h) ELSE w END AS new_width,
+               CASE WHEN greatest(w, h) > 256
+                    THEN h * 256 // greatest(w, h) ELSE h END AS new_height
+        FROM dims
+    """
+    media_frames_sql = f"""
+        WITH h AS (
+          SELECT media_id, conv_id, turn_idx, payload, to_hex(payload) AS hx,
+                 CAST(octet_length(payload) AS BIGINT) AS plen
+          FROM {media}
+          WHERE octet_length(payload) >= 16
+            AND substr(to_hex(payload), 1, 16) = '46414B4556494431'),
+        f AS (
+          SELECT media_id, conv_id, turn_idx, hx, plen,
+                 CAST({le32(9)} AS BIGINT) AS nf
+          FROM h),
+        idx AS (
+          SELECT media_id, conv_id, turn_idx, hx, plen,
+                 CAST(unnest(range(0, nf, 30)) AS BIGINT) AS frame_idx
+          FROM f),
+        -- DuckDB 1.0 has no BLOB substring: slice the hex encoding
+        -- (2 chars per byte) of the 16-byte frame directly
+        sl AS (
+          SELECT media_id, conv_id, turn_idx, frame_idx,
+                 lower(substr(hx,
+                              CAST(2 * (16 + (frame_idx * 16)
+                                   % greatest(1, plen - 16)) + 1 AS BIGINT),
+                              32)) AS fr
+          FROM idx)
+        SELECT media_id, conv_id, turn_idx, frame_idx,
+               CASE WHEN fr = '' THEN repeat('00', 16) ELSE fr END
+                   AS frame_hex
+        FROM sl
+    """
     media_sql = f"""
         WITH h AS (
           SELECT media_id, conv_id, turn_idx, kind, mime,
@@ -402,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "export_rows": export_sql,
         "unapproved_vendors": unapproved_sql,
         "media_decode": media_sql,
+        "media_resize_plan": media_resize_sql,
+        "media_frame_sample": media_frames_sql,
         "transcripts_dedup_exact": f"""
             SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,
                    ANY_VALUE(tool) AS tool, MIN(ts) AS ts

@@ -1447,3 +1447,36 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
         })
 
     return sized.map_batches(score, batch_format="pyarrow")
+
+
+def q_media_resize_plan(sf_dir: str) -> Dataset:
+    """Image-resize stage (multimodal suite): aspect-preserving integer
+    fit-within-256 geometry in an actor pool; the stub payload rewrite
+    is pytest-covered, while the GEOMETRY — parsed from the same binary
+    headers — is hash-checked by a DuckDB oracle (to_hex nibble
+    arithmetic, like media_decode)."""
+    from ..stages.multimodal import resize_media
+
+    ds = rd.read_parquet(media_parquet_path(sf_dir))
+    return resize_media(ds, max_dim=256).select_columns(
+        ["media_id", "conv_id", "turn_idx", "width", "height",
+         "new_width", "new_height"])
+
+
+def q_media_frame_sample(sf_dir: str) -> Dataset:
+    """Video frame-sampling stage (1→N fanout in an actor pool): one row
+    per every-30th frame — the DuckDB oracle re-derives each frame slice
+    from the same payload blob (frame count from the little-endian
+    header, per-frame byte offsets modulo body length), so the whole
+    fanout is hash-checked.  Frame bytes project to hex for the compare
+    (binary columns sort as unhashable bytearray in the pandas layer;
+    the stage itself emits real binary frames, pytest-pinned)."""
+    from ..stages.multimodal import sample_frames
+
+    ds = rd.read_parquet(media_parquet_path(sf_dir))
+    return sample_frames(ds, every_n=30).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("frame"), "frame_hex",
+            pa.array([f.hex() for f in b.column("frame").to_pylist()],
+                     pa.string())),
+        batch_format="pyarrow")

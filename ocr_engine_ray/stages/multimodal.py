@@ -173,3 +173,117 @@ def frame_sample_stub(payload: bytes, every_n: int = 30) -> list[bytes]:
             frames.append(body[start:start + 16] or b"\x00" * 16)
         return frames
     raise NotImplementedError("real video decode requires ffmpeg/pyav")
+
+
+class MediaResizer:
+    """Actor-pool image-resize stage — the plumbing (schema, batch
+    sizing, actor lifecycle, 1→1 payload rewrite) is real; the pixel
+    work is a deterministic STUB because no image codec ships in this
+    container.  Fit-within-``max_dim`` integer geometry::
+
+        scale only when max(w, h) > max_dim
+        new_w = w * max_dim // max(w, h)   (floor, aspect-preserving)
+
+    The stub output payload is a rewritten FAKE header with the new
+    dimensions plus the body truncated proportionally — same data
+    movement as a real resize (smaller payload out)."""
+
+    def __init__(self, max_dim: int = 256) -> None:
+        self.max_dim = max_dim
+        try:  # real codec path (not present in this container)
+            import PIL.Image  # noqa: F401
+            self.real_codecs = True
+        except ImportError:
+            self.real_codecs = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_codecs:  # pragma: no cover - libs absent in sandbox
+            raise NotImplementedError(
+                "real image resize not implemented in this environment")
+        md = self.max_dim
+        w_out, h_out, nw_out, nh_out, pay_out, keep = [], [], [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            if len(p) < 16 or p[:8] != b"FAKEIMG1":
+                keep.append(False)
+                continue
+            keep.append(True)
+            w, h = struct.unpack("<II", p[8:16])
+            big = max(w, h)
+            if big > md:
+                nw, nh = w * md // big, h * md // big
+            else:
+                nw, nh = w, h
+            body = p[16:]
+            new_len = min(len(body), max(1, nw * nh // 8))
+            w_out.append(w)
+            h_out.append(h)
+            nw_out.append(nw)
+            nh_out.append(nh)
+            pay_out.append(b"FAKEIMG1" + struct.pack("<II", nw, nh)
+                           + body[:new_len])
+        sub = batch.filter(pa.array(keep)).drop_columns(["payload"])
+        sub = sub.append_column("width", pa.array(w_out, pa.int64()))
+        sub = sub.append_column("height", pa.array(h_out, pa.int64()))
+        sub = sub.append_column("new_width", pa.array(nw_out, pa.int64()))
+        sub = sub.append_column("new_height", pa.array(nh_out, pa.int64()))
+        sub = sub.append_column("payload", pa.array(pay_out, pa.binary()))
+        return sub
+
+
+def resize_media(ds, max_dim: int = 256, concurrency: int | None = None):
+    """image rows → aspect-preserving resized payloads (actor pool)."""
+    from ..util import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size(cap=8)
+    return ds.map_batches(MediaResizer, batch_format="pyarrow",
+                          fn_constructor_kwargs={"max_dim": max_dim},
+                          batch_size=MEDIA_BATCH_SIZE,
+                          concurrency=concurrency, num_cpus=1)
+
+
+class FrameSampler:
+    """Actor-pool 1→N video frame-sampling stage (``flat_map`` shape via
+    map_batches returning more rows than input): every ``every_n``-th
+    frame becomes its own row.  Real plumbing, STUB frame extraction
+    (:func:`frame_sample_stub`); non-video rows are dropped."""
+
+    def __init__(self, every_n: int = 30) -> None:
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, cids, tixs, fidx, frames = [], [], [], [], []
+        for mid, cid, tix, p in zip(batch.column("media_id").to_pylist(),
+                                    batch.column("conv_id").to_pylist(),
+                                    batch.column("turn_idx").to_pylist(),
+                                    batch.column("payload").to_pylist()):
+            p = p or b""
+            if len(p) < 16 or p[:8] != b"FAKEVID1":
+                continue
+            for k, frame in enumerate(frame_sample_stub(p, self.every_n)):
+                ids.append(mid)
+                cids.append(cid)
+                tixs.append(tix)
+                fidx.append(k * self.every_n)
+                frames.append(frame)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "conv_id": pa.array(cids, pa.string()),
+            "turn_idx": pa.array(tixs, pa.int32()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(ds, every_n: int = 30, concurrency: int | None = None):
+    """video rows → one row per sampled frame (actor pool, small
+    batches — output fanout is n_frames/every_n rows per video)."""
+    from ..util import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size(cap=8)
+    return ds.map_batches(FrameSampler, batch_format="pyarrow",
+                          fn_constructor_kwargs={"every_n": every_n},
+                          batch_size=MEDIA_BATCH_SIZE,
+                          concurrency=concurrency, num_cpus=1)

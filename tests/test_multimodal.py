@@ -59,3 +59,52 @@ def test_frame_sample_stub():
     assert len(frames) >= 1
     with pytest.raises(NotImplementedError):
         frame_sample_stub(b"JUNKJUNKJUNKJUNK1234")
+
+
+def test_resize_media_geometry_and_payload(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.multimodal import resize_media
+
+    ds = rd.from_arrow(synth_media(60, seed=3)).repartition(3)
+    out = pa.Table.from_pylist(
+        resize_media(ds, max_dim=64, concurrency=2).take_all())
+    assert out.num_rows == 20  # one third of the corpus is images
+    for r in out.to_pylist():
+        w, h, nw, nh = (r["width"], r["height"],
+                        r["new_width"], r["new_height"])
+        if max(w, h) > 64:
+            assert max(nw, nh) <= 64
+            assert (nw, nh) == (w * 64 // max(w, h), h * 64 // max(w, h))
+        else:
+            assert (nw, nh) == (w, h)
+        # payload header rewritten, body never grows
+        assert r["payload"][:8] == b"FAKEIMG1"
+        assert struct.unpack("<II", r["payload"][8:16]) == (nw, nh)
+        assert len(r["payload"]) <= 16 + max(1, nw * nh // 8)
+
+
+def test_sample_frames_fanout(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.multimodal import sample_frames
+
+    tab = synth_media(60, seed=3)
+    ds = rd.from_arrow(tab).repartition(3)
+    out = pa.Table.from_pylist(
+        sample_frames(ds, every_n=30, concurrency=2).take_all())
+    vids = {r["media_id"]: r["payload"]
+            for r in tab.to_pylist() if r["kind"] == "video"}
+    expected = {}
+    for mid, p in vids.items():
+        for k, fr in enumerate(frame_sample_stub(p, every_n=30)):
+            expected[(mid, k * 30)] = fr
+    got = {(r["media_id"], r["frame_idx"]): r["frame"]
+           for r in out.to_pylist()}
+    assert got == expected and expected
+    nf0 = struct.unpack("<II", next(iter(vids.values()))[8:16])[0]
+    assert nf0 >= 1  # fanout exercised
