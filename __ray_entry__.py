@@ -72,9 +72,19 @@ def _date_parse_sql(t: str) -> str:
         return (f"try_cast(regexp_extract(x, '{pat}', "
                 f"['a','b','c'])['{key}'] AS BIGINT)")
 
+    # explicit replica of core/dates.MONTHS (try_strptime '%b' rejects
+    # 'sept', and an explicit CASE pins case-insensitivity exactly)
+    _MONTH_CASES = " ".join(
+        f"WHEN '{name}' THEN {num}" for name, num in (
+            ("jan", 1), ("feb", 2), ("mar", 3), ("apr", 4), ("may", 5),
+            ("jun", 6), ("jul", 7), ("aug", 8), ("sep", 9), ("oct", 10),
+            ("nov", 11), ("dec", 12), ("january", 1), ("february", 2),
+            ("march", 3), ("april", 4), ("june", 6), ("july", 7),
+            ("august", 8), ("september", 9), ("october", 10),
+            ("november", 11), ("december", 12), ("sept", 9)))
+
     def month_num(tok_expr):
-        return (f"COALESCE(month(try_strptime({tok_expr}, '%b')), "
-                f"month(try_strptime({tok_expr}, '%B')))")
+        return f"(CASE lower({tok_expr}) {_MONTH_CASES} ELSE NULL END)"
 
     pat1 = r"\b(\d{1,2})[/.\-](\d{1,2})[/.\-](\d{2,4})\b"
     a, b, c = (grp(pat1, k) for k in "abc")
@@ -107,7 +117,30 @@ def _date_parse_sql(t: str) -> str:
     m5 = month_num(f"regexp_extract(x, '{pat5}', ['a','b','c'])['a']")
     p5 = _first_parseable(t, pat5, _mkdate(_wy(c), m5, b))
 
-    return f"COALESCE({p1}, {p2}, {p3}, {p4}, {p5})"
+    # family 6: space-separated numeric triple ('12 3 2024'), DMY→MDY
+    pat6 = r"\b(\d{1,2})\s+(\d{1,2})\s+(\d{2,4})\b"
+    a, b, c = (grp(pat6, k) for k in "abc")
+    p6 = _first_parseable(
+        t, pat6, f"COALESCE({_mkdate(_wy(c), b, a)}, {_mkdate(_wy(c), a, b)})")
+
+    return f"COALESCE({p1}, {p2}, {p3}, {p4}, {p5}, {p6})"
+
+
+def _item_cents_sql(cell: str) -> str:
+    """Item money cell → cents, replaying parse_money_cents including
+    its fallback: strip non-numerics and parse; on failure, the first
+    price-looking token (``-?\\d+(?:[.,]\\d{{1,2}})?``, ',' as decimal
+    point).  try_cast throughout — a junk cell yields NULL (Python's
+    None), never a query-aborting conversion error.  (Exactness note:
+    half-up vs DOUBLE rounding can differ on >2-decimal amounts; the
+    corpus grammar emits exactly 2 decimals, as the validation runs
+    prove.)"""
+    return f"""CASE WHEN {cell} = '' THEN NULL ELSE COALESCE(
+        CAST(round(try_cast(regexp_replace({cell}, '[^0-9.\\-]', '', 'g')
+             AS DOUBLE) * 100) AS BIGINT),
+        CAST(round(try_cast(replace(regexp_extract({cell},
+             '-?\\d+(?:[.,]\\d{{1,2}})?'), ',', '.')
+             AS DOUBLE) * 100) AS BIGINT)) END"""
 
 
 def _money_str_sql(c: str) -> str:
@@ -155,12 +188,8 @@ def _items_rollup_ctes(transcripts: str, norm_expr: str) -> str:
     itemrows AS (
       SELECT conv_id, turn_idx,
              try_cast(cs[2] AS BIGINT) AS qty,
-             CASE WHEN cs[3] = '' THEN NULL ELSE CAST(round(
-               regexp_replace(cs[3], '[^0-9.\\-]', '', 'g')::DOUBLE * 100)
-               AS BIGINT) END AS unit_cents,
-             CASE WHEN cs[4] = '' THEN NULL ELSE CAST(round(
-               regexp_replace(cs[4], '[^0-9.\\-]', '', 'g')::DOUBLE * 100)
-               AS BIGINT) END AS total_cents
+             {_item_cents_sql('cs[3]')} AS unit_cents,
+             {_item_cents_sql('cs[4]')} AS total_cents
       FROM cells
       WHERE len(cs) >= 4
         AND (cs[2] = '' OR try_cast(cs[2] AS BIGINT) IS NOT NULL)),
@@ -689,10 +718,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase' AND value > 50.0
         """,
         "events_first_last": """
+            -- tie-break pinned: order by the same packed
+            -- (zero-padded ts, event_type) string the Ray side mins/maxes,
+            -- so duplicate (user_id, ts) rows cannot diverge by scan order
             SELECT user_id,
-                   arg_min(event_type, ts) AS first_event,
-                   arg_max(event_type, ts) AS last_event,
-                   COUNT(*)                AS n_events
+                   arg_min(event_type, lpad(epoch_us(ts)::VARCHAR, 19, '0')
+                           || chr(31) || event_type) AS first_event,
+                   arg_max(event_type, lpad(epoch_us(ts)::VARCHAR, 19, '0')
+                           || chr(31) || event_type) AS last_event,
+                   COUNT(*)                          AS n_events
             FROM events GROUP BY user_id
         """,
         "documents_dedup_exact": """

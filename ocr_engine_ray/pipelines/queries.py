@@ -795,7 +795,10 @@ def q_events_weighted_sample(sf_dir: str) -> Dataset:
 
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "value"])
-    return weighted_sample(ds, "value", 0.1, ["event_id"], seed=42)
+    # raw parquet read re-executes deterministically: skip the
+    # object-store copy the materialize default exists to provide
+    return weighted_sample(ds, "value", 0.1, ["event_id"], seed=42,
+                           materialize=False)
 
 
 def q_events_reservoir_per_user(sf_dir: str) -> Dataset:
@@ -1351,7 +1354,7 @@ def q_lineitem_grouping_sets(sf_dir: str) -> Dataset:
     partial table (one lineitem scan total)."""
     level2 = _lineitem_level2(sf_dir)
 
-    def fold(key: str, null_key: str):
+    def fold(key: str):
         def fn(b: pa.Table) -> pa.Table:
             g = b.group_by([key]).aggregate(
                 [("p_qty", "sum"), ("p_n", "sum")])
@@ -1366,9 +1369,9 @@ def q_lineitem_grouping_sets(sf_dir: str) -> Dataset:
             return pa.table(cols)
         return fn
 
-    return level2.map_batches(fold("l_returnflag", "l_linestatus"),
+    return level2.map_batches(fold("l_returnflag"),
                               batch_format="pyarrow", batch_size=None) \
-        .union(level2.map_batches(fold("l_linestatus", "l_returnflag"),
+        .union(level2.map_batches(fold("l_linestatus"),
                                   batch_format="pyarrow", batch_size=None))
 
 

@@ -35,8 +35,11 @@ from ..util import default_pool_size
 
 
 def row_digest(parts: tuple) -> bytes:
-    """The ONE row-content digest every exact-dedup path shares (batch,
-    streaming): sha1 over '\\x1f'-terminated str() parts."""
+    """Full-width row digest for the batch dedup's WINNER path: sha1
+    over '\\x1f'-terminated str() parts.  (The streaming path hashes the
+    Arrow-joined length-prefixed key string instead — the two digests
+    are intentionally different keyspaces and never compared; migrating
+    a persisted streaming index to the batch path requires re-hashing.)"""
     h = hashlib.sha1()
     for p in parts:
         h.update(str(p).encode("utf-8", "surrogatepass"))
@@ -45,10 +48,14 @@ def row_digest(parts: tuple) -> bytes:
 
 
 def joined_key_strings(batch: pa.Table, cols: list[str]) -> pa.Array:
-    """``'\\x1f'``-joined string of the key columns, built with Arrow
+    """Unambiguous joined string of the key columns, built with Arrow
     kernels (cast + binary_join_element_wise) — no per-row Python.
-    Nulls render as a sentinel that cannot collide with a real cast
-    value."""
+    Each value is LENGTH-PREFIXED (``len:value``) before joining, so a
+    separator byte inside a value cannot make two distinct key tuples
+    collide (('a\\x1fb','c') vs ('a','b\\x1fc')) — load-bearing for the
+    streaming index, which has no full-width recheck.  Nulls render as
+    a sentinel (colliding only with a literal value equal to the
+    sentinel itself, like the old str(None) encoding)."""
     arrs = []
     for c in cols:
         col = batch.column(c)
@@ -56,15 +63,17 @@ def joined_key_strings(batch: pa.Table, cols: list[str]) -> pa.Array:
             col = pc.cast(col, pa.string())
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "\x00<null>")
         arrs.append(col)
     if len(arrs) == 1:
-        joined = arrs[0]
-        if joined.null_count:
-            joined = pc.fill_null(joined, "\x00<null>")
-        return joined
-    return pc.binary_join_element_wise(
-        *arrs, "\x1f", null_handling="replace",
-        null_replacement="\x00<null>")
+        return arrs[0]
+    prefixed = [
+        pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(col), pa.string()), col, ":")
+        for col in arrs
+    ]
+    return pc.binary_join_element_wise(*prefixed, "\x1f")
 
 
 def add_content_key(batch: pa.Table, cols: list[str],
@@ -379,17 +388,26 @@ def save_dedup_index(index: list, dir_path: str) -> None:
 
     Call AFTER the ingestion run's Dataset has materialized (the
     streaming stage mutates shards while executing; snapshotting
-    mid-run would capture a prefix)."""
+    mid-run would capture a prefix).
+
+    Crash-safe across REPLACEMENT saves too: each snapshot writes its
+    shard files into a content-named generation directory, and the meta
+    file (which names the live generation) is replaced LAST, atomically
+    — a crash anywhere mid-save leaves the previous snapshot fully
+    restorable.  Superseded generations are pruned after commit."""
     import json
     import os
+    import shutil
 
     os.makedirs(dir_path, exist_ok=True)
     meta_path = os.path.join(dir_path, _INDEX_META)
-    if os.path.exists(meta_path):  # replacing an older snapshot
-        os.remove(meta_path)
     blobs = ray.get([s.snapshot.remote() for s in index])
+    gen = "gen-" + hashlib.sha1(
+        b"\x1e".join(blobs) + len(index).to_bytes(4, "big")).hexdigest()[:16]
+    gen_dir = os.path.join(dir_path, gen)
+    os.makedirs(gen_dir, exist_ok=True)
     for i, blob in enumerate(blobs):
-        path = os.path.join(dir_path, f"shard-{i:04d}.bin")
+        path = os.path.join(gen_dir, f"shard-{i:04d}.bin")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -398,10 +416,14 @@ def save_dedup_index(index: list, dir_path: str) -> None:
         os.replace(tmp, path)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"num_shards": len(index), "digest_bytes": 20}, f)
+        json.dump({"num_shards": len(index), "digest_bytes": 20,
+                   "generation": gen}, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, meta_path)
+    os.replace(tmp, meta_path)  # commit point
+    for name in os.listdir(dir_path):
+        if name.startswith("gen-") and name != gen:
+            shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
 
 
 def load_dedup_index(dir_path: str) -> list:
@@ -414,10 +436,11 @@ def load_dedup_index(dir_path: str) -> list:
     meta_path = os.path.join(dir_path, _INDEX_META)
     with open(meta_path) as f:
         meta = json.load(f)
+    gen_dir = os.path.join(dir_path, meta["generation"])
     index = make_dedup_index(meta["num_shards"])
     futures = []
     for i, shard in enumerate(index):
-        path = os.path.join(dir_path, f"shard-{i:04d}.bin")
+        path = os.path.join(gen_dir, f"shard-{i:04d}.bin")
         with open(path, "rb") as f:
             futures.append(shard.restore.remote(f.read()))
     ray.get(futures)

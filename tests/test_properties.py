@@ -171,3 +171,52 @@ def test_no_unsafe_rounding_in_query_surface():
         if re.search(r"(?<![_.\w])round\(", line):
             assert ("approx_distinct" in line or line.lstrip().startswith("#")
                     or '"' in line.replace('round("', "")), line
+
+
+def test_date_oracle_twin_matches_find_date():
+    """The DuckDB date twin (__ray_entry__._date_parse_sql) replays
+    core.dates.find_date on every pattern family including the
+    space-separated numeric triple and prefix-table month names
+    ('Sept') that try_strptime rejects."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from ocr_engine_ray.core.dates import find_date
+    from ocr_engine_ray.core.extract import DEFAULT_AS_OF
+
+    cases = [
+        "invoice issued 12 3 2024", "due 5 Sept 2024",
+        "Dated Sept 5, 2024", "Invoice Date: 12/05/2024",
+        "total 1.2.3 junk", "x 31 12 24 y",
+        "Invoice Date: March 5, 2027", "nothing here", "99 99 9999",
+        "5 May 24", "May 5 24", "12.05.24", "20240512", "13131313",
+        "Invoice Date: 2024-11-30", "Invoice Date: 11-30-2024",
+        "Invoice Date: 30 Nov 2024", "page 1\n73,692:ledger",
+    ]
+    con = duckdb.connect()
+    expr = entrymod._date_parse_sql("t")
+    for s in cases:
+        want, _ = find_date(s, DEFAULT_AS_OF)
+        got = con.sql(f"SELECT {expr} FROM (SELECT ? AS t)",
+                      params=[s]).fetchone()[0]
+        assert got == want, (s, got, want)
+
+
+def test_item_cents_oracle_twin_matches_parse_money():
+    """The item money-cell twin (__ray_entry__._item_cents_sql) replays
+    parse_money_cents including the price-token fallback, and never
+    aborts the query on junk cells."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from ocr_engine_ray.core.money import parse_money_cents
+
+    cases = ["1.50", "4.50 |", "$1,234.56", "N/A", "1.2.3", "-",
+             "12", "0.00", "", "abc", "3,50"]
+    con = duckdb.connect()
+    expr = entrymod._item_cents_sql("c")
+    for s in cases:
+        want = parse_money_cents(s) if s.strip() else None
+        got = con.sql(f"SELECT {expr} FROM (SELECT ? AS c)",
+                      params=[s]).fetchone()[0]
+        assert got == want, (s, got, want)
