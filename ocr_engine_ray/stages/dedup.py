@@ -616,16 +616,80 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
     corpora ramp to the same width either way."""
     if concurrency is None:
         concurrency = (1, default_pool_size())
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Max, Sum
 
     sigged = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "k": k, "w": w},
         batch_format="pyarrow", concurrency=concurrency)
+    # materialized once: the multi-member-bucket detection pass and the
+    # pair-emitting pass both consume it (re-execution would re-run the
+    # MinHasher); 3 int columns × bands rows per doc — tiny vs the corpus
     band_rows = sigged.select_columns(["minhash_sig", id_col]).map_batches(
-        lambda b: lsh_band_rows(b, id_col, bands), batch_format="pyarrow")
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
+        lambda b: lsh_band_rows(b, id_col, bands),
+        batch_format="pyarrow").materialize()
+
+    # Singleton buckets emit no pairs but dominated the old
+    # groupby(band).map_groups wall time (one Python call per bucket ≈
+    # one per doc×bands — the known ~9k-groups/s ceiling; measured 8.7 s
+    # of a 5k-doc run).  Find the RARE multi-member buckets first via
+    # per-batch partial counts over a combined uint64 bucket key (a
+    # wrap/collision only marks a false multi-member bucket — harmless,
+    # the real groupby below still keys on the true bucket columns) and
+    # only those rows enter the per-bucket pair pass.
+    def _bucket_key(b: pa.Table) -> np.ndarray:
+        h = b.column("band_hash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bid = b.column("band_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return (h << np.uint64(6)) ^ bid
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"bk": pa.array(_bucket_key(b), pa.uint64())})
+        g = t.group_by("bk").aggregate([("bk", "count")])
+        return g.rename_columns(["bk", "p_n"])
+
+    partials = band_rows.map_batches(partial_counts, batch_format="pyarrow")
+    DRIVER_REDUCE_CAP = 20_000_000  # same bound/rationale as dedup_exact
+    key_parts, cnt_parts, total = [], [], 0
+    for cb in partials.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+        total += cb.num_rows
+        if total > DRIVER_REDUCE_CAP:
+            key_parts = []
+            break
+        key_parts.append(cb.column("bk").to_numpy(zero_copy_only=False))
+        cnt_parts.append(cb.column("p_n").to_numpy(zero_copy_only=False))
+    if key_parts or total == 0:
+        if total == 0:
+            multi = []
+        else:
+            keys = np.concatenate(key_parts)
+            cnts = np.concatenate(cnt_parts)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            multi = uniq[np.bincount(inv, weights=cnts) > 1].tolist()
+    else:
+        counts = partials.groupby("bk").aggregate(Sum("p_n", alias_name="n"))
+        multi = []
+        for cb in counts.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+            sub = cb.filter(pc.greater(cb.column("n"), 1))
+            multi.extend(sub.column("bk").to_pylist())
+    multi_ref = ray.put(sorted(multi))
+
+    def keep_multi(b: pa.Table) -> pa.Table:
+        ref_hex = multi_ref.hex()
+        cached = _DEDUP_VALUE_SET.get("minhash_multi")
+        if cached is None or cached[0] != ref_hex:
+            cached = (ref_hex, pa.array(ray.get(multi_ref), pa.uint64()))
+            _DEDUP_VALUE_SET["minhash_multi"] = cached
+        mask = pc.is_in(pa.array(_bucket_key(b), pa.uint64()),
+                        value_set=cached[1])
+        return b.filter(mask)
+
+    pairs = band_rows.map_batches(keep_multi, batch_format="pyarrow") \
+        .groupby(["band_id", "band_hash"]).map_groups(
+            lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
     # distinct pairs (a pair can surface from several bands); vectorized
     # aggregate, and capped survives as max so any star-capped sighting
     # of the pair is visible downstream
