@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": q.q_events_lag_delta,
         "lineitem_grouping_sets": q.q_lineitem_grouping_sets,
         "documents_jaccard_pairs": q.q_documents_jaccard_pairs,
+        # decontamination: exact (oracle-checked) + LSH scale path
+        "documents_decontaminate": q.q_documents_decontaminate,
+        "documents_decontaminate_lsh": q.q_documents_decontaminate_lsh,
     }
 
 
@@ -652,6 +655,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT)  AS n_items
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "documents_decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            b AS (SELECT doc_id AS bench_id, sh FROM s
+                  WHERE substr(md5(doc_id::VARCHAR || chr(31) || '7'),
+                               1, 8) <= '0ccccccc'),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id, b.bench_id,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN b
+                        ON a.sh = b.sh AND a.doc_id <> b.bench_id
+                      GROUP BY a.doc_id, b.bench_id)
+            SELECT inter.doc_id, bench_id,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter JOIN sizes sa ON inter.doc_id = sa.doc_id
+                       JOIN sizes sb ON inter.bench_id = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         """,
         "documents_jaccard_pairs": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -1483,3 +1483,97 @@ def q_media_frame_sample(sf_dir: str) -> Dataset:
             pa.array([f.hex() for f in b.column("frame").to_pylist()],
                      pa.string())),
         batch_format="pyarrow")
+
+
+def _doc_shingle_rows(out_id: str):
+    """doc batch → (out_id, sh) distinct word-3-gram rows, tokenized
+    with the SQL-parity split-on-single-space (string_split twin)."""
+    def fn(b: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            toks = (txt or "").split(" ")
+            for s in {" ".join(toks[i:i + 3])
+                      for i in range(len(toks) - 2)}:
+                ids.append(did)
+                shs.append(s)
+        return pa.table({out_id: pa.array(ids, pa.int64()),
+                         "sh": pa.array(shs, pa.string())})
+    return fn
+
+
+def q_documents_decontaminate(sf_dir: str) -> Dataset:
+    """Training-data DECONTAMINATION, exact: find every document whose
+    text is a near-duplicate (word-3-gram Jaccard ≥ 0.5) of any doc in
+    a held-out benchmark set (a deterministic ~5 % sample the oracle
+    replays via the md5 predicate).  Directional pairs
+    (doc_id, bench_id), identity excluded — the rows a pipeline would
+    DROP before training.  Same distributed inverted-index shape as
+    q_documents_jaccard_pairs (co-shingle join, per-pair counts, size
+    joins — no driver state); q_documents_decontaminate_lsh is the
+    approximate scale path over the same semantics."""
+    from ray.data.aggregate import Count
+
+    from ..stages.partition import deterministic_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    bench = deterministic_sample(ds, 0.05, ["doc_id"], seed=7)
+    sa = ds.map_batches(_doc_shingle_rows("doc_id"),
+                        batch_format="pyarrow").materialize()
+    sb = bench.map_batches(_doc_shingle_rows("bench_id"),
+                           batch_format="pyarrow").materialize()
+    inter = sa.join(sb, join_type="inner", num_partitions=8,
+                    on=("sh",)) \
+        .map_batches(
+            lambda b: b.filter(pc.not_equal(
+                b.column("doc_id"), b.column("bench_id")))
+                       .select(["doc_id", "bench_id"]),
+            batch_format="pyarrow") \
+        .groupby(["doc_id", "bench_id"]).aggregate(
+            Count("doc_id", alias_name="c"))
+    sizes_a = sa.groupby("doc_id").aggregate(Count("sh", alias_name="n_a"))
+    sizes_b = sb.groupby("bench_id").aggregate(Count("sh", alias_name="n_b"))
+    sized = inter.join(sizes_a, join_type="inner", num_partitions=8,
+                       on=("doc_id",)) \
+        .join(sizes_b, join_type="inner", num_partitions=8,
+              on=("bench_id",))
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        sim = c / (na + nb - c)
+        keep = sim >= 0.5
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "bench_id": t.column("bench_id"),
+            "jaccard": round_sql(pa.array(sim[keep], pa.float64()), 6),
+        })
+
+    return sized.map_batches(score, batch_format="pyarrow")
+
+
+def q_documents_decontaminate_lsh(sf_dir: str) -> Dataset:
+    """The approximate scale path of q_documents_decontaminate:
+    cross-table MinHash/LSH join (stages/dedup.minhash_join) of the
+    corpus against the same deterministic benchmark sample.  Rows-only
+    (recall < 1 by LSH construction); pytest pins subset-of-exact and
+    exact-duplicate recall."""
+    from ..stages.dedup import minhash_join
+    from ..stages.partition import deterministic_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    bench = deterministic_sample(ds, 0.05, ["doc_id"], seed=7)
+    pairs = minhash_join(ds, bench, "doc_id", "doc_id", threshold=0.5)
+    return pairs.map_batches(
+        lambda b: (lambda f: pa.table({
+            "doc_id": f.column("id_a"),
+            "bench_id": f.column("id_b"),
+            "jaccard": round_sql(f.column("jaccard"), 6),
+        }))(b.filter(pc.not_equal(b.column("id_a"), b.column("id_b")))),
+        batch_format="pyarrow")

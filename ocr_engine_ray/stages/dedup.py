@@ -1183,3 +1183,76 @@ def embedding_neardup_lsh(ds: Dataset, id_col: str = "vec_id",
         })
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+def minhash_join(ds_a: Dataset, ds_b: Dataset, id_col_a: str, id_col_b: str,
+                 text_col: str = "text", threshold: float = 0.7,
+                 k: int = 64, bands: int = 16, w: int = 3,
+                 num_partitions: int | None = None) -> Dataset:
+    """Approximate CROSS-TABLE similarity join (LSH bucketing on both
+    sides) — the decontamination shape: find rows of ``ds_a`` whose text
+    is near-duplicate (exact n-gram Jaccard ≥ ``threshold`` after LSH
+    candidate generation) of ANY row of ``ds_b`` (e.g. a benchmark /
+    eval set).  Returns ``(id_a, id_b, jaccard)``.
+
+    Scale shape: both sides band with the SAME minhash coefficients
+    (seeded in the MinHasher), candidates come from one hash-partitioned
+    ``Dataset.join`` on (band_id, band_hash) — co-located buckets, no
+    broadcast, no driver state; text re-attaches to the candidate pairs
+    by two more hash joins and the exact Jaccard verifies per batch.
+    Recall < 1 by LSH construction (a pair sharing no band never
+    surfaces); exact duplicates share every band and always surface.
+    ``ds_b`` is typically small (a benchmark set), so its band rows are
+    a thin join side; a degenerate common bucket fans out |A∩bucket| ×
+    |B∩bucket| candidate rows — bound ``ds_b`` or raise bands/k if that
+    bites."""
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(16, cpus // 2))
+
+    def bandify(ds: Dataset, id_col: str, out_id: str) -> Dataset:
+        sigged = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"text_col": text_col, "k": k, "w": w},
+            batch_format="pyarrow", concurrency=(1, default_pool_size()))
+        return sigged.select_columns(["minhash_sig", id_col]).map_batches(
+            lambda b: lsh_band_rows(b, id_col, bands).rename_columns(
+                ["band_id", "band_hash", out_id]),
+            batch_format="pyarrow")
+
+    # pair side materialized for the same pool-starvation reason as
+    # _verify_pairs_join: candidate ids are tiny, and chaining the two
+    # MinHasher pools into the verify joins' aggregators in one DAG can
+    # reserve every CPU on small clusters
+    cands = bandify(ds_a, id_col_a, "id_a") \
+        .join(bandify(ds_b, id_col_b, "id_b"), join_type="inner",
+              num_partitions=num_partitions, on=("band_id", "band_hash")) \
+        .map_batches(lambda b: b.select(["id_a", "id_b"]),
+                     batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).aggregate(Count("id_a", alias_name="_n")) \
+        .map_batches(lambda b: b.drop_columns(["_n"]),
+                     batch_format="pyarrow").materialize()
+
+    a_side = ds_a.select_columns([id_col_a, text_col]).map_batches(
+        lambda b: b.rename_columns(["id_a", "text_a"]), batch_format="pyarrow")
+    b_side = ds_b.select_columns([id_col_b, text_col]).map_batches(
+        lambda b: b.rename_columns(["id_b", "text_b"]), batch_format="pyarrow")
+    with_ab = cands.join(a_side, join_type="inner",
+                         num_partitions=num_partitions, on=("id_a",)) \
+        .join(b_side, join_type="inner",
+              num_partitions=num_partitions, on=("id_b",))
+
+    def score(b: pa.Table) -> pa.Table:
+        sims = [jaccard(word_shingles(x or "", w), word_shingles(y or "", w))
+                for x, y in zip(b.column("text_a").to_pylist(),
+                                b.column("text_b").to_pylist())]
+        out = b.drop_columns(["text_a", "text_b"]).append_column(
+            "jaccard", pa.array(sims, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return with_ab.map_batches(score, batch_format="pyarrow")

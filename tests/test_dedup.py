@@ -388,3 +388,37 @@ def test_jaccard_pairs_exact_vs_local(ray_session):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in q_documents_jaccard_pairs(sf).take_all()}
     assert got == expected and expected  # corpus seeds exact dups
+
+
+def test_minhash_join_decontamination(ray_session):
+    """Cross-table LSH join: (a) exact duplicates of a benchmark row
+    always surface (they share every band), (b) every returned pair
+    clears the threshold with its true jaccard, (c) results are a
+    subset of the brute-force exact join."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import minhash_join
+
+    corpus = [{"doc_id": i, "text": BASE + f" filler{i} " + BASE[::-1][:40]}
+              for i in range(20)]
+    corpus[5]["text"] = BASE                       # exact dup of bench 0
+    corpus[9]["text"] = BASE.replace("lazy", "sleepy")  # near-dup
+    bench = [{"doc_id": 100, "text": BASE},
+             {"doc_id": 101, "text": "entirely unrelated benchmark row "
+                                     "about submarines and volcanoes"}]
+    a = rd.from_arrow(pa.Table.from_pylist(corpus)).repartition(3)
+    b = rd.from_arrow(pa.Table.from_pylist(bench))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_join(a, b, "doc_id", "doc_id",
+                                 threshold=0.5).take_all()}
+    assert (5, 100) in got and got[(5, 100)] == 1.0
+    assert (9, 100) in got
+    # exact brute-force superset check
+    exact = set()
+    for r in corpus:
+        for s in bench:
+            j = jaccard(word_shingles(r["text"]), word_shingles(s["text"]))
+            if j >= 0.5:
+                exact.add((r["doc_id"], s["doc_id"]))
+    assert set(got) <= exact
+    assert all(v >= 0.5 for v in got.values())
