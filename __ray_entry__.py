@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination: exact (oracle-checked) + LSH scale path
         "documents_decontaminate": q.q_documents_decontaminate,
         "documents_decontaminate_lsh": q.q_documents_decontaminate_lsh,
+        # extraction → rollup composition under the hash gate
+        "transcripts_conv_rollup_fields": q.q_transcripts_conv_rollup_fields,
     }
 
 
@@ -413,6 +415,21 @@ def oracle_sql() -> dict[str, str]:
                CAST({_date_parse_sql('t')} AS TIMESTAMP) AS invoice_date
         FROM n
     """
+    conv_rollup_fields_sql = f"""
+        WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                   FROM {transcripts}),
+        f AS (SELECT conv_id,
+                     {inv_chain} AS inv,
+                     {_date_parse_sql('t')} AS d,
+                     {tot_cents} AS ft
+              FROM n)
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT)             AS n_turns,
+               CAST(COUNT(inv) AS BIGINT)           AS n_invoices,
+               CAST(COUNT(d) AS BIGINT)             AS n_dated,
+               CAST(COALESCE(SUM(ft), 0) AS BIGINT) AS total_cents
+        FROM f GROUP BY conv_id
+    """
 
     media_resize_sql = f"""
         WITH h AS (
@@ -480,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "transcripts_dates": dates_sql,
+        "transcripts_conv_rollup_fields": conv_rollup_fields_sql,
         "export_rows": export_sql,
         "unapproved_vendors": unapproved_sql,
         "media_decode": media_sql,

@@ -1577,3 +1577,33 @@ def q_documents_decontaminate_lsh(sf_dir: str) -> Dataset:
             "jaccard": round_sql(f.column("jaccard"), 6),
         }))(b.filter(pc.not_equal(b.column("id_a"), b.column("id_b")))),
         batch_format="pyarrow")
+
+
+def q_transcripts_conv_rollup_fields(sf_dir: str) -> Dataset:
+    """Extraction → per-conversation rollup COMPOSITION under the hash
+    gate (the A1 shape end-to-end): raw-path field extraction, then
+    per-batch partial aggregation and one conv_id groupby — n_turns,
+    invoices found, dates found, summed final totals.  The shuffle moves
+    one partial row per (conv, batch); the DuckDB twin recomputes every
+    field from its char-exact expression and aggregates in SQL."""
+    from ray.data.aggregate import Sum
+
+    rec = raw_record_build(sf_dir).select_columns(
+        ["conv_id", "invoice_number", "invoice_date", "final_total_cents"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("conv_id").aggregate([
+            ("conv_id", "count"), ("invoice_number", "count"),
+            ("invoice_date", "count"), ("final_total_cents", "sum")])
+        g = g.rename_columns(
+            ["conv_id", "p_turns", "p_inv", "p_dated", "p_cents"])
+        return g.set_column(
+            g.schema.get_field_index("p_cents"), "p_cents",
+            pc.fill_null(g.column("p_cents"), 0))
+
+    return rec.map_batches(partial, batch_format="pyarrow") \
+        .groupby("conv_id").aggregate(
+            Sum("p_turns", alias_name="n_turns"),
+            Sum("p_inv", alias_name="n_invoices"),
+            Sum("p_dated", alias_name="n_dated"),
+            Sum("p_cents", alias_name="total_cents"))
