@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_decontaminate_lsh": q.q_documents_decontaminate_lsh,
         # extraction → rollup composition under the hash gate
         "transcripts_conv_rollup_fields": q.q_transcripts_conv_rollup_fields,
+        "documents_textstats_sql": q.q_documents_textstats_sql,
     }
 
 
@@ -495,7 +496,97 @@ def oracle_sql() -> dict[str, str]:
                ''                          AS decode_error
         FROM h
     """
+    # textstats twin: replays detect_lang (first-2000-char sample, ≤200
+    # lowered tokens, stopword-hit argmax with fixed en>de>fr>es tie
+    # order, hits≥2 floor, CJK density gate) and quality_score (token /
+    # punct / upper counts as regex strips; composite gates multiplied
+    # in the Python order; DuckDB-ROUND 4-decimal parity on both sides)
+    def _sw_list(lang):
+        sws = {
+            "en": "'the','and','of','to','a','in','is','it','that','for'",
+            "de": "'der','die','das','und','ist','nicht','ein','eine','zu','mit'",
+            "fr": "'le','la','les','et','est','une','un','pour','que','dans'",
+            "es": "'el','la','los','las','es','una','un','para','que','con'",
+        }
+        return sws[lang]
+
+    def _hits(lang):
+        return (f"len(list_filter(ltoks, x -> x IN ({_sw_list(lang)}))) "
+                f"AS h_{lang}")
+
+    textstats_sql = f"""
+        WITH base AS (
+          SELECT doc_id, COALESCE(text, '') AS t,
+                 substr(COALESCE(text, ''), 1, 2000) AS smp
+          FROM documents),
+        tok AS (
+          SELECT doc_id, t, smp,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> x <> '') AS toks,
+                 list_transform(
+                   list_filter(regexp_split_to_array(smp, '\\s+'),
+                               x -> x <> '')[1:200],
+                   x -> lower(x)) AS ltoks
+          FROM base),
+        feat AS (
+          SELECT doc_id, t, smp, toks,
+                 CAST(length(t) AS BIGINT) AS n_chars,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT)
+                     AS n_tokchars,
+                 CAST(length(regexp_replace(t, '[\\w\\s]', '', 'g')) AS BIGINT)
+                     AS n_punct,
+                 CAST(length(regexp_replace(t, '[^A-Z]', '', 'g')) AS BIGINT)
+                     AS n_upper,
+                 CAST(len(list_filter(toks,
+                     x -> lower(x) IN ({_sw_list('en')}))) AS BIGINT)
+                     AS n_stop,
+                 CAST(len(regexp_extract_all(t, '\\w+|[^\\w\\s]')) AS BIGINT)
+                     AS n_subtokens,
+                 CAST(len(regexp_extract_all(smp,
+                     '[\\x{{4e00}}-\\x{{9fff}}\\x{{3040}}-\\x{{30ff}}'
+                     || '\\x{{ac00}}-\\x{{d7af}}]')) AS BIGINT) AS n_cjk,
+                 {_hits('en')}, {_hits('de')}, {_hits('fr')}, {_hits('es')}
+          FROM tok),
+        ratio AS (
+          SELECT *,
+                 CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE n_tokchars * 1.0 / n_tokens END AS mean_len,
+                 CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE n_punct * 1.0 / greatest(1, n_chars) END AS punct,
+                 CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE n_stop * 1.0 / n_tokens END AS stop,
+                 CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE n_upper * 1.0 / greatest(1, n_chars) END AS upper_r,
+                 greatest(h_en, h_de, h_fr, h_es) AS best_hits
+          FROM feat)
+        SELECT doc_id,
+               CASE WHEN length(smp) > 0
+                         AND n_cjk >= greatest(1, length(smp) // 20)
+                    THEN 'zh'
+                    WHEN len(toks) = 0 OR length(t) = 0 THEN 'und'
+                    WHEN best_hits < 2 THEN 'und'
+                    WHEN h_en = best_hits THEN 'en'
+                    WHEN h_de = best_hits THEN 'de'
+                    WHEN h_fr = best_hits THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               n_chars, n_tokens,
+               ROUND(mean_len, 4) AS mean_token_len,
+               ROUND(punct, 4)    AS punct_ratio,
+               ROUND(stop, 4)     AS stopword_ratio,
+               ROUND(upper_r, 4)  AS upper_ratio,
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE ROUND(
+                 (CASE WHEN mean_len >= 3 AND mean_len <= 12
+                       THEN 1.0 ELSE 0.5 END)
+                 * (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 1.0 END)
+                 * (CASE WHEN punct > 0.3 THEN 0.5 ELSE 1.0 END)
+                 * (CASE WHEN upper_r > 0.3 THEN 0.7 ELSE 1.0 END)
+                 * least(1.0, 0.4 + stop * 3), 4) END AS quality,
+               n_subtokens
+        FROM ratio
+    """
     return {
+        "documents_textstats_sql": textstats_sql,
         "transcripts_dates": dates_sql,
         "transcripts_conv_rollup_fields": conv_rollup_fields_sql,
         "export_rows": export_sql,

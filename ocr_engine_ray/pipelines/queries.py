@@ -1607,3 +1607,17 @@ def q_transcripts_conv_rollup_fields(sf_dir: str) -> Dataset:
             Sum("p_inv", alias_name="n_invoices"),
             Sum("p_dated", alias_name="n_dated"),
             Sum("p_cents", alias_name="total_cents"))
+
+
+def q_documents_textstats_sql(sf_dir: str) -> Dataset:
+    """The SQL-expressible textstats surface under the hash gate:
+    language-ID (stopword-hit argmax with fixed tie order, CJK density
+    check), the full quality-score composite (Gopher-shaped gates,
+    DuckDB-ROUND-parity 4-decimal rounding) and both token counts.  The
+    fingerprint (crc32-based rolling hash — no crc32 in DuckDB) stays
+    on the rows-only q_documents_textstats."""
+    from ..stages.textstats import text_stats_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(text_stats_batch, batch_format="pyarrow") \
+             .drop_columns(["text", "fingerprint"])

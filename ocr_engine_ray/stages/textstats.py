@@ -76,10 +76,17 @@ def quality_score(text: str) -> dict:
     if upper > 0.3:
         q *= 0.7
     q *= min(1.0, 0.4 + stop * 3)  # some stopwords = natural language
+    # round_sql_f (DuckDB ROUND bit-parity) instead of Python round:
+    # the 4-decimal values are driver-oracle-compared and the two
+    # rounding modes differ by an ulp at scale boundaries
+    from ..util import round_sql_f
+
     return {"n_chars": n_chars, "n_tokens": n_tokens,
-            "mean_token_len": round(mean_len, 4), "punct_ratio": round(punct, 4),
-            "stopword_ratio": round(stop, 4), "upper_ratio": round(upper, 4),
-            "quality": round(q, 4)}
+            "mean_token_len": round_sql_f(mean_len, 4),
+            "punct_ratio": round_sql_f(punct, 4),
+            "stopword_ratio": round_sql_f(stop, 4),
+            "upper_ratio": round_sql_f(upper, 4),
+            "quality": round_sql_f(q, 4)}
 
 
 def count_tokens(text: str) -> tuple[int, int]:
