@@ -500,7 +500,10 @@ def oracle_sql() -> dict[str, str]:
     # lowered tokens, stopword-hit argmax with fixed en>de>fr>es tie
     # order, hits≥2 floor, CJK density gate) and quality_score (token /
     # punct / upper counts as regex strips; composite gates multiplied
-    # in the Python order; DuckDB-ROUND 4-decimal parity on both sides)
+    # in the Python order; DuckDB-ROUND 4-decimal parity on both sides).
+    # ASCII-corpus twin (like _NORM_EXPR): RE2's \w/\s/[A-Z] are ASCII
+    # while Python's \w, str.split and isupper are Unicode — identical
+    # on this printable-ASCII corpus, divergent on non-ASCII text.
     def _sw_list(lang):
         sws = {
             "en": "'the','and','of','to','a','in','is','it','that','for'",

@@ -1393,20 +1393,8 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
 
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
-
-    def shingles(b: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for did, txt in zip(b.column("doc_id").to_pylist(),
-                            b.column("text").to_pylist()):
-            toks = (txt or "").split(" ")
-            for s in {" ".join(toks[i:i + 3])
-                      for i in range(len(toks) - 2)}:
-                ids.append(did)
-                shs.append(s)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sh": pa.array(shs, pa.string())})
-
-    sh = ds.map_batches(shingles, batch_format="pyarrow").materialize()
+    sh = ds.map_batches(_doc_shingle_rows("doc_id"),
+                        batch_format="pyarrow").materialize()
     sizes = sh.groupby("doc_id").aggregate(Count("sh", alias_name="n"))
 
     # inverted index: co-occurring (a < b) doc pairs per shingle, then
@@ -1434,22 +1422,8 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
                           batch_format="pyarrow"),
         join_type="inner", num_partitions=8, on=("id_b",))
 
-    def score(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = b.column("n_a").to_numpy(zero_copy_only=False)
-        nb = b.column("n_b").to_numpy(zero_copy_only=False)
-        sim = c / (na + nb - c)
-        keep = sim >= 0.5
-        t = b.filter(pa.array(keep))
-        return pa.table({
-            "id_a": t.column("id_a"),
-            "id_b": t.column("id_b"),
-            "jaccard": round_sql(pa.array(sim[keep], pa.float64()), 6),
-        })
-
-    return sized.map_batches(score, batch_format="pyarrow")
+    return sized.map_batches(_pair_jaccard_score(0.5, "id_a", "id_b"),
+                             batch_format="pyarrow")
 
 
 def q_media_resize_plan(sf_dir: str) -> Dataset:
@@ -1502,6 +1476,28 @@ def _doc_shingle_rows(out_id: str):
     return fn
 
 
+def _pair_jaccard_score(threshold: float, a_col: str, b_col: str):
+    """Shared scorer for the exact-jaccard pair queries: input batches
+    carry (a_col, b_col, c, n_a, n_b); emits pairs with
+    jaccard = c / (n_a + n_b - c) ≥ threshold, rounded to 6 (DuckDB
+    ROUND parity)."""
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        sim = c / (na + nb - c)
+        keep = sim >= threshold
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            a_col: t.column(a_col),
+            b_col: t.column(b_col),
+            "jaccard": round_sql(pa.array(sim[keep], pa.float64()), 6),
+        })
+    return score
+
+
 def q_documents_decontaminate(sf_dir: str) -> Dataset:
     """Training-data DECONTAMINATION, exact: find every document whose
     text is a near-duplicate (word-3-gram Jaccard ≥ 0.5) of any doc in
@@ -1539,35 +1535,35 @@ def q_documents_decontaminate(sf_dir: str) -> Dataset:
         .join(sizes_b, join_type="inner", num_partitions=8,
               on=("bench_id",))
 
-    def score(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = b.column("n_a").to_numpy(zero_copy_only=False)
-        nb = b.column("n_b").to_numpy(zero_copy_only=False)
-        sim = c / (na + nb - c)
-        keep = sim >= 0.5
-        t = b.filter(pa.array(keep))
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "bench_id": t.column("bench_id"),
-            "jaccard": round_sql(pa.array(sim[keep], pa.float64()), 6),
-        })
-
-    return sized.map_batches(score, batch_format="pyarrow")
+    return sized.map_batches(_pair_jaccard_score(0.5, "doc_id", "bench_id"),
+                             batch_format="pyarrow")
 
 
 def q_documents_decontaminate_lsh(sf_dir: str) -> Dataset:
     """The approximate scale path of q_documents_decontaminate:
     cross-table MinHash/LSH join (stages/dedup.minhash_join) of the
     corpus against the same deterministic benchmark sample.  Rows-only
-    (recall < 1 by LSH construction); pytest pins subset-of-exact and
-    exact-duplicate recall."""
+    (recall < 1 by LSH construction); pytest pins
+    subset-of-brute-force-jaccard and exact-duplicate recall.
+
+    Both sides drop <3-token docs first — the exact query structurally
+    excludes them (no 3-gram shingles), and without the filter empty
+    texts would pair with every empty benchmark row (all-zero minhash
+    signatures share every band; jaccard(∅, ∅) = 1).  Residual
+    divergence from the exact query: word_shingles tokenizes with
+    split() (whitespace runs) vs the exact path's SQL-parity
+    split(' ') — identical on single-spaced corpora like this one."""
     from ..stages.dedup import minhash_join
     from ..stages.partition import deterministic_sample
 
+    def min_3_tokens(b: pa.Table) -> pa.Table:
+        mask = [len((t or "").split(" ")) >= 3
+                for t in b.column("text").to_pylist()]
+        return b.filter(pa.array(mask, pa.bool_()))
+
     ds = rd.read_parquet(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"]) \
+        .map_batches(min_3_tokens, batch_format="pyarrow")
     bench = deterministic_sample(ds, 0.05, ["doc_id"], seed=7)
     pairs = minhash_join(ds, bench, "doc_id", "doc_id", threshold=0.5)
     return pairs.map_batches(

@@ -36,13 +36,19 @@ from ..util import default_pool_size
 
 def row_digest(parts: tuple) -> bytes:
     """Full-width row digest for the batch dedup's WINNER path: sha1
-    over '\\x1f'-terminated str() parts.  (The streaming path hashes the
-    Arrow-joined length-prefixed key string instead — the two digests
-    are intentionally different keyspaces and never compared; migrating
-    a persisted streaming index to the batch path requires re-hashing.)"""
+    over LENGTH-PREFIXED str() parts — like :func:`joined_key_strings`,
+    the prefix makes the encoding unambiguous, so a separator byte
+    inside a value cannot make two distinct key tuples share a digest
+    (('a\\x1fb','c') vs ('a','b\\x1fc') — the winner groupby would
+    otherwise silently merge two different rows and drop one).  (The
+    streaming path hashes the Arrow-joined key string instead — a
+    different keyspace, never compared with this one.)"""
     h = hashlib.sha1()
     for p in parts:
-        h.update(str(p).encode("utf-8", "surrogatepass"))
+        s = str(p).encode("utf-8", "surrogatepass")
+        h.update(str(len(s)).encode())
+        h.update(b":")
+        h.update(s)
         h.update(b"\x1f")
     return h.digest()
 
@@ -102,6 +108,50 @@ def add_full_hash(batch: pa.Table, cols: list[str],
     key_lists = [batch.column(c).to_pylist() for c in cols]
     hex_out = [row_digest(parts).hex() for parts in zip(*key_lists)]
     return batch.append_column(out_col, pa.array(hex_out, pa.string()))
+
+
+def duplicated_keys(partials: Dataset, key_col: str, count_col: str,
+                    cap: int = 20_000_000) -> list:
+    """Keys whose summed per-batch partial counts exceed 1 — the shared
+    combine behind dedup_exact's duplicate detection and
+    minhash_candidates' multi-member-bucket detection.
+
+    The driver-side numpy reduce is exact and skips the sort-shuffle's
+    ~5 s fixed machinery (measured at 200k keys / 32 cpus: 5.5 s
+    groupby vs <1 s reduce), but it holds every distinct key once —
+    bounded by ``cap`` partial rows (~320 MB of uint64 at the default).
+    Past the cap (the 100 TB regime, where distinct keys ≈ corpus rows)
+    the shuffle groupby is the only shape that scales, and its fixed
+    cost has long since amortized; only the >1 keys — bounded by true
+    duplicate volume — ever reach the driver there."""
+    key_parts: list[np.ndarray] = []
+    cnt_parts: list[np.ndarray] = []
+    total = 0
+    for cb in partials.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+        total += cb.num_rows
+        if total > cap:
+            key_parts = []
+            break
+        key_parts.append(cb.column(key_col).to_numpy(zero_copy_only=False))
+        cnt_parts.append(cb.column(count_col).to_numpy(zero_copy_only=False))
+    if key_parts or total == 0:
+        if total == 0:
+            return []
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return uniq[np.bincount(inv, weights=cnts) > 1].tolist()
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby(key_col).aggregate(
+        Sum(count_col, alias_name="n"))
+    out: list = []
+    for cb in counts.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536):
+        sub = cb.filter(pc.greater(cb.column("n"), 1))
+        out.extend(sub.column(key_col).to_pylist())
+    return out
 
 
 def _should_cache_hashed(ds: Dataset) -> bool:
@@ -168,45 +218,7 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
         return g.rename_columns(["content_key", "p_n"])
 
     partials = hashed.map_batches(partial_counts, batch_format="pyarrow")
-    # Combining the per-block partials: the driver-side numpy reduce is
-    # exact and skips the sort-shuffle's ~5 s fixed machinery (measured
-    # at 200k keys / 32 cpus: 5.5 s groupby vs <1 s reduce), but it
-    # holds every distinct 8-byte key once — bounded here to ~320 MB
-    # (20M partial rows).  Past the cap (the 100 TB regime, where
-    # distinct keys ≈ corpus rows) the shuffle groupby is the only
-    # shape that scales, and its fixed cost has long since amortized.
-    DRIVER_REDUCE_CAP = 20_000_000
-    key_parts: list[np.ndarray] = []
-    cnt_parts: list[np.ndarray] = []
-    total = 0
-    for cb in partials.iter_batches(batch_format="pyarrow",
-                                    batch_size=None):
-        total += cb.num_rows
-        if total > DRIVER_REDUCE_CAP:
-            key_parts = []
-            break
-        key_parts.append(cb.column("content_key").to_numpy(
-            zero_copy_only=False))
-        cnt_parts.append(cb.column("p_n").to_numpy(zero_copy_only=False))
-    if key_parts or total == 0:
-        if total == 0:
-            dup_key_list: list[int] = []
-        else:
-            keys = np.concatenate(key_parts)
-            cnts = np.concatenate(cnt_parts)
-            uniq, inv = np.unique(keys, return_inverse=True)
-            sums = np.bincount(inv, weights=cnts)
-            dup_key_list = uniq[sums > 1].tolist()
-    else:
-        from ray.data.aggregate import Sum
-
-        counts = partials.groupby("content_key") \
-                         .aggregate(Sum("p_n", alias_name="n"))
-        dup_key_list = []
-        for cb in counts.iter_batches(batch_format="pyarrow",
-                                      batch_size=65536):
-            sub = cb.filter(pc.greater(cb.column("n"), 1))
-            dup_key_list.extend(sub.column("content_key").to_pylist())
+    dup_key_list = duplicated_keys(partials, "content_key", "p_n")
     dup_keys = frozenset(dup_key_list)
     dup_ref = ray.put(sorted(dup_keys))
 
@@ -424,6 +436,12 @@ def save_dedup_index(index: list, dir_path: str) -> None:
     for name in os.listdir(dir_path):
         if name.startswith("gen-") and name != gen:
             shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
+        elif name.startswith("shard-") and name.endswith(".bin"):
+            # pre-generation flat-layout snapshot, now superseded
+            try:
+                os.remove(os.path.join(dir_path, name))
+            except OSError:
+                pass
 
 
 def load_dedup_index(dir_path: str) -> list:
@@ -436,7 +454,9 @@ def load_dedup_index(dir_path: str) -> list:
     meta_path = os.path.join(dir_path, _INDEX_META)
     with open(meta_path) as f:
         meta = json.load(f)
-    gen_dir = os.path.join(dir_path, meta["generation"])
+    # pre-generation snapshots kept shard files at the top level
+    gen_dir = (os.path.join(dir_path, meta["generation"])
+               if "generation" in meta else dir_path)
     index = make_dedup_index(meta["num_shards"])
     futures = []
     for i, shard in enumerate(index):
@@ -616,7 +636,7 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
     corpora ramp to the same width either way."""
     if concurrency is None:
         concurrency = (1, default_pool_size())
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max
 
     sigged = ds.map_batches(
         MinHasher,
@@ -650,31 +670,7 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
         return g.rename_columns(["bk", "p_n"])
 
     partials = band_rows.map_batches(partial_counts, batch_format="pyarrow")
-    DRIVER_REDUCE_CAP = 20_000_000  # same bound/rationale as dedup_exact
-    key_parts, cnt_parts, total = [], [], 0
-    for cb in partials.iter_batches(batch_format="pyarrow",
-                                    batch_size=None):
-        total += cb.num_rows
-        if total > DRIVER_REDUCE_CAP:
-            key_parts = []
-            break
-        key_parts.append(cb.column("bk").to_numpy(zero_copy_only=False))
-        cnt_parts.append(cb.column("p_n").to_numpy(zero_copy_only=False))
-    if key_parts or total == 0:
-        if total == 0:
-            multi = []
-        else:
-            keys = np.concatenate(key_parts)
-            cnts = np.concatenate(cnt_parts)
-            uniq, inv = np.unique(keys, return_inverse=True)
-            multi = uniq[np.bincount(inv, weights=cnts) > 1].tolist()
-    else:
-        counts = partials.groupby("bk").aggregate(Sum("p_n", alias_name="n"))
-        multi = []
-        for cb in counts.iter_batches(batch_format="pyarrow",
-                                      batch_size=65536):
-            sub = cb.filter(pc.greater(cb.column("n"), 1))
-            multi.extend(sub.column("bk").to_pylist())
+    multi = duplicated_keys(partials, "bk", "p_n")
     multi_ref = ray.put(sorted(multi))
 
     def keep_multi(b: pa.Table) -> pa.Table:

@@ -21,6 +21,8 @@ import zlib
 
 import pyarrow as pa
 
+from ..util import round_sql_f
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"},
@@ -79,8 +81,6 @@ def quality_score(text: str) -> dict:
     # round_sql_f (DuckDB ROUND bit-parity) instead of Python round:
     # the 4-decimal values are driver-oracle-compared and the two
     # rounding modes differ by an ulp at scale boundaries
-    from ..util import round_sql_f
-
     return {"n_chars": n_chars, "n_tokens": n_tokens,
             "mean_token_len": round_sql_f(mean_len, 4),
             "punct_ratio": round_sql_f(punct, 4),
