@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction → rollup composition under the hash gate
         "transcripts_conv_rollup_fields": q.q_transcripts_conv_rollup_fields,
         "documents_textstats_sql": q.q_documents_textstats_sql,
+        "customers_with_urgent_orders": q.q_customers_with_urgent_orders,
     }
 
 
@@ -722,6 +723,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT)     AS n_items
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "customers_with_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

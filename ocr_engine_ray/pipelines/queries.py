@@ -1617,3 +1617,25 @@ def q_documents_textstats_sql(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(text_stats_batch, batch_format="pyarrow") \
              .drop_columns(["text", "fingerprint"])
+
+
+def q_customers_with_urgent_orders(sf_dir: str) -> Dataset:
+    """SEMI-join via broadcast Bloom pre-filter
+    (stages/partition.bloom_semi_join): customers with ≥1 URGENT order.
+    The small side's keys fold into a 1 MiB mergeable bitmap that drops
+    non-matching customers BEFORE the hash-join shuffle; Bloom false
+    positives are removed by the exact join, so the result (and its
+    oracle) is the exact semi-join."""
+    from ..stages.partition import bloom_semi_join
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    urgent = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                        "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    return bloom_semi_join(cust, urgent, "c_custkey", "o_custkey") \
+        .select_columns(["c_custkey", "c_name"])

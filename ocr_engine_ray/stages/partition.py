@@ -253,3 +253,111 @@ def stratified_sample(ds: Dataset, key_col: str, frac: float,
     if key_col not in cols:
         cols = [key_col] + cols
     return deterministic_sample(ds, frac, cols, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join: broadcast pre-filter that cuts shuffle volume
+# ---------------------------------------------------------------------------
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants);
+    deterministic across processes (unlike Python hash())."""
+    x = (x + _SM_C1).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _SM_C2
+    x ^= x >> np.uint64(27)
+    x *= _SM_C3
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over uint64 keys, fully vectorized and
+    MERGEABLE (bitwise OR) — per-batch partial filters combine into one
+    small broadcastable bitmap.  False positives only (never negatives),
+    so an exact join downstream keeps results exact while the broadcast
+    pre-filter drops the bulk of non-matching rows BEFORE they enter
+    the shuffle."""
+
+    def __init__(self, n_bits: int = 1 << 23, n_hashes: int = 4,
+                 bits: np.ndarray | None = None):
+        assert n_bits % 64 == 0
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.words = (bits if bits is not None
+                      else np.zeros(n_bits // 64, dtype=np.uint64))
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        h1 = _splitmix64(k)
+        h2 = _splitmix64(k ^ _SM_C2) | np.uint64(1)
+        i = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.words, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        hit = (self.words[pos >> np.uint64(6)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.words |= other.words
+        return self
+
+
+def bloom_semi_join(big: "Dataset", small: "Dataset", big_key: str,
+                    small_key: str, n_bits: int = 1 << 23,
+                    n_hashes: int = 4,
+                    num_partitions: int = 8) -> "Dataset":
+    """EXACT semi-join (rows of ``big`` with ≥1 key match in ``small``)
+    with a broadcast Bloom pre-filter: per-batch partial filters over
+    the small side's keys OR-merge on the driver (fixed bitmap size —
+    1 MiB at the default 2^23 bits), the bitmap broadcasts via ray.put,
+    and a vectorized membership mask drops non-matching big-side rows
+    BEFORE the hash-join shuffle.  Bloom false positives survive the
+    pre-filter but are removed by the exact inner join against the
+    distinct small keys, so the result is exactly the semi-join —
+    the filter only cuts shuffle volume (the 'minimize shuffles' lever
+    when the big side is 100 TB and the match rate is low)."""
+    def partial_bloom(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, n_hashes)
+        bf.add(b.column(small_key).to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bf.words.tobytes()], pa.binary())})
+
+    merged = BloomFilter(n_bits, n_hashes)
+    for cb in small.map_batches(partial_bloom, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in cb.column("bits").to_pylist():
+            merged.words |= np.frombuffer(blob, dtype=np.uint64)
+    bloom_ref = ray.put((merged.words, n_bits, n_hashes))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        words, nb, nh = ray.get(bloom_ref)
+        bf = BloomFilter(nb, nh, bits=words)
+        mask = bf.contains(b.column(big_key).to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(mask))
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        g = b.select([small_key]).group_by(small_key).aggregate(
+            [(small_key, "count")])
+        return g.rename_columns([small_key, "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    keys = small.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(small_key).aggregate(Sum("p_n", alias_name="_n")) \
+        .map_batches(lambda b: b.drop_columns(["_n"]),
+                     batch_format="pyarrow")
+    return big.map_batches(prefilter, batch_format="pyarrow") \
+        .join(keys, join_type="inner", num_partitions=num_partitions,
+              on=(big_key,), right_on=(small_key,))

@@ -207,3 +207,42 @@ def test_reservoir_per_key(ray_session):
                               ["id"]).take_all()
     assert sorted((r["k"], r["id"]) for r in kept) \
         == sorted((r["k"], r["id"]) for r in again)
+
+
+def test_bloom_filter_properties():
+    """No false negatives; merge = union; FP rate sane at design load."""
+    import numpy as np
+
+    from ocr_engine_ray.stages.partition import BloomFilter
+
+    rng = np.random.RandomState(3)
+    present = rng.randint(0, 2**62, size=5000).astype(np.uint64)
+    absent = rng.randint(0, 2**62, size=5000).astype(np.uint64)
+    absent = absent[~np.isin(absent, present)]
+    a = BloomFilter(1 << 20, 4)
+    a.add(present[:2500])
+    b = BloomFilter(1 << 20, 4)
+    b.add(present[2500:])
+    a.merge(b)
+    assert a.contains(present).all()          # never a false negative
+    assert a.contains(absent).mean() < 0.01   # FP rate at ~0.5% load
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """bloom_semi_join equals the plain semi-join (false positives
+    removed by the exact join)."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.partition import bloom_semi_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), pa.int64()),
+        "v": pa.array([f"row{i}" for i in range(1000)], pa.string()),
+    })).repartition(4)
+    # duplicate keys on the small side must not duplicate big rows
+    small = rd.from_arrow(pa.table({
+        "sk": pa.array([5, 5, 17, 300, 999, 999, 1500], pa.int64()),
+    })).repartition(2)
+    out = sorted(r["k"] for r in bloom_semi_join(
+        big, small, "k", "sk").take_all())
+    assert out == [5, 17, 300, 999]
