@@ -422,3 +422,36 @@ def test_minhash_join_decontamination(ray_session):
                 exact.add((r["doc_id"], s["doc_id"]))
     assert set(got) <= exact
     assert all(v >= 0.5 for v in got.values())
+
+
+def test_separator_ambiguity_never_merges_rows(ray_session):
+    """Key tuples ('a\\x1fb','c') and ('a','b\\x1fc') must stay distinct
+    in BOTH exact-dedup paths (length-prefixed encodings): the batch
+    winner groupby and the streaming shared index."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import (
+        dedup_exact,
+        dedup_exact_streaming,
+        row_digest,
+    )
+
+    assert row_digest(("a\x1fb", "c")) != row_digest(("a", "b\x1fc"))
+
+    rows = [
+        {"k1": "a\x1fb", "k2": "c", "ord": 1},
+        {"k1": "a\x1fb", "k2": "c", "ord": 2},   # true dup of row 1
+        {"k1": "a", "k2": "b\x1fc", "ord": 3},
+        {"k1": "a", "k2": "b\x1fc", "ord": 4},   # true dup of row 3
+        {"k1": "plain", "k2": "x", "ord": 5},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    batch_out = sorted(
+        (r["k1"], r["k2"], r["ord"])
+        for r in dedup_exact(ds, ["k1", "k2"], ["ord"]).take_all())
+    assert batch_out == [("a", "b\x1fc", 3), ("a\x1fb", "c", 1),
+                         ("plain", "x", 5)]
+    stream_out = sorted(
+        (r["k1"], r["k2"])
+        for r in dedup_exact_streaming(ds, ["k1", "k2"]).take_all())
+    assert stream_out == [("a", "b\x1fc"), ("a\x1fb", "c"), ("plain", "x")]
