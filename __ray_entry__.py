@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_rollup_fields": q.q_transcripts_conv_rollup_fields,
         "documents_textstats_sql": q.q_documents_textstats_sql,
         "customers_with_urgent_orders": q.q_customers_with_urgent_orders,
+        "events_moving_avg": q.q_events_moving_avg,
     }
 
 
@@ -760,6 +761,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(4) OVER (PARTITION BY event_type
                         ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id, ts,
+                   ROUND(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                         * 1.0 / COUNT(*) OVER w / 100, 4) AS moving_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "events_lag_delta": """
             SELECT event_id, user_id, ts,

@@ -1639,3 +1639,41 @@ def q_customers_with_urgent_orders(sf_dir: str) -> Dataset:
             batch_format="pyarrow")
     return bloom_semi_join(cust, urgent, "c_custkey", "o_custkey") \
         .select_columns(["c_custkey", "c_name"])
+
+
+def q_events_moving_avg(sf_dir: str) -> Dataset:
+    """Sliding-window aggregate (``ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW``): per user, the 3-event moving average of value in ts order.
+    Exactness: values convert to integer cents first (std::round
+    emulation, the weighted_sample technique) so the windowed sums are
+    exact int64 on both sides and only the final (sum/count)/100
+    division is float — bit-identical to the DuckDB window twin.
+    Vectorized: one cumsum + two gathers per group."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def mov(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        v = g.column("value").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        s = v * 100.0
+        a = np.abs(s)
+        fa = np.floor(a)
+        cents = np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa),
+                            s).astype(np.int64)
+        k = len(cents)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        idx = np.arange(k)
+        n = np.minimum(idx + 1, 3)
+        wsum = cs[idx + 1] - cs[np.maximum(idx - 2, 0)]
+        avg = wsum * 1.0 / n / 100.0
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "moving_avg": round_sql(pa.array(avg, pa.float64()), 4),
+        })
+
+    return ds.groupby("user_id").map_groups(mov, batch_format="pyarrow")
