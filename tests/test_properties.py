@@ -220,3 +220,29 @@ def test_item_cents_oracle_twin_matches_parse_money():
         got = con.sql(f"SELECT {expr} FROM (SELECT ? AS c)",
                       params=[s]).fetchone()[0]
         assert got == want, (s, got, want)
+
+
+def test_joined_key_strings_injective_property():
+    """Hypothesis: distinct key tuples never produce the same joined
+    string (length-prefixed encoding), including separator bytes inside
+    values — the invariant the streaming dedup index relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_engine_ray.stages.dedup import joined_key_strings
+
+    val = st.text(
+        alphabet=st.characters(codec="utf-8",
+                               blacklist_categories=("Cs",)),
+        max_size=8)
+    pair = st.tuples(val, val)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=pair, b=pair)
+    def check(a, b):
+        t = pa.table({"k1": pa.array([a[0], b[0]], pa.string()),
+                      "k2": pa.array([a[1], b[1]], pa.string())})
+        j = joined_key_strings(t, ["k1", "k2"]).to_pylist()
+        assert (j[0] == j[1]) == (a == b)
+
+    check()
