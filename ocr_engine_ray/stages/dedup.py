@@ -690,7 +690,14 @@ def minhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
                         value_set=cached[1])
         return b.filter(mask)
 
-    pairs = band_rows.map_batches(keep_multi, batch_format="pyarrow") \
+    # materialize + repartition the (rare) multi-bucket rows: the filter
+    # leaves one near-empty block per band_rows block, and the bucket
+    # groupby pays its sort-shuffle fixed cost per block (same fix as
+    # dedup_exact's winner path)
+    multi_rows = band_rows.map_batches(keep_multi,
+                                       batch_format="pyarrow").materialize()
+    width = max(2, min(512, multi_rows.count() // 100_000 + 2))
+    pairs = multi_rows.repartition(width) \
         .groupby(["band_id", "band_hash"]).map_groups(
             lambda g: _bucket_pairs(g, id_col), batch_format="pyarrow")
     # distinct pairs (a pair can surface from several bands); vectorized
