@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_textstats_sql": q.q_documents_textstats_sql,
         "customers_with_urgent_orders": q.q_customers_with_urgent_orders,
         "events_moving_avg": q.q_events_moving_avg,
+        "events_hot_users": q.q_events_hot_users,
     }
 
 
@@ -761,6 +762,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(4) OVER (PARTITION BY event_type
                         ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+        "events_hot_users": """
+            WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)
+            SELECT user_id FROM events, t
+            GROUP BY user_id, t.total
+            HAVING CAST(COUNT(*) AS DOUBLE) >= 0.008 * t.total
         """,
         "events_moving_avg": """
             SELECT event_id, user_id, ts,

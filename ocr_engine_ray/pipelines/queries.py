@@ -1677,3 +1677,18 @@ def q_events_moving_avg(sf_dir: str) -> Dataset:
         })
 
     return ds.groupby("user_id").map_groups(mov, batch_format="pyarrow")
+
+
+def q_events_hot_users(sf_dir: str) -> Dataset:
+    """Hot-key detection (the skew-handling primitive salted_partition
+    builds on) as an oracle-checked query: users holding ≥ 0.8 % of all
+    events, found with per-batch partial counts — only the (by
+    definition ≤ 1/frac) hot keys ever reach the driver.  The CMS
+    sketch (stages/sketches.CountMinSketch) is the fixed-memory scale
+    path for the same question; its error bound is pytest-pinned."""
+    from ..stages.partition import detect_hot_keys
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    hot = detect_hot_keys(ds, "user_id", threshold_frac=0.008)
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(sorted(hot), pa.int64())}))

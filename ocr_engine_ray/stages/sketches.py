@@ -100,3 +100,80 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
         for s in b.column("sketch").to_pylist():
             merged = merged.merge(HyperLogLog.deserialize(s, p))
     return merged.estimate()
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan '05, public):
+    approximate per-key counts in fixed ``depth × width`` memory,
+    MERGEABLE by element-wise addition — the heavy-hitter / frequency
+    scale path when the distinct-key space doesn't fit anywhere.
+    Estimates never undercount; overcount ≤ 2N/width with prob
+    ≥ 1 − 2^−depth.  Hashing reuses the Bloom filter's vectorized
+    splitmix64 double hashing (deterministic across processes)."""
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4,
+                 counts: np.ndarray | None = None):
+        self.width = width
+        self.depth = depth
+        self.counts = (counts if counts is not None
+                       else np.zeros((depth, width), dtype=np.int64))
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        from .partition import _SM_C2, _splitmix64
+
+        k = keys.astype(np.uint64)
+        h1 = _splitmix64(k)
+        h2 = _splitmix64(k ^ _SM_C2) | np.uint64(1)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, keys: np.ndarray,
+            weights: np.ndarray | None = None) -> None:
+        pos = self._positions(keys)
+        w = (np.ones(len(keys), dtype=np.int64)
+             if weights is None else weights.astype(np.int64))
+        for d in range(self.depth):
+            np.add.at(self.counts[d], pos[d], w)
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        return np.min(
+            np.stack([self.counts[d][pos[d]] for d in range(self.depth)]),
+            axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+
+def cms_counts(ds: Dataset, key_col: str, width: int = 1 << 14,
+               depth: int = 4) -> CountMinSketch:
+    """Distributed CMS build: one serialized partial sketch per batch
+    (fixed size — 512 KiB at the defaults), summed into one sketch.
+    Keys hash to uint64 via the samplers' deterministic path when not
+    already integral."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        col = b.column(key_col)
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            import pandas as pd
+
+            col = pc.cast(col, pa.string())
+            keys = pd.util.hash_pandas_object(
+                col.to_pandas(), index=False).to_numpy()
+        cms.add(keys)
+        return pa.table({"counts": pa.array([cms.counts.tobytes()],
+                                            pa.binary())})
+
+    merged = CountMinSketch(width, depth)
+    for cb in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in cb.column("counts").to_pylist():
+            merged.counts += np.frombuffer(
+                blob, dtype=np.int64).reshape(depth, width)
+    return merged

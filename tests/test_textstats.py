@@ -136,3 +136,36 @@ def test_approx_distinct_dataset(ray_session):
                                 pa.string())})
     est = approx_distinct(rd.from_arrow(t).repartition(6), "k")
     assert abs(est - n_distinct) / n_distinct < 0.05
+
+
+def test_count_min_sketch_bounds(ray_session):
+    """CMS never undercounts; overcount within the 2N/width bound at the
+    test load; distributed build == single merged sketch; heavy keys'
+    estimates dominate."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.sketches import CountMinSketch, cms_counts
+
+    rng = np.random.RandomState(11)
+    # zipf-ish: key k appears ~ 5000/k times
+    keys = np.concatenate([np.full(5000 // k, k) for k in range(1, 60)])
+    rng.shuffle(keys)
+    true = {int(k): int((keys == k).sum()) for k in np.unique(keys)}
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})) \
+        .repartition(5)
+    cms = cms_counts(ds, "k", width=1 << 12, depth=4)
+    uniq = np.array(sorted(true), dtype=np.int64)
+    est = cms.estimate(uniq)
+    n = len(keys)
+    for k, e in zip(uniq, est):
+        assert e >= true[int(k)]                    # never undercounts
+        assert e <= true[int(k)] + 2 * n / (1 << 12) + 1
+    # merge associativity: two half-sketches sum to the full one
+    half = len(keys) // 2
+    a = CountMinSketch(1 << 12, 4)
+    a.add(keys[:half].astype(np.uint64))
+    b = CountMinSketch(1 << 12, 4)
+    b.add(keys[half:].astype(np.uint64))
+    assert np.array_equal(a.merge(b).counts, cms.counts)
