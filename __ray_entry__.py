@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_urgent_orders": q.q_customers_with_urgent_orders,
         "events_moving_avg": q.q_events_moving_avg,
         "events_hot_users": q.q_events_hot_users,
+        "events_value_variance": q.q_events_value_variance,
     }
 
 
@@ -762,6 +763,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(4) OVER (PARTITION BY event_type
                         ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+        "events_value_variance": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(SUM(c * c) AS BIGINT) AS s2
+              FROM (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type, n AS n_events,
+                   ROUND((n * s2 - s * s) * 1.0 / (n * n) / 10000, 6)
+                       AS var_value,
+                   ROUND(sqrt((n * s2 - s * s) * 1.0 / (n * n) / 10000), 6)
+                       AS std_value
+            FROM m
         """,
         "events_hot_users": """
             WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)

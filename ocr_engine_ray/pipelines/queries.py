@@ -1692,3 +1692,56 @@ def q_events_hot_users(sf_dir: str) -> Dataset:
     hot = detect_hot_keys(ds, "user_id", threshold_frac=0.008)
     return rd.from_arrow(pa.table({
         "user_id": pa.array(sorted(hot), pa.int64())}))
+
+
+def q_events_value_variance(sf_dir: str) -> Dataset:
+    """Grouped population variance/stddev with EXACT integer moments:
+    values convert to cents, the shuffle moves per-batch (n, Σc, Σc²)
+    int64 partials, and variance = (n·Σc² − (Σc)²) / n² / 10⁴ — only
+    the final divisions are float, written identically in the DuckDB
+    twin so the driver hash matches bit-exact (a naive float
+    sum-of-squares or DuckDB's own VAR_POP would differ in the last
+    ulp)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        s = v * 100.0
+        a = np.abs(s)
+        fa = np.floor(a)
+        cents = np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa),
+                            s).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "c": pa.array(cents, pa.int64()),
+                      "c2": pa.array(cents * cents, pa.int64())})
+        g = t.group_by("event_type").aggregate(
+            [("c", "count"), ("c", "sum"), ("c2", "sum")])
+        return g.rename_columns(["event_type", "p_n", "p_s", "p_s2"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("p_n", alias_name="n_events"),
+            Sum("p_s", alias_name="s"),
+            Sum("p_s2", alias_name="s2"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False)
+        var = (n * s2 - s * s) * 1.0 / (n * n) / 10000.0
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "var_value": round_sql(pa.array(var, pa.float64()), 6),
+            "std_value": round_sql(pa.array(np.sqrt(var), pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -21,7 +21,13 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        res = pa.Table.from_pylist(res.take_all())
+        rows = res.take_all()
+        if rows:
+            res = pa.Table.from_pylist(rows)
+        else:
+            # preserve the schema on empty results (from_pylist([])
+            # would yield a zero-column table and a bogus mismatch)
+            res = res.schema().base_schema.empty_table()
     if isinstance(res, pa.Table):
         res = res.to_pandas()
     return res
