@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q.q_events_moving_avg,
         "events_hot_users": q.q_events_hot_users,
         "events_value_variance": q.q_events_value_variance,
+        "events_top_values": q.q_events_top_values,
     }
 
 
@@ -763,6 +764,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(4) OVER (PARTITION BY event_type
                         ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+        "events_top_values": """
+            SELECT event_id, user_id, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 100
         """,
         "events_value_variance": """
             WITH m AS (

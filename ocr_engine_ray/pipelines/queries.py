@@ -1745,3 +1745,39 @@ def q_events_value_variance(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_top_values(sf_dir: str) -> Dataset:
+    """Global top-k WITHOUT a global sort: per-batch vectorized top-100
+    partials (argpartition), then one tiny final combine — the scale
+    shape for 'ORDER BY x LIMIT k' over 100 TB (only k rows per block
+    ever move).  Deterministic tie-break (value DESC, event_id ASC)
+    matches the oracle's ORDER BY."""
+    import numpy as np
+
+    K = 100
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks() \
+             .to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").combine_chunks() \
+               .to_numpy(zero_copy_only=False)
+        n = len(v)
+        if n > K:
+            # threshold-INCLUSIVE pre-prune: keep every row tied with the
+            # K-th value so boundary ties resolve by event_id exactly
+            # like the oracle's ORDER BY, then order the candidates
+            thresh = np.partition(v, n - K)[n - K]
+            idx = np.flatnonzero(v >= thresh)
+        else:
+            idx = np.arange(n)
+        order = np.lexsort((eid[idx], -v[idx]))[:K]
+        return b.take(pa.array(idx[order], pa.int64()))
+
+    # final combine: all partials fit one block by construction (k per
+    # input block); repartition(1) then one more local_topk
+    return ds.map_batches(local_topk, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
