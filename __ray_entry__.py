@@ -299,6 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hot_users": q.q_events_hot_users,
         "events_value_variance": q.q_events_value_variance,
         "events_top_values": q.q_events_top_values,
+        # round 3 (cont.): JSON extract, scrub, dense rank, outer join
+        "events_props_json": q.q_events_props_json,
+        "transcripts_scrub": q.q_transcripts_scrub,
+        "events_dense_rank": q.q_events_dense_rank,
+        "customer_orders_left_join": q.q_customer_orders_left_join,
     }
 
 
@@ -768,6 +773,30 @@ def oracle_sql() -> dict[str, str]:
         "events_top_values": """
             SELECT event_id, user_id, value FROM events
             ORDER BY value DESC, event_id ASC LIMIT 100
+        """,
+        "events_props_json": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY k
+        """,
+        "transcripts_scrub": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(
+                       regexp_replace(text, 'INV-\\d+', '<ID>', 'g'),
+                       '\\$?\\d[\\d,]*\\.\\d{{2}}', '<AMT>', 'g') AS scrubbed
+            FROM {transcripts}
+        """,
+        "events_dense_rank": """
+            SELECT event_id, event_type, value,
+                   CAST(DENSE_RANK() OVER (PARTITION BY event_type
+                        ORDER BY value DESC) AS BIGINT) AS rnk
+            FROM events
+        """,
+        "customer_orders_left_join": """
+            SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         """,
         "events_value_variance": """
             WITH m AS (

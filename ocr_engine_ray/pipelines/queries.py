@@ -1781,3 +1781,99 @@ def q_events_top_values(sf_dir: str) -> Dataset:
     return ds.map_batches(local_topk, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): JSON extraction, PII-style scrub, dense rank, outer join
+# ---------------------------------------------------------------------------
+
+def q_events_props_json(sf_dir: str) -> Dataset:
+    """JSON field extraction + rollup: parse the ``props`` JSON string
+    column (``{"k": <int>}``) with a vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads), then aggregate
+    count + exact cent-sum per extracted key.  ``k`` is structurally
+    bounded (0..99) so the combine takes the tree path; value sums ride
+    as int64 cents end-to-end, so no float-order nondeterminism exists
+    for the oracle hash.  Scale shape: one vectorized scan, partial agg
+    before any exchange."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["props", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"),
+                                             pa.scalar(100.0)),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"k": k, "cents": cents})
+        g = t.group_by("k").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["k", "p_cents", "p_n"])
+
+    return _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"], [("p_cents", "sum"), ("p_n", "sum")],
+        ["k", "p_cents", "p_n"],
+        ["k", "sum_cents", "n_events"])
+
+
+def q_transcripts_scrub(sf_dir: str) -> Dataset:
+    """PII-style scrubbing (the redaction stage of a training-data
+    pipeline): mask invoice identifiers and money amounts in raw
+    transcript text with typed placeholders.  Both rewrites are RE2
+    kernels (``pc.replace_substring_regex``) — the same regex engine
+    DuckDB uses — so the oracle twin is char-exact by construction.
+    One streaming map_batches, no state, no shuffle."""
+    from .flagship import read_transcripts
+
+    ds = read_transcripts(transcript_paths(sf_dir)) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b.column("text").combine_chunks()
+        t = pc.replace_substring_regex(t, r"INV-\d+", "<ID>")
+        t = pc.replace_substring_regex(t, r"\$?\d[\d,]*\.\d{2}", "<AMT>")
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "scrubbed": t,
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def q_events_dense_rank(sf_dir: str) -> Dataset:
+    """DENSE_RANK window: rank events by value (desc) within event
+    type, gaps-free.  Per-type map_groups with a vectorized unique +
+    searchsorted — ranking needs every value of a key co-located, the
+    same partitioning contract as NTILE/LAG above; 5 event types at
+    this corpus, hash-partitioned keys at scale."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def rank(g: pa.Table) -> pa.Table:
+        v = g.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        uniq = np.unique(v)  # ascending
+        # dense rank desc = (#distinct) - (index in ascending uniques)
+        rnk = len(uniq) - np.searchsorted(uniq, v)
+        return g.append_column("rnk", pa.array(rnk, pa.int64()))
+
+    return ds.groupby("event_type").map_groups(rank, batch_format="pyarrow")
+
+
+def q_customer_orders_left_join(sf_dir: str) -> Dataset:
+    """LEFT OUTER join via ``Dataset.join``: every customer row
+    survives; customers with no orders carry NULL order columns (the
+    anti-join's complement — together with inner/anti this completes
+    the join-type surface).  Both sides column-pruned at the read; the
+    join hash-partitions on the key."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    joined = cust.join(orders, join_type="left_outer", num_partitions=16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+    return joined.select_columns(["c_custkey", "c_mktsegment",
+                                  "o_orderkey", "o_totalprice"])

@@ -1,0 +1,102 @@
+"""Round-3 continuation operators: JSON extraction, PII-style scrub,
+dense rank, left-outer join.  Each test pins the semantic edge the
+sf0.01 oracle corpus may not exercise (negative keys, tie ranks, $ and
+comma amounts, customers with no orders)."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tab(ds) -> pa.Table:
+    rows = ds.take_all()
+    return pa.Table.from_pylist(rows)
+
+
+def test_props_json_edges(ray_session, tmp_path):
+    """Negative keys, whitespace variants, and half-away cent rounding."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.queries import q_events_props_json
+
+    tab = pa.table({
+        "props": ['{"k": 5}', '{"k":5}', '{"k": -3}', '{"k":  -3}'],
+        "value": [0.005, 0.015, 1.0, 2.0],
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = _tab(q_events_props_json(str(tmp_path))).sort_by("k")
+    # 0.005*100 and 0.015*100 are exactly 0.5 and 1.5 in double; both
+    # round half-AWAY (DuckDB round()) → 1 + 2, not banker's 0 + 2.
+    assert got.to_pylist() == [
+        {"k": -3, "sum_cents": 300, "n_events": 2},
+        {"k": 5, "sum_cents": 3, "n_events": 2},
+    ]
+
+
+def test_scrub_masks_ids_and_amounts(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_transcripts_scrub
+
+    got = _tab(q_transcripts_scrub(SF))
+    text = " ".join(got.column("scrubbed").to_pylist())
+    assert "<ID>" in text and "<AMT>" in text
+    assert "INV-" not in text
+    import re
+    assert not re.search(r"\d[\d,]*\.\d{2}", text)
+
+
+def test_scrub_comma_and_dollar_amounts(ray_session):
+    """The amount regex consumes an optional $ and comma groups in one
+    token, exactly like the oracle's RE2 pattern."""
+    import pyarrow.compute as pc
+
+    t = pa.array(["pay $1,234.56 or 7.00 now", "ref INV-12 due 9,999.99"])
+    s = pc.replace_substring_regex(t, r"INV-\d+", "<ID>")
+    s = pc.replace_substring_regex(s, r"\$?\d[\d,]*\.\d{2}", "<AMT>")
+    assert s.to_pylist() == ["pay <AMT> or <AMT> now", "ref <ID> due <AMT>"]
+
+
+def test_dense_rank_ties_and_gaps(ray_session, tmp_path):
+    """Equal values share a rank; ranks are gap-free (dense)."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_events_dense_rank
+
+    tab = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": ["a", "a", "a", "a", "b"],
+        "value": [9.0, 9.0, 5.0, 1.0, 3.0],
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = _tab(q_events_dense_rank(str(tmp_path))).sort_by("event_id")
+    assert got.column("rnk").to_pylist() == [1, 1, 2, 3, 1]
+
+
+def test_left_join_keeps_orderless_customers(ray_session, tmp_path):
+    """The driver corpus gives every customer an order, so the NULL
+    path is pinned on a synthetic pair: customer 3 has no orders and
+    must survive with NULL order columns."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_customer_orders_left_join
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": ["A", "B", "C"],
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_totalprice": [5.0, 6.0, 7.0],
+    }), str(tmp_path / "orders.parquet"))
+    got = _tab(q_customer_orders_left_join(str(tmp_path)))
+    assert got.num_rows == 4
+    by_cust = {}
+    for r in got.to_pylist():
+        by_cust.setdefault(r["c_custkey"], []).append(r)
+    assert sorted(x["o_orderkey"] for x in by_cust[1]) == [10, 11]
+    assert by_cust[3][0]["o_orderkey"] is None
+    assert by_cust[3][0]["o_totalprice"] is None
+    assert by_cust[3][0]["c_mktsegment"] == "C"
