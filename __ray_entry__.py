@@ -304,6 +304,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_scrub": q.q_transcripts_scrub,
         "events_dense_rank": q.q_events_dense_rank,
         "customer_orders_left_join": q.q_customer_orders_left_join,
+        # term-level text ops: chunking, TF-IDF/vocab, n-grams, Gopher gate
+        "documents_chunk_windows": q.q_documents_chunk_windows,
+        "documents_term_df": q.q_documents_term_df,
+        "documents_top_bigrams": q.q_documents_top_bigrams,
+        "documents_repetition": q.q_documents_repetition,
     }
 
 
@@ -797,6 +802,69 @@ def oracle_sql() -> dict[str, str]:
         "customer_orders_left_join": """
             SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "documents_chunk_windows": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, w,
+                         unnest(generate_series(1, greatest(len(w), 1), 24))
+                             AS start
+                  FROM t)
+            SELECT doc_id,
+                   CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+                   CAST(least(32, len(w) - start + 1) AS BIGINT) AS n_tokens,
+                   array_to_string(w[start:start+31], ' ') AS chunk
+            FROM s
+        """,
+        "documents_term_df": """
+            WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+            toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+            agg AS (SELECT term,
+                           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                           CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY term),
+            r AS (SELECT term, df, tf,
+                         ROUND(ln(nd * 1.0 / df), 6) AS idf,
+                         CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term)
+                              AS BIGINT) AS term_id
+                  FROM agg, n)
+            SELECT * FROM r WHERE term_id <= 100
+        """,
+        "documents_top_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bg AS (SELECT unnest(list_transform(
+                       list_zip(w[:len(w)-1], w[2:len(w)]),
+                       z -> z[1] || ' ' || z[2])) AS bigram
+                   FROM t WHERE len(w) > 1)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 50
+        """,
+        "documents_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              list_zip(w[:len(w)-1], w[2:len(w)]),
+                              z -> z[1] || ' ' || z[2])) AS b
+                   FROM t WHERE len(w) > 1),
+            c AS (SELECT doc_id, b, COUNT(*) AS nn
+                  FROM bg GROUP BY doc_id, b),
+            m AS (SELECT doc_id, MAX(nn) AS mx FROM c GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+                   len(list_distinct(w)) / len(w) AS distinct_ratio,
+                   CASE WHEN len(w) > 1
+                        THEN COALESCE(m.mx, 0) / (len(w) - 1)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   CAST(CASE WHEN len(list_distinct(w)) / len(w) >= 0.5
+                             AND (CASE WHEN len(w) > 1
+                                  THEN COALESCE(m.mx, 0) / (len(w) - 1)
+                                  ELSE 0.0 END) <= 0.05
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM t LEFT JOIN m ON t.doc_id = m.doc_id
         """,
         "events_value_variance": """
             WITH m AS (

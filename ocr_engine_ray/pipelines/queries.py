@@ -1877,3 +1877,97 @@ def q_customer_orders_left_join(sf_dir: str) -> Dataset:
                        on=("c_custkey",), right_on=("o_custkey",))
     return joined.select_columns(["c_custkey", "c_mktsegment",
                                   "o_orderkey", "o_totalprice"])
+
+
+def q_documents_chunk_windows(sf_dir: str) -> Dataset:
+    """Training-data chunking: split each document into 32-token
+    windows with stride 24 (8-token overlap), 1→N via a vectorized
+    gather (stages/terms.chunk_windows) — no shuffle, no per-row
+    Python; the shape that feeds a tokenizer at 100 TB."""
+    from ..stages.terms import chunk_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: chunk_batch(b, window=32, stride=24),
+                          batch_format="pyarrow")
+
+
+def q_documents_term_df(sf_dir: str) -> Dataset:
+    """TF-IDF statistics + vocabulary build: term frequency, document
+    frequency, round(ln(N/df), 6) idf, and a rank-assigned vocabulary
+    id for the top 100 terms by (df DESC, term ASC).  Partial (term,
+    tf, df) aggregates per batch → one shuffled groupby over terms →
+    per-block top-k prune → single-block rank assignment (the ranked
+    head is structurally tiny; unbounded vocabularies keep the same
+    plan, only k changes).  N comes from Parquet metadata (no extra
+    scan).  ln() differs from numpy's log in the last ulp on some
+    inputs; round-6 masks it (validated corpus-wide at sf0.01 and
+    sf0.1 — same caveat class as the date twin)."""
+    import numpy as np
+
+    from ..stages.terms import term_partials
+
+    K = 100
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = rd.read_parquet(_t(sf_dir, "documents"),
+                             columns=["doc_id"]).count()
+
+    agg = ds.map_batches(term_partials, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("p_tf", alias_name="tf"),
+                                   Sum("p_df", alias_name="df"))
+
+    def topk(b: pa.Table) -> pa.Table:
+        return b.sort_by([("df", "descending"), ("term", "ascending")]) \
+                .slice(0, K)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = topk(b)
+        df = b.column("df").to_numpy(zero_copy_only=False)
+        idf = round_sql(pa.array(np.log(n_docs / df), pa.float64()), 6)
+        return pa.table({
+            "term": b.column("term"),
+            "df": pc.cast(b.column("df"), pa.int64()),
+            "tf": pc.cast(b.column("tf"), pa.int64()),
+            "idf": idf,
+            "term_id": pa.array(np.arange(1, b.num_rows + 1), pa.int64()),
+        })
+
+    return agg.map_batches(topk, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_top_bigrams(sf_dir: str) -> Dataset:
+    """n-gram language-model counting: top-50 adjacent-token bigrams
+    by corpus count (count DESC, bigram ASC).  Per-batch bigram
+    partials (doc-boundary-safe, C-level string joins) → shuffled
+    groupby sum → per-block top-k → tiny final combine; token payloads
+    never cross the exchange."""
+    from ..stages.terms import bigram_partials
+
+    K = 50
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    agg = ds.map_batches(bigram_partials, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("p_n", alias_name="n"))
+
+    def topk(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("n", "descending"), ("bigram", "ascending")]) \
+             .slice(0, K)
+        return pa.table({"bigram": b.column("bigram"),
+                         "n": pc.cast(b.column("n"), pa.int64())})
+
+    return agg.map_batches(topk, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_repetition(sf_dir: str) -> Dataset:
+    """Gopher-style repetition quality gate per document: distinct-token
+    ratio + top-bigram fraction + keep flag (thresholds 0.5 / 0.05).
+    One vectorized map_batches, no shuffle (stages/terms)."""
+    from ..stages.terms import repetition_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: repetition_batch(b, min_distinct_ratio=0.5,
+                                   max_top_bigram_frac=0.05),
+        batch_format="pyarrow")

@@ -100,3 +100,74 @@ def test_left_join_keeps_orderless_customers(ray_session, tmp_path):
     assert by_cust[3][0]["o_orderkey"] is None
     assert by_cust[3][0]["o_totalprice"] is None
     assert by_cust[3][0]["c_mktsegment"] == "C"
+
+
+# --- term-level text operators (stages/terms) -------------------------------
+
+def test_chunk_batch_geometry(ray_session):
+    """Window/stride edges: exact-multiple lengths, short tails,
+    single-token docs, and the overlap region's token identity."""
+    from ocr_engine_ray.stages.terms import chunk_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b c d e f g h", "x", "p q r"],
+    })
+    got = chunk_batch(b, window=4, stride=3).to_pylist()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 8 tokens -> starts 0,3,6 -> chunks of 4,4,2
+    assert [r["chunk"] for r in by_doc[1]] == \
+        ["a b c d", "d e f g", "g h"]
+    assert [r["n_tokens"] for r in by_doc[1]] == [4, 4, 2]
+    assert [r["chunk_idx"] for r in by_doc[1]] == [0, 1, 2]
+    # single-token and sub-window docs produce exactly one chunk
+    assert [r["chunk"] for r in by_doc[2]] == ["x"]
+    assert [r["chunk"] for r in by_doc[3]] == ["p q r"]
+
+
+def test_term_partials_merge(ray_session):
+    """df counts a term once per doc regardless of multiplicity; tf
+    counts every occurrence — and partials from split batches sum to
+    the unsplit answer (the mergeability the shuffle relies on)."""
+    from ocr_engine_ray.stages.terms import term_partials
+
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["a a b", "a c"]})
+    whole = {r["term"]: (r["p_tf"], r["p_df"])
+             for r in term_partials(b).to_pylist()}
+    assert whole == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    merged = {}
+    for i in range(2):
+        for r in term_partials(b.slice(i, 1)).to_pylist():
+            tf, df = merged.get(r["term"], (0, 0))
+            merged[r["term"]] = (tf + r["p_tf"], df + r["p_df"])
+    assert merged == whole
+
+
+def test_bigrams_respect_doc_boundaries(ray_session):
+    """No bigram spans two documents."""
+    from ocr_engine_ray.stages.terms import bigram_partials
+
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["a b", "c d"]})
+    got = {r["bigram"]: r["p_n"] for r in bigram_partials(b).to_pylist()}
+    assert got == {"a b": 1, "c d": 1}  # no phantom "b c"
+
+
+def test_repetition_degenerate_docs(ray_session):
+    """All-same-token doc fails the gate; all-distinct doc passes;
+    single-token doc has frac 0 and ratio 1."""
+    from ocr_engine_ray.stages.terms import repetition_batch
+
+    distinct26 = " ".join("abcdefghijklmnopqrstuvwxyz")
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["z z z z z z", distinct26, "solo"]})
+    got = {r["doc_id"]: r for r in
+           repetition_batch(b, 0.5, 0.05).to_pylist()}
+    assert got[1]["keep"] == 0 and got[1]["top_bigram_frac"] == 1.0
+    # 26 distinct tokens: ratio 1.0, top bigram 1/25 = 0.04 <= 0.05
+    assert got[2]["keep"] == 1 and got[2]["distinct_ratio"] == 1.0
+    assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] == 0.0
+    assert got[3]["keep"] == 1
