@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_term_df": q.q_documents_term_df,
         "documents_top_bigrams": q.q_documents_top_bigrams,
         "documents_repetition": q.q_documents_repetition,
+        "embeddings_label_centroids": q.q_embeddings_label_centroids,
     }
 
 
@@ -840,6 +841,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM bg GROUP BY bigram
             ORDER BY n DESC, bigram ASC LIMIT 50
+        """,
+        "embeddings_label_centroids": """
+            WITH u AS (SELECT label, unnest(embedding) AS v,
+                              unnest(generate_series(1, 64)) AS dim
+                       FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   ROUND(SUM(CAST(round(CAST(v AS DOUBLE) * 1073741824)
+                                  AS BIGINT))
+                         / COUNT(*) / 1073741824.0, 6) AS centroid
+            FROM u GROUP BY label, dim
         """,
         "documents_repetition": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -1971,3 +1971,59 @@ def q_documents_repetition(sf_dir: str) -> Dataset:
         lambda b: repetition_batch(b, min_distinct_ratio=0.5,
                                    max_top_bigram_frac=0.05),
         batch_format="pyarrow")
+
+
+def q_embeddings_label_centroids(sf_dir: str) -> Dataset:
+    """Per-label embedding centroids (the vector aggregate behind
+    semantic dedup / cluster labeling): mean of each of the 64 dims per
+    label.  Sums ride as int64 quantized values — round(v·2^30), exact
+    for float32 inputs and overflow-safe to ~2^33 vectors per cell — so
+    the result is independent of float summation order and the DuckDB
+    twin hashes bit-exact (same trick as the cent-valued event sums).
+    Partials per batch (numpy reduceat per label), tree combine over the
+    structurally bounded (label, dim) grid, one division at the end."""
+    import numpy as np
+
+    DIM, SCALE = 64, float(1 << 30)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").combine_chunks() \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(b.column("embedding").combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        v = flat.reshape(len(lab), DIM) * SCALE
+        a = np.abs(v)
+        fa = np.floor(a)
+        c = np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa), v) \
+            .astype(np.int64)  # DuckDB round(): half away from zero
+        order = np.argsort(lab, kind="stable")
+        labs, starts = np.unique(lab[order], return_index=True)
+        sums = np.add.reduceat(c[order], starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(lab)]]))
+        return pa.table({
+            "label": pa.array(np.repeat(labs, DIM), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, DIM + 1), len(labs)),
+                            pa.int64()),
+            "p_s": pa.array(sums.ravel(), pa.int64()),
+            "p_n": pa.array(np.repeat(counts, DIM), pa.int64()),
+        })
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("p_s", "sum"), ("p_n", "sum")],
+        ["label", "dim", "p_s", "p_n"],
+        ["label", "dim", "s", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "label": b.column("label"),
+            "dim": b.column("dim"),
+            "centroid": round_sql(pa.array(s / n / SCALE, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

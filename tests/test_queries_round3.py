@@ -171,3 +171,30 @@ def test_repetition_degenerate_docs(ray_session):
     assert got[2]["keep"] == 1 and got[2]["distinct_ratio"] == 1.0
     assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] == 0.0
     assert got[3]["keep"] == 1
+
+
+def test_label_centroids_known_values(ray_session, tmp_path):
+    """Centroid of known vectors, and batch-split partials merge to the
+    same result (int-quantized sums are order-independent)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_embeddings_label_centroids
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-0.5, 0.5, size=(40, 64)).astype(np.float32)
+    labels = np.array([0] * 25 + [1] * 15, np.int32)
+    tab = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array([v for v in vecs.tolist()],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"),
+                   row_group_size=7)  # force multiple batches
+    got = _tab(q_embeddings_label_centroids(str(tmp_path))) \
+        .sort_by([("label", "ascending"), ("dim", "ascending")])
+    want0 = vecs[:25].astype(np.float64).mean(axis=0)
+    got0 = np.array(got.column("centroid").to_pylist()[:64])
+    # quantized mean is within 2^-30 of the true mean, rounded to 6
+    assert np.abs(got0 - np.round(want0, 6)).max() < 2e-6
+    assert got.num_rows == 128
