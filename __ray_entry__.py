@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_top_bigrams": q.q_documents_top_bigrams,
         "documents_repetition": q.q_documents_repetition,
         "embeddings_label_centroids": q.q_embeddings_label_centroids,
+        "documents_pack_bins": q.q_documents_pack_bins,
+        "documents_posting_lists": q.q_documents_posting_lists,
+        "events_value_histogram": q.q_events_value_histogram,
     }
 
 
@@ -841,6 +844,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM bg GROUP BY bigram
             ORDER BY n DESC, bigram ASC LIMIT 50
+        """,
+        "documents_pack_bins": """
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                            OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) // 4096
+                        AS BIGINT) AS bin_idx
+            FROM documents
+        """,
+        "documents_posting_lists": """
+            WITH p AS (SELECT DISTINCT doc_id, term
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS term
+                             FROM documents))
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM p GROUP BY term
+        """,
+        "events_value_histogram": """
+            SELECT CAST(CAST(round(value * 100) AS BIGINT) // 1000
+                        AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY bin
         """,
         "embeddings_label_centroids": """
             WITH u AS (SELECT label, unnest(embedding) AS v,

@@ -2027,3 +2027,96 @@ def q_embeddings_label_centroids(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_pack_bins(sf_dir: str) -> Dataset:
+    """Sequence-packing shard assignment (training-data prep): within
+    each source shard, documents in doc_id order are packed into
+    4096-token bins by exclusive-prefix-sum // budget — the
+    deterministic sharding that feeds fixed-budget sequence builders.
+    Per-source groupby + vectorized cumsum (the running-total shape);
+    at 10^12 docs the per-source groups are the partitioning unit and
+    nothing but (doc_id, n_tokens) rows move."""
+    import numpy as np
+
+    BUDGET = 4096
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")).cast(pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "n_tokens": n})
+
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        excl = np.concatenate([[0], np.cumsum(n)[:-1]])
+        return g.append_column(
+            "bin_idx", pa.array(excl // BUDGET, pa.int64()))
+
+    return ds.map_batches(tokens, batch_format="pyarrow") \
+        .groupby("source").map_groups(pack, batch_format="pyarrow")
+
+
+def q_documents_posting_lists(sf_dir: str) -> Dataset:
+    """Inverted-index build (search/dedup infrastructure): per term,
+    document frequency + the sorted posting list (comma-joined doc ids
+    — a string so the driver's hash compare is well-defined).  Partial
+    per-batch (term, doc_id) dedup, then per-term assembly; the
+    partitioning assumption is the usual posting-list one (a term's
+    postings are co-located and fit a task — at web scale hot terms
+    would be length-capped or delta-block-encoded)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.terms import _tokens
+        _, lens, flat, _ = _tokens(b)
+        d = b.column("doc_id").combine_chunks() \
+             .take(pa.array(np.repeat(np.arange(len(lens)), lens),
+                            pa.int64()))
+        t = pa.table({"term": flat, "doc_id": d})
+        return t.group_by(["term", "doc_id"]).aggregate([]).select(
+            ["term", "doc_id"])
+
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        ids = pc.cast(g.column("doc_id"), pa.string())
+        return pa.table({
+            "term": g.column("term").slice(0, 1),
+            "df": pa.array([g.num_rows], pa.int64()),
+            "postings": pa.array(
+                [",".join(ids.to_pylist())], pa.string()),
+        })
+
+    # (term, doc_id) pairs are globally unique after the per-batch
+    # dedup: a document's row lives in exactly one batch, so no pair
+    # can recur across batches — assemble needs no second dedup
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("term").map_groups(assemble, batch_format="pyarrow")
+
+
+def q_events_value_histogram(sf_dir: str) -> Dataset:
+    """Fixed-width histogram over event values (10-unit bins on exact
+    cents — profiling primitive): one partial groupby per batch, tree
+    combine over the bounded bin grid."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"),
+                                             pa.scalar(100.0)),
+                                 ndigits=0,
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        bins = pc.divide(cents, pa.scalar(1000, pa.int64()))
+        g = pa.table({"bin": bins}).group_by("bin") \
+            .aggregate([("bin", "count")])
+        return g.rename_columns(["bin", "p_n"])
+
+    return _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], [("p_n", "sum")], ["bin", "p_n"], ["bin", "n_events"])

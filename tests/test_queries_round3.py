@@ -198,3 +198,42 @@ def test_label_centroids_known_values(ray_session, tmp_path):
     # quantized mean is within 2^-30 of the true mean, rounded to 6
     assert np.abs(got0 - np.round(want0, 6)).max() < 2e-6
     assert got.num_rows == 128
+
+
+def test_pack_bins_boundary_and_sources(ray_session, tmp_path):
+    """A doc whose exclusive prefix crosses the budget starts the next
+    bin; packing is independent per source."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as qmod
+    from ocr_engine_ray.pipelines.queries import q_documents_pack_bins
+
+    # budget 4096: doc lens 3000, 2000, 4096, 1 -> excl prefixes
+    # 0, 3000, 5000, 9096 -> bins 0, 0, 1, 2
+    texts = [" ".join(["w"] * n) for n in (3000, 2000, 4096, 1)]
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 10], pa.int64()),
+        "source": ["s1", "s1", "s1", "s1", "s2"],
+        "text": texts + ["tiny doc"],
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r["bin_idx"]
+           for r in q_documents_pack_bins(str(tmp_path)).take_all()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 10: 0}
+
+
+def test_posting_lists_dedup_and_order(ray_session, tmp_path):
+    """A term repeated within a doc posts once; postings are sorted."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_documents_posting_lists
+
+    tab = pa.table({
+        "doc_id": pa.array([30, 4, 100], pa.int64()),
+        "text": ["a a b", "b a", "a"],
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = {r["term"]: r for r in
+           q_documents_posting_lists(str(tmp_path)).take_all()}
+    assert got["a"]["df"] == 3 and got["a"]["postings"] == "4,30,100"
+    assert got["b"]["df"] == 2 and got["b"]["postings"] == "4,30"
