@@ -23,7 +23,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.synth import materialize_transcripts
-from ..util import round_sql, round_sql_f
+from ..util import round_sql, round_sql_f, scaled_int_sql
 from ..util import tree_combine as _tree_combine
 
 SYNTH_ROOT = "/tmp/ocr_engine_ray_synth"
@@ -1801,10 +1801,8 @@ def q_events_props_json(sf_dir: str) -> Dataset:
     def partial(b: pa.Table) -> pa.Table:
         ext = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(b.column("value"),
-                                             pa.scalar(100.0)),
-                                 ndigits=0, round_mode="half_towards_infinity"),
-                        pa.int64())
+        cents = pa.array(scaled_int_sql(b.column("value"), 100.0),
+                         pa.int64())
         t = pa.table({"k": k, "cents": cents})
         g = t.group_by("k").aggregate([("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["k", "p_cents", "p_n"])
@@ -1893,7 +1891,7 @@ def q_documents_chunk_windows(sf_dir: str) -> Dataset:
 
 def q_documents_term_df(sf_dir: str) -> Dataset:
     """TF-IDF statistics + vocabulary build: term frequency, document
-    frequency, round(ln(N/df), 6) idf, and a rank-assigned vocabulary
+    frequency, 6-decimal ROUND of ln(N/df) idf, and a rank-assigned vocabulary
     id for the top 100 terms by (df DESC, term ASC).  Partial (term,
     tf, df) aggregates per batch → one shuffled groupby over terms →
     per-block top-k prune → single-block rank assignment (the ranked
@@ -1976,7 +1974,7 @@ def q_documents_repetition(sf_dir: str) -> Dataset:
 def q_embeddings_label_centroids(sf_dir: str) -> Dataset:
     """Per-label embedding centroids (the vector aggregate behind
     semantic dedup / cluster labeling): mean of each of the 64 dims per
-    label.  Sums ride as int64 quantized values — round(v·2^30), exact
+    label.  Sums ride as int64 quantized values — ROUND of v·2^30, exact
     for float32 inputs and overflow-safe to ~2^33 vectors per cell — so
     the result is independent of float summation order and the DuckDB
     twin hashes bit-exact (same trick as the cent-valued event sums).
@@ -1993,11 +1991,7 @@ def q_embeddings_label_centroids(sf_dir: str) -> Dataset:
                .to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(b.column("embedding").combine_chunks()) \
             .to_numpy(zero_copy_only=False).astype(np.float64)
-        v = flat.reshape(len(lab), DIM) * SCALE
-        a = np.abs(v)
-        fa = np.floor(a)
-        c = np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa), v) \
-            .astype(np.int64)  # DuckDB round(): half away from zero
+        c = scaled_int_sql(flat, SCALE).reshape(len(lab), DIM)
         order = np.argsort(lab, kind="stable")
         labs, starts = np.unique(lab[order], return_index=True)
         sums = np.add.reduceat(c[order], starts, axis=0)
@@ -2107,11 +2101,8 @@ def q_events_value_histogram(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("value"),
-                                             pa.scalar(100.0)),
-                                 ndigits=0,
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
+        cents = pa.array(scaled_int_sql(b.column("value"), 100.0),
+                         pa.int64())
         bins = pc.divide(cents, pa.scalar(1000, pa.int64()))
         g = pa.table({"bin": bins}).group_by("bin") \
             .aggregate([("bin", "count")])

@@ -65,6 +65,25 @@ def tree_combine(partials, keys: list[str], spec: list[tuple],
                      batch_size=None)
 
 
+def scaled_int_sql(arr, scale: float):
+    """``CAST(round(x * scale) AS BIGINT)`` with DuckDB ROUND semantics
+    (half away from zero) — the exact-integer quantization every
+    cent-valued / fixed-point oracle twin rides on.  Accepts a float64
+    Arrow array/ChunkedArray or numpy array; returns an int64 ndarray."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.to_numpy(zero_copy_only=False)
+    s = arr.astype(np.float64, copy=False) * np.float64(scale)
+    a = np.abs(s)
+    fa = np.floor(a)
+    r = np.where(a - fa >= 0.5, fa + 1.0, fa)
+    return np.copysign(r, s).astype(np.int64)
+
+
 def round_sql_f(x: float, ndigits: int) -> float:
     """Scalar twin of :func:`round_sql` (DuckDB ROUND semantics).  Python's
     built-in ``round`` is correctly-rounded-to-decimal, which can differ
