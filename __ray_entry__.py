@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_pack_bins": q.q_documents_pack_bins,
         "documents_posting_lists": q.q_documents_posting_lists,
         "events_value_histogram": q.q_events_value_histogram,
+        "documents_source_mixture": q.q_documents_source_mixture,
+        "documents_balance_classes": q.q_documents_balance_classes,
     }
 
 
@@ -870,6 +872,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY bin
+        """,
+        "documents_source_mixture": """
+            WITH a AS (SELECT source,
+                              CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(SUM(len(string_split(text, ' ')))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+                         COUNT(*) AS ns FROM a)
+            SELECT source, n_docs, n_tokens,
+                   n_tokens / tot AS token_share,
+                   (1.0 / ns) / (n_tokens / tot) AS weight_uniform
+            FROM a, t
+        """,
+        "documents_balance_classes": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY md5(doc_id::VARCHAR || chr(31) || '42'),
+                                 doc_id::VARCHAR) AS rn
+              FROM documents) t
+            WHERE rn <= 30
         """,
         "embeddings_label_centroids": """
             WITH u AS (SELECT label, unnest(embedding) AS v,

@@ -2111,3 +2111,57 @@ def q_events_value_histogram(sf_dir: str) -> Dataset:
     return _tree_combine(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["bin"], [("p_n", "sum")], ["bin", "p_n"], ["bin", "n_events"])
+
+
+def q_documents_source_mixture(sf_dir: str) -> Dataset:
+    """Domain-mixture prep (the DoReMi-style reweighting input): per
+    source shard, doc/token counts, the shard's token share, and the
+    resampling weight that would flatten the mixture to uniform.
+    Partial counts per batch → tree combine over the bounded source
+    set → one single-block finish that sees every source (totals and
+    share are global by definition — the final table is one row per
+    source and structurally tiny)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")).cast(pa.int64())
+        t = pa.table({"source": b.column("source"), "n": n})
+        g = t.group_by("source").aggregate([("n", "sum"), ("n", "count")])
+        return g.rename_columns(["source", "p_tok", "p_doc"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("p_tok", "sum"), ("p_doc", "sum")],
+        ["source", "p_tok", "p_doc"],
+        ["source", "n_tokens", "n_docs"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        tok = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+               .astype(np.float64)
+        share = tok / tok.sum()
+        weight = (1.0 / b.num_rows) / share
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
+            "token_share": pa.array(share, pa.float64()),
+            "weight_uniform": pa.array(weight, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_balance_classes(sf_dir: str) -> Dataset:
+    """Class balancing: cap every language at 30 documents via the
+    shared deterministic reservoir (smallest seeded md5 row-hash wins —
+    stages/partition.reservoir_per_key), so the kept set is a pure
+    function of row identity: stable across reruns, partitionings and
+    cluster sizes, and exactly replayable in SQL."""
+    from ..stages.partition import reservoir_per_key
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+    return reservoir_per_key(ds, "lang", 30, ["doc_id"], seed=42)

@@ -237,3 +237,28 @@ def test_posting_lists_dedup_and_order(ray_session, tmp_path):
            q_documents_posting_lists(str(tmp_path)).take_all()}
     assert got["a"]["df"] == 3 and got["a"]["postings"] == "4,30,100"
     assert got["b"]["df"] == 2 and got["b"]["postings"] == "4,30"
+
+
+def test_source_mixture_invariants(ray_session):
+    """Token shares sum to 1 and weight·share = 1/n_sources per row
+    (the flatten-to-uniform property)."""
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import q_documents_source_mixture
+
+    got = _tab(q_documents_source_mixture(SF))
+    share = np.array(got.column("token_share").to_pylist())
+    weight = np.array(got.column("weight_uniform").to_pylist())
+    assert abs(share.sum() - 1.0) < 1e-12
+    np.testing.assert_allclose(weight * share, 1.0 / got.num_rows,
+                               rtol=1e-12)
+
+
+def test_balance_classes_caps_each_lang(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_documents_balance_classes
+
+    got = _tab(q_documents_balance_classes(SF))
+    import collections
+    counts = collections.Counter(got.column("lang").to_pylist())
+    assert all(v <= 30 for v in counts.values())
+    assert len(counts) >= 2
