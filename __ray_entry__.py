@@ -28,6 +28,18 @@ _NORM_EXPR = (
 _AMT_RE = r"[\d,]+\.\d{2}"
 
 
+def _scrub_expr(col: str = "text") -> str:
+    """Nested regexp_replace chain built from queries.SCRUB_RULES — the
+    oracle twin of q_transcripts_scrub shares the engine's literal
+    patterns (Arrow RE2 ↔ DuckDB RE2), so they cannot drift."""
+    from ocr_engine_ray.pipelines.queries import SCRUB_RULES
+
+    expr = col
+    for pat, rep in SCRUB_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
 def _cents_sql(extract_expr: str) -> str:
     """Money string → exact int cents, matching parse_money_cents
     half-up on 2-decimal amounts."""
@@ -793,10 +805,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY k
         """,
         "transcripts_scrub": f"""
-            SELECT conv_id, turn_idx,
-                   regexp_replace(
-                       regexp_replace(text, 'INV-\\d+', '<ID>', 'g'),
-                       '\\$?\\d[\\d,]*\\.\\d{{2}}', '<AMT>', 'g') AS scrubbed
+            SELECT conv_id, turn_idx, {_scrub_expr()} AS scrubbed
             FROM {transcripts}
         """,
         "events_dense_rank": """

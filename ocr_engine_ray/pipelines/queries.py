@@ -23,7 +23,8 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.synth import materialize_transcripts
-from ..util import round_sql, round_sql_f, scaled_int_sql
+from ..util import round_sql, round_sql_f, scaled_int_sql, sorted_topk
+from ..util import topk_combine as _topk_combine
 from ..util import tree_combine as _tree_combine
 
 SYNTH_ROOT = "/tmp/ocr_engine_ray_synth"
@@ -1656,13 +1657,7 @@ def q_events_moving_avg(sf_dir: str) -> Dataset:
 
     def mov(g: pa.Table) -> pa.Table:
         g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        v = g.column("value").combine_chunks() \
-             .to_numpy(zero_copy_only=False)
-        s = v * 100.0
-        a = np.abs(s)
-        fa = np.floor(a)
-        cents = np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa),
-                            s).astype(np.int64)
+        cents = scaled_int_sql(g.column("value"), 100.0)
         k = len(cents)
         cs = np.concatenate(([0], np.cumsum(cents)))
         idx = np.arange(k)
@@ -1710,13 +1705,7 @@ def q_events_value_variance(sf_dir: str) -> Dataset:
                          columns=["event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        v = b.column("value").combine_chunks() \
-             .to_numpy(zero_copy_only=False)
-        s = v * 100.0
-        a = np.abs(s)
-        fa = np.floor(a)
-        cents = np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa),
-                            s).astype(np.int64)
+        cents = scaled_int_sql(b.column("value"), 100.0)
         t = pa.table({"event_type": b.column("event_type"),
                       "c": pa.array(cents, pa.int64()),
                       "c2": pa.array(cents * cents, pa.int64())})
@@ -1777,10 +1766,8 @@ def q_events_top_values(sf_dir: str) -> Dataset:
         return b.take(pa.array(idx[order], pa.int64()))
 
     # final combine: all partials fit one block by construction (k per
-    # input block); repartition(1) then one more local_topk
-    return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+    # input block)
+    return _topk_combine(ds, local_topk)
 
 
 # ---------------------------------------------------------------------------
@@ -1814,6 +1801,17 @@ def q_events_props_json(sf_dir: str) -> Dataset:
         ["k", "sum_cents", "n_events"])
 
 
+# PII-style scrub rules, applied in order: (RE2 pattern, replacement).
+# Single-sourced — the SAME strings drive pc.replace_substring_regex in
+# q_transcripts_scrub, the DuckDB regexp_replace oracle twin
+# (__ray_entry__ builds its SQL from this list), and the unit tests, so
+# the three cannot drift apart.
+SCRUB_RULES = [
+    (r"INV-\d+", "<ID>"),
+    (r"\$?\d[\d,]*\.\d{2}", "<AMT>"),
+]
+
+
 def q_transcripts_scrub(sf_dir: str) -> Dataset:
     """PII-style scrubbing (the redaction stage of a training-data
     pipeline): mask invoice identifiers and money amounts in raw
@@ -1828,8 +1826,8 @@ def q_transcripts_scrub(sf_dir: str) -> Dataset:
 
     def scrub(b: pa.Table) -> pa.Table:
         t = b.column("text").combine_chunks()
-        t = pc.replace_substring_regex(t, r"INV-\d+", "<ID>")
-        t = pc.replace_substring_regex(t, r"\$?\d[\d,]*\.\d{2}", "<AMT>")
+        for pat, rep in SCRUB_RULES:
+            t = pc.replace_substring_regex(t, pat, rep)
         return pa.table({
             "conv_id": b.column("conv_id"),
             "turn_idx": b.column("turn_idx"),
@@ -1913,9 +1911,7 @@ def q_documents_term_df(sf_dir: str) -> Dataset:
         .groupby("term").aggregate(Sum("p_tf", alias_name="tf"),
                                    Sum("p_df", alias_name="df"))
 
-    def topk(b: pa.Table) -> pa.Table:
-        return b.sort_by([("df", "descending"), ("term", "ascending")]) \
-                .slice(0, K)
+    topk = sorted_topk([("df", "descending"), ("term", "ascending")], K)
 
     def finish(b: pa.Table) -> pa.Table:
         b = topk(b)
@@ -1929,9 +1925,7 @@ def q_documents_term_df(sf_dir: str) -> Dataset:
             "term_id": pa.array(np.arange(1, b.num_rows + 1), pa.int64()),
         })
 
-    return agg.map_batches(topk, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return _topk_combine(agg, topk, final=finish)
 
 
 def q_documents_top_bigrams(sf_dir: str) -> Dataset:
@@ -1953,9 +1947,7 @@ def q_documents_top_bigrams(sf_dir: str) -> Dataset:
         return pa.table({"bigram": b.column("bigram"),
                          "n": pc.cast(b.column("n"), pa.int64())})
 
-    return agg.map_batches(topk, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    return _topk_combine(agg, topk)
 
 
 def q_documents_repetition(sf_dir: str) -> Dataset:

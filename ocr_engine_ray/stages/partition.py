@@ -185,14 +185,11 @@ def weighted_sample(ds: Dataset, weight_col: str, frac: float,
     num, den = fr.numerator, fr.denominator
 
     def scale_w(v: np.ndarray) -> np.ndarray:
-        # exact std::round emulation (same technique as util.round_sql):
-        # floor(x + 0.5) is NOT it — the addition can round up one ulp
-        # below a .5 boundary where DuckDB's round(value*100) rounds down
-        s = v * weight_scale
-        a = np.abs(s)
-        fa = np.floor(a)
-        return np.copysign(np.where(a - fa >= 0.5, fa + 1.0, fa),
-                           s).astype(np.int64)
+        # exact std::round emulation — floor(x + 0.5) is NOT it: the
+        # addition can round up one ulp below a .5 boundary where
+        # DuckDB's round(value*100) rounds down
+        from ..util import scaled_int_sql
+        return scaled_int_sql(v, weight_scale)
 
     def part(b: pa.Table) -> pa.Table:
         w = scale_w(b.column(weight_col).to_numpy(zero_copy_only=False))

@@ -65,6 +65,31 @@ def tree_combine(partials, keys: list[str], spec: list[tuple],
                      batch_size=None)
 
 
+def topk_combine(ds, local, final=None):
+    """Global "ORDER BY … LIMIT k" WITHOUT a global sort: ``local``
+    prunes each block to its top-k rows, then one tiny single-block
+    pass (``final`` or ``local`` again) orders the survivors — only k
+    rows per input block ever move.  This helper exists to pin the two
+    correctness-critical details in ONE place: the final stage must see
+    its repartitioned block WHOLE (``batch_size=None`` — a fixed batch
+    size would emit per-batch top-ks as if global), and ``local`` must
+    keep every row tied with its k-th so boundary ties resolve exactly
+    like the oracle's ORDER BY."""
+    fin = final if final is not None else local
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def sorted_topk(sort_keys, k: int):
+    """A ``local`` callable for :func:`topk_combine`: Arrow sort_by the
+    given keys and keep the first k rows (C-level, stable for the
+    deterministic tie-break the keys themselves encode)."""
+    def local(b):
+        return b.sort_by(sort_keys).slice(0, k)
+    return local
+
+
 def scaled_int_sql(arr, scale: float):
     """``CAST(round(x * scale) AS BIGINT)`` with DuckDB ROUND semantics
     (half away from zero) — the exact-integer quantization every
@@ -76,8 +101,18 @@ def scaled_int_sql(arr, scale: float):
     if isinstance(arr, (pa.ChunkedArray, pa.Array)):
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        # refuse NULLs rather than silently minting INT64_MIN: DuckDB's
+        # round(NULL) is NULL and SUM drops it — an int64 result cannot
+        # carry that, so the caller must filter/fill first (round_sql
+        # keeps the mask because its float output can)
+        if arr.null_count:
+            raise ValueError(
+                "scaled_int_sql: input has NULLs; filter or fill them "
+                "first (int64 output cannot represent NULL)")
         arr = arr.to_numpy(zero_copy_only=False)
     s = arr.astype(np.float64, copy=False) * np.float64(scale)
+    if np.isnan(s).any():
+        raise ValueError("scaled_int_sql: input has NaNs")
     a = np.abs(s)
     fa = np.floor(a)
     r = np.where(a - fa >= 0.5, fa + 1.0, fa)

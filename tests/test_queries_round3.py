@@ -48,14 +48,23 @@ def test_scrub_masks_ids_and_amounts(ray_session):
 
 
 def test_scrub_comma_and_dollar_amounts(ray_session):
-    """The amount regex consumes an optional $ and comma groups in one
-    token, exactly like the oracle's RE2 pattern."""
+    """The amount rule consumes an optional $ and comma groups in one
+    token.  Uses the production SCRUB_RULES list (the same object that
+    drives both the engine kernel and the generated oracle SQL), so a
+    pattern edit cannot silently bypass this edge-case test."""
     import pyarrow.compute as pc
 
-    t = pa.array(["pay $1,234.56 or 7.00 now", "ref INV-12 due 9,999.99"])
-    s = pc.replace_substring_regex(t, r"INV-\d+", "<ID>")
-    s = pc.replace_substring_regex(s, r"\$?\d[\d,]*\.\d{2}", "<AMT>")
+    from ocr_engine_ray.pipelines.queries import SCRUB_RULES
+
+    s = pa.array(["pay $1,234.56 or 7.00 now", "ref INV-12 due 9,999.99"])
+    for pat, rep in SCRUB_RULES:
+        s = pc.replace_substring_regex(s, pat, rep)
     assert s.to_pylist() == ["pay <AMT> or <AMT> now", "ref <ID> due <AMT>"]
+    # and the oracle twin is literally generated from the same rules
+    import __ray_entry__ as entrymod
+    sql = entrymod.oracle_sql()["transcripts_scrub"]
+    for pat, _ in SCRUB_RULES:
+        assert pat in sql
 
 
 def test_dense_rank_ties_and_gaps(ray_session, tmp_path):
@@ -262,3 +271,19 @@ def test_balance_classes_caps_each_lang(ray_session):
     counts = collections.Counter(got.column("lang").to_pylist())
     assert all(v <= 30 for v in counts.values())
     assert len(counts) >= 2
+
+
+def test_scaled_int_sql_rejects_nulls_and_nans():
+    """NULL/NaN inputs must fail loudly — an int64 output cannot carry
+    NULL, and silent INT64_MIN corruption broke this exact helper class
+    elsewhere (DuckDB round(NULL) is NULL; SUM drops it)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocr_engine_ray.util import scaled_int_sql
+
+    with _pytest.raises(ValueError, match="NULL"):
+        scaled_int_sql(pa.array([1.0, None]), 100.0)
+    with _pytest.raises(ValueError, match="NaN"):
+        scaled_int_sql(np.array([1.0, np.nan]), 100.0)
+    assert scaled_int_sql(pa.array([0.005, -0.005]), 100.0).tolist() == [1, -1]
