@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": q.q_events_value_histogram,
         "documents_source_mixture": q.q_documents_source_mixture,
         "documents_balance_classes": q.q_documents_balance_classes,
+        "events_full_outer_days": q.q_events_full_outer_days,
     }
 
 
@@ -881,6 +882,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY bin
+        """,
+        "events_full_outer_days": """
+            WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n_purchases
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2),
+            v AS (SELECT user_id AS user_id_r,
+                         date_trunc('day', ts) AS day_r,
+                         CAST(COUNT(*) AS BIGINT) AS n_errors
+                  FROM events WHERE event_type = 'error'
+                  GROUP BY 1, 2)
+            SELECT COALESCE(p.user_id, v.user_id_r) AS user_id,
+                   COALESCE(p.day, v.day_r) AS day,
+                   p.n_purchases, v.n_errors
+            FROM p FULL JOIN v
+              ON p.user_id = v.user_id_r AND p.day = v.day_r
         """,
         "documents_source_mixture": """
             WITH a AS (SELECT source,

@@ -2157,3 +2157,40 @@ def q_documents_balance_classes(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "lang", "n_chars"])
     return reservoir_per_key(ds, "lang", 30, ["doc_id"], seed=42)
+
+
+def q_events_full_outer_days(sf_dir: str) -> Dataset:
+    """FULL OUTER join via ``Dataset.join``: per-(user, day) purchase
+    counts vs error counts — days with only one activity kind survive
+    with NULLs on the other side (completes the join-type surface:
+    inner / left / anti / semi / as-of / range / full).  Both inputs
+    are pre-aggregated partials, so the join moves one row per
+    (user, day, type) — never raw events."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def day_counts(etype: str, ucol: str, dcol: str, ncol: str):
+        def partial(b: pa.Table) -> pa.Table:
+            mask = pc.equal(b.column("event_type"), pa.scalar(etype))
+            t = b.filter(mask)
+            day = pc.floor_temporal(t.column("ts"), unit="day")
+            g = pa.table({ucol: t.column("user_id"), dcol: day}) \
+                .group_by([ucol, dcol]).aggregate([(ucol, "count")])
+            return g.rename_columns([ucol, dcol, "p_n"])
+
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby([ucol, dcol]).aggregate(Sum("p_n", alias_name=ncol))
+
+    left = day_counts("purchase", "user_id", "day", "n_purchases")
+    right = day_counts("error", "user_id_r", "day_r", "n_errors")
+    joined = left.join(right, join_type="full_outer", num_partitions=16,
+                       on=("user_id", "day"), right_on=("user_id_r", "day_r"))
+
+    def widen(b: pa.Table) -> pa.Table:
+        # count columns may arrive narrower from the aggregate
+        for c in ("n_purchases", "n_errors"):
+            b = b.set_column(b.schema.get_field_index(c), c,
+                             pc.cast(b.column(c), pa.int64()))
+        return b
+
+    return joined.map_batches(widen, batch_format="pyarrow")

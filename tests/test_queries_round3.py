@@ -287,3 +287,13 @@ def test_scaled_int_sql_rejects_nulls_and_nans():
     with _pytest.raises(ValueError, match="NaN"):
         scaled_int_sql(np.array([1.0, np.nan]), 100.0)
     assert scaled_int_sql(pa.array([0.005, -0.005]), 100.0).tolist() == [1, -1]
+
+
+def test_full_outer_has_both_null_directions(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_events_full_outer_days
+
+    got = _tab(q_events_full_outer_days(SF))
+    p_null = got.column("n_purchases").null_count
+    e_null = got.column("n_errors").null_count
+    assert p_null > 0 and e_null > 0          # rows survive from BOTH sides
+    assert got.column("user_id").null_count == 0   # keys coalesced
