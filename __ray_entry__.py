@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_source_mixture": q.q_documents_source_mixture,
         "documents_balance_classes": q.q_documents_balance_classes,
         "events_full_outer_days": q.q_events_full_outer_days,
+        "documents_training_prep": q.q_documents_training_prep,
     }
 
 
@@ -882,6 +883,40 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY bin
+        """,
+        "documents_training_prep": """
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              list_zip(w[:len(w)-1], w[2:len(w)]),
+                              z -> z[1] || ' ' || z[2])) AS b
+                   FROM t WHERE len(w) > 1),
+            c AS (SELECT doc_id, b, COUNT(*) AS nn
+                  FROM bg GROUP BY doc_id, b),
+            mx AS (SELECT doc_id, MAX(nn) AS mx FROM c GROUP BY doc_id),
+            kept AS (
+              SELECT t.doc_id, t.text
+              FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id
+              WHERE len(w) >= 5
+                AND len(list_filter(w, x -> x IN ('the', 'a')))
+                    / GREATEST(len(w), 1) >= 0.02
+                AND len(list_distinct(w)) / len(w) >= 0.45
+                AND (CASE WHEN len(w) > 1
+                     THEN COALESCE(mx.mx, 0) / (len(w) - 1)
+                     ELSE 0.0 END) <= 0.08),
+            ded AS (SELECT MIN(doc_id) AS doc_id, text
+                    FROM kept GROUP BY text),
+            s AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+            u AS (SELECT doc_id, w,
+                         unnest(generate_series(1, greatest(len(w), 1), 24))
+                             AS start
+                  FROM s)
+            SELECT doc_id,
+                   CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+                   CAST(least(32, len(w) - start + 1) AS BIGINT) AS n_tokens,
+                   array_to_string(w[start:start+31], ' ') AS chunk
+            FROM u
         """,
         "events_full_outer_days": """
             WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,

@@ -2194,3 +2194,24 @@ def q_events_full_outer_days(sf_dir: str) -> Dataset:
         return b
 
     return joined.map_batches(widen, batch_format="pyarrow")
+
+
+def q_documents_training_prep(sf_dir: str) -> Dataset:
+    """END-TO-END training-data prep, composed and streaming: quality
+    gate (≥5 tokens, stopword ratio ≥0.02) ∧ repetition gate (distinct
+    ratio ≥0.45, top-bigram fraction ≤0.08) → exact dedup (keep lowest
+    doc_id per identical text) → 32/24 windowed chunking.  One
+    tokenizing filter pass, one payload groupby (the survivors), one
+    vectorized 1→N chunker — the whole prep a 100 TB corpus runs before
+    tokenization, under a single CTE-chained DuckDB oracle."""
+    from ..stages.terms import chunk_batch, training_prep_filter
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    kept = ds.map_batches(
+        lambda b: training_prep_filter(
+            b, min_tokens=5, min_stopword_ratio=0.02,
+            min_distinct_ratio=0.45, max_top_bigram_frac=0.08),
+        batch_format="pyarrow")
+    ded = kept.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return ded.map_batches(lambda b: chunk_batch(b, window=32, stride=24),
+                           batch_format="pyarrow")

@@ -153,3 +153,48 @@ def repetition_batch(b: pa.Table, min_distinct_ratio: float,
         "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
         "keep": pa.array(keep, pa.int64()),
     })
+
+
+def training_prep_filter(b: pa.Table, min_tokens: int,
+                         min_stopword_ratio: float,
+                         min_distinct_ratio: float,
+                         max_top_bigram_frac: float,
+                         stopwords=("the", "a")) -> pa.Table:
+    """One-pass survivor filter for the composed training-prep
+    pipeline: C4-style token/stopword gate + Gopher-style repetition
+    gate evaluated together on a single tokenization, returning the
+    surviving (doc_id, text) rows.  All ratios divide the same int64s
+    the SQL twin divides — threshold comparisons are bit-identical."""
+    if b.num_rows == 0:
+        return b.select(["doc_id", "text"])
+    _, lens, flat, offs = _tokens(b)
+    nb = len(lens)
+    d = np.repeat(np.arange(nb), lens)
+
+    stop = pc.is_in(flat, value_set=pa.array(list(stopwords))) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(stop)])
+    n_stop = csum[offs[1:]] - csum[offs[:-1]]
+    stop_ratio = n_stop / np.maximum(lens, 1)
+
+    per_doc = pa.table({"d": pa.array(d, pa.int64()), "term": flat}) \
+        .group_by(["d", "term"]).aggregate([("term", "count")])
+    dist = per_doc.group_by("d").aggregate([("term", "count")])
+    n_distinct = np.zeros(nb, np.int64)
+    n_distinct[dist.column("d").to_numpy()] = \
+        dist.column("term_count").to_numpy()
+
+    bg, bd = _bigram_parts(flat, lens, offs)
+    mx = np.zeros(nb, np.int64)
+    if len(bg) > 0:
+        cnt = pa.table({"d": pa.array(bd, pa.int64()), "b": bg}) \
+            .group_by(["d", "b"]).aggregate([("b", "count")])
+        mxt = cnt.group_by("d").aggregate([("b_count", "max")])
+        mx[mxt.column("d").to_numpy()] = mxt.column("b_count_max").to_numpy()
+
+    keep = ((lens >= min_tokens)
+            & (stop_ratio >= min_stopword_ratio)
+            & (n_distinct / lens >= min_distinct_ratio)
+            & (np.where(lens > 1, mx / np.maximum(lens - 1, 1), 0.0)
+               <= max_top_bigram_frac))
+    return b.select(["doc_id", "text"]).filter(pa.array(keep))

@@ -297,3 +297,38 @@ def test_full_outer_has_both_null_directions(ray_session):
     e_null = got.column("n_errors").null_count
     assert p_null > 0 and e_null > 0          # rows survive from BOTH sides
     assert got.column("user_id").null_count == 0   # keys coalesced
+
+
+def test_training_prep_composition(ray_session):
+    """Each gate fires on the intended victim; survivors dedup to the
+    lowest doc_id; chunking applies only to survivors."""
+    from ocr_engine_ray.stages.terms import chunk_batch, training_prep_filter
+
+    good = ("the quick brown fox jumps over a lazy dog near the old barn "
+            "while the farmer watches a red hen peck at grain under a "
+            "bright warm morning sun")
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": [
+            good,                              # survives
+            good,                              # exact dup of 1
+            "tiny doc",                        # <5 tokens
+            "alpha beta gamma delta epsilon",  # no stopwords
+            "the the the the the a a a",       # low distinct ratio
+            "the cat " * 30 + "a dog sat on a mat with a hat",  # top bigram
+        ],
+    })
+    kept = training_prep_filter(b, min_tokens=5, min_stopword_ratio=0.02,
+                                min_distinct_ratio=0.45,
+                                max_top_bigram_frac=0.08)
+    assert kept.column("doc_id").to_pylist() == [1, 2]
+    # dedup-keep-min then chunk: 29 tokens, stride 24 -> chunks at 0 and 24
+    ded = kept.group_by("text").aggregate([("doc_id", "min")]) \
+        .rename_columns(["text", "doc_id"])
+    chunks = chunk_batch(ded.select(["doc_id", "text"]),
+                         window=32, stride=24).to_pylist()
+    assert [c["doc_id"] for c in chunks] == [1, 1]
+    w = good.split()
+    assert chunks[0]["chunk"] == good and chunks[0]["n_tokens"] == len(w)
+    assert chunks[1]["chunk"] == " ".join(w[24:])
+    assert chunks[1]["n_tokens"] == len(w) - 24
