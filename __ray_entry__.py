@@ -329,6 +329,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_balance_classes": q.q_documents_balance_classes,
         "events_full_outer_days": q.q_events_full_outer_days,
         "documents_training_prep": q.q_documents_training_prep,
+        # event analytics + multi-table: funnel, retention, Q3-style, set op, corr
+        "events_funnel": q.q_events_funnel,
+        "events_retention": q.q_events_retention,
+        "orders_shipping_priority": q.q_orders_shipping_priority,
+        "events_except_days": q.q_events_except_days,
+        "lineitem_corr": q.q_lineitem_corr,
     }
 
 
@@ -883,6 +889,86 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY bin
+        """,
+        "events_funnel": """
+            WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN t1 ON e.user_id = t1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > t1.t1
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN t2 ON e.user_id = t2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                   GROUP BY e.user_id)
+            SELECT 'view' AS stage,
+                   CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+            UNION ALL SELECT 'view_click',
+                   CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+            UNION ALL SELECT 'view_click_purchase',
+                   CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+        """,
+        "events_retention": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              date_trunc('day', ts) AS day FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort_day
+                  FROM p GROUP BY user_id)
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', c.cohort_day, p.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p JOIN c ON p.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
+        "orders_shipping_priority": """
+            WITH r AS (
+              SELECT o.o_orderkey, o.o_orderdate,
+                     SUM(CAST(round(l.l_extendedprice
+                                    * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS r
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND year(o.o_orderdate) < 1997
+                AND year(l.l_shipdate) >= 1997
+              GROUP BY 1, 2)
+            SELECT o_orderkey, o_orderdate,
+                   ROUND(CAST(r AS DOUBLE) / 10000.0, 2) AS revenue
+            FROM r
+            ORDER BY r DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "events_except_days": """
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id, date_trunc('day', ts)
+            FROM events WHERE event_type = 'error'
+        """,
+        "lineitem_corr": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM (SELECT l_returnflag,
+                           CAST(round(l_quantity) AS BIGINT) AS x,
+                           CAST(round(l_extendedprice) AS BIGINT) AS y
+                    FROM lineitem)
+              GROUP BY l_returnflag)
+            SELECT l_returnflag, n AS n_items,
+                   ROUND((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) /
+                         (sqrt(CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx) *
+                          sqrt(CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 6)
+                       AS corr_qty_price
+            FROM m
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.synth import materialize_transcripts
 from ..util import round_sql, round_sql_f, scaled_int_sql, sorted_topk
+from ..util import with_schema
 from ..util import topk_combine as _topk_combine
 from ..util import tree_combine as _tree_combine
 
@@ -2178,8 +2179,13 @@ def q_events_full_outer_days(sf_dir: str) -> Dataset:
                 .group_by([ucol, dcol]).aggregate([(ucol, "count")])
             return g.rename_columns([ucol, dcol, "p_n"])
 
-        return ds.map_batches(partial, batch_format="pyarrow") \
-            .groupby([ucol, dcol]).aggregate(Sum("p_n", alias_name=ncol))
+        # hash-aggregate empty partitions emit schema-less blocks that
+        # Dataset.join cannot key on — pin the schema before joining
+        return with_schema(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([ucol, dcol]).aggregate(Sum("p_n", alias_name=ncol)),
+            pa.schema([(ucol, pa.int64()), (dcol, pa.timestamp("us")),
+                       (ncol, pa.int64())]))
 
     left = day_counts("purchase", "user_id", "day", "n_purchases")
     right = day_counts("error", "user_id_r", "day_r", "n_errors")
@@ -2215,3 +2221,274 @@ def q_documents_training_prep(sf_dir: str) -> Dataset:
     ded = kept.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
     return ded.map_batches(lambda b: chunk_batch(b, window=32, stride=24),
                            batch_format="pyarrow")
+
+
+def q_events_funnel(sf_dir: str) -> pa.Table:
+    """Staged conversion funnel (view → click after first view →
+    purchase after first qualifying click), the classic event-analytics
+    sequence operator.  Each stage is a partial-agg MIN(ts) per user;
+    stage N+1 joins the stage-N anchor back onto the (type-filtered)
+    raw events and min-reduces the rows that happen strictly after it.
+    The joins carry ONE row per qualifying user on the build side and
+    only that type's events on the probe side — never the whole event
+    log — so the shape survives 10^12 events.  Output is the 3-row
+    stage/count table (tiny by construction, driver-safe).
+
+    Two Ray-2.49 footguns handled here: timestamps ride as int64 µs so
+    the min-reduce and the strict "after" comparison are unit-exact
+    regardless of how the aggregate treats temporal types, and every
+    join input goes through :func:`with_schema` because empty
+    hash-aggregate / map_batches partitions emit zero-row blocks with
+    an EMPTY schema that ``Dataset.join`` cannot resolve keys on."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def typed(etype: str) -> Dataset:
+        def pick(b: pa.Table, t=etype) -> pa.Table:
+            f = b.filter(pc.equal(b.column("event_type"), t))
+            return pa.table({
+                "user_id": f.column("user_id"),
+                "ts": pc.cast(f.column("ts"), pa.int64()),
+            })
+        return with_schema(
+            ds.map_batches(pick, batch_format="pyarrow"),
+            pa.schema([("user_id", pa.int64()), ("ts", pa.int64())]))
+
+    def min_per_user(d: Dataset, out: str) -> Dataset:
+        def local(b: pa.Table) -> pa.Table:
+            g = b.group_by("user_id").aggregate([("ts", "min")])
+            return g.rename_columns(["user_id", out])
+        return with_schema(
+            d.map_batches(local, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Min(out, alias_name=out)),
+            pa.schema([("user_id", pa.int64()), (out, pa.int64())]))
+
+    def min_after(d: Dataset, prev: Dataset, prev_col: str,
+                  out: str) -> Dataset:
+        j = d.join(prev, join_type="inner", num_partitions=8,
+                   on=("user_id",))
+        return min_per_user(
+            j.map_batches(
+                lambda b: b.filter(
+                    pc.greater(b.column("ts"), b.column(prev_col)))
+                .select(["user_id", "ts"]),
+                batch_format="pyarrow"),
+            out)
+
+    t1 = min_per_user(typed("view"), "t1")
+    t2 = min_after(typed("click"), t1, "t1", "t2")
+    t3 = min_after(typed("purchase"), t2, "t2", "t3")
+    return pa.table({
+        "stage": pa.array(["view", "view_click", "view_click_purchase"]),
+        "n_users": pa.array([t1.count(), t2.count(), t3.count()],
+                            pa.int64()),
+    })
+
+
+def q_events_retention(sf_dir: str) -> Dataset:
+    """Cohort retention matrix: cohort = each user's first active day,
+    cell (cohort_day, day_offset) = distinct users of that cohort
+    active offset days later.  (user, day) pairs are deduped per batch
+    before the distinct shuffle, the cohort anchor is a partial-agg
+    MIN, and the final count rides on the pairs already being unique —
+    no raw event ever crosses the exchange twice."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        return pa.table({"user_id": b.column("user_id"), "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    # both join inputs come from hash aggregates, whose empty partitions
+    # emit schema-less zero-row blocks Dataset.join cannot key on —
+    # with_schema pins them (see q_events_funnel docstring)
+    day_t = pa.timestamp("us")  # floor_temporal preserves the input unit
+    pairs = with_schema(
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).aggregate(
+            Count("day", alias_name="_n"))
+        .drop_columns(["_n"]),
+        pa.schema([("user_id", pa.int64()), ("day", day_t)]))
+
+    def cohort_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "cohort_day"])
+
+    cohort = with_schema(
+        pairs.map_batches(cohort_partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("cohort_day",
+                                          alias_name="cohort_day")),
+        pa.schema([("user_id", pa.int64()), ("cohort_day", day_t)]))
+
+    j = pairs.join(cohort, join_type="inner", num_partitions=8,
+                   on=("user_id",))
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        # days_between, not duration arithmetic: a raw subtract would be
+        # unit-dependent (day columns ride as timestamps, not dates)
+        off = pc.cast(pc.days_between(b.column("cohort_day"),
+                                      b.column("day")), pa.int64())
+        t = pa.table({"cohort_day": b.column("cohort_day"),
+                      "day_offset": off, "u": b.column("user_id")})
+        g = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("u", "count")])
+        return g.rename_columns(["cohort_day", "day_offset", "p_u"])
+
+    return j.map_batches(cell_partial, batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]).aggregate(
+            Sum("p_u", alias_name="n_users")) \
+        .map_batches(lambda b: b.set_column(
+            b.schema.get_field_index("n_users"), "n_users",
+            pc.cast(b.column("n_users"), pa.int64())),
+            batch_format="pyarrow")
+
+
+def q_orders_shipping_priority(sf_dir: str) -> Dataset:
+    """TPC-H-Q3-shaped 3-table pipeline: BUILDING-segment customers ⋈
+    their pre-cutoff orders ⋈ post-cutoff lineitems, exact-cent revenue
+    rollup per order, global top-10 by (revenue DESC, o_orderdate ASC,
+    o_orderkey ASC).  Both joins are key-pruned before they run (the
+    segment filter rides into the orders join; only surviving orderkeys
+    meet lineitem), revenue sums are int64 1e4-quantized (extendedprice
+    2 dp × discount 2 dp is exact at 4 dp), and the top-10 is the
+    per-block-partials shape — no global sort."""
+    CUT = pa.scalar(1997, pa.int64())
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    bld = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    pre = orders.map_batches(
+        lambda b: b.filter(pc.less(pc.year(b.column("o_orderdate")),
+                                   CUT)),
+        batch_format="pyarrow")
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"])
+    post = line.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            pc.year(b.column("l_shipdate")), CUT)),
+        batch_format="pyarrow")
+
+    co = pre.join(bld, join_type="inner", num_partitions=8,
+                  on=("o_custkey",), right_on=("c_custkey",))
+    col = co.join(post, join_type="inner", num_partitions=16,
+                  on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = scaled_int_sql(
+            pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount"))), 10000.0)
+        t = pa.table({"o_orderkey": b.column("o_orderkey"),
+                      "o_orderdate": b.column("o_orderdate"),
+                      "r": pa.array(rev, pa.int64())})
+        g = t.group_by(["o_orderkey", "o_orderdate"]).aggregate(
+            [("r", "sum")])
+        return g.rename_columns(["o_orderkey", "o_orderdate", "p_r"])
+
+    agg = col.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderkey", "o_orderdate"]).aggregate(
+            Sum("p_r", alias_name="r"))
+
+    top = _topk_combine(agg, sorted_topk(
+        [("r", "descending"), ("o_orderdate", "ascending"),
+         ("o_orderkey", "ascending")], 10))
+    return top.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "revenue": round_sql(pc.divide(
+                pc.cast(b.column("r"), pa.float64()),
+                pa.scalar(10000.0)), 2),
+        }),
+        batch_format="pyarrow")
+
+
+def q_events_except_days(sf_dir: str) -> Dataset:
+    """Set difference (EXCEPT) at the (user, day) grain: days on which
+    a user purchased but had no error.  Per-batch presence-flag
+    partials (max of two indicators per key) shrink each block to ≤1
+    row per key before the shuffle; the global max-reduce + filter IS
+    the set op — no distinct-then-anti-join double exchange."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        v = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                    pa.int64())
+        p = pc.cast(pc.equal(b.column("event_type"), "error"), pa.int64())
+        t = pa.table({"user_id": b.column("user_id"), "day": day,
+                      "v": v, "p": p})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("v", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "day", "p_v", "p_p"])
+
+    agg = ds.map_batches(flags, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(
+            Max("p_v", alias_name="v"), Max("p_p", alias_name="p"))
+    return agg.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b.column("v"), 1),
+                                   pc.equal(b.column("p"), 0)))
+        .select(["user_id", "day"]),
+        batch_format="pyarrow")
+
+
+def q_lineitem_corr(sf_dir: str) -> Dataset:
+    """Grouped Pearson correlation (quantity vs extendedprice per
+    returnflag) from EXACT integer moments: the shuffle moves per-batch
+    (n, Σx, Σy, Σx², Σy², Σxy) int64 partials and only the final
+    r-expression is float, written token-identically in the DuckDB twin
+    (DuckDB's own corr() would differ in the last ulp).  y is quantized
+    to whole dollars — keeping Σy² under int64 to ~2e9 rows/group
+    (cents would overflow at ~7e5 rows/group on this price range);
+    finer quantization is the same code with a different scale."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = scaled_int_sql(b.column("l_quantity"), 1.0)
+        y = scaled_int_sql(b.column("l_extendedprice"), 1.0)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "x": pa.array(x, pa.int64()),
+                      "y": pa.array(y, pa.int64()),
+                      "xx": pa.array(x * x, pa.int64()),
+                      "yy": pa.array(y * y, pa.int64()),
+                      "xy": pa.array(x * y, pa.int64())})
+        g = t.group_by("l_returnflag").aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return g.rename_columns(["l_returnflag", "p_n", "p_x", "p_y",
+                                 "p_xx", "p_yy", "p_xy"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("p_n", alias_name="n_items"),
+            Sum("p_x", alias_name="sx"), Sum("p_y", alias_name="sy"),
+            Sum("p_xx", alias_name="sxx"), Sum("p_yy", alias_name="syy"),
+            Sum("p_xy", alias_name="sxy"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = b.column("n_items").to_numpy(zero_copy_only=False) * 1.0
+        sx = b.column("sx").to_numpy(zero_copy_only=False) * 1.0
+        sy = b.column("sy").to_numpy(zero_copy_only=False) * 1.0
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False) * 1.0
+        syy = b.column("syy").to_numpy(zero_copy_only=False) * 1.0
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False) * 1.0
+        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                   * np.sqrt(n * syy - sy * sy))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n_items": pc.cast(b.column("n_items"), pa.int64()),
+            "corr_qty_price": round_sql(pa.array(r, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

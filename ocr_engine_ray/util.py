@@ -149,3 +149,34 @@ def default_pool_size(cap: int | None = None) -> int:
     if cap is not None:
         size = max(1, min(size, cap))
     return size
+
+
+def with_schema(ds, schema: "pa.Schema"):
+    """Pin a Dataset's block schema ahead of a ``Dataset.join``.
+
+    Ray 2.49's hash aggregate emits zero-row blocks with an EMPTY
+    schema for partitions that received no rows; ``Dataset.join``'s
+    finalize then fails with "No match ... for key field" when such a
+    block reaches the pyarrow join.  ``map_batches`` cannot repair
+    them — Ray never invokes the UDF on an empty block, it forwards
+    the block untouched — so this drops empty blocks at the ref level
+    (``iter_internal_ref_bundles`` moves object REFS, never rows, to
+    the driver; the upstream aggregate is already an all-to-all
+    barrier, so no streaming is lost) and re-assembles the dataset
+    from the survivors.  An all-empty input becomes one typed empty
+    block so downstream joins still see the keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    out = rd.from_arrow_refs(refs)
+
+    def cast(b: pa.Table, s=schema) -> pa.Table:
+        return b if b.schema == s else b.select(s.names).cast(s)
+    return out.map_batches(cast, batch_format="pyarrow")

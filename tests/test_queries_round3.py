@@ -332,3 +332,79 @@ def test_training_prep_composition(ray_session):
     assert chunks[0]["chunk"] == good and chunks[0]["n_tokens"] == len(w)
     assert chunks[1]["chunk"] == " ".join(w[24:])
     assert chunks[1]["n_tokens"] == len(w) - 24
+
+
+def test_funnel_requires_stage_order(ray_session, tmp_path):
+    """Clicks BEFORE the first view must not advance the funnel, and a
+    purchase between view and click must not count without the click
+    anchor preceding it."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_events_funnel
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: view@1 click@2 purchase@3 -> all three stages
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # user 2: click@1 view@2 purchase@3 -> click precedes view: stage 1 only
+        (2, "click", ts(1)), (2, "view", ts(2)), (2, "purchase", ts(3)),
+        # user 3: view@1 purchase@2 click@3 -> purchase precedes click: stage 2
+        (3, "view", ts(1)), (3, "purchase", ts(2)), (3, "click", ts(3)),
+        # user 4: never views -> no stage
+        (4, "click", ts(1)), (4, "purchase", ts(2)),
+    ]
+    tab = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = {r["stage"]: r["n_users"]
+           for r in q_events_funnel(str(tmp_path)).to_pylist()}
+    assert got == {"view": 3, "view_click": 2, "view_click_purchase": 1}
+
+
+def test_retention_offsets_and_distinctness(ray_session, tmp_path):
+    """Multiple events on one day count once; offsets are whole days
+    from each user's OWN first day."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_events_retention
+
+    def d(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = [(1, d(1)), (1, d(1, 5)), (1, d(3)),     # cohort 1/1: off 0, 2
+            (2, d(2)), (2, d(3)), (2, d(3, 9))]     # cohort 1/2: off 0, 1
+    tab = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = {(r["cohort_day"].day, r["day_offset"]): r["n_users"]
+           for r in _tab(q_events_retention(str(tmp_path))).to_pylist()}
+    assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_corr_known_values(ray_session, tmp_path):
+    """Perfect positive / negative linear relationships give ±1."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_lineitem_corr
+
+    tab = pa.table({
+        "l_returnflag": pa.array(["P"] * 4 + ["N"] * 4),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0] * 2),
+        "l_extendedprice": pa.array(
+            [10.0, 20.0, 30.0, 40.0, 40.0, 30.0, 20.0, 10.0]),
+    })
+    pq.write_table(tab, str(tmp_path / "lineitem.parquet"))
+    got = {r["l_returnflag"]: r["corr_qty_price"]
+           for r in _tab(q_lineitem_corr(str(tmp_path))).to_pylist()}
+    assert got == {"P": 1.0, "N": -1.0}
