@@ -335,6 +335,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_shipping_priority": q.q_orders_shipping_priority,
         "events_except_days": q.q_events_except_days,
         "lineitem_corr": q.q_lineitem_corr,
+        # set intersection, melt, entropy, fuzzy join, gap fill
+        "events_intersect_days": q.q_events_intersect_days,
+        "events_unpivot_counts": q.q_events_unpivot_counts,
+        "events_user_entropy": q.q_events_user_entropy,
+        "customers_fuzzy_name_pairs": q.q_customers_fuzzy_name_pairs,
+        "events_daily_gapfill": q.q_events_daily_gapfill,
     }
 
 
@@ -969,6 +975,76 @@ def oracle_sql() -> dict[str, str]:
                                - CAST(sy AS DOUBLE) * sy)), 6)
                        AS corr_qty_price
             FROM m
+        """,
+        "events_intersect_days": """
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id, date_trunc('day', ts)
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "events_unpivot_counts": """
+            WITH p AS (
+              SELECT user_id,
+                     COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         AS n_click,
+                     COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                         AS n_error,
+                     COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                         AS n_purchase,
+                     COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                         AS n_signup,
+                     COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                         AS n_view
+              FROM events GROUP BY user_id)
+            SELECT user_id, 'click' AS event_type,
+                   CAST(n_click AS BIGINT) AS n FROM p
+            UNION ALL SELECT user_id, 'error', CAST(n_error AS BIGINT)
+            FROM p
+            UNION ALL SELECT user_id, 'purchase',
+                   CAST(n_purchase AS BIGINT) FROM p
+            UNION ALL SELECT user_id, 'signup', CAST(n_signup AS BIGINT)
+            FROM p
+            UNION ALL SELECT user_id, 'view', CAST(n_view AS BIGINT)
+            FROM p
+        """,
+        "events_user_entropy": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id,
+                         CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(CAST(round(CAST(n AS DOUBLE)
+                                             * ln(CAST(n AS DOUBLE))
+                                             * 1000000) AS BIGINT))
+                              AS BIGINT) AS sq
+                  FROM c GROUP BY 1)
+            SELECT user_id, n AS n_events,
+                   ROUND(ln(CAST(n AS DOUBLE))
+                         - (CAST(sq AS DOUBLE) / 1000000.0)
+                           / CAST(n AS DOUBLE), 6) AS entropy
+            FROM u
+        """,
+        "customers_fuzzy_name_pairs": """
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM (SELECT DISTINCT c_name FROM customer) a,
+                 (SELECT DISTINCT c_name FROM customer) b
+            WHERE a.c_name < b.c_name
+              AND levenshtein(a.c_name, b.c_name) = 1
+        """,
+        "events_daily_gapfill": """
+            WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM c),
+            g AS (SELECT t.event_type, d.day
+                  FROM (SELECT DISTINCT event_type FROM events) t
+                  CROSS JOIN (SELECT unnest(generate_series(
+                                  b.mn, b.mx, INTERVAL 1 DAY)) AS day
+                              FROM b) d)
+            SELECT g.event_type, g.day,
+                   COALESCE(c.n, 0) AS n_events
+            FROM g LEFT JOIN c USING (event_type, day)
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

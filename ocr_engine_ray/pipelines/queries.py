@@ -2492,3 +2492,240 @@ def q_lineitem_corr(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_intersect_days(sf_dir: str) -> Dataset:
+    """Set intersection (INTERSECT) at the (user, day) grain: days on
+    which a user both viewed and purchased.  Same one-exchange
+    presence-flag shape as :func:`q_events_except_days` — per-batch max
+    of two indicators per key, global max-reduce, filter both == 1."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        v = pc.cast(pc.equal(b.column("event_type"), "view"), pa.int64())
+        p = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                    pa.int64())
+        t = pa.table({"user_id": b.column("user_id"), "day": day,
+                      "v": v, "p": p})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("v", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "day", "p_v", "p_p"])
+
+    agg = ds.map_batches(flags, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(
+            Max("p_v", alias_name="v"), Max("p_p", alias_name="p"))
+    return agg.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b.column("v"), 1),
+                                   pc.equal(b.column("p"), 1)))
+        .select(["user_id", "day"]),
+        batch_format="pyarrow")
+
+
+def q_events_unpivot_counts(sf_dir: str) -> Dataset:
+    """UNPIVOT / melt: the per-user pivoted type counts fanned back to
+    long (user_id, event_type, n) form — the inverse reshape of
+    :func:`q_events_pivot_types`, zeros preserved.  The melt is a pure
+    column re-labeling (5 zero-copy column selections concatenated per
+    batch), so the only exchange is the pivot's own."""
+    piv = q_events_pivot_types(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = [pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": pa.array([t] * b.num_rows, pa.string()),
+            "n": pc.cast(b.column(f"n_{t}"), pa.int64()),
+        }) for t in _EVENT_TYPES]
+        return pa.concat_tables(parts)
+
+    return piv.map_batches(melt, batch_format="pyarrow")
+
+
+def q_events_user_entropy(sf_dir: str) -> Dataset:
+    """Per-user Shannon entropy of the event-type distribution (the
+    distributional skew signal a mixture-balancing stage thresholds
+    on).  H = ln(n) − (Σ c·ln c)/n computed from EXACT integer
+    partials: per-(user, type) counts shuffle once, c·ln c is quantized
+    to int64 at 1e6 (order-independent sums; same ulp-validated
+    ln-quantization shape as documents_term_df's idf), and only the
+    final per-user expression is float, written token-identically in
+    the DuckDB twin."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "p_n"])
+
+    per_type = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Sum("p_n", alias_name="n"))
+
+    def qpart(b: pa.Table) -> pa.Table:
+        c = b.column("n").to_numpy(zero_copy_only=False)
+        cf = c.astype(np.float64)
+        q = scaled_int_sql(cf * np.log(cf), 1e6)
+        t = pa.table({"user_id": b.column("user_id"),
+                      "c": pc.cast(b.column("n"), pa.int64()),
+                      "q": pa.array(q, pa.int64())})
+        g = t.group_by("user_id").aggregate([("c", "sum"), ("q", "sum")])
+        return g.rename_columns(["user_id", "p_c", "p_q"])
+
+    agg = per_type.map_batches(qpart, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("p_c", alias_name="n_events"),
+                                      Sum("p_q", alias_name="sq"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sq = b.column("sq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        h = np.log(n) - (sq / 1e6) / n
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "entropy": round_sql(pa.array(h, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _ed_is_one(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check in O(len): equal lengths need
+    exactly one substitution; lengths off by one need a single aligned
+    deletion.  No DP — the threshold makes the two-pointer walk exact."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    s, l = (a, b) if la < lb else (b, a)
+    i = 0
+    while i < len(s) and s[i] == l[i]:
+        i += 1
+    return s[i:] == l[i + 1:]
+
+
+def q_customers_fuzzy_name_pairs(sf_dir: str) -> Dataset:
+    """String-similarity (fuzzy) self-join: customer-name pairs at edit
+    distance EXACTLY 1, via symmetric-delete (SymSpell) blocking — two
+    strings are within distance 1 only if they share a key in
+    {s} ∪ single-deletions(s), so the index self-join finds every true
+    pair without an O(n²) cross join.  Variant generation is fully
+    vectorized (one utf8_slice + binary_join pass per character
+    position, not per row); candidates dedupe on the pair key and only
+    the small candidate set (true pairs + distance-2 collisions that
+    share a deletion) hits the exact per-pair verify.
+
+    Scale shape: the index is (L+1)× the distinct-name set, the
+    self-join is key-partitioned, and nothing is broadcast or held on
+    the driver.  Positions are codepoints, matching DuckDB's
+    levenshtein on ASCII (documented limitation for multi-byte)."""
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_name"])
+
+    # distinct names first: duplicate names would inflate every bucket
+    # quadratically; the aggregate also bounds the index build input
+    uniq = ds.map_batches(
+        lambda b: b.group_by("c_name").aggregate([]),
+        batch_format="pyarrow") \
+        .groupby("c_name").aggregate(Count("c_name", alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    def variants(b: pa.Table) -> pa.Table:
+        names = b.column("c_name").combine_chunks()
+        ln = pc.utf8_length(names)
+        maxlen = pc.max(ln).as_py() or 0
+        outs = [pa.table({"v": names, "name": names})]
+        for i in range(maxlen):
+            f = names.filter(pc.greater(ln, i))
+            v = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(f, 0, i),
+                pc.utf8_slice_codeunits(f, i + 1, 2 ** 31 - 1), "")
+            outs.append(pa.table({"v": v, "name": f}))
+        return pa.concat_tables(outs)
+
+    idx_schema = pa.schema([("v", pa.string()), ("name", pa.string())])
+    inv = with_schema(uniq.map_batches(variants, batch_format="pyarrow"),
+                      idx_schema)
+    inv_b = with_schema(inv.map_batches(
+        lambda b: b.rename_columns(["v", "name_b"]),
+        batch_format="pyarrow"),
+        pa.schema([("v", pa.string()), ("name_b", pa.string())]))
+
+    cand = inv.join(inv_b, join_type="inner", num_partitions=8,
+                    on=("v",)) \
+        .map_batches(
+            lambda b: (lambda f: pa.table(
+                {"name_a": f.column("name"),
+                 "name_b": f.column("name_b")}))(
+                b.filter(pc.less(b.column("name"),
+                                 b.column("name_b")))),
+            batch_format="pyarrow") \
+        .groupby(["name_a", "name_b"]).aggregate(
+            Count("name_a", alias_name="_n"))
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = [_ed_is_one(x, y)
+                for x, y in zip(b.column("name_a").to_pylist(),
+                                b.column("name_b").to_pylist())]
+        return b.filter(pa.array(keep, pa.bool_())) \
+            .select(["name_a", "name_b"])
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def q_events_daily_gapfill(sf_dir: str) -> pa.Table:
+    """Time-series densification (gap fill): the per-(type, day) count
+    series with every missing calendar day zero-filled between the
+    observed min and max day.  The raw events collapse through ONE
+    partial-agg exchange; the dense grid is built AFTER aggregation,
+    where cardinality is (types × calendar days) — bounded by the
+    calendar, not the data, so the driver-side finish is safe at any
+    input scale."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        g = pa.table({"event_type": b.column("event_type"), "day": day}) \
+            .group_by(["event_type", "day"]).aggregate(
+                [("event_type", "count")])
+        return g.rename_columns(["event_type", "day", "p_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("p_n", alias_name="n"))
+    blocks = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.timestamp("us")),
+                         "n_events": pa.array([], pa.int64())})
+    tab = pa.concat_tables(blocks)
+
+    US_DAY = 86_400_000_000
+    # Ray's aggregate may hand the key back as timestamp[s] (sort-based
+    # path downcasts temporal keys) — normalize to µs before epoch math
+    d = pc.cast(pc.cast(tab.column("day"), pa.timestamp("us")),
+                pa.int64()).to_numpy() // US_DAY
+    types = sorted(set(tab.column("event_type").to_pylist()))
+    days = np.arange(d.min(), d.max() + 1)
+    have = {(t, di): n for t, di, n in zip(
+        tab.column("event_type").to_pylist(), d,
+        tab.column("n").to_pylist())}
+    et, dy, nn = [], [], []
+    for t in types:
+        for di in days:
+            et.append(t)
+            dy.append(int(di) * US_DAY)
+            nn.append(int(have.get((t, int(di)), 0)))
+    return pa.table({
+        "event_type": pa.array(et, pa.string()),
+        "day": pa.array(dy, pa.timestamp("us")),
+        "n_events": pa.array(nn, pa.int64()),
+    })

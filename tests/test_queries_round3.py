@@ -408,3 +408,67 @@ def test_corr_known_values(ray_session, tmp_path):
     got = {r["l_returnflag"]: r["corr_qty_price"]
            for r in _tab(q_lineitem_corr(str(tmp_path))).to_pylist()}
     assert got == {"P": 1.0, "N": -1.0}
+
+
+def test_fuzzy_pairs_symdelete_exactness(ray_session, tmp_path):
+    """Distance-2 collisions that share a deletion variant (e.g. a
+    transposition) must be rejected by the verify; duplicates must not
+    inflate; insert/delete/substitute at distance 1 must all be found."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_customers_fuzzy_name_pairs
+
+    names = ["abc", "abc", "abd", "abcd", "acb", "zzz"]
+    pq.write_table(pa.table({"c_name": pa.array(names)}),
+                   str(tmp_path / "customer.parquet"))
+    got = {(r["name_a"], r["name_b"])
+           for r in _tab(q_customers_fuzzy_name_pairs(
+               str(tmp_path))).to_pylist()}
+    assert got == {("abc", "abd"),      # substitution
+                   ("abc", "abcd"),     # insertion
+                   ("abcd", "abd")}     # deletion
+    # "acb" shares deletion variants "ab"/"ac" with "abc" (candidate)
+    # but is distance 2 — the verify must have dropped it
+
+
+def test_entropy_known_values(ray_session, tmp_path):
+    """Single-type user has H = 0; a 50/50 user has H = ln 2."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_events_user_entropy
+
+    tab = pa.table({
+        "user_id": pa.array([1] * 4 + [2] * 4, pa.int64()),
+        "event_type": pa.array(["view"] * 4 + ["view", "view",
+                                               "click", "click"]),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: (r["n_events"], r["entropy"])
+           for r in _tab(q_events_user_entropy(str(tmp_path))).to_pylist()}
+    assert got == {1: (4, 0.0), 2: (4, 0.693147)}
+
+
+def test_gapfill_zero_fills_missing_days(ray_session, tmp_path):
+    """The grid spans min..max observed day for every OBSERVED type;
+    missing cells are 0, not absent."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_events_daily_gapfill
+
+    def d(day):
+        return dt.datetime(2024, 1, day)
+
+    tab = pa.table({
+        "event_type": pa.array(["view", "view", "click"]),
+        "ts": pa.array([d(1), d(4), d(2)], pa.timestamp("us")),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    out = q_events_daily_gapfill(str(tmp_path))
+    got = {(r["event_type"], r["day"].day): r["n_events"]
+           for r in out.to_pylist()}
+    assert len(got) == 8        # 2 observed types x days 1..4
+    assert got[("view", 1)] == 1 and got[("view", 4)] == 1
+    assert got[("view", 2)] == 0 and got[("view", 3)] == 0
+    assert got[("click", 2)] == 1 and got[("click", 3)] == 0
