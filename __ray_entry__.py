@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": q.q_events_user_entropy,
         "customers_fuzzy_name_pairs": q.q_customers_fuzzy_name_pairs,
         "events_daily_gapfill": q.q_events_daily_gapfill,
+        "documents_winnow_fingerprints": q.q_documents_winnow_fingerprints,
     }
 
 
@@ -1045,6 +1046,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.event_type, g.day,
                    COALESCE(c.n, 0) AS n_events
             FROM g LEFT JOIN c USING (event_type, day)
+        """,
+        "documents_winnow_fingerprints": """
+            WITH t AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            p AS (SELECT doc_id, text,
+                         unnest(generate_series(1, n - 4)) AS i
+                  FROM t WHERE n >= 5),
+            h AS (SELECT doc_id, i,
+                         (ascii(substr(text, i, 1)) * 4362470401
+                          + ascii(substr(text, i + 1, 1)) * 16974593
+                          + ascii(substr(text, i + 2, 1)) * 66049
+                          + ascii(substr(text, i + 3, 1)) * 257
+                          + ascii(substr(text, i + 4, 1)))
+                             % 1000000007 AS hv
+                  FROM p),
+            wmin AS (SELECT doc_id,
+                            MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND 3 FOLLOWING) AS fp,
+                            COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND 3 FOLLOWING) AS cnt
+                     FROM h)
+            SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+            FROM wmin WHERE cnt = 4
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

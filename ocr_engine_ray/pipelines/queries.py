@@ -2729,3 +2729,60 @@ def q_events_daily_gapfill(sf_dir: str) -> pa.Table:
         "day": pa.array(dy, pa.timestamp("us")),
         "n_events": pa.array(nn, pa.int64()),
     })
+
+
+def q_documents_winnow_fingerprints(sf_dir: str) -> Dataset:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS local-similarity sketch): per document, the DISTINCT set
+    of window-minima over rolling Karp–Rabin hashes of k=5-byte
+    shingles, window w=4.  The whole batch is hashed in ONE numpy pass
+    straight off the Arrow string buffers — concatenated bytes →
+    sliding-window dot with the base powers → mod M → window-min —
+    with windows that cross a document boundary masked out by a single
+    doc-index compare; no per-row Python anywhere.  Only (doc_id, fp)
+    pairs reach the exchange.  Byte-based positions equal the oracle's
+    char-based ``substr``/``ascii`` on ASCII corpora (documented
+    limitation for multi-byte text, like the fuzzy join)."""
+    import numpy as np
+
+    K, W, B, M = 5, 4, 257, 1_000_000_007
+    POW = (B ** np.arange(K - 1, -1, -1, dtype=np.int64))
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def winnow(b: pa.Table) -> pa.Table:
+        col = b.column("text").combine_chunks()
+        o = col.offset
+        offs = np.frombuffer(col.buffers()[1], np.int32)[o:o + len(col) + 1]
+        data = np.frombuffer(col.buffers()[2], np.uint8)
+        lens = np.diff(offs.astype(np.int64))
+        lo, hi = int(offs[0]), int(offs[-1])
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        if hi - lo < K:
+            return empty
+        chunk = data[lo:hi].astype(np.int64)
+        # doc index per byte of the concatenated buffer
+        docpos = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+        sw = np.lib.stride_tricks.sliding_window_view(chunk, K)
+        h = (sw @ POW) % M                      # rolling k-gram hashes
+        if len(h) < W:
+            return empty
+        fp = np.lib.stride_tricks.sliding_window_view(h, W).min(axis=1)
+        gs = np.arange(len(fp))
+        # a window is in-document iff its first and last shingle byte
+        # share the doc (docpos is monotonic, one compare suffices)
+        valid = docpos[gs] == docpos[gs + W + K - 2]
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(ids[docpos[gs[valid]]], pa.int64()),
+            "fp": pa.array(fp[valid], pa.int64()),
+        })
+        return t.group_by(["doc_id", "fp"]).aggregate([])
+
+    return ds.map_batches(winnow, batch_format="pyarrow") \
+        .groupby(["doc_id", "fp"]).aggregate(
+            Count("fp", alias_name="_n")) \
+        .map_batches(lambda b: b.select(["doc_id", "fp"]),
+                     batch_format="pyarrow")

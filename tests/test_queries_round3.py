@@ -472,3 +472,34 @@ def test_gapfill_zero_fills_missing_days(ray_session, tmp_path):
     assert got[("view", 1)] == 1 and got[("view", 4)] == 1
     assert got[("view", 2)] == 0 and got[("view", 3)] == 0
     assert got[("click", 2)] == 1 and got[("click", 3)] == 0
+
+
+def test_winnow_matches_reference_and_masks_boundaries(ray_session,
+                                                       tmp_path):
+    """Fingerprints equal an independent per-doc reference (no
+    cross-doc windows from the concatenated buffer), and docs too
+    short for a full window emit nothing."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_winnow_fingerprints)
+
+    def ref(text, k=5, w=4, b=257, m=1_000_000_007):
+        hs = [sum(ord(c) * b ** (k - 1 - j)
+                  for j, c in enumerate(text[i:i + k])) % m
+              for i in range(len(text) - k + 1)]
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    docs = ["the quick brown fox jumps", "the quick brown fix jumps",
+            "tiny", "exactly8"]  # 8 chars -> 4 hashes -> 1 window
+    tab = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = _tab(q_documents_winnow_fingerprints(str(tmp_path))).to_pylist()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got.get(2) is None               # len 4 < k: nothing
+    for i, d in enumerate(docs):
+        if len(d) >= 8:
+            assert got[i] == ref(d), f"doc {i}"
