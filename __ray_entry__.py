@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_fuzzy_name_pairs": q.q_customers_fuzzy_name_pairs,
         "events_daily_gapfill": q.q_events_daily_gapfill,
         "documents_winnow_fingerprints": q.q_documents_winnow_fingerprints,
+        "documents_regex_tokens": q.q_documents_regex_tokens,
+        "embeddings_kmeans": q.q_embeddings_kmeans,
     }
 
 
@@ -1071,6 +1073,13 @@ def oracle_sql() -> dict[str, str]:
                      FROM h)
             SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
             FROM wmin WHERE cnt = 4
+        """,
+        "documents_regex_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '''?\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
+                       AS BIGINT) AS n_tokens
+            FROM documents
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

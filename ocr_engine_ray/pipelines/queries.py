@@ -32,6 +32,15 @@ SYNTH_ROOT = "/tmp/ocr_engine_ray_synth"
 TURNS_PER_SF = 2_000_000  # sf0.001 → 2k turns, sf0.01 → 20k, sf0.1 → 200k
 
 
+def _small_table(ds: Dataset) -> pa.Table:
+    """Collect a KNOWN-SMALL (post-aggregation / top-k) Dataset into one
+    Arrow table on the driver, skipping Ray's schema-less zero-row
+    blocks.  Only for results whose cardinality is structurally bounded
+    — never raw data."""
+    blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(blocks) if blocks else None
+
+
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir.rstrip("/"))
     return float(m.group(1)) if m else 0.001
@@ -2786,3 +2795,110 @@ def q_documents_winnow_fingerprints(sf_dir: str) -> Dataset:
             Count("fp", alias_name="_n")) \
         .map_batches(lambda b: b.select(["doc_id", "fp"]),
                      batch_format="pyarrow")
+
+
+def q_documents_regex_tokens(sf_dir: str) -> Dataset:
+    """BPE-ish regex token counting (the GPT-2 pre-tokenizer shape:
+    apostrophe-glued words | letter runs | digit runs | punctuation
+    runs).  One vectorized RE2 pass per batch
+    (``pc.count_substring_regex``); DuckDB's ``regexp_extract_all``
+    runs the SAME RE2 pattern, so counts are exact by construction —
+    complements the whitespace tokenization in documents_token_stats."""
+    PAT = r"'?\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(b.column("text"), PAT),
+                pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def q_embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> Dataset:
+    """Distributed k-means (Lloyd): the canonical broadcast-centroid
+    iteration.  Init = the k lowest-vec_id embeddings (deterministic,
+    found by the per-block top-k combine, no global sort).  Each round:
+    centroids go to every task through ONE ``ray.put`` (read per batch,
+    never re-shipped), assignment is a numpy matmul argmin, and the
+    update reduces int64-quantized per-(cluster, dim) vector sums
+    (ROUND(v·2^30) — summation-order-independent, so the run is
+    deterministic under any block layout) through the bounded-grid tree
+    combine; only the k×dim grid ever reaches the driver.  Empty
+    clusters keep their previous centroid.  Output is the final
+    (vec_id, cluster) assignment — rows-only (iterative, non-SQL);
+    exactness is pinned by a same-init numpy reference test."""
+    import numpy as np
+
+    SCALE = float(1 << 30)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    seed_tab = _small_table(_topk_combine(
+        ds, sorted_topk([("vec_id", "ascending")], k)))
+    if seed_tab is None:
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
+    dim = len(seed_tab.column("embedding")[0])
+    cent = np.array(seed_tab.column("embedding").to_pylist(),
+                    dtype=np.float64)
+
+    def batch_mat(b: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+        ids = b.column("vec_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(b.column("embedding").combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return ids, flat.reshape(len(ids), dim)
+
+    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin ||x-c||² = argmin (|c|² - 2 x·c); ties → lowest cluster
+        return np.argmin((c * c).sum(axis=1)[None, :]
+                         - 2.0 * (mat @ c.T), axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(b: pa.Table, ref=ref) -> pa.Table:
+            c = ray.get(ref)
+            ids, mat = batch_mat(b)
+            a = assign(mat, c)
+            q = scaled_int_sql(mat.ravel(), SCALE).reshape(mat.shape)
+            order = np.argsort(a, kind="stable")
+            labs, starts = np.unique(a[order], return_index=True)
+            sums = np.add.reduceat(q[order], starts, axis=0)
+            counts = np.diff(np.concatenate([starts, [len(a)]]))
+            return pa.table({
+                "cluster": pa.array(np.repeat(labs, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim), len(labs)),
+                                pa.int64()),
+                "p_s": pa.array(sums.ravel(), pa.int64()),
+                "p_n": pa.array(np.repeat(counts, dim), pa.int64()),
+            })
+
+        grid = _small_table(_tree_combine(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["cluster", "dim"], [("p_s", "sum"), ("p_n", "sum")],
+            ["cluster", "dim", "p_s", "p_n"],
+            ["cluster", "dim", "s", "n"]))
+        new = cent.copy()
+        cl = grid.column("cluster").to_numpy(zero_copy_only=False)
+        dm = grid.column("dim").to_numpy(zero_copy_only=False)
+        s = grid.column("s").to_numpy(zero_copy_only=False) / SCALE
+        n = grid.column("n").to_numpy(zero_copy_only=False)
+        new[cl, dm] = s / n
+        cent = new
+
+    ref = ray.put(cent)
+
+    def label(b: pa.Table, ref=ref) -> pa.Table:
+        ids, mat = batch_mat(b)
+        a = assign(mat, ray.get(ref))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(a, pa.int64())})
+
+    return ds.map_batches(label, batch_format="pyarrow")

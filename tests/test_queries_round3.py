@@ -503,3 +503,43 @@ def test_winnow_matches_reference_and_masks_boundaries(ray_session,
     for i, d in enumerate(docs):
         if len(d) >= 8:
             assert got[i] == ref(d), f"doc {i}"
+
+
+def test_kmeans_matches_numpy_reference(ray_session, tmp_path):
+    """Same-init Lloyd on well-separated blobs must reproduce the
+    numpy reference assignment exactly (quantized distributed sums vs
+    plain float sums cannot flip a separated assignment)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_embeddings_kmeans
+
+    rng = np.random.RandomState(7)
+    a = rng.normal([10, 0, 0, 0], 0.5, size=(10, 4))
+    b = rng.normal([0, 10, 0, 0], 0.5, size=(10, 4))
+    mat = np.empty((20, 4))
+    mat[0::2], mat[1::2] = a, b          # ids alternate blobs, so the
+    ids = np.arange(20)                  # 2 lowest-id seeds split them
+    tab = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r for r in mat.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+
+    got = {r["vec_id"]: r["cluster"]
+           for r in _tab(q_embeddings_kmeans(str(tmp_path), k=2,
+                                             iters=3)).to_pylist()}
+
+    cent = mat.astype(np.float32).astype(np.float64)[:2].copy()
+    x = mat.astype(np.float32).astype(np.float64)
+    for _ in range(3):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        asg = d.argmin(axis=1)
+        for c in range(2):
+            if (asg == c).any():
+                cent[c] = x[asg == c].mean(axis=0)
+    d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+    assert got == {int(i): int(c) for i, c in zip(ids, want)}
+    assert set(got.values()) == {0, 1}
