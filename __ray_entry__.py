@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_winnow_fingerprints": q.q_documents_winnow_fingerprints,
         "documents_regex_tokens": q.q_documents_regex_tokens,
         "embeddings_kmeans": q.q_embeddings_kmeans,
+        "events_percent_rank": q.q_events_percent_rank,
+        "events_tumbling_daily": q.q_events_tumbling_daily,
     }
 
 
@@ -1080,6 +1082,19 @@ def oracle_sql() -> dict[str, str]:
                        '''?\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
                        AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "events_percent_rank": """
+            SELECT event_id, event_type, value,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                              ORDER BY value), 6) AS pr
+            FROM events
+        """,
+        "events_tumbling_daily": """
+            SELECT CAST((epoch_us(ts) // 86400000000) * 86400000000
+                        AS BIGINT) AS win_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

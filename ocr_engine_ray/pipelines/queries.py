@@ -2902,3 +2902,53 @@ def q_embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> Dataset:
                          "cluster": pa.array(a, pa.int64())})
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def q_events_percent_rank(sf_dir: str) -> Dataset:
+    """PERCENT_RANK window: (rank − 1) / (n − 1) over value ascending
+    within event type (rank = competition rank, ties share).  Same
+    key-co-location contract as DENSE_RANK/NTILE: per-type map_groups,
+    one sort + searchsorted per group, the float expression written
+    token-identically in the twin (single-row groups are 0.0, DuckDB's
+    own convention)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def prank(g: pa.Table) -> pa.Table:
+        v = g.column("value").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sv = np.sort(v)
+        rank = np.searchsorted(sv, v, side="left").astype(np.float64)
+        pr = rank / (len(v) - 1.0) if len(v) > 1 else np.zeros(len(v))
+        return g.append_column(
+            "pr", round_sql(pa.array(pr, pa.float64()), 6))
+
+    return ds.groupby("event_type").map_groups(prank,
+                                               batch_format="pyarrow")
+
+
+def q_events_tumbling_daily(sf_dir: str) -> pa.Table:
+    """Streaming event-time tumbling windows (stages/window.py) driven
+    to end-of-stream: one ingestion run with 1-day windows and 1-day
+    allowed lateness, then a flush.  At end-of-stream the incremental
+    path must equal the batch GROUP BY exactly — that identity is what
+    the DuckDB twin checks — while the mid-stream seal/late-drop
+    semantics are pinned by the stage's own unit tests.  Output windows
+    ride as int64 epoch-µs starts (timezone-free, twin-exact)."""
+    from ..stages.window import (emitted_table, flush, ingest_run,
+                                 make_window_index)
+
+    DAY = 86_400_000_000
+    shards = make_window_index(4)
+    try:
+        ds = rd.read_parquet(_t(sf_dir, "events"),
+                             columns=["ts", "event_type"])
+        parts = ingest_run(ds, shards, DAY, lateness_us=DAY)
+        tail = flush(shards)
+        return pa.concat_tables([emitted_table(parts),
+                                 emitted_table(tail)])
+    finally:
+        for s in shards:
+            ray.kill(s)

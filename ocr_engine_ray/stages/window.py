@@ -1,0 +1,205 @@
+"""Incremental event-time tumbling-window aggregation.
+
+The streaming-window custom operator (SURVEY 'custom operators' path
+(c), same family as the shared dedup index in ``stages/dedup.py``):
+per-(window, key) counts accumulate in hash-sharded state actors across
+any number of ingestion RUNS; a window is finalized — emitted exactly
+once and sealed — when the event-time watermark (max ts seen, across
+all runs, minus the allowed lateness) passes its end.  Events arriving
+for an already-sealed window are counted as dropped, never re-emitted:
+the reference semantics of every production stream processor
+(Flink/Beam tumbling windows with allowed lateness).
+
+Order-independence inside a run is by construction: ingestion merges
+per-batch PARTIAL count grids (order-free integer sums), and the
+watermark advances only AFTER the whole run is merged — so Ray Data's
+unordered block scheduling cannot change the result.  Across runs the
+semantics are arrival-order-dependent exactly where the model says they
+must be (a window sealed by run N's watermark is closed to run N+1).
+
+Scale shape: state is one int per in-flight (window, key) pair per
+shard — bounded by lateness × key cardinality, not by data volume;
+shard count scales it horizontally, and each merge call ships a
+pre-aggregated grid, never events.  Merges are idempotent per
+caller token (bounded FIFO reply cache), so a retried Ray Data task
+cannot double-count — the same side-effecting-stage retry bug the
+dedup index guards against.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+@ray.remote(num_cpus=0)
+class WindowShard:
+    """One shard of the shared tumbling-window state."""
+
+    _REPLY_CAP = 4096
+
+    def __init__(self) -> None:
+        from collections import OrderedDict
+
+        self.open: dict[tuple[int, str], int] = {}
+        self.sealed_before: int = -(2 ** 62)  # windows starting earlier are sealed
+        self.dropped = 0
+        self.replies: OrderedDict[bytes, bool] = OrderedDict()
+
+    def merge(self, token: bytes, wins: list[int], keys: list[str],
+              counts: list[int]) -> bool:
+        """Merge one batch's (window, key, n) partial grid.  Replayed
+        tokens (task retries) are acknowledged without re-merging."""
+        if token in self.replies:
+            return True
+        for w, k, n in zip(wins, keys, counts):
+            if w < self.sealed_before:
+                self.dropped += n
+            else:
+                key = (w, k)
+                self.open[key] = self.open.get(key, 0) + n
+        self.replies[token] = True
+        while len(self.replies) > self._REPLY_CAP:
+            self.replies.popitem(last=False)
+        return True
+
+    def finalize_up_to(self, seal_before: int) -> dict:
+        """Seal every window starting before ``seal_before`` (µs): emit
+        its rows once and close it to future merges.  Monotonic — a
+        smaller watermark than already applied is a no-op."""
+        if seal_before <= self.sealed_before:
+            return {"wins": [], "keys": [], "counts": []}
+        self.sealed_before = seal_before
+        out = {"wins": [], "keys": [], "counts": []}
+        for (w, k) in sorted(self.open):
+            if w < seal_before:
+                out["wins"].append(w)
+                out["keys"].append(k)
+                out["counts"].append(self.open.pop((w, k)))
+        return out
+
+    def flush_all(self) -> dict:
+        """End-of-stream: seal and emit everything still open."""
+        return self.finalize_up_to(2 ** 62)
+
+    def stats(self) -> dict:
+        return {"open": len(self.open), "dropped": self.dropped,
+                "sealed_before": self.sealed_before}
+
+
+def make_window_index(num_shards: int = 8) -> list:
+    """Spawn the shared window-state shards (pass the same list to every
+    run that should share one stream)."""
+    return [WindowShard.remote() for _ in range(num_shards)]
+
+
+class _WindowIngestor:
+    """Callable map_batches stage: per-batch vectorized (window, key)
+    partial counts, hash-routed to their shard.  Emits one tiny row per
+    batch carrying the batch's max event ts — consuming the stage both
+    drives ingestion and computes the run watermark in the same single
+    scan."""
+
+    def __init__(self, shards: list, width_us: int, ts_col: str,
+                 key_col: str):
+        self.shards = shards
+        self.width_us = width_us
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.run_token = os.urandom(8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(self.ts_col),
+                             pa.timestamp("us")), pa.int64())
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        win = pc.multiply(pc.divide(ts, self.width_us),
+                          pa.scalar(self.width_us, pa.int64()))
+        g = pa.table({"w": win, "k": batch.column(self.key_col)}) \
+            .group_by(["w", "k"]).aggregate([("k", "count")])
+        wins = g.column("w").to_pylist()
+        keys = g.column("k").to_pylist()
+        counts = g.column("k_count").to_pylist()
+        n_shards = len(self.shards)
+        by_shard: dict[int, list[int]] = {}
+        for i, (w, k) in enumerate(zip(wins, keys)):
+            # stable routing (Python's str hash is process-salted; an
+            # unstable hash would split one (window, key) cell across
+            # shards and emit it as duplicate rows)
+            s = int.from_bytes(hashlib.sha1(
+                f"{w}|{k}".encode()).digest()[:4], "big") % n_shards
+            by_shard.setdefault(s, []).append(i)
+        # token over the RAW batch bytes (ts + key buffers), not the
+        # partial grid: two distinct batches can share a count grid,
+        # and a grid-keyed token would swallow the second merge.  The
+        # residual caveat (byte-identical duplicate blocks in one run
+        # share a token) mirrors the dedup index's documented limit.
+        tok = hashlib.sha1(self.run_token)
+        key_arr = batch.column(self.key_col)
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        for arr in (ts, key_arr):
+            for buf in arr.buffers():
+                if buf is not None:
+                    tok.update(buf)
+        payload = tok.digest()
+        futures = []
+        for s, idxs in by_shard.items():
+            token = hashlib.sha1(payload + bytes([s % 256])).digest()
+            futures.append(self.shards[s].merge.remote(
+                token, [wins[i] for i in idxs],
+                [keys[i] for i in idxs], [counts[i] for i in idxs]))
+        ray.get(futures)
+        mx = pc.max(ts).as_py()
+        return pa.table({"batch_max_ts": pa.array(
+            [mx if mx is not None else -(2 ** 62)], pa.int64())})
+
+
+def ingest_run(ds, shards: list, width_us: int, lateness_us: int,
+               ts_col: str = "ts", key_col: str = "event_type") -> list:
+    """Ingest one dataset into the shared window state, then advance the
+    watermark to (run max ts − lateness) and seal every window whose
+    START falls before it (tumbling windows: a window [s, s+w) is
+    sealed once wm ≥ s + w, i.e. s < wm − w + 1 — we use the simpler
+    equivalent seal-before = wm − width + 1 boundary arithmetic below).
+    Returns the finalized rows of THIS advance as a list of per-shard
+    dicts."""
+    stage = _WindowIngestor(shards, width_us, ts_col, key_col)
+    maxima = ds.map_batches(stage, batch_format="pyarrow",
+                            concurrency=None)
+    blocks = [t for t in ray.get(maxima.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return []
+    run_max = pc.max(pa.concat_tables(blocks)
+                     .column("batch_max_ts")).as_py()
+    wm = run_max - lateness_us
+    # seal windows whose END ≤ watermark: start < wm - width + 1
+    seal_before = wm - width_us + 1
+    return ray.get([s.finalize_up_to.remote(seal_before)
+                    for s in shards])
+
+
+def flush(shards: list) -> list:
+    """End-of-stream flush: seal and emit every still-open window."""
+    return ray.get([s.flush_all.remote() for s in shards])
+
+
+def emitted_table(parts: list) -> pa.Table:
+    """Assemble finalize/flush outputs into one (win_start, key, n)
+    Arrow table."""
+    wins: list[int] = []
+    keys: list[str] = []
+    counts: list[int] = []
+    for p in parts:
+        wins.extend(p["wins"])
+        keys.extend(p["keys"])
+        counts.extend(p["counts"])
+    return pa.table({
+        "win_start": pa.array(wins, pa.int64()),
+        "event_type": pa.array(keys, pa.string()),
+        "n_events": pa.array(counts, pa.int64()),
+    })
