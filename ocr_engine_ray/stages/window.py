@@ -90,6 +90,21 @@ class WindowShard:
         return {"open": len(self.open), "dropped": self.dropped,
                 "sealed_before": self.sealed_before}
 
+    def snapshot(self) -> dict:
+        """Deterministic JSON-able state (open cells sorted)."""
+        return {"open": [[w, k, n] for (w, k), n
+                         in sorted(self.open.items())],
+                "sealed_before": self.sealed_before,
+                "dropped": self.dropped}
+
+    def restore(self, state: dict) -> int:
+        for w, k, n in state["open"]:
+            self.open[(int(w), k)] = int(n)
+        self.sealed_before = max(self.sealed_before,
+                                 int(state["sealed_before"]))
+        self.dropped += int(state["dropped"])
+        return len(self.open)
+
 
 def make_window_index(num_shards: int = 8) -> list:
     """Spawn the shared window-state shards (pass the same list to every
@@ -203,3 +218,64 @@ def emitted_table(parts: list) -> pa.Table:
         "event_type": pa.array(keys, pa.string()),
         "n_events": pa.array(counts, pa.int64()),
     })
+
+
+_WINDOW_META = "_WINDOW_META.json"
+
+
+def save_window_index(shards: list, dir_path: str) -> None:
+    """Snapshot the window state so the stream position (open windows,
+    watermark, drop counters) survives a driver restart.  Same commit
+    discipline as the dedup index (stages/dedup.py:save_dedup_index):
+    shard files into a content-named generation dir, ``.tmp`` → atomic
+    rename each, meta replaced LAST — a crash mid-save leaves the
+    previous snapshot fully restorable.  Call between runs, never while
+    an ingestion Dataset is still executing."""
+    import json
+    import shutil
+
+    os.makedirs(dir_path, exist_ok=True)
+    blobs = [json.dumps(s, sort_keys=True).encode()
+             for s in ray.get([sh.snapshot.remote() for sh in shards])]
+    gen = "gen-" + hashlib.sha1(
+        b"\x1e".join(blobs)
+        + len(shards).to_bytes(4, "big")).hexdigest()[:16]
+    gen_dir = os.path.join(dir_path, gen)
+    os.makedirs(gen_dir, exist_ok=True)
+    for i, blob in enumerate(blobs):
+        path = os.path.join(gen_dir, f"shard-{i:04d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    meta_path = os.path.join(dir_path, _WINDOW_META)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_shards": len(shards), "generation": gen}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)  # commit point
+    for name in os.listdir(dir_path):
+        if name.startswith("gen-") and name != gen:
+            shutil.rmtree(os.path.join(dir_path, name),
+                          ignore_errors=True)
+
+
+def load_window_index(dir_path: str) -> list:
+    """Spawn fresh shards and restore a :func:`save_window_index`
+    snapshot.  Shard count comes from the meta — the stable-hash
+    routing is only valid at the same width."""
+    import json
+
+    with open(os.path.join(dir_path, _WINDOW_META)) as f:
+        meta = json.load(f)
+    gen_dir = os.path.join(dir_path, meta["generation"])
+    shards = make_window_index(meta["num_shards"])
+    futures = []
+    for i, sh in enumerate(shards):
+        with open(os.path.join(gen_dir, f"shard-{i:04d}.json")) as f:
+            futures.append(sh.restore.remote(json.load(f)))
+    ray.get(futures)
+    return shards

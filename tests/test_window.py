@@ -76,3 +76,31 @@ def test_window_merge_replay_is_idempotent(ray_session):
         assert out["counts"] == [7]          # not 14
     finally:
         ray.kill(shard)
+
+
+def test_window_snapshot_survives_restart(ray_session, tmp_path):
+    """Kill the shards mid-stream, restore the snapshot, continue the
+    stream: open windows, watermark, and drop counters all persist."""
+    from ocr_engine_ray.stages.window import (load_window_index,
+                                              save_window_index)
+
+    shards = make_window_index(2)
+    got1 = _rows(ingest_run(_events([3, 12, 25]), shards,
+                            width_us=10, lateness_us=5))
+    assert got1 == {(0, "view"): 1, (10, "view"): 1}
+    save_window_index(shards, str(tmp_path / "win"))
+    for s in shards:
+        ray.kill(s)                      # driver "restart"
+
+    shards2 = load_window_index(str(tmp_path / "win"))
+    try:
+        # sealed [0,10) must STAY sealed (ts=5 drops), open [20,30)
+        # must still hold its count from before the restart
+        got2 = _rows(ingest_run(_events([5, 22, 40]), shards2,
+                                width_us=10, lateness_us=5))
+        assert got2 == {(20, "view"): 2}
+        stats = ray.get([s.stats.remote() for s in shards2])
+        assert sum(s["dropped"] for s in stats) == 1
+    finally:
+        for s in shards2:
+            ray.kill(s)
