@@ -2626,11 +2626,22 @@ def q_customers_fuzzy_name_pairs(sf_dir: str) -> Dataset:
     {s} ∪ single-deletions(s), so the index self-join finds every true
     pair without an O(n²) cross join.  Variant generation is fully
     vectorized (one utf8_slice + binary_join pass per character
-    position, not per row); candidates dedupe on the pair key and only
-    the small candidate set (true pairs + distance-2 collisions that
-    share a deletion) hits the exact per-pair verify.
+    position, not per row), and verification is a C-level Hamming pass
+    for the equal-length case with an O(len) two-pointer walk for the
+    rare length-off-by-one tail.
 
-    Scale shape: the index is (L+1)× the distinct-name set, the
+    NO pair-dedup shuffle: once each name's variant LIST is
+    string-deduped, a true distance-1 pair shares exactly ONE variant
+    string — equal-length pairs share only the deletion at their single
+    differing position (any other deletion leaves the difference in
+    both strings), and length±1 pairs share only the shorter string
+    itself (identity keys and deletion keys differ in length otherwise)
+    — so every verified pair is emitted by exactly one join bucket.
+    Distance-2 collisions may appear in several buckets, but the verify
+    drops them locally.  This removed the 1.4M-row string-pair groupby
+    that dominated the first version (24 s of a 42 s sf0.1 run).
+
+    Scale shape: the index is ≤(L+1)× the distinct-name set, the
     self-join is key-partitioned, and nothing is broadcast or held on
     the driver.  Positions are codepoints, matching DuckDB's
     levenshtein on ASCII (documented limitation for multi-byte)."""
@@ -2655,7 +2666,10 @@ def q_customers_fuzzy_name_pairs(sf_dir: str) -> Dataset:
                 pc.utf8_slice_codeunits(f, 0, i),
                 pc.utf8_slice_codeunits(f, i + 1, 2 ** 31 - 1), "")
             outs.append(pa.table({"v": v, "name": f}))
-        return pa.concat_tables(outs)
+        # per-name variant dedupe: repeated characters repeat deletion
+        # strings, and the one-bucket-per-true-pair property (docstring)
+        # only holds string-wise
+        return pa.concat_tables(outs).group_by(["v", "name"]).aggregate([])
 
     idx_schema = pa.schema([("v", pa.string()), ("name", pa.string())])
     inv = with_schema(uniq.map_batches(variants, batch_format="pyarrow"),
@@ -2665,26 +2679,40 @@ def q_customers_fuzzy_name_pairs(sf_dir: str) -> Dataset:
         batch_format="pyarrow"),
         pa.schema([("v", pa.string()), ("name_b", pa.string())]))
 
-    cand = inv.join(inv_b, join_type="inner", num_partitions=8,
-                    on=("v",)) \
-        .map_batches(
-            lambda b: (lambda f: pa.table(
-                {"name_a": f.column("name"),
-                 "name_b": f.column("name_b")}))(
-                b.filter(pc.less(b.column("name"),
-                                 b.column("name_b")))),
-            batch_format="pyarrow") \
-        .groupby(["name_a", "name_b"]).aggregate(
-            Count("name_a", alias_name="_n"))
-
     def verify(b: pa.Table) -> pa.Table:
-        keep = [_ed_is_one(x, y)
-                for x, y in zip(b.column("name_a").to_pylist(),
-                                b.column("name_b").to_pylist())]
-        return b.filter(pa.array(keep, pa.bool_())) \
-            .select(["name_a", "name_b"])
+        import numpy as np
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+        f = b.filter(pc.less(b.column("name"), b.column("name_b")))
+        a_col = f.column("name").combine_chunks()
+        b_col = f.column("name_b").combine_chunks()
+        la = pc.binary_length(a_col).to_numpy(zero_copy_only=False)
+        lb = pc.binary_length(b_col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(f.num_rows, dtype=bool)
+
+        def byte_matrix(col, idx, n):
+            sub = col.take(pa.array(idx))  # packed: data buffer is the
+            data = np.frombuffer(sub.buffers()[2], np.uint8)  # concat
+            return data[:len(idx) * n].reshape(-1, n)
+
+        eq = la == lb
+        for n in np.unique(la[eq]):
+            m = eq & (la == n)
+            if n == 0 or not m.any():
+                continue
+            idx = np.flatnonzero(m)
+            am = byte_matrix(a_col, idx, n)
+            bm = byte_matrix(b_col, idx, n)
+            keep[idx] = (am != bm).sum(axis=1) == 1
+        for i in np.flatnonzero(np.abs(la - lb) == 1):
+            keep[i] = _ed_is_one(a_col[i].as_py(), b_col[i].as_py())
+        return pa.table({
+            "name_a": a_col.filter(pa.array(keep)),
+            "name_b": b_col.filter(pa.array(keep)),
+        })
+
+    return inv.join(inv_b, join_type="inner", num_partitions=8,
+                    on=("v",)) \
+        .map_batches(verify, batch_format="pyarrow")
 
 
 def q_events_daily_gapfill(sf_dir: str) -> pa.Table:
@@ -2707,15 +2735,18 @@ def q_events_daily_gapfill(sf_dir: str) -> pa.Table:
                 [("event_type", "count")])
         return g.rename_columns(["event_type", "day", "p_n"])
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "day"]).aggregate(
-            Sum("p_n", alias_name="n"))
-    blocks = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
-    if not blocks:
+    # (type × day) cardinality is calendar-bounded → the tree combine
+    # beats the sort-shuffle Aggregate's per-block fixed cost (same
+    # rationale as the histogram / Q1 paths; 15.1 s → ~2 s at sf0.1)
+    counts = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], [("p_n", "sum")],
+        ["event_type", "day", "p_n"], ["event_type", "day", "n"])
+    tab = _small_table(counts)
+    if tab is None:
         return pa.table({"event_type": pa.array([], pa.string()),
                          "day": pa.array([], pa.timestamp("us")),
                          "n_events": pa.array([], pa.int64())})
-    tab = pa.concat_tables(blocks)
 
     US_DAY = 86_400_000_000
     # Ray's aggregate may hand the key back as timestamp[s] (sort-based
