@@ -1090,8 +1090,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "events_tumbling_daily": """
-            SELECT CAST((epoch_us(ts) // 86400000000) * 86400000000
-                        AS BIGINT) AS win_start,
+            -- floor-to-window via positive mod: DuckDB's // and %
+            -- truncate toward zero, but event-time windows floor
+            -- (a pre-1970 ts belongs to the window BELOW zero)
+            SELECT CAST(epoch_us(ts)
+                        - ((epoch_us(ts) % 86400000000) + 86400000000)
+                          % 86400000000 AS BIGINT) AS win_start,
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2

@@ -2235,62 +2235,63 @@ def q_documents_training_prep(sf_dir: str) -> Dataset:
 def q_events_funnel(sf_dir: str) -> pa.Table:
     """Staged conversion funnel (view → click after first view →
     purchase after first qualifying click), the classic event-analytics
-    sequence operator.  Each stage is a partial-agg MIN(ts) per user;
-    stage N+1 joins the stage-N anchor back onto the (type-filtered)
-    raw events and min-reduces the rows that happen strictly after it.
-    The joins carry ONE row per qualifying user on the build side and
-    only that type's events on the probe side — never the whole event
-    log — so the shape survives 10^12 events.  Output is the 3-row
-    stage/count table (tiny by construction, driver-safe).
+    sequence operator — implemented JOIN-FREE: one co-partitioned
+    shuffle (``groupby(user).map_groups``, the sessionize/rank family's
+    co-location contract) walks each user's type-filtered, ts-sorted
+    history with numpy masks and emits a single stage-reached number;
+    the 3-row stage/count table then folds out of a bounded-key tree
+    combine.  Compared to the join formulation this moves each event
+    once, needs no schema pinning (no ``Dataset.join`` to trip over
+    Ray's schema-less empty aggregate blocks), and holds nothing on the
+    driver beyond the 4-row stage grid.  Timestamps compare as int64 µs
+    (unit-exact strict "after")."""
+    import numpy as np
 
-    Two Ray-2.49 footguns handled here: timestamps ride as int64 µs so
-    the min-reduce and the strict "after" comparison are unit-exact
-    regardless of how the aggregate treats temporal types, and every
-    join input goes through :func:`with_schema` because empty
-    hash-aggregate / map_batches partitions emit zero-row blocks with
-    an EMPTY schema that ``Dataset.join`` cannot resolve keys on."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_type", "ts"])
+    wanted = pa.array(["view", "click", "purchase"])
+    typed = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"),
+                                    value_set=wanted)),
+        batch_format="pyarrow")
 
-    def typed(etype: str) -> Dataset:
-        def pick(b: pa.Table, t=etype) -> pa.Table:
-            f = b.filter(pc.equal(b.column("event_type"), t))
-            return pa.table({
-                "user_id": f.column("user_id"),
-                "ts": pc.cast(f.column("ts"), pa.int64()),
-            })
-        return with_schema(
-            ds.map_batches(pick, batch_format="pyarrow"),
-            pa.schema([("user_id", pa.int64()), ("ts", pa.int64())]))
+    def stage_of(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending")])
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist())
+        stage = 0
+        vt = ts[et == "view"]
+        if len(vt):
+            stage = 1
+            ct = ts[(et == "click") & (ts > vt[0])]
+            if len(ct):
+                stage = 2
+                pt = ts[(et == "purchase") & (ts > ct[0])]
+                if len(pt):
+                    stage = 3
+        return pa.table({"stage": pa.array([stage], pa.int64())})
 
-    def min_per_user(d: Dataset, out: str) -> Dataset:
-        def local(b: pa.Table) -> pa.Table:
-            g = b.group_by("user_id").aggregate([("ts", "min")])
-            return g.rename_columns(["user_id", out])
-        return with_schema(
-            d.map_batches(local, batch_format="pyarrow")
-            .groupby("user_id").aggregate(Min(out, alias_name=out)),
-            pa.schema([("user_id", pa.int64()), (out, pa.int64())]))
+    per_user = typed.groupby("user_id").map_groups(
+        stage_of, batch_format="pyarrow")
 
-    def min_after(d: Dataset, prev: Dataset, prev_col: str,
-                  out: str) -> Dataset:
-        j = d.join(prev, join_type="inner", num_partitions=8,
-                   on=("user_id",))
-        return min_per_user(
-            j.map_batches(
-                lambda b: b.filter(
-                    pc.greater(b.column("ts"), b.column(prev_col)))
-                .select(["user_id", "ts"]),
-                batch_format="pyarrow"),
-            out)
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("stage").aggregate([("stage", "count")])
+        return g.rename_columns(["stage", "p_n"])
 
-    t1 = min_per_user(typed("view"), "t1")
-    t2 = min_after(typed("click"), t1, "t1", "t2")
-    t3 = min_after(typed("purchase"), t2, "t2", "t3")
+    grid = _small_table(_tree_combine(
+        per_user.map_batches(partial, batch_format="pyarrow"),
+        ["stage"], [("p_n", "sum")], ["stage", "p_n"], ["stage", "n"]))
+    counts = {0: 0, 1: 0, 2: 0, 3: 0}
+    if grid is not None:
+        for r in grid.to_pylist():
+            counts[r["stage"]] = r["n"]
+    c3 = counts[3]
+    c2 = counts[2] + c3
+    c1 = counts[1] + c2
     return pa.table({
         "stage": pa.array(["view", "view_click", "view_click_purchase"]),
-        "n_users": pa.array([t1.count(), t2.count(), t3.count()],
-                            pa.int64()),
+        "n_users": pa.array([c1, c2, c3], pa.int64()),
     })
 
 
@@ -2418,34 +2419,41 @@ def q_orders_shipping_priority(sf_dir: str) -> Dataset:
         batch_format="pyarrow")
 
 
-def q_events_except_days(sf_dir: str) -> Dataset:
-    """Set difference (EXCEPT) at the (user, day) grain: days on which
-    a user purchased but had no error.  Per-batch presence-flag
-    partials (max of two indicators per key) shrink each block to ≤1
-    row per key before the shuffle; the global max-reduce + filter IS
-    the set op — no distinct-then-anti-join double exchange."""
+def _presence_flag_setop(sf_dir: str, type_a: str, type_b: str,
+                         want_b: int) -> Dataset:
+    """Shared shape for (user, day)-grain set ops over two event types:
+    per-batch max of two presence indicators per key, ONE global
+    max-reduce, then a filter — ``want_b=0`` is EXCEPT (a-days with no
+    b), ``want_b=1`` is INTERSECT (days with both).  No
+    distinct-then-anti-join double exchange."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type"])
 
     def flags(b: pa.Table) -> pa.Table:
         day = pc.floor_temporal(b.column("ts"), unit="day")
-        v = pc.cast(pc.equal(b.column("event_type"), "purchase"),
-                    pa.int64())
-        p = pc.cast(pc.equal(b.column("event_type"), "error"), pa.int64())
+        a = pc.cast(pc.equal(b.column("event_type"), type_a), pa.int64())
+        bb = pc.cast(pc.equal(b.column("event_type"), type_b),
+                     pa.int64())
         t = pa.table({"user_id": b.column("user_id"), "day": day,
-                      "v": v, "p": p})
+                      "a": a, "b": bb})
         g = t.group_by(["user_id", "day"]).aggregate(
-            [("v", "max"), ("p", "max")])
-        return g.rename_columns(["user_id", "day", "p_v", "p_p"])
+            [("a", "max"), ("b", "max")])
+        return g.rename_columns(["user_id", "day", "p_a", "p_b"])
 
     agg = ds.map_batches(flags, batch_format="pyarrow") \
         .groupby(["user_id", "day"]).aggregate(
-            Max("p_v", alias_name="v"), Max("p_p", alias_name="p"))
+            Max("p_a", alias_name="a"), Max("p_b", alias_name="b"))
     return agg.map_batches(
-        lambda b: b.filter(pc.and_(pc.equal(b.column("v"), 1),
-                                   pc.equal(b.column("p"), 0)))
+        lambda t: t.filter(pc.and_(pc.equal(t.column("a"), 1),
+                                   pc.equal(t.column("b"), want_b)))
         .select(["user_id", "day"]),
         batch_format="pyarrow")
+
+
+def q_events_except_days(sf_dir: str) -> Dataset:
+    """Set difference (EXCEPT) at the (user, day) grain: days on which
+    a user purchased but had no error (:func:`_presence_flag_setop`)."""
+    return _presence_flag_setop(sf_dir, "purchase", "error", want_b=0)
 
 
 def q_lineitem_corr(sf_dir: str) -> Dataset:
@@ -2492,12 +2500,16 @@ def q_lineitem_corr(sf_dir: str) -> Dataset:
         sxx = b.column("sxx").to_numpy(zero_copy_only=False) * 1.0
         syy = b.column("syy").to_numpy(zero_copy_only=False) * 1.0
         sxy = b.column("sxy").to_numpy(zero_copy_only=False) * 1.0
-        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
-                                   * np.sqrt(n * syy - sy * sy))
+        denom = (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (n * sxy - sx * sy) / denom
+        # constant-valued group → denom 0 → NULL, matching DuckDB's
+        # division-by-zero (its x/0.0 is NULL, not inf/NaN)
         return pa.table({
             "l_returnflag": b.column("l_returnflag"),
             "n_items": pc.cast(b.column("n_items"), pa.int64()),
-            "corr_qty_price": round_sql(pa.array(r, pa.float64()), 6),
+            "corr_qty_price": round_sql(
+                pa.array(r, pa.float64(), mask=(denom == 0.0)), 6),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -2505,31 +2517,9 @@ def q_lineitem_corr(sf_dir: str) -> Dataset:
 
 def q_events_intersect_days(sf_dir: str) -> Dataset:
     """Set intersection (INTERSECT) at the (user, day) grain: days on
-    which a user both viewed and purchased.  Same one-exchange
-    presence-flag shape as :func:`q_events_except_days` — per-batch max
-    of two indicators per key, global max-reduce, filter both == 1."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
-                         columns=["user_id", "ts", "event_type"])
-
-    def flags(b: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(b.column("ts"), unit="day")
-        v = pc.cast(pc.equal(b.column("event_type"), "view"), pa.int64())
-        p = pc.cast(pc.equal(b.column("event_type"), "purchase"),
-                    pa.int64())
-        t = pa.table({"user_id": b.column("user_id"), "day": day,
-                      "v": v, "p": p})
-        g = t.group_by(["user_id", "day"]).aggregate(
-            [("v", "max"), ("p", "max")])
-        return g.rename_columns(["user_id", "day", "p_v", "p_p"])
-
-    agg = ds.map_batches(flags, batch_format="pyarrow") \
-        .groupby(["user_id", "day"]).aggregate(
-            Max("p_v", alias_name="v"), Max("p_p", alias_name="p"))
-    return agg.map_batches(
-        lambda b: b.filter(pc.and_(pc.equal(b.column("v"), 1),
-                                   pc.equal(b.column("p"), 1)))
-        .select(["user_id", "day"]),
-        batch_format="pyarrow")
+    which a user both viewed and purchased
+    (:func:`_presence_flag_setop`)."""
+    return _presence_flag_setop(sf_dir, "view", "purchase", want_b=1)
 
 
 def q_events_unpivot_counts(sf_dir: str) -> Dataset:
@@ -2674,10 +2664,12 @@ def q_customers_fuzzy_name_pairs(sf_dir: str) -> Dataset:
     idx_schema = pa.schema([("v", pa.string()), ("name", pa.string())])
     inv = with_schema(uniq.map_batches(variants, batch_format="pyarrow"),
                       idx_schema)
-    inv_b = with_schema(inv.map_batches(
+    # no second pin: with_schema already dropped every empty block from
+    # inv, so the rename sees (and emits) only typed blocks — a second
+    # pin would materialize the largest intermediate twice
+    inv_b = inv.map_batches(
         lambda b: b.rename_columns(["v", "name_b"]),
-        batch_format="pyarrow"),
-        pa.schema([("v", pa.string()), ("name_b", pa.string())]))
+        batch_format="pyarrow")
 
     def verify(b: pa.Table) -> pa.Table:
         import numpy as np

@@ -128,12 +128,18 @@ class _WindowIngestor:
         self.run_token = os.urandom(8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         ts = pc.cast(pc.cast(batch.column(self.ts_col),
                              pa.timestamp("us")), pa.int64())
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        win = pc.multiply(pc.divide(ts, self.width_us),
-                          pa.scalar(self.width_us, pa.int64()))
+        # numpy floor division, NOT pc.divide: Arrow int division
+        # truncates toward zero, which would put pre-1970 events in the
+        # wrong window (and off the DuckDB twin's // floor semantics)
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        win = pa.array((ts_np // self.width_us) * self.width_us,
+                       pa.int64())
         g = pa.table({"w": win, "k": batch.column(self.key_col)}) \
             .group_by(["w", "k"]).aggregate([("k", "count")])
         wins = g.column("w").to_pylist()

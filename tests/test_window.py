@@ -104,3 +104,17 @@ def test_window_snapshot_survives_restart(ray_session, tmp_path):
     finally:
         for s in shards2:
             ray.kill(s)
+
+
+def test_window_floors_negative_timestamps(ray_session):
+    """Pre-1970 events floor into the window BELOW zero (Flink
+    semantics), not the truncated-toward-zero window."""
+    shards = make_window_index(1)
+    try:
+        sealed = _rows(ingest_run(_events([-1, 1]), shards,
+                                  width_us=10, lateness_us=0))
+        rest = _rows(flush(shards))
+        assert {**sealed, **rest} == {(-10, "view"): 1, (0, "view"): 1}
+    finally:
+        for s in shards:
+            ray.kill(s)
