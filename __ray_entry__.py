@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": q.q_embeddings_kmeans,
         "events_percent_rank": q.q_events_percent_rank,
         "events_tumbling_daily": q.q_events_tumbling_daily,
+        "events_hopping_2day": q.q_events_hopping_2day,
     }
 
 
@@ -1099,6 +1100,24 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_2day": """
+            -- each event belongs to the two 2-day windows (1-day
+            -- slide) covering it: starts s_hi and s_hi - 1 day, where
+            -- s_hi floors ts to the slide via positive mod
+            WITH e AS (SELECT event_type, epoch_us(ts) AS t
+                       FROM events),
+            w AS (SELECT event_type,
+                         unnest(generate_series(
+                             t - ((t % 86400000000) + 86400000000)
+                               % 86400000000 - 86400000000,
+                             t - ((t % 86400000000) + 86400000000)
+                               % 86400000000,
+                             86400000000)) AS win_start
+                  FROM e)
+            SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1, 2
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

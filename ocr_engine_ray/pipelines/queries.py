@@ -2975,3 +2975,28 @@ def q_events_tumbling_daily(sf_dir: str) -> pa.Table:
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def q_events_hopping_2day(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) event-time windows: 2-day width, 1-day slide —
+    each event counts in the two windows covering it
+    (stages/window.py with ``slide_us < width_us``; assignment fans
+    out, seal/lateness/state machinery unchanged).  End-of-stream
+    equals the per-event window fan-out GROUP BY the DuckDB twin
+    replays with generate_series."""
+    from ..stages.window import (emitted_table, flush, ingest_run,
+                                 make_window_index)
+
+    DAY = 86_400_000_000
+    shards = make_window_index(4)
+    try:
+        ds = rd.read_parquet(_t(sf_dir, "events"),
+                             columns=["ts", "event_type"])
+        parts = ingest_run(ds, shards, 2 * DAY, lateness_us=2 * DAY,
+                           slide_us=DAY)
+        tail = flush(shards)
+        return pa.concat_tables([emitted_table(parts),
+                                 emitted_table(tail)])
+    finally:
+        for s in shards:
+            ray.kill(s)

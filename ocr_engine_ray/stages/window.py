@@ -1,4 +1,4 @@
-"""Incremental event-time tumbling-window aggregation.
+"""Incremental event-time tumbling / hopping window aggregation.
 
 The streaming-window custom operator (SURVEY 'custom operators' path
 (c), same family as the shared dedup index in ``stages/dedup.py``):
@@ -8,7 +8,11 @@ once and sealed — when the event-time watermark (max ts seen, across
 all runs, minus the allowed lateness) passes its end.  Events arriving
 for an already-sealed window are counted as dropped, never re-emitted:
 the reference semantics of every production stream processor
-(Flink/Beam tumbling windows with allowed lateness).
+(Flink/Beam tumbling windows with allowed lateness).  Passing
+``slide_us < width_us`` turns the same machinery into hopping
+(sliding) windows: each event fans out to its width/slide covering
+starts at assignment time and everything downstream — state, seal,
+lateness, persistence — is unchanged.
 
 Order-independence inside a run is by construction: ingestion merges
 per-batch PARTIAL count grids (order-free integer sums), and the
@@ -120,9 +124,12 @@ class _WindowIngestor:
     scan."""
 
     def __init__(self, shards: list, width_us: int, ts_col: str,
-                 key_col: str):
+                 key_col: str, slide_us: int | None = None):
         self.shards = shards
         self.width_us = width_us
+        self.slide_us = width_us if slide_us is None else slide_us
+        if self.width_us % self.slide_us:
+            raise ValueError("width_us must be a multiple of slide_us")
         self.ts_col = ts_col
         self.key_col = key_col
         self.run_token = os.urandom(8)
@@ -138,9 +145,24 @@ class _WindowIngestor:
         # truncates toward zero, which would put pre-1970 events in the
         # wrong window (and off the DuckDB twin's // floor semantics)
         ts_np = ts.to_numpy(zero_copy_only=False)
-        win = pa.array((ts_np // self.width_us) * self.width_us,
-                       pa.int64())
-        g = pa.table({"w": win, "k": batch.column(self.key_col)}) \
+        k_arr = batch.column(self.key_col)
+        if isinstance(k_arr, pa.ChunkedArray):
+            k_arr = k_arr.combine_chunks()
+        s_hi = (ts_np // self.slide_us) * self.slide_us
+        n_hops = self.width_us // self.slide_us
+        if n_hops == 1:
+            win = pa.array(s_hi, pa.int64())
+            keys_exp = k_arr
+        else:
+            # hopping windows: each event lands in width/slide starts
+            # (s_hi, s_hi - slide, ...), all of which still cover ts
+            offs = np.arange(n_hops, dtype=np.int64) * self.slide_us
+            win = pa.array((s_hi[:, None] - offs[None, :]).ravel(),
+                           pa.int64())
+            keys_exp = k_arr.take(pa.array(
+                np.repeat(np.arange(len(ts_np), dtype=np.int64),
+                          n_hops)))
+        g = pa.table({"w": win, "k": keys_exp}) \
             .group_by(["w", "k"]).aggregate([("k", "count")])
         wins = g.column("w").to_pylist()
         keys = g.column("k").to_pylist()
@@ -181,7 +203,8 @@ class _WindowIngestor:
 
 
 def ingest_run(ds, shards: list, width_us: int, lateness_us: int,
-               ts_col: str = "ts", key_col: str = "event_type") -> list:
+               ts_col: str = "ts", key_col: str = "event_type",
+               slide_us: int | None = None) -> list:
     """Ingest one dataset into the shared window state, then advance the
     watermark to (run max ts − lateness) and seal every window whose
     START falls before it (tumbling windows: a window [s, s+w) is
@@ -189,7 +212,7 @@ def ingest_run(ds, shards: list, width_us: int, lateness_us: int,
     equivalent seal-before = wm − width + 1 boundary arithmetic below).
     Returns the finalized rows of THIS advance as a list of per-shard
     dicts."""
-    stage = _WindowIngestor(shards, width_us, ts_col, key_col)
+    stage = _WindowIngestor(shards, width_us, ts_col, key_col, slide_us)
     maxima = ds.map_batches(stage, batch_format="pyarrow",
                             concurrency=None)
     blocks = [t for t in ray.get(maxima.to_arrow_refs()) if t.num_rows]

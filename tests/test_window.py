@@ -118,3 +118,23 @@ def test_window_floors_negative_timestamps(ray_session):
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def test_hopping_windows_fan_out_and_seal(ray_session):
+    """width=10, slide=5: an event at ts=7 counts in windows [0,10)
+    and [5,15); sealing uses the window WIDTH, so both emit once the
+    watermark passes their ends."""
+    from ocr_engine_ray.stages.window import ingest_run as run
+
+    shards = make_window_index(2)
+    try:
+        sealed = _rows(run(_events([7, 30]), shards, width_us=10,
+                           lateness_us=0, slide_us=5))
+        # wm = 30 -> seal_before = 21: windows 0, 5 sealed (the event
+        # at 30 sits in open windows 25 and 30)
+        assert sealed == {(0, "view"): 1, (5, "view"): 1}
+        rest = _rows(flush(shards))
+        assert rest == {(25, "view"): 1, (30, "view"): 1}
+    finally:
+        for s in shards:
+            ray.kill(s)
