@@ -103,6 +103,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_documents_minhash_neardup(sf_dir).count())
     timed("embeddings_ann_topk",
           lambda: q.q_embeddings_ann_topk(sf_dir).num_rows)
+    # round-3 additions: the new heavy operator families
+    timed("documents_winnow_fingerprints",
+          lambda: q.q_documents_winnow_fingerprints(sf_dir).count())
+    timed("customers_fuzzy_name_pairs",
+          lambda: q.q_customers_fuzzy_name_pairs(sf_dir).count())
+    timed("events_funnel",
+          lambda: q.q_events_funnel(sf_dir).num_rows)
+    timed("events_tumbling_daily",
+          lambda: q.q_events_tumbling_daily(sf_dir).num_rows)
 
     ray.shutdown()
     headline = timings["flagship_extract"]
