@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": q.q_events_percent_rank,
         "events_tumbling_daily": q.q_events_tumbling_daily,
         "events_hopping_2day": q.q_events_hopping_2day,
+        "events_value_mode": q.q_events_value_mode,
+        "region_types_grid": q.q_region_types_grid,
     }
 
 
@@ -1118,6 +1120,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "events_value_mode": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY event_type
+                      ORDER BY n DESC, cents ASC) AS rn
+                  FROM c)
+            SELECT event_type,
+                   ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS mode_value,
+                   n AS n_occurrences
+            FROM r WHERE rn = 1
+        """,
+        "region_types_grid": """
+            SELECT r.r_regionkey, r.r_name, t.event_type
+            FROM region r
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

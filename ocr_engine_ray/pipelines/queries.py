@@ -3000,3 +3000,80 @@ def q_events_hopping_2day(sf_dir: str) -> pa.Table:
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def q_events_value_mode(sf_dir: str) -> Dataset:
+    """Grouped MODE (most frequent value) per event type, deterministic
+    tie-break (highest count, then smallest value).  Scale shape: ONE
+    (type, cents) count exchange — the mode itself is a top-1-per-group
+    over the bounded per-type distinct-value grid (the dense_rank
+    family's co-location contract), never over raw events."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        g = pa.table({"event_type": b.column("event_type"),
+                      "cents": pa.array(cents, pa.int64())}) \
+            .group_by(["event_type", "cents"]).aggregate(
+                [("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "p_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "cents"]).aggregate(
+            Sum("p_n", alias_name="n"))
+
+    def top1(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("n", "descending"), ("cents", "ascending")]) \
+            .slice(0, 1)
+        return pa.table({
+            "event_type": s.column("event_type"),
+            "mode_value": round_sql(pc.divide(
+                pc.cast(s.column("cents"), pa.float64()),
+                pa.scalar(100.0)), 2),
+            "n_occurrences": pc.cast(s.column("n"), pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        top1, batch_format="pyarrow")
+
+
+def q_region_types_grid(sf_dir: str) -> Dataset:
+    """CROSS JOIN (cartesian product), the last join type in the
+    matrix: every region × every observed event type.  The small side
+    (distinct types) is reduced first and broadcast through ONE
+    ``ray.put``; each region batch fans out vectorized (repeat/tile
+    takes, no Python rows) — the canonical broadcast-cross shape, sane
+    whenever one side is small enough to replicate."""
+    import numpy as np
+
+    types_tab = _small_table(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+        .map_batches(lambda b: b.group_by("event_type").aggregate([]),
+                     batch_format="pyarrow")
+        .groupby("event_type").aggregate(
+            Count("event_type", alias_name="_n")))
+    types = sorted(types_tab.column("event_type").to_pylist()) \
+        if types_tab is not None else []
+    types_ref = ray.put(types)
+
+    region = rd.read_parquet(_t(sf_dir, "region"),
+                             columns=["r_regionkey", "r_name"])
+
+    def cross(b: pa.Table) -> pa.Table:
+        ts = ray.get(types_ref)
+        k = len(ts)
+        if k == 0 or b.num_rows == 0:
+            return pa.table({"r_regionkey": pa.array([], pa.int64()),
+                             "r_name": pa.array([], pa.string()),
+                             "event_type": pa.array([], pa.string())})
+        idx = pa.array(np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                                 k))
+        return pa.table({
+            "r_regionkey": b.column("r_regionkey").take(idx),
+            "r_name": b.column("r_name").take(idx),
+            "event_type": pa.array(np.tile(np.asarray(ts, dtype=object),
+                                           b.num_rows), pa.string()),
+        })
+
+    return region.map_batches(cross, batch_format="pyarrow")
