@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_2day": q.q_events_hopping_2day,
         "events_value_mode": q.q_events_value_mode,
         "region_types_grid": q.q_region_types_grid,
+        "events_sessions_streaming": q.q_events_sessions_streaming,
     }
 
 
@@ -1139,6 +1140,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.r_regionkey, r.r_name, t.event_type
             FROM region r
             CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        """,
+        "events_sessions_streaming": """
+            WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            d AS (SELECT user_id, t,
+                         CASE WHEN t - LAG(t) OVER (
+                                  PARTITION BY user_id ORDER BY t)
+                              > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            g AS (SELECT user_id, t,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d)
+            SELECT user_id,
+                   CAST(MIN(t) AS BIGINT) AS session_start,
+                   CAST(MAX(t) AS BIGINT) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid
         """,
         "documents_training_prep": """
             WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w

@@ -3077,3 +3077,29 @@ def q_region_types_grid(sf_dir: str) -> Dataset:
         })
 
     return region.map_batches(cross, batch_format="pyarrow")
+
+
+def q_events_sessions_streaming(sf_dir: str) -> pa.Table:
+    """Incremental SESSION windows (gap 30 min) through the sharded
+    session-state actors (stages/window.py:SessionShard) driven to
+    end-of-stream: per-batch sorted gap-cut partials, order-independent
+    interval merging in the shards, watermark seal.  Within a single
+    run no event is ever late (the watermark only advances after the
+    whole run merges), so flush ≡ the batch gaps-and-islands sessionize
+    — which is exactly what the DuckDB twin replays.  Mid-stream
+    seal/late-drop behavior is pinned by the stage's unit tests."""
+    from ..stages.window import (flush_sessions, ingest_session_run,
+                                 make_session_index, session_table)
+
+    GAP = 30 * 60 * 1_000_000
+    shards = make_session_index(GAP, 4)
+    try:
+        ds = rd.read_parquet(_t(sf_dir, "events"),
+                             columns=["user_id", "ts"])
+        parts = ingest_session_run(ds, shards, GAP, lateness_us=0)
+        tail = flush_sessions(shards)
+        return pa.concat_tables([session_table(parts),
+                                 session_table(tail)])
+    finally:
+        for s in shards:
+            ray.kill(s)

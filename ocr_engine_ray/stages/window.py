@@ -308,3 +308,193 @@ def load_window_index(dir_path: str) -> list:
             futures.append(sh.restore.remote(json.load(f)))
     ray.get(futures)
     return shards
+
+
+@ray.remote(num_cpus=0)
+class SessionShard:
+    """One shard of incremental SESSION-window state (gap-based): per
+    key, a sorted list of open (start, end, count) intervals.  Merging
+    is interval union with gap tolerance — associative and commutative,
+    so Ray Data's unordered blocks cannot change the result within a
+    run.  A session seals once ``end + gap < watermark``: any event
+    that could still extend it would have to carry ts ≤ end + gap < wm
+    and is late by definition (dropped + counted), which keeps sealing
+    and late-drop mutually consistent."""
+
+    _REPLY_CAP = 4096
+
+    def __init__(self, gap_us: int) -> None:
+        from collections import OrderedDict
+
+        self.gap = gap_us
+        self.open: dict[int, list[list[int]]] = {}  # key -> [[s,e,n]]
+        self.wm: int = -(2 ** 62)
+        self.dropped = 0
+        self.replies: OrderedDict[bytes, bool] = OrderedDict()
+
+    def merge(self, token: bytes, keys: list[int], starts: list[int],
+              ends: list[int], counts: list[int]) -> bool:
+        import bisect
+
+        if token in self.replies:
+            return True
+        for k, s, e, n in zip(keys, starts, ends, counts):
+            if e < self.wm:
+                self.dropped += n
+                continue
+            ivs = self.open.setdefault(k, [])
+            i = bisect.bisect_left(ivs, [s])
+            # absorb every neighbor within the gap, left then right
+            while i > 0 and s - ivs[i - 1][1] <= self.gap:
+                prev = ivs.pop(i - 1)
+                i -= 1
+                s, e, n = prev[0], max(e, prev[1]), n + prev[2]
+            while i < len(ivs) and ivs[i][0] - e <= self.gap:
+                nxt = ivs.pop(i)
+                s, e, n = min(s, nxt[0]), max(e, nxt[1]), n + nxt[2]
+            ivs.insert(i, [s, e, n])
+        self.replies[token] = True
+        while len(self.replies) > self._REPLY_CAP:
+            self.replies.popitem(last=False)
+        return True
+
+    def finalize_up_to(self, wm: int) -> dict:
+        if wm <= self.wm:
+            return {"keys": [], "starts": [], "ends": [], "counts": []}
+        self.wm = wm
+        out = {"keys": [], "starts": [], "ends": [], "counts": []}
+        for k in sorted(self.open):
+            keep = []
+            for s, e, n in self.open[k]:
+                if e + self.gap < wm:
+                    out["keys"].append(k)
+                    out["starts"].append(s)
+                    out["ends"].append(e)
+                    out["counts"].append(n)
+                else:
+                    keep.append([s, e, n])
+            if keep:
+                self.open[k] = keep
+            else:
+                del self.open[k]
+        return out
+
+    def flush_all(self) -> dict:
+        return self.finalize_up_to(2 ** 62)
+
+    def stats(self) -> dict:
+        return {"open": sum(len(v) for v in self.open.values()),
+                "dropped": self.dropped, "wm": self.wm}
+
+
+def make_session_index(gap_us: int, num_shards: int = 8) -> list:
+    """Spawn the shared session-window shards for one stream."""
+    return [SessionShard.remote(gap_us) for _ in range(num_shards)]
+
+
+class _SessionIngestor:
+    """Per-batch vectorized session partials: sort by (key, ts), cut at
+    key changes or gaps (the sessionize idiom), ship (key, start, end,
+    n) triples to their key's shard.  Same raw-buffer idempotency token
+    and max-ts watermark row as the window ingestor."""
+
+    def __init__(self, shards: list, gap_us: int, ts_col: str,
+                 key_col: str):
+        self.shards = shards
+        self.gap_us = gap_us
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.run_token = os.urandom(8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = batch.sort_by([(self.key_col, "ascending"),
+                           (self.ts_col, "ascending")])
+        ts_arr = pc.cast(pc.cast(b.column(self.ts_col),
+                                 pa.timestamp("us")), pa.int64())
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        ts = ts_arr.to_numpy(zero_copy_only=False)
+        keys = b.column(self.key_col).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        if n:
+            brk = np.flatnonzero((keys[1:] != keys[:-1])
+                                 | (np.diff(ts) > self.gap_us)) + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk - 1, [n - 1]))
+            t_keys = keys[starts]
+            t_s = ts[starts]
+            t_e = ts[ends]
+            t_n = (ends - starts + 1)
+        else:
+            t_keys = t_s = t_e = t_n = np.array([], dtype=np.int64)
+
+        n_shards = len(self.shards)
+        by_shard: dict[int, list[int]] = {}
+        for i, k in enumerate(t_keys):
+            s = int.from_bytes(hashlib.sha1(
+                str(k).encode()).digest()[:4], "big") % n_shards
+            by_shard.setdefault(s, []).append(i)
+        tok = hashlib.sha1(self.run_token)
+        key_col_arr = b.column(self.key_col)
+        if isinstance(key_col_arr, pa.ChunkedArray):
+            key_col_arr = key_col_arr.combine_chunks()
+        for arr in (ts_arr, key_col_arr):
+            for buf in arr.buffers():
+                if buf is not None:
+                    tok.update(buf)
+        payload = tok.digest()
+        futures = []
+        for s, idxs in by_shard.items():
+            token = hashlib.sha1(payload + bytes([s % 256])).digest()
+            futures.append(self.shards[s].merge.remote(
+                token, [int(t_keys[i]) for i in idxs],
+                [int(t_s[i]) for i in idxs],
+                [int(t_e[i]) for i in idxs],
+                [int(t_n[i]) for i in idxs]))
+        ray.get(futures)
+        mx = int(ts.max()) if n else -(2 ** 62)
+        return pa.table({"batch_max_ts": pa.array([mx], pa.int64())})
+
+
+def ingest_session_run(ds, shards: list, gap_us: int, lateness_us: int,
+                       ts_col: str = "ts",
+                       key_col: str = "user_id") -> list:
+    """Ingest one dataset into the shared session state, advance the
+    watermark to (run max ts − lateness), and return the sessions that
+    sealed on this advance (end + gap < watermark)."""
+    stage = _SessionIngestor(shards, gap_us, ts_col, key_col)
+    maxima = ds.map_batches(stage, batch_format="pyarrow")
+    blocks = [t for t in ray.get(maxima.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return []
+    run_max = pc.max(pa.concat_tables(blocks)
+                     .column("batch_max_ts")).as_py()
+    return ray.get([s.finalize_up_to.remote(run_max - lateness_us)
+                    for s in shards])
+
+
+def flush_sessions(shards: list) -> list:
+    return ray.get([s.flush_all.remote() for s in shards])
+
+
+def session_table(parts: list) -> pa.Table:
+    """Assemble session finalize/flush outputs into one
+    (user_id, session_start, session_end, n_events) Arrow table."""
+    keys: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    counts: list[int] = []
+    for p in parts:
+        keys.extend(p["keys"])
+        starts.extend(p["starts"])
+        ends.extend(p["ends"])
+        counts.extend(p["counts"])
+    return pa.table({
+        "user_id": pa.array(keys, pa.int64()),
+        "session_start": pa.array(starts, pa.int64()),
+        "session_end": pa.array(ends, pa.int64()),
+        "n_events": pa.array(counts, pa.int64()),
+    })

@@ -138,3 +138,69 @@ def test_hopping_windows_fan_out_and_seal(ray_session):
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def test_session_interval_merge_is_order_independent(ray_session):
+    """Triples merged in any order produce the same session (interval
+    union with gap tolerance is associative/commutative)."""
+    from ocr_engine_ray.stages.window import SessionShard
+
+    a = SessionShard.remote(gap_us=10)
+    b = SessionShard.remote(gap_us=10)
+    try:
+        # same three fragments, opposite arrival order
+        frags = [(1, 0, 5, 2), (1, 12, 20, 3), (1, 31, 35, 1)]
+        for i, f in enumerate(frags):
+            ray.get(a.merge.remote(f"a{i}".encode(),
+                                   [f[0]], [f[1]], [f[2]], [f[3]]))
+        for i, f in enumerate(reversed(frags)):
+            ray.get(b.merge.remote(f"b{i}".encode(),
+                                   [f[0]], [f[1]], [f[2]], [f[3]]))
+        out_a = ray.get(a.flush_all.remote())
+        out_b = ray.get(b.flush_all.remote())
+        # 0-5 and 12-20 merge (gap 7 <= 10); 31-35 stays apart (11 > 10)
+        assert out_a == out_b
+        assert out_a["starts"] == [0, 31] and out_a["ends"] == [20, 35]
+        assert out_a["counts"] == [5, 1]
+    finally:
+        ray.kill(a)
+        ray.kill(b)
+
+
+def test_session_runs_seal_and_drop(ray_session):
+    """Sessions seal once end + gap < watermark; later events below the
+    watermark drop; an open session keeps absorbing on-time events."""
+    from ocr_engine_ray.stages.window import (flush_sessions,
+                                              ingest_session_run,
+                                              make_session_index,
+                                              session_table)
+
+    def ev(ts):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }))
+
+    shards = make_session_index(gap_us=100, num_shards=2)
+    try:
+        # run 1: one session [0,10], wm = 10 -> 10+100 >= 10 stays open
+        sealed = session_table(ingest_session_run(
+            ev([0, 10]), shards, gap_us=100, lateness_us=0))
+        assert sealed.num_rows == 0
+        # run 2: ts=500 starts a NEW session (gap 490 > 100) and its
+        # watermark seals the first one with both events intact
+        sealed = session_table(ingest_session_run(
+            ev([500]), shards, gap_us=100, lateness_us=0)).to_pylist()
+        assert sealed == [{"user_id": 1, "session_start": 0,
+                           "session_end": 10, "n_events": 2}]
+        # run 3: ts=5 is below the watermark -> dropped, not revived
+        session_table(ingest_session_run(
+            ev([5, 510]), shards, gap_us=100, lateness_us=0))
+        rest = session_table(flush_sessions(shards)).to_pylist()
+        assert rest == [{"user_id": 1, "session_start": 500,
+                         "session_end": 510, "n_events": 2}]
+        stats = ray.get([s.stats.remote() for s in shards])
+        assert sum(s["dropped"] for s in stats) == 1
+    finally:
+        for s in shards:
+            ray.kill(s)
