@@ -386,6 +386,20 @@ class SessionShard:
         return {"open": sum(len(v) for v in self.open.values()),
                 "dropped": self.dropped, "wm": self.wm}
 
+    def snapshot(self) -> dict:
+        """Deterministic JSON-able state (keys and intervals sorted)."""
+        return {"gap": self.gap,
+                "open": [[k, self.open[k]] for k in sorted(self.open)],
+                "wm": self.wm, "dropped": self.dropped}
+
+    def restore(self, state: dict) -> int:
+        for k, ivs in state["open"]:
+            self.open[int(k)] = [[int(a), int(b), int(c)]
+                                 for a, b, c in ivs]
+        self.wm = max(self.wm, int(state["wm"]))
+        self.dropped += int(state["dropped"])
+        return len(self.open)
+
 
 def make_session_index(gap_us: int, num_shards: int = 8) -> list:
     """Spawn the shared session-window shards for one stream."""
@@ -498,3 +512,58 @@ def session_table(parts: list) -> pa.Table:
         "session_end": pa.array(ends, pa.int64()),
         "n_events": pa.array(counts, pa.int64()),
     })
+
+
+def save_session_index(shards: list, dir_path: str,
+                       gap_us: int) -> None:
+    """Session-window twin of :func:`save_window_index` (same
+    generation-dir commit discipline)."""
+    import json
+    import shutil
+
+    os.makedirs(dir_path, exist_ok=True)
+    blobs = [json.dumps(s, sort_keys=True).encode()
+             for s in ray.get([sh.snapshot.remote() for sh in shards])]
+    gen = "gen-" + hashlib.sha1(
+        b"\x1e".join(blobs)
+        + len(shards).to_bytes(4, "big")).hexdigest()[:16]
+    gen_dir = os.path.join(dir_path, gen)
+    os.makedirs(gen_dir, exist_ok=True)
+    for i, blob in enumerate(blobs):
+        path = os.path.join(gen_dir, f"shard-{i:04d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    meta_path = os.path.join(dir_path, _WINDOW_META)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_shards": len(shards), "generation": gen,
+                   "kind": "session", "gap_us": gap_us}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)  # commit point
+    for name in os.listdir(dir_path):
+        if name.startswith("gen-") and name != gen:
+            shutil.rmtree(os.path.join(dir_path, name),
+                          ignore_errors=True)
+
+
+def load_session_index(dir_path: str) -> list:
+    """Spawn fresh session shards and restore a
+    :func:`save_session_index` snapshot (gap and width come from the
+    meta; routing is only stable at the same shard count)."""
+    import json
+
+    with open(os.path.join(dir_path, _WINDOW_META)) as f:
+        meta = json.load(f)
+    gen_dir = os.path.join(dir_path, meta["generation"])
+    shards = make_session_index(meta["gap_us"], meta["num_shards"])
+    futures = []
+    for i, sh in enumerate(shards):
+        with open(os.path.join(gen_dir, f"shard-{i:04d}.json")) as f:
+            futures.append(sh.restore.remote(json.load(f)))
+    ray.get(futures)
+    return shards

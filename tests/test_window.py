@@ -204,3 +204,37 @@ def test_session_runs_seal_and_drop(ray_session):
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def test_session_snapshot_survives_restart(ray_session, tmp_path):
+    from ocr_engine_ray.stages.window import (flush_sessions,
+                                              ingest_session_run,
+                                              load_session_index,
+                                              make_session_index,
+                                              save_session_index,
+                                              session_table)
+
+    def ev(ts):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }))
+
+    shards = make_session_index(gap_us=100, num_shards=2)
+    ingest_session_run(ev([0, 10]), shards, gap_us=100, lateness_us=0)
+    save_session_index(shards, str(tmp_path / "sess"), gap_us=100)
+    for s in shards:
+        ray.kill(s)
+
+    shards2 = load_session_index(str(tmp_path / "sess"))
+    try:
+        # the open session [0,10] must still absorb an on-time event
+        # within the gap after the restart
+        ingest_session_run(ev([105]), shards2, gap_us=100,
+                           lateness_us=0)
+        rest = session_table(flush_sessions(shards2)).to_pylist()
+        assert rest == [{"user_id": 1, "session_start": 0,
+                         "session_end": 105, "n_events": 3}]
+    finally:
+        for s in shards2:
+            ray.kill(s)
