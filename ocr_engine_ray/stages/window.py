@@ -52,6 +52,7 @@ class WindowShard:
         self.open: dict[tuple[int, str], int] = {}
         self.sealed_before: int = -(2 ** 62)  # windows starting earlier are sealed
         self.dropped = 0
+        self.replays = 0
         self.replies: OrderedDict[bytes, bool] = OrderedDict()
 
     def merge(self, token: bytes, wins: list[int], keys: list[str],
@@ -59,6 +60,7 @@ class WindowShard:
         """Merge one batch's (window, key, n) partial grid.  Replayed
         tokens (task retries) are acknowledged without re-merging."""
         if token in self.replies:
+            self.replays += 1
             return True
         for w, k, n in zip(wins, keys, counts):
             if w < self.sealed_before:
@@ -92,6 +94,7 @@ class WindowShard:
 
     def stats(self) -> dict:
         return {"open": len(self.open), "dropped": self.dropped,
+                "replays": self.replays,
                 "sealed_before": self.sealed_before}
 
     def snapshot(self) -> dict:
@@ -114,6 +117,38 @@ def make_window_index(num_shards: int = 8) -> list:
     """Spawn the shared window-state shards (pass the same list to every
     run that should share one stream)."""
     return [WindowShard.remote() for _ in range(num_shards)]
+
+
+def _content_token(run_token: bytes, arrays) -> bytes:
+    """Idempotency token for one merge call: run nonce × the raw batch
+    bytes (ts + key buffers).  Content-keyed on purpose: Ray Data can
+    re-execute a stage prefix internally (schema inference runs the
+    first batch under a limit=1 plan — observed in 2.49) and retries
+    replay whole tasks; both re-deliver IDENTICAL bytes, which this
+    token dedupes exactly.  The flip side is documented honestly: two
+    byte-identical duplicate blocks within one run (the same file
+    ingested twice, byte-for-byte) merge ONCE — an undercount, the
+    OPPOSITE direction of the dedup index's conservative missed-drop.
+    Shards count replay hits in stats() so that case is observable."""
+    tok = hashlib.sha1(run_token)
+    for arr in arrays:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        for buf in a.buffers():
+            if buf is not None:
+                tok.update(buf)
+    return tok.digest()
+
+
+def _run_watermark(maxima_ds) -> "int | None":
+    """Consume an ingestor's per-batch max-ts rows (driving ingestion)
+    and return the run's max event ts, or None for an empty run."""
+    blocks = [t for t in ray.get(maxima_ds.to_arrow_refs())
+              if t.num_rows]
+    if not blocks:
+        return None
+    return pc.max(pa.concat_tables(blocks)
+                  .column("batch_max_ts")).as_py()
 
 
 class _WindowIngestor:
@@ -176,20 +211,7 @@ class _WindowIngestor:
             s = int.from_bytes(hashlib.sha1(
                 f"{w}|{k}".encode()).digest()[:4], "big") % n_shards
             by_shard.setdefault(s, []).append(i)
-        # token over the RAW batch bytes (ts + key buffers), not the
-        # partial grid: two distinct batches can share a count grid,
-        # and a grid-keyed token would swallow the second merge.  The
-        # residual caveat (byte-identical duplicate blocks in one run
-        # share a token) mirrors the dedup index's documented limit.
-        tok = hashlib.sha1(self.run_token)
-        key_arr = batch.column(self.key_col)
-        if isinstance(key_arr, pa.ChunkedArray):
-            key_arr = key_arr.combine_chunks()
-        for arr in (ts, key_arr):
-            for buf in arr.buffers():
-                if buf is not None:
-                    tok.update(buf)
-        payload = tok.digest()
+        payload = _content_token(self.run_token, (ts, k_arr))
         futures = []
         for s, idxs in by_shard.items():
             token = hashlib.sha1(payload + bytes([s % 256])).digest()
@@ -213,13 +235,10 @@ def ingest_run(ds, shards: list, width_us: int, lateness_us: int,
     Returns the finalized rows of THIS advance as a list of per-shard
     dicts."""
     stage = _WindowIngestor(shards, width_us, ts_col, key_col, slide_us)
-    maxima = ds.map_batches(stage, batch_format="pyarrow",
-                            concurrency=None)
-    blocks = [t for t in ray.get(maxima.to_arrow_refs()) if t.num_rows]
-    if not blocks:
+    run_max = _run_watermark(
+        ds.map_batches(stage, batch_format="pyarrow"))
+    if run_max is None:
         return []
-    run_max = pc.max(pa.concat_tables(blocks)
-                     .column("batch_max_ts")).as_py()
     wm = run_max - lateness_us
     # seal windows whose END ≤ watermark: start < wm - width + 1
     seal_before = wm - width_us + 1
@@ -252,20 +271,19 @@ def emitted_table(parts: list) -> pa.Table:
 _WINDOW_META = "_WINDOW_META.json"
 
 
-def save_window_index(shards: list, dir_path: str) -> None:
-    """Snapshot the window state so the stream position (open windows,
-    watermark, drop counters) survives a driver restart.  Same commit
-    discipline as the dedup index (stages/dedup.py:save_dedup_index):
-    shard files into a content-named generation dir, ``.tmp`` → atomic
-    rename each, meta replaced LAST — a crash mid-save leaves the
-    previous snapshot fully restorable.  Call between runs, never while
-    an ingestion Dataset is still executing."""
+def _save_shard_snapshots(shards: list, dir_path: str,
+                          meta_extra: dict) -> None:
+    """Shared snapshot writer for both window kinds: shard JSON blobs
+    into a content-named generation dir (``.tmp`` → atomic rename
+    each), meta replaced LAST — a crash mid-save leaves the previous
+    snapshot fully restorable; superseded generations pruned after
+    commit (same discipline as stages/dedup.py:save_dedup_index)."""
     import json
     import shutil
 
     os.makedirs(dir_path, exist_ok=True)
-    blobs = [json.dumps(s, sort_keys=True).encode()
-             for s in ray.get([sh.snapshot.remote() for sh in shards])]
+    blobs = [json.dumps(st, sort_keys=True).encode()
+             for st in ray.get([sh.snapshot.remote() for sh in shards])]
     gen = "gen-" + hashlib.sha1(
         b"\x1e".join(blobs)
         + len(shards).to_bytes(4, "big")).hexdigest()[:16]
@@ -282,7 +300,8 @@ def save_window_index(shards: list, dir_path: str) -> None:
     meta_path = os.path.join(dir_path, _WINDOW_META)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"num_shards": len(shards), "generation": gen}, f)
+        json.dump({"num_shards": len(shards), "generation": gen,
+                   **meta_extra}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, meta_path)  # commit point
@@ -292,22 +311,43 @@ def save_window_index(shards: list, dir_path: str) -> None:
                           ignore_errors=True)
 
 
-def load_window_index(dir_path: str) -> list:
-    """Spawn fresh shards and restore a :func:`save_window_index`
-    snapshot.  Shard count comes from the meta — the stable-hash
-    routing is only valid at the same width."""
+def _load_shard_snapshots(dir_path: str, kind: str, spawn) -> list:
+    """Shared restore: check the snapshot ``kind`` FIRST (restoring a
+    session snapshot into count-window shards would crash deep inside
+    ``restore`` with a shape error instead of a clear message), spawn
+    fresh shards via ``spawn(meta)``, feed each its blob."""
     import json
 
     with open(os.path.join(dir_path, _WINDOW_META)) as f:
         meta = json.load(f)
+    found = meta.get("kind", "window")
+    if found != kind:
+        raise ValueError(
+            f"snapshot at {dir_path} is kind={found!r}, not {kind!r}")
     gen_dir = os.path.join(dir_path, meta["generation"])
-    shards = make_window_index(meta["num_shards"])
+    shards = spawn(meta)
     futures = []
     for i, sh in enumerate(shards):
         with open(os.path.join(gen_dir, f"shard-{i:04d}.json")) as f:
             futures.append(sh.restore.remote(json.load(f)))
     ray.get(futures)
     return shards
+
+
+def save_window_index(shards: list, dir_path: str) -> None:
+    """Snapshot count-window state (open windows, watermark, drop
+    counters) so the stream position survives a driver restart.  Call
+    between runs, never while an ingestion Dataset is executing."""
+    _save_shard_snapshots(shards, dir_path, {"kind": "window"})
+
+
+def load_window_index(dir_path: str) -> list:
+    """Spawn fresh shards and restore a :func:`save_window_index`
+    snapshot.  Shard count comes from the meta — the stable-hash
+    routing is only valid at the same width."""
+    return _load_shard_snapshots(
+        dir_path, "window",
+        lambda meta: make_window_index(meta["num_shards"]))
 
 
 @ray.remote(num_cpus=0)
@@ -330,6 +370,7 @@ class SessionShard:
         self.open: dict[int, list[list[int]]] = {}  # key -> [[s,e,n]]
         self.wm: int = -(2 ** 62)
         self.dropped = 0
+        self.replays = 0
         self.replies: OrderedDict[bytes, bool] = OrderedDict()
 
     def merge(self, token: bytes, keys: list[int], starts: list[int],
@@ -337,9 +378,15 @@ class SessionShard:
         import bisect
 
         if token in self.replies:
+            self.replays += 1
             return True
         for k, s, e, n in zip(keys, starts, ends, counts):
-            if e < self.wm:
+            # drop ONLY fragments whose session is already sealed
+            # (e + gap < wm) — the same boundary finalize_up_to seals
+            # at, so an on-time event inside or adjacent to a still-
+            # open session always merges (Flink drops at expiry, not
+            # at the raw watermark)
+            if e + self.gap < self.wm:
                 self.dropped += n
                 continue
             ivs = self.open.setdefault(k, [])
@@ -384,7 +431,11 @@ class SessionShard:
 
     def stats(self) -> dict:
         return {"open": sum(len(v) for v in self.open.values()),
-                "dropped": self.dropped, "wm": self.wm}
+                "dropped": self.dropped, "replays": self.replays,
+                "wm": self.wm}
+
+    def get_gap(self) -> int:
+        return self.gap
 
     def snapshot(self) -> dict:
         """Deterministic JSON-able state (keys and intervals sorted)."""
@@ -451,15 +502,8 @@ class _SessionIngestor:
             s = int.from_bytes(hashlib.sha1(
                 str(k).encode()).digest()[:4], "big") % n_shards
             by_shard.setdefault(s, []).append(i)
-        tok = hashlib.sha1(self.run_token)
-        key_col_arr = b.column(self.key_col)
-        if isinstance(key_col_arr, pa.ChunkedArray):
-            key_col_arr = key_col_arr.combine_chunks()
-        for arr in (ts_arr, key_col_arr):
-            for buf in arr.buffers():
-                if buf is not None:
-                    tok.update(buf)
-        payload = tok.digest()
+        payload = _content_token(self.run_token,
+                                 (ts_arr, b.column(self.key_col)))
         futures = []
         for s, idxs in by_shard.items():
             token = hashlib.sha1(payload + bytes([s % 256])).digest()
@@ -473,19 +517,20 @@ class _SessionIngestor:
         return pa.table({"batch_max_ts": pa.array([mx], pa.int64())})
 
 
-def ingest_session_run(ds, shards: list, gap_us: int, lateness_us: int,
+def ingest_session_run(ds, shards: list, lateness_us: int,
                        ts_col: str = "ts",
                        key_col: str = "user_id") -> list:
     """Ingest one dataset into the shared session state, advance the
     watermark to (run max ts − lateness), and return the sessions that
-    sealed on this advance (end + gap < watermark)."""
+    sealed on this advance (end + gap < watermark).  The gap comes
+    from the shards themselves — a caller-supplied gap could silently
+    cut batches at one gap while the shards merge at another."""
+    gap_us = ray.get(shards[0].get_gap.remote())
     stage = _SessionIngestor(shards, gap_us, ts_col, key_col)
-    maxima = ds.map_batches(stage, batch_format="pyarrow")
-    blocks = [t for t in ray.get(maxima.to_arrow_refs()) if t.num_rows]
-    if not blocks:
+    run_max = _run_watermark(
+        ds.map_batches(stage, batch_format="pyarrow"))
+    if run_max is None:
         return []
-    run_max = pc.max(pa.concat_tables(blocks)
-                     .column("batch_max_ts")).as_py()
     return ray.get([s.finalize_up_to.remote(run_max - lateness_us)
                     for s in shards])
 
@@ -516,54 +561,16 @@ def session_table(parts: list) -> pa.Table:
 
 def save_session_index(shards: list, dir_path: str,
                        gap_us: int) -> None:
-    """Session-window twin of :func:`save_window_index` (same
-    generation-dir commit discipline)."""
-    import json
-    import shutil
-
-    os.makedirs(dir_path, exist_ok=True)
-    blobs = [json.dumps(s, sort_keys=True).encode()
-             for s in ray.get([sh.snapshot.remote() for sh in shards])]
-    gen = "gen-" + hashlib.sha1(
-        b"\x1e".join(blobs)
-        + len(shards).to_bytes(4, "big")).hexdigest()[:16]
-    gen_dir = os.path.join(dir_path, gen)
-    os.makedirs(gen_dir, exist_ok=True)
-    for i, blob in enumerate(blobs):
-        path = os.path.join(gen_dir, f"shard-{i:04d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-    meta_path = os.path.join(dir_path, _WINDOW_META)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"num_shards": len(shards), "generation": gen,
-                   "kind": "session", "gap_us": gap_us}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, meta_path)  # commit point
-    for name in os.listdir(dir_path):
-        if name.startswith("gen-") and name != gen:
-            shutil.rmtree(os.path.join(dir_path, name),
-                          ignore_errors=True)
+    """Session-window twin of :func:`save_window_index`."""
+    _save_shard_snapshots(shards, dir_path,
+                          {"kind": "session", "gap_us": gap_us})
 
 
 def load_session_index(dir_path: str) -> list:
     """Spawn fresh session shards and restore a
-    :func:`save_session_index` snapshot (gap and width come from the
-    meta; routing is only stable at the same shard count)."""
-    import json
-
-    with open(os.path.join(dir_path, _WINDOW_META)) as f:
-        meta = json.load(f)
-    gen_dir = os.path.join(dir_path, meta["generation"])
-    shards = make_session_index(meta["gap_us"], meta["num_shards"])
-    futures = []
-    for i, sh in enumerate(shards):
-        with open(os.path.join(gen_dir, f"shard-{i:04d}.json")) as f:
-            futures.append(sh.restore.remote(json.load(f)))
-    ray.get(futures)
-    return shards
+    :func:`save_session_index` snapshot (gap comes from the meta;
+    routing is only stable at the same shard count)."""
+    return _load_shard_snapshots(
+        dir_path, "session",
+        lambda meta: make_session_index(meta["gap_us"],
+                                        meta["num_shards"]))

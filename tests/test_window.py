@@ -185,17 +185,17 @@ def test_session_runs_seal_and_drop(ray_session):
     try:
         # run 1: one session [0,10], wm = 10 -> 10+100 >= 10 stays open
         sealed = session_table(ingest_session_run(
-            ev([0, 10]), shards, gap_us=100, lateness_us=0))
+            ev([0, 10]), shards, lateness_us=0))
         assert sealed.num_rows == 0
         # run 2: ts=500 starts a NEW session (gap 490 > 100) and its
         # watermark seals the first one with both events intact
         sealed = session_table(ingest_session_run(
-            ev([500]), shards, gap_us=100, lateness_us=0)).to_pylist()
+            ev([500]), shards, lateness_us=0)).to_pylist()
         assert sealed == [{"user_id": 1, "session_start": 0,
                            "session_end": 10, "n_events": 2}]
         # run 3: ts=5 is below the watermark -> dropped, not revived
         session_table(ingest_session_run(
-            ev([5, 510]), shards, gap_us=100, lateness_us=0))
+            ev([5, 510]), shards, lateness_us=0))
         rest = session_table(flush_sessions(shards)).to_pylist()
         assert rest == [{"user_id": 1, "session_start": 500,
                          "session_end": 510, "n_events": 2}]
@@ -221,7 +221,7 @@ def test_session_snapshot_survives_restart(ray_session, tmp_path):
         }))
 
     shards = make_session_index(gap_us=100, num_shards=2)
-    ingest_session_run(ev([0, 10]), shards, gap_us=100, lateness_us=0)
+    ingest_session_run(ev([0, 10]), shards, lateness_us=0)
     save_session_index(shards, str(tmp_path / "sess"), gap_us=100)
     for s in shards:
         ray.kill(s)
@@ -230,11 +230,56 @@ def test_session_snapshot_survives_restart(ray_session, tmp_path):
     try:
         # the open session [0,10] must still absorb an on-time event
         # within the gap after the restart
-        ingest_session_run(ev([105]), shards2, gap_us=100,
-                           lateness_us=0)
+        ingest_session_run(ev([105]), shards2, lateness_us=0)
         rest = session_table(flush_sessions(shards2)).to_pylist()
         assert rest == [{"user_id": 1, "session_start": 0,
                          "session_end": 105, "n_events": 3}]
     finally:
         for s in shards2:
             ray.kill(s)
+
+
+def test_session_ontime_event_inside_open_session_merges(ray_session):
+    """An event BELOW the raw watermark but within gap of a still-open
+    session must merge, not drop (drop only at session expiry)."""
+    from ocr_engine_ray.stages.window import (flush_sessions,
+                                              ingest_session_run,
+                                              make_session_index,
+                                              session_table)
+
+    def ev(ts):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }))
+
+    shards = make_session_index(gap_us=100, num_shards=2)
+    try:
+        ingest_session_run(ev([0, 10, 60]), shards, lateness_us=0)
+        # wm = 60; ts=50 < wm but inside the open [0,60] session
+        ingest_session_run(ev([50]), shards, lateness_us=0)
+        rest = session_table(flush_sessions(shards)).to_pylist()
+        assert rest == [{"user_id": 1, "session_start": 0,
+                         "session_end": 60, "n_events": 4}]
+        stats = ray.get([s.stats.remote() for s in shards])
+        assert sum(s["dropped"] for s in stats) == 0
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+
+def test_snapshot_kind_mismatch_is_rejected(ray_session, tmp_path):
+    import pytest
+
+    from ocr_engine_ray.stages.window import (load_session_index,
+                                              make_window_index,
+                                              save_window_index)
+
+    shards = make_window_index(1)
+    try:
+        save_window_index(shards, str(tmp_path / "w"))
+    finally:
+        for s in shards:
+            ray.kill(s)
+    with pytest.raises(ValueError, match="kind"):
+        load_session_index(str(tmp_path / "w"))
