@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mode": q.q_events_value_mode,
         "region_types_grid": q.q_region_types_grid,
         "events_sessions_streaming": q.q_events_sessions_streaming,
+        "documents_neardup_components": q.q_documents_neardup_components,
     }
 
 
@@ -1356,6 +1357,34 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
                        JOIN sizes sb ON inter.id_b = sb.doc_id
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        """,
+        "documents_neardup_components": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN s b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            p AS (SELECT id_a, id_b
+                  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                             JOIN sizes sb ON inter.id_b = sb.doc_id
+                  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+                  UNION
+                  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+            SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS rep
+            FROM r GROUP BY id
         """,
         "events_weighted_sample": """
             WITH t AS (

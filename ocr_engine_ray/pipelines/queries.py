@@ -3560,3 +3560,30 @@ def q_events_sessions_streaming(sf_dir: str) -> pa.Table:
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def q_documents_neardup_components(sf_dir: str) -> Dataset:
+    """Connected components over the EXACT n-gram-Jaccard near-dup
+    graph, oracle-checked end-to-end (components were rows-only until
+    now): edges from :func:`q_documents_jaccard_pairs`, labels from the
+    distributed min-label propagation in stages/dedup.py, singleton
+    docs mapped to themselves via a left join.  The DuckDB twin replays
+    the whole composition — pair generation plus a WITH RECURSIVE
+    transitive closure — so the component labels are bit-checked, not
+    just the edges."""
+    from ..stages.dedup import components_label_propagation
+
+    pairs = q_documents_jaccard_pairs(sf_dir)
+    comp = with_schema(
+        components_label_propagation(pairs),
+        pa.schema([("id", pa.int64()), ("rep", pa.int64())]))
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    j = docs.join(comp, join_type="left_outer", num_partitions=8,
+                  on=("doc_id",), right_on=("id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rep = pc.coalesce(b.column("rep"), b.column("doc_id"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "rep": pc.cast(rep, pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
