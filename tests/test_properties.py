@@ -246,3 +246,97 @@ def test_joined_key_strings_injective_property():
         assert (j[0] == j[1]) == (a == b)
 
     check()
+
+
+@given(st.text(alphabet="abc", max_size=6), st.text(alphabet="abc", max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_ed_is_one_matches_dp_levenshtein(a, b):
+    """The two-pointer threshold check equals a full DP edit distance
+    == 1 on every input (the fuzzy join's exactness rests on this)."""
+    from ocr_engine_ray.pipelines.queries import _ed_is_one
+
+    def lev(x, y):
+        m, n = len(x), len(y)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (x[i - 1] != y[j - 1]))
+            prev = cur
+        return prev[n]
+
+    assert _ed_is_one(a, b) == (lev(a, b) == 1)
+
+
+@given(st.lists(st.tuples(st.integers(1, 3),
+                          st.integers(0, 400)), min_size=1, max_size=30),
+       st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_session_shard_flush_equals_batch_sessionize(events, n_frags):
+    """Feeding arbitrary fragmentations of an event set through the
+    SessionShard merge (single run, no watermark in between) and
+    flushing equals the batch gaps-and-islands sessionize — the
+    order-independent interval-union invariant, directly (no Ray
+    Dataset in the loop, so hypothesis can drive many cases)."""
+    import ray
+
+    from ocr_engine_ray.stages.window import SessionShard
+
+    GAP = 50
+    shard = SessionShard.remote(gap_us=GAP)
+    try:
+        # reference: per-key sorted gaps-and-islands
+        want = {}
+        by_key = {}
+        for k, t in events:
+            by_key.setdefault(k, []).append(t)
+        for k, ts in by_key.items():
+            ts = sorted(ts)
+            s = e = ts[0]
+            n = 1
+            for t in ts[1:]:
+                if t - e > GAP:
+                    want.setdefault(k, []).append((s, e, n))
+                    s, n = t, 0
+                e = t
+                n += 1
+            want.setdefault(k, []).append((s, e, n))
+
+        # fragment the (pre-merged per fragment) event list arbitrarily
+        frags = [events[i::n_frags] for i in range(n_frags)]
+        for fi, frag in enumerate(f for f in frags if f):
+            # each fragment pre-merges ITS OWN events per key, like the
+            # ingestor does per batch
+            loc = {}
+            for k, t in frag:
+                loc.setdefault(k, []).append(t)
+            keys, starts, ends, counts = [], [], [], []
+            for k, ts in loc.items():
+                ts = sorted(ts)
+                s = e = ts[0]
+                n = 1
+                for t in ts[1:]:
+                    if t - e > GAP:
+                        keys.append(k)
+                        starts.append(s)
+                        ends.append(e)
+                        counts.append(n)
+                        s, n = t, 0
+                    e = t
+                    n += 1
+                keys.append(k)
+                starts.append(s)
+                ends.append(e)
+                counts.append(n)
+            ray.get(shard.merge.remote(f"f{fi}".encode(), keys, starts,
+                                       ends, counts))
+        out = ray.get(shard.flush_all.remote())
+        got = {}
+        for k, s, e, n in zip(out["keys"], out["starts"], out["ends"],
+                              out["counts"]):
+            got.setdefault(k, []).append((s, e, n))
+        assert {k: sorted(v) for k, v in got.items()} \
+            == {k: sorted(v) for k, v in want.items()}
+    finally:
+        ray.kill(shard)
