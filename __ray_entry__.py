@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q.q_media_decode,
         "media_resize_plan": q.q_media_resize_plan,
         "media_frame_sample": q.q_media_frame_sample,
+        "media_audio_segments": q.q_media_audio_segments,
         "flagship_resumable": q.q_flagship_resumable,
         # windows / set ops / export shaping / anti-join / sampling
         "events_sessionize": q.q_events_sessionize,
@@ -536,6 +537,29 @@ def oracle_sql() -> dict[str, str]:
                    AS frame_hex
         FROM sl
     """
+    media_audio_sql = f"""
+        WITH h AS (
+          SELECT media_id, conv_id, turn_idx, to_hex(payload) AS hx
+          FROM {media}
+          WHERE octet_length(payload) >= 16
+            AND substr(to_hex(payload), 1, 16) = '46414B4541554431'),
+        f AS (SELECT media_id, conv_id, turn_idx,
+                     CAST({le32(9)} AS BIGINT)  AS sr,
+                     CAST({le32(13)} AS BIGINT) AS ns
+              FROM h),
+        g AS (SELECT *, sr * 10 AS win,
+                     (ns + sr * 10 - 1) // (sr * 10) AS n_seg
+              FROM f WHERE sr > 0 AND ns > 0),
+        seg AS (SELECT media_id, conv_id, turn_idx, sr, ns, win,
+                       CAST(unnest(range(0, n_seg)) AS BIGINT) AS seg_idx
+                FROM g)
+        SELECT media_id, conv_id, turn_idx, seg_idx,
+               seg_idx * win AS start_sample,
+               least(win, ns - seg_idx * win) AS n_samples,
+               least(win, ns - seg_idx * win) * 1000 // sr
+                   AS duration_ms
+        FROM seg
+    """
     media_sql = f"""
         WITH h AS (
           SELECT media_id, conv_id, turn_idx, kind, mime,
@@ -653,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "unapproved_vendors": unapproved_sql,
         "media_decode": media_sql,
         "media_resize_plan": media_resize_sql,
+        "media_audio_segments": media_audio_sql,
         "media_frame_sample": media_frames_sql,
         "transcripts_dedup_exact": f"""
             SELECT conv_id, turn_idx, ANY_VALUE(role) AS role, text,

@@ -3587,3 +3587,16 @@ def q_documents_neardup_components(sf_dir: str) -> Dataset:
                          "rep": pc.cast(rep, pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_media_audio_segments(sf_dir: str) -> Dataset:
+    """Audio segmentation stage (multimodal suite, the audio sibling of
+    resize/frame-sample): each audio payload fans out to 10-second
+    windows; segment geometry (start sample, window samples, integer-ms
+    duration) derives from the same little-endian header fields the
+    DuckDB oracle parses with to_hex nibble arithmetic, so the whole
+    1→N fanout is hash-checked."""
+    from ..stages.multimodal import segment_audio
+
+    ds = rd.read_parquet(media_parquet_path(sf_dir))
+    return segment_audio(ds, chunk_seconds=10)

@@ -287,3 +287,66 @@ def sample_frames(ds, every_n: int = 30, concurrency: int | None = None):
                           fn_constructor_kwargs={"every_n": every_n},
                           batch_size=MEDIA_BATCH_SIZE,
                           concurrency=concurrency, num_cpus=1)
+
+
+class AudioSegmenter:
+    """Actor-pool 1→N audio segmentation stage (the audio sibling of
+    :class:`FrameSampler`): each FAKEAUD1 payload fans out to fixed
+    ``chunk_seconds`` windows with integer sample/duration arithmetic —
+    the plan a real resampler/ASR-feeder would execute per segment.
+    STUB codec (header fields only), real plumbing; non-audio rows are
+    dropped."""
+
+    def __init__(self, chunk_seconds: int = 10) -> None:
+        self.chunk_seconds = chunk_seconds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        ids, cids, tixs = [], [], []
+        sidx, starts, segs, durs = [], [], [], []
+        for mid, cid, tix, p in zip(batch.column("media_id").to_pylist(),
+                                    batch.column("conv_id").to_pylist(),
+                                    batch.column("turn_idx").to_pylist(),
+                                    batch.column("payload").to_pylist()):
+            p = p or b""
+            if len(p) < 16 or p[:8] != b"FAKEAUD1":
+                continue
+            sr, ns = _struct.unpack("<II", p[8:16])
+            if sr == 0 or ns == 0:
+                continue
+            win = sr * self.chunk_seconds
+            n_seg = (ns + win - 1) // win
+            for k in range(n_seg):
+                start = k * win
+                seg = min(win, ns - start)
+                ids.append(mid)
+                cids.append(cid)
+                tixs.append(tix)
+                sidx.append(k)
+                starts.append(start)
+                segs.append(seg)
+                durs.append(seg * 1000 // sr)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "conv_id": pa.array(cids, pa.string()),
+            "turn_idx": pa.array(tixs, pa.int32()),
+            "seg_idx": pa.array(sidx, pa.int64()),
+            "start_sample": pa.array(starts, pa.int64()),
+            "n_samples": pa.array(segs, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int64()),
+        })
+
+
+def segment_audio(ds, chunk_seconds: int = 10,
+                  concurrency: int | None = None):
+    """audio rows → one row per fixed-duration segment (actor pool)."""
+    from ..util import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size(cap=8)
+    return ds.map_batches(AudioSegmenter, batch_format="pyarrow",
+                          fn_constructor_kwargs={
+                              "chunk_seconds": chunk_seconds},
+                          batch_size=MEDIA_BATCH_SIZE,
+                          concurrency=concurrency, num_cpus=1)

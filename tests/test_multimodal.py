@@ -108,3 +108,30 @@ def test_sample_frames_fanout(ray_session):
     assert got == expected and expected
     nf0 = struct.unpack("<II", next(iter(vids.values()))[8:16])[0]
     assert nf0 >= 1  # fanout exercised
+
+
+def test_audio_segments_geometry(ray_session):
+    """Segment fanout: ceil(ns / (sr*chunk)) windows, last one short;
+    integer-ms durations; non-audio rows dropped."""
+    import struct
+
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.multimodal import segment_audio
+
+    sr, ns = 1000, 2500          # 2.5 s at chunk=1 s -> 3 segments
+    pay = b"FAKEAUD1" + struct.pack("<II", sr, ns) + b"\x00" * 8
+    img = b"FAKEIMG1" + struct.pack("<II", 4, 4) + b"\x00" * 8
+    tab = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "conv_id": pa.array(["c", "c"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "kind": pa.array(["audio", "image"], pa.string()),
+        "mime": pa.array(["audio/fake", "image/fake"], pa.string()),
+        "payload": pa.array([pay, img], pa.binary()),
+    })
+    out = segment_audio(rd.from_arrow(tab), chunk_seconds=1).take_all()
+    assert [(r["seg_idx"], r["start_sample"], r["n_samples"],
+             r["duration_ms"]) for r in out] \
+        == [(0, 0, 1000, 1000), (1, 1000, 1000, 1000),
+            (2, 2000, 500, 500)]
