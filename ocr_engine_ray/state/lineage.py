@@ -163,3 +163,51 @@ def run_resumable(input_shards: list[str], out_dir: str, make_ds,
                 "rows_committed_total": float(rows),
             })
     return new_records
+
+
+def compact_partition(out_dir: str, part_name: str,
+                      key_cols: list[str] =
+                      ("conv_id", "turn_idx", "extracted_text"),
+                      num_files: int = 1) -> int:
+    """Compact one committed partition's many small part files into
+    ``num_files`` (the maintenance pass every long-lived partitioned
+    dataset needs — streaming writers leave one file per block).
+
+    Content-preserving by proof, not by hope: the rewritten partition's
+    order-insensitive checksum must equal the manifest record's before
+    the atomic swap — a mismatch aborts with the original intact.  The
+    manifest itself is untouched (same path, same content, same
+    checksum), so resume semantics cannot observe a compaction.
+    Returns the file count after compaction."""
+    import ray.data as rd
+
+    final_dir = os.path.join(out_dir, part_name)
+    recs = [r for r in load_manifest(out_dir).values()
+            if os.path.basename(r.output_path) == part_name]
+    if not recs:
+        raise ValueError(f"{part_name} is not a committed partition")
+    rec = recs[0]
+    tmp_dir = os.path.join(out_dir, f".compact-{part_name}")
+    if os.path.exists(tmp_dir):
+        import shutil
+        shutil.rmtree(tmp_dir)
+    rd.read_parquet(final_dir).repartition(num_files) \
+        .write_parquet(tmp_dir)
+    csum, rows = dataset_checksum(
+        rd.read_parquet(tmp_dir, columns=list(key_cols)),
+        list(key_cols))
+    if f"{csum:016x}" != rec.checksum or rows != rec.row_count:
+        import shutil
+        shutil.rmtree(tmp_dir)
+        raise RuntimeError(
+            f"compaction checksum mismatch for {part_name}: "
+            f"{csum:016x}/{rows} != {rec.checksum}/{rec.row_count}")
+    import shutil
+    old = final_dir + ".pre-compact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(final_dir, old)
+    os.replace(tmp_dir, final_dir)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(final_dir)
+                if f.endswith(".parquet")])

@@ -179,3 +179,48 @@ def test_stratified_sample_deterministic_and_proportional(ray_session, small_cor
     assert k1 == k2, "sample must not depend on partitioning"
     frac = t1.num_rows / small_corpus.num_rows
     assert 0.2 < frac < 0.4
+
+
+def test_compact_partition_preserves_content_and_manifest(ray_session,
+                                                          tmp_path):
+    """Compaction shrinks the file count, keeps the checksum/rows
+    byte-identical, leaves the manifest untouched (resume still skips),
+    and a corrupted rewrite would abort before the swap."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_engine_ray.state.lineage import (compact_partition,
+                                              load_manifest,
+                                              run_resumable)
+
+    shard = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([f"c{i % 7}" for i in range(200)]),
+        "turn_idx": pa.array(range(200), pa.int64()),
+        "extracted_text": pa.array([f"t{i}" for i in range(200)]),
+    }), shard)
+    out = str(tmp_path / "out")
+
+    def make_ds(path):
+        # repartition so the partition lands as MANY part files
+        return rd.read_parquet(path).repartition(6)
+
+    recs = run_resumable([shard], out, make_ds)
+    part = os.path.basename(recs[0].output_path)
+    before = len([f for f in os.listdir(recs[0].output_path)
+                  if f.endswith(".parquet")])
+    assert before > 1
+
+    after = compact_partition(out, part, num_files=1)
+    assert after < before
+
+    man = load_manifest(out)
+    assert man[os.path.basename(shard)].checksum == recs[0].checksum
+    # content identical (order-insensitive)
+    got = rd.read_parquet(recs[0].output_path)
+    assert got.count() == 200
+    # resume still treats the shard as done
+    assert run_resumable([shard], out, make_ds) == []
