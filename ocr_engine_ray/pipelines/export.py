@@ -152,3 +152,13 @@ def flag_unapproved_vendors(validated: Dataset,
             pa.array([n.strip().lower() in ok for n in names], pa.bool_()))
 
     return validated.map_batches(flag, batch_format="pyarrow")
+
+
+def write_export_partitioned(ds: Dataset, out_dir: str,
+                             partition_cols: list[str]) -> None:
+    """Hive-partitioned parquet sink (one directory per key value —
+    the brief's resumable-output layout for key-partitioned datasets):
+    a failed run can re-process only the missing key directories, and
+    readers prune partitions at the path level
+    (``read_parquet(out_dir)`` restores the columns from the paths)."""
+    ds.write_parquet(out_dir, partition_cols=list(partition_cols))

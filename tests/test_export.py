@@ -182,3 +182,30 @@ def test_bundle_export(ray_session, small_corpus, tmp_path):
 
     with _pytest.raises(ValueError):
         bundle_export(str(tmp_path / "empty_dir_missing"), str(tmp_path / "x.zip"))
+
+
+def test_write_export_partitioned_layout_and_roundtrip(ray_session,
+                                                       tmp_path):
+    """partition_cols produce hive directories per key value; a
+    read-back restores every row with the partition column intact."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import write_export_partitioned
+
+    tab = pa.table({
+        "day": pa.array(["2024-01-01", "2024-01-02"] * 10),
+        "n": pa.array(range(20), pa.int64()),
+    })
+    out = str(tmp_path / "by_day")
+    write_export_partitioned(rd.from_arrow(tab), out, ["day"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    assert dirs == ["day=2024-01-01", "day=2024-01-02"]
+    back = rd.read_parquet(out).take_all()
+    assert len(back) == 20
+    got = sorted((r["day"], r["n"]) for r in back)
+    want = sorted((d, n) for d, n in zip(tab.column("day").to_pylist(),
+                                         tab.column("n").to_pylist()))
+    assert got == want
