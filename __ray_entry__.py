@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_types_grid": q.q_region_types_grid,
         "events_sessions_streaming": q.q_events_sessions_streaming,
         "documents_neardup_components": q.q_documents_neardup_components,
+        "documents_train_split": q.q_documents_train_split,
     }
 
 
@@ -1410,6 +1411,17 @@ def oracle_sql() -> dict[str, str]:
                   SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
             SELECT id AS doc_id, CAST(MIN(reach) AS BIGINT) AS rep
             FROM r GROUP BY id
+        """,
+        "documents_train_split": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(doc_id::VARCHAR || chr(31)
+                                        || '42'), 1, 8) <= 'cccccccc'
+                        THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR || chr(31)
+                                        || '42'), 1, 8) <= 'e6666665'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "events_weighted_sample": """
             WITH t AS (

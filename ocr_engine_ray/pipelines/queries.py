@@ -3600,3 +3600,17 @@ def q_media_audio_segments(sf_dir: str) -> Dataset:
 
     ds = rd.read_parquet(media_parquet_path(sf_dir))
     return segment_audio(ds, chunk_seconds=10)
+
+
+def q_documents_train_split(sf_dir: str) -> Dataset:
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (stages/partition.deterministic_split): leak-free, resume-safe,
+    identical under any partitioning, and bit-replayed by the twin's
+    md5 CASE bands — the split every training-data pipeline runs
+    last."""
+    from ..stages.partition import deterministic_split
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+    return deterministic_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"])

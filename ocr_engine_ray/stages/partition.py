@@ -358,3 +358,40 @@ def bloom_semi_join(big: "Dataset", small: "Dataset", big_key: str,
     return big.map_batches(prefilter, batch_format="pyarrow") \
         .join(keys, join_type="inner", num_partitions=num_partitions,
               on=(big_key,), right_on=(small_key,))
+
+
+def deterministic_split(ds: Dataset, fracs: dict[str, float],
+                        id_cols: list[str], seed: int = 42) -> Dataset:
+    """Deterministic train/val/test (or any named-band) assignment: the
+    row's :func:`row_hash_hex` falls into cumulative
+    :func:`sample_threshold_hex` bands, so membership is a pure
+    function of row identity — stable across reruns, partitionings and
+    cluster sizes, leak-free by construction (one row can never be in
+    two splits), and exactly replayable by a SQL CASE over the same
+    md5.  Appends a ``split`` column."""
+    if not id_cols:
+        raise ValueError("deterministic_split requires id_cols")
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bands = []
+    acc = 0.0
+    names = list(fracs)
+    for name in names[:-1]:
+        acc += fracs[name]
+        bands.append((sample_threshold_hex(acc), name))
+
+    def assign(b: pa.Table) -> pa.Table:
+        parts = [b.column(c).to_pylist() for c in id_cols]
+        out = []
+        for row in zip(*parts):
+            h = row_hash_hex(row, seed)[:8]
+            for cut, name in bands:
+                if h <= cut:
+                    out.append(name)
+                    break
+            else:
+                out.append(names[-1])
+        return b.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -543,3 +543,33 @@ def test_kmeans_matches_numpy_reference(ray_session, tmp_path):
     want = d.argmin(axis=1)
     assert got == {int(i): int(c) for i, c in zip(ids, want)}
     assert set(got.values()) == {0, 1}
+
+
+def test_train_split_partitions_and_determinism(ray_session, tmp_path):
+    """Every row lands in exactly one split; assignment is identical
+    under different partitionings; fractions must sum to 1."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.partition import deterministic_split
+
+    tab = pa.table({"doc_id": pa.array(range(400), pa.int64())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(
+        rd.read_parquet(str(tmp_path / "documents.parquet")),
+        fr, ["doc_id"]).take_all()}
+    b = {r["doc_id"]: r["split"] for r in deterministic_split(
+        rd.read_parquet(str(tmp_path / "documents.parquet"))
+        .repartition(7), fr, ["doc_id"]).take_all()}
+    assert a == b and len(a) == 400
+    n = {s: sum(1 for v in a.values() if v == s) for s in fr}
+    assert n["train"] > n["val"] and n["train"] > n["test"]
+    assert sum(n.values()) == 400
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(
+            rd.read_parquet(str(tmp_path / "documents.parquet")),
+            {"a": 0.5, "b": 0.4}, ["doc_id"])
