@@ -371,6 +371,12 @@ def deterministic_split(ds: Dataset, fracs: dict[str, float],
     md5.  Appends a ``split`` column."""
     if not id_cols:
         raise ValueError("deterministic_split requires id_cols")
+    # f != f catches NaN (abs(nan-1) > eps is False, so the sum check
+    # alone would pass it); a negative band passes the sum check too
+    # and sample_threshold_hex(>1) yields a 9-hex cut that silently
+    # mis-bands the 8-hex hashes
+    if any(f < 0 or f != f for f in fracs.values()):
+        raise ValueError(f"split fractions must be non-negative: {fracs}")
     total = sum(fracs.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
@@ -382,6 +388,14 @@ def deterministic_split(ds: Dataset, fracs: dict[str, float],
         bands.append((sample_threshold_hex(acc), name))
 
     def assign(b: pa.Table) -> pa.Table:
+        for c in id_cols:
+            # refuse NULL ids loudly: Python would hash the string
+            # 'None' into a band while the SQL twin's md5(NULL||..)
+            # is NULL and falls to the ELSE band — a silent bit-exact
+            # divergence on any corpus with NULL ids
+            if b.column(c).null_count:
+                raise ValueError(
+                    f"deterministic_split: NULL in id column {c!r}")
         parts = [b.column(c).to_pylist() for c in id_cols]
         out = []
         for row in zip(*parts):

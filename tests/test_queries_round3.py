@@ -573,3 +573,23 @@ def test_train_split_partitions_and_determinism(ray_session, tmp_path):
         deterministic_split(
             rd.read_parquet(str(tmp_path / "documents.parquet")),
             {"a": 0.5, "b": 0.4}, ["doc_id"])
+
+
+def test_train_split_rejects_bad_fracs_and_null_ids(ray_session):
+    import math
+
+    import pytest
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.partition import deterministic_split
+
+    ds = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="non-negative"):
+        deterministic_split(ds, {"a": 1.05, "b": -0.05}, ["id"])
+    with pytest.raises(ValueError, match="non-negative"):
+        deterministic_split(ds, {"a": math.nan, "b": 1.0}, ["id"])
+    nulled = rd.from_arrow(pa.table({"id": pa.array([1, None],
+                                                    pa.int64())}))
+    with pytest.raises(Exception, match="NULL in id column"):
+        deterministic_split(nulled, {"a": 0.5, "b": 0.5},
+                            ["id"]).take_all()
