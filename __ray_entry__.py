@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_streaming": q.q_events_sessions_streaming,
         "documents_neardup_components": q.q_documents_neardup_components,
         "documents_train_split": q.q_documents_train_split,
+        "documents_unigram_logprob": q.q_documents_unigram_logprob,
     }
 
 
@@ -1422,6 +1423,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "documents_unigram_logprob": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY tok),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+            d AS (SELECT t.doc_id,
+                         CAST(SUM(CAST(round(ln(CAST(tf.tf AS DOUBLE))
+                                             * 1000000) AS BIGINT))
+                              AS BIGINT) AS sq,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens
+                  FROM t JOIN tf USING (tok) GROUP BY t.doc_id)
+            SELECT doc_id, n_tokens,
+                   ROUND((CAST(sq AS DOUBLE) / 1000000.0)
+                         / CAST(n_tokens AS DOUBLE)
+                         - ln(CAST((SELECT n_total FROM n) AS DOUBLE)),
+                         6) AS avg_logprob
+            FROM d
         """,
         "events_weighted_sample": """
             WITH t AS (

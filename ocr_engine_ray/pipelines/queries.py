@@ -3614,3 +3614,72 @@ def q_documents_train_split(sf_dir: str) -> Dataset:
                          columns=["doc_id", "source"])
     return deterministic_split(
         ds, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"])
+
+
+def q_documents_unigram_logprob(sf_dir: str) -> Dataset:
+    """Corpus-LM quality scoring (the unigram perplexity-filter shape):
+    pass 1 builds the global term-frequency table, pass 2 joins it back
+    onto each document's tokens and averages ln p(token) = ln(tf / N).
+    Everything order-dependent is int64-quantized — Σ round(ln(tf)·1e6)
+    per doc — so the two-pass composition is bit-replayed by the twin;
+    only the final avg expression is float.  Scale shape: the term
+    table is an aggregate (with_schema-pinned) JOINED, not broadcast —
+    vocabulary size never constrains a worker's heap."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+            "tok": flat,
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["tok"]).group_by("tok").aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "p_n"])
+
+    tf = with_schema(
+        toks.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="tf")),
+        pa.schema([("tok", pa.string()), ("tf", pa.int64())]))
+
+    j = toks.join(tf, join_type="inner", num_partitions=8, on=("tok",))
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = scaled_int_sql(np.log(tfv), 1e6)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "q": pa.array(q, pa.int64()),
+                      "c": pa.array(np.ones(len(q), np.int64()))})
+        g = t.group_by("doc_id").aggregate([("q", "sum"), ("c", "sum")])
+        return g.rename_columns(["doc_id", "p_q", "p_c"])
+
+    agg = j.map_batches(doc_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("p_q", alias_name="sq"),
+                                     Sum("p_c", alias_name="n_tokens"))
+    total = int(toks.count())
+
+    def finish(b: pa.Table, n_total=total) -> pa.Table:
+        sq = b.column("sq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # avg ln p = (Σ ln tf)/n − ln N, written token-identically in
+        # the twin (ln N enters once, outside the quantized sum)
+        avg = (sq / 1e6) / n - float(np.log(n_total))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
+            "avg_logprob": round_sql(pa.array(avg, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
