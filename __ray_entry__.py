@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_neardup_components": q.q_documents_neardup_components,
         "documents_train_split": q.q_documents_train_split,
         "documents_unigram_logprob": q.q_documents_unigram_logprob,
+        "documents_source_kl": q.q_documents_source_kl,
     }
 
 
@@ -1443,6 +1444,32 @@ def oracle_sql() -> dict[str, str]:
                          - ln(CAST((SELECT n_total FROM n) AS DOUBLE)),
                          6) AS avg_logprob
             FROM d
+        """,
+        "documents_source_kl": """
+            WITH t AS (SELECT source, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+                   FROM t GROUP BY 1, 2),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t
+                   FROM t GROUP BY tok),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+            g AS (SELECT st.source,
+                         CAST(SUM(st.c_st * CAST(round(
+                             ln(CAST(st.c_st AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s1,
+                         CAST(SUM(st.c_st * CAST(round(
+                             ln(CAST(tf.c_t AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s2,
+                         CAST(SUM(st.c_st) AS BIGINT) AS n_s
+                  FROM st JOIN tf USING (tok) GROUP BY st.source)
+            SELECT source, n_s AS n_tokens,
+                   ROUND((CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE))
+                         / 1000000.0 / CAST(n_s AS DOUBLE)
+                         - ln(CAST(n_s AS DOUBLE))
+                         + ln(CAST((SELECT n_total FROM n) AS DOUBLE)),
+                         6) AS kl_vs_corpus
+            FROM g
         """,
         "events_weighted_sample": """
             WITH t AS (

@@ -3683,3 +3683,89 @@ def q_documents_unigram_logprob(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_source_kl(sf_dir: str) -> Dataset:
+    """Per-source distribution-shift score: KL(source ‖ corpus) over
+    token unigrams — the drift detector a curation pipeline runs per
+    ingest source.  Exact-integer decomposition: KL = (S1 − S2)/1e6/n_s
+    − ln n_s + ln N with S1 = Σ_t c_st·round(ln c_st·1e6) and
+    S2 = Σ_t c_st·round(ln c_t·1e6) — both order-independent int64
+    sums over the (source, token) grid joined to the corpus tf table —
+    so the twin hashes bit-exact; only the final expression is float."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(np.repeat(src, n), pa.string()),
+            "tok": flat,
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "p_n"])
+
+    st = with_schema(
+        toks.map_batches(st_partial, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(
+            Sum("p_n", alias_name="c_st")),
+        pa.schema([("source", pa.string()), ("tok", pa.string()),
+                   ("c_st", pa.int64())]))
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["tok"]).group_by("tok").aggregate(
+            [("tok", "count")])
+        return g.rename_columns(["tok", "p_n"])
+
+    tf = with_schema(
+        toks.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="c_t")),
+        pa.schema([("tok", pa.string()), ("c_t", pa.int64())]))
+
+    j = st.join(tf, join_type="inner", num_partitions=8, on=("tok",))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        c_st = b.column("c_st").to_numpy(zero_copy_only=False)
+        c_t = b.column("c_t").to_numpy(zero_copy_only=False)
+        q_st = scaled_int_sql(np.log(c_st.astype(np.float64)), 1e6)
+        q_t = scaled_int_sql(np.log(c_t.astype(np.float64)), 1e6)
+        t = pa.table({
+            "source": b.column("source"),
+            "s1": pa.array(c_st * q_st, pa.int64()),
+            "s2": pa.array(c_st * q_t, pa.int64()),
+            "c": pa.array(c_st, pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("c", "sum")])
+        return g.rename_columns(["source", "p_s1", "p_s2", "p_c"])
+
+    agg = j.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("p_s1", alias_name="s1"),
+                                     Sum("p_s2", alias_name="s2"),
+                                     Sum("p_c", alias_name="n_s"))
+    n_total = int(toks.count())
+
+    def finish(b: pa.Table, nt=n_total) -> pa.Table:
+        s1 = b.column("s1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ns = b.column("n_s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        kl = (s1 - s2) / 1e6 / ns - np.log(ns) + float(np.log(nt))
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pc.cast(b.column("n_s"), pa.int64()),
+            "kl_vs_corpus": round_sql(pa.array(kl, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

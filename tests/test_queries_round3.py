@@ -593,3 +593,24 @@ def test_train_split_rejects_bad_fracs_and_null_ids(ray_session):
     with pytest.raises(Exception, match="NULL in id column"):
         deterministic_split(nulled, {"a": 0.5, "b": 0.5},
                             ["id"]).take_all()
+
+
+def test_source_kl_zero_for_identical_distributions(ray_session,
+                                                    tmp_path):
+    """Sources with identical token distributions have KL 0; a skewed
+    source scores positive."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_documents_source_kl
+
+    tab = pa.table({
+        "source": pa.array(["a", "b", "c"]),
+        "text": pa.array(["x x y", "x x y", "z z z"]),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r["kl_vs_corpus"]
+           for r in _tab(q_documents_source_kl(str(tmp_path)))
+           .to_pylist()}
+    assert got["a"] == got["b"]
+    assert got["c"] > got["a"] > 0.0  # both diverge from the mixture,
+    # the all-z source more
