@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_train_split": q.q_documents_train_split,
         "documents_unigram_logprob": q.q_documents_unigram_logprob,
         "documents_source_kl": q.q_documents_source_kl,
+        "documents_cross_source_dups": q.q_documents_cross_source_dups,
     }
 
 
@@ -1470,6 +1471,14 @@ def oracle_sql() -> dict[str, str]:
                          + ln(CAST((SELECT n_total FROM n) AS DOUBLE)),
                          6) AS kl_vs_corpus
             FROM g
+        """,
+        "documents_cross_source_dups": """
+            WITH d AS (SELECT DISTINCT text, source FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b
+              ON a.text = b.text AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "events_weighted_sample": """
             WITH t AS (

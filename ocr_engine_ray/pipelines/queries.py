@@ -3769,3 +3769,51 @@ def q_documents_source_kl(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_cross_source_dups(sf_dir: str) -> pa.Table:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct texts appear in BOTH — the leakage/contamination triage
+    view over ingest feeds.  Shape: local + global distinct on
+    (text, source) first (payloads collapse before any join), then the
+    inverted-index self-join on text emits only co-occurring source
+    pairs, counted per (source_a < source_b)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "source"])
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["text", "source"]).aggregate([])
+
+    d = with_schema(
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["text", "source"]).aggregate(
+            Count("source", alias_name="_n"))
+        .drop_columns(["_n"]),
+        pa.schema([("text", pa.string()), ("source", pa.string())]))
+
+    d_b = d.map_batches(lambda b: b.rename_columns(["text", "source_b"]),
+                        batch_format="pyarrow")
+    j = d.join(d_b, join_type="inner", num_partitions=8, on=("text",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b.column("source"), b.column("source_b")))
+        g = pa.table({"source_a": f.column("source"),
+                      "source_b": f.column("source_b")}) \
+            .group_by(["source_a", "source_b"]).aggregate(
+                [("source_a", "count")])
+        return g.rename_columns(["source_a", "source_b", "p_n"])
+
+    # the matrix is bounded by sources² — tiny by construction — and a
+    # legitimately EMPTY distributed result loses its schema (Ray's
+    # empty blocks), so collect to a typed driver table
+    tab = _small_table(
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"]).aggregate(
+            Sum("p_n", alias_name="n_shared")))
+    if tab is None:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n_shared": pa.array([], pa.int64())})
+    return tab.set_column(tab.schema.get_field_index("n_shared"),
+                          "n_shared",
+                          pc.cast(tab.column("n_shared"), pa.int64()))
