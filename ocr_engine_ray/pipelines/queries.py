@@ -3620,7 +3620,7 @@ def q_documents_unigram_logprob(sf_dir: str) -> Dataset:
     """Corpus-LM quality scoring (the unigram perplexity-filter shape):
     pass 1 builds the global term-frequency table, pass 2 joins it back
     onto each document's tokens and averages ln p(token) = ln(tf / N).
-    Everything order-dependent is int64-quantized — Σ round(ln(tf)·1e6)
+    Everything order-dependent is int64-quantized — Σ of rounded ln(tf)·1e6
     per doc — so the two-pass composition is bit-replayed by the twin;
     only the final avg expression is float.  Scale shape: the term
     table is an aggregate (with_schema-pinned) JOINED, not broadcast —
