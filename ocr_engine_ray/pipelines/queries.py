@@ -3689,8 +3689,8 @@ def q_documents_source_kl(sf_dir: str) -> Dataset:
     """Per-source distribution-shift score: KL(source ‖ corpus) over
     token unigrams — the drift detector a curation pipeline runs per
     ingest source.  Exact-integer decomposition: KL = (S1 − S2)/1e6/n_s
-    − ln n_s + ln N with S1 = Σ_t c_st·round(ln c_st·1e6) and
-    S2 = Σ_t c_st·round(ln c_t·1e6) — both order-independent int64
+    − ln n_s + ln N with S1 = Σ_t c_st·q(ln c_st) and
+    S2 = Σ_t c_st·q(ln c_t), q = rounding to 1e-6 — order-independent int64
     sums over the (source, token) grid joined to the corpus tf table —
     so the twin hashes bit-exact; only the final expression is float."""
     import numpy as np
