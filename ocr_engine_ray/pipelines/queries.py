@@ -2515,443 +2515,6 @@ def q_lineitem_corr(sf_dir: str) -> Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def q_events_intersect_days(sf_dir: str) -> Dataset:
-    """Set intersection (INTERSECT) at the (user, day) grain: days on
-    which a user both viewed and purchased
-    (:func:`_presence_flag_setop`)."""
-    return _presence_flag_setop(sf_dir, "view", "purchase", want_b=1)
-
-
-def q_events_unpivot_counts(sf_dir: str) -> Dataset:
-    """UNPIVOT / melt: the per-user pivoted type counts fanned back to
-    long (user_id, event_type, n) form — the inverse reshape of
-    :func:`q_events_pivot_types`, zeros preserved.  The melt is a pure
-    column re-labeling (5 zero-copy column selections concatenated per
-    batch), so the only exchange is the pivot's own."""
-    piv = q_events_pivot_types(sf_dir)
-
-    def melt(b: pa.Table) -> pa.Table:
-        parts = [pa.table({
-            "user_id": b.column("user_id"),
-            "event_type": pa.array([t] * b.num_rows, pa.string()),
-            "n": pc.cast(b.column(f"n_{t}"), pa.int64()),
-        }) for t in _EVENT_TYPES]
-        return pa.concat_tables(parts)
-
-    return piv.map_batches(melt, batch_format="pyarrow")
-
-
-def q_events_user_entropy(sf_dir: str) -> Dataset:
-    """Per-user Shannon entropy of the event-type distribution (the
-    distributional skew signal a mixture-balancing stage thresholds
-    on).  H = ln(n) − (Σ c·ln c)/n computed from EXACT integer
-    partials: per-(user, type) counts shuffle once, c·ln c is quantized
-    to int64 at 1e6 (order-independent sums; same ulp-validated
-    ln-quantization shape as documents_term_df's idf), and only the
-    final per-user expression is float, written token-identically in
-    the DuckDB twin."""
-    import numpy as np
-
-    ds = rd.read_parquet(_t(sf_dir, "events"),
-                         columns=["user_id", "event_type"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["user_id", "event_type"]).aggregate(
-            [("event_type", "count")])
-        return g.rename_columns(["user_id", "event_type", "p_n"])
-
-    per_type = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["user_id", "event_type"]).aggregate(
-            Sum("p_n", alias_name="n"))
-
-    def qpart(b: pa.Table) -> pa.Table:
-        c = b.column("n").to_numpy(zero_copy_only=False)
-        cf = c.astype(np.float64)
-        q = scaled_int_sql(cf * np.log(cf), 1e6)
-        t = pa.table({"user_id": b.column("user_id"),
-                      "c": pc.cast(b.column("n"), pa.int64()),
-                      "q": pa.array(q, pa.int64())})
-        g = t.group_by("user_id").aggregate([("c", "sum"), ("q", "sum")])
-        return g.rename_columns(["user_id", "p_c", "p_q"])
-
-    agg = per_type.map_batches(qpart, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Sum("p_c", alias_name="n_events"),
-                                      Sum("p_q", alias_name="sq"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        n = b.column("n_events").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        sq = b.column("sq").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        h = np.log(n) - (sq / 1e6) / n
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "n_events": pc.cast(b.column("n_events"), pa.int64()),
-            "entropy": round_sql(pa.array(h, pa.float64()), 6),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow")
-
-
-def _ed_is_one(a: str, b: str) -> bool:
-    """Exact edit-distance == 1 check in O(len): equal lengths need
-    exactly one substitution; lengths off by one need a single aligned
-    deletion.  No DP — the threshold makes the two-pointer walk exact."""
-    la, lb = len(a), len(b)
-    if la == lb:
-        return sum(x != y for x, y in zip(a, b)) == 1
-    if abs(la - lb) != 1:
-        return False
-    s, l = (a, b) if la < lb else (b, a)
-    i = 0
-    while i < len(s) and s[i] == l[i]:
-        i += 1
-    return s[i:] == l[i + 1:]
-
-
-def q_customers_fuzzy_name_pairs(sf_dir: str) -> Dataset:
-    """String-similarity (fuzzy) self-join: customer-name pairs at edit
-    distance EXACTLY 1, via symmetric-delete (SymSpell) blocking — two
-    strings are within distance 1 only if they share a key in
-    {s} ∪ single-deletions(s), so the index self-join finds every true
-    pair without an O(n²) cross join.  Variant generation is fully
-    vectorized (one utf8_slice + binary_join pass per character
-    position, not per row), and verification is a C-level Hamming pass
-    for the equal-length case with an O(len) two-pointer walk for the
-    rare length-off-by-one tail.
-
-    NO pair-dedup shuffle: once each name's variant LIST is
-    string-deduped, a true distance-1 pair shares exactly ONE variant
-    string — equal-length pairs share only the deletion at their single
-    differing position (any other deletion leaves the difference in
-    both strings), and length±1 pairs share only the shorter string
-    itself (identity keys and deletion keys differ in length otherwise)
-    — so every verified pair is emitted by exactly one join bucket.
-    Distance-2 collisions may appear in several buckets, but the verify
-    drops them locally.  This removed the 1.4M-row string-pair groupby
-    that dominated the first version (24 s of a 42 s sf0.1 run).
-
-    Scale shape: the index is ≤(L+1)× the distinct-name set, the
-    self-join is key-partitioned, and nothing is broadcast or held on
-    the driver.  Positions are codepoints, matching DuckDB's
-    levenshtein on ASCII (documented limitation for multi-byte)."""
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_name"])
-
-    # distinct names first: duplicate names would inflate every bucket
-    # quadratically; the aggregate also bounds the index build input
-    uniq = ds.map_batches(
-        lambda b: b.group_by("c_name").aggregate([]),
-        batch_format="pyarrow") \
-        .groupby("c_name").aggregate(Count("c_name", alias_name="_n")) \
-        .drop_columns(["_n"])
-
-    def variants(b: pa.Table) -> pa.Table:
-        names = b.column("c_name").combine_chunks()
-        ln = pc.utf8_length(names)
-        maxlen = pc.max(ln).as_py() or 0
-        outs = [pa.table({"v": names, "name": names})]
-        for i in range(maxlen):
-            f = names.filter(pc.greater(ln, i))
-            v = pc.binary_join_element_wise(
-                pc.utf8_slice_codeunits(f, 0, i),
-                pc.utf8_slice_codeunits(f, i + 1, 2 ** 31 - 1), "")
-            outs.append(pa.table({"v": v, "name": f}))
-        # per-name variant dedupe: repeated characters repeat deletion
-        # strings, and the one-bucket-per-true-pair property (docstring)
-        # only holds string-wise
-        return pa.concat_tables(outs).group_by(["v", "name"]).aggregate([])
-
-    idx_schema = pa.schema([("v", pa.string()), ("name", pa.string())])
-    inv = with_schema(uniq.map_batches(variants, batch_format="pyarrow"),
-                      idx_schema)
-    # no second pin: with_schema already dropped every empty block from
-    # inv, so the rename sees (and emits) only typed blocks — a second
-    # pin would materialize the largest intermediate twice
-    inv_b = inv.map_batches(
-        lambda b: b.rename_columns(["v", "name_b"]),
-        batch_format="pyarrow")
-
-    def verify(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        f = b.filter(pc.less(b.column("name"), b.column("name_b")))
-        a_col = f.column("name").combine_chunks()
-        b_col = f.column("name_b").combine_chunks()
-        la = pc.binary_length(a_col).to_numpy(zero_copy_only=False)
-        lb = pc.binary_length(b_col).to_numpy(zero_copy_only=False)
-        keep = np.zeros(f.num_rows, dtype=bool)
-
-        def byte_matrix(col, idx, n):
-            sub = col.take(pa.array(idx))  # packed: data buffer is the
-            data = np.frombuffer(sub.buffers()[2], np.uint8)  # concat
-            return data[:len(idx) * n].reshape(-1, n)
-
-        eq = la == lb
-        for n in np.unique(la[eq]):
-            m = eq & (la == n)
-            if n == 0 or not m.any():
-                continue
-            idx = np.flatnonzero(m)
-            am = byte_matrix(a_col, idx, n)
-            bm = byte_matrix(b_col, idx, n)
-            keep[idx] = (am != bm).sum(axis=1) == 1
-        for i in np.flatnonzero(np.abs(la - lb) == 1):
-            keep[i] = _ed_is_one(a_col[i].as_py(), b_col[i].as_py())
-        return pa.table({
-            "name_a": a_col.filter(pa.array(keep)),
-            "name_b": b_col.filter(pa.array(keep)),
-        })
-
-    return inv.join(inv_b, join_type="inner", num_partitions=8,
-                    on=("v",)) \
-        .map_batches(verify, batch_format="pyarrow")
-
-
-def q_events_daily_gapfill(sf_dir: str) -> pa.Table:
-    """Time-series densification (gap fill): the per-(type, day) count
-    series with every missing calendar day zero-filled between the
-    observed min and max day.  The raw events collapse through ONE
-    partial-agg exchange; the dense grid is built AFTER aggregation,
-    where cardinality is (types × calendar days) — bounded by the
-    calendar, not the data, so the driver-side finish is safe at any
-    input scale."""
-    import numpy as np
-
-    ds = rd.read_parquet(_t(sf_dir, "events"),
-                         columns=["event_type", "ts"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(b.column("ts"), unit="day")
-        g = pa.table({"event_type": b.column("event_type"), "day": day}) \
-            .group_by(["event_type", "day"]).aggregate(
-                [("event_type", "count")])
-        return g.rename_columns(["event_type", "day", "p_n"])
-
-    # (type × day) cardinality is calendar-bounded → the tree combine
-    # beats the sort-shuffle Aggregate's per-block fixed cost (same
-    # rationale as the histogram / Q1 paths; 15.1 s → ~2 s at sf0.1)
-    counts = _tree_combine(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["event_type", "day"], [("p_n", "sum")],
-        ["event_type", "day", "p_n"], ["event_type", "day", "n"])
-    tab = _small_table(counts)
-    if tab is None:
-        return pa.table({"event_type": pa.array([], pa.string()),
-                         "day": pa.array([], pa.timestamp("us")),
-                         "n_events": pa.array([], pa.int64())})
-
-    US_DAY = 86_400_000_000
-    # Ray's aggregate may hand the key back as timestamp[s] (sort-based
-    # path downcasts temporal keys) — normalize to µs before epoch math
-    d = pc.cast(pc.cast(tab.column("day"), pa.timestamp("us")),
-                pa.int64()).to_numpy() // US_DAY
-    types = sorted(set(tab.column("event_type").to_pylist()))
-    days = np.arange(d.min(), d.max() + 1)
-    have = {(t, di): n for t, di, n in zip(
-        tab.column("event_type").to_pylist(), d,
-        tab.column("n").to_pylist())}
-    et, dy, nn = [], [], []
-    for t in types:
-        for di in days:
-            et.append(t)
-            dy.append(int(di) * US_DAY)
-            nn.append(int(have.get((t, int(di)), 0)))
-    return pa.table({
-        "event_type": pa.array(et, pa.string()),
-        "day": pa.array(dy, pa.timestamp("us")),
-        "n_events": pa.array(nn, pa.int64()),
-    })
-
-
-def q_documents_winnow_fingerprints(sf_dir: str) -> Dataset:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
-    the MOSS local-similarity sketch): per document, the DISTINCT set
-    of window-minima over rolling Karp–Rabin hashes of k=5-byte
-    shingles, window w=4.  The whole batch is hashed in ONE numpy pass
-    straight off the Arrow string buffers — concatenated bytes →
-    sliding-window dot with the base powers → mod M → window-min —
-    with windows that cross a document boundary masked out by a single
-    doc-index compare; no per-row Python anywhere.  Only (doc_id, fp)
-    pairs reach the exchange.  Byte-based positions equal the oracle's
-    char-based ``substr``/``ascii`` on ASCII corpora (documented
-    limitation for multi-byte text, like the fuzzy join)."""
-    import numpy as np
-
-    K, W, B, M = 5, 4, 257, 1_000_000_007
-    POW = (B ** np.arange(K - 1, -1, -1, dtype=np.int64))
-
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
-
-    def winnow(b: pa.Table) -> pa.Table:
-        col = b.column("text").combine_chunks()
-        o = col.offset
-        offs = np.frombuffer(col.buffers()[1], np.int32)[o:o + len(col) + 1]
-        data = np.frombuffer(col.buffers()[2], np.uint8)
-        lens = np.diff(offs.astype(np.int64))
-        lo, hi = int(offs[0]), int(offs[-1])
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "fp": pa.array([], pa.int64())})
-        if hi - lo < K:
-            return empty
-        chunk = data[lo:hi].astype(np.int64)
-        # doc index per byte of the concatenated buffer
-        docpos = np.repeat(np.arange(len(col), dtype=np.int64), lens)
-        sw = np.lib.stride_tricks.sliding_window_view(chunk, K)
-        h = (sw @ POW) % M                      # rolling k-gram hashes
-        if len(h) < W:
-            return empty
-        fp = np.lib.stride_tricks.sliding_window_view(h, W).min(axis=1)
-        gs = np.arange(len(fp))
-        # a window is in-document iff its first and last shingle byte
-        # share the doc (docpos is monotonic, one compare suffices)
-        valid = docpos[gs] == docpos[gs + W + K - 2]
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        t = pa.table({
-            "doc_id": pa.array(ids[docpos[gs[valid]]], pa.int64()),
-            "fp": pa.array(fp[valid], pa.int64()),
-        })
-        return t.group_by(["doc_id", "fp"]).aggregate([])
-
-    return ds.map_batches(winnow, batch_format="pyarrow") \
-        .groupby(["doc_id", "fp"]).aggregate(
-            Count("fp", alias_name="_n")) \
-        .map_batches(lambda b: b.select(["doc_id", "fp"]),
-                     batch_format="pyarrow")
-
-
-def q_documents_regex_tokens(sf_dir: str) -> Dataset:
-    """BPE-ish regex token counting (the GPT-2 pre-tokenizer shape:
-    apostrophe-glued words | letter runs | digit runs | punctuation
-    runs).  One vectorized RE2 pass per batch
-    (``pc.count_substring_regex``); DuckDB's ``regexp_extract_all``
-    runs the SAME RE2 pattern, so counts are exact by construction —
-    complements the whitespace tokenization in documents_token_stats."""
-    PAT = r"'?\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
-
-    def count(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_tokens": pc.cast(
-                pc.count_substring_regex(b.column("text"), PAT),
-                pa.int64()),
-        })
-
-    return ds.map_batches(count, batch_format="pyarrow")
-
-
-def q_embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> Dataset:
-    """Distributed k-means (Lloyd): the canonical broadcast-centroid
-    iteration.  Init = the k lowest-vec_id embeddings (deterministic,
-    found by the per-block top-k combine, no global sort).  Each round:
-    centroids go to every task through ONE ``ray.put`` (read per batch,
-    never re-shipped), assignment is a numpy matmul argmin, and the
-    update reduces int64-quantized per-(cluster, dim) vector sums
-    (ROUND(v·2^30) — summation-order-independent, so the run is
-    deterministic under any block layout) through the bounded-grid tree
-    combine; only the k×dim grid ever reaches the driver.  Empty
-    clusters keep their previous centroid.  Output is the final
-    (vec_id, cluster) assignment — rows-only (iterative, non-SQL);
-    exactness is pinned by a same-init numpy reference test."""
-    import numpy as np
-
-    SCALE = float(1 << 30)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"])
-
-    seed_tab = _small_table(_topk_combine(
-        ds, sorted_topk([("vec_id", "ascending")], k)))
-    if seed_tab is None:
-        return rd.from_arrow(pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "cluster": pa.array([], pa.int64())}))
-    dim = len(seed_tab.column("embedding")[0])
-    cent = np.array(seed_tab.column("embedding").to_pylist(),
-                    dtype=np.float64)
-
-    def batch_mat(b: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
-        ids = b.column("vec_id").combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(b.column("embedding").combine_chunks()) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        return ids, flat.reshape(len(ids), dim)
-
-    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # argmin ||x-c||² = argmin (|c|² - 2 x·c); ties → lowest cluster
-        return np.argmin((c * c).sum(axis=1)[None, :]
-                         - 2.0 * (mat @ c.T), axis=1)
-
-    for _ in range(iters):
-        ref = ray.put(cent)
-
-        def partial(b: pa.Table, ref=ref) -> pa.Table:
-            c = ray.get(ref)
-            ids, mat = batch_mat(b)
-            a = assign(mat, c)
-            q = scaled_int_sql(mat.ravel(), SCALE).reshape(mat.shape)
-            order = np.argsort(a, kind="stable")
-            labs, starts = np.unique(a[order], return_index=True)
-            sums = np.add.reduceat(q[order], starts, axis=0)
-            counts = np.diff(np.concatenate([starts, [len(a)]]))
-            return pa.table({
-                "cluster": pa.array(np.repeat(labs, dim), pa.int64()),
-                "dim": pa.array(np.tile(np.arange(dim), len(labs)),
-                                pa.int64()),
-                "p_s": pa.array(sums.ravel(), pa.int64()),
-                "p_n": pa.array(np.repeat(counts, dim), pa.int64()),
-            })
-
-        grid = _small_table(_tree_combine(
-            ds.map_batches(partial, batch_format="pyarrow"),
-            ["cluster", "dim"], [("p_s", "sum"), ("p_n", "sum")],
-            ["cluster", "dim", "p_s", "p_n"],
-            ["cluster", "dim", "s", "n"]))
-        new = cent.copy()
-        cl = grid.column("cluster").to_numpy(zero_copy_only=False)
-        dm = grid.column("dim").to_numpy(zero_copy_only=False)
-        s = grid.column("s").to_numpy(zero_copy_only=False) / SCALE
-        n = grid.column("n").to_numpy(zero_copy_only=False)
-        new[cl, dm] = s / n
-        cent = new
-
-    ref = ray.put(cent)
-
-    def label(b: pa.Table, ref=ref) -> pa.Table:
-        ids, mat = batch_mat(b)
-        a = assign(mat, ray.get(ref))
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "cluster": pa.array(a, pa.int64())})
-
-    return ds.map_batches(label, batch_format="pyarrow")
-
-
-def q_events_percent_rank(sf_dir: str) -> Dataset:
-    """PERCENT_RANK window: (rank − 1) / (n − 1) over value ascending
-    within event type (rank = competition rank, ties share).  Same
-    key-co-location contract as DENSE_RANK/NTILE: per-type map_groups,
-    one sort + searchsorted per group, the float expression written
-    token-identically in the twin (single-row groups are 0.0, DuckDB's
-    own convention)."""
-    import numpy as np
-
-    ds = rd.read_parquet(_t(sf_dir, "events"),
-                         columns=["event_id", "event_type", "value"])
-
-    def prank(g: pa.Table) -> pa.Table:
-        v = g.column("value").combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        sv = np.sort(v)
-        rank = np.searchsorted(sv, v, side="left").astype(np.float64)
-        pr = rank / (len(v) - 1.0) if len(v) > 1 else np.zeros(len(v))
-        return g.append_column(
-            "pr", round_sql(pa.array(pr, pa.float64()), 6))
-
-    return ds.groupby("event_type").map_groups(prank,
-                                               batch_format="pyarrow")
-
-
 def _windowed_counts(sf_dir: str, width_us: int, lateness_us: int,
                      slide_us: "int | None" = None) -> pa.Table:
     """Shared driver for the streaming count-window queries: one
@@ -2971,18 +2534,6 @@ def _windowed_counts(sf_dir: str, width_us: int, lateness_us: int,
     finally:
         for s in shards:
             ray.kill(s)
-
-
-def q_events_tumbling_daily(sf_dir: str) -> pa.Table:
-    """Streaming event-time tumbling windows (stages/window.py) driven
-    to end-of-stream: one ingestion run with 1-day windows and 1-day
-    allowed lateness, then a flush.  At end-of-stream the incremental
-    path must equal the batch GROUP BY exactly — that identity is what
-    the DuckDB twin checks — while the mid-stream seal/late-drop
-    semantics are pinned by the stage's own unit tests.  Output windows
-    ride as int64 epoch-µs starts (timezone-free, twin-exact)."""
-    DAY = 86_400_000_000
-    return _windowed_counts(sf_dir, DAY, lateness_us=DAY)
 
 
 def q_events_hopping_2day(sf_dir: str) -> pa.Table:
