@@ -356,6 +356,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_unigram_logprob": q.q_documents_unigram_logprob,
         "documents_source_kl": q.q_documents_source_kl,
         "documents_cross_source_dups": q.q_documents_cross_source_dups,
+        # bloom semi-join / heavy hitters / grouped quantiles /
+        # rolling distinct / co-occurrence / tf-idf similarity join
+        "customers_bloom_semijoin": q.q_customers_bloom_semijoin,
+        "events_heavy_hitters": q.q_events_heavy_hitters,
+        "events_grouped_quantiles": q.q_events_grouped_quantiles,
+        "events_rolling_distinct": q.q_events_rolling_distinct,
+        "events_cooccurrence": q.q_events_cooccurrence,
+        "documents_tfidf_pairs": q.q_documents_tfidf_pairs,
     }
 
 
@@ -1668,5 +1676,67 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 8) t
             WHERE rank <= 5
+        """,
+        "customers_bloom_semijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 450000.0)
+        """,
+        "events_heavy_hitters": """
+            WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+            c AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+                  FROM events GROUP BY 1)
+            SELECT bucket, n_occurrences FROM c, tot
+            WHERE n_occurrences * 300 >= tot.n
+        """,
+        "events_grouped_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5)  AS q50,
+                   quantile_disc(value, 0.9)  AS q90
+            FROM events GROUP BY event_type
+        """,
+        "events_rolling_distinct": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                        FROM events),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT days.d AS day,
+                   CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users_7d
+            FROM days JOIN ud
+              ON ud.d <= days.d AND ud.d >= days.d - INTERVAL 6 DAY
+            GROUP BY 1
+        """,
+        "events_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "documents_tfidf_pairs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
+                   FROM d, unnest(range(1, len(toks))) AS u(i)
+                   WHERE len(toks) >= 2),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM bg GROUP BY 1, 2),
+            df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.term, tf.n,
+                         CAST(round(ln(CAST(nd.n AS DOUBLE) / df.df)
+                                    * 1000) AS BIGINT) AS qi
+                  FROM tf JOIN df ON tf.term = df.term, nd
+                  WHERE df.df * 20 <= nd.n)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(a.n * b.n * a.qi * a.qi) AS BIGINT) AS dot
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING SUM(a.n * b.n * a.qi * a.qi) >= 50000000
         """,
     }

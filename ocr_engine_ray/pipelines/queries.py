@@ -3368,3 +3368,339 @@ def q_documents_cross_source_dups(sf_dir: str) -> pa.Table:
     return tab.set_column(tab.schema.get_field_index("n_shared"),
                           "n_shared",
                           pc.cast(tab.column("n_shared"), pa.int64()))
+
+
+def q_customers_bloom_semijoin(sf_dir: str) -> Dataset:
+    """Bloom-prefiltered semi-join (stages/bloom.py): customers with at
+    least one order over $450k.  The 100 TB shape: the orders side
+    reduces to a FIXED-SIZE bitmap (per-batch partial bitmaps,
+    OR-combined — bytes shipped are independent of key count), the
+    bitmap broadcasts once via ``ray.put``, and the customer scan
+    drops definite misses vectorized before any shuffle.  Bloom false
+    positives are then removed by an exact hash join that only sees
+    the surviving customers — so the result is EXACT (the oracle is a
+    plain EXISTS) while the expensive exchange moves a fraction of the
+    probe side."""
+    from ..stages.bloom import bitmap_contains, build_bloom
+    from ..util import with_schema
+
+    M_BITS, K = 1 << 17, 7
+    big = rd.read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), 450_000.0))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    bloom = ray.put(build_bloom(big, "o_custkey", m_bits=M_BITS, k=K))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bm = ray.get(bloom)
+        keys = b.column("c_custkey").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(
+            bitmap_contains(bm, keys, M_BITS, K))) if len(keys) else b
+
+    survivors = rd.read_parquet(_t(sf_dir, "customer"),
+                                columns=["c_custkey", "c_name"]) \
+        .map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verify: join survivors against the distinct build keys
+    build_keys = with_schema(
+        big.map_batches(
+            lambda b: b.group_by("o_custkey").aggregate([]),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Count("o_custkey", alias_name="_n"))
+        .map_batches(lambda b: b.select(["o_custkey"])
+                     .rename_columns(["c_custkey"]),
+                     batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64())]))
+    return survivors.join(build_keys, join_type="inner",
+                          num_partitions=8, on=("c_custkey",))
+
+
+def q_events_heavy_hitters(sf_dir: str) -> Dataset:
+    """Exact frequent-item mining (heavy hitters) with a two-pass
+    candidate/verify plan: every $10 value bucket holding ≥ 1/300 of
+    all events.  Pass 1 emits per-batch LOCAL heavy buckets (count_b ·
+    300 ≥ n_b) — by pigeonhole any globally heavy bucket is locally
+    heavy in ≥ 1 batch, so the deduped union is a guaranteed SUPERSET
+    of the answer at ≤ 300 candidates/batch regardless of domain size.
+    Pass 2 broadcasts the candidate set and exact-counts ONLY matching
+    rows; the final HAVING uses integer cross-multiplication (n·300 ≥
+    N), so the output is exact — the sketch never touches correctness,
+    only how much the exchange carries."""
+    import numpy as np
+
+    THRESH_DEN = 300
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def local_heavy(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.floor(pc.divide(
+            b.column("value"), pa.scalar(10.0))), pa.int64())
+        g = pa.table({"bucket": bucket}).group_by("bucket") \
+            .aggregate([("bucket", "count")])
+        keep = pc.greater_equal(
+            pc.multiply(g.column("bucket_count"),
+                        pa.scalar(THRESH_DEN, pa.int64())),
+            pa.scalar(b.num_rows, pa.int64()))
+        return pa.table({"bucket": g.filter(keep).column("bucket")})
+
+    cand_tab = _small_table(
+        ds.map_batches(local_heavy, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Count("bucket", alias_name="_n")))
+    candidates = (sorted(cand_tab.column("bucket").to_pylist())
+                  if cand_tab is not None else [])
+    cand_ref = ray.put(candidates)
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        bucket = pc.cast(pc.floor(pc.divide(
+            b.column("value"), pa.scalar(10.0))), pa.int64())
+        t = pa.table({"bucket": bucket})
+        hit = t.filter(pc.is_in(bucket, value_set=pa.array(cand, pa.int64())))
+        g = hit.group_by("bucket").aggregate([("bucket", "count")])
+        return g.rename_columns(["bucket", "p_n"])
+
+    n_total = ds.count()
+    agg = ds.map_batches(exact_counts, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("p_n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: (lambda f: pa.table(
+            {"bucket": f.column("bucket"),
+             "n_occurrences": pc.cast(f.column("n"), pa.int64())}))(
+            b.filter(pc.greater_equal(
+                pc.multiply(b.column("n"),
+                            pa.scalar(THRESH_DEN, pa.int64())),
+                pa.scalar(n_total, pa.int64())))),
+        batch_format="pyarrow")
+
+
+def q_events_grouped_quantiles(sf_dir: str) -> Dataset:
+    """Per-group exact quantiles (quantile_disc semantics per event
+    type) — the grouped variant of lineitem_quantiles, via
+    stages/quantiles.grouped_exact_quantiles: a keyed (value, count)
+    histogram exchange plus a vectorized in-group cumulative pick."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return grouped_exact_quantiles(ds, "event_type", "value",
+                                   qs=(0.25, 0.5, 0.9))
+
+
+def q_events_rolling_distinct(sf_dir: str) -> Dataset:
+    """Trailing-window COUNT DISTINCT (7-day rolling distinct users per
+    active day) — the sliding-window distinct shape SQL writes with a
+    windowed range join.  Distributed plan: dedupe to (user, day) pairs
+    (partial per batch, then a groupby — the only exchange over user
+    grain), fan each pair out to the ≤ 7 windows it serves (vectorized
+    repeat/take), dedupe (user, window) — a user active twice in one
+    window counts once — then count per window and keep only days that
+    actually have events (inner join against the observed-day set,
+    broadcast as a value mask).  Every exchange is over distinct pairs,
+    never raw events."""
+    import numpy as np
+
+    WIN = 7
+    DAY_US = 86_400_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("ts"), pa.int64()),
+            pa.scalar(float(DAY_US)))), pa.int64()),
+            pa.scalar(DAY_US, pa.int64()))
+        return pa.table({"user_id": b.column("user_id"), "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(
+            Count("user_id", alias_name="_n"))
+
+    days_tab = _small_table(
+        pairs.map_batches(lambda b: b.select(["day"]).group_by("day")
+                          .aggregate([]), batch_format="pyarrow")
+        .groupby("day").aggregate(Count("day", alias_name="_m")))
+    observed = np.sort(days_tab.column("day").to_numpy(
+        zero_copy_only=False)) if days_tab is not None else np.array([], np.int64)
+    days_ref = ray.put(observed)
+
+    def fanout(b: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)
+        day = b.column("day").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        # windows served by activity on d: observed days in [d, d+6]
+        lo = np.searchsorted(obs, day, side="left")
+        hi = np.searchsorted(obs, day + (WIN - 1) * DAY_US, side="right")
+        n = hi - lo
+        flat = np.repeat(lo, n) + (np.arange(int(n.sum()))
+                                   - np.repeat(np.cumsum(n) - n, n))
+        return pa.table({
+            "user_id": pa.array(np.repeat(uid, n), pa.int64()),
+            "win_day": pa.array(obs[flat], pa.int64()),
+        }).group_by(["user_id", "win_day"]).aggregate([])
+
+    uw = pairs.map_batches(fanout, batch_format="pyarrow") \
+        .groupby(["user_id", "win_day"]).aggregate(
+            Count("user_id", alias_name="_n"))
+
+    def win_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["win_day"]).group_by("win_day") \
+            .aggregate([("win_day", "count")])
+        return g.rename_columns(["win_day", "p_n"])
+
+    out = uw.map_batches(win_partial, batch_format="pyarrow") \
+        .groupby("win_day").aggregate(Sum("p_n", alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "day": pc.cast(b.column("win_day"), pa.timestamp("us")),
+            "n_users_7d": pc.cast(b.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_events_cooccurrence(sf_dir: str) -> Dataset:
+    """Co-occurrence / market-basket pair counts: for every unordered
+    event-type pair (a < b), how many users performed both.  Plan:
+    dedupe to distinct (user, type) — partial per batch, one exchange —
+    then a self hash join on user_id (Dataset.join co-partitions; the
+    per-user fanout is bounded by the type domain), filter to a < b,
+    and a partial-agg count per pair.  The pair grid is domain², tiny,
+    so the final aggregate is a broadcast-scale reduce."""
+    from ..util import with_schema
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate([])
+
+    ut = with_schema(
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"]).aggregate(
+            Count("user_id", alias_name="_n"))
+        .map_batches(lambda b: b.select(["user_id", "event_type"]),
+                     batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64()), ("event_type", pa.string())]))
+
+    ut_b = ut.map_batches(
+        lambda b: b.rename_columns(["user_id", "type_b"]),
+        batch_format="pyarrow")
+    j = ut.join(ut_b, join_type="inner", num_partitions=8,
+                on=("user_id",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b.column("event_type"), b.column("type_b")))
+        g = pa.table({"type_a": f.column("event_type"),
+                      "type_b": f.column("type_b")}) \
+            .group_by(["type_a", "type_b"]).aggregate(
+                [("type_a", "count")])
+        return g.rename_columns(["type_a", "type_b", "p_n"])
+
+    out = j.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]).aggregate(Sum("p_n", alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"type_a": b.column("type_a"),
+                            "type_b": b.column("type_b"),
+                            "n_users": pc.cast(b.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
+    """TF-IDF-weighted sparse similarity join: document pairs whose
+    idf²-weighted bigram dot product Σ_t tf_a·tf_b·q(idf_t)² clears a
+    threshold — the weighted companion to the unweighted jaccard_pairs
+    inverted index.  All arithmetic is int64 (idf quantized to 1e-3 per
+    term), so the DuckDB twin replays it bit-exact.
+
+    Scale shape: per-doc bigram tf partials (vectorized, terms.py),
+    ONE groupby(term) to get df + quantized idf, a df-cap filter (df ≤
+    5 % of docs) that bounds every posting list — the stop-term prune
+    that keeps the pair fanout at Σ_t df_t² ≤ cap·Σ df_t instead of
+    quadratic in hot terms — then the self join on term and a pair-key
+    aggregate.  No driver state beyond the doc count scalar."""
+    import numpy as np
+
+    from ..stages.terms import _bigram_parts, _tokens
+
+    DOT_MIN = 50_000_000
+    DF_CAP_DEN = 20  # keep terms with df · 20 ≤ N_docs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        _, lens, flat, offs = _tokens(b)
+        bg, d = _bigram_parts(flat, lens, offs)
+        if len(bg) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        ids = b.column("doc_id").combine_chunks() \
+            .take(pa.array(d, pa.int64()))
+        g = pa.table({"doc_id": ids, "term": bg}) \
+            .group_by(["doc_id", "term"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    # documents.parquet rows are whole docs, so per-batch (doc, term)
+    # counts are already final — no cross-batch tf combine needed
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["term"]).group_by("term") \
+            .aggregate([("term", "count")])
+        return g.rename_columns(["term", "p_df"])
+
+    df = tf.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("p_df", alias_name="df"))
+
+    def weight(b: pa.Table) -> pa.Table:
+        dfv = b.column("df").to_numpy(zero_copy_only=False)
+        keep = dfv * DF_CAP_DEN <= n_docs
+        f = b.filter(pa.array(keep))
+        qi = np.array([round_sql_f(v, 0) for v in
+                       np.log(n_docs / dfv[keep].astype(np.float64))
+                       * 1000.0], np.int64) if keep.any() else \
+            np.array([], np.int64)
+        return pa.table({"term": f.column("term"),
+                         "qi": pa.array(qi, pa.int64())})
+
+    idf = with_schema(
+        df.map_batches(weight, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("qi", pa.int64())]))
+    # join partitions that end up EMPTY lose their schema (Ray 2.49
+    # hash-shuffle blocks) and crash a downstream join's Acero plan —
+    # repair with with_schema before self-joining (util.with_schema note)
+    w = with_schema(
+        tf.join(idf, join_type="inner", num_partitions=8, on=("term",)),
+        pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                   ("tf", pa.int64()), ("qi", pa.int64())]))
+
+    w_b = w.map_batches(
+        lambda b: pa.table({"doc_b": b.column("doc_id"),
+                            "term": b.column("term"),
+                            "tf_b": b.column("tf")}),
+        batch_format="pyarrow")
+    j = w.join(w_b, join_type="inner", num_partitions=8, on=("term",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b.column("doc_id"), b.column("doc_b")))
+        wgt = pc.multiply(pc.multiply(f.column("tf"), f.column("tf_b")),
+                          pc.multiply(f.column("qi"), f.column("qi")))
+        g = pa.table({"doc_a": f.column("doc_id"),
+                      "doc_b": f.column("doc_b"),
+                      "w": wgt}).group_by(["doc_a", "doc_b"]) \
+            .aggregate([("w", "sum")])
+        return g.rename_columns(["doc_a", "doc_b", "p_w"])
+
+    out = j.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Sum("p_w", alias_name="dot"))
+    return out.map_batches(
+        lambda b: (lambda f: pa.table(
+            {"doc_a": f.column("doc_a"), "doc_b": f.column("doc_b"),
+             "dot": pc.cast(f.column("dot"), pa.int64())}))(
+            b.filter(pc.greater_equal(
+                b.column("dot"), pa.scalar(DOT_MIN, pa.int64())))),
+        batch_format="pyarrow")

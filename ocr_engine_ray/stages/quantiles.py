@@ -10,8 +10,9 @@ Two tools:
   is bounded (codes, prices in cents, ratings, token counts): at 100 TB
   with a 1e6-distinct-value column the shuffle is still only ~1e6 rows.
   Matches DuckDB ``quantile_disc`` bit-exactly: the picked element is
-  ``sorted_values[floor((n-1) * q)]`` (verified empirically, DuckDB
-  1.x).
+  ``sorted_values[ceil(n * q) - 1]`` (verified empirically against
+  DuckDB 1.x on distinct-value domains — the floor((n-1)*q) convention
+  agrees only when duplicates mask the off-by-one at the upper tail).
 
 - :class:`TDigest` — a mergeable sketch for unbounded/continuous domains
   (Dunning & Ertl, "Computing extremely accurate quantiles using
@@ -72,9 +73,9 @@ def exact_quantiles(ds: Dataset, cols: list[str],
         total = sum(n for _, n in pairs)
         out["col"].append(c)
         for q, name in zip(qs, q_names):
-            # DuckDB quantile_disc: element at floor((n-1)*q) of the
+            # DuckDB quantile_disc: element at ceil(n*q)-1 of the
             # sorted multiset (same float multiply, so same index)
-            idx = math.floor((total - 1) * q)
+            idx = math.ceil(total * q) - 1
             cum = 0
             picked = pairs[-1][0] if pairs else None
             for v, n in pairs:
@@ -86,6 +87,48 @@ def exact_quantiles(ds: Dataset, cols: list[str],
     return pa.table({"col": pa.array(out["col"], pa.string()),
                      **{name: pa.array(out[name], pa.float64())
                         for name in q_names}})
+
+
+def grouped_exact_quantiles(ds: Dataset, key: str, col: str,
+                            qs: tuple[float, ...] = (0.25, 0.5, 0.75)
+                            ) -> Dataset:
+    """Per-group exact ``quantile_disc`` (one output row per key) via
+    the same (value, count) histogram exchange as
+    :func:`exact_quantiles`, but keyed: the shuffle moves one
+    (key, value, count) row per distinct (key, value) per batch, and
+    the quantile pick runs VECTORIZED inside each key's group
+    (sort_by + cumsum + searchsorted — no per-key Python beyond the
+    map_groups dispatch).  Same bounded-domain requirement per group;
+    NULLs excluded like quantile_disc."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.select([key, col]).filter(pc.is_valid(b.column(col)))
+        g = t.group_by([key, col]).aggregate([(col, "count")])
+        return g.rename_columns([key, "value", "p_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby([key, "value"]).aggregate(Sum("p_n", alias_name="n"))
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
+    qarr = np.array(qs, np.float64)
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("value", "ascending")])
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        # quantile_disc: element at ceil(total*q)-1 of the sorted
+        # multiset; the row holding rank r is the first with cum > r
+        idx = np.ceil(total * qarr).astype(np.int64) - 1
+        rows = np.searchsorted(cum, idx, side="right")
+        vals = g.column("value").to_numpy(zero_copy_only=False)[rows]
+        out = {key: g.column(key).slice(0, 1)}
+        for name, v in zip(q_names, vals):
+            out[name] = pa.array([float(v)], pa.float64())
+        return pa.table(out)
+
+    return counts.groupby(key).map_groups(pick, batch_format="pyarrow")
 
 
 class TDigest:

@@ -1,0 +1,177 @@
+"""Round-3 second-batch operators: bloom semi-join, two-pass exact
+heavy hitters, grouped quantiles, rolling distinct, co-occurrence,
+TF-IDF pair join.  Each test pins the edge its sf0.01 oracle corpus
+may not exercise (bloom false positives removed, candidate superset
+under adversarial batching, upper-tail quantile rank, single-day
+windows, empty pair grids)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tab(ds) -> pa.Table:
+    rows = ds.take_all()
+    return pa.Table.from_pylist(rows)
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    from ocr_engine_ray.stages.bloom import bitmap_contains, bitmap_set
+
+    M, K = 1 << 16, 7
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=2000, replace=False).astype(np.int64)
+    bm = np.zeros(M // 8, np.uint8)
+    bitmap_set(bm, members, M, K)
+    # no false negatives — every inserted key tests positive
+    assert bitmap_contains(bm, members, M, K).all()
+    # FPR sanity at this load (n=2000, m=65536, k=7 → ~0.4 % theory)
+    probe = (members.max() + 1 + np.arange(20000)).astype(np.int64)
+    fpr = bitmap_contains(bm, probe, M, K).mean()
+    assert fpr < 0.02
+
+
+def test_bloom_build_or_combines_batches(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.bloom import bitmap_contains, build_bloom
+
+    keys = np.arange(-500, 500, dtype=np.int64) * 9973
+    pq.write_table(pa.table({"k": keys}), str(tmp_path / "k.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "k.parquet"))
+    bm = build_bloom(ds, "k", m_bits=1 << 16, k=5)
+    assert bitmap_contains(bm, keys, 1 << 16, 5).all()
+
+
+def test_bloom_semijoin_exact_despite_tiny_bitmap(ray_session, tmp_path):
+    """An undersized bitmap (high FPR) must not change the result —
+    the exact verify join removes every bloom false positive."""
+    import duckdb
+    import ray.data as rd
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "o_totalprice": [500_000.0, 1_000.0, 460_000.0, 470_000.0],
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 101)), pa.int64()),
+        "c_name": [f"c{i}" for i in range(1, 101)],
+    }), str(tmp_path / "customer.parquet"))
+    got = _tab(q.q_customers_bloom_semijoin(str(tmp_path))).sort_by(
+        "c_custkey")
+    assert got.column("c_custkey").to_pylist() == [1, 3]
+
+
+def test_heavy_hitters_candidate_superset_adversarial(ray_session,
+                                                      tmp_path):
+    """A globally heavy bucket spread thin across batches must still be
+    found: by pigeonhole it is locally heavy in ≥1 batch.  125 rows of
+    bucket 0 spread over all rows interleaved with near-unique noise —
+    still ≥ 1/300 of the total everywhere."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    n = 3000
+    vals = np.where(np.arange(n) % 10 == 0, 5.0,
+                    1000.0 + np.arange(n) * 10.0)
+    pq.write_table(pa.table({"value": vals}),
+                   str(tmp_path / "events.parquet"))
+    got = _tab(q.q_events_heavy_hitters(str(tmp_path)))
+    rows = {r["bucket"]: r["n_occurrences"] for r in got.to_pylist()}
+    assert rows[0] == 300  # every 10th row is 5.0 → bucket 0
+    # noise buckets hold 1 row each — far below n/300 = 10
+    assert all(b == 0 or c * 300 >= n for b, c in rows.items())
+
+
+def test_grouped_quantiles_upper_tail_rank(ray_session, tmp_path):
+    """ceil(n*q)-1 convention: q90 of 10 distinct values picks index 8
+    (the floor((n-1)q) convention would pick 8 too, but q75 of 10
+    separates them: ceil(7.5)-1 = 7 vs floor(6.75) = 6)."""
+    import duckdb
+
+    from ocr_engine_ray.stages.quantiles import grouped_exact_quantiles
+    import ray.data as rd
+
+    tab = pa.table({"g": ["a"] * 10, "v": [float(i) for i in range(10)]})
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    got = _tab(grouped_exact_quantiles(ds, "g", "v", qs=(0.75, 0.9)))
+    duck = duckdb.sql(
+        "SELECT quantile_disc(v, 0.75) q75, quantile_disc(v, 0.9) q90 "
+        "FROM tab GROUP BY g").fetchone()
+    assert (got.column("q75")[0].as_py(), got.column("q90")[0].as_py()) \
+        == duck == (7.0, 8.0)
+
+
+def test_grouped_quantiles_skips_nulls(ray_session, tmp_path):
+    from ocr_engine_ray.stages.quantiles import grouped_exact_quantiles
+    import ray.data as rd
+
+    tab = pa.table({"g": ["a"] * 4,
+                    "v": pa.array([1.0, None, 3.0, None], pa.float64())})
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    got = _tab(grouped_exact_quantiles(ds, "g", "v", qs=(0.5,)))
+    assert got.column("q50")[0].as_py() == 1.0  # ceil(2*0.5)-1 = 0
+
+
+def test_rolling_distinct_window_edges(ray_session, tmp_path):
+    """User active on day 0 serves windows 0..6 only; the same user
+    twice in one window counts once."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    DAY = 86_400_000_000
+    ts = pa.array([0, 2 * DAY, 6 * DAY, 7 * DAY, 7 * DAY + 1],
+                  pa.int64()).cast(pa.timestamp("us"))
+    uid = pa.array([1, 1, 2, 1, 3], pa.int64())
+    pq.write_table(pa.table({"user_id": uid, "ts": ts}),
+                   str(tmp_path / "events.parquet"))
+    got = {r["day"].timestamp() * 1e6 / DAY: r["n_users_7d"]
+           for r in _tab(q.q_events_rolling_distinct(str(tmp_path)))
+           .to_pylist()}
+    # observed days: 0, 2, 6, 7
+    assert got == {0.0: 1,       # user 1 (day 0)
+                   2.0: 1,       # user 1 (days 0,2 dedup)
+                   6.0: 2,       # users 1, 2
+                   7.0: 3}       # users 1 (days 2,7), 2 (6), 3 (7)
+
+
+def test_cooccurrence_counts_users_not_events(ray_session, tmp_path):
+    import ocr_engine_ray.pipelines.queries as q
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": ["a", "a", "b", "b", "a", "b", "a"],
+    }), str(tmp_path / "events.parquet"))
+    got = _tab(q.q_events_cooccurrence(str(tmp_path))).to_pylist()
+    # users 1 and 2 have both a and b (repeat events count once);
+    # user 3 has only a → no pair
+    assert got == [{"type_a": "a", "type_b": "b", "n_users": 2}]
+
+
+def test_tfidf_pairs_df_cap_prunes_hot_terms(ray_session, tmp_path):
+    """A bigram present in >5 % of docs contributes nothing; two docs
+    sharing only rare bigrams survive with an exact integer dot."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    # 40 docs: 38 share the hot bigram 'x y'; docs 0 and 1 also share
+    # the rare 'p q' (df=2 ≤ 40/20) many times over
+    rare = " ".join(["p q"] * 40)
+    texts = [rare, rare] + ["x y"] * 38
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": texts,
+    }), str(tmp_path / "documents.parquet"))
+    got = _tab(q.q_documents_tfidf_pairs(str(tmp_path))).to_pylist()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(0, 1)]
+    # dot = tf_a·tf_b·qi², qi = round(ln(40/2)·1000) = 2996, tf = 40
+    # for 'p q' plus the interleaved 'q p' bigrams (39 of them)
+    r = got[0]
+    qi = round(math.log(40 / 2) * 1000)
+    assert r["dot"] == 40 * 40 * qi * qi + 39 * 39 * qi * qi
