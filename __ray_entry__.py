@@ -356,9 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_unigram_logprob": q.q_documents_unigram_logprob,
         "documents_source_kl": q.q_documents_source_kl,
         "documents_cross_source_dups": q.q_documents_cross_source_dups,
-        # bloom semi-join / heavy hitters / grouped quantiles /
-        # rolling distinct / co-occurrence / tf-idf similarity join
-        "customers_bloom_semijoin": q.q_customers_bloom_semijoin,
+        # heavy hitters / grouped quantiles / rolling distinct /
+        # co-occurrence / tf-idf similarity join
         "events_heavy_hitters": q.q_events_heavy_hitters,
         "events_grouped_quantiles": q.q_events_grouped_quantiles,
         "events_rolling_distinct": q.q_events_rolling_distinct,
@@ -1676,12 +1675,6 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 8) t
             WHERE rank <= 5
-        """,
-        "customers_bloom_semijoin": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_totalprice > 450000.0)
         """,
         "events_heavy_hitters": """
             WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),

@@ -3370,55 +3370,6 @@ def q_documents_cross_source_dups(sf_dir: str) -> pa.Table:
                           pc.cast(tab.column("n_shared"), pa.int64()))
 
 
-def q_customers_bloom_semijoin(sf_dir: str) -> Dataset:
-    """Bloom-prefiltered semi-join (stages/bloom.py): customers with at
-    least one order over $450k.  The 100 TB shape: the orders side
-    reduces to a FIXED-SIZE bitmap (per-batch partial bitmaps,
-    OR-combined — bytes shipped are independent of key count), the
-    bitmap broadcasts once via ``ray.put``, and the customer scan
-    drops definite misses vectorized before any shuffle.  Bloom false
-    positives are then removed by an exact hash join that only sees
-    the surviving customers — so the result is EXACT (the oracle is a
-    plain EXISTS) while the expensive exchange moves a fraction of the
-    probe side."""
-    from ..stages.bloom import bitmap_contains, build_bloom
-    from ..util import with_schema
-
-    M_BITS, K = 1 << 17, 7
-    big = rd.read_parquet(_t(sf_dir, "orders"),
-                          columns=["o_custkey", "o_totalprice"]) \
-        .map_batches(lambda b: b.filter(
-            pc.greater(b.column("o_totalprice"), 450_000.0))
-            .select(["o_custkey"]), batch_format="pyarrow")
-    bloom = ray.put(build_bloom(big, "o_custkey", m_bits=M_BITS, k=K))
-
-    def prefilter(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        bm = ray.get(bloom)
-        keys = b.column("c_custkey").combine_chunks().cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(
-            bitmap_contains(bm, keys, M_BITS, K))) if len(keys) else b
-
-    survivors = rd.read_parquet(_t(sf_dir, "customer"),
-                                columns=["c_custkey", "c_name"]) \
-        .map_batches(prefilter, batch_format="pyarrow")
-
-    # exact verify: join survivors against the distinct build keys
-    build_keys = with_schema(
-        big.map_batches(
-            lambda b: b.group_by("o_custkey").aggregate([]),
-            batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(Count("o_custkey", alias_name="_n"))
-        .map_batches(lambda b: b.select(["o_custkey"])
-                     .rename_columns(["c_custkey"]),
-                     batch_format="pyarrow"),
-        pa.schema([("c_custkey", pa.int64())]))
-    return survivors.join(build_keys, join_type="inner",
-                          num_partitions=8, on=("c_custkey",))
-
-
 def q_events_heavy_hitters(sf_dir: str) -> Dataset:
     """Exact frequent-item mining (heavy hitters) with a two-pass
     candidate/verify plan: every $10 value bucket holding ≥ 1/300 of
