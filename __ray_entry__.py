@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_distinct": q.q_events_rolling_distinct,
         "events_cooccurrence": q.q_events_cooccurrence,
         "documents_tfidf_pairs": q.q_documents_tfidf_pairs,
+        "transcripts_boilerplate": q.q_transcripts_boilerplate,
     }
 
 
@@ -1731,5 +1732,17 @@ def oracle_sql() -> dict[str, str]:
               ON a.term = b.term AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING SUM(a.n * b.n * a.qi * a.qi) >= 50000000
+        """,
+        "transcripts_boilerplate": f"""
+            WITH r AS (SELECT text, row_number() OVER () AS rid
+                       FROM {transcripts}),
+            l AS (SELECT rid, trim(unnest(string_split(text, chr(10))),
+                                   ' ') AS line
+                  FROM r),
+            d AS (SELECT DISTINCT rid, line FROM l WHERE line <> ''),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r)
+            SELECT line, CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM d, tot GROUP BY line, tot.n
+            HAVING CAST(COUNT(*) AS BIGINT) * 100 >= tot.n
         """,
     }

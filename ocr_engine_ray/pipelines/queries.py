@@ -3655,3 +3655,49 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
             b.filter(pc.greater_equal(
                 b.column("dot"), pa.scalar(DOT_MIN, pa.int64())))),
         batch_format="pyarrow")
+
+
+def q_transcripts_boilerplate(sf_dir: str) -> Dataset:
+    """Corpus-level boilerplate line mining (the trafilatura-style
+    common-line detector that feeds template/boilerplate stripping):
+    every trimmed line appearing in ≥ 1 % of turn rows, with its row
+    count.  A line repeating within one turn counts once; duplicate
+    turn ROWS count separately (the corpus contains injected duplicate
+    (conv_id, turn_idx) rows, so row identity — not turn identity — is
+    the deterministic grain; the twin replays it with row_number()).
+
+    Scale shape: rows never span batches, so the per-batch
+    (row, line) dedupe is exact and the ONLY exchange is (line,
+    partial_count) — boilerplate lines are by definition few distinct
+    values with high counts, the partial-agg sweet spot.  Vectorized
+    end-to-end: one split_pattern, one list_flatten, one utf8_trim
+    (space-only, DuckDB trim parity), two Arrow group_bys."""
+    import numpy as np
+
+    PCT_DEN = 100  # keep lines with n_rows_containing · 100 ≥ N
+    ds = rd.read_parquet(transcript_paths(sf_dir), columns=["text"])
+    n_rows = ds.count()
+
+    def partial(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b.column("text").combine_chunks(), "\n")
+        lens = pc.list_value_length(lines).fill_null(0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_trim(pc.list_flatten(lines), " ")
+        rid = np.repeat(np.arange(len(lens)), lens)
+        t = pa.table({"rid": pa.array(rid, pa.int64()), "line": flat}) \
+            .filter(pc.not_equal(flat, ""))
+        d = t.group_by(["rid", "line"]).aggregate([])
+        g = d.group_by("line").aggregate([("line", "count")])
+        return g.rename_columns(["line", "p_n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("line").aggregate(Sum("p_n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: (lambda f: pa.table(
+            {"line": f.column("line"),
+             "n_turns": pc.cast(f.column("n"), pa.int64())}))(
+            b.filter(pc.greater_equal(
+                pc.multiply(b.column("n"),
+                            pa.scalar(PCT_DEN, pa.int64())),
+                pa.scalar(n_rows, pa.int64())))),
+        batch_format="pyarrow")

@@ -125,3 +125,21 @@ def test_tfidf_pairs_df_cap_prunes_hot_terms(ray_session, tmp_path):
     r = got[0]
     qi = round(math.log(40 / 2) * 1000)
     assert r["dot"] == 40 * 40 * qi * qi + 39 * 39 * qi * qi
+
+
+def test_boilerplate_row_grain_and_trim(ray_session, tmp_path, monkeypatch):
+    """Intra-turn repeats count once; duplicate rows count separately;
+    trim is space-only (a tab-indented line stays distinct)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    tab = pa.table({"text": ["A\nA\n B ", "A\n\tA", "A\n B", None]})
+    p = tmp_path / "shard.parquet"
+    pq.write_table(tab, str(p))
+    monkeypatch.setattr(q, "transcript_paths", lambda sf_dir: [str(p)])
+    got = {r["line"]: r["n_turns"]
+           for r in _tab(q.q_transcripts_boilerplate(str(tmp_path)))
+           .to_pylist()}
+    # threshold 1% of 4 rows → every line qualifies
+    assert got == {"A": 3,        # once per row, intra-row dedup
+                   "B": 2,        # ' B ' and ' B' both trim to B
+                   "\tA": 1}      # tab survives the space-only trim
