@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccurrence": q.q_events_cooccurrence,
         "documents_tfidf_pairs": q.q_documents_tfidf_pairs,
         "transcripts_boilerplate": q.q_transcripts_boilerplate,
+        "events_quantiles_cont": q.q_events_quantiles_cont,
+        "events_value_outliers": q.q_events_value_outliers,
     }
 
 
@@ -1744,5 +1746,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT line, CAST(COUNT(*) AS BIGINT) AS n_turns
             FROM d, tot GROUP BY line, tot.n
             HAVING CAST(COUNT(*) AS BIGINT) * 100 >= tot.n
+        """,
+        "events_quantiles_cont": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS q50,
+                   quantile_cont(value, 0.9) AS q90
+            FROM events GROUP BY event_type
+        """,
+        "events_value_outliers": """
+            WITH med AS (SELECT event_type,
+                                quantile_disc(value, 0.5) AS m
+                         FROM events GROUP BY 1),
+            dev AS (SELECT e.event_id, e.event_type, e.value,
+                           abs(e.value - med.m) AS d
+                    FROM events e JOIN med USING (event_type)),
+            mad AS (SELECT event_type, quantile_disc(d, 0.5) AS md
+                    FROM dev GROUP BY 1)
+            SELECT dev.event_id, dev.event_type, dev.value
+            FROM dev JOIN mad USING (event_type)
+            WHERE dev.d > 3 * mad.md
         """,
     }

@@ -3701,3 +3701,81 @@ def q_transcripts_boilerplate(sf_dir: str) -> Dataset:
                             pa.scalar(PCT_DEN, pa.int64())),
                 pa.scalar(n_rows, pa.int64())))),
         batch_format="pyarrow")
+
+
+def q_events_quantiles_cont(sf_dir: str) -> Dataset:
+    """Per-group INTERPOLATED quantiles (quantile_cont parity — the
+    continuous companion to events_grouped_quantiles), via
+    stages/quantiles.grouped_quantiles_cont; the interpolation operand
+    order replays DuckDB's own, so doubles hash-match bit-exact."""
+    from ..stages.quantiles import grouped_quantiles_cont
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return grouped_quantiles_cont(ds, "event_type", "value",
+                                  qs=(0.5, 0.9))
+
+
+def q_events_value_outliers(sf_dir: str) -> Dataset:
+    """Robust outlier detection (median / MAD — the curation-grade
+    outlier filter that, unlike z-scores, is immune to the outliers it
+    hunts): events with |value − median(type)| > 3·MAD(type).
+
+    Three bounded passes: (1) grouped exact median via the (value,
+    count) histogram, broadcast as a tiny per-type table; (2) absolute
+    deviations — vectorized dictionary-index lookup, no join — feed the
+    same histogram machinery for MAD; (3) one filter scan against the
+    broadcast thresholds.  Every exchange moves (type, value, count)
+    histogram rows; raw events never shuffle.  All value arithmetic is
+    the same double ops the SQL twin runs, in the same order."""
+    import numpy as np
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    cols = ["event_id", "event_type", "value"]
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=cols)
+
+    def med_map(stage_ds):
+        tab = _small_table(grouped_exact_quantiles(
+            stage_ds.select_columns(["event_type", "value"]),
+            "event_type", "value", qs=(0.5,)))
+        return {r["event_type"]: r["q50"] for r in tab.to_pylist()} \
+            if tab is not None else {}
+
+    med = med_map(ds)
+    med_ref = ray.put(med)
+
+    def add_dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        types = b.column("event_type").combine_chunks() \
+            .dictionary_encode()
+        lut = np.array([m[t] for t in types.dictionary.to_pylist()],
+                       np.float64) if len(types.dictionary) else \
+            np.array([], np.float64)
+        mv = lut[types.indices.to_numpy(zero_copy_only=False)] \
+            if b.num_rows else np.array([], np.float64)
+        dev = np.abs(b.column("value").combine_chunks()
+                     .to_numpy(zero_copy_only=False) - mv)
+        return b.append_column("dev", pa.array(dev, pa.float64()))
+
+    dev_ds = ds.map_batches(add_dev, batch_format="pyarrow")
+    mad_tab = _small_table(grouped_exact_quantiles(
+        dev_ds.select_columns(["event_type", "dev"]),
+        "event_type", "dev", qs=(0.5,)))
+    mad = {r["event_type"]: r["q50"] for r in mad_tab.to_pylist()} \
+        if mad_tab is not None else {}
+    mad_ref = ray.put(mad)
+
+    def keep_outliers(b: pa.Table) -> pa.Table:
+        md = ray.get(mad_ref)
+        types = b.column("event_type").combine_chunks() \
+            .dictionary_encode()
+        lut = np.array([3.0 * md[t] for t in
+                        types.dictionary.to_pylist()], np.float64) \
+            if len(types.dictionary) else np.array([], np.float64)
+        thr = lut[types.indices.to_numpy(zero_copy_only=False)] \
+            if b.num_rows else np.array([], np.float64)
+        dev = b.column("dev").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(dev > thr)).select(cols)
+
+    return dev_ds.map_batches(keep_outliers, batch_format="pyarrow")

@@ -131,6 +131,48 @@ def grouped_exact_quantiles(ds: Dataset, key: str, col: str,
     return counts.groupby(key).map_groups(pick, batch_format="pyarrow")
 
 
+def grouped_quantiles_cont(ds: Dataset, key: str, col: str,
+                           qs: tuple[float, ...] = (0.5, 0.9)) -> Dataset:
+    """Per-group INTERPOLATED quantiles (DuckDB ``quantile_cont``
+    parity) from the same keyed (value, count) histogram: rank h =
+    (n−1)·q, result = lo·(1−frac) + hi·frac — that operand order is
+    DuckDB's own (``lo + (hi−lo)·frac`` differs in the last ulp and
+    fails the hash gate; verified empirically on DOUBLE columns).
+    Bounded-domain requirement as :func:`grouped_exact_quantiles`."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.select([key, col]).filter(pc.is_valid(b.column(col)))
+        g = t.group_by([key, col]).aggregate([(col, "count")])
+        return g.rename_columns([key, "value", "p_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby([key, "value"]).aggregate(Sum("p_n", alias_name="n"))
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
+    qarr = np.array(qs, np.float64)
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("value", "ascending")])
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        h = (total - 1) * qarr
+        lo_idx = np.floor(h).astype(np.int64)
+        frac = h - lo_idx
+        hi_idx = np.minimum(lo_idx + 1, total - 1)
+        lo = vals[np.searchsorted(cum, lo_idx, side="right")]
+        hi = vals[np.searchsorted(cum, hi_idx, side="right")]
+        interp = lo * (1.0 - frac) + hi * frac
+        out = {key: g.column(key).slice(0, 1)}
+        for name, v in zip(q_names, interp):
+            out[name] = pa.array([float(v)], pa.float64())
+        return pa.table(out)
+
+    return counts.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
 class TDigest:
     """Minimal mergeable t-digest (scale function k1, Dunning & Ertl).
     Centroids are (mean, weight); compression bounds centroid count to

@@ -143,3 +143,50 @@ def test_boilerplate_row_grain_and_trim(ray_session, tmp_path, monkeypatch):
     assert got == {"A": 3,        # once per row, intra-row dedup
                    "B": 2,        # ' B ' and ' B' both trim to B
                    "\tA": 1}      # tab survives the space-only trim
+
+
+def test_quantiles_cont_interpolation_matches_duckdb(ray_session,
+                                                     tmp_path):
+    """quantile_cont operand order (lo·(1−frac) + hi·frac) on values
+    where lo + (hi−lo)·frac differs in the last ulp, plus the n=1
+    degenerate group (frac irrelevant, lo == hi)."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.quantiles import grouped_quantiles_cont
+
+    vals = [449.71, 449.84, 12.07, 383.2, 0.13, 7.77]
+    tab = pa.table({"g": ["a"] * 6 + ["b"],
+                    "v": pa.array(vals + [42.5], pa.float64())})
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    got = _tab(grouped_quantiles_cont(ds, "g", "v", qs=(0.33, 0.9))) \
+        .sort_by("g")
+    duck = duckdb.sql(
+        "SELECT g, quantile_cont(v, 0.33) q33, quantile_cont(v, 0.9) q90 "
+        "FROM tab GROUP BY g ORDER BY g").fetchall()
+    for row, (g, q33, q90) in zip(got.to_pylist(), duck):
+        assert row["g"] == g
+        assert row["q33"] == q33 and row["q90"] == q90  # bit-exact
+
+
+def test_value_outliers_mad_known_values(ray_session, tmp_path):
+    """9 values at 10±ε plus one at 1000: median 10, MAD small, only
+    the 1000 survives; a constant group (MAD 0) flags everything
+    off-median and nothing at it (strict >)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0]
+    tab = pa.table({
+        "event_id": pa.array(range(14), pa.int64()),
+        "event_type": ["a"] * 10 + ["c"] * 4,
+        "value": pa.array(vals + [5.0, 5.0, 5.0, 6.0], pa.float64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = _tab(q.q_events_value_outliers(str(tmp_path))).sort_by(
+        "event_id").to_pylist()
+    ids = [r["event_id"] for r in got]
+    # group a: median 10, MAD = median(|v-10|) = 0.5 → thr 1.5;
+    # only 1000.0 (id 9) exceeds it.  group c: median 5, MAD 0 →
+    # 6.0 (id 13) is an outlier, the 5.0s are not (strict >).
+    assert ids == [9, 13]
