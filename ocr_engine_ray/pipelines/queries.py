@@ -3566,11 +3566,18 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
     term), so the DuckDB twin replays it bit-exact.
 
     Scale shape: per-doc bigram tf partials (vectorized, terms.py),
-    ONE groupby(term) to get df + quantized idf, a df-cap filter (df ≤
-    5 % of docs) that bounds every posting list — the stop-term prune
-    that keeps the pair fanout at Σ_t df_t² ≤ cap·Σ df_t instead of
-    quadratic in hot terms — then the self join on term and a pair-key
-    aggregate.  No driver state beyond the doc count scalar."""
+    then ONE groupby(term) whose in-group row count IS the term's df —
+    so the df pass, the idf join and the posting self-join all
+    disappear: each term group either fails the df cap (df > 5 % of
+    docs, the stop-term prune that bounds every posting list) and
+    emits nothing, or expands its ≤ cap postings to weighted pairs
+    with one vectorized triu_indices, computing qi from its own row
+    count.  A per-batch partial pair combine then keeps the final
+    (doc_a, doc_b) exchange to one row per pair per block.  An earlier
+    revision expressed the same plan as tf ⋈ idf ⋈ tf hash joins —
+    40× slower at sf0.1 (join-operator overhead dominates; the
+    map_groups form moves each posting row through exactly one
+    exchange)."""
     import numpy as np
 
     from ..stages.terms import _bigram_parts, _tokens
@@ -3597,57 +3604,50 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
 
     # documents.parquet rows are whole docs, so per-batch (doc, term)
     # counts are already final — no cross-batch tf combine needed
-    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        g = b.select(["term"]).group_by("term") \
-            .aggregate([("term", "count")])
-        return g.rename_columns(["term", "p_df"])
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "p_w": pa.array([], pa.int64())})
 
-    df = tf.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("p_df", alias_name="df"))
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        df = g.num_rows
+        if df < 2 or df * DF_CAP_DEN > n_docs:
+            return empty_pairs
+        qi = np.int64(round_sql_f(float(np.log(n_docs / df)) * 1000.0, 0))
+        g = g.sort_by([("doc_id", "ascending")])
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = g.column("tf").to_numpy(zero_copy_only=False)
+        a, b = np.triu_indices(df, k=1)
+        return pa.table({
+            "doc_a": pa.array(ids[a], pa.int64()),
+            "doc_b": pa.array(ids[b], pa.int64()),
+            "p_w": pa.array(tfs[a] * tfs[b] * qi * qi, pa.int64()),
+        })
 
-    def weight(b: pa.Table) -> pa.Table:
-        dfv = b.column("df").to_numpy(zero_copy_only=False)
-        keep = dfv * DF_CAP_DEN <= n_docs
-        f = b.filter(pa.array(keep))
-        qi = np.array([round_sql_f(v, 0) for v in
-                       np.log(n_docs / dfv[keep].astype(np.float64))
-                       * 1000.0], np.int64) if keep.any() else \
-            np.array([], np.int64)
-        return pa.table({"term": f.column("term"),
-                         "qi": pa.array(qi, pa.int64())})
+    pairs = tf.groupby("term").map_groups(expand_pairs,
+                                          batch_format="pyarrow") \
+        .materialize()
 
-    idf = with_schema(
-        df.map_batches(weight, batch_format="pyarrow"),
-        pa.schema([("term", pa.string()), ("qi", pa.int64())]))
-    # join partitions that end up EMPTY lose their schema (Ray 2.49
-    # hash-shuffle blocks) and crash a downstream join's Acero plan —
-    # repair with with_schema before self-joining (util.with_schema note)
-    w = with_schema(
-        tf.join(idf, join_type="inner", num_partitions=8, on=("term",)),
-        pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
-                   ("tf", pa.int64()), ("qi", pa.int64())]))
+    # combine strategy mirrors conv_rollup's tree/shuffle split: the
+    # candidate-pair table is usually small (df-capped), and Ray's
+    # sort-shuffle Aggregate costs ~0.5 s/block in fixed overhead —
+    # tree_combine is 3× faster end-to-end at sf0.1.  Above the cap
+    # (pairs no longer fit one combine task) the shuffle path takes
+    # over with identical semantics.
+    PAIR_TREE_MAX = 5_000_000
+    if pairs.count() <= PAIR_TREE_MAX:
+        out = _tree_combine(pairs, ["doc_a", "doc_b"], [("p_w", "sum")],
+                            ["doc_a", "doc_b", "p_w"],
+                            ["doc_a", "doc_b", "dot"])
+    else:
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(["doc_a", "doc_b"]).aggregate([("p_w", "sum")])
+            return g.rename_columns(["doc_a", "doc_b", "p_w"])
 
-    w_b = w.map_batches(
-        lambda b: pa.table({"doc_b": b.column("doc_id"),
-                            "term": b.column("term"),
-                            "tf_b": b.column("tf")}),
-        batch_format="pyarrow")
-    j = w.join(w_b, join_type="inner", num_partitions=8, on=("term",))
-
-    def pair_partial(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.less(b.column("doc_id"), b.column("doc_b")))
-        wgt = pc.multiply(pc.multiply(f.column("tf"), f.column("tf_b")),
-                          pc.multiply(f.column("qi"), f.column("qi")))
-        g = pa.table({"doc_a": f.column("doc_id"),
-                      "doc_b": f.column("doc_b"),
-                      "w": wgt}).group_by(["doc_a", "doc_b"]) \
-            .aggregate([("w", "sum")])
-        return g.rename_columns(["doc_a", "doc_b", "p_w"])
-
-    out = j.map_batches(pair_partial, batch_format="pyarrow") \
-        .groupby(["doc_a", "doc_b"]).aggregate(Sum("p_w", alias_name="dot"))
+        out = pairs.map_batches(pair_partial, batch_format="pyarrow") \
+            .groupby(["doc_a", "doc_b"]) \
+            .aggregate(Sum("p_w", alias_name="dot"))
     return out.map_batches(
         lambda b: (lambda f: pa.table(
             {"doc_a": f.column("doc_a"), "doc_b": f.column("doc_b"),
@@ -3655,7 +3655,6 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
             b.filter(pc.greater_equal(
                 b.column("dot"), pa.scalar(DOT_MIN, pa.int64())))),
         batch_format="pyarrow")
-
 
 def q_transcripts_boilerplate(sf_dir: str) -> Dataset:
     """Corpus-level boilerplate line mining (the trafilatura-style
