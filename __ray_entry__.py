@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_boilerplate": q.q_transcripts_boilerplate,
         "events_quantiles_cont": q.q_events_quantiles_cont,
         "events_value_outliers": q.q_events_value_outliers,
+        "events_approx_distinct_per_type":
+            q.q_events_approx_distinct_per_type,
     }
 
 

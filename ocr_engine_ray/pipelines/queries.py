@@ -3778,3 +3778,18 @@ def q_events_value_outliers(sf_dir: str) -> Dataset:
         return b.filter(pa.array(dev > thr)).select(cols)
 
     return dev_ds.map_batches(keep_outliers, batch_format="pyarrow")
+
+
+def q_events_approx_distinct_per_type(sf_dir: str) -> pa.Table:
+    """GROUPED approximate COUNT(DISTINCT users) per event type via
+    per-group mergeable HLL sketches (stages/sketches.py) — the
+    fixed-memory scale path beside the exact
+    events_distinct_users_per_type: the exchange carries one 4 KB
+    sketch per (batch, type) however many distinct users a type has.
+    Rows-only driver check (approximate by construction); the <5 %
+    error bound against the exact twin is pytest-pinned."""
+    from ..stages.sketches import approx_distinct_per_group
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ds, "event_type", "user_id")

@@ -190,3 +190,69 @@ def test_value_outliers_mad_known_values(ray_session, tmp_path):
     # only 1000.0 (id 9) exceeds it.  group c: median 5, MAD 0 →
     # 6.0 (id 13) is an outlier, the 5.0s are not (strict >).
     assert ids == [9, 13]
+
+
+def test_grouped_hll_error_bound(ray_session, tmp_path):
+    """Per-group HLL estimates within 5% of exact on skewed group
+    sizes (10 vs 5000 distinct), and merge-order-independent."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.sketches import approx_distinct_per_group
+
+    rng = np.random.default_rng(11)
+    small = rng.choice(10, 4000)
+    big = rng.choice(5000, 40000)
+    tab = pa.table({
+        "g": ["s"] * 4000 + ["b"] * 40000,
+        "v": pa.array(np.concatenate([small, big]), pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    got = {r["g"]: r["approx_distinct"]
+           for r in approx_distinct_per_group(ds, "g", "v").to_pylist()}
+    exact = {"s": len(set(small.tolist())), "b": len(set(big.tolist()))}
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
+
+
+def test_quantile_conventions_random_vs_duckdb(ray_session, tmp_path):
+    """Randomized pin of BOTH quantile conventions (disc = ceil(nq)−1
+    element pick, cont = lo·(1−frac)+hi·frac interpolation) against
+    DuckDB across group sizes including 1, 2 and duplicate-heavy
+    domains — the convention class that shipped a silent off-by-one
+    until events' near-unique domain exposed it."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.quantiles import (
+        grouped_exact_quantiles, grouped_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(23)
+    gs, vs = [], []
+    for gi, size in enumerate([1, 2, 3, 7, 50, 333]):
+        gs += [f"g{gi}"] * size
+        # mix near-unique doubles and heavy duplicates
+        pool = rng.uniform(0, 100, max(2, size // 3)).round(2)
+        vs += rng.choice(pool, size).tolist()
+    tab = pa.table({"g": gs, "v": pa.array(vs, pa.float64())})
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    qs = (0.01, 0.25, 0.5, 0.77, 0.9, 0.99)
+    sel_d = ", ".join(f"quantile_disc(v, {q}) AS q{i}"
+                      for i, q in enumerate(qs))
+    sel_c = ", ".join(f"quantile_cont(v, {q}) AS q{i}"
+                      for i, q in enumerate(qs))
+    duck_d = {r[0]: r[1:] for r in duckdb.sql(
+        f"SELECT g, {sel_d} FROM tab GROUP BY g").fetchall()}
+    duck_c = {r[0]: r[1:] for r in duckdb.sql(
+        f"SELECT g, {sel_c} FROM tab GROUP BY g").fetchall()}
+    names = [f"q{int(round(q * 100))}" for q in qs]
+    got_d = {r["g"]: tuple(r[n] for n in names) for r in
+             _tab(grouped_exact_quantiles(ds, "g", "v", qs=qs)).to_pylist()}
+    got_c = {r["g"]: tuple(r[n] for n in names) for r in
+             _tab(grouped_quantiles_cont(ds, "g", "v", qs=qs)).to_pylist()}
+    assert got_d == duck_d          # element picks: exact equality
+    assert got_c == duck_c          # interpolation: bit-exact doubles
