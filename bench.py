@@ -112,6 +112,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_funnel(sf_dir).num_rows)
     timed("events_tumbling_daily",
           lambda: q.q_events_tumbling_daily(sf_dir).num_rows)
+    timed("documents_tfidf_pairs",
+          lambda: q.q_documents_tfidf_pairs(sf_dir).count())
+    timed("transcripts_boilerplate",
+          lambda: q.q_transcripts_boilerplate(sf_dir).count())
+    timed("events_value_outliers",
+          lambda: q.q_events_value_outliers(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

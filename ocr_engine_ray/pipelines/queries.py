@@ -3465,9 +3465,11 @@ def q_events_rolling_distinct(sf_dir: str) -> Dataset:
         return pa.table({"user_id": b.column("user_id"), "day": day}) \
             .group_by(["user_id", "day"]).aggregate([])
 
+    # pairs feed BOTH the observed-day set and the fan-out — pin them
+    # once or the read + dedupe exchange re-executes per consumer
     pairs = ds.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby(["user_id", "day"]).aggregate(
-            Count("user_id", alias_name="_n"))
+            Count("user_id", alias_name="_n")).materialize()
 
     days_tab = _small_table(
         pairs.map_batches(lambda b: b.select(["day"]).group_by("day")
