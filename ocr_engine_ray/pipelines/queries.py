@@ -3389,36 +3389,52 @@ def q_events_heavy_hitters(sf_dir: str) -> Dataset:
     def local_heavy(b: pa.Table) -> pa.Table:
         bucket = pc.cast(pc.floor(pc.divide(
             b.column("value"), pa.scalar(10.0))), pa.int64())
-        g = pa.table({"bucket": bucket}).group_by("bucket") \
-            .aggregate([("bucket", "count")])
+        # ones-sum, not count(bucket): the twin's COUNT(*) counts the
+        # NULL bucket too (floor(NULL/10) groups as NULL), and count()
+        # over the group key would report that group as 0
+        g = pa.table({"bucket": bucket,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by("bucket").aggregate([("one", "sum")])
         keep = pc.greater_equal(
-            pc.multiply(g.column("bucket_count"),
+            pc.multiply(g.column("one_sum"),
                         pa.scalar(THRESH_DEN, pa.int64())),
             pa.scalar(b.num_rows, pa.int64()))
         return pa.table({"bucket": g.filter(keep).column("bucket")})
 
-    cand_tab = _small_table(
+    # with_schema: a shuffle partition holding ONLY the null-bucket
+    # group comes back as a bucket:null-typed block that breaks the
+    # concat (and any downstream join) — pin int64
+    cand_tab = _small_table(with_schema(
         ds.map_batches(local_heavy, batch_format="pyarrow")
-        .groupby("bucket").aggregate(Count("bucket", alias_name="_n")))
-    candidates = (sorted(cand_tab.column("bucket").to_pylist())
-                  if cand_tab is not None else [])
-    cand_ref = ray.put(candidates)
+        .groupby("bucket").aggregate(Count("bucket", alias_name="_n")),
+        pa.schema([("bucket", pa.int64()), ("_n", pa.int64())])))
+    cand_vals = (cand_tab.column("bucket").to_pylist()
+                 if cand_tab is not None else [])
+    null_cand = None in cand_vals
+    candidates = sorted(v for v in cand_vals if v is not None)
+    cand_ref = ray.put((candidates, null_cand))
 
     def exact_counts(b: pa.Table) -> pa.Table:
-        cand = ray.get(cand_ref)
+        cand, null_ok = ray.get(cand_ref)
         bucket = pc.cast(pc.floor(pc.divide(
             b.column("value"), pa.scalar(10.0))), pa.int64())
-        t = pa.table({"bucket": bucket})
-        hit = t.filter(pc.is_in(bucket, value_set=pa.array(cand, pa.int64())))
-        g = hit.group_by("bucket").aggregate([("bucket", "count")])
+        mask = pc.is_in(bucket, value_set=pa.array(cand, pa.int64()))
+        if null_ok:
+            mask = pc.or_kleene(mask, pc.is_null(bucket))
+        t = pa.table({"bucket": bucket,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .filter(pc.fill_null(mask, False))
+        g = t.group_by("bucket").aggregate([("one", "sum")])
         return g.rename_columns(["bucket", "p_n"])
 
     n_total = ds.count()
-    agg = ds.map_batches(exact_counts, batch_format="pyarrow") \
-        .groupby("bucket").aggregate(Sum("p_n", alias_name="n"))
+    agg = with_schema(
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("bucket", pa.int64()), ("n", pa.int64())]))
     return agg.map_batches(
         lambda b: (lambda f: pa.table(
-            {"bucket": f.column("bucket"),
+            {"bucket": pc.cast(f.column("bucket"), pa.int64()),
              "n_occurrences": pc.cast(f.column("n"), pa.int64())}))(
             b.filter(pc.greater_equal(
                 pc.multiply(b.column("n"),
@@ -3458,10 +3474,8 @@ def q_events_rolling_distinct(sf_dir: str) -> Dataset:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        day = pc.multiply(pc.cast(pc.floor(pc.divide(
-            pc.cast(b.column("ts"), pa.int64()),
-            pa.scalar(float(DAY_US)))), pa.int64()),
-            pa.scalar(DAY_US, pa.int64()))
+        day = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                      pa.int64())
         return pa.table({"user_id": b.column("user_id"), "day": day}) \
             .group_by(["user_id", "day"]).aggregate([])
 
@@ -3521,8 +3535,6 @@ def q_events_cooccurrence(sf_dir: str) -> Dataset:
     per-user fanout is bounded by the type domain), filter to a < b,
     and a partial-agg count per pair.  The pair grid is domain², tiny,
     so the final aggregate is a broadcast-scale reduce."""
-    from ..util import with_schema
-
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_type"])
 
@@ -3734,7 +3746,13 @@ def q_events_value_outliers(sf_dir: str) -> Dataset:
     from ..stages.quantiles import grouped_exact_quantiles
 
     cols = ["event_id", "event_type", "value"]
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=cols)
+    # NULL values can never be outliers (the twin's abs(v−m) and d > 3·MAD
+    # comparisons are NULL → dropped), and dropping them up front also
+    # keeps the median lookup total: a type whose values are ALL NULL
+    # has no median, and after this filter no rows to look one up for
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=cols) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b.column("value"))),
+                     batch_format="pyarrow")
 
     def med_map(stage_ds):
         tab = _small_table(grouped_exact_quantiles(

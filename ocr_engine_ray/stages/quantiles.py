@@ -89,43 +89,68 @@ def exact_quantiles(ds: Dataset, cols: list[str],
                         for name in q_names}})
 
 
+def _keyed_histogram(ds: Dataset, key: str, col: str) -> Dataset:
+    """Shared (key, value, count) histogram exchange for the grouped
+    quantile family: one row per distinct (key, value) per batch.
+    Rows whose value is NULL ride along with p_n = 0 — zero quantile
+    weight, but they keep an all-NULL group PRESENT so the pick stage
+    can emit the NULL-quantile row DuckDB's GROUP BY emits (dropping
+    the key entirely would be a row-count mismatch against any oracle
+    on a nullable column)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key, col])
+        # count(col) per (key, col) group: the NULL-value group counts 0
+        g = t.group_by([key, col]).aggregate([(col, "count")])
+        return g.rename_columns([key, "value", "p_n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby([key, "value"]).aggregate(Sum("p_n", alias_name="n"))
+
+
+def _split_valid(g: pa.Table):
+    """(sorted valid-value rows, cum counts, total) for a pick stage;
+    total == 0 means the group's values are all NULL."""
+    import pyarrow.compute as pc
+
+    v = g.filter(pc.and_kleene(pc.is_valid(g.column("value")),
+                               pc.greater(g.column("n"), 0)))
+    v = v.sort_by([("value", "ascending")])
+    n = v.column("n").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(n) if len(n) else np.zeros(0, np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    return v, cum, total
+
+
 def grouped_exact_quantiles(ds: Dataset, key: str, col: str,
                             qs: tuple[float, ...] = (0.25, 0.5, 0.75)
                             ) -> Dataset:
     """Per-group exact ``quantile_disc`` (one output row per key) via
     the same (value, count) histogram exchange as
-    :func:`exact_quantiles`, but keyed: the shuffle moves one
-    (key, value, count) row per distinct (key, value) per batch, and
-    the quantile pick runs VECTORIZED inside each key's group
+    :func:`exact_quantiles`, but keyed (:func:`_keyed_histogram`); the
+    quantile pick runs VECTORIZED inside each key's group
     (sort_by + cumsum + searchsorted — no per-key Python beyond the
     map_groups dispatch).  Same bounded-domain requirement per group;
-    NULLs excluded like quantile_disc."""
-
-    def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = b.select([key, col]).filter(pc.is_valid(b.column(col)))
-        g = t.group_by([key, col]).aggregate([(col, "count")])
-        return g.rename_columns([key, "value", "p_n"])
-
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-               .groupby([key, "value"]).aggregate(Sum("p_n", alias_name="n"))
+    NULL values excluded like quantile_disc, all-NULL groups emit the
+    NULL-quantile row DuckDB does."""
+    counts = _keyed_histogram(ds, key, col)
     q_names = [f"q{int(round(q * 100))}" for q in qs]
     qarr = np.array(qs, np.float64)
 
     def pick(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("value", "ascending")])
-        n = g.column("n").to_numpy(zero_copy_only=False)
-        cum = np.cumsum(n)
-        total = int(cum[-1])
+        v, cum, total = _split_valid(g)
+        out = {key: g.column(key).slice(0, 1)}
+        if total == 0:
+            for name in q_names:
+                out[name] = pa.array([None], pa.float64())
+            return pa.table(out)
         # quantile_disc: element at ceil(total*q)-1 of the sorted
         # multiset; the row holding rank r is the first with cum > r
         idx = np.ceil(total * qarr).astype(np.int64) - 1
         rows = np.searchsorted(cum, idx, side="right")
-        vals = g.column("value").to_numpy(zero_copy_only=False)[rows]
-        out = {key: g.column(key).slice(0, 1)}
-        for name, v in zip(q_names, vals):
-            out[name] = pa.array([float(v)], pa.float64())
+        vals = v.column("value").to_numpy(zero_copy_only=False)[rows]
+        for name, val in zip(q_names, vals):
+            out[name] = pa.array([float(val)], pa.float64())
         return pa.table(out)
 
     return counts.groupby(key).map_groups(pick, batch_format="pyarrow")
@@ -134,30 +159,24 @@ def grouped_exact_quantiles(ds: Dataset, key: str, col: str,
 def grouped_quantiles_cont(ds: Dataset, key: str, col: str,
                            qs: tuple[float, ...] = (0.5, 0.9)) -> Dataset:
     """Per-group INTERPOLATED quantiles (DuckDB ``quantile_cont``
-    parity) from the same keyed (value, count) histogram: rank h =
-    (n−1)·q, result = lo·(1−frac) + hi·frac — that operand order is
-    DuckDB's own (``lo + (hi−lo)·frac`` differs in the last ulp and
-    fails the hash gate; verified empirically on DOUBLE columns).
-    Bounded-domain requirement as :func:`grouped_exact_quantiles`."""
-
-    def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = b.select([key, col]).filter(pc.is_valid(b.column(col)))
-        g = t.group_by([key, col]).aggregate([(col, "count")])
-        return g.rename_columns([key, "value", "p_n"])
-
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-               .groupby([key, "value"]).aggregate(Sum("p_n", alias_name="n"))
+    parity) from the same keyed histogram (:func:`_keyed_histogram`):
+    rank h = (n−1)·q, result = lo·(1−frac) + hi·frac — that operand
+    order is DuckDB's own (``lo + (hi−lo)·frac`` differs in the last
+    ulp and fails the hash gate; verified empirically on DOUBLE
+    columns).  Bounded-domain + NULL semantics as
+    :func:`grouped_exact_quantiles`."""
+    counts = _keyed_histogram(ds, key, col)
     q_names = [f"q{int(round(q * 100))}" for q in qs]
     qarr = np.array(qs, np.float64)
 
     def pick(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("value", "ascending")])
-        n = g.column("n").to_numpy(zero_copy_only=False)
-        cum = np.cumsum(n)
-        total = int(cum[-1])
-        vals = g.column("value").to_numpy(zero_copy_only=False)
+        v, cum, total = _split_valid(g)
+        out = {key: g.column(key).slice(0, 1)}
+        if total == 0:
+            for name in q_names:
+                out[name] = pa.array([None], pa.float64())
+            return pa.table(out)
+        vals = v.column("value").to_numpy(zero_copy_only=False)
         h = (total - 1) * qarr
         lo_idx = np.floor(h).astype(np.int64)
         frac = h - lo_idx
@@ -165,9 +184,8 @@ def grouped_quantiles_cont(ds: Dataset, key: str, col: str,
         lo = vals[np.searchsorted(cum, lo_idx, side="right")]
         hi = vals[np.searchsorted(cum, hi_idx, side="right")]
         interp = lo * (1.0 - frac) + hi * frac
-        out = {key: g.column(key).slice(0, 1)}
-        for name, v in zip(q_names, interp):
-            out[name] = pa.array([float(v)], pa.float64())
+        for name, val in zip(q_names, interp):
+            out[name] = pa.array([float(val)], pa.float64())
         return pa.table(out)
 
     return counts.groupby(key).map_groups(pick, batch_format="pyarrow")

@@ -116,16 +116,23 @@ def approx_distinct_per_group(ds: Dataset, key: str, col: str,
     import pyarrow.compute as pc
 
     def sketch_batch(b: pa.Table) -> pa.Table:
-        keys_arr = b.column(key).combine_chunks()
-        uniq = pc.unique(keys_arr)
+        import numpy as np
+
+        keys_arr = b.column(key).combine_chunks().dictionary_encode()
+        idx = keys_arr.indices.to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_pylist()
+        # one stable argsort groups the batch by key; each key's value
+        # slice feeds its sketch in a single pass (no per-key re-scan)
+        order = np.argsort(idx, kind="stable")
+        bounds = np.flatnonzero(np.diff(idx[order], prepend=-1))
         out_k, out_s = [], []
-        for k in uniq.to_pylist():
+        dict_vals = keys_arr.dictionary.to_pylist()
+        for s, e in zip(bounds, np.append(bounds[1:], len(order))):
             h = HyperLogLog(p)
-            vals = b.filter(pc.equal(keys_arr, k)).column(col)
-            h.add_strings([str(v) for v in vals.to_pylist()])
-            out_k.append(k)
+            h.add_strings([str(vals[i]) for i in order[s:e]])
+            out_k.append(dict_vals[idx[order[s]]])
             out_s.append(h.serialize())
-        return pa.table({key: pa.array(out_k, keys_arr.type),
+        return pa.table({key: pa.array(out_k, keys_arr.dictionary.type),
                          "sketch": pa.array(out_s, pa.binary())})
 
     def merge_group(g: pa.Table) -> pa.Table:

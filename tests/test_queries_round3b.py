@@ -1,8 +1,10 @@
-"""Round-3 second-batch operators: two-pass exact heavy hitters,
-grouped quantiles, rolling distinct, co-occurrence, TF-IDF pair join.
-Each test pins the edge its sf0.01 oracle corpus may not exercise
-(candidate superset under adversarial batching, upper-tail quantile
-rank, single-day windows, empty pair grids)."""
+"""Round-3 THIRD-batch operators: two-pass exact heavy hitters,
+grouped quantiles (disc + cont), rolling distinct, co-occurrence,
+TF-IDF pair join, transcript boilerplate mining, median/MAD outliers,
+grouped HLL.  Each test pins the edge the sf0.01 oracle corpus may
+not exercise (candidate superset under adversarial batching, quantile
+rank/interpolation conventions, NULL domains, single-day windows,
+df-cap pruning, row-grain dedup)."""
 
 import math
 
@@ -256,3 +258,55 @@ def test_quantile_conventions_random_vs_duckdb(ray_session, tmp_path):
              _tab(grouped_quantiles_cont(ds, "g", "v", qs=qs)).to_pylist()}
     assert got_d == duck_d          # element picks: exact equality
     assert got_c == duck_c          # interpolation: bit-exact doubles
+
+
+def test_grouped_quantiles_all_null_group_matches_duckdb(ray_session,
+                                                         tmp_path):
+    """A key whose values are ALL NULL must still emit its GROUP BY
+    row (NULL quantiles), like DuckDB — dropping the key is a
+    row-count mismatch on nullable columns."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.quantiles import (
+        grouped_exact_quantiles, grouped_quantiles_cont,
+    )
+
+    tab = pa.table({"g": ["a", "a", "n", "n"],
+                    "v": pa.array([1.0, 3.0, None, None], pa.float64())})
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    for fn, duck_fn in [(grouped_exact_quantiles, "quantile_disc"),
+                        (grouped_quantiles_cont, "quantile_cont")]:
+        got = {r["g"]: r["q50"] for r in
+               _tab(fn(ds, "g", "v", qs=(0.5,))).to_pylist()}
+        duck = {r[0]: r[1] for r in duckdb.sql(
+            f"SELECT g, {duck_fn}(v, 0.5) FROM tab GROUP BY g").fetchall()}
+        assert got == duck and got["n"] is None
+
+
+def test_outliers_and_heavy_hitters_null_values(ray_session, tmp_path):
+    """NULL event values: outliers drops them (NULL comparisons are
+    never outliers, and an all-NULL type must not crash the median
+    lookup); heavy hitters counts the NULL bucket exactly as the
+    twin's COUNT(*) GROUP BY does."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    vals = [5.0] * 6 + [None] * 6 + [1000.0] + \
+        [2000.0 + i for i in range(7)]
+    tab = pa.table({
+        "event_id": pa.array(range(20), pa.int64()),
+        "event_type": ["a"] * 13 + ["nul"] * 7,
+        "value": pa.array(vals[:13] + [None] * 7, pa.float64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = _tab(q.q_events_value_outliers(str(tmp_path))).to_pylist()
+    # type a: median 5, MAD 0 → only 1000.0 flags; type nul all-NULL →
+    # no rows, no KeyError
+    assert [r["event_id"] for r in got] == [12]
+    hh = {r["bucket"]: r["n_occurrences"]
+          for r in _tab(q.q_events_heavy_hitters(str(tmp_path)))
+          .to_pylist()}
+    # 20 rows, THRESH 1/300 → every bucket qualifies: 6×bucket-0,
+    # 13×NULL, 1×bucket-100
+    assert hh == {0: 6, None: 13, 100: 1}
