@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q.q_events_value_outliers,
         "events_approx_distinct_per_type":
             q.q_events_approx_distinct_per_type,
+        "documents_containment_pairs": q.q_documents_containment_pairs,
+        "events_value_zscore": q.q_events_value_zscore,
     }
 
 
@@ -1767,5 +1769,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.event_id, dev.event_type, dev.value
             FROM dev JOIN mad USING (event_type)
             WHERE dev.d > 3 * mad.md
+        """,
+        "documents_containment_pairs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN s b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            j AS (SELECT inter.*, sa.n AS n_a, sb.n AS n_b
+                  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                             JOIN sizes sb ON inter.id_b = sb.doc_id)
+            SELECT id_a AS sub_id, id_b AS super_id, c AS n_shared
+            FROM j WHERE c = n_a
+            UNION ALL
+            SELECT id_b, id_a, c FROM j WHERE c = n_b
+        """,
+        "events_value_zscore": """
+            WITH m AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS s,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                                       * CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS s2
+                       FROM events WHERE value IS NOT NULL GROUP BY 1),
+            st AS (SELECT event_type, s / n / 100.0 AS mean,
+                          sqrt((n * s2 - s * s) / n / n / 10000.0) AS std
+                   FROM m)
+            SELECT e.event_id, e.event_type,
+                   (e.value - st.mean) / st.std AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE e.value IS NOT NULL AND st.std > 0.0
         """,
     }

@@ -3813,3 +3813,157 @@ def q_events_approx_distinct_per_type(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
     return approx_distinct_per_group(ds, "event_type", "user_id")
+
+
+def q_documents_containment_pairs(sf_dir: str) -> Dataset:
+    """Directional shingle-set CONTAINMENT (A ⊆ B): catches truncated /
+    prefix copies that symmetric jaccard-at-0.5 misses (a short doc
+    fully inside a long one can sit far below any symmetric threshold).
+    Emits (sub_id, super_id, n_shared) rows, both directions when the
+    sets are identical.
+
+    Same inverted-index discipline as jaccard_pairs/tfidf_pairs: word
+    3-gram shingle rows, in-group pair expansion per shingle (one
+    exchange — no posting self-join), adaptive tree/shuffle pair
+    combine, then two hash joins against the per-doc set sizes, where
+    |A∩B| = |A| is the vectorized containment test."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    sh = ds.map_batches(_doc_shingle_rows("doc_id"),
+                        batch_format="pyarrow").materialize()
+    sizes = with_schema(
+        sh.groupby("doc_id").aggregate(Count("sh", alias_name="n")),
+        pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
+
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64()),
+                            "p_c": pa.array([], pa.int64())})
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty_pairs
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[a], pa.int64()),
+                         "id_b": pa.array(ids[b], pa.int64()),
+                         "p_c": pa.array(np.ones(len(a), np.int64))})
+
+    pairs = sh.groupby("sh").map_groups(expand, batch_format="pyarrow") \
+        .materialize()
+    if pairs.count() <= 5_000_000:
+        inter = _tree_combine(pairs, ["id_a", "id_b"], [("p_c", "sum")],
+                              ["id_a", "id_b", "p_c"],
+                              ["id_a", "id_b", "c"])
+    else:
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(["id_a", "id_b"]).aggregate([("p_c", "sum")])
+            return g.rename_columns(["id_a", "id_b", "p_c"])
+
+        inter = pairs.map_batches(pair_partial, batch_format="pyarrow") \
+            .groupby(["id_a", "id_b"]) \
+            .aggregate(Sum("p_c", alias_name="c"))
+    inter = with_schema(inter, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("c", pa.int64())]))
+
+    sized = inter.join(
+        sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_a",)) \
+        .join(
+        sizes.map_batches(lambda b: b.rename_columns(["id_b", "n_b"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_b",))
+
+    def directional(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("c"), pa.int64())
+        fwd = b.filter(pc.equal(c, b.column("n_a")))
+        rev = b.filter(pc.equal(c, b.column("n_b")))
+        return pa.table({
+            "sub_id": pa.concat_arrays([
+                fwd.column("id_a").combine_chunks().cast(pa.int64()),
+                rev.column("id_b").combine_chunks().cast(pa.int64())]),
+            "super_id": pa.concat_arrays([
+                fwd.column("id_b").combine_chunks().cast(pa.int64()),
+                rev.column("id_a").combine_chunks().cast(pa.int64())]),
+            "n_shared": pa.concat_arrays([
+                fwd.column("c").combine_chunks().cast(pa.int64()),
+                rev.column("c").combine_chunks().cast(pa.int64())]),
+        })
+
+    return sized.map_batches(directional, batch_format="pyarrow")
+
+
+def q_events_value_zscore(sf_dir: str) -> Dataset:
+    """Grouped STANDARDIZATION (z-score per event type) — the
+    feature-normalization companion to the variance query, with the
+    per-row output the curation pipeline actually consumes.  Moments
+    travel as exact int64 cent partials (n, Σc, Σc²); mean/std/z are
+    then computed in the twin's own token order, so every double is
+    bit-identical.  One moment exchange + one broadcast + one scan."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("value")))
+        cents = scaled_int_sql(t.column("value"), 100.0)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "c": pa.array(cents, pa.int64()),
+                      "c2": pa.array(cents * cents, pa.int64())}) \
+            .group_by("event_type").aggregate(
+                [("c", "count"), ("c", "sum"), ("c2", "sum")])
+        return g.rename_columns(["event_type", "p_n", "p_s", "p_s2"])
+
+    mom_tab = _small_table(with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(
+            Sum("p_n", alias_name="n"), Sum("p_s", alias_name="s"),
+            Sum("p_s2", alias_name="s2")),
+        pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                   ("s", pa.int64()), ("s2", pa.int64())])))
+    stats = {}
+    if mom_tab is not None:
+        for r in mom_tab.to_pylist():
+            n, s, s2 = r["n"], r["s"], r["s2"]
+            # token order mirrors the twin: mean = s/n/100.0,
+            # var = (n*s2 - s*s)/n/n/10000.0, std = sqrt(var)
+            # float() BEFORE dividing: DuckDB casts the BIGINT operands
+            # to double and then divides; Python's int/int true division
+            # instead rounds the exact quotient — differs in the last
+            # ulp once the numerator passes 2^53
+            mean = float(s) / n / 100.0
+            var = float(n * s2 - s * s) / n / n / 10000.0
+            std = float(np.sqrt(var))
+            if std > 0.0:
+                stats[r["event_type"]] = (mean, std)
+    stats_ref = ray.put(stats)
+
+    def zscore(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        b = b.filter(pc.is_valid(b.column("value")))
+        types = b.column("event_type").combine_chunks().dictionary_encode()
+        dvals = types.dictionary.to_pylist()
+        keep_t = np.array([t in st for t in dvals], bool)
+        idx = types.indices.to_numpy(zero_copy_only=False)
+        if not keep_t.all():
+            b = b.filter(pa.array(keep_t[idx]))
+            types = b.column("event_type").combine_chunks() \
+                .dictionary_encode()
+            dvals = types.dictionary.to_pylist()
+            idx = types.indices.to_numpy(zero_copy_only=False)
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "z": pa.array([], pa.float64())})
+        means = np.array([st[t][0] for t in dvals], np.float64)[idx]
+        stds = np.array([st[t][1] for t in dvals], np.float64)[idx]
+        v = b.column("value").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "z": pa.array((v - means) / stds, pa.float64())})
+
+    return ds.map_batches(zscore, batch_format="pyarrow")

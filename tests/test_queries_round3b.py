@@ -310,3 +310,47 @@ def test_outliers_and_heavy_hitters_null_values(ray_session, tmp_path):
     # 20 rows, THRESH 1/300 → every bucket qualifies: 6×bucket-0,
     # 13×NULL, 1×bucket-100
     assert hh == {0: 6, None: 13, 100: 1}
+
+
+def test_containment_catches_truncated_copy(ray_session, tmp_path):
+    """A prefix copy whose symmetric jaccard is far below 0.5 is still
+    a containment hit; identical shingle sets emit both directions."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    base = " ".join(f"w{i}" for i in range(40))
+    prefix = " ".join(f"w{i}" for i in range(10))   # jaccard 8/38 ≈ 0.21
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [base, prefix, "x y z", "x y z"],
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = sorted((r["sub_id"], r["super_id"], r["n_shared"]) for r in
+                 _tab(q.q_documents_containment_pairs(str(tmp_path)))
+                 .to_pylist())
+    # 2 ⊆ 1 (8 shared 3-grams = all of doc 2's); 3 ≡ 4 → both ways
+    assert got == [(2, 1, 8), (3, 4, 1), (4, 3, 1)]
+
+
+def test_zscore_known_values_and_zero_variance(ray_session, tmp_path):
+    """z-scores on a known distribution; a zero-variance type emits no
+    rows (the twin's std > 0 gate); NULL values excluded."""
+    import math
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    tab = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "event_type": ["a"] * 4 + ["flat"] * 3,
+        "value": pa.array([1.0, 3.0, None, 5.0, 2.0, 2.0, 2.0],
+                          pa.float64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = {r["event_id"]: r["z"] for r in
+           _tab(q.q_events_value_zscore(str(tmp_path))).to_pylist()}
+    # type a: cents (100, 300, 500): mean 3.0, var = (3*350000-810000)/9/1e4
+    n, s, s2 = 3, 900, 350000
+    mean = float(s) / n / 100.0
+    std = math.sqrt(float(n * s2 - s * s) / n / n / 10000.0)
+    assert set(got) == {0, 1, 3}          # NULL and flat-type dropped
+    for eid, v in [(0, 1.0), (1, 3.0), (3, 5.0)]:
+        assert got[eid] == (v - mean) / std
