@@ -370,6 +370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_events_approx_distinct_per_type,
         "documents_containment_pairs": q.q_documents_containment_pairs,
         "events_value_zscore": q.q_events_value_zscore,
+        "documents_ngram_contamination":
+            q.q_documents_ngram_contamination,
+        "documents_token_budget_sample":
+            q.q_documents_token_budget_sample,
     }
 
 
@@ -1809,5 +1813,32 @@ def oracle_sql() -> dict[str, str]:
                    (e.value - st.mean) / st.std AS z
             FROM events e JOIN st USING (event_type)
             WHERE e.value IS NOT NULL AND st.std > 0.0
+        """,
+        "documents_ngram_contamination": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 4),
+                    i -> list_aggregate(toks[i:i+4], 'string_agg', ' '))))
+                    AS sh
+                  FROM d WHERE len(toks) >= 5),
+            b AS (SELECT doc_id AS bench_id, sh FROM s
+                  WHERE substr(md5(doc_id::VARCHAR || chr(31) || '7'),
+                               1, 8) <= '0ccccccc')
+            SELECT a.doc_id, CAST(COUNT(DISTINCT b.bench_id) AS BIGINT)
+                       AS n_bench
+            FROM s a JOIN b ON a.sh = b.sh AND a.doc_id <> b.bench_id
+            GROUP BY a.doc_id
+        """,
+        "documents_token_budget_sample": """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n_tokens,
+                              md5(doc_id::VARCHAR || chr(31) || '11') AS h
+                       FROM documents),
+            w AS (SELECT *, SUM(n_tokens) OVER (
+                      PARTITION BY source ORDER BY h, doc_id) AS cum
+                  FROM t)
+            SELECT doc_id, source, n_tokens FROM w WHERE cum <= 800
         """,
     }

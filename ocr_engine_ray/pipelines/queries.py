@@ -3967,3 +3967,128 @@ def q_events_value_zscore(sf_dir: str) -> Dataset:
                          "z": pa.array((v - means) / stds, pa.float64())})
 
     return ds.map_batches(zscore, batch_format="pyarrow")
+
+
+def _doc_kgram_rows(out_id: str, k: int):
+    """doc batch → (out_id, sh) distinct word-k-gram rows, VECTORIZED:
+    k shifted takes off the flat token array + one C-level
+    binary_join_element_wise (the generalization of _doc_shingle_rows'
+    3-gram, without its per-row Python loop)."""
+    import numpy as np
+
+    from ..stages.terms import _tokens
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({out_id: pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        _, lens, flat, offs = _tokens(b)
+        tot = len(flat)
+        intra = np.arange(tot) - np.repeat(offs[:-1], lens)
+        starts = np.flatnonzero(intra <= np.repeat(lens, lens) - k)
+        if len(starts) == 0:
+            return pa.table({out_id: pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        cols = [flat.take(pa.array(starts + j, pa.int64()))
+                for j in range(k)]
+        sh = pc.binary_join_element_wise(*cols, " ")
+        d = np.searchsorted(offs, starts, side="right") - 1
+        ids = b.column(out_id if out_id in b.column_names else "doc_id") \
+            .combine_chunks().take(pa.array(d, pa.int64()))
+        return pa.table({out_id: ids, "sh": sh}) \
+            .group_by([out_id, "sh"]).aggregate([])
+
+    return fn
+
+
+def q_documents_ngram_contamination(sf_dir: str) -> Dataset:
+    """ANY-n-gram benchmark contamination (the GPT-3-style
+    decontamination rule: flag a training doc if it shares even ONE
+    word-5-gram with the held-out benchmark) — the absolute-overlap
+    companion to the jaccard-threshold q_documents_decontaminate.
+    Output: (doc_id, n_bench) — how many benchmark docs it collides
+    with.
+
+    Scale shape: vectorized k-gram shingle rows both sides, ONE
+    inverted-index hash join on the shingle, pair-distinct groupby,
+    then a per-doc count — no driver state; the benchmark side is the
+    same deterministic md5 5 % sample the oracle replays."""
+    from ..stages.partition import deterministic_sample
+
+    K = 5
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    bench = deterministic_sample(ds, 0.05, ["doc_id"], seed=7)
+    sa = ds.map_batches(_doc_kgram_rows("doc_id", K),
+                        batch_format="pyarrow").materialize()
+    sb = bench.map_batches(
+        lambda b: b.rename_columns(["bench_id", "text"]),
+        batch_format="pyarrow") \
+        .map_batches(_doc_kgram_rows("bench_id", K),
+                     batch_format="pyarrow")
+    sb = with_schema(sb, pa.schema([("bench_id", pa.int64()),
+                                    ("sh", pa.string())]))
+
+    pairs = sa.join(sb, join_type="inner", num_partitions=8,
+                    on=("sh",)) \
+        .map_batches(
+            lambda b: b.filter(pc.not_equal(
+                b.column("doc_id"), b.column("bench_id")))
+                       .select(["doc_id", "bench_id"]),
+            batch_format="pyarrow") \
+        .groupby(["doc_id", "bench_id"]).aggregate(
+            Count("doc_id", alias_name="_c"))
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        g = b.select(["doc_id"]).group_by("doc_id") \
+            .aggregate([("doc_id", "count")])
+        return g.rename_columns(["doc_id", "p_n"])
+
+    out = pairs.map_batches(per_doc, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("p_n", alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_bench": pc.cast(b.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_documents_token_budget_sample(sf_dir: str) -> Dataset:
+    """Per-source TOKEN-BUDGET sampling (mixture building by token
+    count, not doc count): walk each source's docs in seeded-md5 order
+    and keep while the running token total stays ≤ 800 — the
+    deterministic "fill each source's quota" step of corpus mixing.
+    Resume-safe and partitioning-invariant: the order key is the same
+    row-identity md5 the samplers share (row_hash_hex), replayed by the
+    twin as a SUM() OVER (PARTITION BY source ORDER BY md5) window.
+    One groupby(source) co-locates each source; the in-group walk is a
+    sort + cumsum, vectorized."""
+    import numpy as np
+
+    from ..stages.partition import row_hash_hex
+
+    BUDGET = 800
+    SEED = 11
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        h = pa.array([row_hash_hex((i,), SEED)
+                      for i in b.column("doc_id").to_pylist()],
+                     pa.string())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "n_tokens": n, "h": h})
+
+    def fill(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        cum = np.cumsum(g.column("n_tokens").to_numpy(zero_copy_only=False))
+        keep = g.filter(pa.array(cum <= BUDGET))
+        return pa.table({"doc_id": keep.column("doc_id"),
+                         "source": keep.column("source"),
+                         "n_tokens": keep.column("n_tokens")})
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").map_groups(fill, batch_format="pyarrow")

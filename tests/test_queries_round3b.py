@@ -354,3 +354,40 @@ def test_zscore_known_values_and_zero_variance(ray_session, tmp_path):
     assert set(got) == {0, 1, 3}          # NULL and flat-type dropped
     for eid, v in [(0, 1.0), (1, 3.0), (3, 5.0)]:
         assert got[eid] == (v - mean) / std
+
+
+def test_kgram_rows_vectorized_matches_reference(ray_session):
+    """_doc_kgram_rows (vectorized takes + binary_join) equals a
+    straightforward per-row shingle set, incl. short-doc exclusion."""
+    from ocr_engine_ray.pipelines.queries import _doc_kgram_rows
+
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["a b c d e f", "a b", "x x x x x"]})
+    got = _doc_kgram_rows("doc_id", 5)(b)
+    rows = sorted(zip(got.column("doc_id").to_pylist(),
+                      got.column("sh").to_pylist()))
+    ref = []
+    for did, txt in zip([1, 2, 3], b.column("text").to_pylist()):
+        toks = txt.split(" ")
+        ref += sorted({(did, " ".join(toks[i:i + 5]))
+                       for i in range(len(toks) - 4)})
+    assert rows == sorted(ref)     # doc 2 (too short) contributes none
+
+
+def test_token_budget_boundary_inclusive(ray_session, tmp_path):
+    """The doc that exactly reaches the budget stays; the next one in
+    md5 order is cut — mirroring the twin's cum <= B window."""
+    import ocr_engine_ray.pipelines.queries as q
+    from ocr_engine_ray.stages.partition import row_hash_hex
+
+    ids = list(range(10))
+    order = sorted(ids, key=lambda i: (row_hash_hex((i,), 11), i))
+    # 100 tokens per doc → exactly 8 docs fit an 800-token budget
+    tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "source": ["s"] * 10,
+                    "text": [" ".join(["t"] * 100)] * 10})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"] for r in
+           _tab(q.q_documents_token_budget_sample(str(tmp_path)))
+           .to_pylist()}
+    assert got == set(order[:8])
