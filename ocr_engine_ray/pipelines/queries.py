@@ -1472,19 +1472,11 @@ def q_media_frame_sample(sf_dir: str) -> Dataset:
 
 def _doc_shingle_rows(out_id: str):
     """doc batch → (out_id, sh) distinct word-3-gram rows, tokenized
-    with the SQL-parity split-on-single-space (string_split twin)."""
-    def fn(b: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for did, txt in zip(b.column("doc_id").to_pylist(),
-                            b.column("text").to_pylist()):
-            toks = (txt or "").split(" ")
-            for s in {" ".join(toks[i:i + 3])
-                      for i in range(len(toks) - 2)}:
-                ids.append(did)
-                shs.append(s)
-        return pa.table({out_id: pa.array(ids, pa.int64()),
-                         "sh": pa.array(shs, pa.string())})
-    return fn
+    with the SQL-parity split-on-single-space (string_split twin).
+    Delegates to the vectorized k-gram kernel (:func:`_doc_kgram_rows`
+    — k shifted takes + one C-level binary_join replaced the original
+    per-row Python set loop; identical rows, pytest-pinned)."""
+    return _doc_kgram_rows(out_id, 3)
 
 
 def _pair_jaccard_score(threshold: float, a_col: str, b_col: str):
@@ -3982,6 +3974,8 @@ def _doc_kgram_rows(out_id: str, k: int):
         if b.num_rows == 0:
             return pa.table({out_id: pa.array([], pa.int64()),
                              "sh": pa.array([], pa.string())})
+        b = b.set_column(b.schema.get_field_index("text"), "text",
+                         pc.fill_null(b.column("text"), ""))
         _, lens, flat, offs = _tokens(b)
         tot = len(flat)
         intra = np.arange(tot) - np.repeat(offs[:-1], lens)
