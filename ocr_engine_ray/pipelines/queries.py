@@ -1406,23 +1406,13 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
                          columns=["doc_id", "text"])
     sh = ds.map_batches(_doc_shingle_rows("doc_id"),
                         batch_format="pyarrow").materialize()
-    sizes = sh.groupby("doc_id").aggregate(Count("sh", alias_name="n"))
-
-    # inverted index: co-occurring (a < b) doc pairs per shingle, then
-    # the per-pair common-shingle count
-    pairs = sh.join(sh.map_batches(
-        lambda b: b.rename_columns(["doc_id_b", "sh"]),
-        batch_format="pyarrow"), join_type="inner",
-        num_partitions=8, on=("sh",)) \
-        .map_batches(
-            lambda b: (lambda f: pa.table(
-                {"id_a": f.column("doc_id"),
-                 "id_b": f.column("doc_id_b")}))(
-                b.filter(pc.less(b.column("doc_id"),
-                                 b.column("doc_id_b")))),
-            batch_format="pyarrow")
-    inter = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count("id_a", alias_name="c"))
+    sizes = with_schema(
+        sh.groupby("doc_id").aggregate(Count("sh", alias_name="n")),
+        pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
+    # shared inverted-index kernel (in-group pair expansion — the
+    # sh ⋈ sh self-join formulation of the same plan measured 5×
+    # slower at sf0.1), then the per-doc set sizes arrive by join
+    inter = _shingle_pair_counts(sh)
 
     sized = inter.join(
         sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
@@ -3807,27 +3797,17 @@ def q_events_approx_distinct_per_type(sf_dir: str) -> pa.Table:
     return approx_distinct_per_group(ds, "event_type", "user_id")
 
 
-def q_documents_containment_pairs(sf_dir: str) -> Dataset:
-    """Directional shingle-set CONTAINMENT (A ⊆ B): catches truncated /
-    prefix copies that symmetric jaccard-at-0.5 misses (a short doc
-    fully inside a long one can sit far below any symmetric threshold).
-    Emits (sub_id, super_id, n_shared) rows, both directions when the
-    sets are identical.
-
-    Same inverted-index discipline as jaccard_pairs/tfidf_pairs: word
-    3-gram shingle rows, in-group pair expansion per shingle (one
-    exchange — no posting self-join), adaptive tree/shuffle pair
-    combine, then two hash joins against the per-doc set sizes, where
-    |A∩B| = |A| is the vectorized containment test."""
+def _shingle_pair_counts(sh: Dataset) -> Dataset:
+    """(doc_id, sh) rows → (id_a < id_b, c = #shared shingles) pairs,
+    the inverted-index kernel the exact-similarity family shares
+    (jaccard, containment): in-group pair expansion per shingle — one
+    ``groupby(sh)`` exchange, vectorized triu_indices, NO posting
+    self-join — then an adaptive tree/shuffle pair combine (the same
+    ~0.5 s/block Ray-Aggregate economics as the tfidf pair join; the
+    join-cascade formulation of the same plan measured 5× slower at
+    sf0.1).  On prose corpora a stop-shingle df cap belongs in the
+    caller's shingle stage; this corpus needs none."""
     import numpy as np
-
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
-    sh = ds.map_batches(_doc_shingle_rows("doc_id"),
-                        batch_format="pyarrow").materialize()
-    sizes = with_schema(
-        sh.groupby("doc_id").aggregate(Count("sh", alias_name="n")),
-        pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
 
     empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
                             "id_b": pa.array([], pa.int64()),
@@ -3856,8 +3836,32 @@ def q_documents_containment_pairs(sf_dir: str) -> Dataset:
         inter = pairs.map_batches(pair_partial, batch_format="pyarrow") \
             .groupby(["id_a", "id_b"]) \
             .aggregate(Sum("p_c", alias_name="c"))
-    inter = with_schema(inter, pa.schema([
+    return with_schema(inter, pa.schema([
         ("id_a", pa.int64()), ("id_b", pa.int64()), ("c", pa.int64())]))
+
+
+def q_documents_containment_pairs(sf_dir: str) -> Dataset:
+    """Directional shingle-set CONTAINMENT (A ⊆ B): catches truncated /
+    prefix copies that symmetric jaccard-at-0.5 misses (a short doc
+    fully inside a long one can sit far below any symmetric threshold).
+    Emits (sub_id, super_id, n_shared) rows, both directions when the
+    sets are identical.
+
+    Same inverted-index discipline as jaccard_pairs/tfidf_pairs: word
+    3-gram shingle rows, in-group pair expansion per shingle (one
+    exchange — no posting self-join), adaptive tree/shuffle pair
+    combine, then two hash joins against the per-doc set sizes, where
+    |A∩B| = |A| is the vectorized containment test."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    sh = ds.map_batches(_doc_shingle_rows("doc_id"),
+                        batch_format="pyarrow").materialize()
+    sizes = with_schema(
+        sh.groupby("doc_id").aggregate(Count("sh", alias_name="n")),
+        pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
+    inter = _shingle_pair_counts(sh)
 
     sized = inter.join(
         sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
