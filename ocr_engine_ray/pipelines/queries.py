@@ -1505,28 +1505,75 @@ def q_documents_decontaminate(sf_dir: str) -> Dataset:
 
     from ..stages.partition import deterministic_sample
 
+    import numpy as np
+
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     bench = deterministic_sample(ds, 0.05, ["doc_id"], seed=7)
     sa = ds.map_batches(_doc_shingle_rows("doc_id"),
                         batch_format="pyarrow").materialize()
-    sb = bench.map_batches(_doc_shingle_rows("bench_id"),
-                           batch_format="pyarrow").materialize()
-    inter = sa.join(sb, join_type="inner", num_partitions=8,
-                    on=("sh",)) \
-        .map_batches(
-            lambda b: b.filter(pc.not_equal(
-                b.column("doc_id"), b.column("bench_id")))
-                       .select(["doc_id", "bench_id"]),
-            batch_format="pyarrow") \
-        .groupby(["doc_id", "bench_id"]).aggregate(
-            Count("doc_id", alias_name="c"))
-    sizes_a = sa.groupby("doc_id").aggregate(Count("sh", alias_name="n_a"))
-    sizes_b = sb.groupby("bench_id").aggregate(Count("sh", alias_name="n_b"))
-    sized = inter.join(sizes_a, join_type="inner", num_partitions=8,
+    sb = bench.map_batches(_doc_shingle_rows("doc_id"),
+                           batch_format="pyarrow")
+
+    # cross-table pair counts via the tagged in-group expansion (the
+    # sa ⋈ sb join-cascade shape this replaced measured ~2× slower):
+    # per shingle group, candidate × bench-member meshgrid, identity
+    # excluded — one groupby(sh) exchange total
+    tagged = sa.map_batches(
+        lambda b: b.append_column("bench", pa.array(
+            np.zeros(b.num_rows, np.int8))), batch_format="pyarrow") \
+        .union(sb.map_batches(
+            lambda b: b.append_column("bench", pa.array(
+                np.ones(b.num_rows, np.int8))), batch_format="pyarrow"))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bench_id": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+
+    def expand(g: pa.Table) -> pa.Table:
+        fl = g.column("bench").to_numpy(zero_copy_only=False)
+        if not fl.any() or fl.all():
+            return empty
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        a_ids, b_ids = ids[fl == 0], ids[fl == 1]
+        da = np.repeat(a_ids, len(b_ids))
+        db = np.tile(b_ids, len(a_ids))
+        keep = da != db
+        return pa.table({"doc_id": pa.array(da[keep], pa.int64()),
+                         "bench_id": pa.array(db[keep], pa.int64()),
+                         "p_c": pa.array(np.ones(int(keep.sum()),
+                                                 np.int64))})
+
+    pairs = tagged.groupby("sh").map_groups(expand,
+                                            batch_format="pyarrow") \
+        .materialize()
+    if pairs.count() <= 5_000_000:
+        inter = _tree_combine(pairs, ["doc_id", "bench_id"],
+                              [("p_c", "sum")],
+                              ["doc_id", "bench_id", "p_c"],
+                              ["doc_id", "bench_id", "c"])
+    else:
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(["doc_id", "bench_id"]) \
+                .aggregate([("p_c", "sum")])
+            return g.rename_columns(["doc_id", "bench_id", "p_c"])
+
+        inter = pairs.map_batches(pair_partial, batch_format="pyarrow") \
+            .groupby(["doc_id", "bench_id"]) \
+            .aggregate(Sum("p_c", alias_name="c"))
+    inter = with_schema(inter, pa.schema([
+        ("doc_id", pa.int64()), ("bench_id", pa.int64()),
+        ("c", pa.int64())]))
+
+    sizes = with_schema(
+        sa.groupby("doc_id").aggregate(Count("sh", alias_name="n_a")),
+        pa.schema([("doc_id", pa.int64()), ("n_a", pa.int64())]))
+    sized = inter.join(sizes, join_type="inner", num_partitions=8,
                        on=("doc_id",)) \
-        .join(sizes_b, join_type="inner", num_partitions=8,
-              on=("bench_id",))
+        .join(sizes.map_batches(
+            lambda b: b.rename_columns(["bench_id", "n_b"]),
+            batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("bench_id",))
 
     return sized.map_batches(_pair_jaccard_score(0.5, "doc_id", "bench_id"),
                              batch_format="pyarrow")
