@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_ngram_contamination,
         "documents_token_budget_sample":
             q.q_documents_token_budget_sample,
+        "documents_length_filter": q.q_documents_length_filter,
     }
 
 
@@ -1840,5 +1841,18 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY source ORDER BY h, doc_id) AS cum
                   FROM t)
             SELECT doc_id, source, n_tokens FROM w WHERE cum <= 800
+        """,
+        "documents_length_filter": """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            qs AS (SELECT source,
+                          quantile_disc(n_tokens, 0.05) AS lo,
+                          quantile_disc(n_tokens, 0.95) AS hi
+                   FROM t GROUP BY 1)
+            SELECT t.doc_id, t.source, t.n_tokens
+            FROM t JOIN qs USING (source)
+            WHERE t.n_tokens >= qs.lo AND t.n_tokens <= qs.hi
         """,
     }

@@ -4137,3 +4137,48 @@ def q_documents_token_budget_sample(sf_dir: str) -> Dataset:
 
     return ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("source").map_groups(fill, batch_format="pyarrow")
+
+
+def q_documents_length_filter(sf_dir: str) -> Dataset:
+    """Per-source PERCENTILE length gate (keep docs whose token count
+    sits within their source's [p5, p95]) — the robust relative of
+    fixed min/max length thresholds: each feed's own distribution sets
+    its cut, so a verbose source doesn't drown a terse one.  Two
+    bounded passes: the grouped quantile histogram (integer token
+    counts — the comparisons are pure int64, no float parity surface)
+    broadcast as a tiny per-source table, then one filter scan."""
+    import numpy as np
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    counted = ds.map_batches(with_tokens, batch_format="pyarrow") \
+        .materialize()
+    q_tab = _small_table(grouped_exact_quantiles(
+        counted.select_columns(["source", "n_tokens"]),
+        "source", "n_tokens", qs=(0.05, 0.95)))
+    bounds = {r["source"]: (int(r["q5"]), int(r["q95"]))
+              for r in q_tab.to_pylist()} if q_tab is not None else {}
+    bounds_ref = ray.put(bounds)
+
+    def gate(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        src = b.column("source").combine_chunks().dictionary_encode()
+        dvals = src.dictionary.to_pylist()
+        lo = np.array([bd[s][0] for s in dvals], np.int64)
+        hi = np.array([bd[s][1] for s in dvals], np.int64)
+        idx = src.indices.to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((n >= lo[idx]) & (n <= hi[idx])))
+
+    return counted.map_batches(gate, batch_format="pyarrow")

@@ -391,3 +391,28 @@ def test_token_budget_boundary_inclusive(ray_session, tmp_path):
            _tab(q.q_documents_token_budget_sample(str(tmp_path)))
            .to_pylist()}
     assert got == set(order[:8])
+
+
+def test_length_filter_per_source_bounds(ray_session, tmp_path):
+    """Each source gets its own [p5, p95] cut; boundary docs stay
+    (inclusive), extremes drop — per source, not globally."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    # source a: lengths 1..20 (p5=1, p95=19 by ceil(nq)-1) ;
+    # source b: constant 100 → nothing drops
+    texts_a = [" ".join(["t"] * n) for n in range(1, 21)]
+    texts_b = [" ".join(["t"] * 100)] * 3
+    tab = pa.table({
+        "doc_id": pa.array(range(23), pa.int64()),
+        "source": ["a"] * 20 + ["b"] * 3,
+        "text": texts_a + texts_b,
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r["n_tokens"] for r in
+           _tab(q.q_documents_length_filter(str(tmp_path))).to_pylist()}
+    import duckdb
+    lo, hi = duckdb.sql(
+        "SELECT quantile_disc(n, 0.05), quantile_disc(n, 0.95) FROM "
+        "(SELECT unnest(range(1, 21)) n)").fetchone()
+    kept_a = {i for i, n in enumerate(range(1, 21)) if lo <= n <= hi}
+    assert set(got) == kept_a | {20, 21, 22}
