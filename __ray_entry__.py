@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_token_budget_sample":
             q.q_documents_token_budget_sample,
         "documents_length_filter": q.q_documents_length_filter,
+        "events_latest_per_user": q.q_events_latest_per_user,
     }
 
 
@@ -1854,5 +1855,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.source, t.n_tokens
             FROM t JOIN qs USING (source)
             WHERE t.n_tokens >= qs.lo AND t.n_tokens <= qs.hi
+        """,
+        "events_latest_per_user": """
+            SELECT user_id, ts, event_id, event_type, value FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1
         """,
     }

@@ -4182,3 +4182,56 @@ def q_documents_length_filter(sf_dir: str) -> Dataset:
         return b.filter(pa.array((n >= lo[idx]) & (n <= hi[idx])))
 
     return counted.map_batches(gate, batch_format="pyarrow")
+
+
+def q_events_latest_per_user(sf_dir: str) -> Dataset:
+    """Keep-LATEST-row-per-key compaction (the CDC/upsert primitive:
+    each user's most recent event, full row, deterministic (ts,
+    event_id) tie-break) as a pure partial-agg arg-max — no map_groups,
+    no per-key Python: the whole row rides inside one lexically
+    sortable packed string (zero-padded µs timestamp + zero-padded
+    event_id + event_type + repr'd value), so Max on the packed column
+    IS arg-max by (ts, event_id) and the shuffle moves one row per
+    (user, batch).  Unpacking is a vectorized split; the value double
+    round-trips bit-exact because repr() is the shortest-exact float
+    form and Arrow's string→float64 cast parses it back to the same
+    bits (hash-gate-proof)."""
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts_s = pc.utf8_lpad(pc.cast(pc.cast(
+            b.column("ts"), pa.int64()), pa.string()), 19, padding="0")
+        id_s = pc.utf8_lpad(pc.cast(
+            b.column("event_id"), pa.string()), 19, padding="0")
+        # Arrow's double→string cast is shortest-exact (Ryu-style), so
+        # the string→double cast in unpack restores the same bits —
+        # fully vectorized, no per-row repr()
+        val_s = pc.cast(b.column("value").combine_chunks(), pa.string())
+        packed = pc.binary_join_element_wise(
+            ts_s.combine_chunks(), id_s.combine_chunks(),
+            b.column("event_type").combine_chunks(),
+            val_s, "\x1f")
+        g = pa.table({"user_id": b.column("user_id"),
+                      "packed": packed}) \
+            .group_by("user_id").aggregate([("packed", "max")])
+        return g.rename_columns(["user_id", "p_max"])
+
+    agg = ds.map_batches(pack, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("p_max", alias_name="m"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("m").combine_chunks(), "\x1f")
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "ts": pc.cast(pc.cast(pc.list_element(parts, 0), pa.int64()),
+                          pa.timestamp("us")),
+            "event_id": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "event_type": pc.list_element(parts, 2),
+            "value": pc.cast(pc.list_element(parts, 3), pa.float64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -416,3 +416,25 @@ def test_length_filter_per_source_bounds(ray_session, tmp_path):
         "(SELECT unnest(range(1, 21)) n)").fetchone()
     kept_a = {i for i, n in enumerate(range(1, 21)) if lo <= n <= hi}
     assert set(got) == kept_a | {20, 21, 22}
+
+
+def test_latest_per_user_tiebreak_and_roundtrip(ray_session, tmp_path):
+    """Equal timestamps break by event_id; awkward doubles (0.615,
+    1/3) survive the packed-string round trip bit-exact."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    DAY = 86_400_000_000
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([DAY, 2 * DAY, 2 * DAY, DAY],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([9, 3, 7, 1], pa.int64()),
+        "event_type": ["a", "b", "c", "d"],
+        "value": pa.array([1.0, 0.615, 1 / 3, -0.0], pa.float64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in
+           _tab(q.q_events_latest_per_user(str(tmp_path))).to_pylist()}
+    assert got[1]["event_id"] == 7 and got[1]["event_type"] == "c"
+    assert got[1]["value"] == 1 / 3          # bit-exact round trip
+    assert got[2]["value"] == 0.0
