@@ -1820,7 +1820,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents),
             s AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(1, len(toks) - 4),
+                    range(1, len(toks) - 3),
                     i -> list_aggregate(toks[i:i+4], 'string_agg', ' '))))
                     AS sh
                   FROM d WHERE len(toks) >= 5),

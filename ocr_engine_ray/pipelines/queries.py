@@ -1547,23 +1547,7 @@ def q_documents_decontaminate(sf_dir: str) -> Dataset:
     pairs = tagged.groupby("sh").map_groups(expand,
                                             batch_format="pyarrow") \
         .materialize()
-    if pairs.count() <= 5_000_000:
-        inter = _tree_combine(pairs, ["doc_id", "bench_id"],
-                              [("p_c", "sum")],
-                              ["doc_id", "bench_id", "p_c"],
-                              ["doc_id", "bench_id", "c"])
-    else:
-        def pair_partial(b: pa.Table) -> pa.Table:
-            g = b.group_by(["doc_id", "bench_id"]) \
-                .aggregate([("p_c", "sum")])
-            return g.rename_columns(["doc_id", "bench_id", "p_c"])
-
-        inter = pairs.map_batches(pair_partial, batch_format="pyarrow") \
-            .groupby(["doc_id", "bench_id"]) \
-            .aggregate(Sum("p_c", alias_name="c"))
-    inter = with_schema(inter, pa.schema([
-        ("doc_id", pa.int64()), ("bench_id", pa.int64()),
-        ("c", pa.int64())]))
+    inter = _pair_combine(pairs, ["doc_id", "bench_id"], "c")
 
     sizes = with_schema(
         sa.groupby("doc_id").aggregate(Count("sh", alias_name="n_a")),
@@ -3672,25 +3656,9 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
                                           batch_format="pyarrow") \
         .materialize()
 
-    # combine strategy mirrors conv_rollup's tree/shuffle split: the
-    # candidate-pair table is usually small (df-capped), and Ray's
-    # sort-shuffle Aggregate costs ~0.5 s/block in fixed overhead —
-    # tree_combine is 3× faster end-to-end at sf0.1.  Above the cap
-    # (pairs no longer fit one combine task) the shuffle path takes
-    # over with identical semantics.
-    PAIR_TREE_MAX = 5_000_000
-    if pairs.count() <= PAIR_TREE_MAX:
-        out = _tree_combine(pairs, ["doc_a", "doc_b"], [("p_w", "sum")],
-                            ["doc_a", "doc_b", "p_w"],
-                            ["doc_a", "doc_b", "dot"])
-    else:
-        def pair_partial(b: pa.Table) -> pa.Table:
-            g = b.group_by(["doc_a", "doc_b"]).aggregate([("p_w", "sum")])
-            return g.rename_columns(["doc_a", "doc_b", "p_w"])
-
-        out = pairs.map_batches(pair_partial, batch_format="pyarrow") \
-            .groupby(["doc_a", "doc_b"]) \
-            .aggregate(Sum("p_w", alias_name="dot"))
+    # shared adaptive combine (tree while pairs fit one task, else the
+    # partial-agg shuffle — see _pair_combine)
+    out = _pair_combine(pairs, ["doc_a", "doc_b"], "dot", pcol="p_w")
     return out.map_batches(
         lambda b: (lambda f: pa.table(
             {"doc_a": f.column("doc_a"), "doc_b": f.column("doc_b"),
@@ -3844,6 +3812,31 @@ def q_events_approx_distinct_per_type(sf_dir: str) -> pa.Table:
     return approx_distinct_per_group(ds, "event_type", "user_id")
 
 
+def _pair_combine(pairs: Dataset, keys: list[str], out: str,
+                  pcol: str = "p_c") -> Dataset:
+    """Adaptive pair-count combine shared by the similarity kernels:
+    tree (two Arrow group_by passes) while the candidate-pair table
+    fits one combine task — Ray's sort-shuffle Aggregate costs
+    ~0.5 s/block in fixed machinery — else the partial-agg shuffle with
+    identical semantics.  ``pairs`` must be materialized (it is counted
+    and then consumed)."""
+    PAIR_TREE_MAX = 5_000_000
+    partial_names = keys + [pcol]
+    if pairs.count() <= PAIR_TREE_MAX:
+        combined = _tree_combine(pairs, keys, [(pcol, "sum")],
+                                 partial_names, keys + [out])
+    else:
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(keys).aggregate([(pcol, "sum")])
+            return g.rename_columns(partial_names)
+
+        combined = pairs.map_batches(pair_partial,
+                                     batch_format="pyarrow") \
+            .groupby(keys).aggregate(Sum(pcol, alias_name=out))
+    return with_schema(combined, pa.schema(
+        [(k, pa.int64()) for k in keys] + [(out, pa.int64())]))
+
+
 def _shingle_pair_counts(sh: Dataset) -> Dataset:
     """(doc_id, sh) rows → (id_a < id_b, c = #shared shingles) pairs,
     the inverted-index kernel the exact-similarity family shares
@@ -3871,20 +3864,7 @@ def _shingle_pair_counts(sh: Dataset) -> Dataset:
 
     pairs = sh.groupby("sh").map_groups(expand, batch_format="pyarrow") \
         .materialize()
-    if pairs.count() <= 5_000_000:
-        inter = _tree_combine(pairs, ["id_a", "id_b"], [("p_c", "sum")],
-                              ["id_a", "id_b", "p_c"],
-                              ["id_a", "id_b", "c"])
-    else:
-        def pair_partial(b: pa.Table) -> pa.Table:
-            g = b.group_by(["id_a", "id_b"]).aggregate([("p_c", "sum")])
-            return g.rename_columns(["id_a", "id_b", "p_c"])
-
-        inter = pairs.map_batches(pair_partial, batch_format="pyarrow") \
-            .groupby(["id_a", "id_b"]) \
-            .aggregate(Sum("p_c", alias_name="c"))
-    return with_schema(inter, pa.schema([
-        ("id_a", pa.int64()), ("id_b", pa.int64()), ("c", pa.int64())]))
+    return _pair_combine(pairs, ["id_a", "id_b"], "c")
 
 
 def q_documents_containment_pairs(sf_dir: str) -> Dataset:
@@ -4129,8 +4109,15 @@ def q_documents_token_budget_sample(sf_dir: str) -> Dataset:
 
     def fill(g: pa.Table) -> pa.Table:
         g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
-        cum = np.cumsum(g.column("n_tokens").to_numpy(zero_copy_only=False))
-        keep = g.filter(pa.array(cum <= BUDGET))
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # NULL token counts add 0 to the running sum but keep their row
+        # (the twin's SUM() OVER skips NULLs) — except while the prefix
+        # is ALL NULL, where the window SUM itself is NULL and the twin
+        # drops the row
+        cum = np.cumsum(np.nan_to_num(n, nan=0.0))
+        seen_valid = np.cumsum(~np.isnan(n)) > 0
+        keep = g.filter(pa.array((cum <= BUDGET) & seen_valid))
         return pa.table({"doc_id": keep.column("doc_id"),
                          "source": keep.column("source"),
                          "n_tokens": keep.column("n_tokens")})
@@ -4167,18 +4154,26 @@ def q_documents_length_filter(sf_dir: str) -> Dataset:
     q_tab = _small_table(grouped_exact_quantiles(
         counted.select_columns(["source", "n_tokens"]),
         "source", "n_tokens", qs=(0.05, 0.95)))
+    # an all-NULL source emits the NULL-quantile row (helper contract)
+    # — it has no keepable rows (NULL comparisons), so skip its bounds
     bounds = {r["source"]: (int(r["q5"]), int(r["q95"]))
-              for r in q_tab.to_pylist()} if q_tab is not None else {}
+              for r in q_tab.to_pylist()
+              if r["q5"] is not None} if q_tab is not None else {}
     bounds_ref = ray.put(bounds)
 
     def gate(b: pa.Table) -> pa.Table:
         bd = ray.get(bounds_ref)
         src = b.column("source").combine_chunks().dictionary_encode()
         dvals = src.dictionary.to_pylist()
-        lo = np.array([bd[s][0] for s in dvals], np.int64)
-        hi = np.array([bd[s][1] for s in dvals], np.int64)
+        lo = np.array([bd.get(s, (np.iinfo(np.int64).max, 0))[0]
+                       for s in dvals], np.int64)
+        hi = np.array([bd.get(s, (0, np.iinfo(np.int64).min))[1]
+                       for s in dvals], np.int64)
         idx = src.indices.to_numpy(zero_copy_only=False)
-        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        # nulls surface as NaN after the float view; NaN comparisons
+        # are False, so NULL-count rows drop — same as the twin
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
         return b.filter(pa.array((n >= lo[idx]) & (n <= hi[idx])))
 
     return counted.map_batches(gate, batch_format="pyarrow")
@@ -4195,7 +4190,14 @@ def q_events_latest_per_user(sf_dir: str) -> Dataset:
     (user, batch).  Unpacking is a vectorized split; the value double
     round-trips bit-exact because repr() is the shortest-exact float
     form and Arrow's string→float64 cast parses it back to the same
-    bits (hash-gate-proof)."""
+    bits (hash-gate-proof).
+
+    Preconditions (CDC-natural, asserted by the twin's semantics): the
+    KEY/ORDER columns user_id, ts, event_id are non-NULL and ts /
+    event_id are non-negative (utf8_lpad of a negative number is not
+    order-preserving).  The PAYLOAD columns (event_type, value) may be
+    NULL — they ride behind a presence flag so a NULL-valued latest row
+    still wins, exactly like the twin's ROW_NUMBER."""
     from ray.data.aggregate import Max
 
     ds = rd.read_parquet(_t(sf_dir, "events"),
@@ -4209,12 +4211,24 @@ def q_events_latest_per_user(sf_dir: str) -> Dataset:
             b.column("event_id"), pa.string()), 19, padding="0")
         # Arrow's double→string cast is shortest-exact (Ryu-style), so
         # the string→double cast in unpack restores the same bits —
-        # fully vectorized, no per-row repr()
-        val_s = pc.cast(b.column("value").combine_chunks(), pa.string())
+        # fully vectorized, no per-row repr().  Nullable payloads get a
+        # '1'+value / '0' presence flag: a NULL field must not null the
+        # whole packed string (binary_join would) or Max skips the row.
+        et = b.column("event_type").combine_chunks()
+        et_s = pc.if_else(pc.is_valid(et),
+                          pc.binary_join_element_wise(
+                              pa.array(["1"] * b.num_rows), et, ""),
+                          pa.array(["0"] * b.num_rows))
+        val = b.column("value").combine_chunks()
+        val_s = pc.if_else(
+            pc.is_valid(val),
+            pc.binary_join_element_wise(
+                pa.array(["1"] * b.num_rows),
+                pc.cast(pc.fill_null(val, 0.0), pa.string()), ""),
+            pa.array(["0"] * b.num_rows))
         packed = pc.binary_join_element_wise(
             ts_s.combine_chunks(), id_s.combine_chunks(),
-            b.column("event_type").combine_chunks(),
-            val_s, "\x1f")
+            et_s, val_s, "\x1f")
         g = pa.table({"user_id": b.column("user_id"),
                       "packed": packed}) \
             .group_by("user_id").aggregate([("packed", "max")])
@@ -4223,15 +4237,22 @@ def q_events_latest_per_user(sf_dir: str) -> Dataset:
     agg = ds.map_batches(pack, batch_format="pyarrow") \
         .groupby("user_id").aggregate(Max("p_max", alias_name="m"))
 
+    def _flagged(parts, i):
+        s = pc.list_element(parts, i)
+        present = pc.equal(pc.utf8_slice_codeunits(s, 0, 1), "1")
+        body = pc.utf8_slice_codeunits(s, 1, 1 << 30)
+        return pc.if_else(present, body, pa.scalar(None, pa.string()))
+
     def unpack(b: pa.Table) -> pa.Table:
         parts = pc.split_pattern(b.column("m").combine_chunks(), "\x1f")
+        val_str = _flagged(parts, 3)
         return pa.table({
             "user_id": pc.cast(b.column("user_id"), pa.int64()),
             "ts": pc.cast(pc.cast(pc.list_element(parts, 0), pa.int64()),
                           pa.timestamp("us")),
             "event_id": pc.cast(pc.list_element(parts, 1), pa.int64()),
-            "event_type": pc.list_element(parts, 2),
-            "value": pc.cast(pc.list_element(parts, 3), pa.float64()),
+            "event_type": _flagged(parts, 2),
+            "value": pc.cast(val_str, pa.float64()),
         })
 
     return agg.map_batches(unpack, batch_format="pyarrow")

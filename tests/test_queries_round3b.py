@@ -438,3 +438,60 @@ def test_latest_per_user_tiebreak_and_roundtrip(ray_session, tmp_path):
     assert got[1]["event_id"] == 7 and got[1]["event_type"] == "c"
     assert got[1]["value"] == 1 / 3          # bit-exact round trip
     assert got[2]["value"] == 0.0
+
+
+def test_latest_per_user_null_payloads(ray_session, tmp_path):
+    """A NULL-valued latest row must WIN (not be skipped by Max over a
+    nulled packed string) — matching the twin's ROW_NUMBER."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    DAY = 86_400_000_000
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([DAY, 2 * DAY, DAY, 2 * DAY],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["a", None, "c", "d"], pa.string()),
+        "value": pa.array([5.0, None, 1.0, None], pa.float64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in
+           _tab(q.q_events_latest_per_user(str(tmp_path))).to_pylist()}
+    assert got[1]["event_id"] == 2 and got[1]["event_type"] is None \
+        and got[1]["value"] is None
+    assert got[2]["event_id"] == 4 and got[2]["event_type"] == "d"
+
+
+def test_token_budget_and_length_filter_null_text(ray_session,
+                                                  tmp_path):
+    """NULL-text docs: the budget walk carries them at weight 0 (twin's
+    SUM OVER skips NULLs) unless the whole prefix is NULL; the length
+    gate drops them and an all-NULL source crashes neither."""
+    import duckdb
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    tab = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "source": ["s"] * 4 + ["allnull"] * 2,
+        "text": pa.array([" ".join(["t"] * 50), None,
+                          " ".join(["t"] * 50), " ".join(["t"] * 700),
+                          None, None], pa.string()),
+    })
+    p = tmp_path / "documents.parquet"
+    pq.write_table(tab, str(p))
+    got_rows = q.q_documents_token_budget_sample(str(tmp_path)).take_all()
+    oracle = duckdb.sql(f"""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(string_split(text,' ')) AS BIGINT) n_tokens,
+                          md5(doc_id::VARCHAR || chr(31) || '11') h
+                   FROM read_parquet('{p}')),
+        w AS (SELECT *, SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY h, doc_id) cum FROM t)
+        SELECT doc_id FROM w WHERE cum <= 800 ORDER BY doc_id""").fetchall()
+    assert sorted(r["doc_id"] for r in got_rows) == \
+        [r[0] for r in oracle]
+    assert len(got_rows) > 0          # the corpus makes the gate bite
+    # length gate: never crashes on the all-NULL source, drops NULLs
+    lf = _tab(q.q_documents_length_filter(str(tmp_path)))
+    assert set(lf.column("doc_id").to_pylist()) <= {0, 2, 3}
