@@ -376,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_token_budget_sample,
         "documents_length_filter": q.q_documents_length_filter,
         "events_latest_per_user": q.q_events_latest_per_user,
+        "transcripts_cluster_sample": q.q_transcripts_cluster_sample,
+        "events_hour_profile": q.q_events_hour_profile,
     }
 
 
@@ -1863,5 +1865,17 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1
+        """,
+        "transcripts_cluster_sample": f"""
+            SELECT conv_id, turn_idx, role, text FROM {transcripts}
+            WHERE substr(md5(conv_id || chr(31) || '13'), 1, 8)
+                  <= '33333333'
+        """,
+        "events_hour_profile": """
+            SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS sum_value
+            FROM events GROUP BY 1
         """,
     }

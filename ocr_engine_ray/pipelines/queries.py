@@ -4256,3 +4256,66 @@ def q_events_latest_per_user(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_transcripts_cluster_sample(sf_dir: str) -> Dataset:
+    """CLUSTER sampling at the conversation grain (~20 % of convs, ALL
+    their turns): the transcript-corpus sampling mode — row-level
+    Bernoulli would shred conversations, so the keep/drop hash covers
+    ONLY conv_id, deliberately inverting deterministic_sample's
+    row-identity rule (whose docstring warns that key-only hashing
+    keeps whole strata — here that is the point).  Embarrassingly
+    parallel (a per-batch mask, no exchange), stable across
+    partitionings, twin-replayed by the same md5 predicate."""
+    from ..stages.partition import row_hash_hex, sample_threshold_hex
+
+    FRAC, SEED = 0.2, 13
+    threshold = sample_threshold_hex(FRAC)
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "text"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        convs = b.column("conv_id").combine_chunks().dictionary_encode()
+        dvals = convs.dictionary.to_pylist()
+        import numpy as np
+
+        ok = np.array([row_hash_hex((c,), SEED)[:8] <= threshold
+                       for c in dvals], bool)
+        return b.filter(pa.array(
+            ok[convs.indices.to_numpy(zero_copy_only=False)]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_events_hour_profile(sf_dir: str) -> Dataset:
+    """Time-of-day activity profile (per-hour-of-day event counts and
+    exact cent totals) — the modular-calendar grouping (hour-of-day,
+    not hour timeline): one partial-agg exchange over a ≤24-row grid,
+    finished by the tree combine.  Hour extraction is pure integer
+    epoch arithmetic ((µs // 3.6e9) mod 24 — UTC, exactly DuckDB's
+    date_part('hour'))."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").combine_chunks().cast(pa.int64())
+        h = (ts.to_numpy(zero_copy_only=False) // HOUR_US) % 24
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        g = pa.table({"hour": pa.array(h, pa.int64()),
+                      "c": pa.array(cents, pa.int64())}) \
+            .group_by("hour").aggregate([("c", "count"), ("c", "sum")])
+        return g.rename_columns(["hour", "p_n", "p_c"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hour"], [("p_n", "sum"), ("p_c", "sum")],
+        ["hour", "p_n", "p_c"], ["hour", "n_events", "cents"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "hour": b.column("hour"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "sum_value": round_sql(pc.divide(pc.cast(
+                b.column("cents"), pa.float64()), pa.scalar(100.0)), 2),
+        }), batch_format="pyarrow")

@@ -495,3 +495,26 @@ def test_token_budget_and_length_filter_null_text(ray_session,
     # length gate: never crashes on the all-NULL source, drops NULLs
     lf = _tab(q.q_documents_length_filter(str(tmp_path)))
     assert set(lf.column("doc_id").to_pylist()) <= {0, 2, 3}
+
+
+def test_cluster_sample_keeps_whole_conversations(ray_session,
+                                                  monkeypatch,
+                                                  tmp_path):
+    """Every sampled conversation arrives COMPLETE (the point of
+    cluster vs row sampling), and the keep set is conv-hash-stable."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    tab = pa.table({
+        "conv_id": [f"c{i}" for i in range(30) for _ in range(4)],
+        "turn_idx": pa.array(list(range(4)) * 30, pa.int32()),
+        "role": ["user"] * 120,
+        "text": ["hi"] * 120,
+    })
+    p = tmp_path / "shard.parquet"
+    pq.write_table(tab, str(p))
+    monkeypatch.setattr(q, "transcript_paths", lambda sf_dir: [str(p)])
+    rows = _tab(q.q_transcripts_cluster_sample(str(tmp_path))).to_pylist()
+    from collections import Counter
+
+    per_conv = Counter(r["conv_id"] for r in rows)
+    assert per_conv and all(n == 4 for n in per_conv.values())
