@@ -4275,6 +4275,10 @@ def q_transcripts_cluster_sample(sf_dir: str) -> Dataset:
                          columns=["conv_id", "turn_idx", "role", "text"])
 
     def keep(b: pa.Table) -> pa.Table:
+        # NULL conv_id rows can never be sampled (the twin's md5(NULL)
+        # predicate is NULL → dropped) — filter first, also keeping the
+        # dictionary-index gather integer-typed
+        b = b.filter(pc.is_valid(b.column("conv_id")))
         convs = b.column("conv_id").combine_chunks().dictionary_encode()
         dvals = convs.dictionary.to_pylist()
         import numpy as np
@@ -4301,11 +4305,18 @@ def q_events_hour_profile(sf_dir: str) -> Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b.column("ts").combine_chunks().cast(pa.int64())
-        h = (ts.to_numpy(zero_copy_only=False) // HOUR_US) % 24
+        # a NULL ts groups under a NULL hour (date_part(NULL) is NULL
+        # in the twin) — mask the modular arithmetic, count via a ones
+        # column (count(c) would skip the NULL-hour group's rows)
+        null_mask = ts.is_null().to_numpy(zero_copy_only=False) \
+            if ts.null_count else None
+        tsv = ts.fill_null(0).to_numpy(zero_copy_only=False)
+        h = pa.array((tsv // HOUR_US) % 24, pa.int64(), mask=null_mask)
         cents = scaled_int_sql(b.column("value"), 100.0)
-        g = pa.table({"hour": pa.array(h, pa.int64()),
+        g = pa.table({"hour": h,
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
                       "c": pa.array(cents, pa.int64())}) \
-            .group_by("hour").aggregate([("c", "count"), ("c", "sum")])
+            .group_by("hour").aggregate([("one", "sum"), ("c", "sum")])
         return g.rename_columns(["hour", "p_n", "p_c"])
 
     agg = _tree_combine(

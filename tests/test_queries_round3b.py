@@ -518,3 +518,31 @@ def test_cluster_sample_keeps_whole_conversations(ray_session,
 
     per_conv = Counter(r["conv_id"] for r in rows)
     assert per_conv and all(n == 4 for n in per_conv.values())
+
+
+def test_hour_profile_and_cluster_sample_null_keys(ray_session,
+                                                   monkeypatch,
+                                                   tmp_path):
+    """NULL ts groups under a NULL hour (like date_part(NULL)); NULL
+    conv_id rows silently drop (like the twin's NULL md5 predicate)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    pq.write_table(pa.table({
+        "ts": pa.array([3_600_000_000, None], pa.int64())
+        .cast(pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    got = {r["hour"]: (r["n_events"], r["sum_value"]) for r in
+           _tab(q.q_events_hour_profile(str(tmp_path))).to_pylist()}
+    assert got == {1: (1, 1.0), None: (1, 2.0)}
+
+    p = tmp_path / "shard.parquet"
+    pq.write_table(pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(30)] + [None],
+                            pa.string()),
+        "turn_idx": pa.array(range(31), pa.int32()),
+        "role": ["user"] * 31, "text": ["hi"] * 31,
+    }), str(p))
+    monkeypatch.setattr(q, "transcript_paths", lambda sf_dir: [str(p)])
+    rows = _tab(q.q_transcripts_cluster_sample(str(tmp_path))).to_pylist()
+    assert rows and all(r["conv_id"] is not None for r in rows)
