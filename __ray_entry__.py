@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": q.q_events_latest_per_user,
         "transcripts_cluster_sample": q.q_transcripts_cluster_sample,
         "events_hour_profile": q.q_events_hour_profile,
+        "orders_customer_right_join": q.q_orders_customer_right_join,
+        "lineitem_weighted_avg": q.q_lineitem_weighted_avg,
     }
 
 
@@ -1877,5 +1879,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT))
                               AS DOUBLE) / 100.0, 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "orders_customer_right_join": """
+            SELECT c.c_custkey, c.c_name, agg.n_orders
+            FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+                  FROM orders GROUP BY 1) agg
+            RIGHT JOIN customer c ON agg.o_custkey = c.c_custkey
+        """,
+        "lineitem_weighted_avg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+                            * CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT)
+                   / SUM(CAST(round(l_quantity) AS BIGINT)) / 100.0
+                       AS w_avg_discount
+            FROM lineitem GROUP BY 1
         """,
     }

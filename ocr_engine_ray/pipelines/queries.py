@@ -4330,3 +4330,72 @@ def q_events_hour_profile(sf_dir: str) -> Dataset:
             "sum_value": round_sql(pc.divide(pc.cast(
                 b.column("cents"), pa.float64()), pa.scalar(100.0)), 2),
         }), batch_format="pyarrow")
+
+
+def q_orders_customer_right_join(sf_dir: str) -> Dataset:
+    """RIGHT OUTER join (completing the join-type matrix beside
+    inner/left/full/anti/semi/asof/range/cross/fuzzy): per-customer
+    order counts with every customer preserved — the aggregate side is
+    pre-reduced to one row per customer BEFORE the join (the
+    aggregate-then-join discipline from shipping_priority), so the
+    outer join moves |customers| + |active customers| rows, never raw
+    orders."""
+    agg = with_schema(
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+        .map_batches(lambda b: (lambda g: g.rename_columns(
+            ["o_custkey", "p_n"]))(
+            b.group_by("o_custkey").aggregate([("o_custkey", "count")])),
+            batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n_orders")),
+        pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]))
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    j = agg.join(cust, join_type="right_outer", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+    return j.map_batches(
+        lambda b: pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_name": b.column("c_name"),
+            "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_lineitem_weighted_avg(sf_dir: str) -> Dataset:
+    """Grouped WEIGHTED mean (quantity-weighted average discount per
+    return flag) from exact integer sums: Σ(disc_pct·qty) and Σ(qty)
+    ride the shuffle as int64 partials, and the one float expression
+    replays the twin's operand-cast order (float() the BIGINT before
+    dividing — DuckDB casts operands, Python rounds the exact
+    quotient)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_discount",
+                                  "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = scaled_int_sql(b.column("l_discount"), 100.0)
+        qf = scaled_int_sql(b.column("l_quantity"), 1.0)
+        g = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "dq": pa.array(d * qf, pa.int64()),
+                      "q": pa.array(qf, pa.int64())}) \
+            .group_by("l_returnflag").aggregate(
+                [("dq", "sum"), ("q", "sum")])
+        return g.rename_columns(["l_returnflag", "p_dq", "p_q"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], [("p_dq", "sum"), ("p_q", "sum")],
+        ["l_returnflag", "p_dq", "p_q"],
+        ["l_returnflag", "s_dq", "s_q"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dq = b.column("s_dq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = b.column("s_q").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "w_avg_discount": pa.array(dq / q / 100.0, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -546,3 +546,21 @@ def test_hour_profile_and_cluster_sample_null_keys(ray_session,
     monkeypatch.setattr(q, "transcript_paths", lambda sf_dir: [str(p)])
     rows = _tab(q.q_transcripts_cluster_sample(str(tmp_path))).to_pylist()
     assert rows and all(r["conv_id"] is not None for r in rows)
+
+
+def test_right_join_preserves_orderless_customers(ray_session,
+                                                  tmp_path):
+    import ocr_engine_ray.pipelines.queries as q
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 10, 20], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30], pa.int64()),
+        "c_name": ["a", "b", "c"],
+    }), str(tmp_path / "customer.parquet"))
+    got = {r["c_custkey"]: r["n_orders"] for r in
+           _tab(q.q_orders_customer_right_join(str(tmp_path)))
+           .to_pylist()}
+    assert got == {10: 2, 20: 1, 30: None}
