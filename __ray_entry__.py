@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_profile": q.q_events_hour_profile,
         "orders_customer_right_join": q.q_orders_customer_right_join,
         "lineitem_weighted_avg": q.q_lineitem_weighted_avg,
+        "lineitem_quantiles_tdigest": q.q_lineitem_quantiles_tdigest,
+        "events_type_share": q.q_events_type_share,
     }
 
 
@@ -1894,5 +1896,14 @@ def oracle_sql() -> dict[str, str]:
                    / SUM(CAST(round(l_quantity) AS BIGINT)) / 100.0
                        AS w_avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "events_type_share": """
+            WITH c AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+            SELECT event_type, n_events,
+                   CAST(n_events AS DOUBLE) / t.total AS share
+            FROM c, t
         """,
     }

@@ -4399,3 +4399,54 @@ def q_lineitem_weighted_avg(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lineitem_quantiles_tdigest(sf_dir: str) -> pa.Table:
+    """t-digest APPROXIMATE quantiles beside the exact histogram twin
+    (lineitem_quantiles): the mergeable-sketch scale path for
+    unbounded/continuous domains, now under the driver contract as a
+    rows-only entry (approximate by construction — pytest pins the
+    error bound against the exact values instead of a SQL hash)."""
+    from ..stages.quantiles import approx_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_extendedprice"])
+    est = approx_quantiles(ds, "l_extendedprice", qs=(0.25, 0.5, 0.75))
+    return pa.table({
+        "q": pa.array(sorted(est), pa.float64()),
+        "estimate": pa.array([est[k] for k in sorted(est)], pa.float64()),
+    })
+
+
+def q_events_type_share(sf_dir: str) -> Dataset:
+    """Ratio-to-report (share-of-total per event type): counts and the
+    corpus-wide share from ONE partial-agg exchange over the bounded
+    type grid; the share's float division replays the twin's
+    operand-cast order, everything upstream is int64."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([("event_type", "count")])
+        return g.rename_columns(["event_type", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("p_n", "sum")],
+        ["event_type", "p_n"], ["event_type", "n_events"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        share = n.astype(np.float64) / total
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        })
+
+    # the grid is bounded (one row per type) — the final single block
+    # legitimately holds the whole report, so total is in-task
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
