@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_avg": q.q_lineitem_weighted_avg,
         "lineitem_quantiles_tdigest": q.q_lineitem_quantiles_tdigest,
         "events_type_share": q.q_events_type_share,
+        "orders_orphans": q.q_orders_orphans,
     }
 
 
@@ -1905,5 +1906,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_events,
                    CAST(n_events AS DOUBLE) / t.total AS share
             FROM c, t
+        """,
+        "orders_orphans": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
         """,
     }

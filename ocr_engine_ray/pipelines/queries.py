@@ -4450,3 +4450,25 @@ def q_events_type_share(sf_dir: str) -> Dataset:
     # legitimately holds the whole report, so total is in-task
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_orders_orphans(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit (orders whose customer is missing)
+    via the RIGHT ANTI join — the data-quality gate a pipeline runs
+    before joining fact to dimension.  On this corpus the answer is
+    legitimately EMPTY, which is the payload: Ray's anti join loses the
+    schema on a 0-row result, so the audit collects through
+    _small_table and falls back to a TYPED empty table the driver's
+    schema compare accepts (the cross_source_dups empty-path
+    discipline)."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = cust.join(orders, join_type="right_anti", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+    tab = _small_table(j)
+    if tab is None:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64())})
+    return tab.select(["o_orderkey", "o_custkey"])

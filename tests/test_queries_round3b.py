@@ -564,3 +564,18 @@ def test_right_join_preserves_orderless_customers(ray_session,
            _tab(q.q_orders_customer_right_join(str(tmp_path)))
            .to_pylist()}
     assert got == {10: 2, 20: 1, 30: None}
+
+
+def test_orphan_audit_finds_planted_violation(ray_session, tmp_path):
+    """The audit is not vacuous: a planted orphan order surfaces."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 99], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    got = q.q_orders_orphans(str(tmp_path))
+    assert got.to_pylist() == [{"o_orderkey": 2, "o_custkey": 99}]
