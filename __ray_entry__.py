@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_tdigest": q.q_lineitem_quantiles_tdigest,
         "events_type_share": q.q_events_type_share,
         "orders_orphans": q.q_orders_orphans,
+        "events_user_growth": q.q_events_user_growth,
     }
 
 
@@ -1911,5 +1912,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey)
+        """,
+        "events_user_growth": """
+            WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS d
+                       FROM events GROUP BY 1),
+            nw AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new
+                   FROM f GROUP BY 1),
+            days AS (SELECT DISTINCT date_trunc('day', ts) AS d
+                     FROM events)
+            SELECT days.d AS day,
+                   COALESCE(nw.n_new, 0) AS n_new_users,
+                   CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY days.d)
+                        AS BIGINT) AS cum_users
+            FROM days LEFT JOIN nw ON days.d = nw.d
         """,
     }

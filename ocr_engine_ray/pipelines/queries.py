@@ -4472,3 +4472,57 @@ def q_orders_orphans(sf_dir: str) -> pa.Table:
         return pa.table({"o_orderkey": pa.array([], pa.int64()),
                          "o_custkey": pa.array([], pa.int64())})
     return tab.select(["o_orderkey", "o_custkey"])
+
+
+def q_events_user_growth(sf_dir: str) -> pa.Table:
+    """Cumulative-distinct growth curve (per observed day: first-time
+    users that day and the running total of distinct users ever seen) —
+    the EXPANDING-window COUNT DISTINCT, which needs no window at all
+    once each user is reduced to a first-seen day: one user-grain
+    Min exchange, a bounded per-day count, and a calendar-bounded
+    driver cumsum (≤ days rows, the legitimate _small_table case).
+    The trick is the standard dedup-to-first-occurrence reduction;
+    compare the rolling 7-day variant, whose window forces pair
+    fan-out instead."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                      pa.int64())
+        g = pa.table({"user_id": b.column("user_id"), "d": day}) \
+            .group_by("user_id").aggregate([("d", "min")])
+        return g.rename_columns(["user_id", "p_d"])
+
+    firsts = ds.map_batches(first_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("p_d", alias_name="fd"))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["fd"]).group_by("fd").aggregate([("fd", "count")])
+        return g.rename_columns(["d", "p_n"])
+
+    new_tab = _small_table(
+        firsts.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("d").aggregate(Sum("p_n", alias_name="n_new")))
+    days_tab = _small_table(
+        ds.map_batches(
+            lambda b: pa.table({"d": pc.cast(pc.floor_temporal(
+                b.column("ts"), unit="day"), pa.int64())})
+            .group_by("d").aggregate([]), batch_format="pyarrow")
+        .groupby("d").aggregate(Count("d", alias_name="_m")))
+    if days_tab is None:
+        return pa.table({"day": pa.array([], pa.timestamp("us")),
+                         "n_new_users": pa.array([], pa.int64()),
+                         "cum_users": pa.array([], pa.int64())})
+    days = np.sort(days_tab.column("d").to_numpy(zero_copy_only=False))
+    new_by_day = dict(zip(new_tab.column("d").to_pylist(),
+                          new_tab.column("n_new").to_pylist())) \
+        if new_tab is not None else {}
+    n_new = np.array([new_by_day.get(int(d), 0) for d in days], np.int64)
+    return pa.table({
+        "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+        "n_new_users": pa.array(n_new, pa.int64()),
+        "cum_users": pa.array(np.cumsum(n_new), pa.int64()),
+    })

@@ -579,3 +579,21 @@ def test_orphan_audit_finds_planted_violation(ray_session, tmp_path):
     }), str(tmp_path / "customer.parquet"))
     got = q.q_orders_orphans(str(tmp_path))
     assert got.to_pylist() == [{"o_orderkey": 2, "o_custkey": 99}]
+
+
+def test_user_growth_counts_first_appearance_only(ray_session,
+                                                  tmp_path):
+    """A user active on many days counts as new exactly once; days with
+    no first-timers still appear with n_new 0 and a flat cumulative."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    DAY = 86_400_000_000
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 2, 1, 3, 2], pa.int64()),
+        "ts": pa.array([0, DAY, DAY, 2 * DAY, 3 * DAY, 3 * DAY],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = [(r["n_new_users"], r["cum_users"]) for r in
+           q.q_events_user_growth(str(tmp_path)).to_pylist()]
+    assert got == [(1, 1), (1, 2), (0, 2), (1, 3)]
