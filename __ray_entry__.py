@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_share": q.q_events_type_share,
         "orders_orphans": q.q_orders_orphans,
         "events_user_growth": q.q_events_user_growth,
+        "transcripts_role_profile": q.q_transcripts_role_profile,
     }
 
 
@@ -1925,5 +1926,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY days.d)
                         AS BIGINT) AS cum_users
             FROM days LEFT JOIN nw ON days.d = nw.d
+        """,
+        "transcripts_role_profile": f"""
+            SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                       AS total_chars,
+                   CAST(SUM(COALESCE(length(text), 0)) AS DOUBLE)
+                   / COUNT(*) AS mean_chars
+            FROM {transcripts} GROUP BY 1
         """,
     }

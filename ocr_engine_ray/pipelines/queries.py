@@ -4526,3 +4526,43 @@ def q_events_user_growth(sf_dir: str) -> pa.Table:
         "n_new_users": pa.array(n_new, pa.int64()),
         "cum_users": pa.array(np.cumsum(n_new), pa.int64()),
     })
+
+
+def q_transcripts_role_profile(sf_dir: str) -> Dataset:
+    """Conversational-composition report (per role: turns, exact char
+    totals, mean turn length) — the corpus profile a transcript
+    pipeline prints before training: one partial-agg exchange over the
+    bounded role grid; the mean's float division replays the twin's
+    operand-cast order, everything upstream is int64 (NULL text counts
+    len 0 via the twin's COALESCE)."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["role", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        chars = pc.fill_null(pc.utf8_length(
+            b.column("text").combine_chunks()), 0).cast(pa.int64())
+        g = pa.table({"role": b.column("role"),
+                      "c": chars,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by("role").aggregate([("one", "sum"), ("c", "sum")])
+        return g.rename_columns(["role", "p_n", "p_c"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["role"], [("p_n", "sum"), ("p_c", "sum")],
+        ["role", "p_n", "p_c"], ["role", "n_turns", "total_chars"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("total_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_turns").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "role": b.column("role"),
+            "n_turns": pc.cast(b.column("n_turns"), pa.int64()),
+            "total_chars": pc.cast(b.column("total_chars"), pa.int64()),
+            "mean_chars": pa.array(c / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
