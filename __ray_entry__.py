@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_orphans": q.q_orders_orphans,
         "events_user_growth": q.q_events_user_growth,
         "transcripts_role_profile": q.q_transcripts_role_profile,
+        "events_median_gap": q.q_events_median_gap,
     }
 
 
@@ -1934,5 +1935,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(length(text), 0)) AS DOUBLE)
                    / COUNT(*) AS mean_chars
             FROM {transcripts} GROUP BY 1
+        """,
+        "events_median_gap": """
+            WITH g AS (SELECT user_id,
+                              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS gap
+                       FROM events)
+            SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS median_gap_us
+            FROM g GROUP BY 1 HAVING COUNT(gap) > 0
         """,
     }

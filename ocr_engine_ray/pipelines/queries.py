@@ -4566,3 +4566,35 @@ def q_transcripts_role_profile(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_median_gap(sf_dir: str) -> Dataset:
+    """Per-user MEDIAN inter-event gap (the cadence metric behind
+    sessionization-threshold tuning): LAG-style gaps and their grouped
+    median FUSED into one co-partitioned pass — the group already holds
+    the user's sorted events, so diff + the ceil(n·q)−1 pick run
+    in-group and nothing exchanges twice.  Gaps are exact integer µs;
+    users with a single event drop (no gap), like the twin's HAVING."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def median_gap(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "median_gap_us": pa.array([], pa.int64())})
+        gaps = np.sort(np.diff(ts))
+        idx = int(np.ceil(len(gaps) * 0.5)) - 1
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "n_gaps": pa.array([len(gaps)], pa.int64()),
+            "median_gap_us": pa.array([int(gaps[idx])], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(median_gap,
+                                            batch_format="pyarrow")

@@ -597,3 +597,21 @@ def test_user_growth_counts_first_appearance_only(ray_session,
     got = [(r["n_new_users"], r["cum_users"]) for r in
            q.q_events_user_growth(str(tmp_path)).to_pylist()]
     assert got == [(1, 1), (1, 2), (0, 2), (1, 3)]
+
+
+def test_median_gap_convention_and_single_event_drop(ray_session,
+                                                     tmp_path):
+    """Even gap count picks the LOWER middle (ceil(n·0.5)−1, DuckDB
+    quantile_disc); single-event users emit nothing."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10, 40, 5], pa.int64())
+        .cast(pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    got = _tab(q.q_events_median_gap(str(tmp_path))).to_pylist()
+    # user 1 gaps [10, 30] → median picks index ceil(2·0.5)−1 = 0 → 10
+    assert got == [{"user_id": 1, "n_gaps": 2, "median_gap_us": 10}]
