@@ -1396,10 +1396,11 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
 
     Scale shape: no driver-side state — candidate pairs exist only for
     docs sharing a shingle, intersection counts come from a groupby on
-    the pair key, and set sizes arrive by join (not broadcast).  On
-    prose corpora, stop-shingle filtering (drop shingles above a
-    document-frequency cap) bounds the inverted-index fanout; this
-    corpus's uniform vocabulary needs none."""
+    the pair key, and set sizes arrive by join (not broadcast).
+    Stop-shingle filtering (shingles above :data:`SHINGLE_DF_CAP`
+    contribute no pairs, loudly logged) bounds the in-group O(df²)
+    fanout on prose corpora; this corpus sits far below the cap, so the
+    [SQL] oracle is unaffected."""
     from ray.data.aggregate import Count
 
     ds = rd.read_parquet(_t(sf_dir, "documents"),
@@ -1414,11 +1415,17 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
     # slower at sf0.1), then the per-doc set sizes arrive by join
     inter = _shingle_pair_counts(sh)
 
-    sized = inter.join(
-        sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
-                          batch_format="pyarrow"),
-        join_type="inner", num_partitions=8, on=("id_a",)) \
-        .join(
+    # with_schema between the chained joins: join 1's empty partitions
+    # emit schema-less zero-row blocks that crash join 2's finalize on
+    # sparse pair tables (see util.with_schema)
+    half = with_schema(
+        inter.join(
+            sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
+                              batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("id_a",)),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("c", pa.int64()), ("n_a", pa.int64())]))
+    sized = half.join(
         sizes.map_batches(lambda b: b.rename_columns(["id_b", "n_b"]),
                           batch_format="pyarrow"),
         join_type="inner", num_partitions=8, on=("id_b",))
@@ -1499,8 +1506,10 @@ def q_documents_decontaminate(sf_dir: str) -> Dataset:
     (doc_id, bench_id), identity excluded — the rows a pipeline would
     DROP before training.  Same distributed inverted-index shape as
     q_documents_jaccard_pairs (co-shingle join, per-pair counts, size
-    joins — no driver state); q_documents_decontaminate_lsh is the
-    approximate scale path over the same semantics."""
+    joins — no driver state, stop-shingles above
+    :data:`SHINGLE_DF_CAP` dropped loudly);
+    q_documents_decontaminate_lsh is the approximate scale path over
+    the same semantics."""
     from ray.data.aggregate import Count
 
     from ..stages.partition import deterministic_sample
@@ -1532,7 +1541,8 @@ def q_documents_decontaminate(sf_dir: str) -> Dataset:
 
     def expand(g: pa.Table) -> pa.Table:
         fl = g.column("bench").to_numpy(zero_copy_only=False)
-        if not fl.any() or fl.all():
+        if not fl.any() or fl.all() or _df_capped(
+                g, g.num_rows, SHINGLE_DF_CAP, "decontaminate"):
             return empty
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         a_ids, b_ids = ids[fl == 0], ids[fl == 1]
@@ -1552,12 +1562,16 @@ def q_documents_decontaminate(sf_dir: str) -> Dataset:
     sizes = with_schema(
         sa.groupby("doc_id").aggregate(Count("sh", alias_name="n_a")),
         pa.schema([("doc_id", pa.int64()), ("n_a", pa.int64())]))
-    sized = inter.join(sizes, join_type="inner", num_partitions=8,
-                       on=("doc_id",)) \
-        .join(sizes.map_batches(
-            lambda b: b.rename_columns(["bench_id", "n_b"]),
-            batch_format="pyarrow"),
-            join_type="inner", num_partitions=8, on=("bench_id",))
+    # schema pinned between the chained joins (see q_documents_jaccard_pairs)
+    half = with_schema(
+        inter.join(sizes, join_type="inner", num_partitions=8,
+                   on=("doc_id",)),
+        pa.schema([("doc_id", pa.int64()), ("bench_id", pa.int64()),
+                   ("c", pa.int64()), ("n_a", pa.int64())]))
+    sized = half.join(sizes.map_batches(
+        lambda b: b.rename_columns(["bench_id", "n_b"]),
+        batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("bench_id",))
 
     return sized.map_batches(_pair_jaccard_score(0.5, "doc_id", "bench_id"),
                              batch_format="pyarrow")
@@ -3837,7 +3851,40 @@ def _pair_combine(pairs: Dataset, keys: list[str], out: str,
         [(k, pa.int64()) for k in keys] + [(out, pa.int64())]))
 
 
-def _shingle_pair_counts(sh: Dataset) -> Dataset:
+#: Default stop-shingle document-frequency cap for the EXACT similarity
+#: pair kernels (jaccard / containment / decontaminate).  A shingle shared
+#: by df documents expands to df·(df−1)/2 pairs inside ONE map_groups
+#: task — O(df²) rows and memory from a single group — so a boilerplate
+#: shingle with df=100k would emit 5×10⁹ pairs and kill the stage.  A
+#: shingle above the cap is treated as a STOP SHINGLE and contributes no
+#: pairs (the same prune discipline q_documents_tfidf_pairs applies via
+#: its 5 %-of-corpus df gate); each drop is logged loudly with the df so
+#: a truncating run is visible, never silent.  2000² / 2 = 2×10⁶ pairs
+#: (~48 MB) bounds the worst single group; the oracle-checked corpora sit
+#: far below the cap (max df ≈ corpus dup-cluster size), so the [SQL]
+#: twins are unaffected — callers that *want* exact-on-prose semantics
+#: can raise or disable (``df_cap=None``) explicitly.
+SHINGLE_DF_CAP = 2000
+
+
+def _df_capped(g: pa.Table, df: int, df_cap: int | None,
+               kernel: str) -> bool:
+    """True (and a loud worker-log warning) when a shingle group exceeds
+    the stop-shingle cap and must contribute no pairs."""
+    if df_cap is not None and df > df_cap:
+        import logging
+        sh0 = g.column("sh")[0].as_py() if "sh" in g.column_names else "?"
+        logging.getLogger(__name__).warning(
+            "%s: stop-shingle dropped (df=%d > df_cap=%d, shingle=%r): "
+            "pair counts for docs sharing ONLY this shingle are "
+            "truncated; raise df_cap for exact-on-prose semantics",
+            kernel, df, df_cap, sh0)
+        return True
+    return False
+
+
+def _shingle_pair_counts(sh: Dataset,
+                         df_cap: int | None = SHINGLE_DF_CAP) -> Dataset:
     """(doc_id, sh) rows → (id_a < id_b, c = #shared shingles) pairs,
     the inverted-index kernel the exact-similarity family shares
     (jaccard, containment): in-group pair expansion per shingle — one
@@ -3845,8 +3892,9 @@ def _shingle_pair_counts(sh: Dataset) -> Dataset:
     self-join — then an adaptive tree/shuffle pair combine (the same
     ~0.5 s/block Ray-Aggregate economics as the tfidf pair join; the
     join-cascade formulation of the same plan measured 5× slower at
-    sf0.1).  On prose corpora a stop-shingle df cap belongs in the
-    caller's shingle stage; this corpus needs none."""
+    sf0.1).  Shingles with df > ``df_cap`` are stop-shingles: dropped
+    with a loud log instead of exploding O(df²) pairs from one group
+    (see :data:`SHINGLE_DF_CAP`); ``df_cap=None`` disables."""
     import numpy as np
 
     empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
@@ -3854,7 +3902,8 @@ def _shingle_pair_counts(sh: Dataset) -> Dataset:
                             "p_c": pa.array([], pa.int64())})
 
     def expand(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
+        if g.num_rows < 2 or _df_capped(g, g.num_rows, df_cap,
+                                        "_shingle_pair_counts"):
             return empty_pairs
         ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
         a, b = np.triu_indices(len(ids), k=1)
@@ -3876,7 +3925,8 @@ def q_documents_containment_pairs(sf_dir: str) -> Dataset:
 
     Same inverted-index discipline as jaccard_pairs/tfidf_pairs: word
     3-gram shingle rows, in-group pair expansion per shingle (one
-    exchange — no posting self-join), adaptive tree/shuffle pair
+    exchange — no posting self-join, stop-shingles above
+    :data:`SHINGLE_DF_CAP` dropped loudly), adaptive tree/shuffle pair
     combine, then two hash joins against the per-doc set sizes, where
     |A∩B| = |A| is the vectorized containment test."""
     import numpy as np
@@ -3890,11 +3940,15 @@ def q_documents_containment_pairs(sf_dir: str) -> Dataset:
         pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
     inter = _shingle_pair_counts(sh)
 
-    sized = inter.join(
-        sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
-                          batch_format="pyarrow"),
-        join_type="inner", num_partitions=8, on=("id_a",)) \
-        .join(
+    # schema pinned between the chained joins (see q_documents_jaccard_pairs)
+    half = with_schema(
+        inter.join(
+            sizes.map_batches(lambda b: b.rename_columns(["id_a", "n_a"]),
+                              batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("id_a",)),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("c", pa.int64()), ("n_a", pa.int64())]))
+    sized = half.join(
         sizes.map_batches(lambda b: b.rename_columns(["id_b", "n_b"]),
                           batch_format="pyarrow"),
         join_type="inner", num_partitions=8, on=("id_b",))

@@ -1011,20 +1011,106 @@ def representatives_from_pairs(pairs: list[tuple], all_ids: list) -> dict:
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
+    """Scalar reference (and rare-row fallback of :func:`simhash_batch`)."""
     toks = text.split()
     if not toks:
         return 0
     hashes = np.fromiter((_crc64(t) for t in toks), dtype=np.uint64,
                          count=len(toks))
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-    votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 per token) per bit
+    # int64 vote: the uint64 bit matrix would WRAP negative votes to
+    # huge positives, silently setting every non-tied bit (the round-3
+    # fingerprints were near-all-ones; caught by the round-4
+    # vectorization's parity test)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash_batch(col) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a string column — identical
+    fingerprints (pytest-pinned), ~one Python call per DISTINCT token
+    per batch instead of one per token occurrence:
+
+    1. one Arrow ``utf8_split_whitespace`` (str.split() parity after
+       dropping the boundary empties it emits for leading/trailing
+       whitespace),
+    2. blake2b only on the ``dictionary_encode`` vocabulary (the
+       per-batch vocab is small vs the token stream),
+    3. per-doc bit votes: small vocab (≤4096) goes through per-doc
+       token-count rows × the vocab's unpacked bit planes — one BLAS
+       matmul per doc-chunk (exact: counts < 2⁵² in float64); large
+       vocab falls back to an int32 gather + ``np.add.reduceat`` at
+       doc boundaries (cost ∝ tokens, where the count matrix would be
+       docs × vocab),
+    4. fingerprints re-packed with ``np.packbits(bitorder='little')``
+       (bit j = (h >> j) & 1, matching the scalar's shift order)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    toks = pc.utf8_split_whitespace(col)
+    doc_lens = pc.list_value_length(toks).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    d = np.repeat(np.arange(n, dtype=np.int64), doc_lens)[ne]
+    flat = flat.filter(pa.array(ne))
+    lens = np.bincount(d, minlength=n).astype(np.int64)
+    fp = np.zeros(n, np.uint64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        vh = np.fromiter((_crc64(t) for t in vocab), np.uint64,
+                         count=len(vocab))
+        # (vocab, 64) bit planes, little-endian: vb[v, j] = (h >> j) & 1
+        vb = np.unpackbits(vh[:, None].view(np.uint8), axis=1,
+                           bitorder="little")
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        V = len(vocab)
+        if V <= 4096:
+            # counts @ bit-planes, chunked so each bincount stays
+            # ≤ 8M entries; float64 matmul is exact for these counts
+            sums = np.empty((n, 64), np.int64)
+            vbf = vb.astype(np.float64)
+            chunk = max(1, 8_000_000 // V)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                tl, th = offs[lo], offs[hi]
+                cnt = np.bincount((d[tl:th] - lo) * V + codes[tl:th],
+                                  minlength=(hi - lo) * V) \
+                    .reshape(hi - lo, V)
+                sums[lo:hi] = (cnt @ vbf).astype(np.int64)
+        else:
+            bits = vb[codes].astype(np.int32)       # (tokens, 64)
+            nz = lens > 0
+            sums = np.zeros((n, 64), np.int64)
+            if nz.any():
+                # reduceat only at non-empty docs' offsets (strictly
+                # increasing, so every segment is well-formed); empty
+                # docs keep their zero rows
+                sums[nz] = np.add.reduceat(bits, offs[:-1][nz], axis=0)
+        votes = 2 * sums - lens[:, None]
+        fp = np.packbits(np.ascontiguousarray((votes > 0).astype(np.uint8)),
+                         axis=1, bitorder="little").view(np.uint64).ravel()
+    # parity fallback for rows carrying \x1c–\x1f (whitespace to
+    # str.split(), not to Unicode)
+    odd = pc.match_substring_regex(col, "[\\x1c-\\x1f]") \
+        .to_numpy(zero_copy_only=False)
+    if odd.any():
+        texts = col.to_pylist()
+        for i in np.flatnonzero(odd):
+            fp[i] = simhash64(texts[i] or "")
+    return fp
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
     return batch.append_column(
-        "simhash", pa.array(np.array(vals, dtype=np.uint64), pa.uint64()))
+        "simhash", pa.array(simhash_batch(batch.column(text_col)),
+                            pa.uint64()))
 
 
 def simhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",

@@ -1,0 +1,123 @@
+"""Round-4 consolidation tests: stop-shingle df cap on the exact
+similarity pair kernels, vectorized simhash parity, zero-copy embedding
+ingestion parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tab(ds) -> pa.Table:
+    rows = ds.take_all()
+    return pa.Table.from_pylist(rows)
+
+
+def _pairs_dict(ds):
+    return {(r["id_a"], r["id_b"]): r["c"] for r in ds.take_all()}
+
+
+def test_shingle_pair_counts_df_cap(ray_session):
+    """A hot shingle (df > cap) is a stop shingle: it contributes NO
+    pairs instead of exploding O(df²) rows from one group; pairs that
+    also share an under-cap shingle survive with the truncated count."""
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.queries import _shingle_pair_counts
+
+    hot_docs = list(range(10))          # all 10 share shingle "hot"
+    rows = {"doc_id": [], "sh": []}
+    for d in hot_docs:
+        rows["doc_id"].append(d)
+        rows["sh"].append("hot hot hot")
+    for d in (0, 1):                    # docs 0,1 also share a rare one
+        rows["doc_id"].append(d)
+        rows["sh"].append("rare a b")
+    sh = rd.from_arrow(pa.table({"doc_id": pa.array(rows["doc_id"],
+                                                    pa.int64()),
+                                 "sh": pa.array(rows["sh"])}))
+
+    uncapped = _pairs_dict(_shingle_pair_counts(sh, df_cap=None))
+    assert len(uncapped) == 45                      # C(10,2)
+    assert uncapped[(0, 1)] == 2                    # hot + rare
+
+    capped = _pairs_dict(_shingle_pair_counts(sh, df_cap=5))
+    assert capped == {(0, 1): 1}                    # only the rare pair
+
+    # cap above the max df is a no-op (the oracle-safety property the
+    # shipped default relies on)
+    at_cap = _pairs_dict(_shingle_pair_counts(sh, df_cap=10))
+    assert at_cap == uncapped
+
+
+def test_simhash_batch_parity_small_vocab():
+    """Vectorized simhash ≡ scalar simhash64 on edge cases (empty,
+    null, boundary whitespace, NBSP, \\x1c–\\x1f control chars that are
+    whitespace to str.split() but not to Unicode, exact-tie vote) —
+    exercising the small-vocab counts-matmul path."""
+    from ocr_engine_ray.stages.dedup import simhash64, simhash_batch
+
+    cases = ["", " ", "a", "a b c", "  lead", "trail  ", "a\tb\nc",
+             "\xa0x y\xa0", "héllo wörld émoji 🎉 🎉",
+             "dup dup dup unique", "ctrl\x1cchars\x1dhere\x1e!\x1f",
+             "mixed \x1c and space", None, "a b", "tie tie"]
+    got = simhash_batch(pa.array(cases, pa.string()))
+    ref = np.array([simhash64(t or "") for t in cases], np.uint64)
+    assert (got == ref).all()
+
+
+def test_simhash_batch_parity_large_vocab():
+    """Same parity through the >4096-vocab gather+reduceat path,
+    including empty / whitespace-only docs between non-empty ones
+    (reduceat's empty-segment hazard)."""
+    from ocr_engine_ray.stages.dedup import simhash64, simhash_batch
+
+    rng = np.random.RandomState(1)
+    texts = [" ".join(f"tok{rng.randint(0, 20000)}"
+                      for _ in range(rng.randint(0, 60)))
+             for _ in range(300)]
+    texts[5] = ""
+    texts[17] = "   "
+    import pyarrow.compute as pc
+    vocab = len(pc.unique(pc.list_flatten(
+        pc.utf8_split_whitespace(pa.array(texts)))))
+    assert vocab > 4096      # really the fallback path
+    got = simhash_batch(pa.array(texts, pa.string()))
+    ref = np.array([simhash64(t) for t in texts], np.uint64)
+    assert (got == ref).all()
+
+
+def test_simhash64_no_uint64_vote_wrap():
+    """The round-3 scalar wrapped negative votes to huge positives
+    (uint64 bit matrix), setting every non-tied bit — fingerprints of
+    unrelated docs were near-all-ones.  Pin the fix: a single-token doc's
+    fingerprint IS its token hash, and unrelated docs differ widely."""
+    from ocr_engine_ray.stages.dedup import _crc64, simhash64
+
+    assert simhash64("a") == _crc64("a")
+    d = (simhash64("alpha beta gamma") ^
+         simhash64("zebra xylophone quartz")).bit_count()
+    assert 10 <= d <= 54     # ~32 expected for independent fingerprints
+
+
+def test_jaccard_pairs_unaffected_by_default_cap(ray_session, tmp_path):
+    """The shipped default cap sits far above the test corpora's max
+    shingle df: q_documents_jaccard_pairs over a corpus with a planted
+    duplicate pair still finds it (and the [SQL] contract checks at
+    sf0.01/sf0.1 pin the full bit-exactness)."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon zeta",   # exact dup of 0
+             "one two three four five six seven eight"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+    got = _tab(q.q_documents_jaccard_pairs(str(tmp_path)))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in got.to_pylist()}
+    assert pairs == {(0, 1): 1.0}
