@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
-from ..util import default_pool_size
+from ..util import default_pool_size, vec_matrix
 
 # ---------------------------------------------------------------------------
 # exact dedup (A5/J3): content-hash key, keep-first
@@ -1165,14 +1165,15 @@ def simhash_candidates(ds: Dataset, id_col: str, text_col: str = "text",
 
 def _block_vec_ids(tab: pa.Table, vec_col: str, id_col: str):
     """(ids int64, L2-normalized float64 matrix) from an Arrow block."""
-    vecs = np.array(tab.column(vec_col).to_pylist(), dtype=np.float64)
+    vecs = vec_matrix(tab.column(vec_col))
     if vecs.ndim == 1:                       # empty block
         vecs = vecs.reshape(0, 0)
     norms = np.linalg.norm(vecs, axis=1, keepdims=True) if vecs.size else None
     if norms is not None:
         norms[norms == 0] = 1.0
         vecs = vecs / norms
-    ids = np.asarray(tab.column(id_col).to_pylist(), dtype=np.int64)
+    ids = tab.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
     return ids, vecs
 
 
@@ -1246,7 +1247,7 @@ def embedding_neardup_lsh(ds: Dataset, id_col: str = "vec_id",
         planes_holder: dict = {}
 
         def bucketize(b: pa.Table) -> pa.Table:
-            vecs = np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = vec_matrix(b.column(vec_col))
             if "planes" not in planes_holder:  # derived from the fixed seed
                 planes_holder["planes"] = np.random.RandomState(seed).standard_normal(
                     (vecs.shape[1], n_planes))
@@ -1264,11 +1265,12 @@ def embedding_neardup_lsh(ds: Dataset, id_col: str = "vec_id",
         bucketize_factory(), batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
-        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(group.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vecs = vecs / norms
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
         sims = vecs @ vecs.T
         ii, jj = np.nonzero(sims >= threshold)
         keep = ids[ii] < ids[jj]

@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..util import vec_matrix
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -32,9 +34,9 @@ def _batch_topk(batch: pa.Table, queries_ref, qids_ref, k: int,
     a pool could co-reserve CPUs against other stages in the DAG)."""
     q = ray.get(queries_ref)               # (Q, d) normalized float64
     qids = ray.get(qids_ref)
-    vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                               dtype=np.float64))
-    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    vecs = _normalize(vec_matrix(batch.column(vec_col)))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
     sims = q @ vecs.T                                       # (Q, batch)
     k = min(k, sims.shape[1])
     # argpartition per query: local top-k without a full sort.  The cut
@@ -152,8 +154,7 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
     def prune(b: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         w = ray.get(wanted_ref)
-        vecs = _normalize(np.array(b.column(vec_col).to_pylist(),
-                                   dtype=np.float64))
+        vecs = _normalize(vec_matrix(b.column(vec_col)))
         assign = (vecs @ c.T).argmax(axis=1)
         return b.filter(pa.array(np.isin(assign, w)))
 
@@ -189,7 +190,7 @@ def lsh_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
 
     def filter_buckets(b: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
-        vecs = np.array(b.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(b.column(vec_col))
         mask = np.isin(bucket_of(vecs), list(w))
         return b.filter(pa.array(mask))
 

@@ -119,6 +119,38 @@ def scaled_int_sql(arr, scale: float):
     return np.copysign(r, s).astype(np.int64)
 
 
+def vec_matrix(col) -> "np.ndarray":
+    """Embedding column (``list<float>`` / ``fixed_size_list``) → (n, d)
+    float64 matrix WITHOUT the per-row ``to_pylist()`` Python layer:
+    uniform-width lists reshape the flat Arrow values buffer directly
+    (one zero-copy view + one C-level float32→float64 cast — identical
+    values to the pylist path, which also widens through float64).
+    Ragged or null-bearing columns fall back to the pylist path, which
+    raises the same numpy error a ragged matrix always raised."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.float64)   # caller-visible shape of the
+                                         # old np.array([]) empty path
+    t = col.type
+    if pa.types.is_fixed_size_list(t) and col.null_count == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(n, t.list_size).astype(np.float64, copy=False)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) \
+            and col.null_count == 0:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, int(widths[0])) \
+                .astype(np.float64, copy=False)
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
 def round_sql_f(x: float, ndigits: int) -> float:
     """Scalar twin of :func:`round_sql` (DuckDB ROUND semantics).  Python's
     built-in ``round`` is correctly-rounded-to-decimal, which can differ
