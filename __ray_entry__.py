@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination: exact (oracle-checked) + LSH scale path
         "documents_decontaminate": q.q_documents_decontaminate,
         "documents_decontaminate_lsh": q.q_documents_decontaminate_lsh,
+        # round 4: the LSH join as a first-class API, hash-gated at
+        # threshold 1.0 (structural recall — see the query docstring)
+        "documents_lsh_join_exact": q.q_documents_lsh_join_exact,
         # extraction → rollup composition under the hash gate
         "transcripts_conv_rollup_fields": q.q_transcripts_conv_rollup_fields,
         "documents_textstats_sql": q.q_documents_textstats_sql,
@@ -1395,6 +1398,30 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.doc_id = sa.doc_id
                        JOIN sizes sb ON inter.bench_id = sb.doc_id
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        """,
+        "documents_lsh_join_exact": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            b AS (SELECT doc_id + 10000000 AS bench_id, sh FROM s
+                  WHERE substr(md5(doc_id::VARCHAR || chr(31) || '11'),
+                               1, 8) <= '3fffffff'),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id, b.bench_id,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN b ON a.sh = b.sh
+                      GROUP BY a.doc_id, b.bench_id)
+            SELECT inter.doc_id, bench_id,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter JOIN sizes sa ON inter.doc_id = sa.doc_id
+                       JOIN sizes sb
+                         ON inter.bench_id - 10000000 = sb.doc_id
+            WHERE c = sa.n AND c = sb.n
         """,
         "documents_jaccard_pairs": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -1613,6 +1613,54 @@ def q_documents_decontaminate_lsh(sf_dir: str) -> Dataset:
         batch_format="pyarrow")
 
 
+def q_documents_lsh_join_exact(sf_dir: str) -> Dataset:
+    """Cross-table LSH similarity JOIN (stages/dedup.minhash_join)
+    promoted to a first-class hash-gated contract query at
+    threshold 1.0: a jaccard-1.0 pair has IDENTICAL shingle sets, so
+    both sides produce identical seeded MinHash signatures, share every
+    band, and recall is STRUCTURAL (a property of the signature
+    function), not probabilistic — while precision is exact because
+    candidates verify with true string jaccard.  The planted duplicate
+    set is a DERIVED second corpus: the deterministic 25 % md5 sample
+    (seed 11) re-keyed to a disjoint id range (+10M) with its text
+    verbatim — every planted row's partner in the main corpus MUST
+    surface, so the query carries real rows at every scale (the
+    corpus's own seeded dup clusters are near-dups, never jaccard
+    exactly 1.0).  Output (doc_id, bench_id, jaccard=1.0); <3-token
+    docs excluded on both sides (no 3-gram shingles; the twin replays
+    the filter).  Same LSH machinery as q_documents_decontaminate_lsh,
+    but the threshold choice is what moves it from rows-only to the
+    bit-exact gate."""
+    from ..stages.dedup import minhash_join
+    from ..stages.partition import deterministic_sample
+
+    BENCH_ID_OFFSET = 10_000_000
+
+    def min_3_tokens(b: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), " "))
+        return b.filter(pc.greater_equal(nt, pa.scalar(3)))
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]) \
+        .map_batches(min_3_tokens, batch_format="pyarrow")
+    bench = deterministic_sample(ds, 0.25, ["doc_id"], seed=11) \
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(b.column("doc_id"),
+                       pa.scalar(BENCH_ID_OFFSET, pa.int64()))),
+            batch_format="pyarrow")
+    pairs = minhash_join(ds, bench, "doc_id", "doc_id", threshold=1.0)
+    return pairs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("id_a"),
+            "bench_id": b.column("id_b"),
+            "jaccard": round_sql(b.column("jaccard"), 6),
+        }),
+        batch_format="pyarrow")
+
+
 def q_transcripts_conv_rollup_fields(sf_dir: str) -> Dataset:
     """Extraction → per-conversation rollup COMPOSITION under the hash
     gate (the A1 shape end-to-end): raw-path field extraction, then

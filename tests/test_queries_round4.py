@@ -101,6 +101,61 @@ def test_simhash64_no_uint64_vote_wrap():
     assert 10 <= d <= 54     # ~32 expected for independent fingerprints
 
 
+def test_lsh_join_exact_structural_recall(ray_session, tmp_path):
+    """documents_lsh_join_exact must recover EVERY planted duplicate
+    (identical text ⇒ identical shingle set ⇒ identical seeded MinHash
+    signature ⇒ all bands agree — recall is structural, not
+    probabilistic), and nothing else on a corpus with no cross-doc
+    jaccard-1.0 pairs."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+    from ocr_engine_ray.stages.partition import (row_hash_hex,
+                                                 sample_threshold_hex)
+
+    rng = np.random.RandomState(3)
+    texts = [" ".join(f"w{rng.randint(0, 500)}" for _ in range(20))
+             for _ in range(80)]
+    texts += ["too short"]            # <3 tokens: excluded both sides
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+
+    got = {(r["doc_id"], r["bench_id"]): r["jaccard"]
+           for r in q.q_documents_lsh_join_exact(str(tmp_path)).take_all()}
+
+    thr = sample_threshold_hex(0.25)
+    planted = {i for i in ids[:-1]          # the short doc never plants
+               if row_hash_hex((i,), 11)[:8] <= thr}
+    assert planted, "degenerate test: empty planted sample"
+    # every planted duplicate surfaces against its origin, jaccard 1.0,
+    # and no spurious pair appears
+    assert got == {(i, i + 10_000_000): 1.0 for i in planted}
+
+
+def test_vec_matrix_zero_copy_paths():
+    """vec_matrix ≡ np.array(to_pylist()) on every layout it special-
+    cases: list<float32>, fixed_size_list, a sliced array (non-zero
+    offsets), and the ragged / empty fallbacks."""
+    from ocr_engine_ray.util import vec_matrix
+
+    data = [[1.5, 2.25, -3.0], [0.0, 4.5, 9.75], [7.0, -8.5, 0.125]]
+    lst = pa.array(data, pa.list_(pa.float32()))
+    ref = np.array(lst.to_pylist(), dtype=np.float64)
+    assert (vec_matrix(lst) == ref).all()
+    fsl = pa.array(data, pa.list_(pa.float32(), 3))
+    assert (vec_matrix(fsl) == ref).all()
+    sliced = lst.slice(1, 2)
+    assert (vec_matrix(sliced) == ref[1:3]).all()
+    chunked = pa.chunked_array([lst.slice(0, 1), lst.slice(1, 2)])
+    assert (vec_matrix(chunked) == ref).all()
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError):
+        vec_matrix(ragged)       # same failure the pylist path raised
+    assert vec_matrix(pa.array([], pa.list_(pa.float32()))).shape == (0,)
+
+
 def test_jaccard_pairs_unaffected_by_default_cap(ray_session, tmp_path):
     """The shipped default cap sits far above the test corpora's max
     shingle df: q_documents_jaccard_pairs over a corpus with a planted
