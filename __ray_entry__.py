@@ -1774,7 +1774,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(ln(CAST(nd.n AS DOUBLE) / df.df)
                                     * 1000) AS BIGINT) AS qi
                   FROM tf JOIN df ON tf.term = df.term, nd
-                  WHERE df.df * 20 <= nd.n)
+                  WHERE df.df * 20 <= nd.n AND df.df <= 2000)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(SUM(a.n * b.n * a.qi * a.qi) AS BIGINT) AS dot
             FROM w a JOIN w b

@@ -118,6 +118,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_transcripts_boilerplate(sf_dir).count())
     timed("events_value_outliers",
           lambda: q.q_events_value_outliers(sf_dir).count())
+    # round-4 additions: corrected+vectorized simhash, LSH join API
+    timed("documents_simhash_neardup",
+          lambda: q.q_documents_simhash_neardup(sf_dir).count())
+    timed("documents_lsh_join_exact",
+          lambda: q.q_documents_lsh_join_exact(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

@@ -3658,8 +3658,10 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
     then ONE groupby(term) whose in-group row count IS the term's df —
     so the df pass, the idf join and the posting self-join all
     disappear: each term group either fails the df cap (df > 5 % of
-    docs, the stop-term prune that bounds every posting list) and
-    emits nothing, or expands its ≤ cap postings to weighted pairs
+    docs OR df > the absolute :data:`SHINGLE_DF_CAP` — the relative
+    gate alone grows with N and lets Zipf-head bigrams expand ~10⁹
+    pairs at 1M docs) and emits nothing, or expands its ≤ cap
+    postings to weighted pairs
     with one vectorized triu_indices, computing qi from its own row
     count.  A per-batch partial pair combine then keeps the final
     (doc_a, doc_b) exchange to one row per pair per block.  An earlier
@@ -3702,6 +3704,15 @@ def q_documents_tfidf_pairs(sf_dir: str) -> Dataset:
     def expand_pairs(g: pa.Table) -> pa.Table:
         df = g.num_rows
         if df < 2 or df * DF_CAP_DEN > n_docs:
+            return empty_pairs
+        # absolute in-group cap on top of the relative 5 % gate: the
+        # relative gate GROWS with the corpus, so at 1M docs a Zipf-head
+        # bigram (df ≈ 5k ≪ 5 %·N) would still expand ~10⁷ pairs from
+        # one group — ~10⁹ summed over the head (measured in the 1M
+        # stress bench).  No-op below N = 20·SHINGLE_DF_CAP docs, so
+        # the sf0.01/sf0.1 oracles are unaffected; the twin carries the
+        # same AND df <= cap predicate.
+        if _df_capped(g, df, SHINGLE_DF_CAP, "tfidf_pairs", "term"):
             return empty_pairs
         qi = np.int64(round_sql_f(float(np.log(n_docs / df)) * 1000.0, 0))
         g = g.sort_by([("doc_id", "ascending")])
@@ -3916,17 +3927,18 @@ SHINGLE_DF_CAP = 2000
 
 
 def _df_capped(g: pa.Table, df: int, df_cap: int | None,
-               kernel: str) -> bool:
-    """True (and a loud worker-log warning) when a shingle group exceeds
-    the stop-shingle cap and must contribute no pairs."""
+               kernel: str, key_col: str = "sh") -> bool:
+    """True (and a loud worker-log warning) when a shingle/term group
+    exceeds the stop-key cap and must contribute no pairs."""
     if df_cap is not None and df > df_cap:
         import logging
-        sh0 = g.column("sh")[0].as_py() if "sh" in g.column_names else "?"
+        k0 = g.column(key_col)[0].as_py() if key_col in g.column_names \
+            else "?"
         logging.getLogger(__name__).warning(
-            "%s: stop-shingle dropped (df=%d > df_cap=%d, shingle=%r): "
-            "pair counts for docs sharing ONLY this shingle are "
+            "%s: stop key dropped (df=%d > df_cap=%d, key=%r): "
+            "pair counts for docs sharing ONLY this key are "
             "truncated; raise df_cap for exact-on-prose semantics",
-            kernel, df, df_cap, sh0)
+            kernel, df, df_cap, k0)
         return True
     return False
 

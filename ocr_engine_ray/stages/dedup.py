@@ -581,31 +581,139 @@ class MinHasher:
         sigs = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
         return sigs.min(axis=1)
 
+    def signatures_batch(self, col) -> np.ndarray:
+        """Vectorized :meth:`signature` over a string column — identical
+        values (pytest-pinned), one Python hash call per DISTINCT token
+        per batch (the round-4 simhash_batch discipline).  ~2× the
+        scalar stage (the k-permutation min pass bounds both shapes);
+        at 1M docs the minhash WALL is bucket-shuffle/verify-bound, so
+        this trims the signature stage, not the headline (measured,
+        BASELINE.md):
+
+        - one Arrow whitespace split (str.split() parity after dropping
+          boundary empties), blake2b on the ``dictionary_encode``
+          vocabulary only;
+        - shingle hashes via the same shifted-take rolling splitmix
+          combine as the scalar, across the whole batch at once (docs
+          shorter than ``w`` take the scalar's chain, per doc — rare);
+        - per-doc signature minima via ``np.minimum.reduceat`` per
+          permutation over the flat shingle-hash array; a min over the
+          multiset equals the scalar's min over ``np.unique``, so no
+          per-doc dedup pass is needed."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+        k, w = self.k, self.w
+        sigs = np.zeros((n, k), dtype=np.uint64)
+        if n == 0:
+            return sigs
+        toks = pc.utf8_split_whitespace(col)
+        doc_lens = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        d = np.repeat(np.arange(n, dtype=np.int64), doc_lens)[ne]
+        flat = flat.filter(pa.array(ne))
+        lens = np.bincount(d, minlength=n).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        if len(flat):
+            enc = flat.dictionary_encode()
+            vocab = enc.dictionary.to_pylist()
+            vh = np.fromiter((_crc64(t) for t in vocab), np.uint64,
+                             count=len(vocab))
+            th = vh[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            th = np.empty(0, np.uint64)
+        big = lens >= w
+        cnt = np.where(big, lens - w + 1,
+                       np.where(lens > 0, 1, 0)).astype(np.int64)
+        out_offs = np.concatenate([[0], np.cumsum(cnt)])
+        sh = np.zeros(int(out_offs[-1]), np.uint64)
+        if big.any():
+            intra = np.arange(len(th)) - np.repeat(offs[:-1], lens)
+            starts = np.flatnonzero(intra <= np.repeat(lens, lens) - w)
+            acc = th[starts].copy()
+            for j in range(1, w):
+                acc = _splitmix64(acc * _MIX2 ^ th[starts + j])
+            # both source (starts) and dest (out_offs) run in doc order,
+            # so the scatter is a repeat+arange index map
+            cnt_big = cnt[big]
+            within = np.arange(len(starts)) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt_big)])[:-1], cnt_big)
+            sh[np.repeat(out_offs[:-1][big], cnt_big) + within] = acc
+        for i in np.flatnonzero((lens > 0) & ~big):
+            a = th[offs[i]]
+            for hh in th[offs[i] + 1: offs[i + 1]]:
+                a = _splitmix64(a * _MIX2 ^ hh)
+            sh[out_offs[i]] = a
+        nz = cnt > 0
+        if nz.any():
+            red_at = out_offs[:-1][nz]
+            for kk in range(k):
+                v = (self.a[kk] * sh + self.b[kk]) % _MERSENNE
+                sigs[nz, kk] = np.minimum.reduceat(v, red_at)
+        # parity fallback for \x1c–\x1f rows (whitespace to str.split(),
+        # not to Unicode — same gate as simhash_batch)
+        odd = pc.match_substring_regex(col, "[\\x1c-\\x1f]") \
+            .to_numpy(zero_copy_only=False)
+        if odd.any():
+            texts = col.to_pylist()
+            for i in np.flatnonzero(odd):
+                sigs[i] = self.signature(texts[i] or "")
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
-        return batch.append_column(
-            "minhash_sig", pa.array(list(sigs), pa.list_(pa.uint64(), self.k)))
+        sigs = self.signatures_batch(batch.column(self.text_col))
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), pa.uint64()), self.k)
+        return batch.append_column("minhash_sig", arr)
 
 
 def lsh_band_rows(batch: pa.Table, id_col: str, bands: int = 16) -> pa.Table:
-    """signature → (band_id, band_hash, id) rows (1→bands expansion).
-    band_hash is a crc64 of the band's row slice — an 8-byte shuffle key."""
-    sigs = batch.column("minhash_sig").to_pylist()
-    ids = batch.column(id_col).to_pylist()
-    k = len(sigs[0]) if sigs else 0
+    """signature → (band_id, band_hash, id) rows (1→bands expansion),
+    fully vectorized: the fixed-width signature column reshapes off its
+    flat Arrow buffer and each band digests its row slice with a rolling
+    splitmix64 combine over (n, bands) at once.  This replaced a per-row
+    per-band blake2b-of-joined-string (16 digests + a Python loop per
+    doc — the dominant cost of the banding stage at 1M docs); any
+    deterministic band digest is semantically equivalent (equal slices
+    hash equal, so recall is unchanged; a cross-slice collision only
+    adds a candidate the exact verify filters).  Bands are clamped to k
+    (the old code emitted constant-hash bands past k, bucketing the
+    whole corpus together)."""
+    sig_col = batch.column("minhash_sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(sig_col)
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if n == 0:
+        return pa.table({
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+        })
+    if pa.types.is_fixed_size_list(sig_col.type):
+        k = sig_col.type.list_size
+        sig = sig_col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False).reshape(n, k)
+    else:                                  # variable list fallback
+        sig = np.asarray(sig_col.to_pylist(), dtype=np.uint64)
+        k = sig.shape[1]
+    bands = min(bands, k)
     r = max(1, k // bands)
-    band_id, band_hash, out_id = [], [], []
-    for i, sig in enumerate(sigs):
-        for b in range(bands):
-            chunk = sig[b * r:(b + 1) * r]
-            band_id.append(b)
-            band_hash.append(_crc64(",".join(map(str, chunk))) & 0x7FFFFFFFFFFFFFFF)
-            out_id.append(ids[i])
+    use = sig[:, :bands * r].reshape(n, bands, r)
+    acc = _splitmix64(use[:, :, 0].copy())
+    for j in range(1, r):
+        acc = _splitmix64(acc * _MIX2 ^ use[:, :, j])
+    band_hash = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return pa.table({
-        "band_id": pa.array(band_id, pa.int32()),
-        "band_hash": pa.array(band_hash, pa.int64()),
-        id_col: pa.array(out_id, type=batch.schema.field(id_col).type),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.reshape(-1), pa.int64()),
+        id_col: ids.take(pa.array(np.repeat(np.arange(n), bands),
+                                  pa.int64())),
     })
 
 

@@ -134,6 +134,48 @@ def test_lsh_join_exact_structural_recall(ray_session, tmp_path):
     assert got == {(i, i + 10_000_000): 1.0 for i in planted}
 
 
+def test_minhash_signatures_batch_parity():
+    """Vectorized MinHash signatures ≡ per-row scalar signatures on
+    every edge the batch kernel special-cases: empty / null /
+    whitespace-only docs, docs shorter than the shingle width (the
+    scalar chain path), duplicate shingles (multiset min ≡ set min),
+    boundary whitespace, unicode, and the \\x1c–\\x1f scalar
+    fallback."""
+    from ocr_engine_ray.stages.dedup import MinHasher
+
+    mh = MinHasher()
+    cases = ["", None, "   ", "one", "one two", "a b c",
+             "a b c d e f g h", "dup dup dup dup dup",
+             "  lead and trail  ", "héllo wörld tokens 🎉 here",
+             "x\x1cy z q r", "the quick brown fox jumps over the lazy dog"]
+    got = mh.signatures_batch(pa.array(cases, pa.string()))
+    for i, t in enumerate(cases):
+        ref = mh.signature(t or "")
+        assert np.array_equal(got[i], ref), (i, t)
+
+
+def test_lsh_band_rows_vectorized_consistency():
+    """Equal signatures must produce equal band hashes in every band
+    (the LSH recall invariant the digest change must preserve), and the
+    output keeps the (row-major, band-minor) expansion order."""
+    from ocr_engine_ray.stages.dedup import MinHasher, lsh_band_rows
+
+    mh = MinHasher()
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "something else entirely different here"]
+    batch = pa.table({"doc_id": pa.array([7, 8, 9], pa.int64()),
+                      "text": pa.array(texts)})
+    rows = lsh_band_rows(mh(batch), "doc_id", bands=16)
+    assert rows.num_rows == 3 * 16
+    by_doc = {}
+    for r in rows.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["band_id"], r["band_hash"]))
+    assert by_doc[7] == by_doc[8]          # identical sigs, all 16 bands
+    assert by_doc[7] != by_doc[9]
+    assert [b for b, _ in by_doc[7]] == list(range(16))
+
+
 def test_vec_matrix_zero_copy_paths():
     """vec_matrix ≡ np.array(to_pylist()) on every layout it special-
     cases: list<float32>, fixed_size_list, a sliced array (non-zero
