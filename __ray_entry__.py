@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": q.q_events_value_zscore,
         "documents_ngram_contamination":
             q.q_documents_ngram_contamination,
+        "documents_ngram_contamination_scaled":
+            q.q_documents_ngram_contamination_scaled,
         "documents_token_budget_sample":
             q.q_documents_token_budget_sample,
         "documents_length_filter": q.q_documents_length_filter,
@@ -1867,6 +1869,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, CAST(COUNT(DISTINCT b.bench_id) AS BIGINT)
                        AS n_bench
             FROM s a JOIN b ON a.sh = b.sh AND a.doc_id <> b.bench_id
+            GROUP BY a.doc_id
+        """,
+        "documents_ngram_contamination_scaled": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 3),
+                    i -> list_aggregate(toks[i:i+4], 'string_agg', ' '))))
+                    AS sh
+                  FROM d WHERE len(toks) >= 5),
+            keep AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 2),
+            b AS (SELECT doc_id AS bench_id, sh FROM s
+                  WHERE substr(md5(doc_id::VARCHAR || chr(31) || '7'),
+                               1, 8) <= '0ccccccc')
+            SELECT a.doc_id, CAST(COUNT(DISTINCT b.bench_id) AS BIGINT)
+                       AS n_bench
+            FROM s a JOIN keep USING (sh)
+                     JOIN b ON a.sh = b.sh AND a.doc_id <> b.bench_id
             GROUP BY a.doc_id
         """,
         "documents_token_budget_sample": """

@@ -4192,6 +4192,93 @@ def q_documents_ngram_contamination(sf_dir: str) -> Dataset:
         batch_format="pyarrow")
 
 
+#: Ubiquitous-n-gram exclusion threshold for the SCALED contamination
+#: rule (GPT-3 appendix-C practice: n-grams occurring in many training
+#: documents are boilerplate, carry no contamination signal, and are the
+#: exact rows whose inverted-index join fans out Σ df_a·df_b pairs — so
+#: they are excluded EXPLICITLY, as a semantic rule the oracle mirrors,
+#: not truncated).  2 binds on the test corpora (max 5-gram df is 3–4
+#: there, from planted dup clusters) so the exclusion logic itself sits
+#: under the bit-exact gate; production corpora would raise it (GPT-3
+#: used ~10 on 13-grams).
+NGRAM_UBIQ_CAP = 2
+
+
+def q_documents_ngram_contamination_scaled(sf_dir: str) -> Dataset:
+    """ANY-n-gram benchmark contamination with UBIQUITOUS-n-gram
+    exclusion — the scale-safe variant of
+    :func:`q_documents_ngram_contamination`.  The plain rule's
+    inverted-index join fans out Σ df_a·df_b rows per shingle, and a
+    5-gram hot on both sides (site boilerplate, licence headers) makes
+    that quadratic; capping silently would under-report mass
+    contamination, so this variant adopts the GPT-3 decontamination
+    practice instead: 5-grams contained in more than
+    :data:`NGRAM_UBIQ_CAP` corpus documents are declared uninformative
+    and excluded FROM THE RULE — the DuckDB twin carries the identical
+    HAVING df <= cap predicate, so the exclusion is oracle-checked, not
+    a truncation.  Output: (doc_id, n_bench) over the surviving
+    evidence shingles.
+
+    Scale shape: ONE groupby(sh) exchange total — corpus and benchmark
+    shingle rows are tagged and unioned, and each shingle group knows
+    its own corpus df (its tag-0 row count), so the df pass, the keep
+    join and the pair expansion all happen inside the group (the
+    decontaminate kernel's shape); groups over the cap emit nothing by
+    rule.  Worst surviving group is cap × bench-members — bounded."""
+    from ..stages.partition import deterministic_sample
+
+    import numpy as np
+
+    K = 5
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    bench = deterministic_sample(ds, 0.05, ["doc_id"], seed=7)
+    sa = ds.map_batches(_doc_kgram_rows("doc_id", K),
+                        batch_format="pyarrow")
+    sb = bench.map_batches(_doc_kgram_rows("doc_id", K),
+                           batch_format="pyarrow")
+
+    tagged = sa.map_batches(
+        lambda b: b.append_column("bench", pa.array(
+            np.zeros(b.num_rows, np.int8))), batch_format="pyarrow") \
+        .union(sb.map_batches(
+            lambda b: b.append_column("bench", pa.array(
+                np.ones(b.num_rows, np.int8))), batch_format="pyarrow"))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bench_id": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+
+    def expand(g: pa.Table) -> pa.Table:
+        fl = g.column("bench").to_numpy(zero_copy_only=False)
+        # corpus df = tag-0 rows (bench docs are corpus docs too, so
+        # every bench row has a tag-0 twin; the twin's HAVING counts
+        # the same rows)
+        if int((fl == 0).sum()) > NGRAM_UBIQ_CAP \
+                or not fl.any() or fl.all():
+            return empty
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        a_ids, b_ids = ids[fl == 0], ids[fl == 1]
+        da = np.repeat(a_ids, len(b_ids))
+        db = np.tile(b_ids, len(a_ids))
+        keep = da != db
+        return pa.table({"doc_id": pa.array(da[keep], pa.int64()),
+                         "bench_id": pa.array(db[keep], pa.int64()),
+                         "p_c": pa.array(np.ones(int(keep.sum()),
+                                                 np.int64))})
+
+    pairs = tagged.groupby("sh").map_groups(
+        expand, batch_format="pyarrow").materialize()
+    distinct = _pair_combine(pairs, ["doc_id", "bench_id"], "c")
+    out = distinct.groupby("doc_id").aggregate(
+        Count("bench_id", alias_name="n_bench"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_bench": pc.cast(b.column("n_bench"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_documents_token_budget_sample(sf_dir: str) -> Dataset:
     """Per-source TOKEN-BUDGET sampling (mixture building by token
     count, not doc count): walk each source's docs in seeded-md5 order

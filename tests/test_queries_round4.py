@@ -134,6 +134,47 @@ def test_lsh_join_exact_structural_recall(ray_session, tmp_path):
     assert got == {(i, i + 10_000_000): 1.0 for i in planted}
 
 
+def test_ngram_contamination_ubiquitous_exclusion(ray_session, tmp_path):
+    """The scaled contamination rule excludes 5-grams contained in more
+    than NGRAM_UBIQ_CAP corpus docs (boilerplate carries no signal AND
+    is the quadratic join fanout), while rare shared 5-grams still
+    flag; the plain rule reports the boilerplate matches — so the two
+    variants must genuinely differ on a planted corpus."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+    from ocr_engine_ray.stages.partition import (row_hash_hex,
+                                                 sample_threshold_hex)
+
+    ids = list(range(40))
+    thr = sample_threshold_hex(0.05)
+    bench = [i for i in ids if row_hash_hex((i,), 7)[:8] <= thr]
+    assert bench, "degenerate test: empty benchmark sample"
+    b0 = bench[0]
+    non_bench = [i for i in ids if i not in bench]
+    a0, hot_docs = non_bench[0], non_bench[1:6]
+
+    texts = [f"u{i}a u{i}b u{i}c u{i}d u{i}e" for i in ids]
+    texts[a0] += " r1 r2 r3 r4 r5"       # rare: df=2 (a0 + bench b0)
+    texts[b0] += " r1 r2 r3 r4 r5 h1 h2 h3 h4 h5"
+    for i in hot_docs:                   # hot: df=6 > cap, excluded
+        texts[i] += " h1 h2 h3 h4 h5"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+
+    scaled = {r["doc_id"]: r["n_bench"] for r in
+              q.q_documents_ngram_contamination_scaled(
+                  str(tmp_path)).take_all()}
+    assert scaled == {a0: 1}
+
+    plain = {r["doc_id"]: r["n_bench"] for r in
+             q.q_documents_ngram_contamination(str(tmp_path)).take_all()}
+    assert plain[a0] == 1
+    for i in hot_docs:                   # the rows the exclusion drops
+        assert plain[i] == 1
+
+
 def test_minhash_signatures_batch_parity():
     """Vectorized MinHash signatures ≡ per-row scalar signatures on
     every edge the batch kernel special-cases: empty / null /
