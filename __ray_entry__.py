@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": q.q_events_ntile,
         # round 3: LAG window, grouping sets, exact n-gram Jaccard pairs
         "events_lag_delta": q.q_events_lag_delta,
+        "events_type_transitions": q.q_events_type_transitions,
+        "events_value_trend": q.q_events_value_trend,
         "lineitem_grouping_sets": q.q_lineitem_grouping_sets,
         "documents_jaccard_pairs": q.q_documents_jaccard_pairs,
         # decontamination: exact (oracle-checked) + LSH scale path
@@ -1369,6 +1371,47 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_type_transitions": """
+            WITH w AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+                       FROM events),
+            c AS (SELECT prev_type, event_type AS next_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_trans
+                  FROM w WHERE prev_type IS NOT NULL
+                  GROUP BY 1, 2)
+            SELECT prev_type, next_type, n_trans,
+                   CAST(n_trans AS DOUBLE) /
+                   CAST(SUM(n_trans) OVER (PARTITION BY prev_type)
+                        AS DOUBLE) AS p
+            FROM c
+        """,
+        "events_value_trend": """
+            WITH t AS (SELECT event_type,
+                              (epoch_us(ts) // 86400000000) - 19723 AS x,
+                              CAST(round(value * 100) AS BIGINT) AS y
+                       FROM events WHERE value IS NOT NULL),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM t GROUP BY 1),
+            f AS (SELECT event_type, n, sx, sy,
+                         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             AS slope
+                  FROM s)
+            SELECT event_type, n AS n_events,
+                   slope AS slope_cents_per_day,
+                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept_cents
+            FROM f
         """,
         "lineitem_grouping_sets": """
             SELECT l_returnflag, l_linestatus,

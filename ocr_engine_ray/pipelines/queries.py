@@ -4799,3 +4799,134 @@ def q_events_median_gap(sf_dir: str) -> Dataset:
 
     return ds.groupby("user_id").map_groups(median_gap,
                                             batch_format="pyarrow")
+
+
+def q_events_type_transitions(sf_dir: str) -> pa.Table:
+    """Per-user event-type TRANSITION MATRIX (the Markov-chain /
+    next-action model a behavioural pipeline fits): for each user's
+    event stream ordered by (ts, event_id), count every
+    (prev_type → next_type) step, then the global transition
+    probability p = n_trans / Σ n_trans from that prev_type.
+
+    Scale shape: one groupby(user_id) co-partition; each user group
+    emits its ≤ |types|² transition-count partial (vectorized shift +
+    one Arrow group_by — no per-event Python), and the bounded
+    (prev, next) key domain folds through tree_combine, never a
+    sort-shuffle.  p is one IEEE division of two exact int64 counts —
+    the same two ints the twin's window SUM produces — so the float is
+    bit-identical by construction."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def steps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        et = g.column("event_type").combine_chunks()
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        t = pa.table({"prev_type": et.slice(0, len(et) - 1),
+                      "next_type": et.slice(1),
+                      "one": pa.array(np.ones(len(et) - 1, np.int64))})
+        out = t.group_by(["prev_type", "next_type"]) \
+            .aggregate([("one", "sum")])
+        return out.rename_columns(["prev_type", "next_type", "p_c"])
+
+    partials = ds.groupby("user_id").map_groups(steps,
+                                                batch_format="pyarrow")
+    counts = _tree_combine(partials, ["prev_type", "next_type"],
+                           [("p_c", "sum")],
+                           ["prev_type", "next_type", "p_c"],
+                           ["prev_type", "next_type", "n_trans"])
+
+    def probs(b: pa.Table) -> pa.Table:
+        # single block (tree_combine ends repartition(1)): the per-prev
+        # totals are a local group_by + dictionary lookup
+        tot = b.group_by(["prev_type"]).aggregate([("n_trans", "sum")])
+        m = dict(zip(tot.column("prev_type").to_pylist(),
+                     tot.column("n_trans_sum").to_pylist()))
+        n = b.column("n_trans").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = np.array([m[p] for p in b.column("prev_type").to_pylist()],
+                     np.float64)
+        return b.append_column("p", pa.array(n / d, pa.float64()))
+
+    out = counts.map_batches(probs, batch_format="pyarrow",
+                             batch_size=None)
+    return _small_table(out)
+
+
+def q_events_value_trend(sf_dir: str) -> pa.Table:
+    """Grouped ORDINARY-LEAST-SQUARES trend per event type: the slope
+    and intercept of value (exact cents) against the event's calendar
+    day — the drift detector a metrics pipeline runs per segment.
+    NULL values are excluded (SQL aggregate semantics).
+
+    Parity design: every aggregate is an exact int64 sum (cents ×
+    centered day), shipped as four partial sums per block; slope and
+    intercept are then the SAME closed-form double expression over
+    those ints in both engines — n·Sxy−Sx·Sy over n·Sxx−Sx², one IEEE
+    evaluation each — so no float ever crosses an aggregation boundary.
+    Day is centered on a fixed epoch (2024-01-01) to keep n·Sxy far
+    from int64 range at 100× this scale."""
+    import numpy as np
+
+    EPOCH_DAY = 19723  # 2024-01-01 as days since 1970-01-01 (both sides)
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_sx": pa.array([], pa.int64()),
+                             "p_sy": pa.array([], pa.int64()),
+                             "p_sxx": pa.array([], pa.int64()),
+                             "p_sxy": pa.array([], pa.int64())})
+        x = (pc.cast(b.column("ts").combine_chunks(), pa.int64())
+             .to_numpy(zero_copy_only=False)
+             // 86_400_000_000) - EPOCH_DAY
+        y = scaled_int_sql(b.column("value"), 100.0)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x, pa.int64()),
+                      "sy": pa.array(y, pa.int64()),
+                      "sxx": pa.array(x * x, pa.int64()),
+                      "sxy": pa.array(x * y, pa.int64())})
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns(
+            ["event_type", "p_n", "p_sx", "p_sy", "p_sxx", "p_sxy"])
+
+    sums = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("p_n", "sum"), ("p_sx", "sum"), ("p_sy", "sum"),
+         ("p_sxx", "sum"), ("p_sxy", "sum")],
+        ["event_type", "p_n", "p_sx", "p_sy", "p_sxx", "p_sxy"],
+        ["event_type", "n", "sx", "sy", "sxx", "sxy"])
+
+    def fit(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        # the twin writes the IDENTICAL expression tree over the same
+        # exact ints — double ops in the same order are bit-equal
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({"event_type": b.column("event_type"),
+                         "n_events": b.column("n"),
+                         "slope_cents_per_day": pa.array(slope,
+                                                         pa.float64()),
+                         "intercept_cents": pa.array(intercept,
+                                                     pa.float64())})
+
+    return _small_table(sums.map_batches(fit, batch_format="pyarrow",
+                                         batch_size=None))

@@ -259,3 +259,66 @@ def test_jaccard_pairs_unaffected_by_default_cap(ray_session, tmp_path):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in got.to_pylist()}
     assert pairs == {(0, 1): 1.0}
+
+
+def test_events_type_transitions_reference(ray_session, tmp_path):
+    """Transition counts/probabilities ≡ a hand-walked reference on a
+    planted two-user stream (including the per-user boundary: the last
+    event of user 1 must NOT chain into the first of user 2)."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    # user 1: a→b→a→b ; user 2: b→b→c
+    rows = {
+        "event_id": list(range(7)),
+        "user_id": [1, 1, 1, 1, 2, 2, 2],
+        "ts": [1, 2, 3, 4, 1, 2, 3],
+        "event_type": ["a", "b", "a", "b", "b", "b", "c"],
+    }
+    t = pa.table({
+        "event_id": pa.array(rows["event_id"], pa.int64()),
+        "ts": pa.array(rows["ts"], pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(rows["user_id"], pa.int64()),
+        "event_type": pa.array(rows["event_type"]),
+        "value": pa.array([1.0] * 7, pa.float64()),
+        "props": pa.array(["{}"] * 7),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = {(r["prev_type"], r["next_type"]): (r["n_trans"], r["p"])
+           for r in q.q_events_type_transitions(
+               str(tmp_path)).to_pylist()}
+    assert got == {("a", "b"): (2, 1.0),
+                   ("b", "a"): (1, 1.0 / 3.0),
+                   ("b", "b"): (1, 1.0 / 3.0),
+                   ("b", "c"): (1, 1.0 / 3.0)}
+
+
+def test_events_value_trend_matches_polyfit(ray_session):
+    """Grouped OLS slope/intercept ≡ numpy.polyfit on the same
+    (day, cents) points at sf0.001, to float tolerance (the engine and
+    the twin share bit-exactness; polyfit is the independent
+    reference)."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    got = {r["event_type"]: r
+           for r in q.q_events_value_trend(SF).to_pylist()}
+
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    t = t.filter(t.column("value").is_valid())
+    x = (t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+         // 86_400_000_000) - 19723
+    y = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100)
+    et = np.asarray(t.column("event_type").to_pylist())
+    assert set(got) == set(np.unique(et))
+    for typ in got:
+        m = et == typ
+        slope, intercept = np.polyfit(x[m].astype(float),
+                                      y[m].astype(float), 1)
+        assert got[typ]["n_events"] == int(m.sum())
+        assert abs(got[typ]["slope_cents_per_day"] - slope) < 1e-6
+        assert abs(got[typ]["intercept_cents"] - intercept) < 1e-6
