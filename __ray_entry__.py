@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_simhash_neardup": q.q_documents_simhash_neardup,
         "documents_textstats": q.q_documents_textstats,
         "embeddings_neardup": q.q_embeddings_neardup,
+        "embeddings_semantic_dedup": q.q_embeddings_semantic_dedup,
         "embeddings_ann_topk": q.q_embeddings_ann_topk,
         "embeddings_ann_topk_lsh": q.q_embeddings_ann_topk_lsh,
         "embeddings_ann_topk_ivf": q.q_embeddings_ann_topk_ivf,
@@ -1691,6 +1692,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "embeddings_semantic_dedup": """
+            WITH RECURSIVE
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM embeddings a JOIN embeddings b
+                    ON a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(
+                            a.embedding::DOUBLE[],
+                            b.embedding::DOUBLE[]) >= 0.4),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            r AS (SELECT vec_id AS id, vec_id AS reach FROM embeddings
+                  UNION
+                  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+            SELECT id AS vec_id, CAST(MIN(reach) AS BIGINT) AS rep,
+                   (MIN(reach) = id) AS keep
+            FROM r GROUP BY id
         """,
         "events_sessionize": """
             WITH gaps AS (

@@ -4930,3 +4930,40 @@ def q_events_value_trend(sf_dir: str) -> pa.Table:
 
     return _small_table(sums.map_batches(fit, batch_format="pyarrow",
                                          batch_size=None))
+
+
+def q_embeddings_semantic_dedup(sf_dir: str) -> Dataset:
+    """SemDeDup-style SEMANTIC dedup keep-list (Abbas et al. 2023):
+    cluster the embedding space by cosine near-duplicate components and
+    keep ONE representative (min vec_id) per semantic cluster — the
+    embedding-space sibling of the text near-dup keep queries.  Output
+    (vec_id, rep, keep): every vector labelled with its component
+    representative and whether it survives the dedup.
+
+    Composition of two already-hash-checked stages, end-to-end under
+    the gate: the exact block-pair cosine grid (edges ≥ 0.4, the same
+    threshold the embeddings_neardup oracle pins bit-exact) into the
+    distributed min-label propagation; singletons are their own rep via
+    a left join.  The twin replays pair generation + a WITH RECURSIVE
+    transitive closure, so the cluster labels — not just the edges —
+    are bit-checked."""
+    from ..stages.dedup import (components_label_propagation,
+                                embedding_neardup_pairs)
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=0.4)
+    comp = with_schema(
+        components_label_propagation(pairs),
+        pa.schema([("id", pa.int64()), ("rep", pa.int64())]))
+    ids = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id"])
+    j = ids.join(comp, join_type="left_outer", num_partitions=8,
+                 on=("vec_id",), right_on=("id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rep = pc.cast(pc.coalesce(b.column("rep"), b.column("vec_id")),
+                      pa.int64())
+        return pa.table({"vec_id": b.column("vec_id"), "rep": rep,
+                         "keep": pc.equal(rep, b.column("vec_id"))})
+
+    return j.map_batches(finish, batch_format="pyarrow")

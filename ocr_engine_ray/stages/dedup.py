@@ -1026,7 +1026,19 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
     enter the computation."""
     from ray.data.aggregate import Min
 
-    edges = edges.select_columns(["id_a", "id_b"]).materialize()
+    from ..util import with_schema
+
+    edges = edges.select_columns(["id_a", "id_b"])
+    id_type = edges.schema().base_schema.field("id_a").type
+    # with_schema instead of a bare materialize(): select_columns is
+    # SKIPPED on zero-row blocks (Ray forwards them untouched), so a
+    # sparse pair grid yields a mix of (id_a,id_b) and
+    # (id_a,id_b,cosine,...) blocks whose join-side concat breaks with
+    # "No match or multiple matches for FieldRef" — dropping the empty
+    # blocks makes the edge schema homogeneous
+    edges = with_schema(edges, pa.schema([("id_a", id_type),
+                                          ("id_b", id_type)]))
+    label_schema = pa.schema([("id", id_type), ("label", id_type)])
     converged = False
 
     def as_nodes(col: str):
@@ -1035,9 +1047,14 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
                 {"id": b.column(c), "label": b.column(c)}),
             batch_format="pyarrow")
 
-    labels = as_nodes("id_a").union(as_nodes("id_b")) \
-        .groupby("id").aggregate(Min("label", alias_name="label")) \
-        .materialize()
+    # with_schema: Ray's hash aggregate emits schema-less zero-row
+    # blocks on sparse inputs (few edges, num_partitions partitions);
+    # they crash the id_a/id_b joins below ("No match for FieldRef").
+    # labels is materialized each round anyway, so the pin is free.
+    labels = with_schema(
+        as_nodes("id_a").union(as_nodes("id_b"))
+        .groupby("id").aggregate(Min("label", alias_name="label")),
+        label_schema)
     prev_sum = labels.sum("label")
     # max_iters + 1: labels that stabilize exactly on round max_iters
     # need one extra no-change round to OBSERVE convergence — raising
@@ -1051,11 +1068,21 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
             lambda b: pa.table({"id_b": b.column("id"),
                                 "label_b": b.column("label")}),
             batch_format="pyarrow")
-        with_labels = edges \
-            .join(la, join_type="inner", num_partitions=num_partitions,
-                  on=("id_a",)) \
-            .join(lb, join_type="inner", num_partitions=num_partitions,
-                  on=("id_b",))
+        # schema pinned between the chained joins (and on the label
+        # sides): empty join-1 partitions emit schema-less blocks that
+        # break join 2 — same hazard as the similarity-kernel size joins
+        half = with_schema(
+            edges.join(with_schema(la, pa.schema([("id_a", id_type),
+                                                  ("label_a", id_type)])),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("id_a",)),
+            pa.schema([("id_a", id_type), ("id_b", id_type),
+                       ("label_a", id_type)]))
+        with_labels = half.join(
+            with_schema(lb, pa.schema([("id_b", id_type),
+                                       ("label_b", id_type)])),
+            join_type="inner", num_partitions=num_partitions,
+            on=("id_b",))
 
         def msgs(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -1067,10 +1094,11 @@ def components_label_propagation(edges: Dataset, max_iters: int = 25,
                     b.column("label_a").combine_chunks()]),
             })
 
-        labels = labels.union(
-            with_labels.map_batches(msgs, batch_format="pyarrow")) \
-            .groupby("id").aggregate(Min("label", alias_name="label")) \
-            .materialize()
+        labels = with_schema(
+            labels.union(
+                with_labels.map_batches(msgs, batch_format="pyarrow"))
+            .groupby("id").aggregate(Min("label", alias_name="label")),
+            label_schema)
         s = labels.sum("label")
         if s == prev_sum:
             converged = True

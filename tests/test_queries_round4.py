@@ -322,3 +322,38 @@ def test_events_value_trend_matches_polyfit(ray_session):
         assert got[typ]["n_events"] == int(m.sum())
         assert abs(got[typ]["slope_cents_per_day"] - slope) < 1e-6
         assert abs(got[typ]["intercept_cents"] - intercept) < 1e-6
+
+
+def test_embeddings_semantic_dedup_planted_clusters(ray_session, tmp_path):
+    """SemDeDup keep-list on planted clusters: two tight cosine
+    clusters and an orthogonal singleton — each cluster keeps exactly
+    its min vec_id, the singleton keeps itself, and transitive closure
+    holds (a chain a~b, b~c with a~c below threshold still forms ONE
+    component)."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    def unit(v):
+        v = np.asarray(v, np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    vecs = [
+        unit([1, 0, 0, 0]),            # 0: cluster A
+        unit([1, 0.05, 0, 0]),         # 1: cluster A
+        unit([1, -0.05, 0, 0]),        # 2: cluster A
+        unit([0, 0, 1, 0.6]),          # 3: chain: 3~4 strong
+        unit([0, 0, 1, -0.6]),         # 4: 4~3 ≥ 0.4, 3/4 ⊥ others
+        unit([0, 1, 0, 0]),            # 5: singleton (⊥ everything)
+    ]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0] * 6, pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = {r["vec_id"]: (r["rep"], r["keep"])
+           for r in q.q_embeddings_semantic_dedup(
+               str(tmp_path)).take_all()}
+    assert got == {0: (0, True), 1: (0, False), 2: (0, False),
+                   3: (3, True), 4: (3, False), 5: (5, True)}
