@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_ngram_contamination,
         "documents_ngram_contamination_scaled":
             q.q_documents_ngram_contamination_scaled,
+        "documents_dup_spans": q.q_documents_dup_spans,
         "documents_token_budget_sample":
             q.q_documents_token_budget_sample,
         "documents_length_filter": q.q_documents_length_filter,
@@ -1949,6 +1950,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN keep USING (sh)
                      JOIN b ON a.sh = b.sh AND a.doc_id <> b.bench_id
             GROUP BY a.doc_id
+        """,
+        "documents_dup_spans": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            p AS (SELECT doc_id, i - 1 AS pos,
+                         list_aggregate(toks[i:i+9], 'string_agg', ' ')
+                             AS sh
+                  FROM d, UNNEST(range(1, len(toks) - 8)) AS t(i)
+                  WHERE len(toks) >= 10),
+            dup AS (SELECT sh FROM p GROUP BY sh HAVING COUNT(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM p JOIN dup USING (sh)),
+            g AS (SELECT doc_id, pos,
+                         CASE WHEN pos - LAG(pos) OVER w <= 10
+                              THEN 0 ELSE 1 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl AS (SELECT doc_id, pos,
+                           SUM(brk) OVER (PARTITION BY doc_id
+                                          ORDER BY pos
+                                          ROWS UNBOUNDED PRECEDING)
+                               AS grp
+                    FROM g),
+            sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) AS e
+                   FROM isl GROUP BY doc_id, grp)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(e - s + 10) AS BIGINT) AS dup_tokens
+            FROM sp GROUP BY doc_id
         """,
         "documents_token_budget_sample": """
             WITH t AS (SELECT doc_id, source,

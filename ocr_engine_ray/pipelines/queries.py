@@ -4967,3 +4967,88 @@ def q_embeddings_semantic_dedup(sf_dir: str) -> Dataset:
                          "keep": pc.equal(rep, b.column("vec_id"))})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_dup_spans(sf_dir: str) -> Dataset:
+    """Duplicated-SPAN detection (the substring-level exact dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a token position is duplicated when its word-10-gram
+    occurs at least twice in the corpus (same or another doc); per doc,
+    merge the covered positions into maximal contiguous token runs and
+    report (doc_id, n_spans, dup_tokens) — the rows a span-level dedup
+    would cut out of each document.  Only docs containing at least one
+    duplicated span appear.
+
+    Scale shape: positional k-gram rows (vectorized — same shifted-take
+    kernel as _doc_kgram_rows, plus the in-doc position), ONE
+    groupby(sh) exchange whose groups self-report their occurrence
+    count (≥ 2 ⇒ every member position is a hit, the group is the
+    duplication evidence — no separate df pass or join), then one
+    groupby(doc_id) co-partition merging hit positions into islands
+    with a vectorized gap scan.  Everything is int64; the twin replays
+    the islands with a LAG / SUM-OVER gaps-and-islands window."""
+    import numpy as np
+
+    from ..stages.terms import _tokens
+
+    K = 10
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def pos_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        b = b.set_column(b.schema.get_field_index("text"), "text",
+                         pc.fill_null(b.column("text"), ""))
+        _, lens, flat, offs = _tokens(b)
+        tot = len(flat)
+        intra = np.arange(tot) - np.repeat(offs[:-1], lens)
+        starts = np.flatnonzero(intra <= np.repeat(lens, lens) - K)
+        if len(starts) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        cols = [flat.take(pa.array(starts + j, pa.int64()))
+                for j in range(K)]
+        sh = pc.binary_join_element_wise(*cols, " ")
+        d = np.searchsorted(offs, starts, side="right") - 1
+        ids = b.column("doc_id").combine_chunks() \
+            .take(pa.array(d, pa.int64()))
+        return pa.table({"doc_id": ids,
+                         "pos": pa.array(intra[starts], pa.int64()),
+                         "sh": sh})
+
+    empty_hits = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "pos": pa.array([], pa.int64())})
+
+    def dup_hits(g: pa.Table) -> pa.Table:
+        # the group's row count IS the shingle's corpus occurrence
+        # count — ≥ 2 means every member position sits in a duplicated
+        # 10-gram (within-doc repeats included, per the paper)
+        if g.num_rows < 2:
+            return empty_hits
+        return g.select(["doc_id", "pos"])
+
+    hits = ds.map_batches(pos_rows, batch_format="pyarrow") \
+        .groupby("sh").map_groups(dup_hits, batch_format="pyarrow")
+
+    def islands(g: pa.Table) -> pa.Table:
+        p = np.sort(np.unique(
+            g.column("pos").to_numpy(zero_copy_only=False)))
+        # positions p1 < p2 cover contiguous tokens iff p2 - p1 <= K
+        # (= K-1 overlap, = K back-to-back); a larger gap leaves an
+        # uncovered token between spans
+        brk = np.flatnonzero(np.diff(p) > K)
+        s = p[np.concatenate([[0], brk + 1])]
+        e = p[np.concatenate([brk, [len(p) - 1]])]
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()]
+                               * len(s), pa.int64()),
+            "n_spans": pa.array([len(s)] * len(s), pa.int64()),
+            "dup_tokens": pa.array([int((e - s + K).sum())] * len(s),
+                                   pa.int64())}).slice(0, 1)
+
+    return hits.groupby("doc_id").map_groups(islands,
+                                             batch_format="pyarrow")

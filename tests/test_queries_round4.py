@@ -357,3 +357,31 @@ def test_embeddings_semantic_dedup_planted_clusters(ray_session, tmp_path):
                str(tmp_path)).take_all()}
     assert got == {0: (0, True), 1: (0, False), 2: (0, False),
                    3: (3, True), 4: (3, False), 5: (5, True)}
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """Span semantics on a planted corpus: a WITHIN-doc repeat counts
+    (two separated spans), a cross-doc shared run of overlapping
+    10-grams merges into ONE maximal span covering the whole run, and
+    all-unique docs never appear."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    c = [f"c{i}" for i in range(10)]          # the repeated 10-gram
+    s = [f"s{i}" for i in range(12)]          # 12-token shared run
+    texts = [
+        " ".join(c + ["u0a", "u0b", "u0c", "u0d", "u0e"] + c),
+        " ".join(s + ["x1a", "x1b", "x1c", "x1d", "x1e"]),
+        " ".join(s + ["y2a", "y2b", "y2c", "y2d", "y2e"]),
+        " ".join(f"z{i}" for i in range(12)),
+    ]
+    pq.write_table(pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: (r["n_spans"], r["dup_tokens"])
+           for r in q.q_documents_dup_spans(str(tmp_path)).take_all()}
+    # doc 0: hits at pos 0 and 15 (gap 15 > 10) -> two 10-token spans;
+    # docs 1/2: hits at pos 0,1,2 -> one island covering tokens 0..11
+    assert got == {0: (2, 20), 1: (1, 12), 2: (1, 12)}
