@@ -381,6 +381,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_ngram_contamination_scaled":
             q.q_documents_ngram_contamination_scaled,
         "documents_dup_spans": q.q_documents_dup_spans,
+        "documents_dsir_weights": q.q_documents_dsir_weights,
+        "documents_pmi_bigrams": q.q_documents_pmi_bigrams,
+        "documents_gt_unseen": q.q_documents_gt_unseen,
         "documents_token_budget_sample":
             q.q_documents_token_budget_sample,
         "documents_length_filter": q.q_documents_length_filter,
@@ -1977,6 +1980,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(e - s + 10) AS BIGINT) AS dup_tokens
             FROM sp GROUP BY doc_id
+        """,
+        "documents_dsir_weights": """
+            WITH tok AS (SELECT doc_id, source,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            b AS (SELECT doc_id, source,
+                         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                             % 1024 AS bucket
+                  FROM tok),
+            cnt AS (SELECT bucket,
+                           CAST(SUM(CASE WHEN source = 'src0'
+                                         THEN 1 ELSE 0 END)
+                                AS BIGINT) AS tn,
+                           CAST(SUM(CASE WHEN source = 'src0'
+                                         THEN 0 ELSE 1 END)
+                                AS BIGINT) AS rn
+                    FROM b GROUP BY bucket),
+            tot AS (SELECT CAST(SUM(tn) AS BIGINT) AS tt,
+                           CAST(SUM(rn) AS BIGINT) AS rr FROM cnt),
+            llr AS (SELECT bucket,
+                           CAST(round(ln(CAST(tn + 1 AS DOUBLE))
+                                      * 1000000) AS BIGINT)
+                         - CAST(round(ln(CAST(rn + 1 AS DOUBLE))
+                                      * 1000000) AS BIGINT) AS q
+                    FROM cnt),
+            d AS (SELECT b.doc_id, CAST(SUM(llr.q) AS BIGINT) AS sq,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens
+                  FROM b JOIN llr USING (bucket) GROUP BY b.doc_id),
+            cq AS (SELECT CAST(round(ln(CAST(rr + 1024 AS DOUBLE))
+                                     * 1000000) AS BIGINT)
+                        - CAST(round(ln(CAST(tt + 1024 AS DOUBLE))
+                                     * 1000000) AS BIGINT) AS v
+                   FROM tot)
+            SELECT d.doc_id, d.n_tokens,
+                   ROUND(CAST(d.sq + d.n_tokens * (SELECT v FROM cq)
+                              AS DOUBLE) / 1000000.0, 6)
+                       AS dsir_logweight
+            FROM d
+        """,
+        "documents_pmi_bigrams": """
+            WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            t AS (SELECT unnest(toks) AS tok FROM dd),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM t),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM t GROUP BY tok),
+            bg AS (SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+                   FROM dd, UNNEST(range(1, len(toks))) AS r(i)),
+            pcnt AS (SELECT tok_a, tok_b,
+                            CAST(COUNT(*) AS BIGINT) AS n_pair
+                     FROM bg GROUP BY 1, 2),
+            p AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bg FROM pcnt),
+            sel AS (SELECT * FROM pcnt WHERE n_pair >= 5)
+            SELECT s.tok_a, s.tok_b, s.n_pair,
+                   ROUND(CAST(
+                       CAST(round(ln(CAST(s.n_pair AS DOUBLE))
+                                  * 1000000) AS BIGINT)
+                     - CAST(round(ln(CAST(fa.c AS DOUBLE))
+                                  * 1000000) AS BIGINT)
+                     - CAST(round(ln(CAST(fb.c AS DOUBLE))
+                                  * 1000000) AS BIGINT)
+                     + 2 * CAST(round(ln(CAST((SELECT n_tok FROM n)
+                                              AS DOUBLE))
+                                      * 1000000) AS BIGINT)
+                     - CAST(round(ln(CAST((SELECT n_bg FROM p)
+                                          AS DOUBLE))
+                                  * 1000000) AS BIGINT)
+                       AS DOUBLE) / 1000000.0, 6) AS pmi
+            FROM sel s
+            JOIN tf fa ON s.tok_a = fa.tok
+            JOIN tf fb ON s.tok_b = fb.tok
+        """,
+        "documents_gt_unseen": """
+            WITH t AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM t GROUP BY 1, 2)
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                       AS gt_unseen_mass
+            FROM tf GROUP BY source
         """,
         "documents_token_budget_sample": """
             WITH t AS (SELECT doc_id, source,

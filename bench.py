@@ -123,6 +123,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_documents_simhash_neardup(sf_dir).count())
     timed("documents_lsh_join_exact",
           lambda: q.q_documents_lsh_join_exact(sf_dir).count())
+    timed("documents_dup_spans",
+          lambda: q.q_documents_dup_spans(sf_dir).count())
+    timed("embeddings_semantic_dedup",
+          lambda: q.q_embeddings_semantic_dedup(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

@@ -3191,17 +3191,19 @@ def q_events_sessions_streaming(sf_dir: str) -> pa.Table:
 def q_documents_neardup_components(sf_dir: str) -> Dataset:
     """Connected components over the EXACT n-gram-Jaccard near-dup
     graph, oracle-checked end-to-end (components were rows-only until
-    now): edges from :func:`q_documents_jaccard_pairs`, labels from the
-    distributed min-label propagation in stages/dedup.py, singleton
+    now): edges from :func:`q_documents_jaccard_pairs`, labels from
+    the hybrid connected-components stage in stages/dedup.py (driver
+    union-find under the pair cap, min-label propagation beyond),
+    singleton
     docs mapped to themselves via a left join.  The DuckDB twin replays
     the whole composition — pair generation plus a WITH RECURSIVE
     transitive closure — so the component labels are bit-checked, not
     just the edges."""
-    from ..stages.dedup import components_label_propagation
+    from ..stages.dedup import connected_components
 
     pairs = q_documents_jaccard_pairs(sf_dir)
     comp = with_schema(
-        components_label_propagation(pairs),
+        connected_components(pairs),
         pa.schema([("id", pa.int64()), ("rep", pa.int64())]))
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     j = docs.join(comp, join_type="left_outer", num_partitions=8,
@@ -4943,18 +4945,18 @@ def q_embeddings_semantic_dedup(sf_dir: str) -> Dataset:
     Composition of two already-hash-checked stages, end-to-end under
     the gate: the exact block-pair cosine grid (edges ≥ 0.4, the same
     threshold the embeddings_neardup oracle pins bit-exact) into the
-    distributed min-label propagation; singletons are their own rep via
-    a left join.  The twin replays pair generation + a WITH RECURSIVE
+    hybrid connected-components stage (driver union-find under the
+    pair cap, min-label propagation beyond; same min-id reps);
+    singletons are their own rep via a left join.  The twin replays pair generation + a WITH RECURSIVE
     transitive closure, so the cluster labels — not just the edges —
     are bit-checked."""
-    from ..stages.dedup import (components_label_propagation,
-                                embedding_neardup_pairs)
+    from ..stages.dedup import connected_components, embedding_neardup_pairs
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     pairs = embedding_neardup_pairs(ds, threshold=0.4)
     comp = with_schema(
-        components_label_propagation(pairs),
+        connected_components(pairs),
         pa.schema([("id", pa.int64()), ("rep", pa.int64())]))
     ids = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id"])
     j = ids.join(comp, join_type="left_outer", num_partitions=8,
@@ -5052,3 +5054,285 @@ def q_documents_dup_spans(sf_dir: str) -> Dataset:
 
     return hits.groupby("doc_id").map_groups(islands,
                                              batch_format="pyarrow")
+
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"
+
+
+def _md5_buckets(flat, n_buckets: int):
+    """md5-hashed feature buckets for a flat token column, ONE Python
+    md5 per DISTINCT token per batch (dictionary_encode — the
+    simhash_batch discipline): bucket = first 4 md5 bytes (big-endian)
+    mod n_buckets, the exact integer the DuckDB twin's
+    ``CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % B`` computes."""
+    import hashlib
+
+    import numpy as np
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    if not vocab:
+        return np.empty(0, np.int64)
+    vb = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+         for s in vocab), dtype=np.int64, count=len(vocab))
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return (vb % n_buckets)[idx]
+
+
+def q_documents_dsir_weights(sf_dir: str) -> Dataset:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score every
+    document by how target-like its hashed-unigram bag is under two
+    add-1-smoothed multinomials, log w(x) = Σ_tok [ln p_target(b(tok))
+    − ln p_raw(b(tok))] over B=1024 md5 feature buckets; target = the
+    ``src0`` feed, raw = the rest of the corpus.  Output (doc_id,
+    n_tokens, dsir_logweight) for EVERY document — selection is a
+    downstream ORDER BY / weighted sampler over the weight column.
+
+    Scale shape: TWO corpus scans and NO shuffle.  Pass 1 reduces each
+    batch to (bucket, target_n, raw_n) partials — B is structurally
+    bounded, so the combine is the tree path — and the B-entry
+    quantized log-likelihood-ratio table broadcasts through ONE
+    ``ray.put``; pass 2 scores each batch with a bincount segment sum.
+    Bit-exactness: everything order-dependent rides int64 — per-bucket
+    ``round(ln(n+1)·1e6)`` (scaled_int_sql ≡ DuckDB round) and the
+    per-doc Σ llr_q — with one final /1e6 float expression written
+    token-identically in the twin."""
+    import math
+
+    import numpy as np
+
+    B = DSIR_BUCKETS
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "source"])
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        nl = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        is_t = pc.equal(b.column("source"), DSIR_TARGET_SOURCE) \
+            .to_numpy(zero_copy_only=False)
+        bk = _md5_buckets(flat, B)
+        tok_t = np.repeat(is_t, nl)
+        tn = np.bincount(bk[tok_t], minlength=B)
+        rn = np.bincount(bk[~tok_t], minlength=B)
+        return pa.table({
+            "bucket": pa.array(np.arange(B, dtype=np.int64)),
+            "p_t": pa.array(tn.astype(np.int64)),
+            "p_r": pa.array(rn.astype(np.int64))})
+
+    cnt = _tree_combine(
+        ds.map_batches(part_counts, batch_format="pyarrow"),
+        ["bucket"], [("p_t", "sum"), ("p_r", "sum")],
+        ["bucket", "p_t", "p_r"], ["bucket", "tn", "rn"])
+    tbl = _small_table(cnt)
+    tn = np.zeros(B, np.int64)
+    rn = np.zeros(B, np.int64)
+    bks = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    tn[bks] = tbl.column("tn").to_numpy(zero_copy_only=False)
+    rn[bks] = tbl.column("rn").to_numpy(zero_copy_only=False)
+    big_t, big_r = int(tn.sum()), int(rn.sum())
+    llr_q = (scaled_int_sql(np.log(tn + 1.0), 1e6)
+             - scaled_int_sql(np.log(rn + 1.0), 1e6))
+    cq = int(scaled_int_sql(np.array([math.log(big_r + B)]), 1e6)[0]
+             - scaled_int_sql(np.array([math.log(big_t + B)]), 1e6)[0])
+    ref = ray.put(llr_q)
+
+    def score(b: pa.Table) -> pa.Table:
+        llr = ray.get(ref)
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        nl = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bk = _md5_buckets(flat, B)
+        doc_idx = np.repeat(np.arange(len(nl)), nl)
+        # the float64 segment sum is EXACT: |llr_q| ≤ ln(2^63)·1e6 ≈
+        # 4.4e7 and per-doc token counts keep |Σ| far below 2^53
+        if len(bk):
+            sq = np.rint(np.bincount(
+                doc_idx, weights=llr[bk].astype(np.float64),
+                minlength=len(nl))).astype(np.int64)
+        else:
+            sq = np.zeros(len(nl), np.int64)
+        n_tok = nl.astype(np.int64)
+        w = (sq + n_tok * cq).astype(np.float64) / 1e6
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "dsir_logweight": round_sql(pa.array(w, pa.float64()), 6)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_documents_pmi_bigrams(sf_dir: str) -> Dataset:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990 — public): adjacent-token bigrams with corpus support
+    ≥ 5, scored pmi = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c_xy/P
+    (P = total bigram tokens) and p(x) = c_x/N (N = total tokens).
+    Output (tok_a, tok_b, n_pair, pmi).
+
+    Scale shape: the bigram and unigram count tables are (term,
+    partial-count) exchanges — in-batch ``group_by`` partials first, so
+    only distinct terms ride the shuffle; the ≥5 support filter prunes
+    the bigram table BEFORE its two unigram joins (hash joins, never
+    broadcast — vocabulary is unbounded).  Bit-exactness: pmi is a sum
+    of FIVE int64-quantized round(ln·1e6) terms (pair count, two
+    unigram counts, the two corpus totals), one final /1e6 float
+    expression in both engines."""
+    import numpy as np
+
+    from ..stages.terms import _tokens
+
+    MIN_PAIR = 5
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64())})
+        _, lens, flat, offs = _tokens(b)
+        tot = len(flat)
+        intra = np.arange(tot) - np.repeat(offs[:-1], lens)
+        starts = np.flatnonzero(intra <= np.repeat(lens, lens) - 2)
+        t = pa.table({
+            "tok_a": flat.take(pa.array(starts, pa.int64())),
+            "tok_b": flat.take(pa.array(starts + 1, pa.int64()))})
+        g = t.group_by(["tok_a", "tok_b"]).aggregate([("tok_a", "count")])
+        return g.rename_columns(["tok_a", "tok_b", "p_n"])
+
+    bg = with_schema(
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"]).aggregate(Sum("p_n",
+                                                   alias_name="n_pair")),
+        pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                   ("n_pair", pa.int64())]))
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"tok": flat}).group_by("tok") \
+            .aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "p_n"])
+
+    tf = with_schema(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="c")),
+        pa.schema([("tok", pa.string()), ("c", pa.int64())]))
+
+    n_tok = int(tf.sum("c"))
+    n_bg = int(bg.sum("n_pair"))
+    qn = int(scaled_int_sql(np.array([np.log(float(n_tok))]), 1e6)[0])
+    qp = int(scaled_int_sql(np.array([np.log(float(n_bg))]), 1e6)[0])
+    const_q = 2 * qn - qp
+
+    sel = bg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_pair"),
+                                            MIN_PAIR)),
+        batch_format="pyarrow")
+    fa = tf.map_batches(
+        lambda b: pa.table({"tok_a": b.column("tok"),
+                            "ca": b.column("c")}),
+        batch_format="pyarrow")
+    fb = tf.map_batches(
+        lambda b: pa.table({"tok_b": b.column("tok"),
+                            "cb": b.column("c")}),
+        batch_format="pyarrow")
+    j = with_schema(
+        sel.join(with_schema(fa, pa.schema([("tok_a", pa.string()),
+                                            ("ca", pa.int64())])),
+                 join_type="inner", num_partitions=8, on=("tok_a",)),
+        pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                   ("n_pair", pa.int64()), ("ca", pa.int64())]))
+    j2 = j.join(with_schema(fb, pa.schema([("tok_b", pa.string()),
+                                           ("cb", pa.int64())])),
+                join_type="inner", num_partitions=8, on=("tok_b",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        np_ = b.column("n_pair").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ca = b.column("ca").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cb = b.column("cb").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = (scaled_int_sql(np.log(np_), 1e6)
+             - scaled_int_sql(np.log(ca), 1e6)
+             - scaled_int_sql(np.log(cb), 1e6)) + const_q
+        pmi = q.astype(np.float64) / 1e6
+        return pa.table({
+            "tok_a": b.column("tok_a"), "tok_b": b.column("tok_b"),
+            "n_pair": b.column("n_pair"),
+            "pmi": round_sql(pa.array(pmi, pa.float64()), 6)})
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_gt_unseen(sf_dir: str) -> Dataset:
+    """Good–Turing missing-mass estimate per source feed (Good 1953;
+    the first step of Gale–Sampson smoothing — public): the probability
+    that the NEXT token drawn from a feed is a previously-unseen word
+    ≈ n_hapax / n_tokens (hapax legomena = words seen exactly once).
+    The per-feed vocabulary-saturation report a curation pipeline reads
+    before deciding whether a source needs more crawling.  Output
+    (source, n_tokens, n_types, n_hapax, gt_unseen_mass).
+
+    Scale shape: ONE (source, tok) exchange carrying in-batch partial
+    counts, then a bounded per-source tree combine over the distinct
+    term table; exact int64 end-to-end with a single final division."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "source"])
+
+    def part(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        nl = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        src = b.column("source").combine_chunks().take(
+            pa.array(np.repeat(np.arange(b.num_rows), nl), pa.int64()))
+        g = pa.table({"source": src, "tok": flat}) \
+            .group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return pa.table({"source": g.column("source"),
+                         "tok": g.column("tok"),
+                         "p_n": pc.cast(g.column("tok_count"), pa.int64())})
+
+    tf = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby(["source", "tok"]).aggregate(Sum("p_n", alias_name="c"))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b.column("source"),
+                      "p_tok": pa.array(c.astype(np.int64)),
+                      "p_typ": pa.array(np.ones(len(c), np.int64)),
+                      "p_hap": pa.array((c == 1).astype(np.int64))})
+        g = t.group_by("source").aggregate(
+            [("p_tok", "sum"), ("p_typ", "sum"), ("p_hap", "sum")])
+        return g.rename_columns(["source", "p_tok", "p_typ", "p_hap"])
+
+    agg = _tree_combine(
+        tf.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"], [("p_tok", "sum"), ("p_typ", "sum"), ("p_hap", "sum")],
+        ["source", "p_tok", "p_typ", "p_hap"],
+        ["source", "n_tokens", "n_types", "n_hapax"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        h = b.column("n_hapax").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
+            "n_types": pc.cast(b.column("n_types"), pa.int64()),
+            "n_hapax": pc.cast(b.column("n_hapax"), pa.int64()),
+            "gt_unseen_mass": round_sql(pa.array(h / n, pa.float64()), 6)})
+
+    return _small_table(agg.map_batches(finish, batch_format="pyarrow",
+                                        batch_size=None))

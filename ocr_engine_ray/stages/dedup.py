@@ -1008,6 +1008,69 @@ def minhash_dedup_pairs(ds: Dataset, id_col: str, text_col: str = "text",
     return above.union(extra_above)
 
 
+def connected_components(edges: Dataset, max_iters: int = 25,
+                         num_partitions: int = 8,
+                         driver_pair_cap: int = 5_000_000) -> Dataset:
+    """Connected components over an edge Dataset ``(id_a, id_b)`` →
+    ``(id, rep)`` with rep = MIN id of the component, for every node
+    that appears in an edge — the entry point the near-dup keep-list
+    queries call.
+
+    Hybrid dispatch (the bounded-driver-reduce pattern the dedup
+    counters already use): the edge set is materialized (the
+    propagation path reuses it every round anyway) and counted; at or
+    under ``driver_pair_cap`` edges a single driver-side union-find
+    resolves it — near-dup edge sets are orders of magnitude smaller
+    than the corpus, and on small graphs the per-round Ray stage
+    overhead (2 joins + groupby + sum per round) dominates wall time
+    (sf0.1 semantic dedup: 363 s propagating 920 edges → ~6 s here).
+    Beyond the cap it falls back to
+    :func:`components_label_propagation` (identical min-id
+    representatives — equivalence is pytest-pinned on random graphs)."""
+    from ..util import with_schema
+
+    edges = edges.select_columns(["id_a", "id_b"])
+    id_type = edges.schema().base_schema.field("id_a").type
+    edges = with_schema(edges, pa.schema([("id_a", id_type),
+                                          ("id_b", id_type)]))
+    if edges.count() > driver_pair_cap:
+        return components_label_propagation(
+            edges, max_iters=max_iters, num_partitions=num_partitions)
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set = set()
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column("id_a").to_pylist(),
+                        batch.column("id_b").to_pylist()):
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    # rep = NATURAL min of the component (ints numeric, strings
+    # lexicographic) — exactly what the propagation path's Min
+    # aggregate computes, and what the WITH RECURSIVE oracles pin
+    rep_of_root: dict = {}
+    roots = {n: find(n) for n in nodes}
+    for n, r in roots.items():
+        cur = rep_of_root.get(r)
+        if cur is None or n < cur:
+            rep_of_root[r] = n
+    ids = sorted(nodes)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, id_type),
+        "rep": pa.array([rep_of_root[roots[i]] for i in ids], id_type)}))
+
+
 def components_label_propagation(edges: Dataset, max_iters: int = 25,
                                  num_partitions: int = 8) -> Dataset:
     """Distributed connected components over an edge Dataset

@@ -359,6 +359,31 @@ def test_label_propagation_matches_union_find(ray_session):
     assert got[104] == 100  # chain collapsed across 4 rounds
 
 
+def test_connected_components_hybrid_paths_agree(ray_session):
+    """connected_components' two dispatch paths (driver union-find
+    under the cap; label propagation beyond, forced via cap=0) return
+    identical min-id labels — including on components like {9, 10}
+    where a lexicographic union order would pick the wrong rep."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 40, size=(50, 2))
+             if a != b]
+    edges += [(110, 109), (200, 1000), (1000, 201)]  # str-order traps
+    tab = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], pa.int64())})
+    small = {r["id"]: r["rep"] for r in connected_components(
+        rd.from_arrow(tab).repartition(4)).take_all()}
+    big = {r["id"]: r["rep"] for r in connected_components(
+        rd.from_arrow(tab).repartition(4), driver_pair_cap=0,
+        num_partitions=2).take_all()}
+    assert small == big
+    assert small[110] == 109       # natural min, not str-min
+    assert small[1000] == 200      # transitive via 201/1000
+
+
 def test_jaccard_pairs_exact_vs_local(ray_session):
     """q_documents_jaccard_pairs (inverted-index distributed exact
     jaccard) equals a brute-force O(n²) local computation."""
