@@ -5232,10 +5232,16 @@ def q_documents_pmi_bigrams(sf_dir: str) -> Dataset:
     qp = int(scaled_int_sql(np.array([np.log(float(n_bg))]), 1e6)[0])
     const_q = 2 * qn - qp
 
-    sel = bg.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("n_pair"),
-                                            MIN_PAIR)),
-        batch_format="pyarrow")
+    # with_schema again after the filter: the 0-row blocks the support
+    # floor leaves behind break the join exactly like empty aggregate
+    # partitions do (reproduced; the pin drops them at the ref level)
+    sel = with_schema(
+        bg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n_pair"),
+                                                MIN_PAIR)),
+            batch_format="pyarrow"),
+        pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                   ("n_pair", pa.int64())]))
     fa = tf.map_batches(
         lambda b: pa.table({"tok_a": b.column("tok"),
                             "ca": b.column("c")}),

@@ -385,3 +385,85 @@ def test_dup_spans_planted(ray_session, tmp_path):
     # doc 0: hits at pos 0 and 15 (gap 15 > 10) -> two 10-token spans;
     # docs 1/2: hits at pos 0,1,2 -> one island covering tokens 0..11
     assert got == {0: (2, 20), 1: (1, 12), 2: (1, 12)}
+
+
+def _write_docs(tmp_path, texts, sources):
+    import pyarrow.parquet as pq
+    n = len(texts)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * n),
+                  "source": pa.array(sources),
+                  "n_chars": pa.array([len(t) for t in texts],
+                                      pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+
+
+def test_dsir_weights_planted(ray_session, tmp_path):
+    """DSIR importance weights on a planted corpus: a doc made of
+    target-exclusive vocabulary outscores a doc of raw-exclusive
+    vocabulary, and two token-identical docs get the IDENTICAL weight
+    regardless of which feed they sit in (the weight is a function of
+    the token bag only)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["alpha beta gamma delta"] * 3 \
+        + ["zork quux blarg frotz"] * 3 \
+        + ["alpha beta gamma delta",      # doc 6: target bag, raw feed
+           "zork quux blarg frotz"]       # doc 7: raw bag, target feed
+    sources = ["src0"] * 3 + ["src1"] * 3 + ["src1", "src0"]
+    _write_docs(tmp_path, texts, sources)
+    got = {r["doc_id"]: r["dsir_logweight"]
+           for r in q.q_documents_dsir_weights(str(tmp_path)).take_all()}
+    assert got[0] > got[3]               # target vocab outscores raw
+    assert got[6] == got[0]              # bag-identical ⇒ weight-identical
+    assert got[7] == got[3]
+    assert all(r > 0 for r in (got[0],)) and got[3] < 0
+
+
+def test_pmi_bigrams_planted(ray_session, tmp_path):
+    """PMI collocations on a planted corpus: a bigram whose tokens
+    only ever occur together tops a frequent-but-independent pair, the
+    support floor drops pairs under 5 occurrences, and the reported
+    value matches the formula within quantization (5 terms × 0.5e-6)."""
+    import math
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["new york " * 6 + "the cat",
+             "the dog the cat the fish the bird"]
+    _write_docs(tmp_path, texts, ["src0", "src1"])
+    rows = {(r["tok_a"], r["tok_b"]): (r["n_pair"], r["pmi"])
+            for r in q.q_documents_pmi_bigrams(str(tmp_path)).take_all()}
+    assert ("new", "york") in rows
+    assert all(n >= 5 for n, _ in rows.values())
+    n_pair, pmi = rows[("new", "york")]
+    assert n_pair == 6
+    # replay: N tokens, P bigrams, c_new = c_york = 6
+    n_tok = sum(len(t.split(" ")) for t in texts)
+    n_bg = sum(len(t.split(" ")) - 1 for t in texts)
+    want = (math.log(6) - math.log(6) - math.log(6)
+            + 2 * math.log(n_tok) - math.log(n_bg))
+    assert abs(pmi - want) < 1e-5
+    if ("the", "cat") in rows:
+        assert rows[("the", "cat")][1] < pmi
+
+
+def test_gt_unseen_planted(ray_session, tmp_path):
+    """Good–Turing missing mass per source: an all-hapax feed reports
+    mass 1.0, a single-token feed reports 0.0, and a half-hapax feed
+    reports exactly 0.5."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["a b c d",                   # srcA: 4 hapax / 4 tokens
+             "x x x x x x x x x x",       # srcB: 0 hapax / 10 tokens
+             "p p q r"]                   # srcC: 2 hapax / 4 tokens
+    _write_docs(tmp_path, texts, ["srcA", "srcB", "srcC"])
+    t = q.q_documents_gt_unseen(str(tmp_path))
+    got = {r["source"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                         r["gt_unseen_mass"])
+           for r in t.to_pylist()}
+    assert got == {"srcA": (4, 4, 4, 1.0),
+                   "srcB": (10, 1, 0, 0.0),
+                   "srcC": (4, 3, 2, 0.5)}
