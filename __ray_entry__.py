@@ -382,6 +382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_ngram_contamination_scaled,
         "documents_dup_spans": q.q_documents_dup_spans,
         "documents_dsir_weights": q.q_documents_dsir_weights,
+        "documents_neardup_keep_best": q.q_documents_neardup_keep_best,
+        "documents_char_entropy": q.q_documents_char_entropy,
         "documents_pmi_bigrams": q.q_documents_pmi_bigrams,
         "documents_gt_unseen": q.q_documents_gt_unseen,
         "documents_token_budget_sample":
@@ -1980,6 +1982,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(e - s + 10) AS BIGINT) AS dup_tokens
             FROM sp GROUP BY doc_id
+        """,
+        "documents_neardup_keep_best": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN s b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            p AS (SELECT id_a, id_b
+                  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                             JOIN sizes sb ON inter.id_b = sb.doc_id
+                  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+                  UNION
+                  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+            comp AS (SELECT id AS doc_id,
+                            CAST(MIN(reach) AS BIGINT) AS rep
+                     FROM r GROUP BY id),
+            w AS (SELECT c2.doc_id, c2.rep, dd.n_chars,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY c2.rep
+                             ORDER BY dd.n_chars DESC, c2.doc_id)
+                             AS rn
+                  FROM comp c2 JOIN documents dd USING (doc_id))
+            SELECT doc_id, rep, n_chars, (rn = 1) AS keep FROM w
+        """,
+        "documents_char_entropy": """
+            WITH c AS (SELECT doc_id,
+                              unnest(string_split(text, '')) AS ch
+                       FROM documents),
+            cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k
+                   FROM c GROUP BY 1, 2),
+            d AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+                         CAST(SUM(k * CAST(round(
+                             ln(CAST(k AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s
+                  FROM cc GROUP BY doc_id)
+            SELECT doc_id, n AS n_chars,
+                   ROUND(ln(CAST(n AS DOUBLE))
+                         - (CAST(s AS DOUBLE) / 1000000.0)
+                           / CAST(n AS DOUBLE), 6) AS char_entropy
+            FROM d
         """,
         "documents_dsir_weights": """
             WITH tok AS (SELECT doc_id, source,

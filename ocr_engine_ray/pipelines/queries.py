@@ -5342,3 +5342,144 @@ def q_documents_gt_unseen(sf_dir: str) -> Dataset:
 
     return _small_table(agg.map_batches(finish, batch_format="pyarrow",
                                         batch_size=None))
+
+
+def q_documents_neardup_keep_best(sf_dir: str) -> Dataset:
+    """Near-dup KEEP-BEST selection — the CCNet/C4-style policy of
+    retaining the LONGEST member of every near-duplicate cluster
+    instead of the smallest id: clusters are the exact-Jaccard
+    component labels of :func:`q_documents_neardup_components`, the
+    winner per cluster is max ``n_chars`` with min ``doc_id`` breaking
+    ties.  Output (doc_id, rep, n_chars, keep) for every document.
+
+    Scale shape: on top of the component labels, the election is a
+    partial-agg arg-min over a lexically-sortable packed key — the
+    only extra exchanges carry (rep, 25-byte key) and the (rep,
+    winner) join; document text never moves.  The twin replays the
+    recursive closure plus a ROW_NUMBER window, so the kept SET — not
+    just the labels — is hash-checked."""
+    import numpy as np
+
+    comp = with_schema(
+        q_documents_neardup_components(sf_dir),
+        pa.schema([("doc_id", pa.int64()), ("rep", pa.int64())]))
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "n_chars"])
+    j = with_schema(
+        comp.join(docs, join_type="inner", num_partitions=8,
+                  on=("doc_id",)),
+        pa.schema([("doc_id", pa.int64()), ("rep", pa.int64()),
+                   ("n_chars", pa.int64())]))
+
+    # pack (max n_chars, min doc_id) into ONE Min-able key: zero-padded
+    # inverted length, then zero-padded id — Min over the string IS the
+    # arg-max-length / arg-min-id election
+    INV = 999_999_999_999
+
+    def pack_partial(b: pa.Table) -> pa.Table:
+        inv = pc.subtract(pa.scalar(INV, pa.int64()), b.column("n_chars"))
+        inv_s = pc.utf8_lpad(pc.cast(inv, pa.string()), 12, "0")
+        id_s = pc.utf8_lpad(pc.cast(b.column("doc_id"), pa.string()),
+                            12, "0")
+        packed = pc.binary_join_element_wise(inv_s, id_s, "|")
+        t = pa.table({"rep": b.column("rep"), "packed": packed})
+        g = t.group_by("rep").aggregate([("packed", "min")])
+        return g.rename_columns(["rep", "p_min"])
+
+    win = with_schema(
+        j.map_batches(pack_partial, batch_format="pyarrow")
+        .groupby("rep").aggregate(Min("p_min", alias_name="w")),
+        pa.schema([("rep", pa.int64()), ("w", pa.string())]))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        wid = pc.cast(pc.utf8_slice_codeunits(b.column("w"), 13, 25),
+                      pa.int64())
+        return pa.table({"rep": b.column("rep"), "win_id": wid})
+
+    winners = with_schema(
+        win.map_batches(unpack, batch_format="pyarrow"),
+        pa.schema([("rep", pa.int64()), ("win_id", pa.int64())]))
+    out = j.join(winners, join_type="inner", num_partitions=8,
+                 on=("rep",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"), "rep": b.column("rep"),
+            "n_chars": b.column("n_chars"),
+            "keep": pc.equal(b.column("doc_id"), b.column("win_id"))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_char_entropy(sf_dir: str) -> Dataset:
+    """Character-entropy quality gate — the cheap gibberish / binary /
+    encoding-damage detector a text-quality stack runs before
+    tokenization (low entropy ⇒ repeated-char padding, high ⇒ random
+    bytes): per-doc Shannon entropy over characters,
+    H = ln n − (Σ_c k_c·ln k_c)/n.  Output (doc_id, n_chars,
+    char_entropy).
+
+    Scale shape: ONE map_batches pass — a per-doc metric, no shuffle.
+    ASCII batches (this corpus) are scored straight off the Arrow
+    string data buffer: np.frombuffer plus one np.unique over
+    doc_idx·256+byte keys — zero Python per row; a batch containing
+    any non-ASCII byte falls back to a per-row codepoint Counter with
+    the identical arithmetic (DuckDB's '' split is per CODEPOINT, so
+    the byte fast path is only valid when byte ≡ codepoint).  The
+    empty string splits to [''] in DuckDB — one char of count 1 —
+    handled on both paths.  Bit-exactness: Σ k·round(ln k·1e6) rides
+    int64; ln n enters once in the final float expression, written
+    token-identically in the twin."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks()
+        n_docs = len(txt)
+        if n_docs == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "char_entropy": pa.array([], pa.float64())})
+        off_dtype = np.int64 if pa.types.is_large_string(txt.type) \
+            else np.int32
+        offs = np.frombuffer(txt.buffers()[1], dtype=off_dtype)[
+            txt.offset:txt.offset + n_docs + 1].astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)[
+            offs[0]:offs[-1]]
+        lens = np.diff(offs)
+        if data.size == 0 or data.max() < 128:
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            keys, k = np.unique(doc_idx * 256 + data, return_counts=True)
+            q = scaled_int_sql(np.log(k.astype(np.float64)), 1e6)
+            s = np.zeros(n_docs, np.float64)
+            if len(keys):
+                # exact in float64: |k·q| ≤ n·ln(n)·1e6 ≪ 2^53 per doc
+                s = np.bincount(keys // 256,
+                                weights=k.astype(np.float64) * q,
+                                minlength=n_docs)
+            s = np.rint(s).astype(np.int64)
+            # '' splits to [''] in the twin: one char, k=1, ln k = 0 —
+            # so n=1 and s=0 for empty docs
+            n = np.where(lens == 0, 1, lens).astype(np.int64)
+        else:
+            from collections import Counter
+
+            s_list, n_list = [], []
+            for t in txt.to_pylist():
+                cnt = Counter(t) if t else Counter({"": 1})
+                k = np.array(list(cnt.values()), np.float64)
+                s_list.append(int(
+                    (k * scaled_int_sql(np.log(k), 1e6)).sum()))
+                n_list.append(int(k.sum()))
+            s = np.array(s_list, np.int64)
+            n = np.array(n_list, np.int64)
+        nf = n.astype(np.float64)
+        h = np.log(nf) - (s.astype(np.float64) / 1e6) / nf
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pa.array(n),
+            "char_entropy": round_sql(pa.array(h, pa.float64()), 6)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

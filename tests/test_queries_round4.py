@@ -467,3 +467,43 @@ def test_gt_unseen_planted(ray_session, tmp_path):
     assert got == {"srcA": (4, 4, 4, 1.0),
                    "srcB": (10, 1, 0, 0.0),
                    "srcC": (4, 3, 2, 0.5)}
+
+
+def test_neardup_keep_best_planted(ray_session, tmp_path):
+    """Keep-best election on planted clusters: the LONGEST member of a
+    near-dup pair wins regardless of id order, identical-length ties
+    break to the min doc_id, and singletons keep themselves."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["a b c d e f",            # 0: shorter …
+             "a b c d e f g h",        # 1: … than its near-dup → wins
+             "x y z w p q",            # 2: tie with 3 → 2 wins (min id)
+             "x y z w p q",            # 3
+             "solo only doc here"]     # 4: singleton keeps itself
+    _write_docs(tmp_path, texts, ["s"] * 5)
+    got = {r["doc_id"]: (r["rep"], r["keep"])
+           for r in q.q_documents_neardup_keep_best(
+               str(tmp_path)).take_all()}
+    assert got == {0: (0, False), 1: (0, True),
+                   2: (2, True), 3: (2, False),
+                   4: (4, True)}
+
+
+def test_char_entropy_planted(ray_session, tmp_path):
+    """Char entropy on planted docs: constant string → 0, two-symbol
+    alternation → ln 2, empty string → 0 (DuckDB splits '' to ['']),
+    and the non-ASCII Counter fallback returns the same arithmetic as
+    the byte fast path."""
+    import math
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["aaaa", "abab", "", "éé√√"]
+    _write_docs(tmp_path, texts, ["s"] * 4)
+    got = {r["doc_id"]: (r["n_chars"], r["char_entropy"])
+           for r in q.q_documents_char_entropy(str(tmp_path)).take_all()}
+    ln2 = round(math.log(2), 6)
+    assert got[0] == (4, 0.0)
+    assert got[1] == (4, ln2)
+    assert got[2] == (1, 0.0)
+    assert got[3] == (4, ln2)      # codepoint counts, not byte counts
