@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_ngram_contamination_scaled":
             q.q_documents_ngram_contamination_scaled,
         "documents_dup_spans": q.q_documents_dup_spans,
+        "documents_dup_spans_removed": q.q_documents_dup_spans_removed,
         "documents_dsir_weights": q.q_documents_dsir_weights,
         "documents_neardup_keep_best": q.q_documents_neardup_keep_best,
         "documents_char_entropy": q.q_documents_char_entropy,
@@ -1982,6 +1983,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(e - s + 10) AS BIGINT) AS dup_tokens
             FROM sp GROUP BY doc_id
+        """,
+        "documents_dup_spans_removed": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            p AS (SELECT doc_id, i - 1 AS pos,
+                         list_aggregate(toks[i:i+9], 'string_agg', ' ')
+                             AS sh
+                  FROM d, UNNEST(range(1, len(toks) - 8)) AS t(i)
+                  WHERE len(toks) >= 10),
+            dup AS (SELECT sh FROM p GROUP BY sh HAVING COUNT(*) >= 2),
+            hits AS (SELECT doc_id, pos FROM p JOIN dup USING (sh)),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+                    FROM hits, UNNEST(range(0, 10)) AS u(j)),
+            tokpos AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                       FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+            kept AS (SELECT t.doc_id, t.pos, t.tok
+                     FROM tokpos t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.pos = c.cpos
+                     WHERE c.doc_id IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos)
+                               AS clean_text,
+                           CAST(COUNT(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM d LEFT JOIN agg a USING (doc_id)
         """,
         "documents_neardup_keep_best": """
             WITH RECURSIVE

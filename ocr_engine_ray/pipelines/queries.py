@@ -4991,9 +4991,39 @@ def q_documents_dup_spans(sf_dir: str) -> Dataset:
     the islands with a LAG / SUM-OVER gaps-and-islands window."""
     import numpy as np
 
+    K = 10
+    hits = _dup_span_hits(sf_dir, K)
+
+    def islands(g: pa.Table) -> pa.Table:
+        p = np.sort(np.unique(
+            g.column("pos").to_numpy(zero_copy_only=False)))
+        # positions p1 < p2 cover contiguous tokens iff p2 - p1 <= K
+        # (= K-1 overlap, = K back-to-back); a larger gap leaves an
+        # uncovered token between spans
+        brk = np.flatnonzero(np.diff(p) > K)
+        s = p[np.concatenate([[0], brk + 1])]
+        e = p[np.concatenate([brk, [len(p) - 1]])]
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()]
+                               * len(s), pa.int64()),
+            "n_spans": pa.array([len(s)] * len(s), pa.int64()),
+            "dup_tokens": pa.array([int((e - s + K).sum())] * len(s),
+                                   pa.int64())}).slice(0, 1)
+
+    return hits.groupby("doc_id").map_groups(islands,
+                                             batch_format="pyarrow")
+
+
+def _dup_span_hits(sf_dir: str, K: int) -> Dataset:
+    """Shared first half of the duplicated-span family: (doc_id, pos)
+    for every token position that starts a word-K-gram occurring ≥ 2
+    times in the corpus (within-doc repeats included, per Lee et al.
+    2022).  One vectorized positional-k-gram pass, ONE groupby(sh)
+    exchange whose groups self-report their occurrence count."""
+    import numpy as np
+
     from ..stages.terms import _tokens
 
-    K = 10
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
@@ -5033,27 +5063,8 @@ def q_documents_dup_spans(sf_dir: str) -> Dataset:
             return empty_hits
         return g.select(["doc_id", "pos"])
 
-    hits = ds.map_batches(pos_rows, batch_format="pyarrow") \
+    return ds.map_batches(pos_rows, batch_format="pyarrow") \
         .groupby("sh").map_groups(dup_hits, batch_format="pyarrow")
-
-    def islands(g: pa.Table) -> pa.Table:
-        p = np.sort(np.unique(
-            g.column("pos").to_numpy(zero_copy_only=False)))
-        # positions p1 < p2 cover contiguous tokens iff p2 - p1 <= K
-        # (= K-1 overlap, = K back-to-back); a larger gap leaves an
-        # uncovered token between spans
-        brk = np.flatnonzero(np.diff(p) > K)
-        s = p[np.concatenate([[0], brk + 1])]
-        e = p[np.concatenate([brk, [len(p) - 1]])]
-        return pa.table({
-            "doc_id": pa.array([g.column("doc_id")[0].as_py()]
-                               * len(s), pa.int64()),
-            "n_spans": pa.array([len(s)] * len(s), pa.int64()),
-            "dup_tokens": pa.array([int((e - s + K).sum())] * len(s),
-                                   pa.int64())}).slice(0, 1)
-
-    return hits.groupby("doc_id").map_groups(islands,
-                                             batch_format="pyarrow")
 
 
 DSIR_BUCKETS = 1024
@@ -5483,3 +5494,83 @@ def q_documents_char_entropy(sf_dir: str) -> Dataset:
             "char_entropy": round_sql(pa.array(h, pa.float64()), 6)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_documents_dup_spans_removed(sf_dir: str) -> Dataset:
+    """Duplicated-span REMOVAL — the actual cleaning transform of Lee
+    et al. 2022 (the :func:`q_documents_dup_spans` report tells you
+    what it WOULD cut; this cuts it): every token position covered by a
+    corpus-duplicated word-10-gram is dropped and the survivors are
+    re-joined, per document.  Output (doc_id, clean_text, n_kept,
+    n_removed) for EVERY document (clean docs pass through whole;
+    fully-duplicated docs come back as '').
+
+    Scale shape: the shared hits pass (one groupby(sh) exchange), one
+    groupby(doc_id) co-partition folding hit positions into disjoint
+    coverage islands — only (doc_id, s, e) triples ride it — and one
+    LEFT join back onto the corpus scan where the rebuild is pure
+    Arrow: a global boolean mask over the flat token buffer, one
+    ``take`` of the survivors, and a C-level ``binary_join`` per doc.
+    Text crosses the wire exactly once (the join's doc side)."""
+    import numpy as np
+
+    from ..stages.terms import _tokens
+
+    K = 10
+    hits = _dup_span_hits(sf_dir, K)
+
+    def cover(g: pa.Table) -> pa.Table:
+        p = np.sort(np.unique(
+            g.column("pos").to_numpy(zero_copy_only=False)))
+        brk = np.flatnonzero(np.diff(p) > K)
+        s = p[np.concatenate([[0], brk + 1])]
+        e = p[np.concatenate([brk, [len(p) - 1]])]
+        # island [s, e] of k-gram STARTS covers tokens s .. e+K-1
+        # (gap ≤ K ⇒ contiguous coverage, the dup_spans invariant);
+        # serialized "s:e,s:e" — Acero's hash join rejects list-typed
+        # payload columns ("Data type list<int64> is not supported in
+        # join non-key field")
+        spans = ",".join(f"{a}:{z}" for a, z in zip(s, e))
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()],
+                               pa.int64()),
+            "spans": pa.array([spans], pa.string())})
+
+    cov = with_schema(
+        hits.groupby("doc_id").map_groups(cover, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("spans", pa.string())]))
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    j = docs.join(cov, join_type="left_outer", num_partitions=8,
+                  on=("doc_id",))
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        _, lens, flat, offs = _tokens(b)
+        tot = int(offs[-1])
+        mask = np.zeros(tot, bool)
+        sp = b.column("spans").combine_chunks()
+        valid = np.flatnonzero(~sp.is_null().to_numpy(
+            zero_copy_only=False))
+        for i in valid:
+            base = offs[i]
+            for isl in sp[int(i)].as_py().split(","):
+                a, z = isl.split(":")
+                mask[base + int(a):base + int(z) + K] = True
+        keep = np.flatnonzero(~mask)
+        counts = np.bincount(
+            np.searchsorted(offs, keep, side="right") - 1,
+            minlength=len(lens)).astype(np.int64)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kept_flat = flat.take(pa.array(keep, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(counts)]),
+                     pa.int32()), kept_flat)
+        clean = pc.binary_join(lists, " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "clean_text": pc.fill_null(clean, ""),
+            "n_kept": pa.array(counts),
+            "n_removed": pa.array(lens - counts)})
+
+    return j.map_batches(rebuild, batch_format="pyarrow")

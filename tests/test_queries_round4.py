@@ -507,3 +507,28 @@ def test_char_entropy_planted(ray_session, tmp_path):
     assert got[1] == (4, ln2)
     assert got[2] == (1, 0.0)
     assert got[3] == (4, ln2)      # codepoint counts, not byte counts
+
+
+def test_dup_spans_removed_planted(ray_session, tmp_path):
+    """Span REMOVAL semantics on the dup_spans planted corpus: both
+    copies of a within-doc repeat are cut (the unique middle survives),
+    a cross-doc shared run disappears from both docs leaving their
+    unique tails, and an all-unique doc passes through verbatim."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    c = [f"c{i}" for i in range(10)]
+    s = [f"s{i}" for i in range(12)]
+    texts = [
+        " ".join(c + ["u0a", "u0b", "u0c", "u0d", "u0e"] + c),
+        " ".join(s + ["x1a", "x1b", "x1c", "x1d", "x1e"]),
+        " ".join(s + ["y2a", "y2b", "y2c", "y2d", "y2e"]),
+        " ".join(f"z{i}" for i in range(12)),
+    ]
+    _write_docs(tmp_path, texts, ["s"] * 4)
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+           for r in q.q_documents_dup_spans_removed(
+               str(tmp_path)).take_all()}
+    assert got[0] == ("u0a u0b u0c u0d u0e", 5, 20)
+    assert got[1] == ("x1a x1b x1c x1d x1e", 5, 12)
+    assert got[2] == ("y2a y2b y2c y2d y2e", 5, 12)
+    assert got[3] == (texts[3], 12, 0)
