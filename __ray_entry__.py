@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_char_entropy": q.q_documents_char_entropy,
         "documents_pmi_bigrams": q.q_documents_pmi_bigrams,
         "documents_gt_unseen": q.q_documents_gt_unseen,
+        "documents_zipf_slope": q.q_documents_zipf_slope,
         "documents_token_budget_sample":
             q.q_documents_token_budget_sample,
         "documents_length_filter": q.q_documents_length_filter,
@@ -2152,6 +2153,44 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
                        AS gt_unseen_mass
             FROM tf GROUP BY source
+        """,
+        "documents_zipf_slope": """
+            WITH t AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM t GROUP BY 1, 2),
+            rk AS (SELECT source, c,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY c DESC, tok)
+                              AS r
+                   FROM tf),
+            q AS (SELECT source,
+                         CAST(round(ln(CAST(r AS DOUBLE)) * 1000)
+                              AS BIGINT) AS x,
+                         CAST(round(ln(CAST(c AS DOUBLE)) * 1000)
+                              AS BIGINT) AS y
+                  FROM rk),
+            g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM q GROUP BY source),
+            s AS (SELECT source, n,
+                         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             AS slope,
+                         CAST(sx AS DOUBLE) AS sxf,
+                         CAST(sy AS DOUBLE) AS syf
+                  FROM g)
+            SELECT source, n AS n_types,
+                   ROUND(slope, 6) AS zipf_slope,
+                   ROUND((syf - slope * sxf) / CAST(n AS DOUBLE)
+                         / 1000.0, 6) AS zipf_intercept
+            FROM s
         """,
         "documents_token_budget_sample": """
             WITH t AS (SELECT doc_id, source,

@@ -5290,18 +5290,11 @@ def q_documents_pmi_bigrams(sf_dir: str) -> Dataset:
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
-def q_documents_gt_unseen(sf_dir: str) -> Dataset:
-    """Good–Turing missing-mass estimate per source feed (Good 1953;
-    the first step of Gale–Sampson smoothing — public): the probability
-    that the NEXT token drawn from a feed is a previously-unseen word
-    ≈ n_hapax / n_tokens (hapax legomena = words seen exactly once).
-    The per-feed vocabulary-saturation report a curation pipeline reads
-    before deciding whether a source needs more crawling.  Output
-    (source, n_tokens, n_types, n_hapax, gt_unseen_mass).
-
-    Scale shape: ONE (source, tok) exchange carrying in-batch partial
-    counts, then a bounded per-source tree combine over the distinct
-    term table; exact int64 end-to-end with a single final division."""
+def _source_term_counts(sf_dir: str) -> Dataset:
+    """(source, tok, c) global term counts — the shared first exchange
+    of the per-feed corpus statistics (Good–Turing, Zipf): in-batch
+    ``group_by`` partials so only distinct (source, tok) pairs ride
+    the ONE shuffle."""
     import numpy as np
 
     ds = rd.read_parquet(_t(sf_dir, "documents"),
@@ -5318,10 +5311,28 @@ def q_documents_gt_unseen(sf_dir: str) -> Dataset:
             .group_by(["source", "tok"]).aggregate([("tok", "count")])
         return pa.table({"source": g.column("source"),
                          "tok": g.column("tok"),
-                         "p_n": pc.cast(g.column("tok_count"), pa.int64())})
+                         "p_n": pc.cast(g.column("tok_count"),
+                                        pa.int64())})
 
-    tf = ds.map_batches(part, batch_format="pyarrow") \
+    return ds.map_batches(part, batch_format="pyarrow") \
         .groupby(["source", "tok"]).aggregate(Sum("p_n", alias_name="c"))
+
+
+def q_documents_gt_unseen(sf_dir: str) -> Dataset:
+    """Good–Turing missing-mass estimate per source feed (Good 1953;
+    the first step of Gale–Sampson smoothing — public): the probability
+    that the NEXT token drawn from a feed is a previously-unseen word
+    ≈ n_hapax / n_tokens (hapax legomena = words seen exactly once).
+    The per-feed vocabulary-saturation report a curation pipeline reads
+    before deciding whether a source needs more crawling.  Output
+    (source, n_tokens, n_types, n_hapax, gt_unseen_mass).
+
+    Scale shape: ONE (source, tok) exchange carrying in-batch partial
+    counts, then a bounded per-source tree combine over the distinct
+    term table; exact int64 end-to-end with a single final division."""
+    import numpy as np
+
+    tf = _source_term_counts(sf_dir)
 
     def src_partial(b: pa.Table) -> pa.Table:
         c = b.column("c").to_numpy(zero_copy_only=False)
@@ -5574,3 +5585,50 @@ def q_documents_dup_spans_removed(sf_dir: str) -> Dataset:
             "n_removed": pa.array(lens - counts)})
 
     return j.map_batches(rebuild, batch_format="pyarrow")
+
+
+def q_documents_zipf_slope(sf_dir: str) -> Dataset:
+    """Zipf rank-frequency fingerprint per source feed (Zipf 1949;
+    the Gerlach & Altmann-style corpus diagnostic): OLS of ln(count)
+    on ln(rank) over each feed's term-frequency table — natural prose
+    sits near slope −1, templated or boilerplate-heavy feeds flatten,
+    so the slope is a one-number naturalness screen per source.
+    Output (source, n_types, zipf_slope, zipf_intercept).
+
+    Scale shape: ONE (source, tok, partial-count) exchange (in-batch
+    group_by first), then each source's term table ranks and fits
+    entirely IN-GROUP (one map_groups — vocabulary per feed, never the
+    corpus, is what sorts).  Bit-exactness: ln(rank)/ln(count) are
+    int64-quantized at 1e3 (keeping Σx², Σxy far inside int64), the
+    moment sums are exact ints, and the final slope/intercept tree is
+    written with the identical double-conversion order as the twin —
+    rank ties break on the token string in both engines."""
+    import numpy as np
+
+    tf = _source_term_counts(sf_dir)
+
+    def fit(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("c", "descending"), ("tok", "ascending")])
+        c = g.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(c)
+        r = np.arange(1, n + 1, dtype=np.float64)
+        x = scaled_int_sql(np.log(r), 1e3)
+        y = scaled_int_sql(np.log(c), 1e3)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        nf, sxf, syf = float(n), float(sx), float(sy)
+        sxxf, sxyf = float(sxx), float(sxy)
+        # identical expression tree to the twin — double ops in the
+        # same order are bit-equal (the grouped-OLS discipline)
+        slope = (nf * sxyf - sxf * syf) / (nf * sxxf - sxf * sxf)
+        intercept = (syf - slope * sxf) / nf / 1000.0
+        return pa.table({
+            "source": g.column("source").slice(0, 1),
+            "n_types": pa.array([n], pa.int64()),
+            "zipf_slope": pa.array([round_sql_f(slope, 6)],
+                                   pa.float64()),
+            "zipf_intercept": pa.array([round_sql_f(intercept, 6)],
+                                       pa.float64())})
+
+    return tf.groupby("source").map_groups(fit, batch_format="pyarrow")

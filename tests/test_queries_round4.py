@@ -532,3 +532,22 @@ def test_dup_spans_removed_planted(ray_session, tmp_path):
     assert got[1] == ("x1a x1b x1c x1d x1e", 5, 12)
     assert got[2] == ("y2a y2b y2c y2d y2e", 5, 12)
     assert got[3] == (texts[3], 12, 0)
+
+
+def test_zipf_slope_planted(ray_session, tmp_path):
+    """Zipf fit on a planted feed: counts following the exact power
+    law c(r) = 12/r (12, 6, 4, 3 at ranks 1-4) recover slope ≈ −1
+    (rank ties broken on token in both engines), and a uniform feed
+    fits slope 0."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    parts = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    texts = [" ".join(parts),
+             "u1 u2 u3 u4 u1 u2 u3 u4"]     # srcU: all counts equal
+    _write_docs(tmp_path, texts, ["srcP", "srcU"])
+    got = {r["source"]: (r["n_types"], r["zipf_slope"])
+           for r in q.q_documents_zipf_slope(str(tmp_path)).take_all()}
+    assert got["srcU"] == (4, 0.0)
+    n_types, slope = got["srcP"]
+    assert n_types == 4
+    assert abs(slope - (-1.0)) < 0.005     # quantization at 1e-3 only
