@@ -5110,7 +5110,7 @@ def q_documents_dsir_weights(sf_dir: str) -> Dataset:
     quantized log-likelihood-ratio table broadcasts through ONE
     ``ray.put``; pass 2 scores each batch with a bincount segment sum.
     Bit-exactness: everything order-dependent rides int64 — per-bucket
-    ``round(ln(n+1)·1e6)`` (scaled_int_sql ≡ DuckDB round) and the
+    ``ln(n+1)`` quantized at 1e6 (scaled_int_sql ≡ DuckDB ROUND) and the
     per-doc Σ llr_q — with one final /1e6 float expression written
     token-identically in the twin."""
     import math
@@ -5192,7 +5192,7 @@ def q_documents_pmi_bigrams(sf_dir: str) -> Dataset:
     only distinct terms ride the shuffle; the ≥5 support filter prunes
     the bigram table BEFORE its two unigram joins (hash joins, never
     broadcast — vocabulary is unbounded).  Bit-exactness: pmi is a sum
-    of FIVE int64-quantized round(ln·1e6) terms (pair count, two
+    of FIVE int64 ln·1e6-quantized terms (pair count, two
     unigram counts, the two corpus totals), one final /1e6 float
     expression in both engines."""
     import numpy as np
@@ -5449,7 +5449,7 @@ def q_documents_char_entropy(sf_dir: str) -> Dataset:
     the identical arithmetic (DuckDB's '' split is per CODEPOINT, so
     the byte fast path is only valid when byte ≡ codepoint).  The
     empty string splits to [''] in DuckDB — one char of count 1 —
-    handled on both paths.  Bit-exactness: Σ k·round(ln k·1e6) rides
+    handled on both paths.  Bit-exactness: the Σ k·(ln k quantized at 1e6) rides
     int64; ln n enters once in the final float expression, written
     token-identically in the twin."""
     import numpy as np

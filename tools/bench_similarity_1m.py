@@ -84,8 +84,15 @@ def _shard_table(shard: int, docs_per_shard: int) -> pa.Table:
                 edited[pos] = f"w{rng.randint(VOCAB)}"
             ids.append(gid + 600_000_000)
             texts.append(" ".join(edited))
+    # source / n_chars let the corpus-statistics and keep-best ops run
+    # at stress scale too (source = 20 round-robin feeds, like testdata)
+    id_arr = np.array(ids, np.int64)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                     "text": pa.array(texts, pa.string())})
+                     "text": pa.array(texts, pa.string()),
+                     "source": pa.array([f"src{g % 20}" for g in id_arr],
+                                        pa.string()),
+                     "n_chars": pa.array([len(t) for t in texts],
+                                         pa.int64())})
 
 
 def generate(out_dir: str, n_docs: int) -> int:
@@ -117,7 +124,7 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    corpus = f"/tmp/simbench_{n_docs}"
+    corpus = f"/tmp/simbench_{n_docs}_v2"   # v2: + source / n_chars
     marker = os.path.join(corpus, "_DONE")
     t0 = time.perf_counter()
     if not os.path.exists(marker):
