@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_dup_spans_removed": q.q_documents_dup_spans_removed,
         "documents_dsir_weights": q.q_documents_dsir_weights,
         "documents_neardup_keep_best": q.q_documents_neardup_keep_best,
+        "documents_neardup_cluster_sizes":
+            q.q_documents_neardup_cluster_sizes,
         "documents_char_entropy": q.q_documents_char_entropy,
         "documents_pmi_bigrams": q.q_documents_pmi_bigrams,
         "documents_gt_unseen": q.q_documents_gt_unseen,
@@ -1984,6 +1986,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(e - s + 10) AS BIGINT) AS dup_tokens
             FROM sp GROUP BY doc_id
+        """,
+        "documents_neardup_cluster_sizes": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN s b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            p AS (SELECT id_a, id_b
+                  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                             JOIN sizes sb ON inter.id_b = sb.doc_id
+                  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+                  UNION
+                  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+            comp AS (SELECT id AS doc_id,
+                            CAST(MIN(reach) AS BIGINT) AS rep
+                     FROM r GROUP BY id),
+            m AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_members
+                  FROM comp GROUP BY rep)
+            SELECT n_members AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(n_members) AS BIGINT) AS n_docs
+            FROM m GROUP BY n_members
         """,
         "documents_dup_spans_removed": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

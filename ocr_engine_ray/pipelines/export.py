@@ -78,6 +78,12 @@ def write_export(validated: Dataset, out_dir: str, fmt: str = "parquet") -> None
         shaped.write_parquet(out_dir)
     elif fmt == "csv":
         shaped.write_csv(out_dir)
+    elif fmt == "jsonl":
+        # newline-delimited JSON — the interchange format most
+        # training-data loaders read; distributed part files like the
+        # other sinks (Ray's write_json emits one .json (JSONL-format)
+        # file per block)
+        shaped.write_json(out_dir)
     else:
         raise ValueError(f"Unsupported export format: {fmt}")
 

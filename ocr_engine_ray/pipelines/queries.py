@@ -5632,3 +5632,42 @@ def q_documents_zipf_slope(sf_dir: str) -> Dataset:
                                        pa.float64())})
 
     return tf.groupby("source").map_groups(fit, batch_format="pyarrow")
+
+
+def q_documents_neardup_cluster_sizes(sf_dir: str) -> Dataset:
+    """Near-dup cluster-size histogram — the dedup-impact report read
+    before committing to a keep policy (how much of the corpus sits in
+    clusters of 2, of 3, …; singletons = the untouched mass): component
+    labels from :func:`q_documents_neardup_components`, then
+    (cluster_size → n_clusters, n_docs).
+
+    Scale shape: one partial-count exchange keyed by rep (members per
+    cluster), then the histogram itself is a bounded tree combine —
+    cluster sizes are small integers.  Exact int64 throughout."""
+    comp = with_schema(
+        q_documents_neardup_components(sf_dir),
+        pa.schema([("doc_id", pa.int64()), ("rep", pa.int64())]))
+
+    def per_rep_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["rep"]).group_by("rep").aggregate([("rep", "count")])
+        return pa.table({"rep": g.column("rep"),
+                         "p_n": pc.cast(g.column("rep_count"), pa.int64())})
+
+    members = with_schema(
+        comp.map_batches(per_rep_partial, batch_format="pyarrow")
+        .groupby("rep").aggregate(Sum("p_n", alias_name="n_members")),
+        pa.schema([("rep", pa.int64()), ("n_members", pa.int64())]))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"cluster_size": b.column("n_members"),
+                      "p_c": pa.array([1] * b.num_rows, pa.int64()),
+                      "p_d": b.column("n_members")})
+        g = t.group_by("cluster_size").aggregate(
+            [("p_c", "sum"), ("p_d", "sum")])
+        return g.rename_columns(["cluster_size", "p_c", "p_d"])
+
+    return _small_table(_tree_combine(
+        members.map_batches(hist_partial, batch_format="pyarrow"),
+        ["cluster_size"], [("p_c", "sum"), ("p_d", "sum")],
+        ["cluster_size", "p_c", "p_d"],
+        ["cluster_size", "n_clusters", "n_docs"]))

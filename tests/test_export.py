@@ -44,6 +44,28 @@ def test_write_export_csv_and_parquet(ray_session, small_corpus, tmp_path):
         write_export(validated, str(tmp_path / "x"), fmt="xml")
 
 
+def test_write_export_jsonl(ray_session, small_corpus, tmp_path):
+    """JSONL sink: distributed part files of newline-delimited JSON
+    objects carrying the 12 export columns, one object per record."""
+    import glob
+    import json
+
+    import ray.data as rd
+
+    from ocr_engine_ray.pipelines.export import EXPORT_COLUMNS, write_export
+    from ocr_engine_ray.pipelines.flagship import extract_validated
+
+    validated = extract_validated(rd.from_arrow(small_corpus.slice(0, 200)),
+                                  concurrency=2, batch_size=64)
+    write_export(validated, str(tmp_path / "jl"), fmt="jsonl")
+    files = glob.glob(str(tmp_path / "jl" / "*.json"))
+    assert files
+    rows = [json.loads(line)
+            for f in files for line in open(f) if line.strip()]
+    assert len(rows) == 200
+    assert set(rows[0]) == set(EXPORT_COLUMNS)
+
+
 def test_export_excel_writes_styled_sheet(ray_session, small_corpus, tmp_path):
     """S8: the stdlib SpreadsheetML writer produces a real xlsx (ZIP of
     XML parts) with the reference's sheet name, bold header and
