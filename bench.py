@@ -127,6 +127,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_documents_dup_spans(sf_dir).count())
     timed("embeddings_semantic_dedup",
           lambda: q.q_embeddings_semantic_dedup(sf_dir).count())
+    timed("documents_dup_spans_removed",
+          lambda: q.q_documents_dup_spans_removed(sf_dir).count())
+    timed("documents_char_entropy",
+          lambda: q.q_documents_char_entropy(sf_dir).count())
+    timed("documents_dsir_weights",
+          lambda: q.q_documents_dsir_weights(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
