@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_growth": q.q_events_user_growth,
         "transcripts_role_profile": q.q_transcripts_role_profile,
         "events_median_gap": q.q_events_median_gap,
+        "revenue_by_nation": q.q_revenue_by_nation,
+        "documents_gopher_gate": q.q_documents_gopher_gate,
     }
 
 
@@ -2333,5 +2335,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(gap, 0.5) AS BIGINT)
                        AS median_gap_us
             FROM g GROUP BY 1 HAVING COUNT(gap) > 0
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "documents_gopher_gate": """
+            WITH d AS (SELECT doc_id, text,
+                              string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_words,
+                         CAST(length(replace(text, ' ', '')) AS BIGINT)
+                             AS sum_len,
+                         CAST(len(list_filter(toks,
+                              t -> regexp_matches(t, '[a-z]')))
+                             AS BIGINT) AS n_alpha,
+                         CAST(len(list_filter(
+                              ['the','a','of','and','to','in','be',
+                               'that'],
+                              w -> list_contains(toks, w)))
+                             AS BIGINT) AS n_stop
+                  FROM d)
+            SELECT doc_id, n_words,
+                   CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+                   CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+                   n_stop,
+                   (n_words >= 30 AND n_words <= 100000
+                    AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+                    AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+                    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+                    AND n_stop >= 2) AS keep
+            FROM s
         """,
     }

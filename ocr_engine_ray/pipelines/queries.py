@@ -5671,3 +5671,207 @@ def q_documents_neardup_cluster_sizes(sf_dir: str) -> Dataset:
         ["cluster_size"], [("p_c", "sum"), ("p_d", "sum")],
         ["cluster_size", "p_c", "p_d"],
         ["cluster_size", "n_clusters", "n_docs"]))
+
+
+def q_revenue_by_nation(sf_dir: str) -> Dataset:
+    """TPC-H-Q5-shaped SIX-table pipeline: 1996 revenue by nation for
+    ASIA customers served by a supplier of the SAME nation — the widest
+    join composition in the catalog (region ⋈ nation ⋈ customer ⋈
+    orders ⋈ lineitem ⋈ supplier).
+
+    Scale shape — each fact table moves exactly once, every dimension
+    rides a broadcast:
+      * region/nation collapse to a ≤25-entry nation map on the driver
+        (dim tables, the documented take_all exemption);
+      * supplier is dim-sized (1/15th of customers in TPC-H), so its
+        (suppkey → nationkey) map is ONE ``ray.put``, looked up
+        vectorized (``pc.index_in``) inside the lineitem scan — no
+        supplier shuffle;
+      * orders is date-pruned in its scan and hash-joined with the
+        nation-filtered customer projection (both raw streams, the
+        shipping_priority discipline);
+      * lineitem pre-aggregates exact int64 revenue per (orderkey,
+        supp_nation) IN-BATCH before its join, so the second join ships
+        partials, not raw lineitems.
+    Revenue is the shipping_priority quantization (extendedprice 2 dp ×
+    discount 2 dp is exact at 4 dp); the one float division replays the
+    twin's HUGEINT→DOUBLE cast order.  Reference analogue: the
+    multi-dimension rollups of SURVEY §2.6 A1 composed with the §2.5
+    join matrix."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    REGION = "ASIA"
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(_t(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"])
+    region_keys = {int(k) for k, r in
+                   zip(reg.column("r_regionkey").to_pylist(),
+                       reg.column("r_name").to_pylist()) if r == REGION}
+    nation_name = {int(k): n for k, n, rk in
+                   zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist(),
+                       nat.column("n_regionkey").to_pylist())
+                   if int(rk) in region_keys}
+    nat_set = pa.array(sorted(nation_name), pa.int64())
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").combine_chunks().cast(pa.int64())
+    sn = sup.column("s_nationkey").combine_chunks().cast(pa.int64())
+    in_region = pc.is_in(sn, value_set=nat_set)
+    sup_ref = ray.put((sk.filter(in_region), sn.filter(in_region)))
+
+    LO = pa.scalar(np.datetime64("1996-01-01", "us"))
+    HI = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), LO),
+                pc.less(b.column("o_orderdate"), HI)))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "c_custkey": b.column("c_custkey"),
+                "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }).filter(pc.is_in(
+                pc.cast(b.column("c_nationkey"), pa.int64()),
+                value_set=nat_set)),
+            batch_format="pyarrow")
+
+    # pin the first join's schema before the second: empty join-1
+    # partitions emit schema-less blocks that break join 2 (the chained
+    # sparse-join hazard; with_schema moves refs only, and the join is
+    # already an all-to-all barrier, so nothing stops streaming)
+    oc = with_schema(
+        orders.join(cust, join_type="inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+        .map_batches(lambda b: b.select(["o_orderkey", "c_nat"]),
+                     batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("c_nat", pa.int64())]))
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        supk, supn = ray.get(sup_ref)
+        pos = pc.index_in(b.column("l_suppkey").combine_chunks()
+                          .cast(pa.int64()), value_set=supk)
+        keep = pos.is_valid()
+        f = b.filter(keep)
+        s_nat = pc.take(supn, pos.filter(keep))
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        g = pa.table({"l_orderkey": f.column("l_orderkey"),
+                      "s_nat": s_nat,
+                      "r": pa.array(rev, pa.int64())}) \
+            .group_by(["l_orderkey", "s_nat"]).aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "p_r"])
+
+    rev = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(line_partial, batch_format="pyarrow")
+
+    j = oc.join(rev, join_type="inner", num_partitions=8,
+                on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("c_nat"), b.column("s_nat")))
+        g = pa.table({"nat": f.column("c_nat"), "r": f.column("p_r")}) \
+            .group_by("nat").aggregate([("r", "sum")])
+        return g.rename_columns(["nat", "p_r"])
+
+    agg = _tree_combine(
+        j.map_batches(nation_partial, batch_format="pyarrow"),
+        ["nat"], [("p_r", "sum")], ["nat", "p_r"], ["nat", "s_r"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        names = pa.array([nation_name[int(k)]
+                          for k in b.column("nat").to_pylist()],
+                         pa.string())
+        return pa.table({
+            "n_name": names,
+            "revenue": pc.divide(pc.cast(b.column("s_r"), pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+#: Gopher-style stopword list (Rae et al. 2021 §A1.1 use
+#: {the,be,to,of,and,that,have,with}; this corpus's closed vocabulary
+#: contains only 'the' and 'a' as function words, so the list is the
+#: Gopher set with 'a'/'in' swapped in for the two absent items — the
+#: RULE (≥2 distinct stopwords) is what's under test, and it binds in
+#: both directions on this corpus).
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "be", "that"]
+
+
+def q_documents_gopher_gate(sf_dir: str) -> Dataset:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    §A1.1) as ONE vectorized pass — word-count window, mean-word-length
+    window, alphabetic-word fraction, and the ≥2-distinct-stopwords
+    rule, composed into a keep flag.  (The repetition rules live in
+    q_documents_repetition; together they are the complete gate.)
+
+    Scale shape: embarrassingly parallel — zero exchanges, every rule
+    computed off the Arrow string buffers (split_pattern + reduceat per
+    doc boundary; stopword identity via ONE index_in against the
+    8-entry list, per-doc distinctness as an 8-bit mask bitwise_or
+    reduceat).  The two float ratios are single divisions of exact
+    int64 counts in the twin's cast order."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    stop_arr = pa.array(GOPHER_STOPWORDS, pa.string())
+
+    def gate(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        starts, n = offs[:-1], np.diff(offs).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sum_len = np.add.reduceat(lens, starts) if len(lens) \
+            else np.zeros(len(n), np.int64)
+        alpha = pc.match_substring_regex(flat, "[a-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = np.add.reduceat(alpha, starts) if len(alpha) \
+            else np.zeros(len(n), np.int64)
+        pos = pc.index_in(flat, value_set=stop_arr)
+        bits = np.left_shift(
+            np.int64(1), pos.fill_null(8).to_numpy(zero_copy_only=False)
+            .astype(np.int64)) & 0xFF  # sentinel bit 8 masks to 0
+        masks = np.bitwise_or.reduceat(bits, starts) if len(bits) \
+            else np.zeros(len(n), np.int64)
+        n_stop = np.unpackbits(masks.astype(np.uint8)).reshape(-1, 8) \
+            .sum(axis=1).astype(np.int64)
+        nf = n.astype(np.float64)
+        mean_len = sum_len.astype(np.float64) / nf
+        alpha_frac = n_alpha.astype(np.float64) / nf
+        keep = ((n >= 30) & (n <= 100_000)
+                & (mean_len >= 3.0) & (mean_len <= 10.0)
+                & (alpha_frac >= 0.8) & (n_stop >= 2))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_words": pa.array(n, pa.int64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+            "alpha_frac": pa.array(alpha_frac, pa.float64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -551,3 +551,75 @@ def test_zipf_slope_planted(ray_session, tmp_path):
     n_types, slope = got["srcP"]
     assert n_types == 4
     assert abs(slope - (-1.0)) < 0.005     # quantization at 1e-3 only
+
+
+def test_revenue_by_nation_planted(ray_session, tmp_path):
+    """TPC-H-Q5 shape on a planted 6-table micro-warehouse: revenue
+    counts ONLY (region ∧ date-window ∧ same-nation customer/supplier)
+    rows — an out-of-region nation, an out-of-window order, and a
+    cross-nation supplier each contribute nothing."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    def w(name, table):
+        pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+    w("region", pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                          "r_name": ["ASIA", "EUROPE"]}))
+    w("nation", pa.table({
+        "n_nationkey": pa.array([10, 11, 20], pa.int32()),
+        "n_name": ["JAPAN", "INDIA", "FRANCE"],
+        "n_regionkey": pa.array([0, 0, 1], pa.int32())}))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([10, 11, 20], pa.int32())}))
+    w("customer", pa.table({
+        "c_custkey": pa.array([100, 101, 102], pa.int64()),
+        "c_nationkey": pa.array([10, 11, 20], pa.int32())}))
+    ts = lambda s: pa.scalar(np.datetime64(s, "us"),
+                             pa.timestamp("us")).as_py()
+    w("orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([100, 100, 101, 102], pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1996-06-01"), ts("1999-06-01"),
+             ts("1996-02-01"), ts("1996-03-01")],
+            pa.timestamp("us"))}))
+    # order 1 (JAPAN cust): line A supp 1 (JAPAN, counts),
+    #                       line B supp 2 (INDIA, cross-nation: dropped)
+    # order 2: in-window=False (1999) — dropped
+    # order 3 (INDIA cust): supp 2 (INDIA, counts)
+    # order 4 (FRANCE cust): out of region — dropped
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 3], pa.int64()),
+        "l_extendedprice": [100.0, 50.0, 70.0, 200.0, 90.0],
+        "l_discount": [0.10, 0.0, 0.0, 0.25, 0.0]}))
+
+    got = {r["n_name"]: r["revenue"]
+           for r in q.q_revenue_by_nation(str(tmp_path)).take_all()}
+    assert got == {"JAPAN": 90.0, "INDIA": 150.0}
+
+
+def test_gopher_gate_planted(ray_session, tmp_path):
+    """Each Gopher rule fails exactly the doc planted to violate it:
+    word-count window, ≥2-distinct-stopwords, mean-word-length window,
+    and alphabetic-word fraction."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    good = ("the a " + "word " * 38).strip()          # 40 words, passes all
+    short = "the a word"                              # 3 words
+    nostop = ("word " * 40).strip()                   # no stopwords
+    longtok = ("the a " + ("x" * 13 + " ") * 38).strip()  # mean > 10
+    numeric = ("the a " + "123 " * 38).strip()        # alpha_frac 2/40
+    _write_docs(tmp_path, [good, short, nostop, longtok, numeric],
+                ["s"] * 5)
+    rows = {r["doc_id"]: r
+            for r in q.q_documents_gopher_gate(str(tmp_path)).take_all()}
+    assert bool(rows[0]["keep"])
+    assert not rows[1]["keep"] and rows[1]["n_words"] == 3
+    assert not rows[2]["keep"] and rows[2]["n_stop"] == 0
+    assert not rows[3]["keep"] and rows[3]["mean_word_len"] > 10
+    assert not rows[4]["keep"] and rows[4]["alpha_frac"] < 0.8
+    assert rows[0]["n_stop"] == 2
