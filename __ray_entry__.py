@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_gap": q.q_events_median_gap,
         "revenue_by_nation": q.q_revenue_by_nation,
         "documents_gopher_gate": q.q_documents_gopher_gate,
+        "documents_bm25_topk": q.q_documents_bm25_topk,
     }
 
 
@@ -2381,5 +2382,49 @@ def oracle_sql() -> dict[str, str]:
                     AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
                     AND n_stop >= 2) AS keep
             FROM s
+        """,
+        "documents_bm25_topk": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+                   FROM d),
+            tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+                    GROUP BY doc_id, tok),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+            q AS (SELECT doc_id AS qid FROM documents
+                  WHERE substr(md5(doc_id::VARCHAR || chr(31) || '11'),
+                               1, 8) <= '051eb851'),
+            qt AS (SELECT DISTINCT q.qid, tfc.tok
+                   FROM q JOIN tfc ON tfc.doc_id = q.qid),
+            df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tfc
+                   WHERE tok IN (SELECT DISTINCT tok FROM qt)
+                   GROUP BY tok),
+            idf AS (SELECT tok,
+                           CAST(ROUND(LN(((n - df) + 0.5) / (df + 0.5)
+                                         + 1.0) * 1000000.0) AS BIGINT)
+                               AS qidf
+                    FROM df, stats),
+            sc AS (SELECT qt.qid, tfc.doc_id,
+                          CAST(SUM(CAST(ROUND(idf.qidf * (tfc.tf * 2.2)
+                               / (tfc.tf + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (dl.dl / (stats.tot
+                                                     / stats.n)))))
+                              AS BIGINT)) AS BIGINT) AS score
+                   FROM qt
+                   JOIN tfc ON qt.tok = tfc.tok
+                   JOIN idf ON idf.tok = qt.tok
+                   JOIN dl ON dl.doc_id = tfc.doc_id, stats
+                   WHERE tfc.doc_id <> qt.qid
+                   GROUP BY qt.qid, tfc.doc_id),
+            r AS (SELECT qid, doc_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score DESC, doc_id) AS rn
+                  FROM sc)
+            SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+                   doc_id, score
+            FROM r WHERE rn <= 5
         """,
     }

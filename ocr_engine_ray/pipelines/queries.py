@@ -5875,3 +5875,164 @@ def q_documents_gopher_gate(sf_dir: str) -> Dataset:
         })
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def q_documents_bm25_topk(sf_dir: str) -> Dataset:
+    """BM25 top-5 retrieval (Robertson/Sparck-Jones probabilistic
+    ranking, k1=1.2, b=0.75): a deterministic 2 % md5 sample of the
+    corpus plays the query set, and every query retrieves its 5
+    highest-scoring OTHER documents — the retrieval primitive under
+    RAG corpus construction and quality-by-retrievability audits.
+
+    Scale shape: the corpus moves twice, shuffles once.  Pass 1 is one
+    (term, df) + (N, Σdl) partial pass tree-combined over the QUERY
+    vocabulary only (bounded by the query set, never the corpus
+    vocabulary); its output — query term list, per-term idf, avgdl —
+    is ONE ray.put broadcast.  Pass 2 scores in-batch: tokens hit the
+    broadcast vocabulary via index_in, per-(doc, term) tf comes from
+    one np.unique over packed int keys, the per-term score factor is
+    computed ONCE per (doc, term) and fanned out to the queries
+    sharing the term (CSR-style repeat — no Python loops), and only
+    (query, doc, partial-score) rows enter the single groupby.  The
+    per-query top-5 runs in map_groups on ≤|corpus| rows per query.
+
+    Bit-exactness: idf is 1e-6-quantized int64; each (query, doc,
+    term) contribution is ROUNDed to int64 exactly as the twin writes
+    it, so the summed score is order-independent; ranks tie-break on
+    doc_id.  Floats cross no aggregation boundary."""
+    import numpy as np
+
+    from ..stages.partition import deterministic_sample
+
+    K1, B, TOPK = 1.2, 0.75, 5
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    qdocs = pa.Table.from_pylist(
+        deterministic_sample(ds, 0.02, ["doc_id"], seed=11).take_all())
+    qids = qdocs.column("doc_id").to_pylist()
+    qterm_sets = [set(t.split(" ")) for t in
+                  qdocs.column("text").to_pylist()]
+    vocab = sorted(set().union(*qterm_sets)) if qterm_sets else []
+    vocab_arr = pa.array(vocab, pa.string())
+    V = len(vocab)
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("rank", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("score", pa.int64())])
+    if V == 0:  # nothing sampled into the query set at this scale
+        return rd.from_arrow(out_schema.empty_table())
+
+    # pass 1: df over the query vocabulary + corpus totals, one
+    # bounded tree combine ('' sentinel row carries N and Σdl)
+    def df_partial(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff(offs).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        pos = pc.index_in(flat, value_set=vocab_arr)
+        hit = pos.is_valid().to_numpy(zero_copy_only=False)
+        posv = pos.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        key = doc_idx[hit] * V + posv[hit]
+        uk = np.unique(key)
+        terms = pa.concat_arrays(
+            [pc.take(vocab_arr, pa.array(uk % V, pa.int64())),
+             pa.array([""], pa.string())])
+        zeros = np.zeros(len(uk), np.int64)
+        return pa.table({
+            "tok": terms,
+            "p_df": pa.array(np.append(zeros + 1, 0), pa.int64()),
+            "p_n": pa.array(np.append(zeros, b.num_rows), pa.int64()),
+            "p_tok": pa.array(np.append(zeros, int(n.sum())),
+                              pa.int64()),
+        })
+
+    stats = _small_table(_tree_combine(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["tok"], [("p_df", "sum"), ("p_n", "sum"), ("p_tok", "sum")],
+        ["tok", "p_df", "p_n", "p_tok"], ["tok", "df", "n", "tot"]))
+    srows = {r["tok"]: r for r in stats.to_pylist()}
+    N = int(srows[""]["n"])
+    avgdl = float(srows[""]["tot"]) / float(N)
+    qidf = np.zeros(V, np.int64)
+    for i, t in enumerate(vocab):
+        df = int(srows[t]["df"]) if t in srows else 0
+        qidf[i] = scaled_int_sql(
+            np.array([np.log(((N - df) + 0.5) / (df + 0.5) + 1.0)]),
+            1e6)[0]
+
+    # CSR expansion term → queries containing it
+    term_qids = [[] for _ in range(V)]
+    vpos = {t: i for i, t in enumerate(vocab)}
+    for qid, ts in zip(qids, qterm_sets):
+        for t in ts:
+            term_qids[vpos[t]].append(qid)
+    starts = np.zeros(V + 1, np.int64)
+    for i in range(V):
+        starts[i + 1] = starts[i] + len(term_qids[i])
+    qids_flat = np.array([x for lst in term_qids for x in lst],
+                         np.int64)
+    bcast = ray.put((vocab_arr, qidf, starts, qids_flat, avgdl))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        vocab_a, qidf_a, st, qf, adl = ray.get(bcast)
+        txt = b.column("text").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff(offs).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        pos = pc.index_in(flat, value_set=vocab_a)
+        hit = pos.is_valid().to_numpy(zero_copy_only=False)
+        posv = pos.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        key = doc_idx[hit] * len(qidf_a) + posv[hit]
+        uk, tf = np.unique(key, return_counts=True)
+        if not len(uk):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "p_s": pa.array([], pa.int64())})
+        ud, ut = uk // len(qidf_a), uk % len(qidf_a)
+        dl = n[ud]
+        # float association replays the twin token-for-token:
+        # (qidf * (tf * 2.2)) / den — and the literal 2.2, not K1+1.0,
+        # which is one ulp off in IEEE
+        den = tf + K1 * ((1.0 - B) + B * (dl / adl))
+        c = scaled_int_sql((qidf_a[ut] * (tf * 2.2)) / den, 1.0)
+        cnt = (st[ut + 1] - st[ut]).astype(np.int64)
+        rep = np.repeat(np.arange(len(uk)), cnt)
+        flat_ix = np.arange(int(cnt.sum())) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt) \
+            + np.repeat(st[ut], cnt)
+        q_of_row = qf[flat_ix]
+        docs = b.column("doc_id").to_numpy(zero_copy_only=False)
+        d_of_row = docs[ud[rep]]
+        keep = q_of_row != d_of_row
+        g = pa.table({"query_id": pa.array(q_of_row[keep], pa.int64()),
+                      "doc_id": pa.array(d_of_row[keep], pa.int64()),
+                      "c": pa.array(c[rep][keep], pa.int64())}) \
+            .group_by(["query_id", "doc_id"]).aggregate([("c", "sum")])
+        return g.rename_columns(["query_id", "doc_id", "p_s"])
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow") \
+        .groupby(["query_id", "doc_id"]) \
+        .aggregate(Sum("p_s", alias_name="score"))
+
+    def top5(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("score", "descending"), ("doc_id", "ascending")])
+        s = s.slice(0, TOPK)
+        return pa.table({
+            "query_id": pc.cast(s.column("query_id"), pa.int64()),
+            "rank": pa.array(range(1, s.num_rows + 1), pa.int64()),
+            "doc_id": pc.cast(s.column("doc_id"), pa.int64()),
+            "score": pc.cast(s.column("score"), pa.int64()),
+        })
+
+    return scored.groupby("query_id").map_groups(
+        top5, batch_format="pyarrow")

@@ -623,3 +623,31 @@ def test_gopher_gate_planted(ray_session, tmp_path):
     assert not rows[3]["keep"] and rows[3]["mean_word_len"] > 10
     assert not rows[4]["keep"] and rows[4]["alpha_frac"] < 0.8
     assert rows[0]["n_stop"] == 2
+
+
+def test_bm25_topk_planted(ray_session, tmp_path):
+    """BM25 ranking semantics on a planted corpus: doc_id 33 is the
+    only sampled query (md5 rule, seed 11).  A doc sharing the query's
+    RARE term outranks docs sharing only the ubiquitous term (idf
+    discrimination), shorter docs outrank longer ones at equal tf
+    (length normalization), and the query never retrieves itself."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["common " * 30 + "rare"] * 34          # ids 0..33 (33 = query)
+    texts[0] = "common rare"                        # short, has rare term
+    texts[1] = "common " * 60 + "rare"              # long, has rare term
+    texts[2] = "common " * 2                        # no rare term
+    got = None
+    _write_docs(tmp_path, [t.strip() for t in texts], ["s"] * 34)
+    rows = q.q_documents_bm25_topk(str(tmp_path)).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {33}
+    ranked = sorted(by_q[33], key=lambda r: r["rank"])
+    ids = [r["doc_id"] for r in ranked]
+    assert 33 not in ids                            # self excluded
+    assert ids[0] == 0                              # short + rare wins
+    assert 2 not in ids[:2]                         # no-rare-term loses
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
