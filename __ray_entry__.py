@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q.q_revenue_by_nation,
         "documents_gopher_gate": q.q_documents_gopher_gate,
         "documents_bm25_topk": q.q_documents_bm25_topk,
+        "embeddings_covariance": q.q_embeddings_covariance,
+        "embeddings_pca": q.q_embeddings_pca,
     }
 
 
@@ -2426,5 +2428,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
                    doc_id, score
             FROM r WHERE rn <= 5
+        """,
+        "embeddings_covariance": """
+            WITH u AS (SELECT vec_id, i,
+                              CAST(ROUND(embedding[i] * 1048576.0)
+                                   AS BIGINT) AS q
+                       FROM embeddings,
+                            UNNEST(range(1, len(embedding) + 1))
+                                AS t(i)),
+            p AS (SELECT a.i AS dim_i, b.i AS dim_j,
+                         CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+                  FROM u a JOIN u b
+                    ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY a.i, b.i),
+            m AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s
+                  FROM u GROUP BY i),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                  FROM embeddings)
+            SELECT CAST(p.dim_i AS BIGINT) AS dim_i,
+                   CAST(p.dim_j AS BIGINT) AS dim_j,
+                   (CAST(p.sxy AS DOUBLE) / n
+                    - (CAST(mi.s AS DOUBLE) / n)
+                      * (CAST(mj.s AS DOUBLE) / n))
+                   / (1048576.0 * 1048576.0) AS cov
+            FROM p
+            JOIN m mi ON mi.i = p.dim_i
+            JOIN m mj ON mj.i = p.dim_j, c
         """,
     }

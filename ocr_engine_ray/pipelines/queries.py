@@ -6036,3 +6036,120 @@ def q_documents_bm25_topk(sf_dir: str) -> Dataset:
 
     return scored.groupby("query_id").map_groups(
         top5, batch_format="pyarrow")
+
+
+#: Covariance quantization: ROUND(v * 2^20) keeps the per-pair product
+#: under 2^40, so int64 sums hold exactly to ~2^23 rows.  The 100 TB
+#: path drops to 2^16 (or shards the row range and widens the combine)
+#: — quantization is the knob, the pipeline shape doesn't change.
+COV_QUANT = float(1 << 20)
+
+
+def q_embeddings_covariance(sf_dir: str) -> Dataset:
+    """Exact distributed covariance matrix of the embedding columns —
+    the one-pass building block under PCA / whitening / correlation
+    screening.  Upper triangle only (cov is symmetric), 1-based dims
+    to match SQL subscripts.
+
+    Scale shape: one corpus pass; each batch contributes one d×d int64
+    Gram partial (numpy matmul over the zero-copy vec_matrix view) plus
+    per-dim sums and a row count, flattened to a bounded d(d+1)/2-row
+    grid that tree-combines — no raw vectors shuffle.  Covariance
+    itself is evaluated only at the end, as the identical float
+    expression the twin writes ((Σxy/n) − (Σx/n)(Σy/n), each operand
+    an exact int64 cast to double), so nothing float crosses an
+    aggregation boundary."""
+    import numpy as np
+
+    from ..util import vec_matrix
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        X = vec_matrix(b.column("embedding"))
+        q = scaled_int_sql(X.ravel(), COV_QUANT).reshape(X.shape)
+        d = q.shape[1]
+        G = q.T @ q
+        s = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        sx = np.where(iu == ju, s[iu], 0)
+        pn = np.where((iu == 0) & (ju == 0), b.num_rows, 0)
+        return pa.table({
+            "dim_i": pa.array(iu + 1, pa.int64()),
+            "dim_j": pa.array(ju + 1, pa.int64()),
+            "p_xy": pa.array(G[iu, ju], pa.int64()),
+            "p_x": pa.array(sx, pa.int64()),
+            "p_n": pa.array(pn, pa.int64()),
+        })
+
+    agg = _tree_combine(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["dim_i", "dim_j"],
+        [("p_xy", "sum"), ("p_x", "sum"), ("p_n", "sum")],
+        ["dim_i", "dim_j", "p_xy", "p_x", "p_n"],
+        ["dim_i", "dim_j", "s_xy", "s_x", "s_n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        di = b.column("dim_i").to_numpy(zero_copy_only=False)
+        dj = b.column("dim_j").to_numpy(zero_copy_only=False)
+        sxy = b.column("s_xy").to_numpy(zero_copy_only=False)
+        sx_diag = b.column("s_x").to_numpy(zero_copy_only=False)
+        n = float(b.column("s_n").to_numpy(zero_copy_only=False).sum())
+        d = int(di.max())
+        sums = np.zeros(d + 1, np.int64)
+        diag = di == dj
+        sums[di[diag]] = sx_diag[diag]
+        cov = (sxy.astype(np.float64) / n
+               - (sums[di].astype(np.float64) / n)
+               * (sums[dj].astype(np.float64) / n)) \
+            / (COV_QUANT * COV_QUANT)
+        return pa.table({
+            "dim_i": pa.array(di, pa.int64()),
+            "dim_j": pa.array(dj, pa.int64()),
+            "cov": pa.array(cov, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_embeddings_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA (top-4 principal axes + explained-variance
+    ratios) over the exact covariance pipeline: the corpus contributes
+    ONE pass of int64 Gram partials (q_embeddings_covariance's shape);
+    only the d×d matrix reaches the driver, where the symmetric eigen
+    solve is O(d³) scalar work.  Sign convention: each component's
+    largest-|loading| entry is made positive (eigenvectors are
+    sign-ambiguous).  Rows-only (iterative/numeric — no SQL eigen);
+    pytest pins it against numpy.cov+eigh on the raw table."""
+    import numpy as np
+
+    rows = _small_table(q_embeddings_covariance(sf_dir)).to_pylist()
+    d = max(r["dim_i"] for r in rows)
+    C = np.zeros((d, d), np.float64)
+    for r in rows:
+        C[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        C[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    total = float(w.sum())
+    k = min(4, d)
+    out = {"component": [], "dim": [], "loading": [],
+           "explained_ratio": []}
+    for c in range(k):
+        vec = v[:, c]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        out["component"].extend([c + 1] * d)
+        out["dim"].extend(range(1, d + 1))
+        out["loading"].extend(vec.tolist())
+        out["explained_ratio"].extend([float(w[c]) / total] * d)
+    return pa.table({
+        "component": pa.array(out["component"], pa.int64()),
+        "dim": pa.array(out["dim"], pa.int64()),
+        "loading": pa.array(out["loading"], pa.float64()),
+        "explained_ratio": pa.array(out["explained_ratio"],
+                                    pa.float64()),
+    })

@@ -651,3 +651,38 @@ def test_bm25_topk_planted(ray_session, tmp_path):
     assert 2 not in ids[:2]                         # no-rare-term loses
     scores = [r["score"] for r in ranked]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pca_matches_numpy_reference(ray_session):
+    """q_embeddings_pca ≡ numpy population-covariance + eigh on the raw
+    embedding matrix (up to the declared sign convention), within the
+    2^-20 quantization the exact-int pipeline rides on; explained
+    ratios sum to the top-4 share and decrease monotonically."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    X = np.array(pq.read_table(
+        SF + "/embeddings.parquet",
+        columns=["embedding"]).column("embedding").to_pylist(),
+        np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+
+    got = q.q_embeddings_pca(SF).to_pylist()
+    d = X.shape[1]
+    for c in range(4):
+        ref = v[:, c]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        load = np.array([r["loading"] for r in got
+                         if r["component"] == c + 1])
+        assert len(load) == d
+        assert np.allclose(load, ref, atol=1e-4)
+        ratio = [r["explained_ratio"] for r in got
+                 if r["component"] == c + 1][0]
+        assert abs(ratio - w[c] / w.sum()) < 1e-6
+    ratios = [r["explained_ratio"] for r in got if r["dim"] == 1]
+    assert ratios == sorted(ratios, reverse=True)
