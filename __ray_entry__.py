@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bm25_topk": q.q_documents_bm25_topk,
         "embeddings_covariance": q.q_embeddings_covariance,
         "embeddings_pca": q.q_embeddings_pca,
+        "events_rank_gaps": q.q_events_rank_gaps,
+        "embeddings_pca_project": q.q_embeddings_pca_project,
     }
 
 
@@ -2454,5 +2456,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN m mi ON mi.i = p.dim_i
             JOIN m mj ON mj.i = p.dim_j, c
+        """,
+        "events_rank_gaps": """
+            SELECT event_id, event_type, value,
+                   CAST(RANK() OVER (PARTITION BY event_type
+                        ORDER BY value DESC) AS BIGINT) AS rnk
+            FROM events
         """,
     }

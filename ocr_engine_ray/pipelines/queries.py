@@ -6153,3 +6153,89 @@ def q_embeddings_pca(sf_dir: str) -> pa.Table:
         "explained_ratio": pa.array(out["explained_ratio"],
                                     pa.float64()),
     })
+
+
+def q_events_rank_gaps(sf_dir: str) -> Dataset:
+    """RANK() window (WITH gaps — ties share a rank and the next rank
+    skips past them; the last member of the events window family beside
+    DENSE_RANK / PERCENT_RANK / NTILE / ROW_NUMBER-shaped orderings).
+    rank(v) = #rows with value strictly greater + 1, computed per type
+    from one vectorized unique + suffix-cumsum of tie counts — the
+    dense_rank co-location contract, no per-row work."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def rank(g: pa.Table) -> pa.Table:
+        v = g.column("value").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(v, return_counts=True)  # ascending
+        # rows strictly greater than uniq[i] = suffix sum of counts
+        greater = np.concatenate(
+            ([0], np.cumsum(counts[::-1])[:-1]))[::-1]
+        rnk = greater[np.searchsorted(uniq, v)] + 1
+        return g.append_column("rnk", pa.array(rnk, pa.int64()))
+
+    return ds.groupby("event_type").map_groups(rank,
+                                               batch_format="pyarrow")
+
+
+def q_embeddings_pca_project(sf_dir: str) -> Dataset:
+    """Dimensionality reduction as a pipeline stage: project every
+    embedding onto the corpus's top-4 principal axes (the
+    q_embeddings_pca loadings, mean-centered) — the compression step
+    ahead of semantic dedup / clustering at scale.  The d×4 loading
+    matrix and the mean vector are ONE ray.put broadcast; projection
+    is one matmul per batch over the zero-copy vec_matrix view.
+    Rows-only (inherits the eigen solve); pytest pins per-component
+    projection variance to the covariance pipeline's eigenvalues."""
+    import numpy as np
+
+    from ..util import vec_matrix
+
+    pca = q_embeddings_pca(sf_dir)
+    d = int(pc.max(pca.column("dim")).as_py())
+    k = int(pc.max(pca.column("component")).as_py())
+    L = np.zeros((d, k), np.float64)
+    for r in pca.to_pylist():
+        L[r["dim"] - 1, r["component"] - 1] = r["loading"]
+
+    ds0 = rd.read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+
+    # mean from int64-quantized per-ROW sums (the label_centroids
+    # discipline) so the result is block-layout-independent — a float
+    # partial sum would drift with batch boundaries
+    MQ = float(1 << 30)
+
+    def mean_partial(b: pa.Table) -> pa.Table:
+        X = vec_matrix(b.column("embedding"))
+        q = scaled_int_sql(X.ravel(), MQ).reshape(X.shape)
+        return pa.table({
+            "dim": pa.array(np.arange(1, X.shape[1] + 1), pa.int64()),
+            "p_s": pa.array(q.sum(axis=0), pa.int64()),
+            "p_n": pa.array([b.num_rows] + [0] * (X.shape[1] - 1),
+                            pa.int64()),
+        })
+
+    mt = _small_table(_tree_combine(
+        ds0.map_batches(mean_partial, batch_format="pyarrow"),
+        ["dim"], [("p_s", "sum"), ("p_n", "sum")],
+        ["dim", "p_s", "p_n"], ["dim", "s", "n"]))
+    n = float(pc.sum(mt.column("n")).as_py())
+    mean = np.zeros(d, np.float64)
+    for r in mt.to_pylist():
+        mean[r["dim"] - 1] = float(r["s"]) / (MQ * n)
+    bcast = ray.put((L, mean))
+
+    def project(b: pa.Table) -> pa.Table:
+        Lm, mu = ray.get(bcast)
+        X = vec_matrix(b.column("embedding")) - mu
+        P = X @ Lm
+        cols = {"vec_id": b.column("vec_id")}
+        for c in range(Lm.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(P[:, c], pa.float64())
+        return pa.table(cols)
+
+    return ds0.map_batches(project, batch_format="pyarrow")

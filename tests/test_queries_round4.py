@@ -686,3 +686,24 @@ def test_pca_matches_numpy_reference(ray_session):
         assert abs(ratio - w[c] / w.sum()) < 1e-6
     ratios = [r["explained_ratio"] for r in got if r["dim"] == 1]
     assert ratios == sorted(ratios, reverse=True)
+
+
+def test_pca_project_variance_matches_eigenvalues(ray_session):
+    """Projection onto component c has variance ≈ eigenvalue c (the
+    defining property of PCA), and components are uncorrelated."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    rows = q.q_embeddings_pca(SF).to_pylist()
+    total_ratio = {r["component"]: r["explained_ratio"] for r in rows}
+    proj = q.q_embeddings_pca_project(SF).take_all()
+    P = np.array([[r["pc1"], r["pc2"], r["pc3"], r["pc4"]]
+                  for r in proj])
+    var = P.var(axis=0)                     # population variance
+    assert var[0] > var[1] > var[2] > var[3] > 0
+    # variances are proportional to the explained ratios
+    ratios = np.array([total_ratio[c] for c in (1, 2, 3, 4)])
+    assert np.allclose(var / var.sum(), ratios / ratios.sum(),
+                       atol=1e-3)
+    # off-diagonal correlations vanish
+    C = np.corrcoef(P, rowvar=False)
+    assert np.all(np.abs(C - np.eye(4)) < 1e-2)
