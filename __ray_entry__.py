@@ -411,6 +411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca": q.q_embeddings_pca,
         "events_rank_gaps": q.q_events_rank_gaps,
         "embeddings_pca_project": q.q_embeddings_pca_project,
+        "events_lead_next": q.q_events_lead_next,
+        "events_winsorized_mean": q.q_events_winsorized_mean,
+        "documents_ngram_novelty": q.q_documents_ngram_novelty,
     }
 
 
@@ -2462,5 +2465,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(RANK() OVER (PARTITION BY event_type
                         ORDER BY value DESC) AS BIGINT) AS rnk
             FROM events
+        """,
+        "events_lead_next": """
+            SELECT event_id, user_id, ts,
+                   LEAD(ts) OVER w AS next_ts,
+                   date_diff('microsecond', ts, LEAD(ts) OVER w)
+                       AS next_gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_winsorized_mean": """
+            WITH b AS (SELECT event_type,
+                              CAST(ROUND(quantile_disc(value, 0.05)
+                                         * 100) AS BIGINT) AS lo,
+                              CAST(ROUND(quantile_disc(value, 0.95)
+                                         * 100) AS BIGINT) AS hi
+                       FROM events GROUP BY event_type),
+            c AS (SELECT e.event_type,
+                         LEAST(GREATEST(CAST(ROUND(e.value * 100)
+                                             AS BIGINT), b.lo),
+                               b.hi) AS cents
+                  FROM events e JOIN b USING (event_type))
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0
+                       AS winsorized_mean
+            FROM c GROUP BY event_type
+        """,
+        "documents_ngram_novelty": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 3),
+                    i -> list_aggregate(toks[i:i+4], 'string_agg', ' '))))
+                    AS sh
+                  FROM d WHERE len(toks) >= 5),
+            df AS (SELECT sh, COUNT(*) AS c FROM s GROUP BY sh),
+            nov AS (SELECT s.doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_grams,
+                           CAST(COUNT(*) FILTER (WHERE df.c = 1)
+                                AS BIGINT) AS n_novel
+                    FROM s JOIN df USING (sh) GROUP BY s.doc_id)
+            SELECT doc_id, n_grams, n_novel,
+                   CAST(n_novel AS DOUBLE) / n_grams AS novelty
+            FROM nov
         """,
     }

@@ -6239,3 +6239,167 @@ def q_embeddings_pca_project(sf_dir: str) -> Dataset:
         return pa.table(cols)
 
     return ds0.map_batches(project, batch_format="pyarrow")
+
+
+def q_events_lead_next(sf_dir: str) -> Dataset:
+    """LEAD window shape (``LEAD(ts) OVER (PARTITION BY user ORDER BY
+    ts)``): per event, the NEXT event's ts and time-to-next in exact
+    integer microseconds (NULL on each user's last event) — the
+    forward twin of q_events_lag_delta, the dwell-time / churn-signal
+    primitive.  Same vectorized shift in the per-key sorted group."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def lead(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+             .to_numpy(zero_copy_only=False)
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        mask = np.zeros(len(ts), dtype=bool)
+        if len(ts):
+            mask[-1] = True
+            nxt[-1] = 0
+        nxt_arr = pa.array(nxt, pa.int64(), mask=mask)
+        gap = pa.array(nxt - ts, pa.int64(), mask=mask)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts": g.column("ts"),
+            "next_ts": nxt_arr.cast(pa.timestamp("us")),
+            "next_gap_us": gap,
+        })
+
+    return ds.groupby("user_id").map_groups(lead, batch_format="pyarrow")
+
+
+def q_events_winsorized_mean(sf_dir: str) -> Dataset:
+    """Winsorized mean per event type (clamp values into the type's own
+    exact [p05, p95] before averaging) — the robust-mean companion to
+    the median/MAD outlier filter: outliers are bounded, not dropped,
+    so n stays fixed.
+
+    Scale shape: the grouped exact-quantile histogram pass (one
+    (type, cents, count) exchange) computes the per-type clamp bounds;
+    they broadcast as a tiny dict and ONE more scan clamps + sums exact
+    int64 cents — raw events never shuffle.  The single float division
+    replays the twin's operand-cast order."""
+    import numpy as np
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    qs = grouped_exact_quantiles(ds, "event_type", "value",
+                                 (0.05, 0.95))
+    bounds = {}
+    for r in (qs.to_pylist() if isinstance(qs, pa.Table)
+              else qs.take_all()):
+        bounds[r["event_type"]] = r
+    lo = {k: scaled_int_sql(np.array([v["q5"]]), 100.0)[0]
+          for k, v in bounds.items()}
+    hi = {k: scaled_int_sql(np.array([v["q95"]]), 100.0)[0]
+          for k, v in bounds.items()}
+    keys = sorted(lo)
+    key_arr = pa.array(keys, pa.string())
+    lo_np = np.array([lo[k] for k in keys], np.int64)
+    hi_np = np.array([hi[k] for k in keys], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("event_type").combine_chunks(),
+                          value_set=key_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        clamped = np.clip(cents, lo_np[idx], hi_np[idx])
+        g = pa.table({"event_type": b.column("event_type"),
+                      "c": pa.array(clamped, pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by("event_type").aggregate(
+                [("c", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "p_c", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("p_c", "sum"), ("p_n", "sum")],
+        ["event_type", "p_c", "p_n"], ["event_type", "s_c", "s_n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("s_c").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("s_n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(n, pa.int64()),
+            "winsorized_mean": pa.array(c / n / 100.0, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_ngram_novelty(sf_dir: str) -> Dataset:
+    """Per-document n-gram NOVELTY (the memorization/duplication-risk
+    complement of the contamination family): the fraction of a doc's
+    distinct word-5-grams that occur in NO other doc (corpus document
+    frequency 1).  Low novelty = boilerplate-heavy / near-duplicate
+    prone; the Lee-et-al dup-span family flags positions, this scores
+    documents.
+
+    Scale shape: one vectorized k-gram pass, ONE groupby(sh) whose
+    (Count, Min(doc_id)) aggregate answers both "how many docs share
+    this gram" and "who owns it when unique" — no map_groups dispatch,
+    no join back to the corpus; per-doc totals and novel counts then
+    merge in a single groupby(doc_id) over unioned partials.  The
+    novelty ratio is the twin's one float division."""
+    import numpy as np
+
+    K = 5
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    sa = ds.map_batches(_doc_kgram_rows("doc_id", K),
+                        batch_format="pyarrow").materialize()
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["doc_id"]).group_by("doc_id") \
+            .aggregate([("doc_id", "count")])
+        g = g.rename_columns(["doc_id", "p_tot"])
+        return g.append_column(
+            "p_nov", pa.array(np.zeros(g.num_rows, np.int64)))
+
+    totals = sa.map_batches(tot_partial, batch_format="pyarrow")
+
+    dfagg = with_schema(
+        sa.groupby("sh").aggregate(Count("sh", alias_name="c"),
+                                   Min("doc_id", alias_name="d")),
+        pa.schema([("sh", pa.string()), ("c", pa.int64()),
+                   ("d", pa.int64())]))
+
+    def nov_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("c"), 1))
+        g = f.select(["d"]).group_by("d").aggregate([("d", "count")])
+        g = g.rename_columns(["doc_id", "p_nov"])
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "p_tot": pa.array(np.zeros(g.num_rows, np.int64)),
+            "p_nov": pc.cast(g.column("p_nov"), pa.int64()),
+        })
+
+    novel = dfagg.map_batches(nov_partial, batch_format="pyarrow")
+
+    agg = totals.union(novel).groupby("doc_id").aggregate(
+        Sum("p_tot", alias_name="n_grams"),
+        Sum("p_nov", alias_name="n_novel"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("n_grams").to_numpy(zero_copy_only=False)
+        nov = b.column("n_novel").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_grams": pa.array(tot, pa.int64()),
+            "n_novel": pa.array(nov, pa.int64()),
+            "novelty": pa.array(nov.astype(np.float64) / tot,
+                                pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -707,3 +707,24 @@ def test_pca_project_variance_matches_eigenvalues(ray_session):
     # off-diagonal correlations vanish
     C = np.corrcoef(P, rowvar=False)
     assert np.all(np.abs(C - np.eye(4)) < 1e-2)
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path):
+    """A doc sharing every 5-gram with its exact copy scores novelty
+    0.0, a fully-unique doc scores 1.0, and a doc whose prefix is
+    copied but whose tail is unique lands strictly between; <5-token
+    docs emit no row."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    uniq = " ".join(f"u{i}" for i in range(10))
+    copied = " ".join(f"c{i}" for i in range(10))
+    half = copied + " " + " ".join(f"h{i}" for i in range(10))
+    _write_docs(tmp_path, [uniq, copied, copied, half, "tiny doc"],
+                ["s"] * 5)
+    got = {r["doc_id"]: r for r in
+           q.q_documents_ngram_novelty(str(tmp_path)).take_all()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert 0.0 < got[3]["novelty"] < 1.0
+    assert got[0]["n_grams"] == 6 and got[0]["n_novel"] == 6
