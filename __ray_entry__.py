@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_next": q.q_events_lead_next,
         "events_winsorized_mean": q.q_events_winsorized_mean,
         "documents_ngram_novelty": q.q_documents_ngram_novelty,
+        "documents_vocab_coverage": q.q_documents_vocab_coverage,
+        "documents_source_vocab_overlap":
+            q.q_documents_source_vocab_overlap,
     }
 
 
@@ -2508,5 +2511,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, n_novel,
                    CAST(n_novel AS DOUBLE) / n_grams AS novelty
             FROM nov
+        """,
+        "documents_vocab_coverage": """
+            WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM t GROUP BY tok),
+            r AS (SELECT tok, cnt,
+                         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+                             AS rn
+                  FROM c),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+            ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(SUM(r.cnt)
+                        FILTER (WHERE r.rn <= ks.k), 0) AS BIGINT)
+                       AS covered_tokens,
+                   CAST(COALESCE(SUM(r.cnt)
+                        FILTER (WHERE r.rn <= ks.k), 0) AS DOUBLE)
+                   / MAX(tot.total) AS coverage
+            FROM ks, r, tot
+            GROUP BY ks.k
+        """,
+        "documents_source_vocab_overlap": """
+            WITH st AS (SELECT DISTINCT source, tok
+                        FROM (SELECT source,
+                                     unnest(string_split(text, ' '))
+                                         AS tok
+                              FROM documents)),
+            n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+                  FROM st GROUP BY source),
+            i AS (SELECT a.source AS sa, b.source AS sb,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM st a JOIN st b
+                    ON a.tok = b.tok AND a.source < b.source
+                  GROUP BY a.source, b.source)
+            SELECT i.sa AS source_a, i.sb AS source_b,
+                   na.nv AS vocab_a, nb.nv AS vocab_b,
+                   i.c AS shared,
+                   CAST(i.c AS DOUBLE) / (na.nv + nb.nv - i.c)
+                       AS jaccard
+            FROM i
+            JOIN n na ON na.source = i.sa
+            JOIN n nb ON nb.source = i.sb
         """,
     }

@@ -133,6 +133,19 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_documents_char_entropy(sf_dir).count())
     timed("documents_dsir_weights",
           lambda: q.q_documents_dsir_weights(sf_dir).count())
+    # round-4 session-3 additions: retrieval, wide joins, PCA family
+    timed("revenue_by_nation",
+          lambda: q.q_revenue_by_nation(sf_dir).count())
+    timed("documents_bm25_topk",
+          lambda: q.q_documents_bm25_topk(sf_dir).count())
+    timed("documents_gopher_gate",
+          lambda: q.q_documents_gopher_gate(sf_dir).count())
+    timed("documents_ngram_novelty",
+          lambda: q.q_documents_ngram_novelty(sf_dir).count())
+    timed("embeddings_covariance",
+          lambda: q.q_embeddings_covariance(sf_dir).count())
+    timed("embeddings_pca_project",
+          lambda: q.q_embeddings_pca_project(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

@@ -6403,3 +6403,157 @@ def q_documents_ngram_novelty(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_vocab_coverage(sf_dir: str) -> pa.Table:
+    """Vocabulary coverage curve: what fraction of all corpus TOKENS
+    the top-k most frequent terms cover, at k = 1,2,4,…,64 — the
+    tokenizer-budget / vocabulary-pruning planning curve (how small a
+    vocab still covers the stream).
+
+    Scale shape: one (term, count) exchange; the curve needs only the
+    top-64 terms (per-block top-k partials — only 64 rows per block
+    move after the groupby) plus one scalar total.  Deterministic
+    ordering (count DESC, term ASC) makes every prefix sum exact;
+    coverage is the twin's single float division."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    KS = [1, 2, 4, 8, 16, 32, 64]
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        g = pa.table({"tok": flat}).group_by("tok") \
+            .aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "p_n"])
+
+    counts = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="cnt")),
+        pa.schema([("tok", pa.string()), ("cnt", pa.int64())])) \
+        .materialize()
+
+    total = int(counts.aggregate(Sum("cnt"))["sum(cnt)"])
+    top = _small_table(_topk_combine(
+        counts, sorted_topk([("cnt", "descending"),
+                             ("tok", "ascending")], max(KS))))
+    cnts = top.sort_by([("cnt", "descending"), ("tok", "ascending")]) \
+        .column("cnt").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(cnts)
+    rows = {"k": [], "covered_tokens": [], "coverage": []}
+    for k in KS:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows["k"].append(k)
+        rows["covered_tokens"].append(covered)
+        rows["coverage"].append(float(covered) / float(total))
+    return pa.table({
+        "k": pa.array(rows["k"], pa.int64()),
+        "covered_tokens": pa.array(rows["covered_tokens"], pa.int64()),
+        "coverage": pa.array(rows["coverage"], pa.float64()),
+    })
+
+
+def q_documents_source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise vocabulary Jaccard between ingest feeds — the
+    source-similarity triage view beside cross_source_dups (rows) and
+    source_kl (distribution drift): which feeds speak the same
+    vocabulary.
+
+    Scale shape: NO pairwise join over tokens.  Distinct (source, tok)
+    rows take one exchange; each term's source-SET then packs into an
+    int64 BITMASK (sources are feed-bounded) by a second exchange
+    whose Sum over globally-distinct rows IS bitwise-OR; the per-MASK
+    histogram tree-combines (grid ≤ #distinct masks ≤ vocabulary), and
+    every pairwise intersection / union is numpy popcount arithmetic
+    on that tiny grid at the driver.  Jaccard is the twin's one float
+    division."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source"]).group_by("source") \
+            .aggregate([("source", "count")])
+        return g.rename_columns(["source", "p_n"])
+
+    src_t = _small_table(_tree_combine(
+        ds.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"], [("p_n", "sum")], ["source", "p_n"],
+        ["source", "n"]))
+    sources = sorted(src_t.column("source").to_pylist())
+    src_arr = pa.array(sources, pa.string())
+    S = len(sources)
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff(offs)
+        flat = pc.list_flatten(toks)
+        sidx = pc.index_in(b.column("source").combine_chunks(),
+                           value_set=src_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        st = pa.table({"source": pa.array(np.repeat(sidx, n),
+                                          pa.int64()),
+                       "tok": flat})
+        # per-batch dedupe; global distinctness comes from the groupby
+        g = st.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.select(["source", "tok"]) \
+            .rename_columns(["src_bit", "tok"])
+
+    st = ds.map_batches(pair_rows, batch_format="pyarrow") \
+        .groupby(["src_bit", "tok"]) \
+        .aggregate(Count("tok", alias_name="_c"))
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        bits = np.left_shift(
+            np.int64(1),
+            b.column("src_bit").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        g = pa.table({"tok": b.column("tok"),
+                      "p_m": pa.array(bits, pa.int64())}) \
+            .group_by("tok").aggregate([("p_m", "sum")])
+        return g.rename_columns(["tok", "p_m"])
+
+    masks = with_schema(
+        st.map_batches(mask_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_m", alias_name="mask")),
+        pa.schema([("tok", pa.string()), ("mask", pa.int64())]))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["mask"]).group_by("mask") \
+            .aggregate([("mask", "count")])
+        return g.rename_columns(["mask", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        masks.map_batches(hist_partial, batch_format="pyarrow"),
+        ["mask"], [("p_n", "sum")], ["mask", "p_n"], ["mask", "n"]))
+    mv = grid.column("mask").to_numpy(zero_copy_only=False)
+    mn = grid.column("n").to_numpy(zero_copy_only=False)
+
+    has = [(mv >> i) & 1 == 1 for i in range(S)]
+    nv = [int(mn[has[i]].sum()) for i in range(S)]
+    out = {"source_a": [], "source_b": [], "vocab_a": [],
+           "vocab_b": [], "shared": [], "jaccard": []}
+    for i in range(S):
+        for j in range(i + 1, S):
+            c = int(mn[has[i] & has[j]].sum())
+            if c == 0:
+                continue  # the twin's inner join emits no 0-share row
+            out["source_a"].append(sources[i])
+            out["source_b"].append(sources[j])
+            out["vocab_a"].append(nv[i])
+            out["vocab_b"].append(nv[j])
+            out["shared"].append(c)
+            out["jaccard"].append(float(c) / float(nv[i] + nv[j] - c))
+    return pa.table({
+        "source_a": pa.array(out["source_a"], pa.string()),
+        "source_b": pa.array(out["source_b"], pa.string()),
+        "vocab_a": pa.array(out["vocab_a"], pa.int64()),
+        "vocab_b": pa.array(out["vocab_b"], pa.int64()),
+        "shared": pa.array(out["shared"], pa.int64()),
+        "jaccard": pa.array(out["jaccard"], pa.float64()),
+    })

@@ -728,3 +728,32 @@ def test_ngram_novelty_planted(ray_session, tmp_path):
     assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
     assert 0.0 < got[3]["novelty"] < 1.0
     assert got[0]["n_grams"] == 6 and got[0]["n_novel"] == 6
+
+
+def test_vocab_coverage_planted(ray_session, tmp_path):
+    """Known curve: counts a=4, b=1, c=1 (total 6) → k=1 covers 4/6
+    (rank ties broken term-ASC), k=2 covers 5/6, k≥4 covers all."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path, ["a a a a b c"], ["s"])
+    got = {r["k"]: r for r in
+           q.q_documents_vocab_coverage(str(tmp_path)).to_pylist()}
+    assert got[1]["covered_tokens"] == 4
+    assert got[1]["coverage"] == 4.0 / 6.0
+    assert got[2]["covered_tokens"] == 5
+    assert got[4]["coverage"] == 1.0 and got[64]["coverage"] == 1.0
+
+
+def test_source_vocab_overlap_planted(ray_session, tmp_path):
+    """Bitmask-OR intersection arithmetic on a planted 3-feed corpus:
+    one overlapping pair with jaccard 1/3, zero-share pairs omitted
+    (matching the twin's inner join)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path, ["x y", "y z", "w q"], ["s1", "s2", "s3"])
+    rows = q.q_documents_source_vocab_overlap(str(tmp_path)).to_pylist()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert r["shared"] == 1 and r["vocab_a"] == 2 and r["vocab_b"] == 2
+    assert r["jaccard"] == 1.0 / 3.0
