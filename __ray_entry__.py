@@ -417,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_vocab_coverage": q.q_documents_vocab_coverage,
         "documents_source_vocab_overlap":
             q.q_documents_source_vocab_overlap,
+        "documents_canary_scan": q.q_documents_canary_scan,
+        "documents_data_card": q.q_documents_data_card,
     }
 
 
@@ -2554,5 +2556,37 @@ def oracle_sql() -> dict[str, str]:
             FROM i
             JOIN n na ON na.source = i.sa
             JOIN n nb ON nb.source = i.sb
+        """,
+        "documents_canary_scan": """
+            WITH c AS (SELECT doc_id AS canary_id,
+                              array_to_string(
+                                  (string_split(text, ' '))[1:8], ' ')
+                                  AS pat
+                       FROM documents
+                       WHERE substr(md5(doc_id::VARCHAR || chr(31)
+                                        || '13'), 1, 8) <= '028f5c28')
+            SELECT c.canary_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM c JOIN documents d ON contains(d.text, c.pat)
+            GROUP BY c.canary_id
+        """,
+        "documents_data_card": """
+            WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(SUM(len(string_split(text, ' ')))
+                                   AS BIGINT) AS n_tokens,
+                              CAST(COUNT(DISTINCT lang) AS BIGINT)
+                                  AS n_langs,
+                              CAST(COUNT(DISTINCT source) AS BIGINT)
+                                  AS n_sources
+                       FROM documents),
+            d AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+                      AS dup_docs
+                  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents GROUP BY text
+                        HAVING COUNT(*) >= 2))
+            SELECT s.n_docs, s.n_tokens, s.n_langs, s.n_sources,
+                   CAST(s.n_tokens AS DOUBLE) / s.n_docs
+                       AS mean_doc_tokens,
+                   d.dup_docs
+            FROM s, d
         """,
     }

@@ -6557,3 +6557,126 @@ def q_documents_source_vocab_overlap(sf_dir: str) -> pa.Table:
         "shared": pa.array(out["shared"], pa.int64()),
         "jaccard": pa.array(out["jaccard"], pa.float64()),
     })
+
+
+def q_documents_canary_scan(sf_dir: str) -> Dataset:
+    """Canary-string scan (Carlini-style memorization probes): count,
+    for each canary phrase, how many corpus documents contain it as a
+    substring.  The canary set is derived deterministically — the
+    first 8 tokens of each doc in a 1 % md5 sample (seed 13) — so the
+    oracle replays it; in production it would be the secret list.
+
+    Scale shape: canaries broadcast once (the set is audit-sized); one
+    corpus scan runs ONE vectorized match_substring per canary (RE2-
+    free literal match, C-level) and emits only (canary_id, partial
+    count) rows into a bounded tree combine."""
+    import numpy as np
+
+    from ..stages.partition import deterministic_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    sample = pa.Table.from_pylist(
+        deterministic_sample(ds, 0.01, ["doc_id"], seed=13).take_all())
+    canaries = []
+    for cid, txt in zip(sample.column("doc_id").to_pylist(),
+                        sample.column("text").to_pylist()):
+        toks = txt.split(" ")[:8]
+        canaries.append((int(cid), " ".join(toks)))
+    out_schema = pa.schema([("canary_id", pa.int64()),
+                            ("n_docs", pa.int64())])
+    if not canaries:
+        return rd.from_arrow(out_schema.empty_table())
+    bcast = ray.put(canaries)
+
+    def scan(b: pa.Table) -> pa.Table:
+        cs = ray.get(bcast)
+        txt = b.column("text").combine_chunks()
+        ids, hits = [], []
+        for cid, pat in cs:
+            m = pc.match_substring(txt, pat)
+            ids.append(cid)
+            hits.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+        return pa.table({"canary_id": pa.array(ids, pa.int64()),
+                         "p_n": pa.array(hits, pa.int64())})
+
+    return _tree_combine(
+        ds.map_batches(scan, batch_format="pyarrow"),
+        ["canary_id"], [("p_n", "sum")],
+        ["canary_id", "p_n"], ["canary_id", "n_docs"])
+
+
+def q_documents_data_card(sf_dir: str) -> Dataset:
+    """One-row corpus DATA CARD (the summary block of a dataset
+    release): doc count, token count, distinct languages / sources,
+    mean tokens per doc, and the exact-duplicate document count — one
+    corpus scan for the additive stats plus the dedup family's
+    text-key exchange for the dup count.
+
+    Scale shape: additive stats ride a single-row tree combine;
+    lang/source distinctness is a bounded-domain bitleless pair pass
+    (per-batch unique → one tiny groupby); the duplicate count reuses
+    the text-grain groupby the exact-dedup queries already pay.  Mean
+    is the twin's one float division."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        ntok = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "p_docs": pa.array([b.num_rows], pa.int64()),
+                         "p_toks": pa.array([ntok], pa.int64())})
+
+    stats = _small_table(_tree_combine(
+        ds.map_batches(stat_partial, batch_format="pyarrow"),
+        ["one"], [("p_docs", "sum"), ("p_toks", "sum")],
+        ["one", "p_docs", "p_toks"], ["one", "n_docs", "n_tokens"]))
+    n_docs = int(stats.column("n_docs")[0].as_py())
+    n_tokens = int(stats.column("n_tokens")[0].as_py())
+
+    def dim_partial(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            u = pc.unique(b.column(col).combine_chunks())
+            return pa.table({col: u})
+        return fn
+
+    n_langs = len(_small_table(_tree_combine(
+        ds.map_batches(dim_partial("lang"), batch_format="pyarrow"),
+        ["lang"], [("lang", "count")], ["lang", "_c"], ["lang", "_c"])))
+    n_sources = len(_small_table(_tree_combine(
+        ds.map_batches(dim_partial("source"), batch_format="pyarrow"),
+        ["source"], [("source", "count")], ["source", "_c"],
+        ["source", "_c"])))
+
+    # exact-duplicate docs: rows whose text occurs ≥ 2 times
+    def text_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["text"]).group_by("text") \
+            .aggregate([("text", "count")])
+        return g.rename_columns(["text", "p_c"])
+
+    tc = ds.map_batches(text_partial, batch_format="pyarrow") \
+        .groupby("text").aggregate(Sum("p_c", alias_name="c"))
+
+    def dup_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        dup = int(c[c >= 2].sum())
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "p_d": pa.array([dup], pa.int64())})
+
+    dups = _small_table(_tree_combine(
+        tc.map_batches(dup_partial, batch_format="pyarrow"),
+        ["one"], [("p_d", "sum")], ["one", "p_d"], ["one", "n_dup"]))
+    n_dup = int(dups.column("n_dup")[0].as_py())
+
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "mean_doc_tokens": pa.array(
+            [float(n_tokens) / float(n_docs)], pa.float64()),
+        "dup_docs": pa.array([n_dup], pa.int64()),
+    }))

@@ -757,3 +757,54 @@ def test_source_vocab_overlap_planted(ray_session, tmp_path):
     assert (r["source_a"], r["source_b"]) == ("s1", "s2")
     assert r["shared"] == 1 and r["vocab_a"] == 2 and r["vocab_b"] == 2
     assert r["jaccard"] == 1.0 / 3.0
+
+
+def test_canary_scan_planted(ray_session, tmp_path):
+    """The canary (first 8 tokens of the sampled doc) is found in its
+    own doc AND in a planted verbatim-leak doc, but not elsewhere.
+    doc_id 109 is in the 1 % md5 sample (seed 13)."""
+    import ocr_engine_ray.pipelines.queries as q
+    from ocr_engine_ray.stages.partition import (row_hash_hex,
+                                                 sample_threshold_hex)
+
+    thr = sample_threshold_hex(0.01)
+    cid = next(i for i in range(2000)
+               if row_hash_hex((i,), 13)[:8] <= thr)
+    n = cid + 3
+    texts = [f"f{i}a f{i}b f{i}c" for i in range(n)]
+    texts[cid] = "s1 s2 s3 s4 s5 s6 s7 s8 tail tail"
+    texts[cid - 1] = "prefix s1 s2 s3 s4 s5 s6 s7 s8 suffix"  # leak
+    # make sure no OTHER doc is sampled
+    others = [i for i in range(n) if i != cid
+              and row_hash_hex((i,), 13)[:8] <= thr]
+    for i in others:
+        texts[i] = texts[cid]        # identical canary → same count row
+    _write_docs(tmp_path, texts, ["s"] * n)
+    got = {r["canary_id"]: r["n_docs"]
+           for r in q.q_documents_canary_scan(str(tmp_path)).take_all()}
+    assert got[cid] == 2 + len(others)
+
+
+def test_data_card_planted(ray_session, tmp_path):
+    """Known one-row card: 4 docs (one exact dup pair → dup_docs 2),
+    9 tokens total, 2 langs, 2 sources, mean 2.25."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts = ["a b", "a b", "c d e", "f g"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en", "en", "fr", "fr"]),
+                  "source": pa.array(["s1", "s1", "s2", "s2"]),
+                  "n_chars": pa.array([len(t) for t in texts],
+                                      pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    card = q.q_documents_data_card(str(tmp_path)).take_all()
+    assert len(card) == 1
+    c = card[0]
+    assert c["n_docs"] == 4 and c["n_tokens"] == 9
+    assert c["n_langs"] == 2 and c["n_sources"] == 2
+    assert c["dup_docs"] == 2
+    assert c["mean_doc_tokens"] == 2.25
