@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_source_vocab_overlap,
         "documents_canary_scan": q.q_documents_canary_scan,
         "documents_data_card": q.q_documents_data_card,
+        "documents_train_order": q.q_documents_train_order,
     }
 
 
@@ -2588,5 +2589,14 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_doc_tokens,
                    d.dup_docs
             FROM s, d
+        """,
+        "documents_train_order": """
+            SELECT doc_id,
+                   md5(doc_id::VARCHAR || chr(31) || '17') AS h,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5(doc_id::VARCHAR || chr(31)
+                                     || '17'), doc_id) AS BIGINT)
+                       AS train_rank
+            FROM documents
         """,
     }

@@ -6680,3 +6680,56 @@ def q_documents_data_card(sf_dir: str) -> Dataset:
             [float(n_tokens) / float(n_docs)], pa.float64()),
         "dup_docs": pa.array([n_dup], pa.int64()),
     }))
+
+
+def q_documents_train_order(sf_dir: str) -> Dataset:
+    """Deterministic GLOBAL training order (the corpus-shuffle step a
+    training run consumes): every doc gets a dense 1-based rank by the
+    seeded md5 of its identity — reproducible across reruns, cluster
+    sizes and partitionings, unlike engine-random shuffles.  Also the
+    catalog's one true global ORDER BY: Ray Data's range-partitioned
+    sort moves every row exactly once.
+
+    Rank assignment: sort is already an all-to-all materializing
+    barrier, so the dense global row number comes free afterwards from
+    block METADATA — iter_internal_ref_bundles yields per-block row
+    counts in dataset order (refs only, no rows to the driver;
+    the with_schema discipline), and one remote task per block stamps
+    offset + arange.  No second shuffle, no driver materialization."""
+    import numpy as np
+
+    from ..stages.partition import row_hash_hex
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        h = pa.array([row_hash_hex((i,), 17) for i in ids], pa.string())
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"),
+                                           pa.int64()),
+                         "h": h})
+
+    s = ds.map_batches(add_h, batch_format="pyarrow") \
+        .sort(["h", "doc_id"]).materialize()
+
+    refs, counts = [], []
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            counts.append(meta.num_rows)
+    offsets = np.cumsum([0] + counts[:-1])
+
+    @ray.remote
+    def stamp(block, off: int):
+        t = block if isinstance(block, pa.Table) else pa.table(block)
+        return t.append_column(
+            "train_rank",
+            pa.array(np.arange(off + 1, off + 1 + t.num_rows),
+                     pa.int64()))
+
+    if not refs:
+        return rd.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("h", pa.string()),
+             ("train_rank", pa.int64())]).empty_table())
+    return rd.from_arrow_refs(
+        [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)])

@@ -808,3 +808,41 @@ def test_data_card_planted(ray_session, tmp_path):
     assert c["n_langs"] == 2 and c["n_sources"] == 2
     assert c["dup_docs"] == 2
     assert c["mean_doc_tokens"] == 2.25
+
+
+def test_train_order_dense_and_layout_independent(ray_session,
+                                                  tmp_path):
+    """Global train ranks are dense 1..n and IDENTICAL whether the
+    corpus arrives as one parquet file or many (the determinism claim:
+    rank is a pure function of row identity, never of block layout)."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_ray.pipelines.queries as q
+
+    n = 200
+    texts = [f"t{i}" for i in range(n)]
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir()
+    many.mkdir()
+
+    def tab(lo, hi):
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": pa.array(texts[lo:hi]),
+            "lang": pa.array(["en"] * (hi - lo)),
+            "source": pa.array(["s"] * (hi - lo)),
+            "n_chars": pa.array([2] * (hi - lo), pa.int64())})
+
+    pq.write_table(tab(0, n), str(one / "documents.parquet"))
+    (many / "documents.parquet").mkdir()
+    for k, (lo, hi) in enumerate([(0, 37), (37, 101), (101, n)]):
+        pq.write_table(tab(lo, hi),
+                       str(many / "documents.parquet" / f"p{k}.parquet"))
+
+    a = {r["doc_id"]: r["train_rank"]
+         for r in q.q_documents_train_order(str(one)).take_all()}
+    b = {r["doc_id"]: r["train_rank"]
+         for r in q.q_documents_train_order(str(many)).take_all()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, n + 1))
