@@ -2407,8 +2407,9 @@ def oracle_sql() -> dict[str, str]:
             stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                              CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
             q AS (SELECT doc_id AS qid FROM documents
-                  WHERE substr(md5(doc_id::VARCHAR || chr(31) || '11'),
-                               1, 8) <= '051eb851'),
+                  ORDER BY md5(doc_id::VARCHAR || chr(31) || '11'),
+                           doc_id
+                  LIMIT 24),
             qt AS (SELECT DISTINCT q.qid, tfc.tok
                    FROM q JOIN tfc ON tfc.doc_id = q.qid),
             df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
@@ -2564,8 +2565,9 @@ def oracle_sql() -> dict[str, str]:
                                   (string_split(text, ' '))[1:8], ' ')
                                   AS pat
                        FROM documents
-                       WHERE substr(md5(doc_id::VARCHAR || chr(31)
-                                        || '13'), 1, 8) <= '028f5c28')
+                       ORDER BY md5(doc_id::VARCHAR || chr(31)
+                                    || '13'), doc_id
+                       LIMIT 16)
             SELECT c.canary_id, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM c JOIN documents d ON contains(d.text, c.pat)
             GROUP BY c.canary_id

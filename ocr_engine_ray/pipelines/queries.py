@@ -5877,24 +5877,34 @@ def q_documents_gopher_gate(sf_dir: str) -> Dataset:
     return ds.map_batches(gate, batch_format="pyarrow")
 
 
+#: BM25 query-set size.  The query set is the LOWEST-seeded-md5 K docs
+#: — an ABSOLUTE audit-sized cap, not a corpus fraction, because every
+#: downstream bound (broadcast vocabulary, score fanout, the (q, doc)
+#: exchange) is proportional to |queries|: a 2 % sample would mean 20k
+#: queries at 1M docs and ~10¹⁰ score rows at web scale.  LIMIT-by-hash
+#: is a pure row-identity rule the oracle replays (ORDER BY md5 LIMIT).
+BM25_QUERIES = 24
+
+
 def q_documents_bm25_topk(sf_dir: str) -> Dataset:
     """BM25 top-5 retrieval (Robertson/Sparck-Jones probabilistic
-    ranking, k1=1.2, b=0.75): a deterministic 2 % md5 sample of the
-    corpus plays the query set, and every query retrieves its 5
-    highest-scoring OTHER documents — the retrieval primitive under
-    RAG corpus construction and quality-by-retrievability audits.
+    ranking, k1=1.2, b=0.75): the BM25_QUERIES lowest-hash docs play
+    the query set, and every query retrieves its 5 highest-scoring
+    OTHER documents — the retrieval primitive under RAG corpus
+    construction and quality-by-retrievability audits.
 
     Scale shape: the corpus moves twice, shuffles once.  Pass 1 is one
     (term, df) + (N, Σdl) partial pass tree-combined over the QUERY
-    vocabulary only (bounded by the query set, never the corpus
-    vocabulary); its output — query term list, per-term idf, avgdl —
-    is ONE ray.put broadcast.  Pass 2 scores in-batch: tokens hit the
-    broadcast vocabulary via index_in, per-(doc, term) tf comes from
-    one np.unique over packed int keys, the per-term score factor is
-    computed ONCE per (doc, term) and fanned out to the queries
-    sharing the term (CSR-style repeat — no Python loops), and only
-    (query, doc, partial-score) rows enter the single groupby.  The
-    per-query top-5 runs in map_groups on ≤|corpus| rows per query.
+    vocabulary only (bounded by the audit-sized query set, never the
+    corpus vocabulary); its output — query term list, per-term idf,
+    avgdl — is ONE ray.put broadcast.  Pass 2 scores in-batch: tokens
+    hit the broadcast vocabulary via index_in, per-(doc, term) tf
+    comes from one np.unique over packed int keys, the per-term score
+    factor is computed ONCE per (doc, term) and fanned out to the
+    queries sharing the term (CSR-style repeat — no Python loops), and
+    only (query, doc, partial-score) rows enter the single groupby.
+    The per-query top-5 runs in map_groups on ≤|corpus| rows per
+    query.
 
     Bit-exactness: idf is 1e-6-quantized int64; each (query, doc,
     term) contribution is ROUNDed to int64 exactly as the twin writes
@@ -5902,13 +5912,24 @@ def q_documents_bm25_topk(sf_dir: str) -> Dataset:
     doc_id.  Floats cross no aggregation boundary."""
     import numpy as np
 
-    from ..stages.partition import deterministic_sample
+    from ..stages.partition import row_hash_hex
 
     K1, B, TOPK = 1.2, 0.75, 5
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
-    qdocs = pa.Table.from_pylist(
-        deterministic_sample(ds, 0.02, ["doc_id"], seed=11).take_all())
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = pa.array([row_hash_hex((i,), 11)
+                      for i in b.column("doc_id").to_pylist()],
+                     pa.string())
+        return b.append_column("h", h)
+
+    qdocs = _small_table(_topk_combine(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        sorted_topk([("h", "ascending"), ("doc_id", "ascending")],
+                    BM25_QUERIES))) \
+        .sort_by([("h", "ascending"), ("doc_id", "ascending")]) \
+        .slice(0, BM25_QUERIES)
     qids = qdocs.column("doc_id").to_pylist()
     qterm_sets = [set(t.split(" ")) for t in
                   qdocs.column("text").to_pylist()]
@@ -6563,8 +6584,12 @@ def q_documents_canary_scan(sf_dir: str) -> Dataset:
     """Canary-string scan (Carlini-style memorization probes): count,
     for each canary phrase, how many corpus documents contain it as a
     substring.  The canary set is derived deterministically — the
-    first 8 tokens of each doc in a 1 % md5 sample (seed 13) — so the
-    oracle replays it; in production it would be the secret list.
+    first 8 tokens of each of the 16 LOWEST-seeded-md5 docs (seed 13)
+    — so the oracle replays it (ORDER BY md5 LIMIT); in production it
+    would be the secret list.  An ABSOLUTE cap, not a corpus fraction:
+    the scan runs one substring pass per canary, so |canaries| must
+    not grow with the corpus (a 1 % sample would mean 10k passes at
+    1M docs).
 
     Scale shape: canaries broadcast once (the set is audit-sized); one
     corpus scan runs ONE vectorized match_substring per canary (RE2-
@@ -6572,12 +6597,22 @@ def q_documents_canary_scan(sf_dir: str) -> Dataset:
     count) rows into a bounded tree combine."""
     import numpy as np
 
-    from ..stages.partition import deterministic_sample
+    from ..stages.partition import row_hash_hex
 
+    N_CANARIES = 16
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
-    sample = pa.Table.from_pylist(
-        deterministic_sample(ds, 0.01, ["doc_id"], seed=13).take_all())
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = pa.array([row_hash_hex((i,), 13)
+                      for i in b.column("doc_id").to_pylist()],
+                     pa.string())
+        return b.append_column("h", h)
+
+    sample = _small_table(_topk_combine(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        sorted_topk([("h", "ascending"), ("doc_id", "ascending")],
+                    N_CANARIES)))
     canaries = []
     for cid, txt in zip(sample.column("doc_id").to_pylist(),
                         sample.column("text").to_pylist()):

@@ -626,31 +626,31 @@ def test_gopher_gate_planted(ray_session, tmp_path):
 
 
 def test_bm25_topk_planted(ray_session, tmp_path):
-    """BM25 ranking semantics on a planted corpus: doc_id 33 is the
-    only sampled query (md5 rule, seed 11).  A doc sharing the query's
-    RARE term outranks docs sharing only the ubiquitous term (idf
-    discrimination), shorter docs outrank longer ones at equal tf
-    (length normalization), and the query never retrieves itself."""
+    """BM25 ranking semantics on a planted 10-doc corpus (every doc is
+    a query under the audit-sized LIMIT rule).  For query 0
+    ("common rare"): the short standard docs sharing BOTH terms fill
+    the top-5 in doc_id tie-break order; the long doc loses to them on
+    length normalization; the no-rare-term doc never makes the cut;
+    the query never retrieves itself."""
     import ocr_engine_ray.pipelines.queries as q
 
-    texts = ["common " * 30 + "rare"] * 34          # ids 0..33 (33 = query)
-    texts[0] = "common rare"                        # short, has rare term
-    texts[1] = "common " * 60 + "rare"              # long, has rare term
-    texts[2] = "common " * 2                        # no rare term
-    got = None
-    _write_docs(tmp_path, [t.strip() for t in texts], ["s"] * 34)
+    texts = [("common " * 30 + "rare").strip()] * 10
+    texts[0] = "common rare"                        # the probe query
+    texts[1] = ("common " * 60 + "rare").strip()    # long, both terms
+    texts[2] = "common common"                      # no rare term
+    _write_docs(tmp_path, texts, ["s"] * 10)
     rows = q.q_documents_bm25_topk(str(tmp_path)).take_all()
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r)
-    assert set(by_q) == {33}
-    ranked = sorted(by_q[33], key=lambda r: r["rank"])
+    assert set(by_q) == set(range(10))              # all docs are queries
+    ranked = sorted(by_q[0], key=lambda r: r["rank"])
     ids = [r["doc_id"] for r in ranked]
-    assert 33 not in ids                            # self excluded
-    assert ids[0] == 0                              # short + rare wins
-    assert 2 not in ids[:2]                         # no-rare-term loses
-    scores = [r["score"] for r in ranked]
+    assert 0 not in ids                             # self excluded
+    assert ids == [3, 4, 5, 6, 7]                   # identical docs tie →
+    scores = [r["score"] for r in ranked]           # doc_id order
     assert scores == sorted(scores, reverse=True)
+    assert 2 not in ids                             # no-rare-term loses
 
 
 def test_pca_matches_numpy_reference(ray_session):
@@ -760,29 +760,25 @@ def test_source_vocab_overlap_planted(ray_session, tmp_path):
 
 
 def test_canary_scan_planted(ray_session, tmp_path):
-    """The canary (first 8 tokens of the sampled doc) is found in its
-    own doc AND in a planted verbatim-leak doc, but not elsewhere.
-    doc_id 109 is in the 1 % md5 sample (seed 13)."""
+    """Canaries are the 16 lowest-hash docs (seed 13).  The planted
+    verbatim leak makes exactly one canary count 2 (its own doc + the
+    leak doc); every other canary is found only in itself."""
     import ocr_engine_ray.pipelines.queries as q
-    from ocr_engine_ray.stages.partition import (row_hash_hex,
-                                                 sample_threshold_hex)
+    from ocr_engine_ray.stages.partition import row_hash_hex
 
-    thr = sample_threshold_hex(0.01)
-    cid = next(i for i in range(2000)
-               if row_hash_hex((i,), 13)[:8] <= thr)
-    n = cid + 3
+    n = 20
+    order = sorted(range(n), key=lambda i: (row_hash_hex((i,), 13), i))
+    cid = order[0]                       # certainly a canary
+    leak = order[-1]                     # certainly NOT a canary
     texts = [f"f{i}a f{i}b f{i}c" for i in range(n)]
     texts[cid] = "s1 s2 s3 s4 s5 s6 s7 s8 tail tail"
-    texts[cid - 1] = "prefix s1 s2 s3 s4 s5 s6 s7 s8 suffix"  # leak
-    # make sure no OTHER doc is sampled
-    others = [i for i in range(n) if i != cid
-              and row_hash_hex((i,), 13)[:8] <= thr]
-    for i in others:
-        texts[i] = texts[cid]        # identical canary → same count row
+    texts[leak] = "prefix s1 s2 s3 s4 s5 s6 s7 s8 suffix"
     _write_docs(tmp_path, texts, ["s"] * n)
     got = {r["canary_id"]: r["n_docs"]
            for r in q.q_documents_canary_scan(str(tmp_path)).take_all()}
-    assert got[cid] == 2 + len(others)
+    assert set(got) == set(order[:16])
+    assert got[cid] == 2
+    assert all(v == 1 for k, v in got.items() if k != cid)
 
 
 def test_data_card_planted(ray_session, tmp_path):
