@@ -6506,6 +6506,11 @@ def q_documents_source_vocab_overlap(sf_dir: str) -> pa.Table:
     sources = sorted(src_t.column("source").to_pylist())
     src_arr = pa.array(sources, pa.string())
     S = len(sources)
+    if S > 63:
+        raise ValueError(
+            f"source_vocab_overlap: {S} sources exceed the int64 "
+            "bitmask (63); shard the source set or fall back to a "
+            "(tok, source)-pair self-join for this corpus")
 
     def pair_rows(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b.column("text").combine_chunks(), " ")
