@@ -2432,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
                    JOIN idf ON idf.tok = qt.tok
                    JOIN dl ON dl.doc_id = tfc.doc_id, stats
                    WHERE tfc.doc_id <> qt.qid
+                     AND idf.qidf <> 0
                    GROUP BY qt.qid, tfc.doc_id),
             r AS (SELECT qid, doc_id, score,
                          ROW_NUMBER() OVER (PARTITION BY qid

@@ -5986,12 +5986,27 @@ def q_documents_bm25_topk(sf_dir: str) -> Dataset:
             np.array([np.log(((N - df) + 0.5) / (df + 0.5) + 1.0)]),
             1e6)[0]
 
+    # SEMANTIC rule, mirrored in the twin's WHERE qidf <> 0: terms
+    # whose quantized idf is 0 contribute round(0·base) = 0 to every
+    # score, but at web scale they are exactly the df≈N stop-terms
+    # whose fanout dominates the scoring pass — so they are excluded
+    # BY RULE on both sides (the ubiq-cap discipline), not truncated.
+    keep = qidf != 0
+    if not keep.all():
+        vocab = [t for t, k in zip(vocab, keep) if k]
+        vocab_arr = pa.array(vocab, pa.string())
+        qidf = qidf[keep]
+        V = len(vocab)
+        if V == 0:
+            return rd.from_arrow(out_schema.empty_table())
+
     # CSR expansion term → queries containing it
     term_qids = [[] for _ in range(V)]
     vpos = {t: i for i, t in enumerate(vocab)}
     for qid, ts in zip(qids, qterm_sets):
         for t in ts:
-            term_qids[vpos[t]].append(qid)
+            if t in vpos:  # pruned zero-idf terms carry no queries
+                term_qids[vpos[t]].append(qid)
     starts = np.zeros(V + 1, np.int64)
     for i in range(V):
         starts[i + 1] = starts[i] + len(term_qids[i])
