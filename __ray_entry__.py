@@ -420,6 +420,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_canary_scan": q.q_documents_canary_scan,
         "documents_data_card": q.q_documents_data_card,
         "documents_train_order": q.q_documents_train_order,
+        "documents_dedup_normalized": q.q_documents_dedup_normalized,
+        "documents_c4_gate": q.q_documents_c4_gate,
+        "documents_temperature_mix": q.q_documents_temperature_mix,
+        "documents_ngram_diversity": q.q_documents_ngram_diversity,
+        "documents_source_ttest": q.q_documents_source_ttest,
+        "events_theilsen_trend": q.q_events_theilsen_trend,
+        "documents_line_dedup": q.q_documents_line_dedup,
     }
 
 
@@ -2601,5 +2608,121 @@ def oracle_sql() -> dict[str, str]:
                                      || '17'), doc_id) AS BIGINT)
                        AS train_rank
             FROM documents
+        """,
+        "documents_dedup_normalized": """
+            WITH k AS (SELECT doc_id,
+                              trim(regexp_replace(regexp_replace(
+                                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS k
+                       FROM documents)
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM k GROUP BY k
+        """,
+        "documents_c4_gate": """
+            SELECT doc_id,
+                   CAST(len(text)
+                        - len(regexp_replace(text, '[.!?]', '', 'g'))
+                        AS BIGINT) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace,
+                   (len(text)
+                    - len(regexp_replace(text, '[.!?]', '', 'g')) >= 3)
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{') AS keep
+            FROM documents
+        """,
+        "documents_temperature_mix": """
+            WITH a AS (SELECT source,
+                              CAST(SUM(len(string_split(text, ' ')))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM a),
+            qv AS (SELECT source, n_tokens,
+                          n_tokens / tot AS token_share,
+                          CAST(round(power(n_tokens / tot, 0.7)
+                                     * 1099511627776) AS BIGINT) AS qw
+                   FROM a, t),
+            s AS (SELECT CAST(SUM(qw) AS BIGINT) AS qs FROM qv)
+            SELECT source, n_tokens, token_share,
+                   CAST(qw AS DOUBLE) / CAST(qs AS DOUBLE) AS mix_weight
+            FROM qv, s
+        """,
+        "documents_ngram_diversity": """
+            WITH d AS (SELECT source, string_split(text, ' ') AS toks
+                       FROM documents),
+            g AS (SELECT source,
+                         unnest(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2])) AS sh
+                  FROM d WHERE len(toks) >= 3)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                   CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(DISTINCT sh) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS ttr
+            FROM g GROUP BY source
+        """,
+        "documents_source_ttest": """
+            WITH a AS (SELECT source,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(n_chars) AS BIGINT) AS sx,
+                              CAST(SUM(n_chars * n_chars) AS BIGINT)
+                                  AS sxx
+                       FROM documents GROUP BY source)
+            SELECT a1.source AS source_a, a2.source AS source_b,
+                   a1.n AS n_a, a2.n AS n_b,
+                   CAST(a1.sx AS DOUBLE) / a1.n AS mean_a,
+                   CAST(a2.sx AS DOUBLE) / a2.n AS mean_b,
+                   (CAST(a1.sx AS DOUBLE) / a1.n
+                    - CAST(a2.sx AS DOUBLE) / a2.n)
+                   / sqrt(((CAST(a1.sxx AS DOUBLE)
+                            - (CAST(a1.sx AS DOUBLE)
+                               * CAST(a1.sx AS DOUBLE)) / a1.n)
+                           / (a1.n - 1)) / a1.n
+                        + ((CAST(a2.sxx AS DOUBLE)
+                            - (CAST(a2.sx AS DOUBLE)
+                               * CAST(a2.sx AS DOUBLE)) / a2.n)
+                           / (a2.n - 1)) / a2.n) AS t_welch
+            FROM a a1 JOIN a a2 ON a1.source < a2.source
+            WHERE a1.n > 1 AND a2.n > 1
+        """,
+        "events_theilsen_trend": """
+            WITH p AS (SELECT user_id, epoch_us(ts) AS t,
+                              CAST(round(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            pr AS (SELECT a.user_id,
+                          CAST(b.cents - a.cents AS DOUBLE)
+                              / (b.t - a.t) AS slope
+                   FROM p a JOIN p b
+                     ON a.user_id = b.user_id AND a.t < b.t)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_slopes,
+                   quantile_cont(slope, 0.5) AS theil_sen
+            FROM pr GROUP BY user_id
+        """,
+        "documents_line_dedup": """
+            WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                       FROM documents),
+            l AS (SELECT doc_id, i, ls[i] AS line
+                  FROM d, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+            df AS (SELECT line FROM l
+                   GROUP BY line
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (SELECT l.doc_id, l.i, l.line
+                     FROM l LEFT JOIN df ON l.line = df.line
+                     WHERE df.line IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY i)
+                               AS clean_text,
+                           CAST(COUNT(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   CAST(len(d.ls) AS BIGINT) - COALESCE(a.n_kept, 0)
+                       AS n_removed
+            FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
     }

@@ -6788,3 +6788,442 @@ def q_documents_train_order(sf_dir: str) -> Dataset:
              ("train_rank", pa.int64())]).empty_table())
     return rd.from_arrow_refs(
         [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
+def q_documents_dedup_normalized(sf_dir: str) -> Dataset:
+    """Normalization-robust exact dedup (the Dolma/CCNet "fuzzy key"
+    step): docs that differ only in case, punctuation, or whitespace
+    runs collapse to one normalized key; the smallest doc_id per key is
+    elected keeper and the group size reported.  Catches the
+    re-encoded / re-wrapped copies byte-exact dedup misses.
+
+    Scale shape: one pass normalizes vectorized off the Arrow string
+    buffers (utf8_lower + two RE2 replaces + trim) and pre-reduces
+    in-batch (Min/Count per key), so the single groupby exchange moves
+    one row per DISTINCT normalized key per block — the dedup family's
+    text-grain exchange, never raw duplicates.  Reference analogue:
+    content-hash memoization in app/services/file_handler.py (exact
+    bytes only); the normalization is the added semantics."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = pc.utf8_lower(b.column("text"))
+        k = pc.replace_substring_regex(k, "[^a-z0-9 ]", "")
+        k = pc.replace_substring_regex(k, " +", " ")
+        k = pc.utf8_trim(k, " ")
+        t = pa.table({"k": k,
+                      "doc_id": pc.cast(b.column("doc_id"), pa.int64())})
+        g = t.group_by("k").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["k", "p_min", "p_n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Min("p_min"), Sum("p_n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("min(p_min)"), pa.int64()),
+            "n_copies": pc.cast(b.column("sum(p_n)"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_c4_gate(sf_dir: str) -> Dataset:
+    """The C4 document-level quality heuristics (Raffel et al. 2020,
+    "Colossal Clean Crawled Corpus" cleaning): at least 3
+    terminal-punctuation sentences, no "lorem ipsum" placeholder text,
+    no curly brace (code leakage), composed into a keep flag.
+    Together with q_documents_gopher_gate this completes the two
+    canonical public web-cleaning rule sets.
+
+    Scale shape: embarrassingly parallel, zero exchanges — sentence
+    count via one RE2 scan, the two containment flags via C-level
+    match_substring on the (lowercased) buffer."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        n_sent = pc.cast(pc.count_substring_regex(txt, r"[.!?]"),
+                         pa.int64())
+        low = pc.utf8_lower(txt)
+        lorem = pc.match_substring(low, "lorem ipsum")
+        brace = pc.match_substring(txt, "{")
+        keep = pc.and_(pc.and_(pc.greater_equal(n_sent, pa.scalar(3)),
+                               pc.invert(lorem)),
+                       pc.invert(brace))
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_sentences": n_sent,
+            "has_lorem": lorem,
+            "has_brace": brace,
+            "keep": keep,
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def q_documents_temperature_mix(sf_dir: str) -> Dataset:
+    """Temperature-scaled source sampling weights (the mT5/Pile mixing
+    rule): w_i ∝ p_i^α with α = 0.7 over per-source token shares —
+    upsamples the tail sources, tempers the head.  Complements
+    q_documents_source_mixture's uniform-flattening weight.
+
+    Scale shape: per-batch token-count partials → tree combine over
+    the bounded source grid → one single-block finish.  Bit-exactness:
+    token_share is one float division of exact int64 sums; pow runs
+    once per source and is quantized to int64 at 2^40 before the
+    cross-source normalization sum (the PMI quantized-ln discipline),
+    so the normalizer is order-independent and the twin replays it
+    term-for-term."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")).cast(pa.int64())
+        t = pa.table({"source": b.column("source"), "n": n})
+        return t.group_by("source").aggregate([("n", "sum")]) \
+            .rename_columns(["source", "p_tok"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("p_tok", "sum")],
+        ["source", "p_tok"], ["source", "n_tokens"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        tok = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+               .astype(np.float64)
+        tot = float(np.sum(tok.astype(np.int64)))
+        share = tok / tot
+        qw = scaled_int_sql(share ** 0.7, 1099511627776.0)
+        qs = int(qw.sum())
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
+            "token_share": pa.array(share, pa.float64()),
+            "mix_weight": pa.array(
+                qw.astype(np.float64) / np.float64(qs), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_documents_ngram_diversity(sf_dir: str) -> pa.Table:
+    """Per-source trigram type/token ratio — the lexical-diversity
+    fingerprint (low TTR = TEMPLATED feed; the self-BLEU-style signal
+    mixture planning reads beside zipf_slope and gt_unseen).
+
+    Scale shape: totals need NO shuffle at all (per-doc trigram count
+    is max(n_words−2, 0) — one partial per batch over the bounded
+    source grid); distinctness takes the vocabulary-grain
+    (source, sh) exchange with in-batch pre-dedup, then a bounded
+    per-source count.  TTR is one float division of two exact int64
+    counts, so the twin is bit-exact by construction."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tri = np.maximum(n - 2, 0)
+        t = pa.table({"source": b.column("source"),
+                      "n": pa.array(tri, pa.int64())}) \
+            .filter(pa.array(tri > 0))
+        return t.group_by("source").aggregate([("n", "sum")]) \
+            .rename_columns(["source", "p_n"])
+
+    totals = _small_table(_tree_combine(
+        ds.map_batches(tot_partial, batch_format="pyarrow"),
+        ["source"], [("p_n", "sum")], ["source", "p_n"],
+        ["source", "n_trigrams"]))
+
+    def sh_rows(b: pa.Table) -> pa.Table:
+        fn = _doc_kgram_rows("source", 3)
+        out = fn(b)
+        # short-circuit branches of the shared kernel type the id
+        # column int64; re-assert string for the source-keyed use
+        if out.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "sh": pa.array([], pa.string())})
+        return out
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source"]).group_by("source") \
+            .aggregate([("source", "count")])
+        return g.rename_columns(["source", "p_n"])
+
+    distinct = _small_table(_tree_combine(
+        ds.map_batches(sh_rows, batch_format="pyarrow")
+          .groupby(["source", "sh"])
+          .aggregate(Count("sh", alias_name="_c"))
+          .map_batches(dist_partial, batch_format="pyarrow"),
+        ["source"], [("p_n", "sum")], ["source", "p_n"],
+        ["source", "n_distinct"]))
+
+    tot_map = dict(zip(totals.column("source").to_pylist(),
+                       totals.column("n_trigrams").to_pylist()))
+    srcs = sorted(tot_map)
+    dis_map = dict(zip(distinct.column("source").to_pylist(),
+                       distinct.column("n_distinct").to_pylist()))
+    tot = np.array([tot_map[s] for s in srcs], np.int64)
+    dis = np.array([dis_map[s] for s in srcs], np.int64)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_trigrams": pa.array(tot, pa.int64()),
+        "n_distinct": pa.array(dis, pa.int64()),
+        "ttr": pa.array(dis.astype(np.float64) / tot.astype(np.float64),
+                        pa.float64()),
+    })
+
+
+def q_documents_source_ttest(sf_dir: str) -> Dataset:
+    """Welch's two-sample t statistic between every source pair on
+    document length (n_chars) — the drift-triage companion to
+    source_kl: which feeds differ in length distribution beyond
+    sampling noise.
+
+    Scale shape: one (n, Σx, Σx²) int64 partial pass tree-combined
+    over the bounded source grid; all pairwise arithmetic runs on that
+    tiny grid in a single-block finish.  Every float op replays the
+    twin's expression tree term-for-term over exact int64 sums
+    (mean = Σx/n, var = (Σx² − (Σx·Σx)/n)/(n−1), t over the variance
+    ratios), so the statistic is bit-identical.  Single-doc sources
+    drop (variance undefined), like the twin's n > 1 predicate."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("n_chars"), pa.int64())
+        sq = pc.multiply(x, x)
+        t = pa.table({"source": b.column("source"), "x": x, "sq": sq})
+        g = t.group_by("source").aggregate(
+            [("x", "count"), ("x", "sum"), ("sq", "sum")])
+        return g.rename_columns(["source", "p_n", "p_sx", "p_sxx"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("p_n", "sum"), ("p_sx", "sum"), ("p_sxx", "sum")],
+        ["source", "p_n", "p_sx", "p_sxx"],
+        ["source", "n", "sx", "sxx"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("source", "ascending")])
+        src = b.column("source").to_pylist()
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = n > 1
+        src = [s for s, k in zip(src, keep) if k]
+        n, sx, sxx = n[keep], sx[keep], sxx[keep]
+        nf = n.astype(np.float64)
+        mean = sx.astype(np.float64) / nf
+        var = (sxx.astype(np.float64)
+               - (sx.astype(np.float64) * sx.astype(np.float64)) / nf) \
+            / (nf - 1.0)
+        ia, ib = np.triu_indices(len(src), k=1)
+        t = (mean[ia] - mean[ib]) / np.sqrt(var[ia] / nf[ia]
+                                            + var[ib] / nf[ib])
+        return pa.table({
+            "source_a": pa.array([src[i] for i in ia], pa.string()),
+            "source_b": pa.array([src[i] for i in ib], pa.string()),
+            "n_a": pa.array(n[ia], pa.int64()),
+            "n_b": pa.array(n[ib], pa.int64()),
+            "mean_a": pa.array(mean[ia], pa.float64()),
+            "mean_b": pa.array(mean[ib], pa.float64()),
+            "t_welch": pa.array(t, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_theilsen_trend(sf_dir: str) -> Dataset:
+    """Per-user THEIL–SEN slope of purchase value over time — the
+    robust (median-of-pairwise-slopes) twin of q_events_value_trend's
+    OLS: outlier purchases cannot swing it.  Slopes are cents per
+    microsecond over exact int64 diffs; equal-timestamp pairs drop
+    (distinct-x convention, and the twin's strict ts inequality); the
+    median follows the pinned quantile_cont rule
+    (lo·(1−frac) + hi·frac at q = 0.5).
+
+    Scale shape: one groupby(user_id) co-partition of PURCHASE rows
+    only; the pairwise expansion is inherently O(n²) per user but runs
+    vectorized in-group (triu_indices), bounded by the per-user
+    purchase count — q_events_value_trend is the linear-cost scale
+    path, and a user beyond THEILSEN_MAX_GROUP purchases fails loudly
+    rather than silently expanding ~10⁹ pairs."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def slopes(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_slopes": pa.array([], pa.int64()),
+                          "theil_sen": pa.array([], pa.float64())})
+        if g.num_rows < 2:
+            return empty
+        if g.num_rows > THEILSEN_MAX_GROUP:
+            raise ValueError(
+                f"theilsen_trend: user {g.column('user_id')[0]} has "
+                f"{g.num_rows} purchases (> {THEILSEN_MAX_GROUP}); "
+                "the O(n²) pair expansion would explode — use "
+                "q_events_value_trend (OLS) for this corpus")
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = scaled_int_sql(
+            pc.cast(g.column("value"), pa.float64()), 100.0)
+        ia, ib = np.triu_indices(len(ts), k=1)
+        dx = ts[ib] - ts[ia]
+        ok = dx > 0
+        if not ok.any():
+            return empty
+        sl = np.sort((cents[ib] - cents[ia])[ok].astype(np.float64)
+                     / dx[ok])
+        pos = (len(sl) - 1) * 0.5
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - np.floor(pos)
+        med = float(sl[lo] * (1.0 - frac) + sl[hi] * frac)
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "n_slopes": pa.array([int(ok.sum())], pa.int64()),
+            "theil_sen": pa.array([med], pa.float64()),
+        })
+
+    purchases = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
+                   .drop_columns(["event_type"]),
+        batch_format="pyarrow")
+    return purchases.groupby("user_id").map_groups(
+        slopes, batch_format="pyarrow")
+
+
+THEILSEN_MAX_GROUP = 100_000
+
+
+def q_documents_line_dedup(sf_dir: str) -> Dataset:
+    """Corpus-wide duplicated-LINE removal (the RefinedWeb/CCNet line
+    dedup step): any exact line occurring in ≥ 2 distinct documents is
+    dropped from EVERY document and the survivors re-joined — the
+    boilerplate-header / footer cleaner, line-grain companion of
+    q_documents_dup_spans_removed (10-gram spans) and
+    q_transcripts_boilerplate (the report).  Output (doc_id,
+    clean_text, n_kept, n_removed) for every document; a within-doc
+    repeat is NOT cross-doc boilerplate and survives.
+
+    Scale shape: ONE line-grain exchange — groupby(line) sees each
+    distinct line's (doc_id, idx) owners and emits hit positions only
+    for lines with ≥ 2 distinct owners (no dup-set join, no broadcast,
+    no driver state); hits fold per doc into an index list (ints only),
+    LEFT-join back onto the corpus scan, and the rebuild is the
+    dup_spans mask + take + binary_join on the line lists.  Text
+    crosses the wire twice (the line exchange, the join's doc side)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(
+            pc.fill_null(b.column("text"), "").combine_chunks(), "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff(offs)
+        ids = b.column("doc_id").combine_chunks() \
+            .take(pa.array(np.repeat(np.arange(len(n)), n), pa.int64()))
+        idx = (np.arange(int(offs[-1])) - np.repeat(offs[:-1], n)) \
+            .astype(np.int64)
+        return pa.table({"line": pc.list_flatten(lines),
+                         "doc_id": pc.cast(ids, pa.int64()),
+                         "i": pa.array(idx, pa.int64())})
+
+    def hits(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id")
+        if pc.count_distinct(ids).as_py() < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        return g.select(["doc_id", "i"])
+
+    hit_rows = ds.map_batches(line_rows, batch_format="pyarrow") \
+        .groupby("line").map_groups(hits, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        ii = np.unique(g.column("i").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array([g.column("doc_id")[0].as_py()],
+                               pa.int64()),
+            "drop_idx": pa.array([",".join(map(str, ii))], pa.string()),
+        })
+
+    cov = with_schema(
+        hit_rows.groupby("doc_id").map_groups(fold,
+                                              batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("drop_idx", pa.string())]))
+    # an ALL-empty cov (no cross-doc duplicate line anywhere) breaks
+    # Dataset.join even typed: the hash shuffle fans the one typed
+    # empty block into schema-less partitions — skip the join and
+    # rebuild with a NULL drop list instead (cov is already
+    # materialized refs via with_schema, so count() is metadata)
+    cov = cov.materialize()
+    if cov.count() == 0:
+        j = ds.map_batches(
+            lambda b: b.append_column(
+                "drop_idx", pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow")
+    else:
+        j = ds.join(cov, join_type="left_outer", num_partitions=8,
+                    on=("doc_id",))
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(
+            pc.fill_null(b.column("text"), "").combine_chunks(), "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs).astype(np.int64)
+        tot = int(offs[-1])
+        mask = np.zeros(tot, bool)
+        di = b.column("drop_idx").combine_chunks()
+        valid = np.flatnonzero(~di.is_null().to_numpy(
+            zero_copy_only=False))
+        for r in valid:
+            base = offs[r]
+            for s in di[int(r)].as_py().split(","):
+                mask[base + int(s)] = True
+        keep = np.flatnonzero(~mask)
+        counts = np.bincount(
+            np.searchsorted(offs, keep, side="right") - 1,
+            minlength=len(lens)).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        kept_flat = flat.take(pa.array(keep, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(counts)]),
+                     pa.int32()), kept_flat)
+        clean = pc.binary_join(lists, "\n")
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "clean_text": pc.fill_null(clean, ""),
+            "n_kept": pa.array(counts, pa.int64()),
+            "n_removed": pa.array(lens - counts, pa.int64()),
+        })
+
+    return j.map_batches(rebuild, batch_format="pyarrow")

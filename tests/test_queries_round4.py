@@ -842,3 +842,170 @@ def test_train_order_dense_and_layout_independent(ray_session,
          for r in q.q_documents_train_order(str(many)).take_all()}
     assert a == b
     assert sorted(a.values()) == list(range(1, n + 1))
+
+
+def test_dedup_normalized_planted(ray_session, tmp_path):
+    """Case / punctuation / whitespace-run variants collapse to one
+    normalized key (min doc_id keeps, count reported); a distinct doc
+    stays its own group of one."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path,
+                ["Hello,  World!", "hello world", "  HELLO -- world ",
+                 "another doc"], ["s"] * 4)
+    rows = {r["doc_id"]: r["n_copies"]
+            for r in q.q_documents_dedup_normalized(
+                str(tmp_path)).take_all()}
+    assert rows == {0: 3, 3: 1}
+
+
+def test_c4_gate_planted(ray_session, tmp_path):
+    """Each C4 rule fails exactly the doc planted to violate it:
+    <3 sentences, lorem-ipsum placeholder (case-insensitive), curly
+    brace; a clean 3-sentence doc passes."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path,
+                ["One. Two! Three?",
+                 "only one. two.",
+                 "Lorem Ipsum filler. x. y.",
+                 "code { brace. x. y."], ["s"] * 4)
+    rows = {r["doc_id"]: r
+            for r in q.q_documents_c4_gate(str(tmp_path)).take_all()}
+    assert rows[0]["keep"] and rows[0]["n_sentences"] == 3
+    assert not rows[1]["keep"] and rows[1]["n_sentences"] == 2
+    assert not rows[2]["keep"] and rows[2]["has_lorem"]
+    assert not rows[3]["keep"] and rows[3]["has_brace"]
+
+
+def test_temperature_mix_planted(ray_session, tmp_path):
+    """alpha=0.7 tempering: the tail source's mix weight rises above
+    its raw token share, the head's falls below, and the weights sum
+    to 1 (within the 2^40 quantization)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path,
+                [("w " * 90).strip(), ("w " * 10).strip()],
+                ["head", "tail"])
+    rows = {r["source"]: r
+            for r in q.q_documents_temperature_mix(
+                str(tmp_path)).take_all()}
+    assert abs(rows["head"]["token_share"] - 0.9) < 1e-12
+    assert rows["tail"]["mix_weight"] > rows["tail"]["token_share"]
+    assert rows["head"]["mix_weight"] < rows["head"]["token_share"]
+    assert abs(rows["head"]["mix_weight"]
+               + rows["tail"]["mix_weight"] - 1.0) < 1e-9
+
+
+def test_ngram_diversity_planted(ray_session, tmp_path):
+    """A templated source (one trigram repeated) reads a low TTR; a
+    source of all-distinct trigrams reads 1.0; docs under 3 tokens
+    contribute nothing (the twin's len >= 3 predicate)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path,
+                ["a b c a b c a b",          # trigrams: 6 total, 3 distinct
+                 "x1 x2 x3 x4 x5",           # 3 total, 3 distinct
+                 "too short"],               # no trigrams
+                ["tmpl", "fresh", "fresh"])
+    t = q.q_documents_ngram_diversity(str(tmp_path))
+    rows = {r["source"]: r for r in t.to_pylist()}
+    assert rows["tmpl"]["n_trigrams"] == 6
+    assert rows["tmpl"]["n_distinct"] == 3
+    assert rows["fresh"]["ttr"] == 1.0
+    assert set(rows) == {"tmpl", "fresh"}
+
+
+def test_source_ttest_planted(ray_session, tmp_path):
+    """Two sources with clearly separated length distributions read a
+    large |t|; two sources drawn identical read t = 0; a single-doc
+    source drops (variance undefined)."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    texts, sources = [], []
+    for ln in (10, 12, 14):
+        texts.append("x" * ln); sources.append("short")
+        texts.append("x" * (ln + 100)); sources.append("long")
+        texts.append("x" * ln); sources.append("short2")
+    texts.append("x" * 50); sources.append("solo")
+    _write_docs(tmp_path, texts, sources)
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in q.q_documents_source_ttest(str(tmp_path))
+            .take_all()}
+    assert not any("solo" in k for pair in rows for k in pair)
+    assert rows[("long", "short")]["t_welch"] > 10
+    assert rows[("short", "short2")]["t_welch"] == 0.0
+    assert rows[("long", "short")]["n_a"] == 3
+
+
+def test_theilsen_trend_planted(ray_session, tmp_path):
+    """The median pairwise slope ignores one outlier purchase that
+    would swing an OLS fit: four collinear points (slope 1 cent/s) plus
+    one spike still read ~1 cent/s; equal-ts pairs drop; single-purchase
+    users drop."""
+    import pyarrow.parquet as pq
+    import ocr_engine_ray.pipelines.queries as q
+
+    base = 1_600_000_000_000_000  # µs
+    ts, uid, etype, val, eid = [], [], [], [], []
+    # user 1: values 1.00, 2.00, 3.00, 4.00 at 100s, 200s, 300s, 400s
+    # → slope 0.01 cents/µs... actually 100 cents per 100s = 1e-6
+    for i, (t, v) in enumerate([(100, 1.0), (200, 2.0), (300, 3.0),
+                                (400, 4.0), (250, 500.0)]):
+        ts.append(base + t * 1_000_000); uid.append(1)
+        etype.append("purchase"); val.append(v); eid.append(i)
+    # user 2: single purchase → drops
+    ts.append(base); uid.append(2); etype.append("purchase")
+    val.append(9.0); eid.append(10)
+    # user 3: two purchases at the SAME ts → no valid pair → drops
+    for i in (11, 12):
+        ts.append(base); uid.append(3); etype.append("purchase")
+        val.append(float(i)); eid.append(i)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(etype),
+        "value": pa.array(val, pa.float64()),
+        "props": pa.array(["{}"] * len(eid)),
+    }), str(tmp_path / "events.parquet"))
+    rows = {r["user_id"]: r
+            for r in q.q_events_theilsen_trend(str(tmp_path))
+            .take_all()}
+    assert set(rows) == {1}
+    assert abs(rows[1]["theil_sen"] - 1e-6) < 1e-9   # 1 cent/sec
+    assert rows[1]["n_slopes"] == 10                 # C(5,2), no ties
+
+
+def test_line_dedup_planted(ray_session, tmp_path):
+    """A line shared by two docs is removed from BOTH; a line repeated
+    within ONE doc is not cross-doc boilerplate and survives twice; a
+    fully-boilerplate doc comes back as ''; order is preserved."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path,
+                ["keep me\nBOILER\nmine\nmine",
+                 "BOILER\nother",
+                 "BOILER",
+                 "solo text"], ["s"] * 4)
+    rows = {r["doc_id"]: r
+            for r in q.q_documents_line_dedup(str(tmp_path)).take_all()}
+    assert rows[0]["clean_text"] == "keep me\nmine\nmine"
+    assert rows[0]["n_removed"] == 1
+    assert rows[1]["clean_text"] == "other"
+    assert rows[2]["clean_text"] == "" and rows[2]["n_kept"] == 0
+    assert rows[3]["clean_text"] == "solo text"
+    assert rows[3]["n_removed"] == 0
+
+
+def test_line_dedup_no_duplicates(ray_session, tmp_path):
+    """With no cross-doc duplicate line anywhere the all-empty cov
+    path (join skipped) passes every doc through unchanged."""
+    import ocr_engine_ray.pipelines.queries as q
+
+    _write_docs(tmp_path, ["a\nb", "c", "d\ne\nf"], ["s"] * 3)
+    rows = {r["doc_id"]: r
+            for r in q.q_documents_line_dedup(str(tmp_path)).take_all()}
+    assert all(r["n_removed"] == 0 for r in rows.values())
+    assert rows[2]["clean_text"] == "d\ne\nf"
+    assert rows[2]["n_kept"] == 3
