@@ -427,6 +427,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_source_ttest": q.q_documents_source_ttest,
         "events_theilsen_trend": q.q_events_theilsen_trend,
         "documents_line_dedup": q.q_documents_line_dedup,
+        "orders_large_quantity": q.q_orders_large_quantity,
+        "promo_revenue_share": q.q_promo_revenue_share,
+        "orders_priority_returns": q.q_orders_priority_returns,
+        "customers_idle_rich": q.q_customers_idle_rich,
+        "part_revenue_share": q.q_part_revenue_share,
+        "volume_shipping": q.q_volume_shipping,
+        "orders_above_cust_avg": q.q_orders_above_cust_avg,
+        "events_ks_test": q.q_events_ks_test,
+        "documents_ppl_buckets": q.q_documents_ppl_buckets,
     }
 
 
@@ -2724,5 +2733,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.ls) AS BIGINT) - COALESCE(a.n_kept, 0)
                        AS n_removed
             FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "orders_large_quantity": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (
+                      SELECT l_orderkey FROM lineitem
+                      GROUP BY l_orderkey
+                      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "promo_revenue_share": """
+            WITH l AS (SELECT date_trunc('month', l_shipdate) AS month,
+                              CAST(round(l_extendedprice
+                                         * (1 - l_discount) * 10000)
+                                   AS BIGINT) AS r,
+                              (p_type = 'PROMO') AS promo
+                       FROM lineitem JOIN part
+                         ON l_partkey = p_partkey)
+            SELECT month,
+                   CAST(SUM(CASE WHEN promo THEN r ELSE 0 END)
+                        AS DOUBLE) * 100.0 / CAST(SUM(r) AS DOUBLE)
+                       AS promo_share,
+                   CAST(SUM(r) AS DOUBLE) / 10000.0 AS revenue
+            FROM l GROUP BY month
+        """,
+        "orders_priority_returns": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "customers_idle_rich": """
+            WITH pos AS (SELECT CAST(SUM(CAST(round(c_acctbal * 100)
+                                              AS BIGINT)) AS BIGINT) s,
+                                CAST(COUNT(*) AS BIGINT) n
+                         FROM customer WHERE c_acctbal > 0.0)
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_acctbal
+            FROM customer, pos
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            GROUP BY 1
+        """,
+        "part_revenue_share": """
+            WITH pr AS (SELECT l_partkey AS p_partkey,
+                               CAST(SUM(CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 10000)
+                                        AS BIGINT)) AS BIGINT) AS r
+                        FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(SUM(r) AS BIGINT) AS tot,
+                         CAST(COUNT(*) AS BIGINT) AS np FROM pr)
+            SELECT p_partkey, CAST(r AS DOUBLE) / 10000.0 AS revenue
+            FROM pr, t
+            WHERE 2 * r * np > 3 * tot
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0
+                       AS revenue
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "orders_above_cust_avg": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            a AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM o GROUP BY 1)
+            SELECT o.o_custkey AS c_custkey, a.n AS n_orders,
+                   CAST(SUM(CASE WHEN o.cents * a.n > a.s
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_above
+            FROM o JOIN a ON o.o_custkey = a.o_custkey
+            GROUP BY 1, 2
+        """,
+        "events_ks_test": """
+            WITH h AS (SELECT value,
+                              CAST(COUNT(*) FILTER (
+                                  WHERE event_type = 'purchase')
+                                  AS BIGINT) AS n1,
+                              CAST(COUNT(*) FILTER (
+                                  WHERE event_type = 'click')
+                                  AS BIGINT) AS n2
+                       FROM events
+                       WHERE event_type IN ('purchase', 'click')
+                       GROUP BY value),
+            c AS (SELECT SUM(n1) OVER (ORDER BY value) AS c1,
+                         SUM(n2) OVER (ORDER BY value) AS c2
+                  FROM h),
+            t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+                         CAST(SUM(n2) AS BIGINT) AS t2 FROM h)
+            SELECT CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS DOUBLE)
+                       / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))
+                       AS ks,
+                   t1 AS n_purchase, t2 AS n_click
+            FROM c, t GROUP BY t1, t2
+        """,
+        "documents_ppl_buckets": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY tok),
+            d AS (SELECT t.doc_id,
+                         CAST(SUM(CAST(round(ln(CAST(tf.tf AS DOUBLE))
+                                             * 1000000) AS BIGINT))
+                              AS BIGINT) AS sq,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens
+                  FROM t JOIN tf USING (tok) GROUP BY t.doc_id)
+            SELECT d.doc_id, doc.source, d.n_tokens,
+                   CAST(NTILE(3) OVER (
+                            PARTITION BY doc.source
+                            ORDER BY CAST(d.sq AS DOUBLE)
+                                     / CAST(d.n_tokens AS DOUBLE) DESC,
+                                     d.doc_id) AS BIGINT) AS ppl_bucket
+            FROM d JOIN documents doc ON d.doc_id = doc.doc_id
         """,
     }

@@ -146,6 +146,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_embeddings_covariance(sf_dir).count())
     timed("embeddings_pca_project",
           lambda: q.q_embeddings_pca_project(sf_dir).count())
+    # round-4 session-4 additions: warehouse join/subquery shapes + KS
+    timed("volume_shipping",
+          lambda: q.q_volume_shipping(sf_dir).count())
+    timed("orders_large_quantity",
+          lambda: q.q_orders_large_quantity(sf_dir).count())
+    timed("orders_above_cust_avg",
+          lambda: q.q_orders_above_cust_avg(sf_dir).count())
+    timed("events_ks_test",
+          lambda: q.q_events_ks_test(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

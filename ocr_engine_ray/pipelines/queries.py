@@ -7227,3 +7227,635 @@ def q_documents_line_dedup(sf_dir: str) -> Dataset:
         })
 
     return j.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-4 batch: classic warehouse join/subquery shapes (TPC-H
+# Q4/Q7/Q11/Q14/Q18/Q22 analogues over the available columns) plus a
+# two-sample distribution-drift test.  Reference analogue: SURVEY §2.5's
+# join matrix and §2.6's rollups composed into the multi-table report
+# shapes a warehouse user of the reference would expect.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_large_quantity(sf_dir: str) -> Dataset:
+    """TPC-H-Q18-shaped "large volume orders": orders whose total
+    lineitem quantity exceeds 300, joined back to orders + customer,
+    top-100 by order value.
+
+    Scale shape: the HAVING filter runs FIRST and entirely on the fact
+    table — per-batch partial (orderkey, qty) aggregation, one int64
+    groupby, then the survivor set (structurally tiny: result-bounded)
+    drives is_in-pruned scans of orders and customer, so neither
+    dimension row set beyond the survivors ever moves.  Quantities are
+    integral in this corpus; the safe Arrow double→int64 cast makes the
+    sums exact and loud if that assumption ever breaks."""
+    import numpy as np
+
+    THRESH = 300
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "k": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "q": pc.cast(b.column("l_quantity"), pa.int64()),
+        }).group_by("k").aggregate([("q", "sum")])
+        return g.rename_columns(["k", "pq"])
+
+    sums = with_schema(
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("pq", alias_name="sum_qty")),
+        pa.schema([("k", pa.int64()), ("sum_qty", pa.int64())]))
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), THRESH)),
+        batch_format="pyarrow")
+    tb = _small_table(big)   # bounded: the HAVING survivors ARE the result
+    if tb is None:
+        return rd.from_arrow(pa.schema([
+            ("c_name", pa.string()), ("c_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64()),
+            ("sum_qty", pa.int64())]).empty_table())
+    qty_by_key = dict(zip(tb.column("k").to_pylist(),
+                          tb.column("sum_qty").to_pylist()))
+    keys = pa.array(sorted(qty_by_key), pa.int64())
+
+    ords = _small_table(rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(
+                pc.cast(b.column("o_orderkey"), pa.int64()),
+                value_set=keys)),
+            batch_format="pyarrow"))
+    ck = pa.array(sorted(set(ords.column("o_custkey").to_pylist())),
+                  pa.int64())
+    cust = _small_table(rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(
+                pc.cast(b.column("c_custkey"), pa.int64()),
+                value_set=ck)),
+            batch_format="pyarrow"))
+    name_by_cust = dict(zip(cust.column("c_custkey").to_pylist(),
+                            cust.column("c_name").to_pylist()))
+    okeys = ords.column("o_orderkey").to_pylist()
+    custs = ords.column("o_custkey").to_pylist()
+    out = pa.table({
+        "c_name": pa.array([name_by_cust[c] for c in custs]),
+        "c_custkey": pa.array(custs, pa.int64()),
+        "o_orderkey": pa.array(okeys, pa.int64()),
+        "o_orderdate": ords.column("o_orderdate"),
+        "o_totalprice": ords.column("o_totalprice"),
+        "sum_qty": pa.array([qty_by_key[k] for k in okeys], pa.int64()),
+    }).sort_by([("o_totalprice", "descending"),
+                ("o_orderkey", "ascending")]).slice(0, 100)
+    return rd.from_arrow(out)
+
+
+def q_promo_revenue_share(sf_dir: str) -> Dataset:
+    """TPC-H-Q14-shaped promo revenue share per ship month: the
+    conditional-aggregation-over-a-dim-lookup shape.  part is
+    dim-sized, so its PROMO key set rides ONE broadcast into the
+    lineitem scan (no join shuffle); revenue is quantized to int64 at
+    4 dp in-batch and partially aggregated per month before the ≤
+    #months-row groupby.  The one float expression — 100·promo/total —
+    replays the twin's cast-then-divide order token for token."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part.column("p_type"), "PROMO")) \
+        .column("p_partkey").combine_chunks().cast(pa.int64())
+    promo_ref = ray.put(promo)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = scaled_int_sql(
+            pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount"))), 10000.0)
+        is_promo = pc.is_in(
+            pc.cast(b.column("l_partkey"), pa.int64()),
+            value_set=ray.get(promo_ref)) \
+            .to_numpy(zero_copy_only=False)
+        month = pc.floor_temporal(b.column("l_shipdate"), unit="month")
+        g = pa.table({
+            "month": month,
+            "r": pa.array(rev, pa.int64()),
+            "pr": pa.array(np.where(is_promo, rev, 0), pa.int64()),
+        }).group_by("month").aggregate([("r", "sum"), ("pr", "sum")])
+        return g.rename_columns(["month", "p_r", "p_pr"])
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("p_r", alias_name="r"),
+                                    Sum("p_pr", alias_name="pr"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        p = b.column("pr").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "month": b.column("month"),
+            "promo_share": (p * 100.0) / r,
+            "revenue": r / 10000.0,
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_orders_priority_returns(sf_dir: str) -> Dataset:
+    """TPC-H-Q4-shaped EXISTS semi-join: order counts per priority,
+    restricted to orders with at least one returned ('R') lineitem.
+    Scale shape: the fact-side predicate dedups to a distinct orderkey
+    set via per-batch partial counts + one int64 groupby, the semi
+    join is Ray's hash-partitioned inner join on that aggregate
+    (with_schema-pinned — the sparse-aggregate hazard), and the final
+    count shuffles only ≤5 partial rows per block."""
+    returned = with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_returnflag"])
+        .map_batches(
+            lambda b: pa.table({
+                "k": pc.cast(b.column("l_orderkey"), pa.int64())})
+            .filter(pc.equal(b.column("l_returnflag"), "R"))
+            .group_by("k").aggregate([([], "count_all")])
+            .rename_columns(["k", "c"]),
+            batch_format="pyarrow")
+        .groupby("k").aggregate(Count(alias_name="c")),
+        pa.schema([("k", pa.int64()), ("c", pa.int64())]))
+
+    j = rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .join(returned, join_type="inner", num_partitions=8,
+              on=("o_orderkey",), right_on=("k",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_orderpriority"]).group_by("o_orderpriority") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "p_n"])
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("p_n", alias_name="n_orders"))
+
+
+def q_customers_idle_rich(sf_dir: str) -> Dataset:
+    """TPC-H-Q22-shaped report: customers whose balance beats the
+    positive-balance average and who have NO completed ('F') order,
+    counted per nation.  Composes the two classic subquery shapes —
+    a global scalar aggregate (broadcast as two int64s; the strictly-
+    above test is the exact integer cross-multiply cents·n > Σcents,
+    no division anywhere) and a NOT EXISTS anti-join (Ray's native
+    hash-partitioned left_anti on the distinct F-customer aggregate)."""
+    cents_of = lambda b: scaled_int_sql(b.column("c_acctbal"), 100.0)
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        c = cents_of(b)
+        pos = c > 0
+        return pa.table({"s": pa.array([int(c[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    tot = cust.map_batches(pos_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    s_all, n_all = int(tot["s"]), int(tot["n"])
+
+    f_cust = with_schema(
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderstatus"])
+        .map_batches(
+            lambda b: pa.table({
+                "k": pc.cast(b.column("o_custkey"), pa.int64())})
+            .filter(pc.equal(b.column("o_orderstatus"), "F"))
+            .group_by("k").aggregate([([], "count_all")])
+            .rename_columns(["k", "c"]),
+            batch_format="pyarrow")
+        .groupby("k").aggregate(Count(alias_name="c")),
+        pa.schema([("k", pa.int64()), ("c", pa.int64())]))
+
+    def rich(b: pa.Table) -> pa.Table:
+        import numpy as np
+        c = cents_of(b)
+        keep = (c * n_all) > s_all
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+            "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        }).filter(pa.array(keep))
+
+    # the rich filter can empty whole blocks (schema-less, breaks the
+    # join) — pin the left schema; customer is dim-sized so the ref
+    # rebuild is cheap
+    idle = with_schema(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()),
+                   ("c_nationkey", pa.int64()),
+                   ("cents", pa.int64())])) \
+        .join(f_cust, join_type="left_anti", num_partitions=8,
+              on=("c_custkey",), right_on=("k",))
+
+    def nat_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_nationkey").aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "p_n", "p_s"])
+
+    agg = idle.map_batches(nat_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("p_n", alias_name="n_custs"),
+                   Sum("p_s", alias_name="s_cents"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+        s = b.column("s_cents").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey"),
+            "n_custs": b.column("n_custs"),
+            "total_acctbal": s / 100.0,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_part_revenue_share(sf_dir: str) -> Dataset:
+    """TPC-H-Q11-shaped "important parts": parts whose revenue exceeds
+    1.5× the mean per-part revenue — the HAVING-against-a-global-scalar
+    shape, with a self-scaling threshold that binds at every corpus
+    size (an absolute fraction of total revenue stops selecting
+    anything once #parts grows past 1/fraction).  The per-part
+    aggregate is computed ONCE (per-batch int64 partials, one groupby)
+    and materialized (bounded by #parts, a dimension cardinality); the
+    global (total, count) then reduces over that aggregate, never
+    rescanning the fact table.  The keep test is EXACT integer
+    arithmetic on both sides: the twin cross-multiplies in HUGEINT
+    (2·r·np > 3·tot) and this side compares r against the equivalent
+    integer floor cut — r > ⌊3·tot/(2·np)⌋ ⟺ 2·r·np > 3·tot for
+    integer r, because the divisor exceeds any remainder."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = scaled_int_sql(
+            pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount"))), 10000.0)
+        g = pa.table({
+            "p_partkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            "r": pa.array(rev, pa.int64()),
+        }).group_by("p_partkey").aggregate([("r", "sum")])
+        return g.rename_columns(["p_partkey", "p_r"])
+
+    per_part = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_partkey").aggregate(Sum("p_r", alias_name="r")) \
+        .materialize()
+
+    g = per_part.aggregate(Sum("r", alias_name="t"),
+                           Count(alias_name="np"))
+    tot, n_parts = int(g["t"]), int(g["np"])
+    cut = (3 * tot) // (2 * n_parts)   # Python big-int: overflow-proof
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        keep = r > cut
+        return pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "revenue": r.astype(np.float64) / 10000.0,
+        }).filter(pa.array(keep))
+
+    return per_part.map_batches(finish, batch_format="pyarrow")
+
+
+def q_volume_shipping(sf_dir: str) -> Dataset:
+    """TPC-H-Q7-shaped volume shipping: yearly revenue between the
+    NATION_1 ↔ NATION_2 pair, grouped by (supplier nation, customer
+    nation, ship year).  Scale shape: supplier and customer are
+    dim-sided HERE (their (key → nationkey) maps, pre-filtered to the
+    two nations, ride one ``ray.put`` each); lineitem pre-aggregates
+    exact int64 revenue per (orderkey, supp_nation, year) in-batch and
+    is the only fact that moves — one hash join against the pruned
+    orders scan, then a ≤ (2 pairs × years)-row groupby."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    PAIR = {"NATION_1", "NATION_2"}
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"])
+    name_by_key = {int(k): n for k, n in
+                   zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()) if n in PAIR}
+    keys = pa.array(sorted(name_by_key), pa.int64())
+
+    OUT_SCHEMA = pa.schema([
+        ("supp_nation", pa.string()), ("cust_nation", pa.string()),
+        ("l_year", pa.int64()), ("revenue", pa.float64())])
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").combine_chunks().cast(pa.int64())
+    sn = sup.column("s_nationkey").combine_chunks().cast(pa.int64())
+    m = pc.is_in(sn, value_set=keys)
+    if pc.sum(m).as_py() in (0, None):
+        # no supplier in the pair → the result is empty by definition;
+        # exit before building a join whose left side has no rows (an
+        # all-empty join left crashes Ray's hash-shuffle partitions)
+        return rd.from_arrow(OUT_SCHEMA.empty_table())
+    sup_ref = ray.put((sk.filter(m), sn.filter(m)))
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").combine_chunks().cast(pa.int64())
+    cn = cust.column("c_nationkey").combine_chunks().cast(pa.int64())
+    mc = pc.is_in(cn, value_set=keys)
+    cust_ref = ray.put((ck.filter(mc), cn.filter(mc)))
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        supk, supn = ray.get(sup_ref)
+        pos = pc.index_in(pc.cast(b.column("l_suppkey"), pa.int64())
+                          .combine_chunks(), value_set=supk)
+        keep = pos.is_valid()
+        f = b.filter(keep)
+        s_nat = pc.take(supn, pos.filter(keep))
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        g = pa.table({
+            "l_orderkey": pc.cast(f.column("l_orderkey"), pa.int64()),
+            "s_nat": s_nat,
+            "l_year": pc.cast(pc.year(f.column("l_shipdate")),
+                              pa.int64()),
+            "r": pa.array(rev, pa.int64()),
+        }).group_by(["l_orderkey", "s_nat", "l_year"]) \
+            .aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "l_year", "p_r"])
+
+    # the nation filter can empty whole blocks, and a schema-less empty
+    # block breaks Dataset.join (the documented FILTER-before-join
+    # hazard) — pin the partial-agg side's schema before the join
+    rev = with_schema(
+        rd.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"])
+        .map_batches(line_partial, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+                   ("l_year", pa.int64()), ("p_r", pa.int64())]))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = rev.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        custk, custn = ray.get(cust_ref)
+        pos = pc.index_in(pc.cast(b.column("o_custkey"), pa.int64())
+                          .combine_chunks(), value_set=custk)
+        keep = pos.is_valid()
+        f = b.filter(keep)
+        c_nat = pc.take(custn, pos.filter(keep))
+        ne = pc.not_equal(f.column("s_nat"), c_nat)
+        f = pa.table({"s_nat": f.column("s_nat"), "c_nat": c_nat,
+                      "l_year": f.column("l_year"),
+                      "p_r": f.column("p_r")}).filter(ne)
+        g = f.group_by(["s_nat", "c_nat", "l_year"]) \
+            .aggregate([("p_r", "sum")])
+        return g.rename_columns(["s_nat", "c_nat", "l_year", "pp_r"])
+
+    agg = j.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["s_nat", "c_nat", "l_year"]) \
+        .aggregate(Sum("pp_r", alias_name="r"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sn_names = pa.array([name_by_key[k] for k in
+                             b.column("s_nat").to_pylist()])
+        cn_names = pa.array([name_by_key[k] for k in
+                             b.column("c_nat").to_pylist()])
+        r = b.column("r").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "supp_nation": sn_names, "cust_nation": cn_names,
+            "l_year": b.column("l_year"),
+            "revenue": r / 10000.0,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_orders_above_cust_avg(sf_dir: str) -> Dataset:
+    """Correlated-scalar-subquery shape: per customer, how many of
+    their orders beat their OWN average order value.  The per-customer
+    (Σcents, n) aggregate joins back onto a second column-pruned scan
+    of orders (facts scanned twice rather than materialized — the
+    projection is fact-sized); the "above average" test is the exact
+    integer cross-multiply cents·n > Σcents, so no float division
+    exists on either side of the oracle."""
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "cents": pa.array(scaled_int_sql(
+                b.column("o_totalprice"), 100.0), pa.int64()),
+        })
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        g = cents_tbl(b).group_by("o_custkey").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_custkey", "p_s", "p_n"])
+
+    paths = _t(sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    avg = with_schema(
+        rd.read_parquet(paths, columns=cols)
+        .map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("p_s", alias_name="s"),
+                                        Sum("p_n", alias_name="n")),
+        pa.schema([("o_custkey", pa.int64()), ("s", pa.int64()),
+                   ("n", pa.int64())]))
+
+    j = rd.read_parquet(paths, columns=cols) \
+        .map_batches(cents_tbl, batch_format="pyarrow") \
+        .join(avg.map_batches(
+            lambda b: b.rename_columns(["k", "s", "n"]),
+            batch_format="pyarrow"),
+            join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("k",))
+
+    def above_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        above = (c * n > s).astype(np.int64)
+        g = pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "n_orders": b.column("n"),
+            "a": pa.array(above, pa.int64()),
+        }).group_by(["c_custkey", "n_orders"]).aggregate([("a", "sum")])
+        return g.rename_columns(["c_custkey", "n_orders", "p_a"])
+
+    return j.map_batches(above_partial, batch_format="pyarrow") \
+        .groupby(["c_custkey", "n_orders"]) \
+        .aggregate(Sum("p_a", alias_name="n_above"))
+
+
+def q_events_ks_test(sf_dir: str) -> Dataset:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase and
+    click value distributions — the distribution-drift gate a training
+    pipeline runs when a new data source lands.  Distributed shape:
+    per-batch partial (value, n_purchase, n_click) histograms, one
+    groupby(value) exchange, then the ordered CDF walk runs on the
+    aggregated support (bounded by distinct 2-dp values, a histogram —
+    never the raw events).  The sup-distance maximization is EXACT
+    integer cross-multiplication |c1·N2 − c2·N1|; the single division
+    happens once, at the end, replaying the twin."""
+    import numpy as np
+
+    KINDS = ("purchase", "click")
+
+    def partial(b: pa.Table) -> pa.Table:
+        m1 = pc.equal(b.column("event_type"), KINDS[0])
+        m2 = pc.equal(b.column("event_type"), KINDS[1])
+        keep = pc.or_(m1, m2)
+        f = pa.table({
+            "value": b.column("value"),
+            "n1": pc.cast(m1, pa.int64()),
+            "n2": pc.cast(m2, pa.int64()),
+        }).filter(keep)
+        g = f.group_by("value").aggregate([("n1", "sum"), ("n2", "sum")])
+        return g.rename_columns(["value", "p1", "p2"])
+
+    hist = rd.read_parquet(_t(sf_dir, "events"),
+                           columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("p1", alias_name="n1"),
+                                    Sum("p2", alias_name="n2"))
+
+    tb = _small_table(hist)   # bounded: the distinct-value histogram
+    if tb is None or tb.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "ks": pa.array([], pa.float64()),
+            "n_purchase": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64())}))
+    tb = tb.sort_by("value")
+    n1 = tb.column("n1").to_numpy(zero_copy_only=False)
+    n2 = tb.column("n2").to_numpy(zero_copy_only=False)
+    c1 = np.cumsum(n1)
+    c2 = np.cumsum(n2)
+    t1 = int(c1[-1])
+    t2 = int(c2[-1])
+    m = int(np.max(np.abs(c1 * t2 - c2 * t1)))
+    ks = float(m) / (float(t1) * float(t2))
+    return rd.from_arrow(pa.table({
+        "ks": pa.array([ks], pa.float64()),
+        "n_purchase": pa.array([t1], pa.int64()),
+        "n_click": pa.array([t2], pa.int64())}))
+
+
+def q_documents_ppl_buckets(sf_dir: str) -> Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    source, split documents into head/middle/tail terciles of
+    corpus-unigram-LM quality — the standard "keep the head, maybe the
+    middle" curation gate.
+
+    Shares q_documents_unigram_logprob's exact-integer decomposition
+    (Σ quantized ln tf per doc through one (tok) exchange + join), but
+    orders by the score WITHOUT the constant −ln N shift: the ordering
+    key is the IEEE quotient sq/n_tokens of two exact int64s, bit-equal
+    on both sides of the oracle, ties broken by doc_id.  Bucket
+    assignment replays DuckDB's NTILE(3) split (first n%3 buckets take
+    the extra row) inside a per-source sorted map_groups.
+
+    Scale note: exact NTILE semantics need a per-source RANK, so each
+    source's (doc_id, sq, n) triples co-partition into one group (24
+    bytes/doc — tens of GB per billion docs).  At web scale, swap the
+    rank for boundary assignment against per-source exact tercile
+    boundaries (stages/quantiles.grouped_quantiles) and accept
+    boundary-tie divergence from NTILE."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+            "tok": flat,
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["tok"]).group_by("tok").aggregate([("tok", "count")])
+        return g.rename_columns(["tok", "p_n"])
+
+    tf = with_schema(
+        toks.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="tf")),
+        pa.schema([("tok", pa.string()), ("tf", pa.int64())]))
+
+    j = toks.join(tf, join_type="inner", num_partitions=8, on=("tok",))
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = scaled_int_sql(np.log(tfv), 1e6)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "q": pa.array(q, pa.int64()),
+                      "c": pa.array(np.ones(len(q), np.int64()))})
+        g = t.group_by("doc_id").aggregate([("q", "sum"), ("c", "sum")])
+        return g.rename_columns(["doc_id", "p_q", "p_c"])
+
+    agg = with_schema(
+        j.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("p_q", alias_name="sq"),
+                                     Sum("p_c", alias_name="n_tokens")),
+        pa.schema([("doc_id", pa.int64()), ("sq", pa.int64()),
+                   ("n_tokens", pa.int64())]))
+
+    src = rd.read_parquet(_t(sf_dir, "documents"),
+                          columns=["doc_id", "source"])
+    withsrc = agg.join(src, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+
+    def buckets(g: pa.Table) -> pa.Table:
+        sq = g.column("sq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        score = sq / nt
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        # ORDER BY score DESC, doc_id ASC (head = least perplexing)
+        order = np.lexsort((ids, -score))
+        n = len(order)
+        k, r = divmod(n, 3)
+        bounds = np.cumsum([k + 1] * r + [k] * (3 - r))
+        tiles = np.searchsorted(bounds, np.arange(n), side="right") + 1
+        out_tiles = np.empty(n, np.int64)
+        out_tiles[order] = tiles
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "source": g.column("source"),
+            "n_tokens": g.column("n_tokens"),
+            "ppl_bucket": pa.array(out_tiles, pa.int64()),
+        })
+
+    return withsrc.groupby("source").map_groups(
+        buckets, batch_format="pyarrow")
