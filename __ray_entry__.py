@@ -436,6 +436,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": q.q_orders_above_cust_avg,
         "events_ks_test": q.q_events_ks_test,
         "documents_ppl_buckets": q.q_documents_ppl_buckets,
+        "lineitem_revenue_forecast": q.q_lineitem_revenue_forecast,
+        "returned_item_report": q.q_returned_item_report,
+        "events_chi2_independence": q.q_events_chi2_independence,
+        "events_mwu_test": q.q_events_mwu_test,
+        "top_supplier": q.q_top_supplier,
+        "part_supplier_counts": q.q_part_supplier_counts,
     }
 
 
@@ -2874,5 +2880,116 @@ def oracle_sql() -> dict[str, str]:
                                      / CAST(d.n_tokens AS DOUBLE) DESC,
                                      d.doc_id) AS BIGINT) AS ppl_bucket
             FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+        """,
+        "lineitem_revenue_forecast": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount
+                                       * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "returned_item_report": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0
+                       AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2
+            ORDER BY SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT)) DESC,
+                     c_custkey
+            LIMIT 20
+        """,
+        "events_chi2_independence": """
+            WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM c GROUP BY 1),
+            cl AS (SELECT h, CAST(SUM(n) AS BIGINT) AS cn
+                   FROM c GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+            grid AS (SELECT r.event_type, cl.h, r.rn, cl.cn
+                     FROM r CROSS JOIN cl),
+            cells AS (SELECT COALESCE(c.n, 0) AS n,
+                             CAST(g.rn AS DOUBLE) * CAST(g.cn AS DOUBLE)
+                                 / CAST(t.nt AS DOUBLE) AS e
+                      FROM grid g
+                      LEFT JOIN c ON c.event_type = g.event_type
+                                 AND c.h = g.h, t)
+            SELECT CAST(SUM(CAST(round(
+                       (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)
+                       / e * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                       AS chi2,
+                   CAST(((SELECT COUNT(*) FROM r) - 1)
+                        * ((SELECT COUNT(*) FROM cl) - 1) AS BIGINT)
+                       AS dof,
+                   (SELECT nt FROM t) AS n_events
+            FROM cells
+        """,
+        "events_mwu_test": """
+            WITH h AS (SELECT value,
+                              CAST(COUNT(*) FILTER (
+                                  WHERE event_type = 'purchase')
+                                  AS BIGINT) AS n1,
+                              CAST(COUNT(*) FILTER (
+                                  WHERE event_type = 'click')
+                                  AS BIGINT) AS n2
+                       FROM events
+                       WHERE event_type IN ('purchase', 'click')
+                       GROUP BY value),
+            o AS (SELECT n1, n2, n1 + n2 AS nv,
+                         SUM(n1 + n2) OVER (ORDER BY value) - (n1 + n2)
+                             AS cb
+                  FROM h),
+            t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+                         CAST(SUM(n2) AS BIGINT) AS t2,
+                         CAST(SUM(n1 * (2 * cb + nv + 1)) AS BIGINT)
+                             AS r2x,
+                         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS ties
+                  FROM o)
+            SELECT CAST(r2x - t1 * (t1 + 1) AS DOUBLE) / 2.0 AS u,
+                   (CAST(r2x - t1 * (t1 + 1) AS DOUBLE)
+                    - CAST(t1 * t2 AS DOUBLE))
+                   / (2.0 * sqrt(
+                       (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE) / 12.0)
+                       * (CAST(t1 + t2 + 1 AS DOUBLE)
+                          - CAST(ties AS DOUBLE)
+                            / (CAST(t1 + t2 AS DOUBLE)
+                               * CAST(t1 + t2 - 1 AS DOUBLE)))))
+                       AS z,
+                   t1 AS n_purchase, t2 AS n_click
+            FROM t
+        """,
+        "top_supplier": """
+            WITH sr AS (SELECT l_suppkey AS s_suppkey,
+                               CAST(SUM(CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 10000)
+                                        AS BIGINT)) AS BIGINT) AS r
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1996-04-01'
+                        GROUP BY 1)
+            SELECT sr.s_suppkey, s.s_name,
+                   CAST(r AS DOUBLE) / 10000.0 AS revenue
+            FROM sr JOIN supplier s ON sr.s_suppkey = s.s_suppkey
+            WHERE r = (SELECT MAX(r) FROM sr)
+        """,
+        "part_supplier_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY 1, 2, 3
         """,
     }

@@ -7859,3 +7859,398 @@ def q_documents_ppl_buckets(sf_dir: str) -> Dataset:
 
     return withsrc.groupby("source").map_groups(
         buckets, batch_format="pyarrow")
+
+
+def q_lineitem_revenue_forecast(sf_dir: str) -> Dataset:
+    """TPC-H-Q6-shaped "forecasting revenue change": one filtered
+    aggregate over the fact table — the canonical predicate-pushdown
+    demonstration (year window + discount band + quantity cap, all
+    evaluated as Arrow masks inside the column-pruned scan; nothing
+    shuffles, two int64 partials ride to one Dataset.aggregate).
+    Revenue = Σ extendedprice·discount at exact 4-dp quantization."""
+    import numpy as np
+
+    LO = pa.scalar(np.datetime64("1996-01-01", "us"))
+    HI = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), LO),
+            pc.less(b.column("l_shipdate"), HI)),
+            pc.and_(pc.and_(
+                pc.greater_equal(b.column("l_discount"),
+                                 pa.scalar(0.05)),
+                pc.less_equal(b.column("l_discount"), pa.scalar(0.07))),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0))))
+        f = b.filter(m)
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        f.column("l_discount")), 10000.0)
+        return pa.table({"r": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([f.num_rows], pa.int64())})
+
+    g = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
+    return rd.from_arrow(pa.table({
+        "revenue": pa.array([float(int(g["r"])) / 10000.0],
+                            pa.float64()),
+        "n_items": pa.array([int(g["n"])], pa.int64())}))
+
+
+def q_returned_item_report(sf_dir: str) -> Dataset:
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returned ('R') lineitems on Q1-1996 orders.
+    Scale shape: lineitem pre-aggregates exact int64 returned revenue
+    per orderkey in-batch; orders is date-pruned in its scan; ONE hash
+    join between those two; the per-customer aggregate then prunes to
+    a global top-20 via per-block partials (topk_combine — only 20
+    rows per block move); names resolve from an is_in-pruned customer
+    scan over the 20 survivors."""
+    import numpy as np
+
+    LO = pa.scalar(np.datetime64("1996-01-01", "us"))
+    HI = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        g = pa.table({
+            "l_orderkey": pc.cast(f.column("l_orderkey"), pa.int64()),
+            "r": pa.array(rev, pa.int64()),
+        }).group_by("l_orderkey").aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "p_r"])
+
+    rev = with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_returnflag",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("p_r", pa.int64())]))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), LO),
+                pc.less(b.column("o_orderdate"), HI)))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    j = rev.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": pc.cast(b.column("o_custkey"),
+                                           pa.int64()),
+                      "r": b.column("p_r")}) \
+            .group_by("c_custkey").aggregate([("r", "sum")])
+        return g.rename_columns(["c_custkey", "pp_r"])
+
+    agg = j.map_batches(cust_partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("pp_r", alias_name="r"))
+    top = _topk_combine(
+        agg, sorted_topk([("r", "descending"),
+                          ("c_custkey", "ascending")], 20))
+    tb = _small_table(top)
+    if tb is None or tb.num_rows == 0:
+        return rd.from_arrow(pa.schema([
+            ("c_custkey", pa.int64()), ("c_name", pa.string()),
+            ("revenue", pa.float64())]).empty_table())
+    tb = tb.sort_by([("r", "descending"), ("c_custkey", "ascending")]) \
+        .slice(0, 20)
+    keys = pa.array(sorted(tb.column("c_custkey").to_pylist()),
+                    pa.int64())
+    cust = _small_table(rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(
+                pc.cast(b.column("c_custkey"), pa.int64()),
+                value_set=keys)),
+            batch_format="pyarrow"))
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
+    import numpy as np
+    r = tb.column("r").to_numpy(zero_copy_only=False).astype(np.float64)
+    return rd.from_arrow(pa.table({
+        "c_custkey": tb.column("c_custkey"),
+        "c_name": pa.array([names[k] for k in
+                            tb.column("c_custkey").to_pylist()]),
+        "revenue": r / 10000.0,
+    }))
+
+
+def q_events_chi2_independence(sf_dir: str) -> Dataset:
+    """Chi-square test of independence between event type and
+    hour-of-day — the seasonality/uniformity check an event pipeline
+    runs on a new feed.  The contingency table is a bounded grid
+    (|types| × 24), so counts fold out of per-batch partials + one
+    tree combine and the statistic is computed in a single final
+    block.  Per-cell contributions (n−e)²/e are quantized to int64 at
+    1e-6 BEFORE summation (the PMI discipline) so the cell-sum order
+    cannot perturb the result; the twin replays (n−e)·(n−e)/e with
+    the identical cast order, avoiding POWER() (libm pow is not
+    guaranteed bit-equal to multiplication)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "h": pc.cast(pc.hour(b.column("ts")), pa.int64()),
+        }).group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "h", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"], [("p_n", "sum")],
+        ["event_type", "h", "p_n"], ["event_type", "h", "n"]))
+    if grid is None or grid.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "chi2": pa.array([], pa.float64()),
+            "dof": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64())}))
+    types = grid.column("event_type").to_pylist()
+    hours = grid.column("h").to_pylist()
+    n = grid.column("n").to_numpy(zero_copy_only=False)
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for t, h, c in zip(types, hours, n):
+        row_tot[t] = row_tot.get(t, 0) + int(c)
+        col_tot[h] = col_tot.get(h, 0) + int(c)
+    n_tot = int(n.sum())
+    # observed-zero cells contribute e (not 0) — iterate the FULL
+    # R×C grid like the twin's r CROSS JOIN cl does
+    seen = {(t, h): int(c) for t, h, c in zip(types, hours, n)}
+    acc = 0
+    for t, rn in row_tot.items():
+        for h, cn in col_tot.items():
+            e = float(rn) * float(cn) / float(n_tot)
+            d = float(seen.get((t, h), 0)) - e
+            contrib = d * d / e
+            s = contrib * 1e6
+            a = abs(s)
+            fa = np.floor(a)
+            acc += int(np.copysign(fa + 1.0 if a - fa >= 0.5 else fa, s))
+    dof = (len(row_tot) - 1) * (len(col_tot) - 1)
+    return rd.from_arrow(pa.table({
+        "chi2": pa.array([acc / 1e6], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n_events": pa.array([n_tot], pa.int64())}))
+
+
+def q_events_mwu_test(sf_dir: str) -> Dataset:
+    """Mann–Whitney U between the purchase and click value
+    distributions — the rank-based (outlier-robust) companion to
+    q_events_ks_test, same distributed shape: per-batch (value, n₁,
+    n₂) histogram partials, one groupby(value) exchange, then the
+    rank walk runs on the aggregated support.  Everything through the
+    tie-corrected rank sum stays in exact integers (2·R₁ =
+    Σ a_v·(2·cum_before + n_v + 1) avoids half-ranks); U, the tie
+    term Σ(t³−t) and the normal-approximation z replay the twin's
+    float expression tree exactly."""
+    import math
+
+    import numpy as np
+
+    KINDS = ("purchase", "click")
+
+    def partial(b: pa.Table) -> pa.Table:
+        m1 = pc.equal(b.column("event_type"), KINDS[0])
+        m2 = pc.equal(b.column("event_type"), KINDS[1])
+        keep = pc.or_(m1, m2)
+        f = pa.table({
+            "value": b.column("value"),
+            "n1": pc.cast(m1, pa.int64()),
+            "n2": pc.cast(m2, pa.int64()),
+        }).filter(keep)
+        g = f.group_by("value").aggregate([("n1", "sum"), ("n2", "sum")])
+        return g.rename_columns(["value", "p1", "p2"])
+
+    hist = rd.read_parquet(_t(sf_dir, "events"),
+                           columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("p1", alias_name="n1"),
+                                    Sum("p2", alias_name="n2"))
+    tb = _small_table(hist)   # bounded: the distinct-value histogram
+    if tb is None or tb.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "u": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+            "n_purchase": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64())}))
+    tb = tb.sort_by("value")
+    a = tb.column("n1").to_numpy(zero_copy_only=False)
+    b_ = tb.column("n2").to_numpy(zero_copy_only=False)
+    nv = a + b_
+    cb = np.cumsum(nv) - nv
+    t1 = int(a.sum())
+    t2 = int(b_.sum())
+    nt = t1 + t2
+    r2x = int((a * (2 * cb + nv + 1)).sum())        # 2·R₁, exact
+    ties = int((nv.astype(object) ** 3 - nv).sum())  # Σ t³−t, big-int
+    u2x = r2x - t1 * (t1 + 1)                        # 2·U₁
+    u = float(u2x) / 2.0
+    var = (float(t1) * float(t2) / 12.0) \
+        * (float(nt + 1)
+           - float(ties) / (float(nt) * float(nt - 1)))
+    z = (float(u2x) - float(t1 * t2)) / (2.0 * math.sqrt(var))
+    return rd.from_arrow(pa.table({
+        "u": pa.array([u], pa.float64()),
+        "z": pa.array([z], pa.float64()),
+        "n_purchase": pa.array([t1], pa.int64()),
+        "n_click": pa.array([t2], pa.int64())}))
+
+
+def q_top_supplier(sf_dir: str) -> Dataset:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with maximum
+    Q1-1996 revenue — the argmax-with-tie-retention shape (a LIMIT 1
+    would silently drop co-leaders; the = MAX filter keeps them all).
+    Scale shape: date-pruned lineitem scan → per-batch (suppkey,
+    int64 revenue) partials → one supplier-grain groupby, materialized
+    (dim-bounded) so the max reduction and the = max filter reuse it
+    without rescanning the fact table; names resolve from an
+    is_in-pruned supplier scan over the (≈1-row) survivor set."""
+    import numpy as np
+
+    LO = pa.scalar(np.datetime64("1996-01-01", "us"))
+    HI = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), LO),
+            pc.less(b.column("l_shipdate"), HI)))
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        g = pa.table({
+            "s_suppkey": pc.cast(f.column("l_suppkey"), pa.int64()),
+            "r": pa.array(rev, pa.int64()),
+        }).group_by("s_suppkey").aggregate([("r", "sum")])
+        return g.rename_columns(["s_suppkey", "p_r"])
+
+    sr = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("p_r", alias_name="r")) \
+        .materialize()
+    mx = sr.aggregate(Max("r", alias_name="m"))["m"]
+    if mx is None:
+        return rd.from_arrow(pa.schema([
+            ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+            ("revenue", pa.float64())]).empty_table())
+    mx = int(mx)
+    top = _small_table(sr.map_batches(
+        lambda b: b.filter(pc.equal(b.column("r"), mx)),
+        batch_format="pyarrow"))
+    keys = pa.array(sorted(top.column("s_suppkey").to_pylist()),
+                    pa.int64())
+    sup = _small_table(rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(
+                pc.cast(b.column("s_suppkey"), pa.int64()),
+                value_set=keys)),
+            batch_format="pyarrow"))
+    names = dict(zip(sup.column("s_suppkey").to_pylist(),
+                     sup.column("s_name").to_pylist()))
+    import numpy as np
+    r = top.column("r").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    return rd.from_arrow(pa.table({
+        "s_suppkey": top.column("s_suppkey"),
+        "s_name": pa.array([names[k] for k in
+                            top.column("s_suppkey").to_pylist()]),
+        "revenue": r / 10000.0,
+    }))
+
+
+def q_part_supplier_counts(sf_dir: str) -> Dataset:
+    """TPC-H-Q16-shaped supplier diversity report: distinct suppliers
+    able to supply each (brand, type, size) combination, one brand
+    excluded — grouped COUNT(DISTINCT) ACROSS a dim join.  Scale
+    shape: part collapses driver-side to a (partkey → group-index)
+    map over its own bounded attribute grid (the grid IS the result
+    frame), broadcast once; the lineitem scan rewrites each row to a
+    (group, suppkey) pair with in-batch pre-dedup; one pair-grain
+    exchange establishes global distinctness and a second bounded
+    exchange counts per group — suppliers never collect on the
+    driver."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    EXCL = "Brand#1"
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    part = part.filter(pc.not_equal(part.column("p_brand"), EXCL))
+    grid = part.select(["p_brand", "p_type", "p_size"]) \
+        .group_by(["p_brand", "p_type", "p_size"]) \
+        .aggregate([([], "count_all")]) \
+        .select(["p_brand", "p_type", "p_size"]) \
+        .sort_by([("p_brand", "ascending"), ("p_type", "ascending"),
+                  ("p_size", "ascending")])
+    key_of = {(b, t, s): i for i, (b, t, s) in enumerate(zip(
+        grid.column("p_brand").to_pylist(),
+        grid.column("p_type").to_pylist(),
+        grid.column("p_size").to_pylist()))}
+    gidx = pa.array(
+        [key_of[(b, t, s)] for b, t, s in zip(
+            part.column("p_brand").to_pylist(),
+            part.column("p_type").to_pylist(),
+            part.column("p_size").to_pylist())], pa.int64())
+    pk = part.column("p_partkey").combine_chunks().cast(pa.int64())
+    map_ref = ray.put((pk, gidx))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pkeys, gis = ray.get(map_ref)
+        pos = pc.index_in(pc.cast(b.column("l_partkey"), pa.int64())
+                          .combine_chunks(), value_set=pkeys)
+        keep = pos.is_valid()
+        f = b.filter(keep)
+        gi = pc.take(gis, pos.filter(keep))
+        g = pa.table({
+            "gi": gi,
+            "sk": pc.cast(f.column("l_suppkey"), pa.int64()),
+        }).group_by(["gi", "sk"]).aggregate([([], "count_all")])
+        return g.select(["gi", "sk"])
+
+    pairs = rd.read_parquet(_t(sf_dir, "lineitem"),
+                            columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["gi", "sk"]).aggregate(Count(alias_name="c"))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["gi"]).group_by("gi") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["gi", "p_n"])
+
+    counts = pairs.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("gi").aggregate(Sum("p_n", alias_name="supplier_cnt"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        gi = b.column("gi").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": pc.take(grid.column("p_brand"),
+                               pa.array(gi, pa.int64())),
+            "p_type": pc.take(grid.column("p_type"),
+                              pa.array(gi, pa.int64())),
+            "p_size": pc.cast(pc.take(grid.column("p_size"),
+                                      pa.array(gi, pa.int64())),
+                              pa.int64()),
+            "supplier_cnt": b.column("supplier_cnt"),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")

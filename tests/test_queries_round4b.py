@@ -337,3 +337,167 @@ def test_documents_ppl_buckets_planted(ray_session, tmp_path):
     assert rows[3]["ppl_bucket"] == 3          # tail: rare token only
     assert rows[4]["ppl_bucket"] == 1          # srcB independent split
     assert rows[5]["ppl_bucket"] == 2          # n=2 -> sizes 1/1/0
+
+
+def test_lineitem_revenue_forecast_predicates(ray_session, tmp_path):
+    """Each Q6 predicate excludes independently: out-of-year, discount
+    outside [0.05, 0.07], quantity ≥ 24; the one qualifying row's
+    revenue is price·discount."""
+    from ocr_engine_ray.pipelines.queries import q_lineitem_revenue_forecast
+
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(
+            [_ts("1996-06-01"), _ts("1995-06-01"), _ts("1996-06-01"),
+             _ts("1996-06-01")], pa.timestamp("us")),
+        "l_discount": pa.array([0.06, 0.06, 0.04, 0.06]),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 30.0]),
+        "l_extendedprice": pa.array([1000.0] * 4),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    rows = q_lineitem_revenue_forecast(str(tmp_path)).take_all()
+    assert rows == [{"revenue": 60.0, "n_items": 1}]
+
+
+def test_returned_item_report_quarter_and_flag(ray_session, tmp_path):
+    """Only R-flag lineitems on orders inside Q1-1996 contribute; the
+    report ranks by lost revenue with names joined."""
+    from ocr_engine_ray.pipelines.queries import q_returned_item_report
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["alice", "bob"]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1], pa.int64()),
+        "o_orderdate": pa.array(
+            [_ts("1996-02-01"), _ts("1996-03-01"), _ts("1996-07-01")],
+            pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 10: 100 returned; order 11: 300 returned + 50 kept;
+        # order 12: returned but OUT of the quarter
+        "l_orderkey": pa.array([10, 11, 11, 12], pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "N", "R"]),
+        "l_extendedprice": pa.array([100.0, 300.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    rows = q_returned_item_report(str(tmp_path)).take_all()
+    assert [(r["c_name"], r["revenue"]) for r in rows] \
+        == [("bob", 300.0), ("alice", 100.0)]
+
+
+def test_events_chi2_perfect_dependence(ray_session, tmp_path):
+    """A 2×2 table with perfect type↔hour separation: chi2 = n (=20),
+    dof = 1; zero cells enter as expected-count contributions."""
+    from ocr_engine_ray.pipelines.queries import q_events_chi2_independence
+
+    ts = ([_ts("2024-01-01T00:30:00")] * 10
+          + [_ts("2024-01-01T01:30:00")] * 10)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["click"] * 10 + ["view"] * 10),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = q_events_chi2_independence(str(tmp_path)).take_all()
+    assert rows == [{"chi2": 20.0, "dof": 1, "n_events": 20}]
+
+
+def test_events_chi2_independent(ray_session, tmp_path):
+    """Perfectly proportional rows → chi2 = 0."""
+    from ocr_engine_ray.pipelines.queries import q_events_chi2_independence
+
+    ts = [_ts("2024-01-01T00:30:00"), _ts("2024-01-01T01:30:00")] * 4
+    types = ["click", "click", "view", "view"] * 2
+    pq.write_table(pa.table({
+        "event_type": pa.array(types),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = q_events_chi2_independence(str(tmp_path)).take_all()
+    assert rows == [{"chi2": 0.0, "dof": 1, "n_events": 8}]
+
+
+def test_events_mwu_no_ties(ray_session, tmp_path):
+    """purchase {1,2} vs click {3,4}: R1 = 3 → U = 0,
+    z = −4/(2·√(5/3))."""
+    import math
+    from ocr_engine_ray.pipelines.queries import q_events_mwu_test
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase", "purchase", "click",
+                                "click"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = q_events_mwu_test(str(tmp_path)).take_all()
+    assert rows[0]["u"] == 0.0
+    assert abs(rows[0]["z"] - (-4.0 / (2.0 * math.sqrt(5.0 / 3.0)))) \
+        < 1e-12
+
+
+def test_events_mwu_with_ties(ray_session, tmp_path):
+    """purchase {1,2} vs click {2,3}: tied rank 2.5 → R1 = 3.5,
+    U = 0.5; tie correction Σ(t³−t) = 6 shrinks the variance to 1.5."""
+    import math
+    from ocr_engine_ray.pipelines.queries import q_events_mwu_test
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase", "purchase", "click",
+                                "click"]),
+        "value": pa.array([1.0, 2.0, 2.0, 3.0]),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = q_events_mwu_test(str(tmp_path)).take_all()
+    assert rows[0]["u"] == 0.5
+    assert abs(rows[0]["z"] - (-3.0 / (2.0 * math.sqrt(1.5)))) < 1e-12
+
+
+def test_top_supplier_keeps_ties(ray_session, tmp_path):
+    """Two suppliers tied at the maximum revenue BOTH survive (the
+    = MAX filter, not LIMIT 1); out-of-window revenue is ignored."""
+    from ocr_engine_ray.pipelines.queries import q_top_supplier
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_shipdate": pa.array(
+            [_ts("1996-02-01")] * 3 + [_ts("1995-02-01")],
+            pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0, 100.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s-one", "s-two", "s-three"]),
+    }), str(tmp_path / "supplier.parquet"))
+
+    rows = sorted(q_top_supplier(str(tmp_path)).take_all(),
+                  key=lambda r: r["s_suppkey"])
+    assert [(r["s_name"], r["revenue"]) for r in rows] \
+        == [("s-one", 100.0), ("s-two", 100.0)]
+
+
+def test_part_supplier_counts_distinct_and_excl(ray_session, tmp_path):
+    """Distinct-supplier counting per attribute group: a supplier
+    shipping the same group twice counts once; the excluded brand's
+    rows vanish entirely; two parts sharing (brand, type, size) pool
+    their suppliers."""
+    from ocr_engine_ray.pipelines.queries import q_part_supplier_counts
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#2", "Brand#2", "Brand#1"]),
+        "p_type": pa.array(["T", "T", "T"]),
+        "p_size": pa.array([5, 5, 5], pa.int32()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        # parts 1,2 share the group: suppliers 10 (twice, via both
+        # parts) and 20; part 3 is the excluded brand
+        "l_partkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 10, 20, 30], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    rows = q_part_supplier_counts(str(tmp_path)).take_all()
+    assert rows == [{"p_brand": "Brand#2", "p_type": "T", "p_size": 5,
+                     "supplier_cnt": 2}]
