@@ -442,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mwu_test": q.q_events_mwu_test,
         "top_supplier": q.q_top_supplier,
         "part_supplier_counts": q.q_part_supplier_counts,
+        "events_benford_digits": q.q_events_benford_digits,
+        "events_daily_autocorr": q.q_events_daily_autocorr,
+        "events_spearman": q.q_events_spearman,
     }
 
 
@@ -2991,5 +2994,72 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY 1, 2, 3
+        """,
+        "events_benford_digits": """
+            WITH c AS (SELECT CAST(abs(round(value * 100)) AS BIGINT)
+                              AS cents
+                       FROM events),
+            d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit
+                  FROM c WHERE cents > 0),
+            g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+            FROM g, t
+        """,
+        "events_daily_autocorr": """
+            WITH g AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            p AS (SELECT n AS y, LAG(n) OVER (ORDER BY day) AS x,
+                         epoch_us(day) - LAG(epoch_us(day))
+                             OVER (ORDER BY day) AS gap
+                  FROM g),
+            q AS (SELECT x, y FROM p WHERE gap = 86400000000),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(y * y) AS BIGINT) AS syy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM q)
+            SELECT CAST(np * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                          * CAST(np * syy - sy * sy AS DOUBLE))
+                       AS autocorr,
+                   np AS n_pairs
+            FROM s WHERE np > 0
+        """,
+        "events_spearman": """
+            WITH e AS (SELECT value, epoch_us(ts) AS t FROM events
+                       WHERE event_type = 'purchase'),
+            hx AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS nv
+                   FROM e GROUP BY 1),
+            ox AS (SELECT value,
+                          2 * (SUM(nv) OVER (ORDER BY value) - nv)
+                          + nv + 1 AS rx2
+                   FROM hx),
+            hy AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nv
+                   FROM e GROUP BY 1),
+            oy AS (SELECT t,
+                          2 * (SUM(nv) OVER (ORDER BY t) - nv)
+                          + nv + 1 AS ry2
+                   FROM hy),
+            p AS (SELECT rx2, ry2
+                  FROM e JOIN ox USING (value) JOIN oy USING (t)),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(rx2) AS BIGINT) AS sx,
+                         CAST(SUM(ry2) AS BIGINT) AS sy,
+                         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+                         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+                         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+                  FROM p)
+            SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) AS rho,
+                   n
+            FROM s WHERE n > 0
         """,
     }

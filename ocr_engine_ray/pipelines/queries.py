@@ -8254,3 +8254,189 @@ def q_part_supplier_counts(sf_dir: str) -> Dataset:
         })
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_benford_digits(sf_dir: str) -> Dataset:
+    """Benford first-significant-digit audit of the value column — the
+    classic fabricated-data / unit-mixup screen.  Digit extraction is
+    EXACT integer string arithmetic on both sides: value quantizes to
+    positive cents (scaling by a power of ten preserves the leading
+    significant digit), and the digit is the first character of the
+    decimal integer — no log10/pow boundary cases to disagree on.
+    Zero-cent rows drop (no significant digit).  Per-batch partials
+    over the 9-row digit grid → one bounded tree combine; shares are
+    each one float division of exact int64 counts."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.abs(scaled_int_sql(b.column("value"), 100.0))
+        cents = cents[cents > 0]
+        # first decimal digit: strip to the leading power of ten
+        d = cents.copy()
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "p_n": pa.array(counts, pa.int64()),
+        })
+
+    grid = _tree_combine(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["digit"], [("p_n", "sum")], ["digit", "p_n"], ["digit", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        return pa.table({
+            "digit": b.column("digit"),
+            "n": b.column("n"),
+            "share": n.astype(np.float64) / float(tot),
+        }).filter(pa.array(n > 0))
+
+    return grid.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def q_events_daily_autocorr(sf_dir: str) -> Dataset:
+    """Lag-1 autocorrelation of the daily event count — the
+    time-series health check that flags weekly seasonality loss or
+    ingestion gaps.  Daily counts fold out of per-batch partials +
+    one bounded tree combine (the calendar grid); consecutive-day
+    pairs (strictly day+1 — a missing day breaks the pair, same as
+    the twin's LAG + date filter) and the Pearson over them run in
+    the single-block finish.  Counts and all five Pearson sums are
+    exact integers; the twin's float expression tree is replayed at
+    the end."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+        }).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"]))
+    if grid is None or grid.num_rows < 2:
+        return rd.from_arrow(pa.table({
+            "autocorr": pa.array([], pa.float64()),
+            "n_pairs": pa.array([], pa.int64())}))
+    grid = grid.sort_by("day")
+    days = grid.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    n = grid.column("n").to_numpy(zero_copy_only=False)
+    DAY_US = 86_400_000_000
+    consec = np.flatnonzero(np.diff(days) == DAY_US)
+    if len(consec) == 0:
+        return rd.from_arrow(pa.table({
+            "autocorr": pa.array([], pa.float64()),
+            "n_pairs": pa.array([], pa.int64())}))
+    x = n[consec].astype(object)       # big-int exact sums
+    y = n[consec + 1].astype(object)
+    np_ = len(consec)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    num = float(np_ * sxy - sx * sy)
+    den = float(np_ * sxx - sx * sx) * float(np_ * syy - sy * sy)
+    import math
+    r = num / math.sqrt(den)
+    return rd.from_arrow(pa.table({
+        "autocorr": pa.array([r], pa.float64()),
+        "n_pairs": pa.array([np_], pa.int64())}))
+
+
+def q_events_spearman(sf_dir: str) -> Dataset:
+    """Spearman rank correlation (tie-aware) between purchase value
+    and time — the monotone-trend detector that Pearson-on-values
+    (q_events_value_trend) can't give.  Distributed shape: one
+    histogram exchange per variable turns each into an average-rank
+    map (2·rank kept integral so ties cost no precision:
+    r2 = 2·cum_before + n_v + 1), both maps ride one ``ray.put`` and
+    rewrite rows vectorized (``index_in`` — bounded by the same ~1.2M
+    cap as the sums), and the five Pearson sums over the
+    (rx2, ry2) pairs ride int64 partials to one Dataset.aggregate —
+    Pearson-on-average-ranks IS tie-corrected Spearman.  Everything
+    until the final quotient is exact integer arithmetic; the twin
+    replays the cast/sqrt tree.  int64 bound: Σ rx2²·n ≲ 4n³ caps a
+    scope at ~1.2M rows — beyond that, shard the scope (e.g.
+    per-day Spearman) or quantize ranks; the guard below is loud."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "value": b.column("value"),
+                "t": pc.cast(b.column("ts"), pa.int64()),
+            }).filter(pc.equal(b.column("event_type"), "purchase")),
+            batch_format="pyarrow")
+
+    def rank_map(col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            g = b.select([col]).group_by(col) \
+                .aggregate([([], "count_all")])
+            return g.rename_columns([col, "p_n"])
+        hist = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(col).aggregate(Sum("p_n", alias_name="nv"))
+        tb = _small_table(hist)   # bounded: the distinct-value histogram
+        if tb is None:
+            return None, None, 0
+        tb = tb.sort_by(col)
+        nv = tb.column("nv").to_numpy(zero_copy_only=False)
+        cb = np.cumsum(nv) - nv
+        r2 = 2 * cb + nv + 1                 # 2 × average rank, exact
+        return (tb.column(col).combine_chunks(),
+                pa.array(r2, pa.int64()), int(nv.sum()))
+
+    vx, rx2, n_rows = rank_map("value")
+    if n_rows == 0:
+        return rd.from_arrow(pa.table({
+            "rho": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64())}))
+    if n_rows > 1_200_000:
+        raise ValueError(
+            "q_events_spearman: scope holds %d rows; int64 rank-sum "
+            "products overflow past ~1.2M — shard the scope or "
+            "quantize ranks" % n_rows)
+    vy, ry2, _ = rank_map("t")
+    maps_ref = ray.put((vx, rx2, vy, ry2))
+
+    def sums(b: pa.Table) -> pa.Table:
+        mvx, mrx2, mvy, mry2 = ray.get(maps_ref)
+        px = pc.index_in(b.column("value").combine_chunks(),
+                         value_set=mvx)
+        py = pc.index_in(b.column("t").combine_chunks(), value_set=mvy)
+        x = pc.take(mrx2, px).to_numpy(zero_copy_only=False)
+        y = pc.take(mry2, py).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    g = ds.map_batches(sums, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    import math
+    n, sx, sy = int(g["n"]), int(g["sx"]), int(g["sy"])
+    sxx, syy, sxy = int(g["sxx"]), int(g["syy"]), int(g["sxy"])
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    rho = num / math.sqrt(den)
+    return rd.from_arrow(pa.table({
+        "rho": pa.array([rho], pa.float64()),
+        "n": pa.array([n], pa.int64())}))

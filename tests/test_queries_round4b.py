@@ -501,3 +501,68 @@ def test_part_supplier_counts_distinct_and_excl(ray_session, tmp_path):
     rows = q_part_supplier_counts(str(tmp_path)).take_all()
     assert rows == [{"p_brand": "Brand#2", "p_type": "T", "p_size": 5,
                      "supplier_cnt": 2}]
+
+
+def test_events_benford_digits(ray_session, tmp_path):
+    """First SIGNIFICANT digit: 0.05 → 5 (scaling preserves it),
+    123.45 → 1, negative values count by magnitude, zero drops."""
+    from ocr_engine_ray.pipelines.queries import q_events_benford_digits
+
+    pq.write_table(pa.table({
+        "value": pa.array([0.05, 123.45, -9.99, 0.0, 1.0]),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = {r["digit"]: r for r in
+            q_events_benford_digits(str(tmp_path)).take_all()}
+    assert set(rows) == {1, 5, 9}
+    assert rows[1]["n"] == 2 and rows[1]["share"] == 0.5
+    assert rows[5]["n"] == 1 and rows[9]["n"] == 1
+
+
+def test_events_daily_autocorr_gap_breaks_pairs(ray_session, tmp_path):
+    """Counts 1,2,3 on consecutive days then a gap then 100: only the
+    two consecutive pairs (1,2),(2,3) enter → perfect r = 1.0; the
+    across-gap pair is excluded (it would wreck the correlation)."""
+    from ocr_engine_ray.pipelines.queries import q_events_daily_autocorr
+
+    ts = ([_ts("2024-01-01T05:00:00")] * 1
+          + [_ts("2024-01-02T05:00:00")] * 2
+          + [_ts("2024-01-03T05:00:00")] * 3
+          + [_ts("2024-01-10T05:00:00")] * 100)
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = q_events_daily_autocorr(str(tmp_path)).take_all()
+    assert rows[0]["n_pairs"] == 2
+    assert abs(rows[0]["autocorr"] - 1.0) < 1e-12
+
+
+def test_events_spearman_monotone_and_ties(ray_session, tmp_path):
+    """A strictly increasing value-over-time purchase series gives
+    ρ = 1 regardless of spacing (rank-based); reversing one pair
+    breaks it below 1; non-purchase rows are ignored."""
+    from ocr_engine_ray.pipelines.queries import q_events_spearman
+
+    base = [("purchase", "2024-01-01T00:00:0%d" % i, float(v))
+            for i, v in enumerate([1, 3, 7, 20], 0)] \
+        + [("view", "2024-01-01T00:00:09", 0.5)]
+    pq.write_table(pa.table({
+        "event_type": pa.array([r[0] for r in base]),
+        "ts": pa.array([_ts(r[1]) for r in base], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in base]),
+    }), str(tmp_path / "events.parquet"))
+    rows = q_events_spearman(str(tmp_path)).take_all()
+    assert rows[0]["n"] == 4
+    assert abs(rows[0]["rho"] - 1.0) < 1e-12
+
+    # swap the last two values → one discordant pair
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase"] * 4),
+        "ts": pa.array([_ts("2024-01-01T00:00:0%d" % i)
+                        for i in range(4)], pa.timestamp("us")),
+        "value": pa.array([1.0, 3.0, 20.0, 7.0]),
+    }), str(tmp_path / "events.parquet"))
+    rows = q_events_spearman(str(tmp_path)).take_all()
+    assert rows[0]["rho"] < 1.0
+    assert abs(rows[0]["rho"] - 0.8) < 1e-12   # classic n=4 one-swap
