@@ -445,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford_digits": q.q_events_benford_digits,
         "events_daily_autocorr": q.q_events_daily_autocorr,
         "events_spearman": q.q_events_spearman,
+        "customers_order_count_dist": q.q_customers_order_count_dist,
+        "small_quantity_revenue": q.q_small_quantity_revenue,
+        "brand_size_revenue": q.q_brand_size_revenue,
+        "lineitem_priority_counts": q.q_lineitem_priority_counts,
     }
 
 
@@ -3061,5 +3065,61 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(n * syy - sy * sy AS DOUBLE)) AS rho,
                    n
             FROM s WHERE n > 0
+        """,
+        "customers_order_count_dist": """
+            WITH oc AS (SELECT o_custkey,
+                               CAST(COUNT(*) AS BIGINT) AS c_count
+                        FROM orders GROUP BY o_custkey),
+            per AS (SELECT c_custkey,
+                           COALESCE(c_count, 0) AS c_count
+                    FROM customer LEFT OUTER JOIN oc
+                      ON c_custkey = o_custkey)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per GROUP BY c_count
+        """,
+        "small_quantity_revenue": """
+            WITH st AS (SELECT l_partkey,
+                               CAST(SUM(CAST(l_quantity AS BIGINT))
+                                    AS BIGINT) AS sq,
+                               CAST(COUNT(*) AS BIGINT) AS cq
+                        FROM lineitem JOIN part
+                          ON l_partkey = p_partkey
+                        WHERE p_brand = 'Brand#23'
+                        GROUP BY l_partkey)
+            SELECT COALESCE(CAST(SUM(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)) AS DOUBLE)
+                            / 100.0, 0.0) AS small_qty_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN st USING (l_partkey)
+            WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq
+        """,
+        "brand_size_revenue": """
+            SELECT COALESCE(CAST(SUM(CAST(round(l_extendedprice
+                                               * (1 - l_discount)
+                                               * 10000) AS BIGINT))
+                                 AS DOUBLE) / 10000.0, 0.0) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 35)
+        """,
+        "lineitem_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag
         """,
     }

@@ -8440,3 +8440,231 @@ def q_events_spearman(sf_dir: str) -> Dataset:
     return rd.from_arrow(pa.table({
         "rho": pa.array([rho], pa.float64()),
         "n": pa.array([n], pa.int64())}))
+
+
+def q_customers_order_count_dist(sf_dir: str) -> Dataset:
+    """TPC-H-Q13-shaped customer-distribution histogram: for each
+    order count c (including 0), how many customers placed exactly c
+    orders.  Scale shape: the fact table first collapses to one row
+    per customer (per-batch partial counts + one int64 groupby — the
+    aggregate-before-join discipline), then a hash-partitioned LEFT
+    OUTER join from customer fills the zero-order bucket, and the
+    histogram itself is a per-batch partial over a key domain bounded
+    by max-orders-per-customer (tiny), so the final groupby moves at
+    most a few dozen rows per block.  No broadcast of either fact —
+    both sides stay distributed (at 100 TB customer is fact-sized)."""
+    per_cust = with_schema(
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+        .map_batches(
+            lambda b: pa.table({
+                "k": pc.cast(b.column("o_custkey"), pa.int64())})
+            .group_by("k").aggregate([([], "count_all")])
+            .rename_columns(["k", "c"]),
+            batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("c", alias_name="c_count")),
+        pa.schema([("k", pa.int64()), ("c_count", pa.int64())]))
+
+    j = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]) \
+        .join(per_cust, join_type="left_outer", num_partitions=8,
+              on=("c_custkey",), right_on=("k",))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        cc = pc.coalesce(b.column("c_count"), pa.scalar(0, pa.int64()))
+        g = pa.table({"c_count": cc}).group_by("c_count") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "p_n"])
+
+    return with_schema(
+        j.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count").aggregate(Sum("p_n", alias_name="custdist")),
+        pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]))
+
+
+def q_small_quantity_revenue(sf_dir: str) -> Dataset:
+    """TPC-H-Q17-shaped small-quantity-order revenue: total revenue of
+    Brand#23 lineitems whose quantity is below 20 % of that part's own
+    average quantity — the correlated-scalar-per-part shape.  The
+    threshold test is the exact integer cross-multiply
+    5·qty·count(part) < sum_qty(part) (quantities are integral here;
+    no float average, no division), replayed verbatim in the twin.
+    Scale shape: the brand keys are dim-sided (one ray.put); the
+    per-part (sum, count) aggregate is bounded by the brand's part
+    count (1/|brands| of a dim table), so it rides a second broadcast;
+    lineitem is scanned twice, column-pruned, and never shuffles."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    BRAND = "Brand#23"
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand"])
+    bkeys = part.filter(pc.equal(part.column("p_brand"), BRAND)) \
+        .column("p_partkey").combine_chunks().cast(pa.int64())
+    bkeys_ref = ray.put(bkeys)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64())
+        f = pa.table({
+            "pk": pk,
+            "q": pc.cast(b.column("l_quantity"), pa.int64()),
+        }).filter(pc.is_in(pk, value_set=ray.get(bkeys_ref)))
+        g = f.group_by("pk").aggregate([("q", "sum"),
+                                        ([], "count_all")])
+        return g.rename_columns(["pk", "sq", "cq"])
+
+    stats = _small_table(with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_quantity"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("pk").aggregate(Sum("sq", alias_name="sq"),
+                                 Sum("cq", alias_name="cq")),
+        pa.schema([("pk", pa.int64()), ("sq", pa.int64()),
+                   ("cq", pa.int64())])))
+    if stats is None:
+        return rd.from_arrow(pa.table({
+            "small_qty_revenue": pa.array([0.0], pa.float64()),
+            "n_items": pa.array([0], pa.int64())}))
+    stats_ref = ray.put((
+        stats.column("pk").combine_chunks(),
+        stats.column("sq").to_numpy(zero_copy_only=False),
+        stats.column("cq").to_numpy(zero_copy_only=False)))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        pk_all, sq, cq = ray.get(stats_ref)
+        pos = pc.index_in(pc.cast(b.column("l_partkey"), pa.int64())
+                          .combine_chunks(), value_set=pk_all)
+        keep = pos.is_valid()
+        f = b.filter(keep)
+        idx = pos.filter(keep).to_numpy(zero_copy_only=False)
+        qty = pc.cast(f.column("l_quantity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        small = 5 * qty * cq[idx] < sq[idx]
+        cents = scaled_int_sql(f.column("l_extendedprice"), 100.0)
+        return pa.table({
+            "r": pa.array([int(cents[small].sum())], pa.int64()),
+            "n": pa.array([int(small.sum())], pa.int64())})
+
+    g = rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
+    return rd.from_arrow(pa.table({
+        "small_qty_revenue": pa.array([float(int(g["r"])) / 100.0],
+                                      pa.float64()),
+        "n_items": pa.array([int(g["n"])], pa.int64())}))
+
+
+def q_brand_size_revenue(sf_dir: str) -> Dataset:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: one filtered
+    aggregate whose predicate is an OR of three (brand, size-range,
+    quantity-range) branches — the classic "discounted revenue"
+    shape that defeats naive predicate pushdown.  Scale shape: part
+    is dim-sided, so each branch's partkey set rides ONE ray.put
+    broadcast into the column-pruned lineitem scan; the per-batch
+    mask is three vectorized is_in ∧ between tests OR'd together;
+    two int64 partials ride to one global aggregate.  Nothing
+    shuffles and the fact table is read once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    BRANCHES = [("Brand#12", 1, 15, 1.0, 15.0),
+                ("Brand#23", 10, 30, 10.0, 25.0),
+                ("Brand#3", 20, 50, 20.0, 35.0)]
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    sets = []
+    for brand, slo, shi, _, _ in BRANCHES:
+        m = pc.and_(pc.equal(part.column("p_brand"), brand),
+                    pc.and_(pc.greater_equal(part.column("p_size"),
+                                             pa.scalar(slo, pa.int32())),
+                            pc.less_equal(part.column("p_size"),
+                                          pa.scalar(shi, pa.int32()))))
+        sets.append(part.filter(m).column("p_partkey")
+                    .combine_chunks().cast(pa.int64()))
+    sets_ref = ray.put(sets)
+
+    def partial(b: pa.Table) -> pa.Table:
+        branch_keys = ray.get(sets_ref)
+        pk = pc.cast(b.column("l_partkey"), pa.int64()).combine_chunks()
+        qty = b.column("l_quantity")
+        mask = pa.array([False] * b.num_rows, pa.bool_())
+        for (_, _, _, qlo, qhi), keys in zip(BRANCHES, branch_keys):
+            bm = pc.and_(pc.is_in(pk, value_set=keys),
+                         pc.and_(pc.greater_equal(qty, pa.scalar(qlo)),
+                                 pc.less_equal(qty, pa.scalar(qhi))))
+            mask = pc.or_(mask, bm)
+        f = b.filter(mask)
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        return pa.table({"r": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([f.num_rows], pa.int64())})
+
+    g = rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
+    return rd.from_arrow(pa.table({
+        "revenue": pa.array([float(int(g["r"])) / 10000.0],
+                            pa.float64()),
+        "n_items": pa.array([int(g["n"])], pa.int64())}))
+
+
+def q_lineitem_priority_counts(sf_dir: str) -> Dataset:
+    """TPC-H-Q12-shaped priority line counts (shipmode → returnflag —
+    this corpus has no l_shipmode): per return flag within a two-year
+    ship window, how many lineitems belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs low.  Scale shape: lineitem collapses to
+    per-(orderkey, flag) partial counts BEFORE the join (aggregate-
+    before-join), the orders side is column-pruned, the join is
+    Ray's hash-partitioned inner join, and the post-join partial
+    groups on the ≤ (flags × 2)-row (flag, is_high) domain, so the
+    final exchange is a handful of rows per block."""
+    import numpy as np
+
+    LO = pa.scalar(np.datetime64("1996-01-01", "us"))
+    HI = pa.scalar(np.datetime64("1998-01-01", "us"))
+    HIGH = pa.array(["1-URGENT", "2-HIGH"], pa.string())
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), LO),
+                    pc.less(b.column("l_shipdate"), HI))
+        f = pa.table({
+            "k": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "flag": b.column("l_returnflag"),
+        }).filter(m)
+        g = f.group_by(["k", "flag"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "flag", "c"])
+
+    li = with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_returnflag",
+                                 "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby(["k", "flag"]).aggregate(Sum("c", alias_name="c")),
+        pa.schema([("k", pa.int64()), ("flag", pa.string()),
+                   ("c", pa.int64())]))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("k",), right_on=("o_orderkey",))
+
+    def split_partial(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(b.column("o_orderpriority"), value_set=HIGH)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        him = hi.to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "l_returnflag": b.column("flag"),
+            "h": pa.array(np.where(him, c, 0), pa.int64()),
+            "l": pa.array(np.where(him, 0, c), pa.int64()),
+        }).group_by("l_returnflag").aggregate([("h", "sum"),
+                                               ("l", "sum")])
+        return g.rename_columns(["l_returnflag", "p_h", "p_l"])
+
+    return j.map_batches(split_partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("p_h", alias_name="high_line_count"),
+                   Sum("p_l", alias_name="low_line_count"))
