@@ -449,6 +449,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": q.q_small_quantity_revenue,
         "brand_size_revenue": q.q_brand_size_revenue,
         "lineitem_priority_counts": q.q_lineitem_priority_counts,
+        "national_market_share": q.q_national_market_share,
+        "product_profit_by_nation": q.q_product_profit_by_nation,
+        "min_balance_supplier": q.q_min_balance_supplier,
+        "top_share_suppliers": q.q_top_share_suppliers,
+        "sole_returning_suppliers": q.q_sole_returning_suppliers,
     }
 
 
@@ -3121,5 +3126,106 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY l_returnflag
+        """,
+        "national_market_share": """
+            WITH asia AS (SELECT n_nationkey
+                          FROM nation JOIN region
+                            ON n_regionkey = r_regionkey
+                          WHERE r_name = 'ASIA'),
+            tgt AS (SELECT s_suppkey FROM supplier
+                    WHERE s_nationkey = 2),
+            li AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                          CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT) AS r,
+                          CASE WHEN l_suppkey IN (SELECT * FROM tgt)
+                               THEN CAST(round(l_extendedprice
+                                               * (1 - l_discount)
+                                               * 10000) AS BIGINT)
+                               ELSE 0 END AS tr
+                   FROM lineitem
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN part ON p_partkey = l_partkey
+                   WHERE p_type = 'STANDARD'
+                     AND c_nationkey IN (SELECT * FROM asia))
+            SELECT o_year,
+                   CAST(SUM(tr) AS DOUBLE) / CAST(SUM(r) AS DOUBLE)
+                       AS mkt_share,
+                   CAST(SUM(r) AS DOUBLE) / 10000.0 AS market_revenue
+            FROM li GROUP BY o_year
+        """,
+        "product_profit_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 10000)
+                                 AS BIGINT)
+                            - CAST(round(p_retailprice * 100)
+                                   AS BIGINT)
+                              * CAST(l_quantity AS BIGINT) * 100)
+                        AS DOUBLE) / 10000.0 AS profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
+        "min_balance_supplier": """
+            WITH eu AS (SELECT n_nationkey, n_name
+                        FROM nation JOIN region
+                          ON n_regionkey = r_regionkey
+                        WHERE r_name = 'EUROPE'),
+            ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            cand AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                            p_name, s_suppkey, s_name, s_acctbal,
+                            n_name
+                     FROM ps
+                     JOIN part ON p_partkey = l_partkey
+                     JOIN supplier ON s_suppkey = l_suppkey
+                     JOIN eu ON s_nationkey = n_nationkey
+                     WHERE p_type = 'SMALL' AND p_size <= 10),
+            best AS (SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY p_partkey
+                         ORDER BY CAST(round(s_acctbal * 100)
+                                       AS BIGINT), s_suppkey) AS rn
+                     FROM cand)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM best WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey
+            LIMIT 100
+        """,
+        "top_share_suppliers": """
+            WITH keys AS (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%'),
+            pair AS (SELECT l_partkey, l_suppkey,
+                            CAST(SUM(CAST(l_quantity AS BIGINT))
+                                 AS BIGINT) AS sq
+                     FROM lineitem JOIN keys
+                       ON p_partkey = l_partkey
+                     GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq
+                    FROM pair GROUP BY 1)
+            SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM pair
+            JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE 8 * sq > tq
+            GROUP BY 1, 2
+        """,
+        "sole_returning_suppliers": """
+            WITH pair AS (SELECT l_orderkey, l_suppkey,
+                                 MAX(CASE WHEN l_returnflag = 'R'
+                                          THEN 1 ELSE 0 END) AS ret
+                          FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(ret) AS BIGINT) AS nr,
+                         CAST(SUM(ret * l_suppkey) AS BIGINT) AS rsk
+                  FROM pair GROUP BY 1)
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM o JOIN supplier ON s_suppkey = rsk
+            WHERE n > 1 AND nr = 1
+            GROUP BY 1
         """,
     }

@@ -8668,3 +8668,479 @@ def q_lineitem_priority_counts(sf_dir: str) -> Dataset:
         .groupby("l_returnflag") \
         .aggregate(Sum("p_h", alias_name="high_line_count"),
                    Sum("p_l", alias_name="low_line_count"))
+
+
+def q_national_market_share(sf_dir: str) -> Dataset:
+    """TPC-H-Q8-shaped national market share: of all STANDARD-part
+    revenue sold to ASIA-region customers, what fraction was supplied
+    by NATION_2, per order year.  Scale shape: part and supplier are
+    dim-sided (STANDARD partkeys and the target-nation suppkey set
+    ride one ray.put each); lineitem pre-aggregates exact int64
+    (revenue, target_revenue) per orderkey in-batch; the two joins —
+    against the pruned orders scan and against the ASIA-filtered
+    customer scan — are Ray hash joins between aggregates, never raw
+    facts; the final groupby is ≤ #years rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    TARGET_NATION = 2
+    REGION = "ASIA"
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    std = part.filter(pc.equal(part.column("p_type"), "STANDARD")) \
+        .column("p_partkey").combine_chunks().cast(pa.int64())
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    tgt = sup.filter(pc.equal(pc.cast(sup.column("s_nationkey"),
+                                      pa.int64()),
+                              pa.scalar(TARGET_NATION, pa.int64()))) \
+        .column("s_suppkey").combine_chunks().cast(pa.int64())
+    reg = pq.read_table(_t(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg.column("r_name"), REGION)) \
+        .column("r_regionkey").cast(pa.int64())
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"])
+    asia = nat.filter(pc.is_in(pc.cast(nat.column("n_regionkey"),
+                                       pa.int64()), value_set=rkey)) \
+        .column("n_nationkey").combine_chunks().cast(pa.int64())
+    dims_ref = ray.put((std, tgt, asia))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        stdk, tgtk, _ = ray.get(dims_ref)
+        pk = pc.cast(b.column("l_partkey"), pa.int64()).combine_chunks()
+        f = b.filter(pc.is_in(pk, value_set=stdk))
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        is_t = pc.is_in(pc.cast(f.column("l_suppkey"), pa.int64())
+                        .combine_chunks(), value_set=tgtk) \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "k": pc.cast(f.column("l_orderkey"), pa.int64()),
+            "r": pa.array(rev, pa.int64()),
+            "tr": pa.array(np.where(is_t, rev, 0), pa.int64()),
+        }).group_by("k").aggregate([("r", "sum"), ("tr", "sum")])
+        return g.rename_columns(["k", "r", "tr"])
+
+    rev = with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("r", alias_name="r"),
+                                Sum("tr", alias_name="tr")),
+        pa.schema([("k", pa.int64()), ("r", pa.int64()),
+                   ("tr", pa.int64())]))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "o_orderkey": pc.cast(b.column("o_orderkey"),
+                                      pa.int64()),
+                "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                                  pa.int64())}),
+            batch_format="pyarrow")
+    j1 = rev.join(orders, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("o_orderkey",))
+
+    per_cust = with_schema(
+        j1.map_batches(
+            lambda b: b.select(["o_custkey", "o_year", "r", "tr"])
+            .group_by(["o_custkey", "o_year"])
+            .aggregate([("r", "sum"), ("tr", "sum")])
+            .rename_columns(["o_custkey", "o_year", "r", "tr"]),
+            batch_format="pyarrow")
+        .groupby(["o_custkey", "o_year"])
+        .aggregate(Sum("r", alias_name="r"), Sum("tr", alias_name="tr")),
+        pa.schema([("o_custkey", pa.int64()), ("o_year", pa.int64()),
+                   ("r", pa.int64()), ("tr", pa.int64())]))
+
+    cust = with_schema(
+        rd.read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda b: pa.table({
+                "c_custkey": pc.cast(
+                    b.column("c_custkey"), pa.int64()).combine_chunks()
+            }).filter(pc.is_in(
+                pc.cast(b.column("c_nationkey"), pa.int64())
+                .combine_chunks(), value_set=ray.get(dims_ref)[2])),
+            batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64())]))
+    j2 = per_cust.join(cust, join_type="inner", num_partitions=8,
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+    agg = j2.map_batches(
+        lambda b: b.select(["o_year", "r", "tr"]).group_by("o_year")
+        .aggregate([("r", "sum"), ("tr", "sum")])
+        .rename_columns(["o_year", "p_r", "p_tr"]),
+        batch_format="pyarrow") \
+        .groupby("o_year").aggregate(Sum("p_r", alias_name="r"),
+                                     Sum("p_tr", alias_name="tr"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t = b.column("tr").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "o_year": b.column("o_year"),
+            "mkt_share": t / r,
+            "market_revenue": r / 10000.0,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_product_profit_by_nation(sf_dir: str) -> Dataset:
+    """TPC-H-Q9-shaped product-type profit: per (supplier nation, ship
+    year), Σ revenue − cost over parts whose name contains 'bolt'.
+    This corpus has no partsupp, so cost = p_retailprice·quantity
+    (the adaptation is in the twin too).  Profit stays exact int64 at
+    4 dp: round(extprice·(1−disc)·10⁴) − retail_cents·qty·100.  Scale
+    shape: part and supplier are dim-sided lookups (one ray.put);
+    ONE column-pruned lineitem scan, per-batch partial profit per
+    (nationkey, year), final groupby ≤ nations×years rows.  No join
+    ever touches the fact table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    m = pc.match_substring(part.column("p_name"), "bolt")
+    pf = part.filter(m)
+    pkeys = pf.column("p_partkey").combine_chunks().cast(pa.int64())
+    rcents = scaled_int_sql(pf.column("p_retailprice"), 100.0)
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").combine_chunks().cast(pa.int64())
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    dims_ref = ray.put((pkeys, rcents, skeys, snat))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pkeys, rcents, skeys, snat = ray.get(dims_ref)
+        pos = pc.index_in(pc.cast(b.column("l_partkey"), pa.int64())
+                          .combine_chunks(), value_set=pkeys)
+        keep = pos.is_valid()
+        f = b.filter(keep)
+        pidx = pos.filter(keep).to_numpy(zero_copy_only=False)
+        spos = pc.index_in(pc.cast(f.column("l_suppkey"), pa.int64())
+                           .combine_chunks(), value_set=skeys) \
+            .to_numpy(zero_copy_only=False)
+        qty = pc.cast(f.column("l_quantity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        profit = rev - rcents[pidx] * qty * 100
+        g = pa.table({
+            "nat": pa.array(snat[spos], pa.int64()),
+            "o_year": pc.cast(pc.year(f.column("l_shipdate")),
+                              pa.int64()),
+            "p": pa.array(profit, pa.int64()),
+        }).group_by(["nat", "o_year"]).aggregate([("p", "sum")])
+        return g.rename_columns(["nat", "o_year", "pp"])
+
+    agg = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["nat", "o_year"]).aggregate(Sum("pp", alias_name="p"))
+
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(
+        (int(k) for k in nat.column("n_nationkey").to_pylist()),
+        nat.column("n_name").to_pylist()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        p = b.column("p").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "nation": pa.array([name_by_key[k] for k in
+                                b.column("nat").to_pylist()]),
+            "o_year": b.column("o_year"),
+            "profit": p / 10000.0,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_min_balance_supplier(sf_dir: str) -> Dataset:
+    """TPC-H-Q2-shaped minimum-cost supplier: for each SMALL part of
+    size ≤ 10, the EUROPE-region supplier with the lowest account
+    balance among suppliers who actually shipped that part (this
+    corpus has no partsupp, so the part↔supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) derived from lineitem, and
+    "cost" = s_acctbal), top-100 by balance descending.  Scale
+    shape: the fact collapses to distinct pairs via per-batch group
+    + one pair groupby; the per-part minimum is an int64 Min over a
+    packed ((cents+offset)<<32 | suppkey) key, so (balance, suppkey)
+    tie-breaking is ONE aggregate, not a window; part and supplier
+    attributes are dim-sided broadcasts; output is result-bounded."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    OFF = 1 << 40  # acctbal cents can be negative; offset keeps packs positive
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_type",
+                                  "p_size"])
+    pf = part.filter(pc.and_(
+        pc.equal(part.column("p_type"), "SMALL"),
+        pc.less_equal(part.column("p_size"), pa.scalar(10, pa.int32()))))
+    pkeys = pf.column("p_partkey").combine_chunks().cast(pa.int64())
+    pname_by_key = dict(zip(pf.column("p_partkey").to_pylist(),
+                            pf.column("p_name").to_pylist()))
+
+    reg = pq.read_table(_t(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg.column("r_name"), "EUROPE")) \
+        .column("r_regionkey").cast(pa.int64())
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"])
+    eu = nat.filter(pc.is_in(pc.cast(nat.column("n_regionkey"),
+                                     pa.int64()), value_set=rkey))
+    eu_keys = set(int(k) for k in eu.column("n_nationkey").to_pylist())
+    nname_by_key = dict(zip(
+        (int(k) for k in eu.column("n_nationkey").to_pylist()),
+        eu.column("n_name").to_pylist()))
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name", "s_acctbal",
+                                 "s_nationkey"])
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    eu_mask = np.isin(snat, np.array(sorted(eu_keys), dtype=snat.dtype))
+    sf_tab = sup.filter(pa.array(eu_mask))
+    skeys = sf_tab.column("s_suppkey").combine_chunks().cast(pa.int64())
+    scents = scaled_int_sql(sf_tab.column("s_acctbal"), 100.0)
+    sup_info = {int(k): (sf_tab.column("s_name")[i].as_py(),
+                         float(sf_tab.column("s_acctbal")[i].as_py()),
+                         nname_by_key[int(sf_tab.column("s_nationkey")[i]
+                                          .as_py())])
+                for i, k in enumerate(skeys.to_pylist())}
+    dims_ref = ray.put((pkeys, skeys, scents))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pkeys, skeys, scents = ray.get(dims_ref)
+        pk = pc.cast(b.column("l_partkey"), pa.int64()).combine_chunks()
+        f = b.filter(pc.is_in(pk, value_set=pkeys))
+        spos = pc.index_in(pc.cast(f.column("l_suppkey"), pa.int64())
+                           .combine_chunks(), value_set=skeys)
+        keep = spos.is_valid()
+        f2 = f.filter(keep)
+        sidx = spos.filter(keep).to_numpy(zero_copy_only=False)
+        sk = pc.cast(f2.column("l_suppkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        packed = (scents[sidx] + OFF) * (1 << 32) + sk
+        g = pa.table({
+            "pk": pc.cast(f2.column("l_partkey"), pa.int64()),
+            "m": pa.array(packed, pa.int64()),
+        }).group_by("pk").aggregate([("m", "min")])
+        return g.rename_columns(["pk", "m"])
+
+    best = _small_table(with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pk").aggregate(Min("m", alias_name="m")),
+        pa.schema([("pk", pa.int64()), ("m", pa.int64())])))
+    if best is None:
+        return rd.from_arrow(pa.schema([
+            ("s_acctbal", pa.float64()), ("s_name", pa.string()),
+            ("n_name", pa.string()), ("p_partkey", pa.int64()),
+            ("p_name", pa.string())]).empty_table())
+
+    pks = best.column("pk").to_pylist()
+    sks = [int(m) & ((1 << 32) - 1) for m in best.column("m").to_pylist()]
+    rows = sorted(
+        ((sup_info[sk][1], sup_info[sk][0], sup_info[sk][2],
+          int(pk), pname_by_key[pk])
+         for pk, sk in zip(pks, sks)),
+        key=lambda r: (-r[0], r[3]))[:100]
+    return rd.from_arrow(pa.table({
+        "s_acctbal": pa.array([r[0] for r in rows], pa.float64()),
+        "s_name": pa.array([r[1] for r in rows], pa.string()),
+        "n_name": pa.array([r[2] for r in rows], pa.string()),
+        "p_partkey": pa.array([r[3] for r in rows], pa.int64()),
+        "p_name": pa.array([r[4] for r in rows], pa.string()),
+    }))
+
+
+def q_top_share_suppliers(sf_dir: str) -> Dataset:
+    """TPC-H-Q20-shaped dominant suppliers: suppliers who shipped
+    MORE THAN AN EIGHTH (>12.5 %, the threshold that binds in this
+    uniformly-assigned corpus) of the total shipped quantity of at
+    least one 'small %'-named part, with how many such parts each
+    dominates (no partsupp here, so "availqty > half of sold" becomes
+    "supplied > share of shipped" — the nested-correlated-IN shape
+    survives).
+    Scale shape: the fact collapses to per-(part, supplier) int64
+    quantity sums; part totals are a second groupby over that
+    aggregate (never the raw fact); the share test joins aggregate
+    to aggregate; supplier/nation names are dim-sided."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+    pkeys = part.filter(pc.starts_with(part.column("p_name"), "small")) \
+        .column("p_partkey").combine_chunks().cast(pa.int64())
+    pkeys_ref = ray.put(pkeys)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64()).combine_chunks()
+        f = pa.table({
+            "pk": pk,
+            "sk": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "q": pc.cast(b.column("l_quantity"), pa.int64()),
+        }).filter(pc.is_in(pk, value_set=ray.get(pkeys_ref)))
+        g = f.group_by(["pk", "sk"]).aggregate([("q", "sum")])
+        return g.rename_columns(["pk", "sk", "q"])
+
+    pair = with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_quantity"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["pk", "sk"]).aggregate(Sum("q", alias_name="sq")),
+        pa.schema([("pk", pa.int64()), ("sk", pa.int64()),
+                   ("sq", pa.int64())]))
+
+    tot = with_schema(
+        pair.map_batches(
+            lambda b: b.select(["pk", "sq"]).group_by("pk")
+            .aggregate([("sq", "sum")]).rename_columns(["pk", "ptq"]),
+            batch_format="pyarrow")
+        .groupby("pk").aggregate(Sum("ptq", alias_name="tq")),
+        pa.schema([("pk", pa.int64()), ("tq", pa.int64())]))
+
+    j = pair.join(tot, join_type="inner", num_partitions=8,
+                  on=("pk",), right_on=("pk",))
+
+    def dom_partial(b: pa.Table) -> pa.Table:
+        sq = b.column("sq").to_numpy(zero_copy_only=False)
+        tq = b.column("tq").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(8 * sq > tq))
+        g = f.select(["sk"]).group_by("sk") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["sk", "c"])
+
+    dom = _small_table(with_schema(
+        j.map_batches(dom_partial, batch_format="pyarrow")
+        .groupby("sk").aggregate(Sum("c", alias_name="n_parts")),
+        pa.schema([("sk", pa.int64()), ("n_parts", pa.int64())])))
+    if dom is None:
+        return rd.from_arrow(pa.schema([
+            ("s_name", pa.string()), ("n_name", pa.string()),
+            ("n_parts", pa.int64())]).empty_table())
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"])
+    nname = dict(zip((int(k) for k in
+                      nat.column("n_nationkey").to_pylist()),
+                     nat.column("n_name").to_pylist()))
+    sinfo = {int(k): (n, nname[int(nk)]) for k, n, nk in
+             zip(sup.column("s_suppkey").to_pylist(),
+                 sup.column("s_name").to_pylist(),
+                 sup.column("s_nationkey").to_pylist())}
+    sks = dom.column("sk").to_pylist()
+    return rd.from_arrow(pa.table({
+        "s_name": pa.array([sinfo[k][0] for k in sks], pa.string()),
+        "n_name": pa.array([sinfo[k][1] for k in sks], pa.string()),
+        "n_parts": dom.column("n_parts"),
+    }))
+
+
+def q_sole_returning_suppliers(sf_dir: str) -> Dataset:
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting": suppliers
+    with a returned ('R') lineitem on a multi-supplier order where NO
+    other supplier on that order returned (this corpus has no commit/
+    receipt dates, so "late" becomes "returned" — the EXISTS + NOT
+    EXISTS double correlation on the same fact survives intact).
+    Scale shape: two stacked fact aggregates — (order, supplier)
+    any-R, then per-order (n_suppliers, n_returners, Σ ret·suppkey);
+    when exactly one supplier returned, Σ ret·suppkey IS that
+    supplier, so the whole double-correlated predicate needs no
+    self-join at all; names are dim-sided at the end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(b.column("l_returnflag"), "R"),
+                      pa.int64())
+        g = pa.table({
+            "k": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "sk": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "ret": ret,
+        }).group_by(["k", "sk"]).aggregate([("ret", "max")])
+        return g.rename_columns(["k", "sk", "ret"])
+
+    pair = with_schema(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_returnflag"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["k", "sk"]).aggregate(Max("ret", alias_name="ret")),
+        pa.schema([("k", pa.int64()), ("sk", pa.int64()),
+                   ("ret", pa.int64())]))
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        ret = b.column("ret").to_numpy(zero_copy_only=False)
+        sk = b.column("sk").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "k": b.column("k"),
+            "n": pa.array(np.ones(len(sk), np.int64)),
+            "nr": b.column("ret"),
+            "rsk": pa.array(ret * sk, pa.int64()),
+        }).group_by("k").aggregate([("n", "sum"), ("nr", "sum"),
+                                    ("rsk", "sum")])
+        return g.rename_columns(["k", "n", "nr", "rsk"])
+
+    orders = with_schema(
+        pair.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("n", alias_name="n"),
+                                Sum("nr", alias_name="nr"),
+                                Sum("rsk", alias_name="rsk")),
+        pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                   ("nr", pa.int64()), ("rsk", pa.int64())]))
+
+    def waiter_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(b.column("n"), pa.scalar(1, pa.int64())),
+                    pc.equal(b.column("nr"), pa.scalar(1, pa.int64())))
+        f = b.filter(m)
+        g = pa.table({"sk": f.column("rsk")}).group_by("sk") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["sk", "c"])
+
+    waiters = _small_table(with_schema(
+        orders.map_batches(waiter_partial, batch_format="pyarrow")
+        .groupby("sk").aggregate(Sum("c", alias_name="numwait")),
+        pa.schema([("sk", pa.int64()), ("numwait", pa.int64())])))
+    if waiters is None:
+        return rd.from_arrow(pa.schema([
+            ("s_name", pa.string()),
+            ("numwait", pa.int64())]).empty_table())
+
+    sup = pq.read_table(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"])
+    sname = dict(zip((int(k) for k in
+                      sup.column("s_suppkey").to_pylist()),
+                     sup.column("s_name").to_pylist()))
+    return rd.from_arrow(pa.table({
+        "s_name": pa.array([sname[int(k)] for k in
+                            waiters.column("sk").to_pylist()],
+                           pa.string()),
+        "numwait": waiters.column("numwait"),
+    }))
