@@ -454,6 +454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_balance_supplier": q.q_min_balance_supplier,
         "top_share_suppliers": q.q_top_share_suppliers,
         "sole_returning_suppliers": q.q_sole_returning_suppliers,
+        "events_anova_f": q.q_events_anova_f,
+        "events_kruskal_wallis": q.q_events_kruskal_wallis,
+        "events_user_gini": q.q_events_user_gini,
+        "events_cramers_v": q.q_events_cramers_v,
     }
 
 
@@ -3227,5 +3231,125 @@ def oracle_sql() -> dict[str, str]:
             FROM o JOIN supplier ON s_suppkey = rsk
             WHERE n > 1 AND nr = 1
             GROUP BY 1
+        """,
+        "events_anova_f": """
+            WITH g AS (SELECT
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'click') AS BIGINT) AS s_click,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'click') AS BIGINT) AS ss_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'error') AS BIGINT) AS s_error,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'error') AS BIGINT) AS ss_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s_purchase,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS ss_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'signup') AS BIGINT) AS s_signup,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'signup') AS BIGINT) AS ss_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'view') AS BIGINT) AS s_view,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'view') AS BIGINT) AS ss_view
+                   FROM events),
+            a AS (SELECT *, n_click + n_error + n_purchase + n_signup + n_view AS nn, s_click + s_error + s_purchase + s_signup + s_view AS s_all,
+                         ss_click + ss_error + ss_purchase + ss_signup + ss_view AS ss_all,
+                         ((((CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE) / CAST(n_click AS DOUBLE) + CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE) / CAST(n_error AS DOUBLE)) + CAST(s_purchase AS DOUBLE) * CAST(s_purchase AS DOUBLE) / CAST(n_purchase AS DOUBLE)) + CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE) / CAST(n_signup AS DOUBLE)) + CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE) / CAST(n_view AS DOUBLE)) AS sb
+                  FROM g),
+            b AS (SELECT *,
+                         sb - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                              / CAST(nn AS DOUBLE) AS ssb,
+                         CAST(ss_all AS DOUBLE) - sb AS ssw
+                  FROM a)
+            SELECT (ssb / 4.0) / (ssw / CAST(nn - 5 AS DOUBLE)) AS f_stat,
+                   CAST(4 AS BIGINT) AS dof_between,
+                   CAST(nn - 5 AS BIGINT) AS dof_within,
+                   CAST(nn AS BIGINT) AS n_events
+            FROM b
+        """,
+        "events_kruskal_wallis": """
+            WITH h AS (SELECT value,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+                   FROM events GROUP BY value),
+            o AS (SELECT *, n_click + n_error + n_purchase + n_signup + n_view AS nv,
+                         SUM(n_click + n_error + n_purchase + n_signup + n_view) OVER (ORDER BY value)
+                         - (n_click + n_error + n_purchase + n_signup + n_view) AS cb
+                  FROM h),
+            t AS (SELECT CAST(SUM(n_click) AS BIGINT) AS tn_click,
+                         CAST(SUM(n_click * (2 * cb + nv + 1)) AS BIGINT) AS r2_click,
+                         CAST(SUM(n_error) AS BIGINT) AS tn_error,
+                         CAST(SUM(n_error * (2 * cb + nv + 1)) AS BIGINT) AS r2_error,
+                         CAST(SUM(n_purchase) AS BIGINT) AS tn_purchase,
+                         CAST(SUM(n_purchase * (2 * cb + nv + 1)) AS BIGINT) AS r2_purchase,
+                         CAST(SUM(n_signup) AS BIGINT) AS tn_signup,
+                         CAST(SUM(n_signup * (2 * cb + nv + 1)) AS BIGINT) AS r2_signup,
+                         CAST(SUM(n_view) AS BIGINT) AS tn_view,
+                         CAST(SUM(n_view * (2 * cb + nv + 1)) AS BIGINT) AS r2_view,
+                         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS ties
+                  FROM o),
+            s AS (SELECT *, tn_click + tn_error + tn_purchase + tn_signup + tn_view AS nn, (((((CAST(r2_click AS DOUBLE) / 2.0) * (CAST(r2_click AS DOUBLE) / 2.0) / CAST(tn_click AS DOUBLE) + (CAST(r2_error AS DOUBLE) / 2.0) * (CAST(r2_error AS DOUBLE) / 2.0) / CAST(tn_error AS DOUBLE)) + (CAST(r2_purchase AS DOUBLE) / 2.0) * (CAST(r2_purchase AS DOUBLE) / 2.0) / CAST(tn_purchase AS DOUBLE)) + (CAST(r2_signup AS DOUBLE) / 2.0) * (CAST(r2_signup AS DOUBLE) / 2.0) / CAST(tn_signup AS DOUBLE)) + (CAST(r2_view AS DOUBLE) / 2.0) * (CAST(r2_view AS DOUBLE) / 2.0) / CAST(tn_view AS DOUBLE)) AS sb FROM t),
+            f AS (SELECT *,
+                         12.0 / (CAST(nn AS DOUBLE)
+                                 * CAST(nn + 1 AS DOUBLE)) * sb
+                         - 3.0 * CAST(nn + 1 AS DOUBLE) AS h_stat,
+                         1.0 - CAST(ties AS DOUBLE)
+                               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                                  * CAST(nn AS DOUBLE)
+                                  - CAST(nn AS DOUBLE)) AS corr
+                  FROM s)
+            SELECT h_stat AS h, h_stat / corr AS h_corrected,
+                   CAST(nn AS BIGINT) AS n_events
+            FROM f
+        """,
+        "events_user_gini": """
+            WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1),
+            h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m
+                  FROM uc GROUP BY 1),
+            o AS (SELECT c, m,
+                         SUM(m) OVER (ORDER BY c) - m AS i0
+                  FROM h),
+            s AS (SELECT CAST(SUM(c * (m * i0 + m * (m + 1) // 2))
+                              AS BIGINT) AS a,
+                         CAST(SUM(c * m) AS BIGINT) AS tot,
+                         CAST(SUM(m) AS BIGINT) AS n
+                  FROM o)
+            SELECT CAST(2 * a - (n + 1) * tot AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini,
+                   n AS n_users, tot AS n_events
+            FROM s
+        """,
+        "events_cramers_v": """
+            WITH c AS (SELECT event_type,
+                              CAST(isodow(ts) AS BIGINT) AS d,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM c GROUP BY 1),
+            cl AS (SELECT d, CAST(SUM(n) AS BIGINT) AS cn
+                   FROM c GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+            grid AS (SELECT r.event_type, cl.d, r.rn, cl.cn
+                     FROM r CROSS JOIN cl),
+            cells AS (SELECT COALESCE(c.n, 0) AS n,
+                             CAST(g.rn AS DOUBLE) * CAST(g.cn AS DOUBLE)
+                                 / CAST(t.nt AS DOUBLE) AS e
+                      FROM grid g
+                      LEFT JOIN c ON c.event_type = g.event_type
+                                 AND c.d = g.d, t),
+            x AS (SELECT CAST(SUM(CAST(round(
+                       (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)
+                       / e * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                       AS chi2
+                  FROM cells)
+            SELECT sqrt(chi2 / (CAST((SELECT nt FROM t) AS DOUBLE)
+                        * CAST(LEAST((SELECT COUNT(*) FROM r) - 1,
+                                     (SELECT COUNT(*) FROM cl) - 1)
+                               AS DOUBLE))) AS cramers_v,
+                   chi2,
+                   (SELECT nt FROM t) AS n_events
+            FROM x
         """,
     }

@@ -9144,3 +9144,211 @@ def q_sole_returning_suppliers(sf_dir: str) -> Dataset:
                            pa.string()),
         "numwait": waiters.column("numwait"),
     }))
+
+
+# the fixed event-type domain of this corpus, in the summation order the
+# grouped statistical tests' float expression trees replay (alphabetical,
+# left-associated) — both sides of each oracle iterate it identically
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_anova_f(sf_dir: str) -> Dataset:
+    """One-way ANOVA F test of event value across the five event
+    types — the parametric companion to the Kruskal–Wallis rank test.
+    Distributed shape: ONE column-pruned scan folding per-type
+    (n, Σcents, Σcents²) int64 partials per batch into a 5-row
+    aggregate; every moment stays exact integer.  The float F
+    statistic is then a fixed expression tree — per-type s²/n terms
+    summed in the declared EVENT_TYPES order (left-associated, the
+    same chain the twin spells out) — so no summation-order
+    nondeterminism can perturb the last ulp."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.asarray(scaled_int_sql(b.column("value"), 100.0))
+        et = b.column("event_type")
+        cols: dict = {}
+        for t in EVENT_TYPES:
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            cols[f"n_{t}"] = pa.array([int(m.sum())], pa.int64())
+            cols[f"s_{t}"] = pa.array([int(cents[m].sum())], pa.int64())
+            cols[f"ss_{t}"] = pa.array(
+                [int((cents[m] * cents[m]).sum())], pa.int64())
+        return pa.table(cols)
+
+    aggs = []
+    for t in EVENT_TYPES:
+        aggs += [Sum(f"n_{t}", alias_name=f"n_{t}"),
+                 Sum(f"s_{t}", alias_name=f"s_{t}"),
+                 Sum(f"ss_{t}", alias_name=f"ss_{t}")]
+    g = rd.read_parquet(_t(sf_dir, "events"),
+                        columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+
+    n = {t: int(g[f"n_{t}"]) for t in EVENT_TYPES}
+    s = {t: int(g[f"s_{t}"]) for t in EVENT_TYPES}
+    ss = {t: int(g[f"ss_{t}"]) for t in EVENT_TYPES}
+    k = len(EVENT_TYPES)
+    N = sum(n.values())
+    S = sum(s.values())
+    SS = sum(ss.values())
+    sb = 0.0
+    for t in EVENT_TYPES:   # left-associated, declared order
+        sb = sb + float(s[t]) * float(s[t]) / float(n[t])
+    ssb = sb - float(S) * float(S) / float(N)
+    ssw = float(SS) - sb
+    f_stat = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return rd.from_arrow(pa.table({
+        "f_stat": pa.array([f_stat], pa.float64()),
+        "dof_between": pa.array([k - 1], pa.int64()),
+        "dof_within": pa.array([N - k], pa.int64()),
+        "n_events": pa.array([N], pa.int64())}))
+
+
+def q_events_kruskal_wallis(sf_dir: str) -> Dataset:
+    """Kruskal–Wallis H test of event value across the five event
+    types — the k-sample generalization of q_events_mwu_test, same
+    distributed shape: per-batch (value → per-type count) histogram
+    partials, ONE groupby(value) exchange bounded by the distinct-
+    value support, then the tie-aware rank walk runs on the
+    aggregated histogram.  2·R_t = Σ_v n_t(v)·(2·cum_before+n_v+1)
+    keeps every rank sum exact integer; H and the tie correction
+    replay the twin's float tree in the declared type order."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        cols = {"value": b.column("value")}
+        for t in EVENT_TYPES:
+            cols[f"c_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        g = pa.table(cols).group_by("value").aggregate(
+            [(f"c_{t}", "sum") for t in EVENT_TYPES])
+        return g.rename_columns(["value"] +
+                                [f"p_{t}" for t in EVENT_TYPES])
+
+    hist = rd.read_parquet(_t(sf_dir, "events"),
+                           columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(
+            *[Sum(f"p_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    tb = _small_table(hist)   # bounded: the distinct-value histogram
+    tb = tb.sort_by("value")
+    per = {t: tb.column(f"n_{t}").to_numpy(zero_copy_only=False)
+           for t in EVENT_TYPES}
+    nv = np.sum([per[t] for t in EVENT_TYPES], axis=0)
+    cb = np.cumsum(nv) - nv
+    w = 2 * cb + nv + 1
+    n = {t: int(per[t].sum()) for t in EVENT_TYPES}
+    r2x = {t: int((per[t] * w).sum()) for t in EVENT_TYPES}
+    N = sum(n.values())
+    ties = int((nv.astype(object) ** 3 - nv).sum())
+    sb = 0.0
+    for t in EVENT_TYPES:   # left-associated, declared order
+        rt = float(r2x[t]) / 2.0
+        sb = sb + rt * rt / float(n[t])
+    h = 12.0 / (float(N) * float(N + 1)) * sb - 3.0 * float(N + 1)
+    corr = 1.0 - float(ties) / (float(N) * float(N) * float(N)
+                                - float(N))
+    return rd.from_arrow(pa.table({
+        "h": pa.array([h], pa.float64()),
+        "h_corrected": pa.array([h / corr], pa.float64()),
+        "n_events": pa.array([N], pa.int64())}))
+
+
+def q_events_user_gini(sf_dir: str) -> Dataset:
+    """Gini coefficient of per-user event activity — the inequality
+    audit a pipeline runs before per-user sampling (a skewed feed
+    concentrates training signal in few users).  Distributed shape:
+    the fact collapses to per-user counts (partial + one groupby),
+    those collapse again to a (count → #users) histogram bounded by
+    the max-activity support, and the Lorenz walk runs exactly on
+    the histogram: a run of m users at count c contributes
+    c·(m·i₀ + m(m+1)/2) to Σ i·xᵢ in closed form — all integer, one
+    final float division."""
+    import numpy as np
+
+    per_user = with_schema(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+        .map_batches(
+            lambda b: pa.table({"u": b.column("user_id")})
+            .group_by("u").aggregate([([], "count_all")])
+            .rename_columns(["u", "c"]),
+            batch_format="pyarrow")
+        .groupby("u").aggregate(Sum("c", alias_name="c")),
+        pa.schema([("u", pa.int64()), ("c", pa.int64())]))
+
+    hist = _small_table(with_schema(
+        per_user.map_batches(
+            lambda b: b.select(["c"]).group_by("c")
+            .aggregate([([], "count_all")]).rename_columns(["c", "m"]),
+            batch_format="pyarrow")
+        .groupby("c").aggregate(Sum("m", alias_name="m")),
+        pa.schema([("c", pa.int64()), ("m", pa.int64())])))
+    hist = hist.sort_by("c")
+    c = hist.column("c").to_numpy(zero_copy_only=False)
+    m = hist.column("m").to_numpy(zero_copy_only=False)
+    i0 = np.cumsum(m) - m
+    A = int((c * (m * i0 + m * (m + 1) // 2)).sum())
+    S = int((c * m).sum())
+    n = int(m.sum())
+    gini = float(2 * A - (n + 1) * S) / (float(n) * float(S))
+    return rd.from_arrow(pa.table({
+        "gini": pa.array([gini], pa.float64()),
+        "n_users": pa.array([n], pa.int64()),
+        "n_events": pa.array([S], pa.int64())}))
+
+
+def q_events_cramers_v(sf_dir: str) -> Dataset:
+    """Cramér's V association strength between event type and ISO
+    day-of-week — the normalized effect size on top of the
+    chi-square machinery (q_events_chi2_independence), same bounded
+    |types|×7 contingency grid folded from per-batch partials + one
+    tree combine.  Per-cell (n−e)²/e contributions are quantized to
+    int64 at 1e-6 before summation; V = √(χ²/(N·min(r−1,c−1))) is
+    one final float expression replayed in the twin."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(b.column("ts")),
+                     pa.scalar(1, pa.int64()))   # ISO: 1=Mon..7=Sun
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "d": pc.cast(dow, pa.int64()),
+        }).group_by(["event_type", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "d", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("p_n", "sum")],
+        ["event_type", "d", "p_n"], ["event_type", "d", "n"]))
+    types = grid.column("event_type").to_pylist()
+    dows = grid.column("d").to_pylist()
+    n = grid.column("n").to_numpy(zero_copy_only=False)
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for t, d, cnt in zip(types, dows, n):
+        row_tot[t] = row_tot.get(t, 0) + int(cnt)
+        col_tot[d] = col_tot.get(d, 0) + int(cnt)
+    n_tot = int(n.sum())
+    seen = {(t, d): int(cnt) for t, d, cnt in zip(types, dows, n)}
+    acc = 0
+    for t, rn in row_tot.items():
+        for d, cn in col_tot.items():
+            e = float(rn) * float(cn) / float(n_tot)
+            diff = float(seen.get((t, d), 0)) - e
+            s = diff * diff / e * 1e6
+            a = abs(s)
+            fa = np.floor(a)
+            acc += int(np.copysign(fa + 1.0 if a - fa >= 0.5 else fa, s))
+    chi2 = acc / 1e6
+    mindim = min(len(row_tot) - 1, len(col_tot) - 1)
+    v = math.sqrt(chi2 / (float(n_tot) * float(mindim)))
+    return rd.from_arrow(pa.table({
+        "cramers_v": pa.array([v], pa.float64()),
+        "chi2": pa.array([chi2], pa.float64()),
+        "n_events": pa.array([n_tot], pa.int64())}))
