@@ -458,6 +458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kruskal_wallis": q.q_events_kruskal_wallis,
         "events_user_gini": q.q_events_user_gini,
         "events_cramers_v": q.q_events_cramers_v,
+        "embeddings_hard_negatives": q.q_embeddings_hard_negatives,
+        "embeddings_centroid_outliers": q.q_embeddings_centroid_outliers,
+        "documents_leakage_safe_split": q.q_documents_leakage_safe_split,
+        "documents_length_batches": q.q_documents_length_batches,
     }
 
 
@@ -3351,5 +3355,74 @@ def oracle_sql() -> dict[str, str]:
                    chi2,
                    (SELECT nt FROM t) AS n_events
             FROM x
+        """,
+        "embeddings_hard_negatives": """
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]),
+                           6) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(
+                                      q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id ASC) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 8 AND c.label <> q.label) t
+            WHERE rank <= 5
+        """,
+        "embeddings_centroid_outliers": """
+            WITH u AS (SELECT label, unnest(embedding) AS v,
+                              unnest(generate_series(1, 64)) AS dim
+                       FROM embeddings),
+            cd AS (SELECT label, dim,
+                          SUM(CAST(round(CAST(v AS DOUBLE) * 1073741824)
+                                   AS BIGINT)) AS s,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM u GROUP BY label, dim),
+            cent AS (SELECT label,
+                            list(s / n / 1073741824.0 ORDER BY dim) AS cvec
+                     FROM cd GROUP BY label),
+            r AS (SELECT e.label, e.vec_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[],
+                                                cent.cvec) AS cos_raw
+                  FROM embeddings e JOIN cent ON e.label = cent.label)
+            SELECT CAST(label AS BIGINT) AS label, vec_id,
+                   ROUND(cos_raw, 6) AS cosine, rank
+            FROM (SELECT label, vec_id, cos_raw,
+                         ROW_NUMBER() OVER (PARTITION BY label
+                             ORDER BY cos_raw ASC, vec_id ASC) AS rank
+                  FROM r) t
+            WHERE rank <= 3
+        """,
+        "documents_leakage_safe_split": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(text || chr(31) || '42'),
+                               1, 8) <= 'cccccccc'
+                        THEN 'train'
+                        WHEN substr(md5(text || chr(31) || '42'),
+                               1, 8) <= 'e6666665'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "documents_length_batches": """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS nt
+                       FROM documents),
+            b AS (SELECT doc_id, source, nt,
+                         (nt + 127) // 128 AS bucket FROM t),
+            r AS (SELECT source, bucket, nt,
+                         ROW_NUMBER() OVER (PARTITION BY source, bucket
+                             ORDER BY doc_id) AS rn
+                  FROM b)
+            SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                   CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MAX(nt) AS BIGINT) AS pad_len,
+                   CAST(COUNT(*) * MAX(nt) - SUM(nt) AS BIGINT)
+                       AS waste_tokens
+            FROM r GROUP BY 1, 2, 3
         """,
     }

@@ -8802,7 +8802,7 @@ def q_product_profit_by_nation(sf_dir: str) -> Dataset:
     year), Σ revenue − cost over parts whose name contains 'bolt'.
     This corpus has no partsupp, so cost = p_retailprice·quantity
     (the adaptation is in the twin too).  Profit stays exact int64 at
-    4 dp: round(extprice·(1−disc)·10⁴) − retail_cents·qty·100.  Scale
+    4 dp: ROUND of extprice·(1−disc)·10⁴, minus retail_cents·qty·100.  Scale
     shape: part and supplier are dim-sided lookups (one ray.put);
     ONE column-pruned lineitem scan, per-batch partial profit per
     (nationkey, year), final groupby ≤ nations×years rows.  No join
@@ -9352,3 +9352,207 @@ def q_events_cramers_v(sf_dir: str) -> Dataset:
         "cramers_v": pa.array([v], pa.float64()),
         "chi2": pa.array([chi2], pa.float64()),
         "n_events": pa.array([n_tot], pa.int64())}))
+
+
+def q_embeddings_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining (contrastive-training prep): for each of the
+    first 8 vectors as queries, the 5 most-cosine-similar corpus vectors
+    with a DIFFERENT label — the closest wrong-class examples a
+    retrieval trainer would pair with each anchor.  Broadcast matmul +
+    per-batch same-label mask (stages/similarity.hard_negative_topk);
+    only the ≤ k·n_batches candidate rows reach the driver merge."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import hard_negative_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", 8)],
+                         columns=["vec_id", "embedding", "label"]) \
+        .sort_by("vec_id")
+    queries = qtab.column("embedding").to_pylist()
+    qids = qtab.column("vec_id").to_pylist()
+    qlabels = qtab.column("label").to_pylist()
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+    out = hard_negative_topk(ds, queries, qids, qlabels, k=5)
+    return out.set_column(out.schema.get_field_index("cosine"), "cosine",
+                          round_sql(out.column("cosine"), 6))
+
+
+def q_embeddings_centroid_outliers(sf_dir: str) -> pa.Table:
+    """Label-centroid outlier mining (mislabeled-example detection): per
+    label, the 3 member vectors LEAST cosine-similar to their own
+    label's centroid.  The centroid reuses the label_centroids
+    order-independent construction — int64-quantized dim sums
+    (ROUND(v·2^30)) over the bounded (label, dim) grid — so both sides
+    of the oracle divide the identical exact integers; per-vector
+    cosine-to-own-centroid is then one broadcast lookup per batch, and
+    only (label, bottom-k) candidates reach the driver."""
+    import heapq
+
+    import numpy as np
+
+    from ..util import vec_matrix
+
+    DIM, SCALE = 64, float(1 << 30)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").combine_chunks() \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(b.column("embedding").combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        c = scaled_int_sql(flat, SCALE).reshape(len(lab), DIM)
+        order = np.argsort(lab, kind="stable")
+        labs, starts = np.unique(lab[order], return_index=True)
+        sums = np.add.reduceat(c[order], starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(lab)]]))
+        return pa.table({
+            "label": pa.array(np.repeat(labs, DIM), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(DIM), len(labs)), pa.int64()),
+            "p_s": pa.array(sums.ravel(), pa.int64()),
+            "p_n": pa.array(np.repeat(counts, DIM), pa.int64()),
+        })
+
+    grid = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("p_s", "sum"), ("p_n", "sum")],
+        ["label", "dim", "p_s", "p_n"], ["label", "dim", "s", "n"]))
+    labs = grid.column("label").to_numpy(zero_copy_only=False)
+    dims = grid.column("dim").to_numpy(zero_copy_only=False)
+    s = grid.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = grid.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    uniq = np.unique(labs)
+    cent = np.zeros((len(uniq), DIM), np.float64)
+    cent[np.searchsorted(uniq, labs), dims] = s / n / SCALE
+    cent_ref = ray.put(cent)
+    uniq_ref = ray.put(uniq)
+
+    K = 3
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        cmat = ray.get(cent_ref)
+        u = ray.get(uniq_ref)
+        vecs = vec_matrix(b.column("embedding"))
+        lab = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(_np.int64)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(_np.int64)
+        own = cmat[_np.searchsorted(u, lab)]
+        num = (vecs * own).sum(axis=1)
+        den = _np.linalg.norm(vecs, axis=1) * _np.linalg.norm(own, axis=1)
+        den[den == 0] = 1.0
+        cos = num / den
+        # per-label local bottom-K candidates only
+        keep = _np.zeros(len(lab), bool)
+        for lv in _np.unique(lab):
+            idx = _np.nonzero(lab == lv)[0]
+            if len(idx) > K:
+                cut = _np.partition(cos[idx], K - 1)[K - 1]
+                idx = idx[cos[idx] <= cut]
+            keep[idx] = True
+        return pa.table({
+            "label": pa.array(lab[keep], pa.int64()),
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "cosine": pa.array(cos[keep], pa.float64()),
+        })
+
+    cands = ds.map_batches(score, batch_format="pyarrow")
+    best: dict[int, list] = {}
+    for b in cands.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for lv, v, c in zip(b.column("label").to_pylist(),
+                            b.column("vec_id").to_pylist(),
+                            b.column("cosine").to_pylist()):
+            # bottom-K keep: pop the (largest cosine, then largest
+            # vec_id) entry so ties resolve to the smaller vec_id —
+            # the twin's ORDER BY cosine ASC, vec_id ASC
+            heapq.heappush(best.setdefault(lv, []), (-c, -v))
+            if len(best[lv]) > K:
+                heapq.heappop(best[lv])
+    l_out, v_out, c_out, r_out = [], [], [], []
+    for lv in sorted(best):
+        ranked = sorted(best[lv], key=lambda t: (-t[0], -t[1]))
+        for rank, (negc, negv) in enumerate(ranked, 1):
+            l_out.append(lv)
+            v_out.append(-negv)
+            c_out.append(-negc)
+            r_out.append(rank)
+    out = pa.table({
+        "label": pa.array(l_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "cosine": pa.array(c_out, pa.float64()),
+        "rank": pa.array(r_out, pa.int64()),
+    })
+    return out.set_column(out.schema.get_field_index("cosine"), "cosine",
+                          round_sql(out.column("cosine"), 6))
+
+
+def q_documents_leakage_safe_split(sf_dir: str) -> Dataset:
+    """Leakage-safe train/val/test split: the band hash keys on the
+    DOCUMENT TEXT, not the row identity, so every exact-duplicate copy
+    of a text lands on the same side — the split discipline that keeps
+    test answers out of train when a corpus still carries duplicates
+    (complement to q_documents_train_split's doc_id banding).  Same
+    stages/partition.deterministic_split machinery, same md5 CASE
+    replay in the twin."""
+    from ..stages.partition import deterministic_split
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+    return deterministic_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1}, ["text"]) \
+        .select_columns(["doc_id", "source", "split"])
+
+
+def q_documents_length_batches(sf_dir: str) -> Dataset:
+    """Length-bucketed batch planning (dynamic batching for padded
+    training): docs bucket by token count (128-token bands), then pack
+    into fixed 32-doc batches in doc_id order within each (source,
+    bucket); the plan row per batch reports its pad target (max tokens)
+    and padding waste — the report that sizes bucketed-batch training
+    input pipelines.  All-integer, so bit-exact by construction; the
+    per-source group is the partitioning unit (same contract as
+    pack_bins/ppl_buckets) and only (doc_id, n_tokens) pairs move."""
+    import numpy as np
+
+    BAND, B = 128, 32
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")).cast(pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "nt": nt})
+
+    def plan(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = g.column("nt").to_numpy(zero_copy_only=False)
+        bucket = (nt + BAND - 1) // BAND
+        order = np.lexsort((ids, bucket))
+        bs, nts = bucket[order], nt[order]
+        starts = np.nonzero(np.concatenate(
+            [[True], bs[1:] != bs[:-1]]))[0]
+        rn = np.arange(len(bs)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(bs)]])))
+        batch = rn // B
+        key_start = np.nonzero(np.concatenate(
+            [[True], (bs[1:] != bs[:-1]) | (batch[1:] != batch[:-1])]))[0]
+        n_docs = np.diff(np.concatenate([key_start, [len(bs)]]))
+        pad = np.maximum.reduceat(nts, key_start)
+        tok_sum = np.add.reduceat(nts, key_start)
+        return pa.table({
+            "source": pa.array(
+                [g.column("source")[0].as_py()] * len(key_start)),
+            "bucket": pa.array(bs[key_start], pa.int64()),
+            "batch_id": pa.array(batch[key_start], pa.int64()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "pad_len": pa.array(pad, pa.int64()),
+            "waste_tokens": pa.array(n_docs * pad - tok_sum, pa.int64()),
+        })
+
+    return ds.map_batches(tokens, batch_format="pyarrow") \
+        .groupby("source").map_groups(plan, batch_format="pyarrow")

@@ -71,7 +71,13 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
     candidates = ds.map_batches(
         lambda b: _batch_topk(b, queries_ref, qids_ref, k, vec_col, id_col),
         batch_format="pyarrow")
-    # global reduce over ≤ k × n_batches candidate rows — driver-side heap
+    return _merge_topk_heap(candidates, k)
+
+
+def _merge_topk_heap(candidates, k: int) -> pa.Table:
+    """Global reduce over ≤ k × n_batches candidate rows — driver-side
+    heap; tie-break (−cosine, vec_id).  The input is the tiny candidate
+    stream, never the corpus."""
     best: dict[int, list] = {}
     for b in candidates.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for q, v, s in zip(b.column("query_id").to_pylist(),
@@ -94,6 +100,58 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
         "cosine": pa.array(s_out, pa.float64()),
         "rank": pa.array(r_out, pa.int32()),
     })
+
+
+def hard_negative_topk(ds: Dataset, queries: np.ndarray,
+                       query_ids: list[int], query_labels: list[int],
+                       k: int = 5, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       label_col: str = "label") -> pa.Table:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query vector, the top-k most-cosine-similar corpus vectors
+    whose label DIFFERS from the query's (the standard "closest
+    wrong-class examples" selection).  Same broadcast-matmul shape as
+    :func:`brute_force_topk` — the query matrix and its label vector
+    ship once via ``ray.put``; each batch masks same-label columns to
+    a sentinel below the cosine range before taking its tie-widened
+    local top-k, so the candidate stream (not the corpus) is all that
+    reaches the driver merge."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    queries_ref = ray.put(qmat)
+    qids_ref = ray.put(list(query_ids))
+    qlabels_ref = ray.put(np.asarray(query_labels, dtype=np.int64))
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        qids = ray.get(qids_ref)
+        qlabels = ray.get(qlabels_ref)
+        vecs = _normalize(vec_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        sims = q @ vecs.T                                   # (Q, batch)
+        # mask same-label columns: -2.0 sits strictly below cosine's
+        # [-1, 1] range, so a masked column can never widen a tie cut
+        sims[qlabels[:, None] == labels[None, :]] = -2.0
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)
+        q_out, id_out, sim_out = [], [], []
+        for qi in range(sims.shape[0]):
+            kth_val = sims[qi, part[qi, kk - 1]]
+            cols = np.nonzero((sims[qi] >= kth_val)
+                              & (sims[qi] > -1.5))[0]
+            q_out.extend([qids[qi]] * len(cols))
+            id_out.extend(ids[cols])
+            sim_out.extend(sims[qi, cols])
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "cosine": pa.array(sim_out, pa.float64()),
+        })
+
+    candidates = ds.map_batches(batch_fn, batch_format="pyarrow")
+    return _merge_topk_heap(candidates, k)
 
 
 def _spherical_kmeans(mat: np.ndarray, k: int, iters: int = 10,

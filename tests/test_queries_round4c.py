@@ -1,0 +1,156 @@
+"""Planted-corpus semantic tests for the round-4 session-6 batch:
+hard-negative mining, label-centroid outliers, the leakage-safe
+(text-keyed) split, and length-bucketed batch planning.  Bit-exactness
+vs DuckDB is pinned by the contract sweep; these pin the SEMANTICS on
+hand-checkable corpora, including the tie-break paths."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _tab(res) -> pa.Table:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        rows = res.take_all()
+        if not rows:
+            return res.schema().base_schema.empty_table()
+        return pa.Table.from_pylist(rows)
+    return res
+
+
+def _vec(i: int, j: int = -1, a: float = 1.0, b: float = 0.0):
+    v = np.zeros(64, np.float32)
+    v[i] = a
+    if j >= 0:
+        v[j] = b
+    return list(map(float, v))
+
+
+def _write_emb(tmp_path, rows):
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+
+def test_hard_negatives_masks_own_label(ray_session, tmp_path):
+    """The identical same-label twin (cosine 1.0) must NEVER appear;
+    the closest different-label vector ranks 1."""
+    rows = [
+        (0, _vec(0), 0),                        # the query (label 0)
+        (10, _vec(0), 0),                       # identical, same label
+        (11, _vec(0, 1, 0.9, 0.1), 1),          # close, label 1
+        (12, _vec(1), 2),                       # orthogonal, label 2
+        (13, _vec(2), 1),                       # orthogonal, label 1
+    ]
+    _write_emb(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_embeddings_hard_negatives
+
+    out = _tab(q_embeddings_hard_negatives(str(tmp_path))).to_pylist()
+    mine = sorted([r for r in out if r["query_id"] == 0],
+                  key=lambda r: r["rank"])
+    ids = [r["vec_id"] for r in mine]
+    assert 10 not in ids and 0 not in ids       # same-label masked
+    assert ids[0] == 11                         # closest wrong class
+    assert mine[0]["cosine"] > mine[-1]["cosine"] - 1e-12
+
+
+def test_hard_negatives_tie_breaks_on_vec_id(ray_session, tmp_path):
+    rows = [
+        (0, _vec(0), 0),
+        (21, _vec(1), 1),   # cosine 0 to the query — exact tie
+        (20, _vec(2), 1),   # cosine 0 too; smaller vec_id ranks first
+    ]
+    _write_emb(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_embeddings_hard_negatives
+
+    out = _tab(q_embeddings_hard_negatives(str(tmp_path))).to_pylist()
+    mine = sorted([r for r in out if r["query_id"] == 0],
+                  key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in mine] == [20, 21]
+
+
+def test_centroid_outliers_flags_the_planted_outlier(ray_session,
+                                                     tmp_path):
+    """Three aligned members + one orthogonal outlier: the outlier is
+    rank 1 (least similar to its own label centroid); ties resolve to
+    the smaller vec_id."""
+    rows = [
+        (0, _vec(0), 0),
+        (1, _vec(0), 0),
+        (2, _vec(0), 0),
+        (3, _vec(1), 0),               # the outlier
+        (5, _vec(3), 1),               # a second label, two members
+        (4, _vec(3), 1),
+    ]
+    _write_emb(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import (
+        q_embeddings_centroid_outliers,
+    )
+
+    out = _tab(q_embeddings_centroid_outliers(str(tmp_path))).to_pylist()
+    lab0 = sorted([r for r in out if r["label"] == 0],
+                  key=lambda r: r["rank"])
+    assert lab0[0]["vec_id"] == 3
+    assert lab0[0]["cosine"] < lab0[1]["cosine"]
+    # label 1: both members identical → equal cosine; smaller vec_id
+    # ranks first (the twin's ORDER BY cosine ASC, vec_id ASC)
+    lab1 = sorted([r for r in out if r["label"] == 1],
+                  key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in lab1] == [4, 5]
+
+
+def test_leakage_safe_split_colocates_exact_dups(ray_session, tmp_path):
+    """Every copy of an identical text lands in the SAME split band —
+    the property the doc_id-keyed split cannot give."""
+    texts = (["alpha beta gamma"] * 3
+             + ["delta epsilon"] * 2
+             + ["zeta eta theta iota"])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "source": pa.array(["s0"] * len(texts)),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_leakage_safe_split,
+    )
+
+    out = _tab(q_documents_leakage_safe_split(str(tmp_path))).to_pylist()
+    assert len(out) == len(texts)
+    by_doc = {r["doc_id"]: r["split"] for r in out}
+    assert len({by_doc[i] for i in (0, 1, 2)}) == 1
+    assert len({by_doc[i] for i in (3, 4)}) == 1
+    # and the band is the shared sampler hash, not an accident
+    from ocr_engine_ray.stages.partition import row_hash_hex
+    h = row_hash_hex(("alpha beta gamma",), 42)[:8]
+    want = ("train" if h <= "cccccccc"
+            else "val" if h <= "e6666665" else "test")
+    assert by_doc[0] == want
+
+
+def test_length_batches_packing_and_waste(ray_session, tmp_path):
+    """70 one-token docs → bucket 1 in batches of 32/32/6 with zero
+    waste; a 200- and a 130-token doc share bucket 2 with pad 200 and
+    waste 70."""
+    texts = ["w"] * 70 + ["w " * 200, "w " * 130]
+    texts = [t.strip() for t in texts]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "source": pa.array(["s0"] * len(texts)),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_length_batches
+
+    out = _tab(q_documents_length_batches(str(tmp_path))).to_pylist()
+    plan = {(r["bucket"], r["batch_id"]): r for r in out}
+    assert plan[(1, 0)]["n_docs"] == 32 and plan[(1, 0)]["waste_tokens"] == 0
+    assert plan[(1, 1)]["n_docs"] == 32
+    assert plan[(1, 2)]["n_docs"] == 6 and plan[(1, 2)]["pad_len"] == 1
+    b2 = plan[(2, 0)]
+    assert b2["n_docs"] == 2 and b2["pad_len"] == 200
+    assert b2["waste_tokens"] == 200 * 2 - 330
+    assert len(out) == 4
