@@ -462,6 +462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_centroid_outliers": q.q_embeddings_centroid_outliers,
         "documents_leakage_safe_split": q.q_documents_leakage_safe_split,
         "documents_length_batches": q.q_documents_length_batches,
+        "documents_bpe_pair_counts": q.q_documents_bpe_pair_counts,
+        "transcripts_dup_weights": q.q_transcripts_dup_weights,
+        "transcripts_dup_token_mass": q.q_transcripts_dup_token_mass,
     }
 
 
@@ -3424,5 +3427,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) * MAX(nt) - SUM(nt) AS BIGINT)
                        AS waste_tokens
             FROM r GROUP BY 1, 2, 3
+        """,
+        "documents_bpe_pair_counts": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            p AS (SELECT substr(word, i, 2) AS pair
+                  FROM w, unnest(range(1, len(word))) AS u(i)
+                  WHERE len(word) >= 2)
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1
+            ORDER BY n DESC, pair ASC LIMIT 20
+        """,
+        "transcripts_dup_weights": f"""
+            WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM {transcripts} GROUP BY text)
+            SELECT t.conv_id, t.turn_idx, c.n AS n_copies,
+                   ROUND(1.0 / c.n, 6) AS weight
+            FROM {transcripts} t JOIN c USING (text)
+        """,
+        "transcripts_dup_token_mass": f"""
+            WITH g AS (SELECT text,
+                              CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS nt,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM {transcripts} GROUP BY text)
+            SELECT CAST(SUM(nt * n) AS BIGINT) AS total_tokens,
+                   CAST(SUM(nt * (n - 1)) AS BIGINT) AS dup_tokens,
+                   ROUND(CAST(SUM(nt * (n - 1)) AS DOUBLE)
+                         / CAST(SUM(nt * n) AS DOUBLE), 6) AS dup_frac
+            FROM g
         """,
     }

@@ -9556,3 +9556,204 @@ def q_documents_length_batches(sf_dir: str) -> Dataset:
 
     return ds.map_batches(tokens, batch_format="pyarrow") \
         .groupby("source").map_groups(plan, batch_format="pyarrow")
+
+
+def q_documents_bpe_pair_counts(sf_dir: str) -> pa.Table:
+    """BPE merge mining, step 1 (the Sennrich et al. 2016 inner
+    statistic): corpus-wide counts of adjacent character pairs within
+    whitespace words, top 20 by (count DESC, pair ASC) — the pair the
+    first BPE merge would fuse.  ASCII batches read the pair codes
+    straight off the flattened Arrow string buffer (one vectorized
+    pass, word boundaries masked out); non-ASCII batches fall back to a
+    per-word loop with identical CHARACTER-pair semantics.  The (pair)
+    grid is structurally bounded (≤ alphabet²), so partials ride a tree
+    combine and the top-20 sort happens on the tiny aggregate."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "p_n": pa.array([], pa.int64())})
+        flat = pc.list_flatten(
+            pc.split_pattern(b.column("text"), " ")).combine_chunks()
+        n = len(flat)
+        if n == 0:
+            return empty
+        bufs = flat.buffers()
+        off = np.frombuffer(bufs[1], np.int32)[
+            flat.offset: flat.offset + n + 1]
+        data = np.frombuffer(bufs[2], np.uint8)[off[0]: off[-1]]
+        off = (off.astype(np.int64) - int(off[0]))
+        if data.size and bool((data >= 128).any()):
+            counts: dict[str, int] = {}
+            for w in flat.to_pylist():
+                for i in range(len(w) - 1):
+                    p = w[i:i + 2]
+                    counts[p] = counts.get(p, 0) + 1
+            if not counts:
+                return empty
+            return pa.table({
+                "pair": pa.array(list(counts), pa.string()),
+                "p_n": pa.array(list(counts.values()), pa.int64())})
+        if data.size < 2:
+            return empty
+        codes = data[:-1].astype(np.int32) * 256 + data[1:]
+        valid = np.ones(data.size - 1, bool)
+        # a pair starting at a word's LAST byte crosses into the next
+        # word — mask it (empty words re-mark the prior end, harmless)
+        ends = off[1:-1] - 1
+        ends = ends[(ends >= 0) & (ends < data.size - 1)]
+        valid[ends] = False
+        codes = codes[valid]
+        if codes.size == 0:
+            return empty
+        uniq, cnt = np.unique(codes, return_counts=True)
+        pairs = [chr(c >> 8) + chr(c & 255) for c in uniq.tolist()]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "p_n": pa.array(cnt, pa.int64())})
+
+    grid = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pair"], [("p_n", "sum")], ["pair", "p_n"], ["pair", "n"]))
+    if grid is None:
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    import numpy as np
+
+    pairs = grid.column("pair").to_pylist()
+    cnts = grid.column("n").to_numpy(zero_copy_only=False)
+    order = sorted(range(len(pairs)), key=lambda i: (-int(cnts[i]), pairs[i]))
+    keep = order[:20]
+    return pa.table({
+        "pair": pa.array([pairs[i] for i in keep], pa.string()),
+        "n": pa.array([int(cnts[i]) for i in keep], pa.int64()),
+    })
+
+
+def _transcript_text_dup_groups(sf_dir: str):
+    """Shared scaffolding for the soft-dedup reports: transcripts with a
+    vectorized 64-bit text detection key, the duplicated-key set
+    (broadcast), and a splitter — the dedup_exact scan shape (payloads
+    of unique rows never shuffle; full sha1 only on the rare dup
+    rows)."""
+    from ..stages.dedup import add_content_key, duplicated_keys
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    hashed = ds.map_batches(
+        lambda b: add_content_key(b, ["text"]),
+        batch_format="pyarrow").materialize()
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        g = b.select(["content_key"]).group_by("content_key").aggregate(
+            [("content_key", "count")])
+        return g.rename_columns(["content_key", "p_n"])
+
+    dup_list = duplicated_keys(
+        hashed.map_batches(partial_counts, batch_format="pyarrow"),
+        "content_key", "p_n")
+    dup_ref = ray.put(sorted(dup_list))
+
+    def split(b: pa.Table, keep_dups: bool) -> pa.Table:
+        value_set = pa.array(ray.get(dup_ref), pa.uint64())
+        mask = pc.is_in(b.column("content_key"), value_set=value_set)
+        if not keep_dups:
+            mask = pc.invert(mask)
+        return b.filter(mask)
+
+    return hashed, bool(dup_list), split
+
+
+def q_transcripts_dup_weights(sf_dir: str) -> Dataset:
+    """Soft-dedup sampling weights (count-based downweighting, the
+    "train on duplicates at 1/n strength" alternative to dropping
+    them): each turn row gets n_copies = |rows sharing its exact text|
+    and weight = 1/n_copies.  Unique rows (the overwhelming mass)
+    stream straight through with n = 1; only the rare duplicate rows
+    take the full-sha1 group pass, so a 64-bit detection-key collision
+    can never conflate two different texts."""
+    import numpy as np
+
+    from ..stages.dedup import add_full_hash
+
+    hashed, have_dups, split = _transcript_text_dup_groups(sf_dir)
+
+    def uniq_out(b: pa.Table) -> pa.Table:
+        u = split(b, False)
+        return pa.table({
+            "conv_id": u.column("conv_id"),
+            "turn_idx": u.column("turn_idx"),
+            "n_copies": pa.array(np.ones(u.num_rows, np.int64)),
+            "weight": pa.array(np.ones(u.num_rows, np.float64)),
+        })
+
+    uniques = hashed.map_batches(uniq_out, batch_format="pyarrow")
+    if not have_dups:
+        return uniques
+
+    def weights(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        return pa.table({
+            "conv_id": g.column("conv_id"),
+            "turn_idx": g.column("turn_idx"),
+            "n_copies": pa.array(np.full(n, n, np.int64)),
+            "weight": round_sql(
+                pa.array(np.full(n, 1.0 / n, np.float64)), 6),
+        })
+
+    dup_rows = hashed.map_batches(
+        lambda b: add_full_hash(split(b, True), ["text"]),
+        batch_format="pyarrow").materialize()
+    width = max(2, min(512, dup_rows.count() // 100_000 + 2))
+    dups = dup_rows.repartition(width) \
+        .groupby("content_hash").map_groups(weights, batch_format="pyarrow")
+    return uniques.union(dups)
+
+
+def q_transcripts_dup_token_mass(sf_dir: str) -> Dataset:
+    """Dedup-impact report at TOKEN grain: what fraction of the
+    corpus's tokens sits in redundant copies (every row of a text group
+    beyond the first)?  One row: total_tokens, dup_tokens, dup_frac.
+    Totals are one streaming aggregate; dup mass needs only the rare
+    duplicate rows (full-sha1 grouped), so the report costs one corpus
+    scan plus dup-volume-bounded work — integers until the final
+    division."""
+    import numpy as np
+
+    from ..stages.dedup import add_full_hash
+
+    hashed, have_dups, split = _transcript_text_dup_groups(sf_dir)
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")).cast(pa.int64())
+        return pa.table({"t": pa.array([int(pc.sum(nt).as_py() or 0)],
+                                       pa.int64())})
+
+    total = int(hashed.map_batches(tok_partial, batch_format="pyarrow")
+                .aggregate(Sum("t", alias_name="t"))["t"])
+
+    dup_tokens = 0
+    if have_dups:
+        def group_mass(g: pa.Table) -> pa.Table:
+            nt = len(g.column("text")[0].as_py().split(" "))
+            return pa.table({"m": pa.array([nt * (g.num_rows - 1)],
+                                           pa.int64())})
+
+        dup_rows = hashed.map_batches(
+            lambda b: add_full_hash(split(b, True), ["text"]),
+            batch_format="pyarrow").materialize()
+        width = max(2, min(512, dup_rows.count() // 100_000 + 2))
+        mass = _small_table(
+            dup_rows.repartition(width).groupby("content_hash")
+            .map_groups(group_mass, batch_format="pyarrow"))
+        if mass is not None:
+            dup_tokens = int(pc.sum(mass.column("m")).as_py() or 0)
+
+    frac = round_sql_f(dup_tokens / total, 6) if total else 0.0
+    return rd.from_arrow(pa.table({
+        "total_tokens": pa.array([total], pa.int64()),
+        "dup_tokens": pa.array([dup_tokens], pa.int64()),
+        "dup_frac": pa.array([frac], pa.float64()),
+    }))

@@ -154,3 +154,103 @@ def test_length_batches_packing_and_waste(ray_session, tmp_path):
     assert b2["n_docs"] == 2 and b2["pad_len"] == 200
     assert b2["waste_tokens"] == 200 * 2 - 330
     assert len(out) == 4
+
+
+def test_bpe_pair_counts_planted(ray_session, tmp_path):
+    """'abab ab' has pairs ab:3, ba:1; a non-ASCII doc exercises the
+    per-word fallback with identical character-pair semantics."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "source": pa.array(["s0", "s0"]),
+        "text": pa.array(["abab ab", "héé"]),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_bpe_pair_counts
+
+    out = {r["pair"]: r["n"]
+           for r in q_documents_bpe_pair_counts(str(tmp_path)).to_pylist()}
+    assert out["ab"] == 3 and out["ba"] == 1
+    assert out["hé"] == 1 and out["éé"] == 1
+
+
+def test_bpe_pair_counts_ascii_buffer_path_matches_python(ray_session,
+                                                          tmp_path):
+    """The vectorized Arrow-buffer path agrees with a plain Python
+    recount on a word-soup corpus (boundary masking, empty words from
+    double spaces, single-char words)."""
+    texts = ["the  quick brown fox a", "sphinx of black quartz x y",
+             "aa a aaa  aaaa", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "source": pa.array(["s0"] * len(texts)),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_bpe_pair_counts
+
+    want: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                want[w[i:i + 2]] = want.get(w[i:i + 2], 0) + 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["n"])
+           for r in q_documents_bpe_pair_counts(str(tmp_path)).to_pylist()]
+    assert got == top
+
+
+def test_dup_weights_against_python_reference(ray_session):
+    """On the real sf0.001 transcript corpus (189-dup seeded corpus
+    family): n_copies and weight match an independent Python recount,
+    and Σ 1/n over rows equals the distinct-text count."""
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_dup_weights, transcript_paths,
+    )
+
+    paths = transcript_paths("/root/testdata/sf0.001")
+    counts: dict = {}
+    rows = []
+    for p in paths:
+        t = pq.read_table(p, columns=["conv_id", "turn_idx", "text"])
+        for cid, ti, tx in zip(t.column("conv_id").to_pylist(),
+                               t.column("turn_idx").to_pylist(),
+                               t.column("text").to_pylist()):
+            counts[tx] = counts.get(tx, 0) + 1
+            rows.append((cid, ti, tx))
+    out = q_transcripts_dup_weights("/root/testdata/sf0.001").take_all()
+    assert len(out) == len(rows)
+    got = {}
+    for r in out:
+        got.setdefault((r["conv_id"], r["turn_idx"]), []).append(
+            (r["n_copies"], r["weight"]))
+    import collections
+    by_key = collections.defaultdict(list)
+    for cid, ti, tx in rows:
+        by_key[(cid, ti)].append(counts[tx])
+    n_dup_rows = 0
+    for k, ns in by_key.items():
+        assert sorted(n for n, _ in got[k]) == sorted(ns)
+        n_dup_rows += sum(1 for n in ns if n > 1)
+    assert n_dup_rows > 0, "corpus must exercise the dup path"
+    total_weight = sum(w for r in out for _, w in [(r["n_copies"],
+                                                    r["weight"])])
+    # Σ round(1/n, 6) per row ≈ distinct texts (rounding-tolerant)
+    assert abs(total_weight - len(counts)) < 1e-3 * len(counts)
+
+
+def test_dup_token_mass_against_python_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_dup_token_mass, transcript_paths,
+    )
+
+    paths = transcript_paths("/root/testdata/sf0.001")
+    counts: dict = {}
+    for p in paths:
+        for tx in pq.read_table(p, columns=["text"]) \
+                .column("text").to_pylist():
+            counts[tx] = counts.get(tx, 0) + 1
+    total = sum(len(tx.split(" ")) * n for tx, n in counts.items())
+    dup = sum(len(tx.split(" ")) * (n - 1) for tx, n in counts.items())
+    row = q_transcripts_dup_token_mass("/root/testdata/sf0.001") \
+        .take_all()[0]
+    assert row["total_tokens"] == total
+    assert row["dup_tokens"] == dup
+    assert dup > 0
