@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bpe_pair_counts": q.q_documents_bpe_pair_counts,
         "transcripts_dup_weights": q.q_transcripts_dup_weights,
         "transcripts_dup_token_mass": q.q_transcripts_dup_token_mass,
+        "documents_top_terms_per_source":
+            q.q_documents_top_terms_per_source,
+        "events_winsorize_values": q.q_events_winsorize_values,
+        "transcripts_windowed_dedup": q.q_transcripts_windowed_dedup,
     }
 
 
@@ -3456,5 +3460,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(nt * (n - 1)) AS DOUBLE)
                          / CAST(SUM(nt * n) AS DOUBLE), 6) AS dup_frac
             FROM g
+        """,
+        "documents_top_terms_per_source": """
+            WITH tok AS (SELECT source,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2)
+            SELECT source, tok, n, rank FROM (
+              SELECT source, tok, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY n DESC, tok ASC) AS rank
+              FROM c) t
+            WHERE rank <= 5
+        """,
+        "events_winsorize_values": """
+            WITH q AS (SELECT event_type,
+                              quantile_disc(value, 0.05) AS lo,
+                              quantile_disc(value, 0.95) AS hi
+                       FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   LEAST(GREATEST(e.value, q.lo), q.hi) AS value_w
+            FROM events e JOIN q USING (event_type)
+        """,
+        "transcripts_windowed_dedup": f"""
+            WITH o AS (SELECT conv_id, turn_idx, ts,
+                              LAG(ts) OVER (PARTITION BY text
+                                  ORDER BY ts, conv_id, turn_idx) AS prev
+                       FROM {transcripts})
+            SELECT conv_id, turn_idx, ts FROM o
+            WHERE prev IS NULL OR ts - prev > INTERVAL 7 DAY
         """,
     }

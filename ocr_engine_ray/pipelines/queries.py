@@ -9631,7 +9631,10 @@ def q_documents_bpe_pair_counts(sf_dir: str) -> pa.Table:
     })
 
 
-def _transcript_text_dup_groups(sf_dir: str):
+def _transcript_text_dup_groups(sf_dir: str,
+                                cols: tuple[str, ...] = ("conv_id",
+                                                         "turn_idx",
+                                                         "text")):
     """Shared scaffolding for the soft-dedup reports: transcripts with a
     vectorized 64-bit text detection key, the duplicated-key set
     (broadcast), and a splitter — the dedup_exact scan shape (payloads
@@ -9639,8 +9642,7 @@ def _transcript_text_dup_groups(sf_dir: str):
     rows)."""
     from ..stages.dedup import add_content_key, duplicated_keys
 
-    ds = rd.read_parquet(transcript_paths(sf_dir),
-                         columns=["conv_id", "turn_idx", "text"])
+    ds = rd.read_parquet(transcript_paths(sf_dir), columns=list(cols))
     hashed = ds.map_batches(
         lambda b: add_content_key(b, ["text"]),
         batch_format="pyarrow").materialize()
@@ -9757,3 +9759,130 @@ def q_transcripts_dup_token_mass(sf_dir: str) -> Dataset:
         "dup_tokens": pa.array([dup_tokens], pa.int64()),
         "dup_frac": pa.array([frac], pa.float64()),
     }))
+
+
+def q_documents_top_terms_per_source(sf_dir: str) -> Dataset:
+    """Grouped heavy terms: the 5 most frequent unigrams per source
+    (count DESC, term ASC) — the per-shard vocabulary fingerprint a
+    corpus triage run prints first.  Shape: per-batch (source, tok)
+    partial counts → ONE shuffle groupby over the unbounded term domain
+    → per-source top-5 in a map_groups (post-aggregation rows per
+    source are vocabulary-bounded; at web scale cap the in-group sort
+    with a per-batch pre-top-k the way topk_combine does)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        t = pa.table({"source": pa.array(np.repeat(src, n)),
+                      "tok": pc.list_flatten(toks)})
+        g = t.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "p_n"])
+
+    counts = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("source", pa.string()), ("tok", pa.string()),
+                   ("n", pa.int64())]))
+
+    def topk(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        toks = g.column("tok").to_pylist()
+        order = sorted(range(len(toks)), key=lambda i: (-int(n[i]), toks[i]))
+        keep = order[:5]
+        return pa.table({
+            "source": g.column("source").take(keep),
+            "tok": g.column("tok").take(keep),
+            "n": g.column("n").take(keep),
+            "rank": pa.array(range(1, len(keep) + 1), pa.int64()),
+        })
+
+    return counts.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+def q_events_winsorize_values(sf_dir: str) -> Dataset:
+    """Winsorization as a row-grain TRANSFORM (the cleaning step, not
+    just the robust mean): clip each event's value to its own event
+    type's exact [P5, P95] band (quantile_disc convention both sides).
+    Pass 1 is the keyed (value, count) histogram exchange of
+    grouped_exact_quantiles; the tiny per-type band table broadcasts
+    into one vectorized clip scan — raw events never shuffle, and the
+    clip picks existing 2-dp values, so the twin is bit-exact with no
+    rounding at all."""
+    import numpy as np
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+    bands = _small_table(grouped_exact_quantiles(
+        ds.select_columns(["event_type", "value"]), "event_type", "value",
+        qs=(0.05, 0.95)))
+    btypes = bands.column("event_type").to_pylist()
+    lo = dict(zip(btypes, bands.column("q5").to_pylist()))
+    hi = dict(zip(btypes, bands.column("q95").to_pylist()))
+    bands_ref = ray.put((lo, hi))
+
+    def clip(b: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(bands_ref)
+        et = b.column("event_type").to_pylist()
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        lov = np.array([lo_m[t] for t in et], np.float64)
+        hiv = np.array([hi_m[t] for t in et], np.float64)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value_w": pa.array(np.minimum(np.maximum(v, lov), hiv),
+                                pa.float64()),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def q_transcripts_windowed_dedup(sf_dir: str) -> Dataset:
+    """Time-windowed dedup (repeat suppression with a cooldown): a turn
+    is kept iff no identical text occurred in the 7 days strictly
+    before it — the freshness-aware dedup policy for streams where a
+    recurring text is legitimate after the window lapses (LAG-based:
+    each occurrence looks only at its immediate predecessor).  Unique
+    texts (the mass) stream straight through; only the rare dup-key
+    rows take the full-sha1 group sort, so the 100 TB cost profile is
+    the dedup_exact scan plus dup-volume-bounded group work."""
+    import numpy as np
+
+    from ..stages.dedup import add_full_hash
+
+    WIN_US = 7 * 86_400_000_000
+    hashed, have_dups, split = _transcript_text_dup_groups(
+        sf_dir, cols=("conv_id", "turn_idx", "text", "ts"))
+
+    def uniq_out(b: pa.Table) -> pa.Table:
+        return split(b, False).select(["conv_id", "turn_idx", "ts"])
+
+    uniques = hashed.map_batches(uniq_out, batch_format="pyarrow")
+    if not have_dups:
+        return uniques
+
+    def keep_rule(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("ts", "ascending"), ("conv_id", "ascending"),
+                       ("turn_idx", "ascending")])
+        ts = s.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.concatenate([[True], np.diff(ts) > WIN_US])
+        return pa.table({
+            "conv_id": s.column("conv_id").filter(pa.array(keep)),
+            "turn_idx": s.column("turn_idx").filter(pa.array(keep)),
+            "ts": s.column("ts").filter(pa.array(keep)),
+        })
+
+    dup_rows = hashed.map_batches(
+        lambda b: add_full_hash(split(b, True), ["text"]),
+        batch_format="pyarrow").materialize()
+    width = max(2, min(512, dup_rows.count() // 100_000 + 2))
+    kept_dups = dup_rows.repartition(width) \
+        .groupby("content_hash").map_groups(keep_rule,
+                                            batch_format="pyarrow")
+    return uniques.union(kept_dups)

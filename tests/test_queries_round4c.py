@@ -254,3 +254,90 @@ def test_dup_token_mass_against_python_reference(ray_session):
     assert row["total_tokens"] == total
     assert row["dup_tokens"] == dup
     assert dup > 0
+
+
+def test_top_terms_per_source_counts_and_ties(ray_session, tmp_path):
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array(["x x y z", "y x w q r", "m m n"]),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_top_terms_per_source,
+    )
+
+    out = q_documents_top_terms_per_source(str(tmp_path)).take_all()
+    a = sorted([r for r in out if r["source"] == "a"],
+               key=lambda r: r["rank"])
+    # x:3, y:2, then q/r/w/z all 1 → tie broken term ASC, top-5 cuts z
+    assert [(r["tok"], r["n"]) for r in a] == [
+        ("x", 3), ("y", 2), ("q", 1), ("r", 1), ("w", 1)]
+    b = sorted([r for r in out if r["source"] == "b"],
+               key=lambda r: r["rank"])
+    assert [(r["tok"], r["n"]) for r in b] == [("m", 2), ("n", 1)]
+
+
+def test_winsorize_clips_to_group_band(ray_session, tmp_path):
+    """20 values 1..20 for one type: P5 = 1st value (quantile_disc
+    ceil(20·.05)=1), P95 = 19th; so 1→1 kept, 20→19 clipped; a second
+    type is untouched by the first's band."""
+    import datetime
+
+    n = 20
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n + 1), pa.int64()),
+        "event_type": pa.array(["p"] * n + ["v"]),
+        "value": pa.array([float(i + 1) for i in range(n)] + [500.0]),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * (n + 1),
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_events_winsorize_values
+
+    out = {r["event_id"]: r["value_w"]
+           for r in q_events_winsorize_values(str(tmp_path)).take_all()}
+    assert out[0] == 1.0            # at the low band edge
+    assert out[18] == 19.0          # the P95 pick itself
+    assert out[19] == 19.0          # 20 clipped down to P95
+    assert out[n] == 500.0          # singleton type: its own band
+
+
+def test_windowed_dedup_matches_python_lag_rule(ray_session):
+    """Independent recount of the LAG rule on the sf0.001 corpus: a row
+    survives iff no identical text occurred within the 7 days strictly
+    before it; the corpus must actually exercise both drop and
+    re-admit (gap > window) paths."""
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_windowed_dedup, transcript_paths,
+    )
+
+    WIN = 7 * 86_400_000_000
+    rows = []
+    for p in transcript_paths("/root/testdata/sf0.001"):
+        t = pq.read_table(p, columns=["conv_id", "turn_idx", "text", "ts"])
+        rows += list(zip(t.column("conv_id").to_pylist(),
+                         t.column("turn_idx").to_pylist(),
+                         t.column("text").to_pylist(),
+                         t.column("ts").cast(pa.int64()).to_pylist()))
+    by_text: dict = {}
+    for cid, ti, tx, ts in rows:
+        by_text.setdefault(tx, []).append((ts, cid, ti))
+    want = set()
+    n_dropped = n_readmitted = 0
+    for tx, occ in by_text.items():
+        occ.sort()
+        prev = None
+        for ts, cid, ti in occ:
+            if prev is None or ts - prev > WIN:
+                want.add((cid, ti, ts))
+                if prev is not None:
+                    n_readmitted += 1
+            else:
+                n_dropped += 1
+            prev = ts
+    got = {(r["conv_id"], r["turn_idx"],
+            int(r["ts"].timestamp() * 1e6) if hasattr(r["ts"], "timestamp")
+            else r["ts"])
+           for r in q_transcripts_windowed_dedup(
+               "/root/testdata/sf0.001").take_all()}
+    assert len(got) == len(want)
+    assert n_dropped > 0
