@@ -469,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_top_terms_per_source,
         "events_winsorize_values": q.q_events_winsorize_values,
         "transcripts_windowed_dedup": q.q_transcripts_windowed_dedup,
+        "events_daily_ewma": q.q_events_daily_ewma,
+        "customers_rfm_segments": q.q_customers_rfm_segments,
     }
 
 
@@ -3490,5 +3492,49 @@ def oracle_sql() -> dict[str, str]:
                        FROM {transcripts})
             SELECT conv_id, turn_idx, ts FROM o
             WHERE prev IS NULL OR ts - prev > INTERVAL 7 DAY
+        """,
+        "events_daily_ewma": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT day, n,
+                         CAST(ROW_NUMBER() OVER (ORDER BY day)
+                              AS BIGINT) AS rn
+                  FROM d)
+            SELECT t.day, t.n AS n_events,
+                   CAST(SUM(CAST(round(
+                        CAST(s.n AS DOUBLE)
+                        * power(0.5, CAST(t.rn - s.rn
+                              + CASE WHEN s.rn = 1 THEN 0 ELSE 1 END
+                              AS DOUBLE))
+                        * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                       AS ewma
+            FROM r t JOIN r s ON s.rn <= t.rn
+            GROUP BY t.day, t.n
+        """,
+        "customers_rfm_segments": """
+            WITH m AS (SELECT o_custkey AS c,
+                              MAX(o_orderdate) AS last_order,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS monetary_cents
+                       FROM orders GROUP BY 1),
+            j AS (SELECT cu.c_custkey,
+                         CAST(cu.c_nationkey AS BIGINT) AS c_nationkey,
+                         m.last_order, m.n_orders, m.monetary_cents
+                  FROM m JOIN customer cu ON m.c = cu.c_custkey)
+            SELECT c_custkey, c_nationkey, last_order, n_orders,
+                   monetary_cents,
+                   CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                        ORDER BY last_order DESC, c_custkey ASC)
+                        AS BIGINT) AS r_score,
+                   CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                        ORDER BY n_orders DESC, c_custkey ASC)
+                        AS BIGINT) AS f_score,
+                   CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                        ORDER BY monetary_cents DESC, c_custkey ASC)
+                        AS BIGINT) AS m_score
+            FROM j
         """,
     }

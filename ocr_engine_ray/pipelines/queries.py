@@ -9886,3 +9886,116 @@ def q_transcripts_windowed_dedup(sf_dir: str) -> Dataset:
         .groupby("content_hash").map_groups(keep_rule,
                                             batch_format="pyarrow")
     return uniques.union(kept_dups)
+
+
+def q_events_daily_ewma(sf_dir: str) -> Dataset:
+    """Exponentially weighted moving average of daily event counts
+    (α = 0.5, the load-trend smoother): e₁ = x₁, e_t = ½x_t + ½e_{t−1}.
+    The recursion unrolls to power-of-two weights — EXACT in IEEE — so
+    each term x_s·2^{−k} is quantized at 1e6 and summed as int64: the
+    result is order-independent and the twin replays the identical
+    closed form with power(0.5, ·).  The corpus scan is one bounded
+    (day) tree combine; the O(days²) closed-form expansion runs on the
+    tiny calendar grid only."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day}).group_by("day").aggregate(
+            [("day", "count")])
+        return t.rename_columns(["day", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"]))
+    grid = grid.sort_by("day")
+    days = grid.column("day")
+    x = grid.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    t_n = len(x)
+    ewma = np.empty(t_n, np.float64)
+    idx = np.arange(t_n)
+    for t in range(t_n):
+        exps = (t - idx[:t + 1]) + (idx[:t + 1] > 0)
+        terms = x[:t + 1] * np.power(0.5, exps.astype(np.float64))
+        ewma[t] = scaled_int_sql(terms, 1e6).sum() / 1e6
+    return rd.from_arrow(pa.table({
+        "day": days,
+        "n_events": grid.column("n"),
+        "ewma": pa.array(ewma, pa.float64()),
+    }))
+
+
+def q_customers_rfm_segments(sf_dir: str) -> Dataset:
+    """RFM segmentation (the classic CRM triage): per customer, last
+    order date (R), order count (F), lifetime cents (M), each scored
+    NTILE(5) within the customer's NATION — the partition key that
+    keeps the rank groups bounded and co-locatable (the ppl_buckets
+    contract; at web scale swap NTILE for quantile-boundary
+    assignment).  Orders pre-aggregate per custkey before the ONE
+    shuffle; the customer dim joins once; DuckDB's NTILE fill (first
+    n mod 5 buckets take the extra row) is replayed exactly."""
+    import numpy as np
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("o_totalprice"), 100.0)
+        t = pa.table({
+            "c": b.column("o_custkey"),
+            "d": b.column("o_orderdate").cast(pa.int64()),
+            "m": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("c").aggregate(
+            [("d", "max"), ("c", "count"), ("m", "sum")])
+        return g.rename_columns(["c", "p_d", "p_n", "p_m"])
+
+    agg = with_schema(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c").aggregate(Max("p_d", alias_name="last_us"),
+                                Sum("p_n", alias_name="n_orders"),
+                                Sum("p_m", alias_name="monetary_cents")),
+        pa.schema([("c", pa.int64()), ("last_us", pa.int64()),
+                   ("n_orders", pa.int64()), ("monetary_cents",
+                                              pa.int64())]))
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    j = agg.join(cust, join_type="inner", num_partitions=8,
+                 on=("c",), right_on=("c_custkey",))
+
+    def ntile5(order_keys: list[np.ndarray]) -> np.ndarray:
+        n = len(order_keys[0])
+        order = np.lexsort(order_keys[::-1])
+        k, r = divmod(n, 5)
+        bounds = np.cumsum([k + 1] * r + [k] * (5 - r))
+        tiles = np.searchsorted(bounds, np.arange(n), side="right") + 1
+        out = np.empty(n, np.int64)
+        out[order] = tiles
+        return out
+
+    def score(g: pa.Table) -> pa.Table:
+        ck = g.column("c").to_numpy(zero_copy_only=False)
+        last = g.column("last_us").to_numpy(zero_copy_only=False)
+        nord = g.column("n_orders").to_numpy(zero_copy_only=False)
+        mon = g.column("monetary_cents").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_nationkey": pa.array(
+                np.full(len(ck),
+                        int(g.column("c_nationkey")[0].as_py())),
+                pa.int64()),
+            "last_order": pa.array(last, pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_orders": pa.array(nord, pa.int64()),
+            "monetary_cents": pa.array(mon, pa.int64()),
+            "r_score": pa.array(ntile5([-last, ck]), pa.int64()),
+            "f_score": pa.array(ntile5([-nord, ck]), pa.int64()),
+            "m_score": pa.array(ntile5([-mon, ck]), pa.int64()),
+        })
+
+    return j.groupby("c_nationkey").map_groups(score,
+                                               batch_format="pyarrow")

@@ -341,3 +341,59 @@ def test_windowed_dedup_matches_python_lag_rule(ray_session):
                "/root/testdata/sf0.001").take_all()}
     assert len(got) == len(want)
     assert n_dropped > 0
+
+
+def test_daily_ewma_recursion(ray_session, tmp_path):
+    """Counts 4, 2, 8 on three days: e = 4, 3, 5.5 by the textbook
+    recursion e_t = x_t/2 + e_{t-1}/2."""
+    import datetime
+
+    ts = ([datetime.datetime(2024, 1, 1)] * 4
+          + [datetime.datetime(2024, 1, 2)] * 2
+          + [datetime.datetime(2024, 1, 3)] * 8)
+    pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}),
+                   str(tmp_path / "events.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_events_daily_ewma
+
+    rows = sorted(q_events_daily_ewma(str(tmp_path)).take_all(),
+                  key=lambda r: r["day"])
+    assert [r["n_events"] for r in rows] == [4, 2, 8]
+    assert [r["ewma"] for r in rows] == [4.0, 3.0, 5.5]
+
+
+def test_rfm_scores_planted(ray_session, tmp_path):
+    """Five customers in one nation with strictly ordered metrics get
+    distinct 1..5 scores; the most-recent/most-frequent/biggest-spender
+    customer scores 1 on each axis."""
+    import datetime
+
+    o_rows = []
+    for ci in range(5):
+        for k in range(5 - ci):       # cust 0: 5 orders ... cust 4: 1
+            o_rows.append((100 * ci + k, ci,
+                           datetime.datetime(2024, 1, 20 - ci),
+                           100.0 * (5 - ci)))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in o_rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in o_rows], pa.int64()),
+        "o_orderdate": pa.array([r[2] for r in o_rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[3] for r in o_rows], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(5), pa.int64()),
+        "c_nationkey": pa.array([7] * 5, pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_customers_rfm_segments
+
+    out = {r["c_custkey"]: r
+           for r in q_customers_rfm_segments(str(tmp_path)).take_all()}
+    assert len(out) == 5
+    for ci in range(5):
+        r = out[ci]
+        assert r["r_score"] == ci + 1
+        assert r["f_score"] == ci + 1
+        assert r["m_score"] == ci + 1
+        assert r["c_nationkey"] == 7
+    assert out[0]["n_orders"] == 5
+    assert out[0]["monetary_cents"] == 5 * 50000
