@@ -155,6 +155,14 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_orders_above_cust_avg(sf_dir).count())
     timed("events_ks_test",
           lambda: q.q_events_ks_test(sf_dir).count())
+    timed("transcripts_dup_weights",
+          lambda: q.q_transcripts_dup_weights(sf_dir).count())
+    timed("transcripts_windowed_dedup",
+          lambda: q.q_transcripts_windowed_dedup(sf_dir).count())
+    timed("events_winsorize_values",
+          lambda: q.q_events_winsorize_values(sf_dir).count())
+    timed("customers_rfm_segments",
+          lambda: q.q_customers_rfm_segments(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

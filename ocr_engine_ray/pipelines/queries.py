@@ -9829,10 +9829,18 @@ def q_events_winsorize_values(sf_dir: str) -> Dataset:
 
     def clip(b: pa.Table) -> pa.Table:
         lo_m, hi_m = ray.get(bands_ref)
-        et = b.column("event_type").to_pylist()
+        types = b.column("event_type").combine_chunks() \
+            .dictionary_encode()
+        dvals = types.dictionary.to_pylist()
+        idx = types.indices.to_numpy(zero_copy_only=False) \
+            if b.num_rows else np.array([], np.int32)
         v = b.column("value").to_numpy(zero_copy_only=False)
-        lov = np.array([lo_m[t] for t in et], np.float64)
-        hiv = np.array([hi_m[t] for t in et], np.float64)
+        # vectorized dictionary-index lookup (the value_outliers idiom):
+        # one Python lookup per DISTINCT type, not per row
+        lov = np.array([lo_m[t] for t in dvals], np.float64)[idx] \
+            if len(dvals) else np.array([], np.float64)
+        hiv = np.array([hi_m[t] for t in dvals], np.float64)[idx] \
+            if len(dvals) else np.array([], np.float64)
         return pa.table({
             "event_id": b.column("event_id"),
             "event_type": b.column("event_type"),
