@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_windowed_dedup": q.q_transcripts_windowed_dedup,
         "events_daily_ewma": q.q_events_daily_ewma,
         "customers_rfm_segments": q.q_customers_rfm_segments,
+        "events_pareto_share": q.q_events_pareto_share,
+        "events_new_vs_returning": q.q_events_new_vs_returning,
     }
 
 
@@ -3536,5 +3538,46 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY monetary_cents DESC, c_custkey ASC)
                         AS BIGINT) AS m_score
             FROM j
+        """,
+        "events_pareto_share": """
+            WITH u AS (SELECT user_id,
+                              CAST(SUM(CAST(round(value * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS cents
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                         CAST(SUM(cents) AS BIGINT) AS tot FROM u),
+            r AS (SELECT cents,
+                         ROW_NUMBER() OVER (ORDER BY cents DESC,
+                                            user_id ASC) AS rn
+                  FROM u)
+            SELECT n.nu AS n_users,
+                   CAST(CEIL(n.nu / 10.0) AS BIGINT) AS top_users,
+                   CAST(SUM(CASE WHEN r.rn <= CEIL(n.nu / 10.0)
+                                 THEN r.cents ELSE 0 END) AS BIGINT)
+                       AS top_cents,
+                   n.tot AS total_cents,
+                   ROUND(CAST(SUM(CASE WHEN r.rn <= CEIL(n.nu / 10.0)
+                                       THEN r.cents ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(n.tot AS DOUBLE), 6) AS top_share
+            FROM r, n GROUP BY n.nu, n.tot
+        """,
+        "events_new_vs_returning": """
+            WITH ud AS (SELECT user_id, date_trunc('day', ts) AS d,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+            f AS (SELECT user_id, MIN(d) AS fd FROM ud GROUP BY 1)
+            SELECT ud.d AS day,
+                   CAST(COUNT(CASE WHEN ud.d = f.fd THEN 1 END)
+                        AS BIGINT) AS n_new_users,
+                   CAST(COUNT(CASE WHEN ud.d > f.fd THEN 1 END)
+                        AS BIGINT) AS n_returning_users,
+                   CAST(SUM(CASE WHEN ud.d = f.fd THEN ud.n ELSE 0 END)
+                        AS BIGINT) AS new_events,
+                   CAST(SUM(CASE WHEN ud.d > f.fd THEN ud.n ELSE 0 END)
+                        AS BIGINT) AS returning_events
+            FROM ud JOIN f USING (user_id) GROUP BY 1
         """,
     }

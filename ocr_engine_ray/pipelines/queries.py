@@ -10007,3 +10007,109 @@ def q_customers_rfm_segments(sf_dir: str) -> Dataset:
 
     return j.groupby("c_nationkey").map_groups(score,
                                                batch_format="pyarrow")
+
+
+def q_events_pareto_share(sf_dir: str) -> Dataset:
+    """Value-concentration (Pareto / "80-20") report: what share of
+    total event value do the top 10 % of users hold?  Users with only
+    NULL values are excluded (their SUM is NULL on both sides).  The
+    only full-width exchange is the user-grain sum; the sort + limit
+    runs on the AGGREGATE (one row per user), and at web scale the
+    rank cut swaps for an exact-quantile threshold on the cents
+    histogram (the ppl_buckets-style documented trade)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("value")))
+        cents = scaled_int_sql(f.column("value"), 100.0)
+        t = pa.table({"user_id": f.column("user_id"),
+                      "c": pa.array(cents, pa.int64())})
+        g = t.group_by("user_id").aggregate([("c", "sum")])
+        return g.rename_columns(["user_id", "p_c"])
+
+    sums = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Sum("p_c", alias_name="cents")),
+        pa.schema([("user_id", pa.int64()), ("cents", pa.int64())])) \
+        .materialize()
+    tot = sums.aggregate(Sum("cents", alias_name="t"),
+                         Count(alias_name="n"))
+    total_cents, n_users = int(tot["t"]), int(tot["n"])
+    k = (n_users + 9) // 10                      # CEIL(n/10)
+    top = sums.sort([("cents"), ("user_id")],
+                    descending=[True, False]).limit(k)
+    top_cents = int(top.aggregate(Sum("cents", alias_name="t"))["t"]) \
+        if k else 0
+    share = round_sql_f(top_cents / total_cents, 6) if total_cents else 0.0
+    return rd.from_arrow(pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "top_users": pa.array([k], pa.int64()),
+        "top_cents": pa.array([top_cents], pa.int64()),
+        "total_cents": pa.array([total_cents], pa.int64()),
+        "top_share": pa.array([share], pa.float64()),
+    }))
+
+
+def q_events_new_vs_returning(sf_dir: str) -> Dataset:
+    """New-vs-returning daily engagement split (the growth-analytics
+    staple): per active day, how many users are on their FIRST-ever
+    day vs returning, and how many events each cohort produced.
+    Exchanges: one (user, day) pre-aggregate, one user-grain MIN for
+    first-seen day, one co-keyed join back — raw events never shuffle;
+    the final per-day fold is a bounded-calendar tree combine."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day") \
+            .cast(pa.int64())
+        t = pa.table({"user_id": b.column("user_id"), "d": day})
+        g = t.group_by(["user_id", "d"]).aggregate([("d", "count")])
+        return g.rename_columns(["user_id", "d", "p_n"])
+
+    ud = with_schema(
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "d"]).aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("user_id", pa.int64()), ("d", pa.int64()),
+                   ("n", pa.int64())])).materialize()
+    first = with_schema(
+        ud.groupby("user_id").aggregate(Min("d", alias_name="fd")),
+        pa.schema([("user_id", pa.int64()), ("fd", pa.int64())]))
+    j = ud.join(first, join_type="inner", num_partitions=8,
+                on=("user_id",))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        fd = b.column("fd").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        new = d == fd
+        return pa.table({
+            "d": b.column("d"),
+            "p_nu": pa.array(new.astype(np.int64), pa.int64()),
+            "p_ru": pa.array((~new).astype(np.int64), pa.int64()),
+            "p_ne": pa.array(np.where(new, n, 0), pa.int64()),
+            "p_re": pa.array(np.where(new, 0, n), pa.int64()),
+        })
+
+    agg = _tree_combine(
+        j.map_batches(day_partial, batch_format="pyarrow"),
+        ["d"], [("p_nu", "sum"), ("p_ru", "sum"),
+                ("p_ne", "sum"), ("p_re", "sum")],
+        ["d", "p_nu", "p_ru", "p_ne", "p_re"],
+        ["d", "n_new_users", "n_returning_users",
+         "new_events", "returning_events"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": b.column("d").cast(pa.timestamp("us")),
+            "n_new_users": b.column("n_new_users"),
+            "n_returning_users": b.column("n_returning_users"),
+            "new_events": b.column("new_events"),
+            "returning_events": b.column("returning_events"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -397,3 +397,53 @@ def test_rfm_scores_planted(ray_session, tmp_path):
         assert r["c_nationkey"] == 7
     assert out[0]["n_orders"] == 5
     assert out[0]["monetary_cents"] == 5 * 50000
+
+
+def test_pareto_share_planted(ray_session, tmp_path):
+    """10 users with values 1..10: top-1 user (CEIL(10/10)) holds
+    10/55; an all-NULL-value user is excluded from the population."""
+    import datetime
+
+    uid = list(range(10)) + [99]
+    val = [float(i + 1) for i in range(10)] + [None]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(11), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(["p"] * 11),
+        "value": pa.array(val, pa.float64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * 11,
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_events_pareto_share
+
+    r = q_events_pareto_share(str(tmp_path)).take_all()[0]
+    assert r["n_users"] == 10 and r["top_users"] == 1
+    assert r["total_cents"] == 5500 and r["top_cents"] == 1000
+    assert abs(r["top_share"] - round(1000 / 5500, 6)) < 1e-12
+
+
+def test_new_vs_returning_split(ray_session, tmp_path):
+    """User A appears day 1 (2 events) and day 2 (1); user B only
+    day 2 (3 events): day 1 = 1 new user / 2 events, day 2 = 1 new
+    (B, 3 events) + 1 returning (A, 1 event)."""
+    import datetime
+
+    rows = [(0, datetime.datetime(2024, 1, 1, 5)),
+            (0, datetime.datetime(2024, 1, 1, 6)),
+            (0, datetime.datetime(2024, 1, 2, 5)),
+            (1, datetime.datetime(2024, 1, 2, 6)),
+            (1, datetime.datetime(2024, 1, 2, 7)),
+            (1, datetime.datetime(2024, 1, 2, 8))]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_events_new_vs_returning
+
+    out = {r["day"].day if hasattr(r["day"], "day") else r["day"]: r
+           for r in q_events_new_vs_returning(str(tmp_path)).take_all()}
+    d1, d2 = out[1], out[2]
+    assert d1["n_new_users"] == 1 and d1["new_events"] == 2
+    assert d1["n_returning_users"] == 0
+    assert d2["n_new_users"] == 1 and d2["new_events"] == 3
+    assert d2["n_returning_users"] == 1 and d2["returning_events"] == 1
