@@ -473,6 +473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_rfm_segments": q.q_customers_rfm_segments,
         "events_pareto_share": q.q_events_pareto_share,
         "events_new_vs_returning": q.q_events_new_vs_returning,
+        "events_psi_drift": q.q_events_psi_drift,
+        "lineitem_profile": q.q_lineitem_profile,
+        "events_rolling_median": q.q_events_rolling_median,
+        "events_ols_trend": q.q_events_ols_trend,
     }
 
 
@@ -3579,5 +3583,153 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN ud.d > f.fd THEN ud.n ELSE 0 END)
                         AS BIGINT) AS returning_events
             FROM ud JOIN f USING (user_id) GROUP BY 1
+        """,
+        "events_psi_drift": """
+            WITH b AS (SELECT event_type,
+                              CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                   AS BIGINT) AS d
+                       FROM events),
+            r AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM b),
+            c AS (SELECT event_type,
+                         CAST(SUM(CASE WHEN d < mn + (mx - mn + 1) // 2
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS c_ref,
+                         CAST(SUM(CASE WHEN d >= mn + (mx - mn + 1) // 2
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS c_cur
+                  FROM b, r GROUP BY 1),
+            n AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n1,
+                         CAST(SUM(c_cur) AS BIGINT) AS n2 FROM c),
+            p AS (SELECT event_type, c_ref, c_cur,
+                         CAST(c_ref AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                         CAST(c_cur AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+                  FROM c, n WHERE c_ref > 0 AND c_cur > 0)
+            SELECT event_type, c_ref, c_cur,
+                   ROUND(p1, 6) AS share_ref,
+                   ROUND(p2, 6) AS share_cur,
+                   ROUND((p2 - p1) * ln(p2 / p1), 6) AS psi_term
+            FROM p
+        """,
+        "lineitem_profile": """
+            SELECT 'l_orderkey' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_orderkey) AS BIGINT) AS min_int,
+                   CAST(MAX(l_orderkey) AS BIGINT) AS max_int,
+                   CAST(NULL AS DOUBLE) AS min_num,
+                   CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+                   CAST(MIN(l_partkey) AS BIGINT),
+                   CAST(MAX(l_partkey) AS BIGINT),
+                   NULL, NULL, NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+                   CAST(MIN(l_suppkey) AS BIGINT),
+                   CAST(MAX(l_suppkey) AS BIGINT),
+                   NULL, NULL, NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+                   CAST(MIN(l_linenumber) AS BIGINT),
+                   CAST(MAX(l_linenumber) AS BIGINT),
+                   NULL, NULL, NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+                   NULL, NULL, MIN(l_quantity), MAX(l_quantity),
+                   NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+                   NULL, NULL, MIN(l_extendedprice), MAX(l_extendedprice),
+                   NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+                   NULL, NULL, MIN(l_discount), MAX(l_discount),
+                   NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+                   NULL, NULL, MIN(l_tax), MAX(l_tax),
+                   NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+                   NULL, NULL, NULL, NULL,
+                   MIN(l_returnflag), MAX(l_returnflag)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+                   NULL, NULL, NULL, NULL,
+                   MIN(l_linestatus), MAX(l_linestatus)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(epoch_us(MIN(l_shipdate)) AS BIGINT),
+                   CAST(epoch_us(MAX(l_shipdate)) AS BIGINT),
+                   NULL, NULL, NULL, NULL
+            FROM lineitem
+        """,
+        "events_rolling_median": """
+            SELECT event_id, user_id,
+                   median(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       / 100.0 AS rolling_med
+            FROM events WHERE value IS NOT NULL
+        """,
+        "events_ols_trend": """
+            WITH d AS (SELECT event_type,
+                              CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                   AS BIGINT) AS d,
+                              CAST(SUM(CAST(round(value * 100)
+                                            AS BIGINT)) AS BIGINT) AS y
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY 1, 2),
+            m AS (SELECT MIN(d) AS x0 FROM d),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(d - x0) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM((d - x0) * (d - x0)) AS HUGEINT) AS sxx,
+                         CAST(SUM((d - x0) * y) AS HUGEINT) AS sxy
+                  FROM d, m GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                   ROUND((CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
         """,
     }

@@ -10113,3 +10113,323 @@ def q_events_new_vs_returning(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_psi_drift(sf_dir: str) -> Dataset:
+    """Population Stability Index (the model-monitoring drift staple)
+    of the event-type mix between the first and second half of the
+    corpus's day range.  Counts are EXACT integers moved through one
+    bounded (event_type, half) tree combine — raw events never
+    shuffle — and each type emits its own PSI term as a row, so no
+    float summation order exists anywhere; the grand total is the
+    reader's SUM over a handful of rows.  Types absent from either
+    half are excluded from the report (ln is undefined on them; the
+    half totals still count their events), the standard PSI practice.
+    """
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day") \
+            .cast(pa.int64())
+        d = pc.divide(day, 86_400_000_000)
+        t = pa.table({"event_type": b.column("event_type"), "d": d})
+        g = t.group_by("event_type").aggregate(
+            [("d", "min"), ("d", "max"), ("d", "count")])
+        return g.rename_columns(["event_type", "p_mn", "p_mx", "p_n"])
+
+    # pass 1: the day range (bounded: one row per type per block)
+    rng = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("p_mn", "min"), ("p_mx", "max"), ("p_n", "sum")],
+        ["event_type", "p_mn", "p_mx", "p_n"],
+        ["event_type", "mn", "mx", "n"])
+    rt = _small_table(rng.materialize())
+    mn = int(pc.min(rt.column("mn")).as_py())
+    mx = int(pc.max(rt.column("mx")).as_py())
+    split = mn + (mx - mn + 1) // 2
+
+    def half_partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day") \
+            .cast(pa.int64())
+        d = pc.divide(day, 86_400_000_000)
+        h = pc.if_else(pc.less(d, split), 0, 1)
+        t = pa.table({"event_type": b.column("event_type"), "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["event_type", "h", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(half_partial, batch_format="pyarrow"),
+        ["event_type", "h"], [("p_n", "sum")],
+        ["event_type", "h", "p_n"], ["event_type", "h", "n"])
+    at = _small_table(agg.materialize())
+    et = np.asarray(at.column("event_type"))
+    h = at.column("h").to_numpy(zero_copy_only=False)
+    n = at.column("n").to_numpy(zero_copy_only=False)
+    types = sorted(set(et.tolist()))
+    c1 = {t: 0 for t in types}
+    c2 = {t: 0 for t in types}
+    for t, hh, nn in zip(et.tolist(), h.tolist(), n.tolist()):
+        (c1 if hh == 0 else c2)[t] = int(nn)
+    n1 = sum(c1.values())
+    n2 = sum(c2.values())
+    keep = [t for t in types if c1[t] > 0 and c2[t] > 0]
+    p1 = np.array([c1[t] / n1 for t in keep], np.float64)
+    p2 = np.array([c2[t] / n2 for t in keep], np.float64)
+    psi = (p2 - p1) * np.log(p2 / p1)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(keep, pa.string()),
+        "c_ref": pa.array([c1[t] for t in keep], pa.int64()),
+        "c_cur": pa.array([c2[t] for t in keep], pa.int64()),
+        "share_ref": round_sql(pa.array(p1, pa.float64()), 6),
+        "share_cur": round_sql(pa.array(p2, pa.float64()), 6),
+        "psi_term": round_sql(pa.array(psi, pa.float64()), 6),
+    }))
+
+
+def q_lineitem_profile(sf_dir: str) -> Dataset:
+    """Data-profiling report (the Deequ / Great-Expectations staple):
+    one row per lineitem column with row count, null count, EXACT
+    distinct count, and typed min/max (integer & timestamp columns in
+    ``min_int``/``max_int`` — timestamps as epoch-µs — doubles pass
+    through ``min_num``/``max_num`` raw, strings in ``min_str``/
+    ``max_str``).  Nulls/min/max ride one bounded per-column tree
+    combine; the distinct counts pay the honest COUNT(DISTINCT) price
+    — per-block distinct prune, then ONE (col, value) exchange whose
+    encoded key is injective (doubles via shortest-roundtrip repr with
+    -0.0 normalized to +0.0, matching SQL equality).  At 100 TB the
+    distinct path is the documented cost driver; swap in the HLL
+    sketch stage when ±2 % suffices."""
+    import numpy as np
+
+    INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    STR_COLS = ["l_returnflag", "l_linestatus"]
+    TS_COLS = ["l_shipdate"]
+    ALL = INT_COLS + NUM_COLS + STR_COLS + TS_COLS
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=ALL)
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for name in ALL:
+            col = b.column(name)
+            nulls = col.null_count
+            v = col.drop_null()
+            mi = mf = ms = None
+            xi = xf = xs = None
+            if len(v):
+                if name in INT_COLS:
+                    mi = int(pc.min(v).as_py())
+                    xi = int(pc.max(v).as_py())
+                elif name in TS_COLS:
+                    vi = v.cast(pa.int64())
+                    mi = int(pc.min(vi).as_py())
+                    xi = int(pc.max(vi).as_py())
+                elif name in NUM_COLS:
+                    mf = float(pc.min(v).as_py())
+                    xf = float(pc.max(v).as_py())
+                else:
+                    ms = str(pc.min(v).as_py())
+                    xs = str(pc.max(v).as_py())
+            rows.append((name, len(b), nulls, mi, xi, mf, xf, ms, xs))
+        cols = list(zip(*rows))
+        return pa.table({
+            "col": pa.array(cols[0], pa.string()),
+            "p_rows": pa.array(cols[1], pa.int64()),
+            "p_nulls": pa.array(cols[2], pa.int64()),
+            "p_min_i": pa.array(cols[3], pa.int64()),
+            "p_max_i": pa.array(cols[4], pa.int64()),
+            "p_min_f": pa.array(cols[5], pa.float64()),
+            "p_max_f": pa.array(cols[6], pa.float64()),
+            "p_min_s": pa.array(cols[7], pa.string()),
+            "p_max_s": pa.array(cols[8], pa.string()),
+        })
+
+    stats = _tree_combine(
+        ds.map_batches(stat_partial, batch_format="pyarrow"),
+        ["col"],
+        [("p_rows", "sum"), ("p_nulls", "sum"),
+         ("p_min_i", "min"), ("p_max_i", "max"),
+         ("p_min_f", "min"), ("p_max_f", "max"),
+         ("p_min_s", "min"), ("p_max_s", "max")],
+        ["col", "p_rows", "p_nulls", "p_min_i", "p_max_i",
+         "p_min_f", "p_max_f", "p_min_s", "p_max_s"],
+        ["col", "n_rows", "n_nulls", "min_int", "max_int",
+         "min_num", "max_num", "min_str", "max_str"])
+
+    def enc_partial(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for name in ALL:
+            v = b.column(name).drop_null().combine_chunks()
+            if len(v) == 0:
+                continue
+            if name in NUM_COLS:
+                arr = v.to_numpy(zero_copy_only=False) + 0.0
+                s = pc.cast(pa.array(np.unique(arr)), pa.string())
+            elif name in TS_COLS:
+                s = pc.cast(pc.unique(v.cast(pa.int64())), pa.string())
+            elif name in INT_COLS:
+                s = pc.cast(pc.unique(v), pa.string())
+            else:
+                s = pc.unique(v)
+            names.append(pa.array([name] * len(s), pa.string()))
+            vals.append(s)
+        if not names:
+            return pa.table({"col": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        return pa.table({"col": pa.concat_arrays(names),
+                         "v": pa.concat_arrays(
+                             [x.combine_chunks() if isinstance(
+                                 x, pa.ChunkedArray) else x
+                              for x in vals])})
+
+    dv = ds.map_batches(enc_partial, batch_format="pyarrow") \
+        .groupby(["col", "v"]).aggregate(Count("v", alias_name="_n"))
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("col").aggregate([("v", "count")])
+        return g.rename_columns(["col", "p_d"])
+
+    nd = _tree_combine(
+        dv.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["col"], [("p_d", "sum")],
+        ["col", "p_d"], ["col", "n_distinct"])
+
+    st = _small_table(stats.materialize())
+    nt = _small_table(nd.materialize())
+    dmap = dict(zip(nt.column("col").to_pylist(),
+                    nt.column("n_distinct").to_pylist()))
+    order = np.argsort(np.asarray(st.column("col")))
+    st = st.take(pa.array(order, pa.int64()))
+    return rd.from_arrow(pa.table({
+        "col": st.column("col"),
+        "n_rows": st.column("n_rows").cast(pa.int64()),
+        "n_nulls": st.column("n_nulls").cast(pa.int64()),
+        "n_distinct": pa.array(
+            [int(dmap.get(c, 0)) for c in st.column("col").to_pylist()],
+            pa.int64()),
+        "min_int": st.column("min_int"),
+        "max_int": st.column("max_int"),
+        "min_num": st.column("min_num"),
+        "max_num": st.column("max_num"),
+        "min_str": st.column("min_str"),
+        "max_str": st.column("max_str"),
+    }))
+
+
+def q_events_rolling_median(sf_dir: str) -> Dataset:
+    """Per-user 7-row rolling median of event value (the robust
+    smoothing twin of events_moving_avg): median over the trailing ≤7
+    non-null values ordered by (ts, event_id).  Values ride as EXACT
+    int64 cents; the only float ops are the even-window midpoint
+    lo·0.5 + hi·0.5 (exact halves of exact ints — bit-equal to
+    DuckDB's quantile interpolation) and one final /100.0, both
+    replayed token-identically in the twin.  One user-key exchange;
+    the in-group pass is a vectorized (n×7) nanmedian, no Python
+    loop."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+
+    def roll(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cents = scaled_int_sql(g.column("value"), 100.0)[order] \
+            .astype(np.float64)
+        n = len(cents)
+        w = np.full((n, 7), np.nan)
+        for k in range(min(7, n)):
+            w[k:, 6 - k] = cents[: n - k] if k else cents
+        med = np.nanmedian(w, axis=1)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": g.column("user_id").take(
+                pa.array(order, pa.int64())),
+            "rolling_med": pa.array(med / 100.0, pa.float64()),
+        })
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+def q_events_ols_trend(sf_dir: str) -> Dataset:
+    """Per-type ordinary-least-squares trend of daily event value
+    (slope + intercept of cents-per-day vs day offset) — the exact-sum
+    companion to the rank-based events_theilsen_trend.  One bounded
+    (type, day) tree combine is the only exchange; the per-type normal
+    equations run in arbitrary-precision Python ints (n·Σxy − Σx·Σy
+    etc. — the HUGEINT casts in the twin), and only the final
+    divisions are float, float()ed operand-by-operand BEFORE dividing
+    (the documented DuckDB cast-then-divide convention).  Types with
+    <2 active days or a degenerate denominator are excluded, as in the
+    twin."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(
+            pc.floor_temporal(f.column("ts"), unit="day")
+            .cast(pa.int64()), 86_400_000_000)
+        cents = scaled_int_sql(f.column("value"), 100.0)
+        t = pa.table({"event_type": f.column("event_type"), "d": day,
+                      "c": pa.array(cents, pa.int64())})
+        g = t.group_by(["event_type", "d"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "d", "p_c"])
+
+    daily = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("p_c", "sum")],
+        ["event_type", "d", "p_c"], ["event_type", "d", "y"]) \
+        .materialize()
+    x0 = int(daily.aggregate(Min("d", alias_name="m"))["m"])
+
+    def fit(g: pa.Table) -> pa.Table:
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        y = g.column("y").to_numpy(zero_copy_only=False)
+        n = len(d)
+        if n < 2:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "slope": pa.array([], pa.float64()),
+                "intercept": pa.array([], pa.float64())})
+        xs = [int(v) - x0 for v in d.tolist()]
+        ys = [int(v) for v in y.tolist()]
+        sx = sum(xs)
+        sy = sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "slope": pa.array([], pa.float64()),
+                "intercept": pa.array([], pa.float64())})
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pa.table({
+            "event_type": pa.array(
+                [g.column("event_type")[0].as_py()], pa.string()),
+            "n_days": pa.array([n], pa.int64()),
+            "slope": pa.array([round_sql_f(slope, 6)], pa.float64()),
+            "intercept": pa.array([round_sql_f(intercept, 6)],
+                                  pa.float64()),
+        })
+
+    return daily.groupby("event_type").map_groups(
+        fit, batch_format="pyarrow")

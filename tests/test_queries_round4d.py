@@ -1,0 +1,141 @@
+"""Planted-corpus semantic tests for the round-4 session-7 batch:
+PSI drift, the lineitem profiling report, per-user rolling median, and
+per-type OLS trend.  Bit-exactness vs DuckDB is pinned by the contract
+sweep; these pin the SEMANTICS on hand-checkable corpora, including the
+one-sided-type exclusion, the -0.0/0.0 distinct fold, the even-window
+midpoint, and the degenerate-denominator exclusion."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _tab(res) -> pa.Table:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        rows = res.take_all()
+        if not rows:
+            return res.schema().base_schema.empty_table()
+        return pa.Table.from_pylist(rows)
+    return res
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, day, user_id, event_type, value)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1], "D").astype(
+            "timedelta64[us]") for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+
+def test_psi_drift_planted(ray_session, tmp_path):
+    """Days 0..3 → split at day 2.  'a' drifts 3/4 → 1/4 of its half,
+    'b' the reverse; 'only_ref' lives in half 1 alone so it is
+    EXCLUDED from the report but still counted in half-1's total."""
+    rows = []
+    eid = 0
+    for day, typ, n in [(0, "a", 3), (1, "b", 1), (0, "only_ref", 1),
+                        (2, "a", 1), (3, "b", 3)]:
+        for _ in range(n):
+            rows.append((eid, day, eid, typ, 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_psi_drift
+
+    out = {r["event_type"]: r for r in
+           _tab(q_events_psi_drift(str(tmp_path))).to_pylist()}
+    assert set(out) == {"a", "b"}              # one-sided type excluded
+    # half totals: n1 = 3+1+1 = 5 (only_ref counts), n2 = 4
+    a = out["a"]
+    assert (a["c_ref"], a["c_cur"]) == (3, 1)
+    p1, p2 = 3 / 5, 1 / 4
+    assert a["share_ref"] == round(p1, 6)
+    assert abs(a["psi_term"] - (p2 - p1) * math.log(p2 / p1)) < 1e-6
+    assert out["b"]["psi_term"] > 0            # drift is positive
+
+
+def test_lineitem_profile_planted(ray_session, tmp_path):
+    """Nulls counted, distincts exact (with -0.0 folding into 0.0 the
+    way SQL equality does), typed min/max in the right slots."""
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, None], pa.int64()),
+        "l_partkey": pa.array([7, 7, 7, 7], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 2, 2], pa.int32()),
+        "l_quantity": pa.array([-0.0, 0.0, 2.5, None], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.1] * 4, pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["R", "A", None, "N"], pa.string()),
+        "l_linestatus": pa.array(["O", "F", "O", "F"], pa.string()),
+        "l_shipdate": pa.array(
+            [np.datetime64("2024-01-0%dT00:00:00" % d, "us")
+             for d in (1, 2, 3, 4)], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_lineitem_profile
+
+    out = {r["col"]: r for r in
+           _tab(q_lineitem_profile(str(tmp_path))).to_pylist()}
+    assert len(out) == 11
+    ok = out["l_orderkey"]
+    assert (ok["n_rows"], ok["n_nulls"], ok["n_distinct"]) == (4, 1, 2)
+    assert (ok["min_int"], ok["max_int"]) == (1, 2)
+    assert ok["min_num"] is None and ok["min_str"] is None
+    q = out["l_quantity"]
+    assert q["n_distinct"] == 2            # {-0.0 ≡ 0.0, 2.5}, null out
+    assert q["max_num"] == 2.5
+    rf = out["l_returnflag"]
+    assert (rf["n_nulls"], rf["min_str"], rf["max_str"]) == (1, "A", "R")
+    sd = out["l_shipdate"]
+    assert sd["min_int"] == int(np.datetime64(
+        "2024-01-01T00:00:00", "us").astype("int64"))
+
+
+def test_rolling_median_planted(ray_session, tmp_path):
+    """Odd windows pick the middle value, even windows the midpoint;
+    NULL values never enter a window; windows never cross users."""
+    rows = [(i, 0, 1, "x", v) for i, v in
+            enumerate([10.0, 20.0, None, 40.0, 1000.0])]
+    rows += [(100, 0, 2, "x", 7.0)]            # other user: own window
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_rolling_median
+
+    out = {r["event_id"]: r["rolling_med"] for r in
+           _tab(q_events_rolling_median(str(tmp_path))).to_pylist()}
+    assert 2 not in out                        # NULL row dropped
+    assert out[0] == 10.0                      # [10]
+    assert out[1] == 15.0                      # [10,20] midpoint
+    assert out[3] == 20.0                      # [10,20,40] middle
+    assert out[4] == 30.0                      # [10,20,40,1000] robust
+    assert out[100] == 7.0                     # user 2 isolated
+
+
+def test_ols_trend_planted(ray_session, tmp_path):
+    """A perfect line y = 200·x + 300 cents recovers slope 200 and
+    intercept 300 exactly; a single-day type is excluded."""
+    rows = []
+    eid = 0
+    for day in range(5):
+        rows.append((eid, day, eid, "lin", (200 * day + 300) / 100.0))
+        eid += 1
+    rows.append((eid, 2, eid, "flat", 9.0))    # one active day only
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_ols_trend
+
+    out = {r["event_type"]: r for r in
+           _tab(q_events_ols_trend(str(tmp_path))).to_pylist()}
+    assert "flat" not in out
+    lin = out["lin"]
+    assert lin["n_days"] == 5
+    assert lin["slope"] == 200.0
+    assert lin["intercept"] == 300.0
