@@ -477,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": q.q_lineitem_profile,
         "events_rolling_median": q.q_events_rolling_median,
         "events_ols_trend": q.q_events_ols_trend,
+        "parts_copurchase_degrees": q.q_parts_copurchase_degrees,
+        "parts_copurchase_triangles": q.q_parts_copurchase_triangles,
+        "parts_copurchase_pagerank": q.q_parts_copurchase_pagerank,
     }
 
 
@@ -3731,5 +3734,42 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(sx AS DOUBLE))
                          / CAST(n AS DOUBLE), 6) AS intercept
             FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+        """,
+        "parts_copurchase_degrees": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS degree
+                    FROM (SELECT p1 AS p FROM e
+                          UNION ALL SELECT p2 FROM e)
+                    GROUP BY 1)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM deg GROUP BY 1
+        """,
+        "parts_copurchase_triangles": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT p1 AS p FROM e
+                          UNION ALL SELECT p2 FROM e)
+                    GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+                  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+                       JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+            w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                      AS n_wedges FROM deg)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)
+                       AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   w.n_wedges,
+                   t.n_tri AS n_triangles,
+                   ROUND(CAST(3 * t.n_tri AS DOUBLE)
+                         / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
+            FROM t, w
         """,
     }

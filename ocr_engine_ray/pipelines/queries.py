@@ -10433,3 +10433,207 @@ def q_events_ols_trend(sf_dir: str) -> Dataset:
 
     return daily.groupby("event_type").map_groups(
         fit, batch_format="pyarrow")
+
+
+def _copurchase_edges(sf_dir: str) -> Dataset:
+    """Distinct part co-purchase edges (id_a < id_b, w = #orders both
+    parts appear in) — the market-basket graph the graph-analytics
+    family (degrees / triangles / PageRank) runs on.  Same inverted-
+    index discipline as the similarity kernels: one (order, part)
+    distinct exchange, in-group triu pair expansion per order (parts
+    per order is structurally tiny, so no df cap is needed — the group
+    IS the basket), then the adaptive pair combine.  Returns a
+    materialized Dataset."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "l_partkey"]).aggregate(
+            [("l_partkey", "count")])
+        return g.rename_columns(["o", "p", "_n"])
+
+    op = with_schema(
+        ds.map_batches(op_partial, batch_format="pyarrow")
+        .groupby(["o", "p"]).aggregate(Count("p", alias_name="_n"))
+        .map_batches(lambda b: b.select(["o", "p"]),
+                     batch_format="pyarrow"),
+        pa.schema([("o", pa.int64()), ("p", pa.int64())]))
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        ids = np.sort(g.column("p").to_numpy(zero_copy_only=False))
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[a], pa.int64()),
+                         "id_b": pa.array(ids[b], pa.int64()),
+                         "p_c": pa.array(np.ones(len(a), np.int64))})
+
+    pairs = op.groupby("o").map_groups(expand,
+                                       batch_format="pyarrow") \
+        .materialize()
+    return _pair_combine(pairs, ["id_a", "id_b"], "w").materialize()
+
+
+def _copurchase_degrees(edges: Dataset) -> Dataset:
+    """(p, degree) rows from the distinct edge set — each edge feeds
+    both endpoints; one bounded per-node combine."""
+    def deg_partial(b: pa.Table) -> pa.Table:
+        p = pa.concat_arrays([b.column("id_a").combine_chunks(),
+                              b.column("id_b").combine_chunks()])
+        g = pa.table({"p": p}).group_by("p").aggregate([("p", "count")])
+        return g.rename_columns(["p", "p_d"])
+
+    return with_schema(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("p_d", alias_name="degree")),
+        pa.schema([("p", pa.int64()), ("degree", pa.int64())]))
+
+
+def q_parts_copurchase_degrees(sf_dir: str) -> Dataset:
+    """Degree distribution of the part co-purchase graph (the
+    market-basket degree histogram): (degree, n_parts).  Exchanges:
+    the edge builder's two, one per-node degree sum, and a bounded
+    (degree) tree combine — degrees are capped by the basket-size ×
+    order-fanout product, so the histogram key set is tiny."""
+    deg = _copurchase_degrees(_copurchase_edges(sf_dir))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("degree").aggregate([("degree", "count")])
+        return g.rename_columns(["degree", "p_n"])
+
+    return _tree_combine(
+        deg.map_batches(hist_partial, batch_format="pyarrow"),
+        ["degree"], [("p_n", "sum")],
+        ["degree", "p_n"], ["degree", "n_parts"])
+
+
+def q_parts_copurchase_triangles(sf_dir: str) -> Dataset:
+    """EXACT triangle count + global clustering coefficient of the
+    part co-purchase graph.  Plan: the distinct edge set doubles as a
+    broadcast membership index (sorted packed int64 keys — ~10 MB/M
+    edges via ray.put, read once per task, the ANN-centroid pattern);
+    wedge generation is in-group per lowest endpoint (id-orientation
+    counts every triangle exactly once) with a vectorized triu +
+    searchsorted membership probe, so no wedge ever crosses the wire —
+    only per-group (triangles, wedges) partial counts do.  At true
+    web scale the broadcast side swaps for a degree-oriented
+    partitioned wedge join; the twin is the exact 3-way self-join
+    oracle."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    n_edges = edges.count()
+    deg = _copurchase_degrees(edges).materialize()
+    n_nodes = deg.count()
+
+    def cw_partial(b: pa.Table) -> pa.Table:
+        d = b.column("degree").to_numpy(zero_copy_only=False)
+        return pa.table({"p_w": pa.array(
+            [int(np.sum(d * (d - 1) // 2))], pa.int64())})
+
+    n_wedges = int(deg.map_batches(cw_partial, batch_format="pyarrow")
+                   .aggregate(Sum("p_w", alias_name="w"))["w"])
+
+    ekeys = np.sort(np.concatenate([
+        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
+            np.int64) << 32)
+        | t.column("id_b").to_numpy(zero_copy_only=False)
+        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
+    ])) if n_edges else np.array([], np.int64)
+    assert n_edges == 0 or int(ekeys.max() & 0xFFFFFFFF) < (1 << 32)
+    ekeys_ref = ray.put(ekeys)
+
+    def tri_group(g: pa.Table) -> pa.Table:
+        nb = np.sort(g.column("id_b").to_numpy(zero_copy_only=False))
+        if len(nb) < 2:
+            return pa.table({"p_t": pa.array([], pa.int64())})
+        ek = ray.get(ekeys_ref)
+        i, j = np.triu_indices(len(nb), k=1)
+        keys = (nb[i] << 32) | nb[j]
+        pos = np.searchsorted(ek, keys)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == keys)
+        return pa.table({"p_t": pa.array([int(hit.sum())], pa.int64())})
+
+    tri = edges.groupby("id_a").map_groups(tri_group,
+                                           batch_format="pyarrow")
+    n_tri = int(tri.aggregate(Sum("p_t", alias_name="t"))["t"] or 0)
+    clust = round_sql_f(float(3 * n_tri) / float(n_wedges), 6) \
+        if n_wedges else 0.0
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "clustering": pa.array([clust], pa.float64()),
+    }))
+
+
+def q_parts_copurchase_pagerank(sf_dir: str) -> Dataset:
+    """Distributed PageRank (d=0.85, 10 iterations) over the
+    undirected co-purchase graph, top-20 parts by rank.  Each
+    iteration is ONE pass over the edge Dataset against a broadcast
+    rank vector (the kmeans-centroid shape) emitting per-destination
+    contributions QUANTIZED to int64 at 1e12 — summation is therefore
+    order- and block-layout-independent, and the numpy reference test
+    replays it exactly.  The rank/degree vectors are node-sized driver
+    state (fine for graphs whose node table fits one machine — the
+    documented trade; the partitioned-join formulation replaces the
+    broadcast beyond that).  No SQL twin: iterative fixpoint
+    (rows-only; semantics pinned by test_pagerank_numpy_parity)."""
+    import numpy as np
+
+    DAMP = 0.85
+    ITERS = 10
+    Q = 1e12
+
+    edges = _copurchase_edges(sf_dir)
+    deg = _copurchase_degrees(edges).materialize()
+    dt = _small_table(deg)
+    node_ids = np.sort(dt.column("p").to_numpy(zero_copy_only=False))
+    degree = dt.column("degree").to_numpy(zero_copy_only=False)[
+        np.argsort(dt.column("p").to_numpy(zero_copy_only=False))]
+    n = len(node_ids)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "p": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
+    ranks = np.full(n, 1.0 / n)
+
+    for _ in range(ITERS):
+        state = ray.put((node_ids, ranks, degree))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            ids, r, d = ray.get(state)
+            a = np.searchsorted(
+                ids, b.column("id_a").to_numpy(zero_copy_only=False))
+            bb = np.searchsorted(
+                ids, b.column("id_b").to_numpy(zero_copy_only=False))
+            src = np.concatenate([a, bb])
+            dst = np.concatenate([bb, a])
+            q = np.rint(r[src] / d[src] * Q).astype(np.int64)
+            g = pa.table({"i": pa.array(dst, pa.int64()),
+                          "q": pa.array(q, pa.int64())}) \
+                .group_by("i").aggregate([("q", "sum")])
+            return g.rename_columns(["i", "p_q"])
+
+        agg = _small_table(_tree_combine(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["i"], [("p_q", "sum")], ["i", "p_q"],
+            ["i", "sq"]).materialize())
+        new = np.full(n, (1.0 - DAMP) / n)
+        idx = agg.column("i").to_numpy(zero_copy_only=False)
+        sq = agg.column("sq").to_numpy(zero_copy_only=False)
+        new[idx] += DAMP * (sq.astype(np.float64) / Q)
+        ranks = new
+
+    order = np.lexsort((node_ids, -ranks))[:20]
+    return rd.from_arrow(pa.table({
+        "p": pa.array(node_ids[order], pa.int64()),
+        "rank": round_sql(pa.array(ranks[order], pa.float64()), 9),
+    }))

@@ -139,3 +139,89 @@ def test_ols_trend_planted(ray_session, tmp_path):
     assert lin["n_days"] == 5
     assert lin["slope"] == 200.0
     assert lin["intercept"] == 300.0
+
+
+def _write_baskets(tmp_path, baskets):
+    """baskets: {orderkey: [partkeys]} → minimal lineitem table."""
+    o, p = [], []
+    for ok, parts in baskets.items():
+        for pk in parts:
+            o.append(ok)
+            p.append(pk)
+    n = len(o)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(o, pa.int64()),
+        "l_partkey": pa.array(p, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array(list(range(n)), pa.int32()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array(
+            [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+BASKETS = {1: [1, 2, 3], 2: [2, 3, 4], 3: [5, 6], 4: [2, 3]}
+
+
+def test_copurchase_degrees_planted(ray_session, tmp_path):
+    """Repeat co-purchases collapse to one edge; degree histogram is
+    over the DISTINCT edge set."""
+    _write_baskets(tmp_path, BASKETS)
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_degrees,
+    )
+
+    out = {r["degree"]: r["n_parts"] for r in
+           _tab(q_parts_copurchase_degrees(str(tmp_path))).to_pylist()}
+    # edges: (1,2)(1,3)(2,3)(2,4)(3,4)(5,6); degrees 2,3,3,2,1,1
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_copurchase_triangles_planted(ray_session, tmp_path):
+    """Two triangles ({1,2,3}, {2,3,4}); wedges Σ C(d,2) = 8;
+    clustering = 3·2/8."""
+    _write_baskets(tmp_path, BASKETS)
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_triangles,
+    )
+
+    row = _tab(q_parts_copurchase_triangles(str(tmp_path))).to_pylist()[0]
+    assert row["n_nodes"] == 6 and row["n_edges"] == 6
+    assert row["n_triangles"] == 2 and row["n_wedges"] == 8
+    assert row["clustering"] == 0.75
+
+
+def test_pagerank_numpy_parity(ray_session, tmp_path):
+    """The distributed quantized iteration must equal a straight numpy
+    replay of the same recurrence — bit-exact, including the 1e12
+    contribution quantization."""
+    _write_baskets(tmp_path, BASKETS)
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_pagerank,
+    )
+
+    out = _tab(q_parts_copurchase_pagerank(str(tmp_path))).to_pylist()
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (5, 6)]
+    ids = np.array([1, 2, 3, 4, 5, 6])
+    deg = np.array([2, 3, 3, 2, 1, 1], np.float64)
+    r = np.full(6, 1 / 6)
+    for _ in range(10):
+        acc = np.zeros(6, np.int64)
+        for a, b in edges:
+            ia, ib = a - 1, b - 1
+            acc[ib] += np.int64(np.rint(r[ia] / deg[ia] * 1e12))
+            acc[ia] += np.int64(np.rint(r[ib] / deg[ib] * 1e12))
+        r = (1 - 0.85) / 6 + 0.85 * (acc.astype(np.float64) / 1e12)
+    want = sorted(zip(-r, ids))
+    got = {row["p"]: row["rank"] for row in out}
+    assert [row["p"] for row in out] == [int(i) for _, i in want]
+    for rank, i in want:
+        assert abs(got[int(i)] - round(-rank, 9)) < 1e-12
+    # hubs 2 and 3 outrank the leaf pair
+    assert got[2] > got[5] and got[3] > got[6]
