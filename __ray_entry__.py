@@ -480,6 +480,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_degrees": q.q_parts_copurchase_degrees,
         "parts_copurchase_triangles": q.q_parts_copurchase_triangles,
         "parts_copurchase_pagerank": q.q_parts_copurchase_pagerank,
+        "parts_basket_lift": q.q_parts_basket_lift,
+        "events_target_encoding": q.q_events_target_encoding,
+        "events_impute_median": q.q_events_impute_median,
+        "embeddings_label_noise": q.q_embeddings_label_noise,
     }
 
 
@@ -3771,5 +3775,75 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "parts_basket_lift": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT)
+                        AS n_ord FROM op),
+            pcnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM op GROUP BY 1),
+            e AS (SELECT a.p AS id_a, b.p AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, w AS n_both, ca.n AS n_a, cb.n AS n_b,
+                   ROUND(CAST(w AS DOUBLE) / CAST(n_ord AS DOUBLE),
+                         6) AS support,
+                   ROUND(CAST(w AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+                       AS conf_a_b,
+                   ROUND(CAST(w AS DOUBLE) / CAST(cb.n AS DOUBLE), 6)
+                       AS conf_b_a,
+                   ROUND(CAST(w * n_ord AS DOUBLE)
+                         / CAST(ca.n * cb.n AS DOUBLE), 6) AS lift
+            FROM e JOIN pcnt ca ON ca.p = e.id_a
+                   JOIN pcnt cb ON cb.p = e.id_b, tot
+            WHERE w >= 2
+        """,
+        "events_target_encoding": """
+            WITH c AS (SELECT event_type,
+                              CAST(SUM(CAST(round(value * 100)
+                                            AS BIGINT)) AS BIGINT) AS s,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events WHERE value IS NOT NULL GROUP BY 1),
+            t AS (SELECT CAST(SUM(s) AS HUGEINT) AS ts,
+                         CAST(SUM(n) AS HUGEINT) AS tn FROM c)
+            SELECT event_type, n,
+                   ROUND(CAST(s * tn + 10 * ts AS DOUBLE)
+                         / CAST((n + 10) * tn AS DOUBLE) / 100.0, 6)
+                       AS enc
+            FROM c, t
+        """,
+        "events_impute_median": """
+            WITH m AS (SELECT event_type, median(value) AS med
+                       FROM events WHERE value IS NOT NULL GROUP BY 1)
+            SELECT e.event_id,
+                   COALESCE(e.value, m.med) AS value_filled,
+                   e.value IS NULL AS was_null
+            FROM events e LEFT JOIN m USING (event_type)
+        """,
+        "embeddings_label_noise": """
+            WITH q AS (SELECT vec_id, embedding, label
+                       FROM embeddings WHERE vec_id < 16),
+            nn AS (SELECT q.vec_id AS query_id,
+                          CAST(q.label AS BIGINT) AS own_label,
+                          CAST(c.label AS BIGINT) AS clab,
+                          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id ASC) AS rank
+                   FROM q CROSS JOIN embeddings c
+                   WHERE c.vec_id <> q.vec_id)
+            SELECT query_id, own_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                   CAST(SUM(CASE WHEN clab <> own_label
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_disagree,
+                   ROUND(CAST(SUM(CASE WHEN clab <> own_label
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS noise_frac
+            FROM nn WHERE rank <= 10 GROUP BY 1, 2
         """,
     }

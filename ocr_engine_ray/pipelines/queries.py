@@ -10435,6 +10435,25 @@ def q_events_ols_trend(sf_dir: str) -> Dataset:
         fit, batch_format="pyarrow")
 
 
+def _order_part_distinct(sf_dir: str) -> Dataset:
+    """Distinct (order, part) rows from lineitem — the basket table the
+    market-basket family shares.  One exchange."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "l_partkey"]).aggregate(
+            [("l_partkey", "count")])
+        return g.rename_columns(["o", "p", "_n"])
+
+    return with_schema(
+        ds.map_batches(op_partial, batch_format="pyarrow")
+        .groupby(["o", "p"]).aggregate(Count("p", alias_name="_n"))
+        .map_batches(lambda b: b.select(["o", "p"]),
+                     batch_format="pyarrow"),
+        pa.schema([("o", pa.int64()), ("p", pa.int64())]))
+
+
 def _copurchase_edges(sf_dir: str) -> Dataset:
     """Distinct part co-purchase edges (id_a < id_b, w = #orders both
     parts appear in) — the market-basket graph the graph-analytics
@@ -10446,20 +10465,7 @@ def _copurchase_edges(sf_dir: str) -> Dataset:
     materialized Dataset."""
     import numpy as np
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_partkey"])
-
-    def op_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["l_orderkey", "l_partkey"]).aggregate(
-            [("l_partkey", "count")])
-        return g.rename_columns(["o", "p", "_n"])
-
-    op = with_schema(
-        ds.map_batches(op_partial, batch_format="pyarrow")
-        .groupby(["o", "p"]).aggregate(Count("p", alias_name="_n"))
-        .map_batches(lambda b: b.select(["o", "p"]),
-                     batch_format="pyarrow"),
-        pa.schema([("o", pa.int64()), ("p", pa.int64())]))
+    op = _order_part_distinct(sf_dir)
 
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
@@ -10636,4 +10642,228 @@ def q_parts_copurchase_pagerank(sf_dir: str) -> Dataset:
     return rd.from_arrow(pa.table({
         "p": pa.array(node_ids[order], pa.int64()),
         "rank": round_sql(pa.array(ranks[order], pa.float64()), 9),
+    }))
+
+
+def q_parts_basket_lift(sf_dir: str) -> Dataset:
+    """Market-basket association rules (the Apriori step-2 staple):
+    support / directional confidence / lift for every part pair
+    co-purchased in ≥ 2 orders.  Reuses the co-purchase edge builder
+    (pair weights ARE the co-occurrence counts); per-part basket
+    counts ride one (p) exchange and broadcast as a dim-sized map;
+    every ratio is a single float division of exact cross-multiplied
+    ints (lift = w·N / (n_a·n_b)), replayed token-identically."""
+    import numpy as np
+
+    MIN_COOC = 2
+
+    op = _order_part_distinct(sf_dir).materialize()
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"o": pc.unique(b.column("o").combine_chunks())})
+
+    n_orders = with_schema(
+        op.map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o").aggregate(Count("o", alias_name="_n")),
+        pa.schema([("o", pa.int64()), ("_n", pa.int64())])).count()
+
+    def p_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("p").aggregate([("p", "count")])
+        return g.rename_columns(["p", "p_n"])
+
+    pc_tab = _small_table(with_schema(
+        op.map_batches(p_partial, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("p", pa.int64()), ("n", pa.int64())])).materialize())
+    pids = pc_tab.column("p").to_numpy(zero_copy_only=False)
+    pcnt = pc_tab.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(pids)
+    pmap_ref = ray.put((pids[order], pcnt[order]))
+
+    edges = _copurchase_edges(sf_dir)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids_s, cnt_s = ray.get(pmap_ref)
+        f = b.filter(pc.greater_equal(b.column("w"), MIN_COOC))
+        a = f.column("id_a").to_numpy(zero_copy_only=False)
+        bb = f.column("id_b").to_numpy(zero_copy_only=False)
+        w = f.column("w").to_numpy(zero_copy_only=False)
+        na = cnt_s[np.searchsorted(ids_s, a)]
+        nb = cnt_s[np.searchsorted(ids_s, bb)]
+        N = float(n_orders)
+        wf = w.astype(np.float64)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(bb, pa.int64()),
+            "n_both": pa.array(w, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "support": round_sql(
+                pa.array(wf / N, pa.float64()), 6),
+            "conf_a_b": round_sql(
+                pa.array(wf / na.astype(np.float64), pa.float64()), 6),
+            "conf_b_a": round_sql(
+                pa.array(wf / nb.astype(np.float64), pa.float64()), 6),
+            "lift": round_sql(
+                pa.array((w * n_orders).astype(np.float64)
+                         / (na * nb).astype(np.float64),
+                         pa.float64()), 6),
+        })
+
+    return edges.map_batches(score, batch_format="pyarrow")
+
+
+def q_events_target_encoding(sf_dir: str) -> Dataset:
+    """Smoothed mean target encoding (the categorical-feature staple):
+    enc(type) = (Σ_type + m·global_mean) / (n_type + m) with m = 10,
+    computed WITHOUT the float global mean — cross-multiplying gives
+    enc = (Σ_type·N + m·Σ_tot) / ((n_type + m)·N), exact ints until ONE
+    float division (then /100.0 back to value units).  One bounded
+    (type) tree combine is the only exchange."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    M = 10
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("value")))
+        cents = scaled_int_sql(f.column("value"), 100.0)
+        t = pa.table({"event_type": f.column("event_type"),
+                      "c": pa.array(cents, pa.int64())})
+        g = t.group_by("event_type").aggregate(
+            [("c", "sum"), ("c", "count")])
+        return g.rename_columns(["event_type", "p_s", "p_n"])
+
+    agg = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("p_s", "sum"), ("p_n", "sum")],
+        ["event_type", "p_s", "p_n"],
+        ["event_type", "s", "n"]).materialize())
+    types = agg.column("event_type").to_pylist()
+    s = [int(v) for v in agg.column("s").to_pylist()]
+    n = [int(v) for v in agg.column("n").to_pylist()]
+    tot_s, tot_n = sum(s), sum(n)
+    enc = [round_sql_f(
+        float(si * tot_n + M * tot_s) / float((ni + M) * tot_n) / 100.0,
+        6) for si, ni in zip(s, n)]
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "enc": pa.array(enc, pa.float64()),
+    }))
+
+
+def q_events_impute_median(sf_dir: str) -> Dataset:
+    """NULL imputation with the per-type median (the scikit-learn
+    SimpleImputer shape, grouped): one bounded (type, value) histogram
+    exchange answers every group median — interpolated exactly as
+    DuckDB's quantile_cont(0.5) (lo·0.5 + hi·0.5) — then the medians
+    broadcast and one row-grain scan fills the holes.  Types whose
+    values are ALL NULL stay NULL (the twin's LEFT JOIN)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("value")))
+        g = pa.table({"event_type": f.column("event_type"),
+                      "v": f.column("value")}) \
+            .group_by(["event_type", "v"]).aggregate([("v", "count")])
+        return g.rename_columns(["event_type", "v", "p_n"])
+
+    hist = _small_table(_tree_combine(
+        ds.map_batches(hpartial, batch_format="pyarrow"),
+        ["event_type", "v"], [("p_n", "sum")],
+        ["event_type", "v", "p_n"],
+        ["event_type", "v", "n"]).materialize())
+    med: dict[str, float] = {}
+    if hist is not None and hist.num_rows:
+        et = np.asarray(hist.column("event_type"))
+        v = hist.column("v").to_numpy(zero_copy_only=False)
+        n = hist.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, et))
+        et, v, n = et[order], v[order], n[order]
+        for t in np.unique(et):
+            m = et == t
+            vv, nn = v[m], n[m]
+            cum = np.cumsum(nn)
+            total = int(cum[-1])
+            if total % 2:
+                med[str(t)] = float(vv[np.searchsorted(
+                    cum, total // 2 + 1)])
+            else:
+                lo = float(vv[np.searchsorted(cum, total // 2)])
+                hi = float(vv[np.searchsorted(cum, total // 2 + 1)])
+                med[str(t)] = lo * 0.5 + hi * 0.5
+    med_ref = ray.put(med)
+
+    def fill(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        isna = pc.is_null(b.column("value")).to_numpy(
+            zero_copy_only=False)
+        types = b.column("event_type").to_pylist()
+        filled = vals.copy()
+        mask_missing = np.zeros(len(vals), bool)
+        for i in np.nonzero(isna)[0]:
+            t = types[i]
+            if t in m:
+                filled[i] = m[t]
+            else:
+                mask_missing[i] = True
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "value_filled": pa.array(filled, pa.float64(),
+                                     mask=mask_missing),
+            "was_null": pa.array(isna, pa.bool_()),
+        })
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def q_embeddings_label_noise(sf_dir: str) -> Dataset:
+    """Label-noise audit (the cleanlab-style kNN-disagreement signal):
+    for each of the first 16 vectors, the fraction of its 10 exact
+    nearest neighbours (cosine, self excluded) whose label disagrees
+    with its own.  Broadcast-matmul candidate stream + driver heap
+    merge (similarity.knn_excluding_self); ties at the k-th neighbour
+    resolve (−cosine, vec_id) exactly like the twin's ROW_NUMBER."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_excluding_self
+
+    K = 10
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", 16)],
+                         columns=["vec_id", "embedding", "label"]) \
+        .sort_by("vec_id")
+    qids = qtab.column("vec_id").to_pylist()
+    qlabels = {i: int(l) for i, l in
+               zip(qids, qtab.column("label").to_pylist())}
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+    nn = knn_excluding_self(ds, qtab.column("embedding").to_pylist(),
+                            qids, k=K)
+    out: dict[int, list[int]] = {int(q): [] for q in qids}
+    for q, lab in zip(nn.column("query_id").to_pylist(),
+                      nn.column("label").to_pylist()):
+        out[int(q)].append(int(lab))
+    rows_q, rows_l, rows_nb, rows_d, rows_f = [], [], [], [], []
+    for q in sorted(out):
+        own = qlabels[q]
+        labs = out[q]
+        nd = sum(1 for l in labs if l != own)
+        rows_q.append(q)
+        rows_l.append(own)
+        rows_nb.append(len(labs))
+        rows_d.append(nd)
+        rows_f.append(round_sql_f(nd / float(len(labs)), 6)
+                      if labs else 0.0)
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(rows_q, pa.int64()),
+        "own_label": pa.array(rows_l, pa.int64()),
+        "n_neighbors": pa.array(rows_nb, pa.int64()),
+        "n_disagree": pa.array(rows_d, pa.int64()),
+        "noise_frac": pa.array(rows_f, pa.float64()),
     }))

@@ -256,3 +256,82 @@ def lsh_topk(ds: Dataset, queries: np.ndarray, query_ids: list[int],
         filter_buckets, batch_format="pyarrow")
     return brute_force_topk(pruned, queries, query_ids, k=k,
                             vec_col=vec_col, id_col=id_col)
+
+
+def knn_excluding_self(ds: Dataset, queries: np.ndarray,
+                       query_ids: list[int], k: int = 10,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       label_col: str = "label") -> pa.Table:
+    """Exact cosine k-NN for each query vector with the query's OWN row
+    masked out (the label-noise-audit variant of
+    :func:`brute_force_topk`): same broadcast-matmul + tie-widened
+    local-top-k shape, but each batch sentinels the column whose id
+    equals the query id, and the candidate rows carry the corpus LABEL
+    so the caller can score neighbourhood disagreement without a second
+    pass.  Returns (query_id, vec_id, label, cosine, rank)."""
+    import heapq
+
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    queries_ref = ray.put(qmat)
+    qids_ref = ray.put(np.asarray(list(query_ids), dtype=np.int64))
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        qids = ray.get(qids_ref)
+        vecs = _normalize(vec_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        sims = q @ vecs.T                                   # (Q, batch)
+        # -2.0 sits strictly below cosine's range: the self column can
+        # never enter (or widen) the local top-k cut
+        sims[qids[:, None] == ids[None, :]] = -2.0
+        kk = min(k, sims.shape[1])
+        q_out, id_out, lab_out, sim_out = [], [], [], []
+        part = np.argpartition(-sims, kk - 1, axis=1)
+        for qi in range(sims.shape[0]):
+            kth_val = sims[qi, part[qi, kk - 1]]
+            cols = np.nonzero(sims[qi] >= kth_val)[0]
+            q_out.extend([int(qids[qi])] * len(cols))
+            id_out.extend(ids[cols])
+            lab_out.extend(labels[cols])
+            sim_out.extend(sims[qi, cols])
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "label": pa.array(lab_out, pa.int64()),
+            "cosine": pa.array(sim_out, pa.float64()),
+        })
+
+    candidates = ds.map_batches(batch_fn, batch_format="pyarrow")
+    # driver heap merge with the label payload carried alongside
+    best: dict[int, list] = {}
+    lab_of: dict[tuple, int] = {}
+    for b in candidates.iter_batches(batch_size=8192,
+                                     batch_format="pyarrow"):
+        for qv, v, lv, s in zip(b.column("query_id").to_pylist(),
+                                b.column("vec_id").to_pylist(),
+                                b.column("label").to_pylist(),
+                                b.column("cosine").to_pylist()):
+            lab_of[(qv, v)] = lv
+            heapq.heappush(best.setdefault(qv, []), (s, -v))
+            if len(best[qv]) > k:
+                heapq.heappop(best[qv])
+    q_out, v_out, lab_out, s_out, r_out = [], [], [], [], []
+    for qv in sorted(best):
+        ranked = sorted(best[qv], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negv) in enumerate(ranked, 1):
+            q_out.append(qv)
+            v_out.append(-negv)
+            lab_out.append(lab_of[(qv, -negv)])
+            s_out.append(s)
+            r_out.append(rank)
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "label": pa.array(lab_out, pa.int64()),
+        "cosine": pa.array(s_out, pa.float64()),
+        "rank": pa.array(r_out, pa.int32()),
+    })

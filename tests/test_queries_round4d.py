@@ -225,3 +225,95 @@ def test_pagerank_numpy_parity(ray_session, tmp_path):
         assert abs(got[int(i)] - round(-rank, 9)) < 1e-12
     # hubs 2 and 3 outrank the leaf pair
     assert got[2] > got[5] and got[3] > got[6]
+
+
+def test_basket_lift_planted(ray_session, tmp_path):
+    """Only the (2,3) pair clears MIN_COOC=2 (3 shared orders of 4);
+    lift = w·N / (n_a·n_b) = 12/9."""
+    _write_baskets(tmp_path, BASKETS)
+    from ocr_engine_ray.pipelines.queries import q_parts_basket_lift
+
+    out = _tab(q_parts_basket_lift(str(tmp_path))).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["n_both"]) == (2, 3, 3)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["support"] == 0.75 and r["conf_a_b"] == 1.0
+    assert r["lift"] == round(12 / 9, 6)
+
+
+def test_target_encoding_planted(ray_session, tmp_path):
+    """Smoothing pulls small groups toward the global mean; the exact
+    cross-multiplied arithmetic reproduces the hand calculation."""
+    rows = [(0, 0, 1, "x", 1.0), (1, 0, 2, "x", 3.0),
+            (2, 0, 3, "y", 10.0), (3, 0, 4, "y", None)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_target_encoding
+
+    out = {r["event_type"]: r for r in
+           _tab(q_events_target_encoding(str(tmp_path))).to_pylist()}
+    # tot_s = 1400 cents over tot_n = 3; m = 10
+    assert out["x"]["n"] == 2
+    assert out["x"]["enc"] == round(15200 / 3600 / 100 * 100, 6) or \
+        out["x"]["enc"] == round(15200.0 / 3600.0 / 100.0, 6)
+    assert out["x"]["enc"] == round(
+        (400 * 3 + 10 * 1400) / ((2 + 10) * 3) / 100, 6)
+    assert out["y"]["enc"] == round(
+        (1000 * 3 + 10 * 1400) / ((1 + 10) * 3) / 100, 6)
+    # the smoothed encodings sit between group mean and global mean
+    assert 2.0 < out["x"]["enc"] < 14 / 3
+    assert 14 / 3 < out["y"]["enc"] < 10.0
+
+
+def test_impute_median_planted(ray_session, tmp_path):
+    """Odd group → middle value, even group → midpoint; an all-NULL
+    type stays NULL (LEFT-JOIN semantics)."""
+    rows = [(0, 0, 1, "a", 1.0), (1, 0, 2, "a", 3.0),
+            (2, 0, 3, "a", 9.0), (3, 0, 4, "a", None),
+            (4, 0, 5, "c", 1.0), (5, 0, 6, "c", 2.0),
+            (6, 0, 7, "c", None),
+            (7, 0, 8, "allnull", None)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_impute_median
+
+    out = {r["event_id"]: r for r in
+           _tab(q_events_impute_median(str(tmp_path))).to_pylist()}
+    assert out[3]["value_filled"] == 3.0 and out[3]["was_null"]
+    assert out[6]["value_filled"] == 1.5
+    assert out[7]["value_filled"] is None and out[7]["was_null"]
+    assert out[0]["value_filled"] == 1.0 and not out[0]["was_null"]
+
+
+def _vec(i: int, j: int = -1, a: float = 1.0, b: float = 0.0):
+    v = np.zeros(64, np.float32)
+    v[i] = a
+    if j >= 0:
+        v[j] = b
+    return list(map(float, v))
+
+
+def _write_emb(tmp_path, rows):
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+
+def test_label_noise_planted(ray_session, tmp_path):
+    """Query 0's 10 nearest (identical) neighbours carry 6 disagreeing
+    labels → noise_frac 0.6; the self row never appears."""
+    rows = [(0, _vec(0), 0)]
+    rows += [(i, _vec(0), 1 if i <= 6 else 0) for i in range(1, 11)]
+    rows += [(11, _vec(1), 0)]                 # orthogonal distractor
+    _write_emb(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_embeddings_label_noise
+
+    out = {r["query_id"]: r for r in
+           _tab(q_embeddings_label_noise(str(tmp_path))).to_pylist()}
+    r0 = out[0]
+    assert r0["n_neighbors"] == 10
+    assert r0["n_disagree"] == 6 and r0["noise_frac"] == 0.6
+    # the orthogonal vector (cos 0) must not displace any identical one
+    assert out[11]["n_neighbors"] == 10
