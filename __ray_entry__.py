@@ -484,6 +484,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_target_encoding": q.q_events_target_encoding,
         "events_impute_median": q.q_events_impute_median,
         "embeddings_label_noise": q.q_embeddings_label_noise,
+        "events_change_point": q.q_events_change_point,
+        "events_rolling_1h_sum": q.q_events_rolling_1h_sum,
+        "events_session_timeout_sweep": q.q_events_session_timeout_sweep,
+        "documents_jaccard_threshold_curve":
+            q.q_documents_jaccard_threshold_curve,
     }
 
 
@@ -3845,5 +3850,75 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 6) AS noise_frac
             FROM nn WHERE rank <= 10 GROUP BY 1, 2
+        """,
+        "events_change_point": """
+            WITH c AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                   AS BIGINT) AS d,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                         CAST(SUM(n) AS BIGINT) AS tot FROM c),
+            r AS (SELECT d,
+                         CAST(SUM(n) OVER (ORDER BY d) AS BIGINT)
+                             AS cum,
+                         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT)
+                             AS i
+                  FROM c)
+            SELECT CAST(DATE '1970-01-01' + r.d * INTERVAL 1 DAY
+                        AS TIMESTAMP) AS change_day,
+                   ABS(r.cum * t.nd - r.i * t.tot) AS max_dev,
+                   t.nd AS n_days,
+                   t.tot AS total_events
+            FROM r, t
+            ORDER BY ABS(r.cum * t.nd - r.i * t.tot) DESC, r.d ASC
+            LIMIT 1
+        """,
+        "events_rolling_1h_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW)
+                        AS BIGINT) AS sum_cents_1h
+            FROM events WHERE value IS NOT NULL
+        """,
+        "events_session_timeout_sweep": """
+            WITH g AS (SELECT user_id,
+                              CAST(epoch_us(ts - LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                                  AS gap
+                       FROM events),
+            u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+                  FROM events)
+            SELECT CAST(t.t AS BIGINT) AS timeout_minutes,
+                   CAST(u.nu + (SELECT COUNT(*) FROM g
+                                WHERE gap > CAST(t.t AS BIGINT)
+                                            * 60000000) AS BIGINT)
+                       AS n_sessions
+            FROM (VALUES (5), (15), (30), (60)) t(t), u
+        """,
+        "documents_jaccard_threshold_curve": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+                  FROM d WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM s GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM s a JOIN s b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            p AS (SELECT (10 * c) // (sa.n + sb.n - c) AS tier
+                  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                             JOIN sizes sb ON inter.id_b = sb.doc_id)
+            SELECT CAST(t.t AS DOUBLE) / 10.0 AS threshold,
+                   CAST((SELECT COUNT(*) FROM p WHERE p.tier >= t.t)
+                        AS BIGINT) AS n_pairs
+            FROM range(1, 11) AS t(t)
         """,
     }

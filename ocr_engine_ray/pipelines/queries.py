@@ -1386,21 +1386,11 @@ def q_lineitem_grouping_sets(sf_dir: str) -> Dataset:
                                   batch_format="pyarrow", batch_size=None))
 
 
-def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
-    """EXACT n-gram Jaccard near-dup pairs, oracle-checked — the exact
-    twin of the MinHash estimate (LLM-pipeline dedup suite): word
-    3-gram shingle sets, pairs generated DISTRIBUTED via an inverted
-    shingle index (flat_map shingles → co-shingle join → per-pair
-    intersection counts → two hash joins against the per-doc set
-    sizes), jaccard = |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5.
-
-    Scale shape: no driver-side state — candidate pairs exist only for
-    docs sharing a shingle, intersection counts come from a groupby on
-    the pair key, and set sizes arrive by join (not broadcast).
-    Stop-shingle filtering (shingles above :data:`SHINGLE_DF_CAP`
-    contribute no pairs, loudly logged) bounds the in-group O(df²)
-    fanout on prose corpora; this corpus sits far below the cap, so the
-    [SQL] oracle is unaffected."""
+def _jaccard_sized_pairs(sf_dir: str) -> Dataset:
+    """(id_a, id_b, c, n_a, n_b) rows for every document pair sharing
+    ≥ 1 word-3-gram shingle — the shared front half of the exact
+    Jaccard family (pairs query + threshold curve): inverted shingle
+    index, in-group pair expansion, per-doc set sizes by join."""
     from ray.data.aggregate import Count
 
     ds = rd.read_parquet(_t(sf_dir, "documents"),
@@ -1425,13 +1415,30 @@ def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
             join_type="inner", num_partitions=8, on=("id_a",)),
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                    ("c", pa.int64()), ("n_a", pa.int64())]))
-    sized = half.join(
+    return half.join(
         sizes.map_batches(lambda b: b.rename_columns(["id_b", "n_b"]),
                           batch_format="pyarrow"),
         join_type="inner", num_partitions=8, on=("id_b",))
 
-    return sized.map_batches(_pair_jaccard_score(0.5, "id_a", "id_b"),
-                             batch_format="pyarrow")
+
+def q_documents_jaccard_pairs(sf_dir: str) -> Dataset:
+    """EXACT n-gram Jaccard near-dup pairs, oracle-checked — the exact
+    twin of the MinHash estimate (LLM-pipeline dedup suite): word
+    3-gram shingle sets, pairs generated DISTRIBUTED via an inverted
+    shingle index (flat_map shingles → co-shingle join → per-pair
+    intersection counts → two hash joins against the per-doc set
+    sizes), jaccard = |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5.
+
+    Scale shape: no driver-side state — candidate pairs exist only for
+    docs sharing a shingle, intersection counts come from a groupby on
+    the pair key, and set sizes arrive by join (not broadcast).
+    Stop-shingle filtering (shingles above :data:`SHINGLE_DF_CAP`
+    contribute no pairs, loudly logged) bounds the in-group O(df²)
+    fanout on prose corpora; this corpus sits far below the cap, so the
+    [SQL] oracle is unaffected."""
+    return _jaccard_sized_pairs(sf_dir).map_batches(
+        _pair_jaccard_score(0.5, "id_a", "id_b"),
+        batch_format="pyarrow")
 
 
 def q_media_resize_plan(sf_dir: str) -> Dataset:
@@ -10866,4 +10873,162 @@ def q_embeddings_label_noise(sf_dir: str) -> Dataset:
         "n_neighbors": pa.array(rows_nb, pa.int64()),
         "n_disagree": pa.array(rows_d, pa.int64()),
         "noise_frac": pa.array(rows_f, pa.float64()),
+    }))
+
+
+def q_events_change_point(sf_dir: str) -> Dataset:
+    """CUSUM-style change-point detection on the daily event-count
+    series: the day whose cumulative count deviates most from the
+    uniform-rate line, argmax_i |n·cum_i − i·total| (cross-multiplied
+    EXACT ints — no float rate ever exists), earliest day on ties.
+    One bounded (day) tree combine; the argmax itself runs on the
+    calendar-sized aggregate."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.floor_temporal(b.column("ts"), unit="day")
+            .cast(pa.int64()), 86_400_000_000)
+        g = pa.table({"d": day}).group_by("d").aggregate([("d", "count")])
+        return g.rename_columns(["d", "p_n"])
+
+    agg = _small_table(_tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["d"], [("p_n", "sum")], ["d", "p_n"],
+        ["d", "n"]).materialize())
+    d = agg.column("d").to_numpy(zero_copy_only=False)
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    n_days = len(d)
+    total = int(n.sum())
+    cum = np.cumsum(n.astype(object))            # exact int cumsum
+    i = np.arange(1, n_days + 1, dtype=object)
+    dev = np.abs(cum * n_days - i * total)
+    best = int(np.argmax(dev))                   # first max = earliest
+    return rd.from_arrow(pa.table({
+        "change_day": pa.array([int(d[best]) * 86_400_000_000],
+                               pa.int64()).cast(pa.timestamp("us")),
+        "max_dev": pa.array([int(dev[best])], pa.int64()),
+        "n_days": pa.array([n_days], pa.int64()),
+        "total_events": pa.array([total], pa.int64()),
+    }))
+
+
+def q_events_rolling_1h_sum(sf_dir: str) -> Dataset:
+    """Time-based (RANGE INTERVAL) window frame: per event, the exact
+    cents sum of the user's events in the trailing hour INCLUSIVE of
+    ts-peers — the RANGE-frame semantics (all rows with equal ts are
+    peers, unlike the ROWS frames elsewhere in the catalog).  One
+    user-key exchange; in-group it is two searchsorted passes over a
+    cumulative-cents array, no Python loop.  NULL-valued rows are
+    excluded first on both sides (they would be frame members that
+    contribute nothing — the filter keeps the two engines' frames
+    identical)."""
+    import numpy as np
+
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+
+    def roll(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s = ts[order]
+        cents = scaled_int_sql(g.column("value"), 100.0)[order]
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(ts_s, ts_s - HOUR_US, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": g.column("user_id").take(
+                pa.array(order, pa.int64())),
+            "sum_cents_1h": pa.array(cum[hi] - cum[lo], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+def q_events_session_timeout_sweep(sf_dir: str) -> Dataset:
+    """Sessionization-tuning report: total session count at timeout
+    thresholds {5, 15, 30, 60} minutes in ONE pass — sessions(t) =
+    n_users + #(per-user gaps > t), so all four thresholds read the
+    same LAG-gap stream.  One user-key exchange; per group the gaps
+    are one np.diff and the threshold counts one searchsorted each."""
+    import numpy as np
+
+    THRESH_MIN = [5, 15, 30, 60]
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        d = np.diff(ts[order])
+        return pa.table({
+            "p_users": pa.array([1], pa.int64()),
+            **{f"p_g{t}": pa.array(
+                [int((d > t * 60_000_000).sum())], pa.int64())
+               for t in THRESH_MIN},
+        })
+
+    per_user = ds.groupby("user_id").map_groups(gaps,
+                                                batch_format="pyarrow")
+    tot = per_user.aggregate(
+        Sum("p_users", alias_name="users"),
+        *[Sum(f"p_g{t}", alias_name=f"g{t}") for t in THRESH_MIN])
+    users = int(tot["users"])
+    return rd.from_arrow(pa.table({
+        "timeout_minutes": pa.array(THRESH_MIN, pa.int64()),
+        "n_sessions": pa.array(
+            [users + int(tot[f"g{t}"]) for t in THRESH_MIN], pa.int64()),
+    }))
+
+
+def q_documents_jaccard_threshold_curve(sf_dir: str) -> Dataset:
+    """Dedup-threshold tuning curve: how many EXACT-Jaccard document
+    pairs survive each threshold 0.1 … 1.0 — the report that picks the
+    near-dup cutoff before a corpus-wide dedup run.  Reuses the shared
+    sized-pair front half (_jaccard_sized_pairs); each pair's tier is
+    the INTEGER ⌊10·c / (n_a+n_b−c)⌋ so bucketing is exact, the tier
+    histogram rides one bounded tree combine, and the ≥-curve is a
+    10-row cumulation."""
+    import numpy as np
+
+    sized = _jaccard_sized_pairs(sf_dir)
+
+    def tier(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        t = (10 * c) // (na + nb - c)
+        g = pa.table({"tier": pa.array(t, pa.int64())}) \
+            .group_by("tier").aggregate([("tier", "count")])
+        return g.rename_columns(["tier", "p_n"])
+
+    hist = _small_table(_tree_combine(
+        sized.map_batches(tier, batch_format="pyarrow"),
+        ["tier"], [("p_n", "sum")], ["tier", "p_n"],
+        ["tier", "n"]).materialize())
+    counts = np.zeros(11, np.int64)
+    if hist is not None and hist.num_rows:
+        tv = hist.column("tier").to_numpy(zero_copy_only=False)
+        nv = hist.column("n").to_numpy(zero_copy_only=False)
+        counts[np.minimum(tv, 10)] = nv
+    ge = np.cumsum(counts[::-1])[::-1]
+    thr = np.arange(1, 11)
+    return rd.from_arrow(pa.table({
+        "threshold": pa.array(thr / 10.0, pa.float64()),
+        "n_pairs": pa.array(ge[1:], pa.int64()),
     }))

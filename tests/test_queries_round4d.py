@@ -317,3 +317,88 @@ def test_label_noise_planted(ray_session, tmp_path):
     assert r0["n_disagree"] == 6 and r0["noise_frac"] == 0.6
     # the orthogonal vector (cos 0) must not displace any identical one
     assert out[11]["n_neighbors"] == 10
+
+
+def _write_events_min(tmp_path, rows):
+    """rows: (event_id, minute_offset, user_id, event_type, value)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1], "m").astype(
+            "timedelta64[us]") for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+
+def test_change_point_planted(ray_session, tmp_path):
+    """Counts [1, 1, 8] over days 0-2: the uniform-rate deviation
+    |cum·n − i·total| peaks at day 1 (|6−20| = 14)."""
+    rows, eid = [], 0
+    for day, cnt in [(0, 1), (1, 1), (2, 8)]:
+        for _ in range(cnt):
+            rows.append((eid, day, eid, "x", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_change_point
+
+    r = _tab(q_events_change_point(str(tmp_path))).to_pylist()[0]
+    assert r["max_dev"] == 14 and r["n_days"] == 3
+    assert r["total_events"] == 10
+    assert str(r["change_day"]).startswith("2024-01-02")
+
+
+def test_rolling_1h_sum_planted(ray_session, tmp_path):
+    """The trailing-hour frame is inclusive on both ends and treats
+    equal timestamps as peers (RANGE, not ROWS)."""
+    rows = [(0, 0, 1, "x", 1.0), (1, 30, 1, "x", 2.0),
+            (2, 61, 1, "x", 4.0),
+            (10, 0, 2, "x", 1.0), (11, 0, 2, "x", 2.0)]  # ts peers
+    _write_events_min(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_rolling_1h_sum
+
+    out = {r["event_id"]: r["sum_cents_1h"] for r in
+           _tab(q_events_rolling_1h_sum(str(tmp_path))).to_pylist()}
+    assert out[0] == 100
+    assert out[1] == 300                       # minute 30 sees minute 0
+    assert out[2] == 600                       # minute 61 drops minute 0
+    assert out[10] == 300 and out[11] == 300   # peers see each other
+
+
+def test_session_timeout_sweep_planted(ray_session, tmp_path):
+    """User 1 has gaps of 10 and 40 minutes; user 2 is a singleton."""
+    rows = [(0, 0, 1, "x", 1.0), (1, 10, 1, "x", 1.0),
+            (2, 50, 1, "x", 1.0), (3, 0, 2, "x", 1.0)]
+    _write_events_min(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_session_timeout_sweep,
+    )
+
+    out = {r["timeout_minutes"]: r["n_sessions"] for r in
+           _tab(q_events_session_timeout_sweep(str(tmp_path)))
+           .to_pylist()}
+    assert out == {5: 4, 15: 3, 30: 3, 60: 2}
+
+
+def test_jaccard_threshold_curve_planted(ray_session, tmp_path):
+    """Identical docs land in every tier ≤ 1.0; a j = 1/3 pair stops
+    contributing above 0.3; the curve is cumulative-≥."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d", "a b c d", "a b c x"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([7, 7, 7], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_jaccard_threshold_curve,
+    )
+
+    out = {round(r["threshold"], 1): r["n_pairs"] for r in
+           _tab(q_documents_jaccard_threshold_curve(str(tmp_path)))
+           .to_pylist()}
+    assert out[0.1] == 3 and out[0.3] == 3     # both 1/3 pairs included
+    assert out[0.4] == 1 and out[1.0] == 1     # only the identical pair
