@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_timeout_sweep": q.q_events_session_timeout_sweep,
         "documents_jaccard_threshold_curve":
             q.q_documents_jaccard_threshold_curve,
+        "customers_skyline": q.q_customers_skyline,
+        "events_scd2_intervals": q.q_events_scd2_intervals,
+        "customers_cdc_merge": q.q_customers_cdc_merge,
     }
 
 
@@ -3920,5 +3923,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM p WHERE p.tier >= t.t)
                         AS BIGINT) AS n_pairs
             FROM range(1, 11) AS t(t)
+        """,
+        "customers_skyline": """
+            WITH a AS (SELECT c.c_custkey,
+                              CAST(c.c_nationkey AS BIGINT)
+                                  AS c_nationkey,
+                              CAST(COUNT(o.o_orderkey) AS BIGINT)
+                                  AS n_orders,
+                              CAST(COALESCE(SUM(CAST(round(
+                                   o.o_totalprice * 100) AS BIGINT)), 0)
+                                   AS BIGINT) AS monetary_cents
+                       FROM customer c
+                       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                       GROUP BY 1, 2)
+            SELECT p.c_custkey, p.c_nationkey, p.n_orders,
+                   p.monetary_cents
+            FROM a p WHERE NOT EXISTS (
+                SELECT 1 FROM a q
+                WHERE q.c_nationkey = p.c_nationkey
+                  AND q.n_orders >= p.n_orders
+                  AND q.monetary_cents >= p.monetary_cents
+                  AND (q.n_orders > p.n_orders
+                       OR q.monetary_cents > p.monetary_cents))
+        """,
+        "events_scd2_intervals": """
+            WITH s AS (SELECT user_id, event_type, ts, event_id,
+                              CASE WHEN LAG(event_type) OVER (
+                                       PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                                   IS DISTINCT FROM event_type
+                                   THEN 1 ELSE 0 END AS chg
+                       FROM events),
+            i AS (SELECT user_id, event_type, ts,
+                         SUM(chg) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM s),
+            r AS (SELECT user_id, event_type,
+                         CAST(isl AS BIGINT) AS run_idx,
+                         MIN(ts) AS valid_from,
+                         CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM i GROUP BY 1, 2, 3)
+            SELECT user_id, event_type, run_idx, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id
+                       ORDER BY run_idx) AS valid_to,
+                   n_events
+            FROM r
+        """,
+        "customers_cdc_merge": """
+            WITH l AS (SELECT o_custkey, o_orderstatus, o_totalprice,
+                              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+                       FROM orders)
+            SELECT c.c_custkey, c.c_name,
+                   CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   CASE WHEN l.o_custkey IS NULL THEN c.c_acctbal
+                        ELSE l.o_totalprice END AS c_acctbal,
+                   c.c_mktsegment
+            FROM customer c
+            LEFT JOIN (SELECT * FROM l WHERE rn = 1) l
+                 ON c.c_custkey = l.o_custkey
+            WHERE l.o_custkey IS NULL OR l.o_orderstatus <> 'F'
         """,
     }

@@ -163,6 +163,21 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_winsorize_values(sf_dir).count())
     timed("customers_rfm_segments",
           lambda: q.q_customers_rfm_segments(sf_dir).count())
+    # round-4 session-7 additions: graph family, profiling, windows
+    timed("parts_copurchase_triangles",
+          lambda: q.q_parts_copurchase_triangles(sf_dir).count())
+    timed("parts_copurchase_pagerank",
+          lambda: q.q_parts_copurchase_pagerank(sf_dir).count())
+    timed("parts_basket_lift",
+          lambda: q.q_parts_basket_lift(sf_dir).count())
+    timed("lineitem_profile",
+          lambda: q.q_lineitem_profile(sf_dir).count())
+    timed("events_rolling_1h_sum",
+          lambda: q.q_events_rolling_1h_sum(sf_dir).count())
+    timed("events_impute_median",
+          lambda: q.q_events_impute_median(sf_dir).count())
+    timed("documents_jaccard_threshold_curve",
+          lambda: q.q_documents_jaccard_threshold_curve(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

@@ -11032,3 +11032,183 @@ def q_documents_jaccard_threshold_curve(sf_dir: str) -> Dataset:
         "threshold": pa.array(thr / 10.0, pa.float64()),
         "n_pairs": pa.array(ge[1:], pa.int64()),
     }))
+
+
+def q_customers_skyline(sf_dir: str) -> Dataset:
+    """Per-nation skyline (Pareto frontier) of customers on
+    (n_orders, monetary): a customer survives iff NO same-nation
+    customer is ≥ on both axes and > on one — the multi-objective
+    "best customers" operator a single ORDER BY cannot express.
+    Plan: one custkey-grain orders pre-aggregate, LEFT join to the dim
+    (no-order customers score 0/0), then a per-block LOCAL skyline
+    prune (sound: pruning only removes dominated points — every global
+    survivor is locally non-dominated) before the per-nation final
+    pass, so only each block's frontier crosses the wire."""
+    import numpy as np
+
+    def _skyline_mask(x, y):
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(xs))[0] + 1])
+        gmax = np.maximum.reduceat(ys, starts)
+        prev = np.concatenate([[np.iinfo(np.int64).min],
+                               np.maximum.accumulate(gmax)[:-1]])
+        grp = np.cumsum(np.concatenate(
+            [[0], (np.diff(xs) != 0).astype(np.int64)]))
+        keep_sorted = (ys == gmax[grp]) & (gmax[grp] > prev[grp])
+        keep = np.zeros(len(x), bool)
+        keep[order] = keep_sorted
+        return keep
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("o_totalprice"), 100.0)
+        t = pa.table({"c_custkey": b.column("o_custkey"),
+                      "m": pa.array(cents, pa.int64())})
+        g = t.group_by("c_custkey").aggregate(
+            [("m", "sum"), ("m", "count")])
+        return g.rename_columns(["c_custkey", "p_m", "p_n"])
+
+    per_cust = with_schema(
+        orders.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("c_custkey").aggregate(Sum("p_m", alias_name="mon"),
+                                        Sum("p_n", alias_name="n_ord")),
+        pa.schema([("c_custkey", pa.int64()), ("mon", pa.int64()),
+                   ("n_ord", pa.int64())]))
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",))
+
+    def local(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = b.column("n_ord").to_numpy(zero_copy_only=False)
+        m = b.column("mon").to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(
+            np.int64) if n.dtype.kind == "f" else n.astype(np.int64)
+        m = np.where(np.isnan(m.astype(np.float64)), 0, m).astype(
+            np.int64) if m.dtype.kind == "f" else m.astype(np.int64)
+        keep = np.zeros(len(nk), bool)
+        for nat in np.unique(nk):
+            idx = np.nonzero(nk == nat)[0]
+            keep[idx] = _skyline_mask(n[idx], m[idx])
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_nationkey": pa.array(nk, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "monetary_cents": pa.array(m, pa.int64()),
+        }).filter(pa.array(keep))
+
+    pruned = j.map_batches(local, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        n = g.column("n_orders").to_numpy(zero_copy_only=False)
+        m = g.column("monetary_cents").to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(_skyline_mask(n, m)))
+
+    return pruned.groupby("c_nationkey").map_groups(
+        final, batch_format="pyarrow")
+
+
+def q_events_scd2_intervals(sf_dir: str) -> Dataset:
+    """SCD2 interval build (the warehouse dimension-history staple):
+    collapse each user's event-type stream into validity intervals —
+    one row per RUN of consecutive equal types with [valid_from,
+    valid_to) bounds (valid_to = next run's start, NULL while
+    current) — the gaps-and-islands pattern at user grain.  One
+    user-key exchange; in-group everything is np.diff / reduceat, no
+    Python loop."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def runs(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        types = np.asarray(g.column("event_type"))[order]
+        ts_s = ts[order]
+        chg = np.concatenate([[True], types[1:] != types[:-1]])
+        starts = np.nonzero(chg)[0]
+        n_runs = len(starts)
+        counts = np.diff(np.concatenate([starts, [len(types)]]))
+        vfrom = ts_s[starts]
+        vto = np.concatenate([vfrom[1:], [0]])
+        return pa.table({
+            "user_id": g.column("user_id").take(pa.array([0] * n_runs)),
+            "event_type": pa.array(types[starts]),
+            "run_idx": pa.array(np.arange(1, n_runs + 1), pa.int64()),
+            "valid_from": pa.array(vfrom, pa.int64()).cast(
+                pa.timestamp("us")),
+            "valid_to": pa.array(
+                vto, pa.int64(),
+                mask=np.concatenate(
+                    [np.zeros(n_runs - 1, bool), [True]])).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(runs, batch_format="pyarrow")
+
+
+def q_customers_cdc_merge(sf_dir: str) -> Dataset:
+    """MERGE INTO / CDC-upsert shape: apply each customer's LATEST
+    order (by o_orderdate, o_orderkey) as a change record — status 'F'
+    deletes the customer row, any other status updates c_acctbal to
+    that order's o_totalprice, customers with no orders pass through
+    untouched.  Latest-per-key rides one custkey exchange (orders per
+    customer are structurally few); the dim-sized merge is one
+    left-outer join plus a vectorized rule pass.  o_totalprice passes
+    through RAW (no arithmetic), so the twin is bit-trivial."""
+    import numpy as np
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_orderdate", "o_orderstatus",
+                                      "o_totalprice"])
+
+    def latest(g: pa.Table) -> pa.Table:
+        od = g.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((-ok, -od))[0])
+        return pa.table({
+            "c_custkey": pa.array(
+                [int(g.column("o_custkey")[0].as_py())], pa.int64()),
+            "u_status": pa.array(
+                [g.column("o_orderstatus")[i].as_py()], pa.string()),
+            "u_price": pa.array(
+                [g.column("o_totalprice")[i].as_py()], pa.float64()),
+        })
+
+    upd = with_schema(
+        orders.groupby("o_custkey").map_groups(
+            lambda g: latest(g), batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()), ("u_status", pa.string()),
+                   ("u_price", pa.float64())]))
+    cust = rd.read_parquet(_t(sf_dir, "customer"))
+    j = cust.join(upd, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",))
+
+    def merge(b: pa.Table) -> pa.Table:
+        status = b.column("u_status")
+        alive = pc.or_kleene(pc.is_null(status),
+                             pc.not_equal(status, "F"))
+        f = b.filter(pc.fill_null(alive, True))
+        bal = pc.if_else(pc.is_valid(f.column("u_status")),
+                         f.column("u_price"), f.column("c_acctbal"))
+        return pa.table({
+            "c_custkey": f.column("c_custkey"),
+            "c_name": f.column("c_name"),
+            "c_nationkey": f.column("c_nationkey").cast(pa.int64()),
+            "c_acctbal": bal,
+            "c_mktsegment": f.column("c_mktsegment"),
+        })
+
+    return j.map_batches(merge, batch_format="pyarrow")
