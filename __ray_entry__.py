@@ -492,6 +492,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_skyline": q.q_customers_skyline,
         "events_scd2_intervals": q.q_events_scd2_intervals,
         "customers_cdc_merge": q.q_customers_cdc_merge,
+        "events_twap": q.q_events_twap,
+        "events_survival_km": q.q_events_survival_km,
+        "ri_audit": q.q_ri_audit,
+        "customers_table_diff": q.q_customers_table_diff,
     }
 
 
@@ -3985,5 +3989,136 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM l WHERE rn = 1) l
                  ON c.c_custkey = l.o_custkey
             WHERE l.o_custkey IS NULL OR l.o_orderstatus <> 'F'
+        """,
+        "events_twap": """
+            WITH s AS (SELECT user_id,
+                              CAST(round(value * 100) AS BIGINT)
+                                  AS cents,
+                              (epoch_us(LEAD(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id))
+                               - epoch_us(ts)) // 1000000 AS dt_s
+                       FROM events WHERE value IS NOT NULL)
+            SELECT user_id,
+                   CAST(SUM(cents * dt_s) AS BIGINT) AS num_cents_s,
+                   CAST(SUM(dt_s) AS BIGINT) AS den_s,
+                   CAST(SUM(cents * dt_s) AS DOUBLE)
+                       / CAST(SUM(dt_s) AS DOUBLE) AS twap_cents
+            FROM s WHERE dt_s IS NOT NULL
+            GROUP BY user_id HAVING SUM(dt_s) > 0
+        """,
+        "events_survival_km": """
+            WITH per AS (SELECT user_id,
+                                MIN(epoch_us(ts)) AS t0,
+                                MIN(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts) END) AS tp,
+                                MAX(epoch_us(ts)) AS tl
+                         FROM events GROUP BY user_id),
+            t AS (SELECT CASE WHEN tp IS NOT NULL
+                              THEN (tp - t0) // 86400000000
+                              ELSE (tl - t0) // 86400000000 END
+                              AS t_days,
+                         (tp IS NOT NULL) AS ev
+                  FROM per),
+            g AS (SELECT t_days,
+                         CAST(COUNT(*) FILTER (ev) AS BIGINT)
+                             AS n_event,
+                         CAST(COUNT(*) FILTER (NOT ev) AS BIGINT)
+                             AS n_censored
+                  FROM t GROUP BY t_days)
+            SELECT t_days,
+                   CAST(SUM(n_event + n_censored) OVER (
+                        ORDER BY t_days DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n_risk,
+                   n_event, n_censored
+            FROM g QUALIFY n_event > 0
+        """,
+        "ri_audit": """
+            SELECT 'lineitem.l_orderkey->orders' AS relation,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (p.o_orderkey IS NULL)
+                        AS BIGINT) AS n_orphan_rows,
+                   CAST(COUNT(DISTINCT CASE WHEN p.o_orderkey IS NULL
+                        THEN c.l_orderkey END) AS BIGINT)
+                        AS n_orphan_keys
+            FROM lineitem c LEFT JOIN orders p
+                 ON c.l_orderkey = p.o_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (p.p_partkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL
+                        THEN c.l_partkey END) AS BIGINT)
+            FROM lineitem c LEFT JOIN part p
+                 ON c.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (p.s_suppkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN p.s_suppkey IS NULL
+                        THEN c.l_suppkey END) AS BIGINT)
+            FROM lineitem c LEFT JOIN supplier p
+                 ON c.l_suppkey = p.s_suppkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (p.c_custkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN p.c_custkey IS NULL
+                        THEN c.o_custkey END) AS BIGINT)
+            FROM orders c LEFT JOIN customer p
+                 ON c.o_custkey = p.c_custkey
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (p.n_nationkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN p.n_nationkey IS NULL
+                        THEN c.c_nationkey END) AS BIGINT)
+            FROM customer c LEFT JOIN nation p
+                 ON c.c_nationkey = p.n_nationkey
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (p.n_nationkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN p.n_nationkey IS NULL
+                        THEN c.s_nationkey END) AS BIGINT)
+            FROM supplier c LEFT JOIN nation p
+                 ON c.s_nationkey = p.n_nationkey
+            UNION ALL
+            SELECT 'nation.n_regionkey->region',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (p.r_regionkey IS NULL)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN p.r_regionkey IS NULL
+                        THEN c.n_regionkey END) AS BIGINT)
+            FROM nation c LEFT JOIN region p
+                 ON c.n_regionkey = p.r_regionkey
+        """,
+        "customers_table_diff": """
+            WITH l AS (SELECT o_custkey, o_orderstatus, o_totalprice,
+                              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+                       FROM orders),
+            m AS (SELECT c.c_custkey,
+                         CASE WHEN l.o_custkey IS NULL THEN c.c_acctbal
+                              ELSE l.o_totalprice END AS new_acctbal
+                  FROM customer c
+                  LEFT JOIN (SELECT * FROM l WHERE rn = 1) l
+                       ON c.c_custkey = l.o_custkey
+                  WHERE l.o_custkey IS NULL OR l.o_orderstatus <> 'F')
+            SELECT c.c_custkey,
+                   CASE WHEN m.c_custkey IS NULL THEN 'deleted'
+                        WHEN m.new_acctbal IS DISTINCT FROM c.c_acctbal
+                             THEN 'updated'
+                        ELSE 'unchanged' END AS change_type,
+                   c.c_acctbal AS old_acctbal,
+                   m.new_acctbal
+            FROM customer c LEFT JOIN m ON m.c_custkey = c.c_custkey
         """,
     }

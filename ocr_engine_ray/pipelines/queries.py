@@ -11212,3 +11212,269 @@ def q_customers_cdc_merge(sf_dir: str) -> Dataset:
         })
 
     return j.map_batches(merge, batch_format="pyarrow")
+
+
+def q_events_twap(sf_dir: str) -> Dataset:
+    """Time-weighted average value per user (the TWAP / sensor-hold
+    staple): each event's value holds until the user's next event, so
+    twap = Σ(cents·dt) / Σ(dt) over consecutive pairs.  dt is floored
+    to whole SECONDS (µs // 1e6) so the numerator stays exact int64
+    with wide headroom (cents ≤ ~5e4 × span_s ≤ ~3e6 « 2^63); the one
+    float is the final division, operand-by-operand off the exact
+    ints.  One user-key exchange; in-group it is a lexsort + one
+    np.diff, no Python loop.  Single-event and all-zero-gap users are
+    excluded (den = 0: no holding time exists)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+
+    def twap(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "num_cents_s": pa.array([], pa.int64()),
+                "den_s": pa.array([], pa.int64()),
+                "twap_cents": pa.array([], pa.float64()),
+            })
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s = ts[order]
+        cents = scaled_int_sql(g.column("value"), 100.0)[order]
+        dt = (ts_s[1:] - ts_s[:-1]) // 1_000_000
+        den = int(dt.sum())
+        if den <= 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "num_cents_s": pa.array([], pa.int64()),
+                "den_s": pa.array([], pa.int64()),
+                "twap_cents": pa.array([], pa.float64()),
+            })
+        num = int((cents[:-1] * dt).sum())
+        return pa.table({
+            "user_id": pa.array(
+                [int(g.column("user_id")[0].as_py())], pa.int64()),
+            "num_cents_s": pa.array([num], pa.int64()),
+            "den_s": pa.array([den], pa.int64()),
+            "twap_cents": pa.array(
+                [float(np.float64(num) / np.float64(den))],
+                pa.float64()),
+        })
+
+    return ds.groupby("user_id").map_groups(twap, batch_format="pyarrow")
+
+
+def q_events_survival_km(sf_dir: str) -> Dataset:
+    """Kaplan-Meier risk table for time-to-first-purchase: per user,
+    T = whole days from their FIRST event to their FIRST 'purchase'
+    (event) or to their LAST event (censored).  Emitted per event-day:
+    n_risk (users with T ≥ t — the KM at-risk set), n_event,
+    n_censored — ALL exact ints, so the float survival product (which
+    is order-dependent) never exists in the engine; the consumer folds
+    Π(1 − d/n) at whatever precision it wants.  Per-user reduction is
+    a partial Arrow group_by per block (purchase-miss as an int64 MAX
+    sentinel so MIN is total) → one user-key aggregate; the risk table
+    is day-bounded, so the reverse-cumulative at-risk count folds on
+    the driver."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+    SENT = (1 << 63) - 1
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64())
+        tp = pc.if_else(pc.equal(b.column("event_type"), "purchase"),
+                        t, pa.scalar(SENT, pa.int64()))
+        g = pa.table({"user_id": b.column("user_id"), "t0": t,
+                      "tp": tp, "tl": t}).group_by("user_id").aggregate(
+            [("t0", "min"), ("tp", "min"), ("tl", "max")])
+        return g.rename_columns(["user_id", "p_t0", "p_tp", "p_tl"])
+
+    per = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("p_t0", alias_name="t0"),
+                                      Min("p_tp", alias_name="tp"),
+                                      Max("p_tl", alias_name="tl")),
+        pa.schema([("user_id", pa.int64()), ("t0", pa.int64()),
+                   ("tp", pa.int64()), ("tl", pa.int64())]))
+
+    def day_rows(b: pa.Table) -> pa.Table:
+        t0 = b.column("t0").to_numpy(zero_copy_only=False)
+        tp = b.column("tp").to_numpy(zero_copy_only=False)
+        tl = b.column("tl").to_numpy(zero_copy_only=False)
+        ev = tp != SENT
+        tt = np.where(ev, tp, tl)
+        days = (tt - t0) // DAY_US
+        g = pa.table({
+            "t_days": pa.array(days, pa.int64()),
+            "p_ev": pa.array(ev.astype(np.int64), pa.int64()),
+            "p_cn": pa.array((~ev).astype(np.int64), pa.int64()),
+        }).group_by("t_days").aggregate([("p_ev", "sum"),
+                                         ("p_cn", "sum")])
+        return g.rename_columns(["t_days", "p_ev", "p_cn"])
+
+    grouped = with_schema(
+        per.map_batches(day_rows, batch_format="pyarrow")
+        .groupby("t_days").aggregate(Sum("p_ev", alias_name="n_event"),
+                                     Sum("p_cn", alias_name="n_censored")),
+        pa.schema([("t_days", pa.int64()), ("n_event", pa.int64()),
+                   ("n_censored", pa.int64())]))
+    t = _small_table(grouped)  # day-bounded (corpus span in days)
+    if t is None:
+        return rd.from_arrow(pa.table({
+            "t_days": pa.array([], pa.int64()),
+            "n_risk": pa.array([], pa.int64()),
+            "n_event": pa.array([], pa.int64()),
+            "n_censored": pa.array([], pa.int64()),
+        }))
+    days = t.column("t_days").to_numpy(zero_copy_only=False)
+    nev = t.column("n_event").to_numpy(zero_copy_only=False)
+    ncn = t.column("n_censored").to_numpy(zero_copy_only=False)
+    order = np.argsort(days)
+    days, nev, ncn = days[order], nev[order], ncn[order]
+    n_risk = np.cumsum((nev + ncn)[::-1])[::-1]
+    keep = nev > 0
+    return rd.from_arrow(pa.table({
+        "t_days": pa.array(days[keep], pa.int64()),
+        "n_risk": pa.array(n_risk[keep], pa.int64()),
+        "n_event": pa.array(nev[keep], pa.int64()),
+        "n_censored": pa.array(ncn[keep], pa.int64()),
+    }))
+
+
+def q_ri_audit(sf_dir: str) -> Dataset:
+    """Referential-integrity audit across every FK relation in the
+    star schema — one row per relation with the child row count,
+    orphan row count, and distinct orphan key count (the dbt-test /
+    Deequ 'relationship' check as a single report).  Per relation the
+    child collapses to (key, count) via per-block partial group_by +
+    one key exchange, LEFT-joins the parent's distinct keys (so raw
+    child rows never meet the join), and folds to one row via a
+    per-block partial + bounded tree combine.  NULL FKs count as
+    orphan rows but not orphan keys (SQL COUNT DISTINCT semantics)."""
+    import numpy as np
+
+    RELS = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+
+    def one(child: str, fk: str, parent: str, pk: str):
+        ch = rd.read_parquet(_t(sf_dir, child), columns=[fk])
+
+        def key_counts(b: pa.Table) -> pa.Table:
+            g = pa.table({
+                "k": b.column(fk).cast(pa.int64()),
+            }).group_by("k").aggregate([([], "count_all")])
+            return g.rename_columns(["k", "p_n"])
+
+        keys = with_schema(
+            ch.map_batches(key_counts, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("p_n", alias_name="n")),
+            pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+
+        par = rd.read_parquet(_t(sf_dir, parent), columns=[pk])
+
+        def pk_mark(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b.column(pk).cast(pa.int64()),
+                "present": pa.array(
+                    np.ones(b.num_rows, np.int64), pa.int64()),
+            })
+
+        marks = par.map_batches(pk_mark, batch_format="pyarrow")
+        j = keys.join(marks, join_type="left_outer", num_partitions=8,
+                      on=("k",))
+
+        def fold(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            orphan = pc.is_null(b.column("present")).to_numpy(
+                zero_copy_only=False)
+            key_ok = b.column("k").is_valid().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "p_rows": pa.array([int(n.sum())], pa.int64()),
+                "p_orows": pa.array([int(n[orphan].sum())], pa.int64()),
+                "p_okeys": pa.array([int((orphan & key_ok).sum())],
+                                    pa.int64()),
+            })
+
+        # fold emits ONE row per block — block-bounded, driver-safe
+        tot = _small_table(j.map_batches(fold, batch_format="pyarrow"))
+        if tot is None:
+            return (0, 0, 0)
+        return (int(pc.sum(tot.column("p_rows")).as_py() or 0),
+                int(pc.sum(tot.column("p_orows")).as_py() or 0),
+                int(pc.sum(tot.column("p_okeys")).as_py() or 0))
+
+    rows = [(name,) + one(c, fk, p, pk) for name, c, fk, p, pk in RELS]
+    return rd.from_arrow(pa.table({
+        "relation": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphan_rows": pa.array([r[2] for r in rows], pa.int64()),
+        "n_orphan_keys": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
+def q_customers_table_diff(sf_dir: str) -> Dataset:
+    """Snapshot diff (Datafold-style table diff) between the customer
+    dim and its CDC-merged image (q_customers_cdc_merge): per source
+    row, change_type ∈ {deleted, updated, unchanged} with the old and
+    new balance side by side.  The merged image is key-unique and
+    ⊆ source keys, so ONE left join at dim grain answers every row;
+    values pass through raw (no arithmetic), keeping the twin
+    bit-trivial."""
+    merged = q_customers_cdc_merge(sf_dir)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "new_acctbal": b.column("c_acctbal"),
+        })
+
+    new = with_schema(
+        merged.map_batches(slim, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()),
+                   ("new_acctbal", pa.float64())]))
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal"])
+    j = cust.join(new, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",))
+
+    def diff(b: pa.Table) -> pa.Table:
+        nb = b.column("new_acctbal")
+        deleted = pc.is_null(nb)
+        changed = pc.and_kleene(pc.is_valid(nb),
+                                pc.not_equal(nb, b.column("c_acctbal")))
+        ct = pc.if_else(deleted, pa.scalar("deleted", pa.string()),
+                        pc.if_else(pc.fill_null(changed, False),
+                                   pa.scalar("updated", pa.string()),
+                                   pa.scalar("unchanged", pa.string())))
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "change_type": ct,
+            "old_acctbal": b.column("c_acctbal"),
+            "new_acctbal": nb,
+        })
+
+    return j.map_batches(diff, batch_format="pyarrow")

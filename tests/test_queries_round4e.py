@@ -140,3 +140,162 @@ def test_cdc_merge_planted(ray_session, tmp_path):
     assert out[2]["c_acctbal"] == 99.5
     assert out[3]["c_acctbal"] == 33.0          # untouched passthrough
     assert out[4]["c_acctbal"] == 77.25         # orderkey tiebreak
+
+
+def _write_events_sec(tmp_path, rows):
+    """rows: (event_id, second_offset, user_id, event_type, value)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1], "s").astype(
+            "timedelta64[us]") for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+
+def test_twap_planted(ray_session, tmp_path):
+    """1.00 held 10 s then 3.00 held 30 s → twap 250 cents; the last
+    value never contributes (no holding interval).  Single-event and
+    zero-total-gap users are excluded."""
+    _write_events_sec(tmp_path, [
+        (0, 0, 1, "x", 1.0), (1, 10, 1, "x", 3.0), (2, 40, 1, "x", 9.9),
+        (3, 0, 2, "x", 5.0),                       # single event
+        (4, 0, 3, "x", 1.0), (5, 0, 3, "x", 2.0),  # same-second pair
+    ])
+    from ocr_engine_ray.pipelines.queries import q_events_twap
+
+    out = {r["user_id"]: r for r in
+           _tab(q_events_twap(str(tmp_path))).to_pylist()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["num_cents_s"] == 100 * 10 + 300 * 30
+    assert r["den_s"] == 40
+    assert r["twap_cents"] == 250.0
+
+
+def test_survival_km_planted(ray_session, tmp_path):
+    """A purchases on day 2 (T=2 event), B is censored at day 1, C
+    purchases immediately (T=0).  Risk sets count everyone still
+    'alive' at t: 3 at t=0, 1 at t=2; the censor-only day 1 emits no
+    row but shrinks the t=2 risk set."""
+    _write_events_sec(tmp_path, [
+        (0, 0, 1, "view", 1.0), (1, 2 * 86400, 1, "purchase", 1.0),
+        (2, 0, 2, "view", 1.0), (3, 86400, 2, "click", 1.0),
+        (4, 0, 3, "purchase", 1.0),
+    ])
+    from ocr_engine_ray.pipelines.queries import q_events_survival_km
+
+    rows = {r["t_days"]: r for r in
+            _tab(q_events_survival_km(str(tmp_path))).to_pylist()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_risk"] == 3 and rows[0]["n_event"] == 1
+    assert rows[2]["n_risk"] == 1 and rows[2]["n_event"] == 1
+    assert rows[0]["n_censored"] == 0 and rows[2]["n_censored"] == 0
+
+
+def _write_star_min(tmp_path):
+    """Minimal star schema with planted orphans in lineitem."""
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int64()),
+        "r_name": pa.array(["R"], pa.string()),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["N"], pa.string()),
+        "n_regionkey": pa.array([0], pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_name": pa.array(["c"], pa.string()),
+        "c_nationkey": pa.array([0], pa.int32()),
+        "c_acctbal": pa.array([1.0], pa.float64()),
+        "c_mktsegment": pa.array(["A"], pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["s"], pa.string()),
+        "s_nationkey": pa.array([0], pa.int64()),
+        "s_acctbal": pa.array([1.0], pa.float64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_name": pa.array(["p"], pa.string()),
+        "p_brand": pa.array(["b"], pa.string()),
+        "p_type": pa.array(["t"], pa.string()),
+        "p_size": pa.array([1], pa.int64()),
+        "p_retailprice": pa.array([1.0], pa.float64()),
+    }), str(tmp_path / "part.parquet"))
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderstatus": pa.array(["O"], pa.string()),
+        "o_totalprice": pa.array([1.0], pa.float64()),
+        "o_orderdate": pa.array([base], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # okey 1 ok; okey 2 twice (1 orphan key); NULL (orphan row,
+        # no key)
+        "l_orderkey": pa.array([1, 2, 2, None], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 2, 1], pa.int64()),
+        "l_quantity": pa.array([1.0] * 4, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+        "l_discount": pa.array([0.0] * 4, pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 4, pa.string()),
+        "l_linestatus": pa.array(["O"] * 4, pa.string()),
+        "l_shipdate": pa.array([base] * 4, pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_ri_audit_planted(ray_session, tmp_path):
+    """Orphan accounting: duplicate orphan FK rows collapse to one
+    orphan KEY; a NULL FK is an orphan ROW but never a key (SQL
+    COUNT DISTINCT semantics); clean relations report zeros."""
+    _write_star_min(tmp_path)
+    from ocr_engine_ray.pipelines.queries import q_ri_audit
+
+    out = {r["relation"]: r for r in
+           _tab(q_ri_audit(str(tmp_path))).to_pylist()}
+    assert len(out) == 7
+    lo = out["lineitem.l_orderkey->orders"]
+    assert lo["n_rows"] == 4
+    assert lo["n_orphan_rows"] == 3 and lo["n_orphan_keys"] == 1
+    for rel in ("lineitem.l_partkey->part", "orders.o_custkey->customer",
+                "nation.n_regionkey->region"):
+        assert out[rel]["n_orphan_rows"] == 0
+        assert out[rel]["n_orphan_keys"] == 0
+
+
+def test_table_diff_planted(ray_session, tmp_path):
+    """Deleted (latest F), updated (price differs), unchanged
+    passthrough (no orders), and the value-equality edge: an applied
+    update whose price EQUALS the old balance reads 'unchanged'."""
+    _write_customers(tmp_path, [
+        (1, 0, 11.0, "A"),   # latest F -> deleted
+        (2, 0, 22.0, "A"),   # updated to 99.5
+        (3, 1, 33.0, "B"),   # no orders -> unchanged
+        (4, 1, 44.0, "B"),   # updated to 44.0 == old -> unchanged
+    ])
+    _write_orders(tmp_path, [
+        (10, 1, "F", 6.0, 9),
+        (13, 2, "O", 99.5, 9),
+        (15, 4, "P", 44.0, 3),
+    ])
+    from ocr_engine_ray.pipelines.queries import q_customers_table_diff
+
+    out = {r["c_custkey"]: r for r in
+           _tab(q_customers_table_diff(str(tmp_path))).to_pylist()}
+    assert out[1]["change_type"] == "deleted"
+    assert out[1]["new_acctbal"] is None
+    assert out[2]["change_type"] == "updated"
+    assert out[2]["old_acctbal"] == 22.0 and out[2]["new_acctbal"] == 99.5
+    assert out[3]["change_type"] == "unchanged"
+    assert out[4]["change_type"] == "unchanged"
+    assert out[4]["new_acctbal"] == 44.0
