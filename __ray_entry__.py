@@ -496,6 +496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival_km": q.q_events_survival_km,
         "ri_audit": q.q_ri_audit,
         "customers_table_diff": q.q_customers_table_diff,
+        "documents_keywords": q.q_documents_keywords,
+        "dq_audit": q.q_dq_audit,
+        "events_funnel_timebound": q.q_events_funnel_timebound,
     }
 
 
@@ -4120,5 +4123,103 @@ def oracle_sql() -> dict[str, str]:
                    c.c_acctbal AS old_acctbal,
                    m.new_acctbal
             FROM customer c LEFT JOIN m ON m.c_custkey = c.c_custkey
+        """,
+        "documents_keywords": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term,
+                          CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE)
+                             / CAST(df.df AS DOUBLE)) * 1000000)
+                             AS BIGINT) AS score_q
+                  FROM tf, df, n WHERE tf.term = df.term),
+            r AS (SELECT doc_id, term, score_q,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score_q DESC, term ASC) AS rk
+                  FROM s)
+            SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score_q
+            FROM r WHERE rk <= 3
+        """,
+        "dq_audit": """
+            SELECT 'orders.o_orderkey unique' AS check_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_checked,
+                   CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                        AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'customer.c_custkey unique',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(DISTINCT
+                        (l_orderkey, l_linenumber)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.o_orderstatus accepted_values',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (o_orderstatus NOT IN
+                        ('O', 'F', 'P')) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_returnflag accepted_values',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (l_returnflag NOT IN
+                        ('A', 'N', 'R')) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_discount range_0_1',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (l_discount < 0
+                        OR l_discount > 1) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_quantity positive',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (l_quantity <= 0
+                        OR l_quantity IS NULL) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'events.value not_null',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'events.ts not_null',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT)
+            FROM events
+        """,
+        "events_funnel_timebound": """
+            WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY 1),
+            c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click'
+                    AND epoch_us(e.ts) > v.t_view
+                    AND epoch_us(e.ts) <= v.t_view + 3600000000
+                  GROUP BY 1),
+            p AS (SELECT e.user_id
+                  FROM events e JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) > c.t_click
+                    AND epoch_us(e.ts) <= c.t_click + 86400000000
+                  GROUP BY e.user_id)
+            SELECT 'view' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 'click_1h', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'purchase_24h', CAST(COUNT(*) AS BIGINT) FROM p
         """,
     }

@@ -11478,3 +11478,254 @@ def q_customers_table_diff(sf_dir: str) -> Dataset:
         })
 
     return j.map_batches(diff, batch_format="pyarrow")
+
+
+def q_documents_keywords(sf_dir: str) -> Dataset:
+    """Per-document keyword tagging: top-3 terms by TF-IDF with the
+    idf int64-QUANTIZED (round(ln(N/df)·1e6)) so the ranking key
+    score_q = tf · idf_q is an exact integer — float ordering (and its
+    tie hazards) never exists; residual ties break on the term string.
+    tf needs NO exchange (a doc's tokens live in its own batch); df is
+    one term-key exchange; the join back is the second.  Rank inside a
+    doc_id co-partition."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+            "term": flat,
+        }).group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["term"]).group_by("term").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["term", "p_df"])
+
+    df = with_schema(
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("p_df", alias_name="df")),
+        pa.schema([("term", pa.string()), ("df", pa.int64())]))
+
+    n_docs = ds.count()
+
+    j = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy(zero_copy_only=False)
+        dfv = b.column("df").to_numpy(zero_copy_only=False)
+        idf_q = scaled_int_sql(
+            np.log(np.float64(n_docs) / dfv.astype(np.float64)), 1e6)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "term": b.column("term"),
+            "score_q": pa.array(tfv * idf_q, pa.int64()),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+
+    def top3(g: pa.Table) -> pa.Table:
+        s = g.column("score_q").to_numpy(zero_copy_only=False)
+        terms = np.asarray(g.column("term"))
+        order = np.lexsort((terms, -s))[:3]
+        return pa.table({
+            "doc_id": g.column("doc_id").take(
+                pa.array(order, pa.int64())),
+            "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "term": pa.array(terms[order]),
+            "score_q": pa.array(s[order], pa.int64()),
+        })
+
+    return scored.groupby("doc_id").map_groups(
+        top3, batch_format="pyarrow")
+
+
+def q_dq_audit(sf_dir: str) -> Dataset:
+    """dbt-test-suite-style data-quality audit in one report: UNIQUE
+    (single and composite key), ACCEPTED_VALUES, RANGE and NOT_NULL
+    checks, one row per check with rows checked / violations — all
+    exact ints.  Scan checks fold per block (one row each, no
+    exchange); unique checks collapse to (key, count) partials before
+    ONE key exchange, so raw rows never shuffle.  Unique violations =
+    n_rows − n_distinct_keys (every extra copy counts), matching
+    COUNT(*) − COUNT(DISTINCT key)."""
+    import numpy as np
+
+    def _fold_counts(ds, fn):
+        t = _small_table(ds.map_batches(fn, batch_format="pyarrow"))
+        if t is None:
+            return 0, 0
+        return (int(pc.sum(t.column("p_n")).as_py() or 0),
+                int(pc.sum(t.column("p_v")).as_py() or 0))
+
+    def scan_check(table, columns, violation_fn):
+        ds = rd.read_parquet(_t(sf_dir, table), columns=columns)
+
+        def fold(b: pa.Table) -> pa.Table:
+            bad = violation_fn(b)
+            return pa.table({
+                "p_n": pa.array([b.num_rows], pa.int64()),
+                "p_v": pa.array([int(pc.sum(pc.cast(
+                    bad, pa.int64())).as_py() or 0)], pa.int64()),
+            })
+
+        return _fold_counts(ds, fold)
+
+    def unique_check(table, key_cols):
+        ds = rd.read_parquet(_t(sf_dir, table), columns=key_cols)
+
+        # NULL semantics mirror SQL exactly: a single-column COUNT
+        # DISTINCT excludes NULL keys (every NULL row is a violation,
+        # folded under one sentinel group), while a composite
+        # (a, b) struct is non-null even with null members, so null
+        # members encode as a distinct token and the row counts as a
+        # value.  Null keys never reach the exchange (Ray's sort
+        # cannot order None against str).
+        SENT = "\x00__nulls__"
+
+        def key_partial(b: pa.Table) -> pa.Table:
+            if len(key_cols) == 1:
+                k = pc.fill_null(
+                    pc.cast(b.column(key_cols[0]), pa.string()), SENT)
+            else:
+                parts = [pc.fill_null(
+                    pc.cast(b.column(c), pa.string()), "\x00N")
+                    for c in key_cols]
+                k = parts[0]
+                for p in parts[1:]:
+                    k = pc.binary_join_element_wise(k, p, "\x1f")
+            g = pa.table({"k": k}).group_by("k").aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["k", "p_n"])
+
+        keys = with_schema(
+            ds.map_batches(key_partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("p_n", alias_name="n")),
+            pa.schema([("k", pa.string()), ("n", pa.int64())]))
+
+        def fold(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            valid = pc.not_equal(b.column("k"), SENT).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "p_n": pa.array([int(n.sum())], pa.int64()),
+                "p_v": pa.array(
+                    [int(n.sum()) - int(valid.sum())], pa.int64()),
+            })
+
+        return _fold_counts(keys, fold)
+
+    checks = []
+    checks.append(("orders.o_orderkey unique",)
+                  + unique_check("orders", ["o_orderkey"]))
+    checks.append(("customer.c_custkey unique",)
+                  + unique_check("customer", ["c_custkey"]))
+    checks.append(("lineitem.(l_orderkey,l_linenumber) unique",)
+                  + unique_check("lineitem",
+                                 ["l_orderkey", "l_linenumber"]))
+    checks.append(("orders.o_orderstatus accepted_values",)
+                  + scan_check(
+        "orders", ["o_orderstatus"],
+        lambda b: pc.invert(pc.is_in(
+            b.column("o_orderstatus"),
+            value_set=pa.array(["O", "F", "P"], pa.string())))))
+    checks.append(("lineitem.l_returnflag accepted_values",)
+                  + scan_check(
+        "lineitem", ["l_returnflag"],
+        lambda b: pc.invert(pc.is_in(
+            b.column("l_returnflag"),
+            value_set=pa.array(["A", "N", "R"], pa.string())))))
+    checks.append(("lineitem.l_discount range_0_1",)
+                  + scan_check(
+        "lineitem", ["l_discount"],
+        lambda b: pc.or_kleene(
+            pc.less(b.column("l_discount"), 0.0),
+            pc.greater(b.column("l_discount"), 1.0))))
+    checks.append(("lineitem.l_quantity positive",)
+                  + scan_check(
+        "lineitem", ["l_quantity"],
+        lambda b: pc.fill_null(
+            pc.less_equal(b.column("l_quantity"), 0.0), True)))
+    checks.append(("events.value not_null",)
+                  + scan_check("events", ["value"],
+                               lambda b: pc.is_null(b.column("value"))))
+    checks.append(("events.ts not_null",)
+                  + scan_check("events", ["ts"],
+                               lambda b: pc.is_null(b.column("ts"))))
+    return rd.from_arrow(pa.table({
+        "check_name": pa.array([c[0] for c in checks], pa.string()),
+        "n_checked": pa.array([c[1] for c in checks], pa.int64()),
+        "n_violations": pa.array([c[2] for c in checks], pa.int64()),
+    }))
+
+
+def q_events_funnel_timebound(sf_dir: str) -> pa.Table:
+    """Attribution-window funnel (the marketing-analytics variant of
+    q_events_funnel): view → first click within ONE HOUR strictly
+    after the user's first view → any purchase within 24 HOURS
+    strictly after that first qualifying click.  Join-free: one
+    user-key co-partition walks each user's filtered history with
+    numpy masks; the 3-row stage table folds from per-group
+    stage-reached partials.  Timestamps compare as exact int64 µs."""
+    import numpy as np
+
+    HOUR_US = 3_600_000_000
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["view", "click", "purchase"],
+                               pa.string()))),
+        batch_format="pyarrow")
+
+    def stage(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        typ = np.asarray(g.column("event_type"))
+        v = ts[typ == "view"]
+        reached = 0
+        if len(v):
+            reached = 1
+            t_view = v.min()
+            c = ts[typ == "click"]
+            c = c[(c > t_view) & (c <= t_view + HOUR_US)]
+            if len(c):
+                reached = 2
+                t_click = c.min()
+                p = ts[typ == "purchase"]
+                if ((p > t_click) & (p <= t_click + DAY_US)).any():
+                    reached = 3
+        return pa.table({"reached": pa.array([reached], pa.int64())})
+
+    per_user = ds.groupby("user_id").map_groups(
+        stage, batch_format="pyarrow")
+
+    def fold(b: pa.Table) -> pa.Table:
+        r = b.column("reached").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_v": pa.array([int((r >= 1).sum())], pa.int64()),
+            "p_c": pa.array([int((r >= 2).sum())], pa.int64()),
+            "p_p": pa.array([int((r >= 3).sum())], pa.int64()),
+        })
+
+    t = _small_table(per_user.map_batches(fold, batch_format="pyarrow"))
+    nv = int(pc.sum(t.column("p_v")).as_py() or 0) if t is not None else 0
+    nc = int(pc.sum(t.column("p_c")).as_py() or 0) if t is not None else 0
+    np_ = int(pc.sum(t.column("p_p")).as_py() or 0) if t is not None else 0
+    return pa.table({
+        "stage": pa.array(["view", "click_1h", "purchase_24h"],
+                          pa.string()),
+        "n_users": pa.array([nv, nc, np_], pa.int64()),
+    })

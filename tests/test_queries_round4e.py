@@ -299,3 +299,90 @@ def test_table_diff_planted(ray_session, tmp_path):
     assert out[3]["change_type"] == "unchanged"
     assert out[4]["change_type"] == "unchanged"
     assert out[4]["new_acctbal"] == 44.0
+
+
+def test_keywords_planted(ray_session, tmp_path):
+    """'cat' appears in every doc (idf_q = 0 → score 0); doc 1's
+    'apple apple' outranks it; rank ties on score break by term ASC."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["apple apple cat", "banana cat",
+                          "cat zebra banana"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([15, 10, 16], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_keywords
+
+    rows = _tab(q_documents_keywords(str(tmp_path))).to_pylist()
+    d1 = sorted([r for r in rows if r["doc_id"] == 1],
+                key=lambda r: r["rk"])
+    assert d1[0]["term"] == "apple"
+    assert d1[0]["score_q"] == 2 * round(np.log(3.0) * 1e6)
+    assert d1[1]["term"] == "cat" and d1[1]["score_q"] == 0
+    d3 = sorted([r for r in rows if r["doc_id"] == 3],
+                key=lambda r: r["rk"])
+    # banana (df=2) and zebra (df=1): zebra scores higher
+    assert [r["term"] for r in d3] == ["zebra", "banana", "cat"]
+
+
+def test_dq_audit_planted(ray_session, tmp_path):
+    """A duplicated order key is ONE extra row; out-of-set status,
+    negative quantity, and NULL value each count; clean checks
+    report zero."""
+    _write_star_min(tmp_path)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # overwrite orders with a dup key + a bad status
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "X"], pa.string()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "o_orderdate": pa.array([base] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    _write_events_sec(tmp_path, [(0, 0, 1, "view", 1.0)])
+    # null value row appended via a second events write
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([base, base], pa.timestamp("us")),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["view", "view"], pa.string()),
+        "value": pa.array([1.0, None], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_dq_audit
+
+    out = {r["check_name"]: r for r in
+           _tab(q_dq_audit(str(tmp_path))).to_pylist()}
+    assert out["orders.o_orderkey unique"]["n_violations"] == 1
+    assert out["orders.o_orderkey unique"]["n_checked"] == 3
+    assert out["orders.o_orderstatus accepted_values"][
+        "n_violations"] == 1
+    assert out["events.value not_null"]["n_violations"] == 1
+    assert out["customer.c_custkey unique"]["n_violations"] == 0
+    assert out["lineitem.(l_orderkey,l_linenumber) unique"][
+        "n_violations"] == 0
+    assert out["lineitem.l_discount range_0_1"]["n_violations"] == 0
+
+
+def test_funnel_timebound_planted(ray_session, tmp_path):
+    """User 1 converts fully in-window; user 2's click lands at
+    exactly 1 h + 1 s (out); user 3's purchase precedes the click
+    (strictly-after fails); user 4 has no view."""
+    H, D = 3600, 86400
+    _write_events_sec(tmp_path, [
+        (0, 0, 1, "view", 1.0), (1, H // 2, 1, "click", 1.0),
+        (2, H // 2 + D, 1, "purchase", 1.0),        # exactly 24h after
+        (3, 0, 2, "view", 1.0), (4, H + 1, 2, "click", 1.0),
+        (5, 0, 3, "view", 1.0), (6, 10, 3, "purchase", 1.0),
+        (7, 20, 3, "click", 1.0),
+        (8, 0, 4, "click", 1.0),
+    ])
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_funnel_timebound,
+    )
+
+    out = {r["stage"]: r["n_users"] for r in
+           _tab(q_events_funnel_timebound(str(tmp_path))).to_pylist()}
+    assert out == {"view": 3, "click_1h": 2, "purchase_24h": 1}
