@@ -499,6 +499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_keywords": q.q_documents_keywords,
         "dq_audit": q.q_dq_audit,
         "events_funnel_timebound": q.q_events_funnel_timebound,
+        "events_top_paths": q.q_events_top_paths,
+        "events_daily_anomaly": q.q_events_daily_anomaly,
+        "lineitem_zorder_stats": q.q_lineitem_zorder_stats,
     }
 
 
@@ -4221,5 +4224,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'click_1h', CAST(COUNT(*) AS BIGINT) FROM c
             UNION ALL
             SELECT 'purchase_24h', CAST(COUNT(*) AS BIGINT) FROM p
+        """,
+        "events_top_paths": """
+            WITH o AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn)
+                             AS path
+                  FROM o WHERE rn <= 3 GROUP BY user_id),
+            c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+                  FROM p GROUP BY path)
+            SELECT path, n_users FROM c
+            ORDER BY n_users DESC, path LIMIT 10
+        """,
+        "events_daily_anomaly": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            w AS (SELECT day_idx, n,
+                         CAST(SUM(n) OVER f AS BIGINT) AS sum7,
+                         CAST(SUM(n * n) OVER f AS BIGINT) AS sumsq7,
+                         COUNT(*) OVER f AS n_win
+                  FROM d WINDOW f AS (ORDER BY day_idx
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT day_idx, n, sum7, sumsq7,
+                   CAST(7 * n - sum7 AS DOUBLE)
+                       / (7 * sqrt(CAST(7 * sumsq7 - sum7 * sum7
+                                        AS DOUBLE) / 42)) AS z
+            FROM w
+            WHERE n_win = 7 AND 7 * sumsq7 > sum7 * sum7
+        """,
+        "lineitem_zorder_stats": """
+            WITH s0 AS (SELECT l_partkey % 65536 AS a,
+                               l_suppkey % 65536 AS b
+                        FROM lineitem),
+            s1 AS (SELECT (a | (a << 8)) & 16711935 AS a,
+                          (b | (b << 8)) & 16711935 AS b FROM s0),
+            s2 AS (SELECT (a | (a << 4)) & 252645135 AS a,
+                          (b | (b << 4)) & 252645135 AS b FROM s1),
+            s3 AS (SELECT (a | (a << 2)) & 858993459 AS a,
+                          (b | (b << 2)) & 858993459 AS b FROM s2),
+            s4 AS (SELECT (a | (a << 1)) & 1431655765 AS a,
+                          (b | (b << 1)) & 1431655765 AS b FROM s3),
+            z AS (SELECT a | (b << 1) AS zval FROM s4)
+            SELECT zval >> 24 AS zbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(zval) AS BIGINT) AS zmin,
+                   CAST(MAX(zval) AS BIGINT) AS zmax
+            FROM z GROUP BY 1
         """,
     }

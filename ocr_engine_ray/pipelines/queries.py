@@ -11729,3 +11729,154 @@ def q_events_funnel_timebound(sf_dir: str) -> pa.Table:
                           pa.string()),
         "n_users": pa.array([nv, nc, np_], pa.int64()),
     })
+
+
+def q_events_top_paths(sf_dir: str) -> Dataset:
+    """Path analysis (the product-analytics 'top user journeys'
+    operator): each user's first THREE events (by ts, event_id) join
+    into a '>' path string; report the 10 most common paths (ties
+    break on the path string).  One user-key co-partition emits one
+    path row per user; the path domain is bounded (|types|³), so the
+    counts fold through a per-block partial + one tiny exchange and
+    the top-10 sits on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def path(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))[:3]
+        types = np.asarray(g.column("event_type"))[order]
+        return pa.table({"path": pa.array([">".join(types)],
+                                          pa.string())})
+
+    paths = ds.groupby("user_id").map_groups(
+        path, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("path").aggregate([([], "count_all")])
+        return g.rename_columns(["path", "p_n"])
+
+    counts = with_schema(
+        paths.map_batches(partial, batch_format="pyarrow")
+        .groupby("path").aggregate(Sum("p_n", alias_name="n_users")),
+        pa.schema([("path", pa.string()), ("n_users", pa.int64())]))
+    t = _small_table(counts)  # bounded: |event types|^3 paths
+    if t is None:
+        return rd.from_arrow(pa.table({
+            "path": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        }))
+    p = np.asarray(t.column("path"))
+    n = t.column("n_users").to_numpy(zero_copy_only=False)
+    order = np.lexsort((p, -n))[:10]
+    return rd.from_arrow(pa.table({
+        "path": pa.array(p[order]),
+        "n_users": pa.array(n[order], pa.int64()),
+    }))
+
+
+def q_events_daily_anomaly(sf_dir: str) -> Dataset:
+    """Volume-anomaly monitor: each day's event count z-scored against
+    the TRAILING 7 observed days (ROWS frame, current day excluded).
+    The window sums are exact ints; z is a single closed-form float
+    expression — (7n−Σx) / (7·sqrt((7Σx²−(Σx)²)/42)) — whose every
+    operation (int casts, one divide, one IEEE-correctly-rounded
+    sqrt) replays bit-identically in the twin.  Zero-variance windows
+    are excluded in both engines.  One bounded (day) exchange; the
+    day series folds on the driver."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(b.column("ts").cast(pa.int64()),
+                        pa.scalar(DAY_US, pa.int64()))
+        g = pa.table({"day_idx": day}).group_by("day_idx").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day_idx", "p_n"])
+
+    daily = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day_idx").aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("day_idx", pa.int64()), ("n", pa.int64())]))
+    t = _small_table(daily)  # calendar-bounded
+    if t is None or t.num_rows <= 7:
+        return rd.from_arrow(pa.table({
+            "day_idx": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum7": pa.array([], pa.int64()),
+            "sumsq7": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        }))
+    days = t.column("day_idx").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(days)
+    days, n = days[order], n[order]
+    cum = np.concatenate([[0], np.cumsum(n)])
+    cumsq = np.concatenate([[0], np.cumsum(n * n)])
+    i = np.arange(7, len(n))
+    sum7 = cum[i] - cum[i - 7]
+    sumsq7 = cumsq[i] - cumsq[i - 7]
+    var_num = 7 * sumsq7 - sum7 * sum7
+    keep = var_num > 0
+    i, sum7, sumsq7, var_num = i[keep], sum7[keep], sumsq7[keep], \
+        var_num[keep]
+    z = (7 * n[i] - sum7).astype(np.float64) / (
+        7.0 * np.sqrt(var_num.astype(np.float64) / 42.0))
+    return rd.from_arrow(pa.table({
+        "day_idx": pa.array(days[i], pa.int64()),
+        "n": pa.array(n[i], pa.int64()),
+        "sum7": pa.array(sum7, pa.int64()),
+        "sumsq7": pa.array(sumsq7, pa.int64()),
+        "z": pa.array(z, pa.float64()),
+    }))
+
+
+def q_lineitem_zorder_stats(sf_dir: str) -> Dataset:
+    """Z-order (Morton) clustering-key assignment — the data-layout
+    primitive behind Delta/Iceberg OPTIMIZE ZORDER: interleave the low
+    16 bits of (l_partkey, l_suppkey) with the classic
+    magic-number bit spread, then report per top-8-bit z-bucket the
+    row count and zmin/zmax — the stats a layout optimizer uses to
+    range-partition files.  Pure vectorized int64 bit ops per block
+    (no float anywhere), one bounded (≤256 bucket) exchange."""
+    import numpy as np
+
+    def spread(x):
+        x = x & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        z = spread(a % 65536) | (spread(s % 65536) << 1)
+        g = pa.table({
+            "zbucket": pa.array(z >> 24, pa.int64()),
+            "zval": pa.array(z, pa.int64()),
+        }).group_by("zbucket").aggregate(
+            [([], "count_all"), ("zval", "min"), ("zval", "max")])
+        return g.rename_columns(["zbucket", "p_n", "p_min", "p_max"])
+
+    return with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("zbucket").aggregate(Sum("p_n", alias_name="n_rows"),
+                                      Min("p_min", alias_name="zmin"),
+                                      Max("p_max", alias_name="zmax")),
+        pa.schema([("zbucket", pa.int64()), ("n_rows", pa.int64()),
+                   ("zmin", pa.int64()), ("zmax", pa.int64())]))

@@ -386,3 +386,70 @@ def test_funnel_timebound_planted(ray_session, tmp_path):
     out = {r["stage"]: r["n_users"] for r in
            _tab(q_events_funnel_timebound(str(tmp_path))).to_pylist()}
     assert out == {"view": 3, "click_1h": 2, "purchase_24h": 1}
+
+
+def test_top_paths_planted(ray_session, tmp_path):
+    """Only the first 3 events form a path; short histories form
+    short paths; equal-count paths order by path string."""
+    _write_events_sec(tmp_path, [
+        (0, 0, 1, "view", 1.0), (1, 1, 1, "click", 1.0),
+        (2, 2, 1, "purchase", 1.0), (3, 3, 1, "error", 1.0),
+        (4, 0, 2, "view", 1.0), (5, 1, 2, "click", 1.0),
+        (6, 2, 2, "purchase", 1.0),
+        (7, 0, 3, "view", 1.0),                    # 1-event path
+        (8, 0, 4, "click", 1.0), (9, 1, 4, "view", 1.0),
+    ])
+    from ocr_engine_ray.pipelines.queries import q_events_top_paths
+
+    rows = _tab(q_events_top_paths(str(tmp_path))).to_pylist()
+    assert rows[0]["path"] == "view>click>purchase"
+    assert rows[0]["n_users"] == 2
+    # the three singles tie at 1 and order lexicographically
+    assert [r["path"] for r in rows[1:]] == ["click>view", "view"]
+
+
+def test_daily_anomaly_planted(ray_session, tmp_path):
+    """Nine days: six 2s, a 3, a 2, then a spike of 9; the spike's
+    z replays the closed-form int expression by hand."""
+    rows, eid = [], 0
+    counts = [2, 2, 2, 2, 2, 2, 3, 2, 9]
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, day * 86400, eid, "x", 1.0))
+            eid += 1
+    _write_events_sec(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_daily_anomaly
+
+    out = {r["day_idx"] - 19723: r for r in
+           _tab(q_events_daily_anomaly(str(tmp_path))).to_pylist()}
+    # day 7's window is days 0-6 = [2]*6+[3]: sum 15, sumsq 33
+    assert 7 in out and out[7]["sum7"] == 15 and out[7]["sumsq7"] == 33
+    d8 = out[8]       # window days 1-7: [2]*5+[3,2] -> sum 15 sumsq 33
+    assert d8["n"] == 9 and d8["sum7"] == 15
+    expected_z = (7 * 9 - 15) / (7 * np.sqrt((7 * 33 - 225) / 42))
+    assert d8["z"] == expected_z
+
+
+def test_zorder_planted(ray_session, tmp_path):
+    """Morton interleave puts partkey bits on even positions and
+    suppkey bits on odd: (3,1) → 0b111 = 7; keys wrap mod 65536."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([3, 65536 + 3, 0], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 0], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0] * 3, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 3, pa.float64()),
+        "l_discount": pa.array([0.0] * 3, pa.float64()),
+        "l_tax": pa.array([0.0] * 3, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 3, pa.string()),
+        "l_linestatus": pa.array(["O"] * 3, pa.string()),
+        "l_shipdate": pa.array([base] * 3, pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_lineitem_zorder_stats
+
+    rows = _tab(q_lineitem_zorder_stats(str(tmp_path))).to_pylist()
+    assert len(rows) == 1 and rows[0]["zbucket"] == 0
+    assert rows[0]["n_rows"] == 3
+    assert rows[0]["zmin"] == 0 and rows[0]["zmax"] == 7
