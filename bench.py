@@ -178,6 +178,17 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_impute_median(sf_dir).count())
     timed("documents_jaccard_threshold_curve",
           lambda: q.q_documents_jaccard_threshold_curve(sf_dir).count())
+    # round-4 session-8 additions: warehouse + curation staples
+    timed("customers_skyline",
+          lambda: q.q_customers_skyline(sf_dir).count())
+    timed("events_scd2_intervals",
+          lambda: q.q_events_scd2_intervals(sf_dir).count())
+    timed("documents_keywords",
+          lambda: q.q_documents_keywords(sf_dir).count())
+    timed("events_twap",
+          lambda: q.q_events_twap(sf_dir).count())
+    timed("ri_audit",
+          lambda: q.q_ri_audit(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

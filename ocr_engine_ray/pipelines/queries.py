@@ -11482,7 +11482,7 @@ def q_customers_table_diff(sf_dir: str) -> Dataset:
 
 def q_documents_keywords(sf_dir: str) -> Dataset:
     """Per-document keyword tagging: top-3 terms by TF-IDF with the
-    idf int64-QUANTIZED (round(ln(N/df)·1e6)) so the ranking key
+    idf int64-QUANTIZED (half-away ln(N/df)·1e6) so the ranking key
     score_q = tf · idf_q is an exact integer — float ordering (and its
     tie hazards) never exists; residual ties break on the term string.
     tf needs NO exchange (a doc's tokens live in its own batch); df is
