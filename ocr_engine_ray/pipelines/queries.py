@@ -11162,36 +11162,51 @@ def q_customers_cdc_merge(sf_dir: str) -> Dataset:
     order (by o_orderdate, o_orderkey) as a change record — status 'F'
     deletes the customer row, any other status updates c_acctbal to
     that order's o_totalprice, customers with no orders pass through
-    untouched.  Latest-per-key rides one custkey exchange (orders per
-    customer are structurally few); the dim-sized merge is one
-    left-outer join plus a vectorized rule pass.  o_totalprice passes
-    through RAW (no arithmetic), so the twin is bit-trivial."""
-    import numpy as np
-
+    untouched.  Latest-per-key is a partial-agg arg-max (the
+    events_first_last idiom): (o_orderdate, o_orderkey) pack into one
+    lexically sortable zero-padded string with the (status, price)
+    payload appended — orderkey is unique so whole-string Max IS
+    arg-max by (date, orderkey) — per-block partials collapse each
+    batch to one row per customer BEFORE the shuffle, and the price
+    crosses the string boundary via the shortest-exact float cast
+    (bit-exact round trip).  The dim-sized merge is one left-outer
+    join plus a vectorized rule pass; o_totalprice passes through RAW
+    (no arithmetic), so the twin is bit-trivial."""
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_custkey", "o_orderkey",
                                       "o_orderdate", "o_orderstatus",
                                       "o_totalprice"])
 
-    def latest(g: pa.Table) -> pa.Table:
-        od = g.column("o_orderdate").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ok = g.column("o_orderkey").to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((-ok, -od))[0])
+    def pack(b: pa.Table) -> pa.Table:
+        d = pc.utf8_lpad(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.int64()), pa.string()),
+            19, padding="0")
+        k = pc.utf8_lpad(pc.cast(b.column("o_orderkey"), pa.string()),
+                         19, padding="0")
+        packed = pc.binary_join_element_wise(
+            d.combine_chunks(), k.combine_chunks(),
+            b.column("o_orderstatus").combine_chunks(),
+            pc.cast(b.column("o_totalprice"),
+                    pa.string()).combine_chunks(), "\x1f")
+        g = pa.table({"c_custkey": b.column("o_custkey"),
+                      "packed": packed}).group_by(
+            "c_custkey").aggregate([("packed", "max")])
+        return g.rename_columns(["c_custkey", "p_max"])
+
+    agg = with_schema(
+        orders.map_batches(pack, batch_format="pyarrow")
+        .groupby("c_custkey").aggregate(Max("p_max", alias_name="m")),
+        pa.schema([("c_custkey", pa.int64()), ("m", pa.string())]))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("m"), "\x1f")
         return pa.table({
-            "c_custkey": pa.array(
-                [int(g.column("o_custkey")[0].as_py())], pa.int64()),
-            "u_status": pa.array(
-                [g.column("o_orderstatus")[i].as_py()], pa.string()),
-            "u_price": pa.array(
-                [g.column("o_totalprice")[i].as_py()], pa.float64()),
+            "c_custkey": b.column("c_custkey"),
+            "u_status": pc.list_element(parts, 2),
+            "u_price": pc.cast(pc.list_element(parts, 3), pa.float64()),
         })
 
-    upd = with_schema(
-        orders.groupby("o_custkey").map_groups(
-            lambda g: latest(g), batch_format="pyarrow"),
-        pa.schema([("c_custkey", pa.int64()), ("u_status", pa.string()),
-                   ("u_price", pa.float64())]))
+    upd = agg.map_batches(unpack, batch_format="pyarrow")
     cust = rd.read_parquet(_t(sf_dir, "customer"))
     j = cust.join(upd, join_type="left_outer", num_partitions=8,
                   on=("c_custkey",))
