@@ -502,6 +502,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": q.q_events_top_paths,
         "events_daily_anomaly": q.q_events_daily_anomaly,
         "lineitem_zorder_stats": q.q_lineitem_zorder_stats,
+        "events_user_streaks": q.q_events_user_streaks,
+        "events_max_concurrent": q.q_events_max_concurrent,
+        "events_cume_dist": q.q_events_cume_dist,
+        "lineitem_weighted_median": q.q_lineitem_weighted_median,
+        "orders_budget_allocation": q.q_orders_budget_allocation,
+        "events_levene_test": q.q_events_levene_test,
+        "documents_prefix_dedup": q.q_documents_prefix_dedup,
     }
 
 
@@ -4274,5 +4281,145 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(zval) AS BIGINT) AS zmin,
                    CAST(MAX(zval) AS BIGINT) AS zmax
             FROM z GROUP BY 1
+        """,
+        "events_user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS anchor
+                  FROM d),
+            s AS (SELECT user_id, anchor, COUNT(*) AS len
+                  FROM r GROUP BY 1, 2)
+            SELECT a.user_id,
+                   CAST(a.n_active_days AS BIGINT) AS n_active_days,
+                   CAST(m.longest_streak AS BIGINT) AS longest_streak
+            FROM (SELECT user_id, COUNT(*) AS n_active_days
+                  FROM d GROUP BY 1) a
+            JOIN (SELECT user_id, MAX(len) AS longest_streak
+                  FROM s GROUP BY 1) m USING (user_id)
+        """,
+        "events_max_concurrent": """
+            -- half-open [ts, ts+15m): +1/-1 boundary points collapsed
+            -- per timestamp, so closes and opens at the same instant
+            -- net out before the running sum (an interval ending
+            -- exactly when another starts never overlaps it)
+            WITH p AS (
+                SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+                UNION ALL
+                SELECT epoch_us(ts) + 900000000, -1 FROM events),
+            c AS (SELECT t, SUM(delta) AS d FROM p GROUP BY t),
+            r AS (SELECT t, SUM(d) OVER (ORDER BY t) AS conc FROM c)
+            SELECT CAST(conc AS BIGINT) AS max_concurrent,
+                   CAST(t AS BIGINT) AS at_ts
+            FROM r ORDER BY conc DESC, t ASC LIMIT 1
+        """,
+        "events_cume_dist": """
+            SELECT event_id, event_type, value,
+                   ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                                           ORDER BY value), 6) AS cd
+            FROM events
+        """,
+        "lineitem_weighted_median": """
+            WITH g AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS cents,
+                              SUM(CAST(round(l_quantity) AS BIGINT)) AS w
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT l_returnflag, cents, w,
+                         SUM(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY cents) AS cw,
+                         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM g)
+            SELECT l_returnflag,
+                   ROUND(CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END)
+                              AS DOUBLE) / 100, 2) AS w_median,
+                   CAST(ANY_VALUE(tw) AS BIGINT) AS tot_qty
+            FROM c GROUP BY l_returnflag
+        """,
+        "orders_budget_allocation": """
+            WITH li AS (SELECT l_orderkey,
+                               CAST(l_linenumber AS BIGINT)
+                                   AS l_linenumber,
+                               SUM(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) AS cents
+                        FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT o_orderkey,
+                         (CAST(round(o_totalprice * 100) AS BIGINT) * 9)
+                             // 10 AS cap
+                  FROM orders),
+            c AS (SELECT li.l_orderkey, li.l_linenumber, li.cents, o.cap,
+                         COALESCE(SUM(li.cents) OVER (
+                             PARTITION BY li.l_orderkey
+                             ORDER BY li.l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cumb
+                  FROM li JOIN o ON li.l_orderkey = o.o_orderkey)
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(CAST(cents AS DOUBLE) / 100, 2) AS tier_total,
+                   ROUND(CAST(LEAST(cents, GREATEST(cap - cumb, 0))
+                              AS DOUBLE) / 100, 2) AS alloc_amt
+            FROM c
+        """,
+        "events_levene_test": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            o AS (SELECT event_type, c,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY c) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM v),
+            m AS (SELECT event_type,
+                         SUM(c * ((CASE WHEN rn = (n + 1) // 2
+                                        THEN 1 ELSE 0 END)
+                                + (CASE WHEN rn = (n + 2) // 2
+                                        THEN 1 ELSE 0 END))) AS m2
+                  FROM o GROUP BY 1),
+            z AS (SELECT v.event_type, ABS(2 * v.c - m.m2) AS z
+                  FROM v JOIN m USING (event_type)),
+            g AS (SELECT
+                CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                CAST(SUM(z) FILTER (WHERE event_type = 'click') AS BIGINT) AS s_click,
+                CAST(SUM(z * z) FILTER (WHERE event_type = 'click') AS BIGINT) AS ss_click,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                CAST(SUM(z) FILTER (WHERE event_type = 'error') AS BIGINT) AS s_error,
+                CAST(SUM(z * z) FILTER (WHERE event_type = 'error') AS BIGINT) AS ss_error,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                CAST(SUM(z) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS s_purchase,
+                CAST(SUM(z * z) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS ss_purchase,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                CAST(SUM(z) FILTER (WHERE event_type = 'signup') AS BIGINT) AS s_signup,
+                CAST(SUM(z * z) FILTER (WHERE event_type = 'signup') AS BIGINT) AS ss_signup,
+                CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                CAST(SUM(z) FILTER (WHERE event_type = 'view') AS BIGINT) AS s_view,
+                CAST(SUM(z * z) FILTER (WHERE event_type = 'view') AS BIGINT) AS ss_view
+                  FROM z),
+            a AS (SELECT *, n_click + n_error + n_purchase + n_signup + n_view AS nn,
+                         s_click + s_error + s_purchase + s_signup + s_view AS s_all,
+                         ss_click + ss_error + ss_purchase + ss_signup + ss_view AS ss_all,
+                         ((((CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE) / CAST(n_click AS DOUBLE) + CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE) / CAST(n_error AS DOUBLE)) + CAST(s_purchase AS DOUBLE) * CAST(s_purchase AS DOUBLE) / CAST(n_purchase AS DOUBLE)) + CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE) / CAST(n_signup AS DOUBLE)) + CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE) / CAST(n_view AS DOUBLE)) AS sb
+                  FROM g),
+            b AS (SELECT *,
+                         sb - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                              / CAST(nn AS DOUBLE) AS ssb,
+                         CAST(ss_all AS DOUBLE) - sb AS ssw
+                  FROM a)
+            SELECT (ssb / 4.0) / (ssw / CAST(nn - 5 AS DOUBLE)) AS f_stat,
+                   CAST(4 AS BIGINT) AS dof_between,
+                   CAST(nn - 5 AS BIGINT) AS dof_within,
+                   CAST(nn AS BIGINT) AS n_events
+            FROM b
+        """,
+        "documents_prefix_dedup": """
+            WITH k AS (SELECT doc_id,
+                              substr(trim(regexp_replace(regexp_replace(
+                                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')), 1, 64) AS k
+                       FROM documents)
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM k GROUP BY k
         """,
     }

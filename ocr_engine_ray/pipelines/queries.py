@@ -11895,3 +11895,360 @@ def q_lineitem_zorder_stats(sf_dir: str) -> Dataset:
                                       Max("p_max", alias_name="zmax")),
         pa.schema([("zbucket", pa.int64()), ("n_rows", pa.int64()),
                    ("zmin", pa.int64()), ("zmax", pa.int64())]))
+
+
+def q_events_user_streaks(sf_dir: str) -> Dataset:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands engagement metric (day − ROW_NUMBER() anchor in
+    SQL).  Scale shape: (user, day) pairs are deduped INSIDE each batch
+    first, so the one groupby(user) exchange carries at most
+    users × active-days rows, never raw events; the streak walk is one
+    np.unique + diff-run pass per user group."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def days_partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(t, pa.scalar(DAY, pa.int64()))  # ts >= epoch here
+        g = pa.table({"user_id": b.column("user_id"), "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "day"])
+
+    def streak(g: pa.Table) -> pa.Table:
+        days = np.unique(g.column("day").to_numpy(zero_copy_only=False))
+        # run boundaries where the day gap exceeds 1
+        brk = np.flatnonzero(np.diff(days) != 1)
+        edges = np.concatenate([[-1], brk, [len(days) - 1]])
+        longest = int(np.max(np.diff(edges))) if len(days) else 0
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "n_active_days": pa.array([len(days)], pa.int64()),
+            "longest_streak": pa.array([longest], pa.int64()),
+        })
+
+    return ds.map_batches(days_partial, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(streak, batch_format="pyarrow")
+
+
+def q_events_max_concurrent(sf_dir: str) -> pa.Table:
+    """Peak concurrency (max simultaneously-open intervals) with each
+    event held open for 15 minutes, half-open [ts, ts+15m) — the
+    sweep-line +1/−1 staple behind "max concurrent sessions" capacity
+    reports.  Distributed prefix scan: boundary points collapse to one
+    net delta per timestamp (one bounded exchange), the collapsed
+    series is range-sorted, and each sorted block reduces to a
+    three-number summary (total, max-prefix, argmax ts) combined on the
+    driver in O(blocks) — the Blelloch scan shape; raw events and the
+    collapsed series never materialize on the driver."""
+    import numpy as np
+
+    HOLD = 900_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def points(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("ts"), pa.int64()) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        pts = pa.table({
+            "t": pa.array(np.concatenate([t, t + HOLD]), pa.int64()),
+            "delta": pa.array(
+                np.concatenate([np.ones(len(t), np.int64),
+                                -np.ones(len(t), np.int64)])),
+        })
+        g = pts.group_by("t").aggregate([("delta", "sum")])
+        return g.rename_columns(["t", "p_d"])
+
+    collapsed = with_schema(
+        ds.map_batches(points, batch_format="pyarrow")
+        .groupby("t").aggregate(Sum("p_d", alias_name="d")),
+        pa.schema([("t", pa.int64()), ("d", pa.int64())])).sort("t")
+
+    @ray.remote
+    def block_summary(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return 0, None, None
+        d = tbl.column("d").to_numpy(zero_copy_only=False)
+        pref = np.cumsum(d)
+        i = int(np.argmax(pref))          # first index attaining the max
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        return int(pref[-1]), int(pref[i]), int(t[i])
+
+    parts = ray.get([block_summary.remote(r)
+                     for r in collapsed.to_arrow_refs()])
+    offset, best, best_t = 0, None, None
+    for total, mx, mt in parts:
+        if mx is not None:
+            cand = offset + mx
+            if best is None or cand > best:
+                best, best_t = cand, mt
+        offset += total
+    return pa.table({
+        "max_concurrent": pa.array([best], pa.int64()),
+        "at_ts": pa.array([best_t], pa.int64()),
+    })
+
+
+def q_events_cume_dist(sf_dir: str) -> Dataset:
+    """CUME_DIST window: count(value' <= value) / n within event type —
+    the percentile-inclusive twin of PERCENT_RANK (same per-type
+    map_groups co-location contract; searchsorted side='right' is the
+    <= count, the division written operand-identically to DuckDB's)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def cdist(g: pa.Table) -> pa.Table:
+        v = g.column("value").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sv = np.sort(v)
+        le = np.searchsorted(sv, v, side="right").astype(np.float64)
+        cd = le / np.float64(len(v))
+        return g.append_column(
+            "cd", round_sql(pa.array(cd, pa.float64()), 6))
+
+    return ds.groupby("event_type").map_groups(cdist,
+                                               batch_format="pyarrow")
+
+
+def q_lineitem_weighted_median(sf_dir: str) -> Dataset:
+    """Quantity-weighted median extended price per return flag (lower
+    weighted median: smallest price whose cumulative weight reaches
+    half the total, 2·cum >= tot in exact int64).  Scale shape: prices
+    quantize to cents in-batch and only the (flag, cents)→weight
+    histogram is exchanged — the median walk runs over the bounded
+    per-flag distinct-price grid, never raw lineitems."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("l_extendedprice"), 100.0)
+        qty = scaled_int_sql(b.column("l_quantity"), 1.0)
+        g = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "cents": pa.array(cents, pa.int64()),
+                      "w": pa.array(qty, pa.int64())}) \
+            .group_by(["l_returnflag", "cents"]).aggregate([("w", "sum")])
+        return g.rename_columns(["l_returnflag", "cents", "p_w"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "cents"]).aggregate(
+            Sum("p_w", alias_name="w"))
+
+    def median(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cents", "ascending")])
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot))  # first 2*cum >= tot
+        med = pa.array([np.float64(cents[i]) / np.float64(100.0)],
+                       pa.float64())
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag").slice(0, 1),
+            "w_median": round_sql(med, 2),
+            "tot_qty": pa.array([tot], pa.int64()),
+        })
+
+    return hist.groupby("l_returnflag").map_groups(
+        median, batch_format="pyarrow")
+
+
+def q_orders_budget_allocation(sf_dir: str) -> Dataset:
+    """FIFO / waterfall cap allocation — the classic "apply a budget
+    to ordered tiers" shape: each order's budget (90 % of
+    o_totalprice, floored in exact cents) is allocated across its
+    l_linenumber TIERS in tier order (this corpus reuses linenumbers
+    within an order, so the tier — not the row — is the allocation
+    grain); a tier gets min(tier_total, max(cap − already-allocated,
+    0)).
+
+    Scale shape: the per-order running sum never needs a per-group
+    walk — l_linenumber is bounded (1..7, loud-fail below), so each
+    order pivots to ONE fixed-width row (7 tier-total columns) built
+    from in-batch partials, one groupby(orderkey) exchange, one hash
+    join against the order caps, and the cumsum / clamp runs as an
+    (n × 7) vectorized pass."""
+    import numpy as np
+
+    W = 7
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_linenumber",
+                                    "l_extendedprice"])
+
+    def pivot_partial(b: pa.Table) -> pa.Table:
+        cents = np.asarray(scaled_int_sql(b.column("l_extendedprice"),
+                                          100.0))
+        ln = b.column("l_linenumber").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ln) and (ln.min() < 1 or ln.max() > W):
+            raise ValueError(
+                f"budget_allocation: l_linenumber outside 1..{W} — "
+                "widen the pivot")
+        cols: dict = {"l_orderkey": b.column("l_orderkey")}
+        for j in range(1, W + 1):
+            m = (ln == j)
+            cols[f"c_{j}"] = pa.array(np.where(m, cents, 0), pa.int64())
+            cols[f"e_{j}"] = pa.array(m.astype(np.int64), pa.int64())
+        g = pa.table(cols).group_by("l_orderkey").aggregate(
+            [(f"c_{j}", "sum") for j in range(1, W + 1)] +
+            [(f"e_{j}", "sum") for j in range(1, W + 1)])
+        return g.rename_columns(
+            ["l_orderkey"] + [f"c_{j}" for j in range(1, W + 1)] +
+            [f"e_{j}" for j in range(1, W + 1)])
+
+    pivot_schema = pa.schema(
+        [("l_orderkey", pa.int64())] +
+        [(f"c_{j}", pa.int64()) for j in range(1, W + 1)] +
+        [(f"e_{j}", pa.int64()) for j in range(1, W + 1)])
+    pivot = with_schema(
+        line.map_batches(pivot_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(
+            *([Sum(f"c_{j}", alias_name=f"c_{j}")
+               for j in range(1, W + 1)] +
+              [Sum(f"e_{j}", alias_name=f"e_{j}")
+               for j in range(1, W + 1)])),
+        pivot_schema)
+
+    def order_caps(b: pa.Table) -> pa.Table:
+        tot = np.asarray(scaled_int_sql(b.column("o_totalprice"), 100.0))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "cap": pa.array((tot * 9) // 10, pa.int64())})
+
+    caps = rd.read_parquet(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(order_caps, batch_format="pyarrow")
+
+    joined = pivot.join(caps, join_type="inner", num_partitions=16,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def alloc(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        P = np.stack([b.column(f"c_{j}").to_numpy(zero_copy_only=False)
+                      for j in range(1, W + 1)], axis=1)
+        E = np.stack([b.column(f"e_{j}").to_numpy(zero_copy_only=False)
+                      for j in range(1, W + 1)], axis=1)
+        cumb = np.cumsum(P, axis=1) - P
+        cap = b.column("cap").to_numpy(
+            zero_copy_only=False).reshape(n, 1)
+        a = np.minimum(P, np.maximum(cap - cumb, 0))
+        keep = (E >= 1).ravel()
+        ok = np.repeat(
+            b.column("l_orderkey").to_numpy(zero_copy_only=False), W)
+        lns = np.tile(np.arange(1, W + 1, dtype=np.int64), n)
+        tv = pa.array(P.ravel()[keep].astype(np.float64)
+                      / np.float64(100.0), pa.float64())
+        av = pa.array(a.ravel()[keep].astype(np.float64)
+                      / np.float64(100.0), pa.float64())
+        return pa.table({
+            "l_orderkey": pa.array(ok[keep], pa.int64()),
+            "l_linenumber": pa.array(lns[keep], pa.int64()),
+            "tier_total": round_sql(tv, 2),
+            "alloc_amt": round_sql(av, 2),
+        })
+
+    return joined.map_batches(alloc, batch_format="pyarrow")
+
+
+def q_events_levene_test(sf_dir: str) -> Dataset:
+    """Brown–Forsythe (median-centered Levene) test of variance
+    homogeneity of event value across the five event types — the
+    drift-monitoring companion to q_events_anova_f: ANOVA's F applied
+    to the absolute deviations from each group's median.
+
+    Distributed shape: the SAME single (value → per-type count)
+    histogram exchange as Kruskal–Wallis answers everything — the
+    per-type medians fall out of cumulative counts over the bounded
+    distinct-value grid, and the deviation moments fold over that grid
+    too, so raw events are scanned exactly once and never re-shuffled.
+    Exactness: deviations are |2·cents − (lo+hi)| — twice the median
+    deviation, an exact int64 (the ×2 cancels in F, which is
+    scale-invariant; the twin spells the identical quantity).  The
+    float F tree replays q_events_anova_f's left-associated declared-
+    order chain."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        cols = {"value": b.column("value")}
+        for t in EVENT_TYPES:
+            cols[f"c_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        g = pa.table(cols).group_by("value").aggregate(
+            [(f"c_{t}", "sum") for t in EVENT_TYPES])
+        return g.rename_columns(["value"] +
+                                [f"p_{t}" for t in EVENT_TYPES])
+
+    hist = rd.read_parquet(_t(sf_dir, "events"),
+                           columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(
+            *[Sum(f"p_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    tb = _small_table(hist)   # bounded: the distinct-value histogram
+    tb = tb.sort_by("value")
+    cents = np.asarray(scaled_int_sql(tb.column("value"), 100.0))
+    k = len(EVENT_TYPES)
+    n, s, ss = {}, {}, {}
+    for t in EVENT_TYPES:
+        cnt = tb.column(f"n_{t}").to_numpy(zero_copy_only=False)
+        n[t] = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        lo = cents[int(np.searchsorted(cum, (n[t] + 1) // 2))]
+        hi = cents[int(np.searchsorted(cum, (n[t] + 2) // 2))]
+        z2 = np.abs(2 * cents - (lo + hi))
+        s[t] = int((cnt * z2).sum())
+        ss[t] = int((cnt * z2 * z2).sum())
+    N = sum(n.values())
+    S = sum(s.values())
+    SS = sum(ss.values())
+    sb = 0.0
+    for t in EVENT_TYPES:   # left-associated, declared order
+        sb = sb + float(s[t]) * float(s[t]) / float(n[t])
+    ssb = sb - float(S) * float(S) / float(N)
+    ssw = float(SS) - sb
+    f_stat = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return rd.from_arrow(pa.table({
+        "f_stat": pa.array([f_stat], pa.float64()),
+        "dof_between": pa.array([k - 1], pa.int64()),
+        "dof_within": pa.array([N - k], pa.int64()),
+        "n_events": pa.array([N], pa.int64())}))
+
+
+def q_documents_prefix_dedup(sf_dir: str) -> Dataset:
+    """Prefix-key dedup — the truncated-copy catcher: documents whose
+    NORMALIZED first 64 characters agree collapse to one group
+    (smallest doc_id elected keeper, group size reported), so a
+    snippet/teaser cut of a longer page dedups against its source even
+    though full-text keys differ.  Same normalization and exchange
+    shape as q_documents_dedup_normalized (in-batch Min/Count
+    pre-reduce, one exchange of one row per distinct prefix per
+    block); binds beyond the full-key dedup at every tested scale
+    (sf0.01: 477 prefix groups vs 500 full-key groups)."""
+    PREFIX = 64
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = pc.utf8_lower(b.column("text"))
+        k = pc.replace_substring_regex(k, "[^a-z0-9 ]", "")
+        k = pc.replace_substring_regex(k, " +", " ")
+        k = pc.utf8_trim(k, " ")
+        k = pc.utf8_slice_codeunits(k, 0, PREFIX)
+        t = pa.table({"k": k,
+                      "doc_id": pc.cast(b.column("doc_id"), pa.int64())})
+        g = t.group_by("k").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["k", "p_min", "p_n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Min("p_min"), Sum("p_n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("min(p_min)"), pa.int64()),
+            "n_copies": pc.cast(b.column("sum(p_n)"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
