@@ -509,6 +509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_budget_allocation": q.q_orders_budget_allocation,
         "events_levene_test": q.q_events_levene_test,
         "documents_prefix_dedup": q.q_documents_prefix_dedup,
+        "events_wilson_ci": q.q_events_wilson_ci,
+        "events_cohens_d": q.q_events_cohens_d,
+        "events_weekend_ztest": q.q_events_weekend_ztest,
+        "events_dow_seasonality": q.q_events_dow_seasonality,
     }
 
 
@@ -4421,5 +4425,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM k GROUP BY k
+        """,
+        "events_wilson_ci": """
+            WITH g AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(*) FILTER (isodow(ts) >= 6)
+                                   AS BIGINT) AS k
+                       FROM events GROUP BY 1),
+            f AS (SELECT *,
+                         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                         1.0 + (1.96*1.96) / CAST(n AS DOUBLE) AS denom
+                  FROM g)
+            SELECT event_type, n AS n_events, k AS n_weekend,
+                   p AS p_weekend,
+                   (p + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE))) / denom
+                   - 1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                       + (1.96*1.96) / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))) / denom
+                       AS ci_lo,
+                   (p + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE))) / denom
+                   + 1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                       + (1.96*1.96) / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))) / denom
+                       AS ci_hi
+            FROM f
+        """,
+        "events_cohens_d": """
+            WITH z AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')
+                         AND value IS NOT NULL),
+            g AS (SELECT CAST(COUNT(*) FILTER (event_type = 'purchase')
+                              AS BIGINT) AS n1,
+                         CAST(SUM(c) FILTER (event_type = 'purchase')
+                              AS BIGINT) AS s1,
+                         CAST(SUM(c * c) FILTER (event_type = 'purchase')
+                              AS BIGINT) AS ss1,
+                         CAST(COUNT(*) FILTER (event_type = 'view')
+                              AS BIGINT) AS n2,
+                         CAST(SUM(c) FILTER (event_type = 'view')
+                              AS BIGINT) AS s2,
+                         CAST(SUM(c * c) FILTER (event_type = 'view')
+                              AS BIGINT) AS ss2
+                  FROM z),
+            m AS (SELECT *,
+                         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                         (CAST(ss1 AS DOUBLE) - (CAST(s1 AS DOUBLE)
+                              * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+                             / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+                         (CAST(ss2 AS DOUBLE) - (CAST(s2 AS DOUBLE)
+                              * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+                             / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+                  FROM g)
+            SELECT n1 AS n_purchase, n2 AS n_view,
+                   m1 AS mean_purchase_cents, m2 AS mean_view_cents,
+                   (m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+                        + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+                        / (CAST(n1 + n2 AS DOUBLE) - 2.0)) AS cohens_d
+            FROM m
+        """,
+        "events_weekend_ztest": """
+            WITH g AS (SELECT (isodow(ts) >= 6) AS wk,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(*) FILTER (
+                                   event_type = 'purchase') AS BIGINT) AS k
+                       FROM events GROUP BY 1),
+            w AS (SELECT MAX(n) FILTER (wk) AS n1,
+                         MAX(k) FILTER (wk) AS k1,
+                         MAX(n) FILTER (NOT wk) AS n2,
+                         MAX(k) FILTER (NOT wk) AS k2
+                  FROM g),
+            f AS (SELECT *,
+                         CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                         CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                         CAST(k1 + k2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE) AS pp
+                  FROM w)
+            SELECT n1 AS n_weekend, k1 AS k_weekend,
+                   n2 AS n_weekday, k2 AS k_weekday,
+                   p1 AS p_weekend, p2 AS p_weekday,
+                   (p1 - p2) / sqrt(pp * (1.0 - pp)
+                       * (1.0 / CAST(n1 AS DOUBLE)
+                          + 1.0 / CAST(n2 AS DOUBLE))) AS z_two_prop
+            FROM f
+        """,
+        "events_dow_seasonality": """
+            WITH g AS (SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1)
+            SELECT isodow, n AS n_events,
+                   CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+                   CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER () AS DOUBLE) * 7.0
+                       AS seasonal_index
+            FROM g
         """,
     }

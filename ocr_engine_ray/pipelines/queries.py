@@ -12252,3 +12252,236 @@ def q_documents_prefix_dedup(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-9: inference-stats wave (Wilson CI, Cohen's d,
+# two-proportion z, day-of-week seasonality)
+# ---------------------------------------------------------------------------
+
+DAY_US_ = 86_400_000_000
+
+
+def _isodow_from_us(ts_us):
+    """ISO day-of-week (Mon=1..Sun=7) off epoch-µs ints: 1970-01-01 is
+    Thursday (ISO 4), so ((days + 3) % 7) + 1.  Integer-exact; matches
+    DuckDB's isodow(ts) for the post-1970 corpus (floor-division would
+    be needed pre-1970 — these events are 2024)."""
+    return ((ts_us // DAY_US_) + 3) % 7 + 1
+
+
+def q_events_wilson_ci(sf_dir: str) -> Dataset:
+    """Wilson 95 % score interval per event type for the proportion of
+    that type's events landing on a WEEKEND (ISO dow 6/7) — the
+    binomial-CI staple (feature-flag dashboards, conversion monitors)
+    in its numerically honest form: k and n are exact int64 counts off
+    one bounded tree combine; the interval is one float expression per
+    type replayed operand-for-operand against the twin (z = 1.96
+    literal both sides, so the z² constant folds identically).
+
+    Scale shape: a (type, weekend) count partial per block, bounded
+    grid (5 × 2), tree-combined; no raw row ever shuffles."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = (_isodow_from_us(us) >= 6).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "one": pa.array(np.ones(len(us), np.int64)),
+                      "wk": pa.array(wk)})
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("wk", "sum")])
+        return g.rename_columns(["event_type", "p_n", "p_k"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("p_n", "sum"), ("p_k", "sum")],
+        ["event_type", "p_n", "p_k"], ["event_type", "n", "k"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("event_type", "ascending")])
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = n.astype(np.float64)
+        p = k.astype(np.float64) / nf
+        z2 = 1.96 * 1.96          # constant-folds to the same double
+        denom = 1.0 + z2 / nf
+        center = (p + z2 / (2.0 * nf)) / denom
+        half = 1.96 * np.sqrt(p * (1.0 - p) / nf
+                              + z2 / (4.0 * nf * nf)) / denom
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(n, pa.int64()),
+            "n_weekend": pa.array(k, pa.int64()),
+            "p_weekend": pa.array(p, pa.float64()),
+            "ci_lo": pa.array(center - half, pa.float64()),
+            "ci_hi": pa.array(center + half, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_cohens_d(sf_dir: str) -> Dataset:
+    """Cohen's d effect size between purchase and view event values —
+    the A/B-test companion to the Welch t family: pooled-SD-scaled mean
+    difference, one row.  Sums ride exact int64 cents (Σx² headroom
+    ~3.7e9 rows at 5e4 max cents; the twin's HUGEINT never wraps);
+    means/variances/d replay the twin's float expression tree
+    operand-for-operand, with Σx·Σx computed in FLOAT on both sides
+    (the int square would wrap first).
+
+    Scale shape: one bounded (type, n, Σx, Σx²) partial per block,
+    tree-combined over a 2-row grid; finish is driver-trivial."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(b.column("event_type"),
+                             value_set=pa.array(["purchase", "view"])),
+                    pc.is_valid(b.column("value")))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_s": pa.array([], pa.int64()),
+                             "p_ss": pa.array([], pa.int64())})
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "c": pa.array(cents),
+                      "cc": pa.array(cents * cents)})
+        g = t.group_by("event_type").aggregate(
+            [("c", "count"), ("c", "sum"), ("cc", "sum")])
+        return g.rename_columns(["event_type", "p_n", "p_s", "p_ss"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("p_n", "sum"), ("p_s", "sum"), ("p_ss", "sum")],
+        ["event_type", "p_n", "p_s", "p_ss"],
+        ["event_type", "n", "s", "ss"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        row = {r["event_type"]: r for r in b.to_pylist()}
+        g1, g2 = row["purchase"], row["view"]
+
+        def moments(r):
+            nf = np.float64(r["n"])
+            sf = np.float64(r["s"])
+            mean = sf / nf
+            var = (np.float64(r["ss"]) - (sf * sf) / nf) / (nf - 1.0)
+            return nf, mean, var
+
+        n1, m1, v1 = moments(g1)
+        n2, m2, v2 = moments(g2)
+        pooled = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) \
+            / (np.float64(g1["n"] + g2["n"]) - 2.0)
+        d = (m1 - m2) / np.sqrt(pooled)
+        return pa.table({
+            "n_purchase": pa.array([g1["n"]], pa.int64()),
+            "n_view": pa.array([g2["n"]], pa.int64()),
+            "mean_purchase_cents": pa.array([float(m1)], pa.float64()),
+            "mean_view_cents": pa.array([float(m2)], pa.float64()),
+            "cohens_d": pa.array([float(d)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_weekend_ztest(sf_dir: str) -> Dataset:
+    """Two-proportion pooled z-test: does the purchase SHARE of events
+    differ between weekend and weekday?  The conversion-rate A/B
+    statistic in exact form — k/n counts per bucket are int64 off one
+    bounded tree combine; p₁, p₂, the pooled p̂ and the z expression
+    replay the twin term-for-term (ints added BEFORE the one float
+    division, 1.0/n reciprocals spelled the same way)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = (_isodow_from_us(us) >= 6).astype(np.int64)
+        pur = pc.equal(b.column("event_type"), "purchase") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"wk": pa.array(wk),
+                      "one": pa.array(np.ones(len(us), np.int64)),
+                      "p": pa.array(pur)})
+        g = t.group_by("wk").aggregate([("one", "sum"), ("p", "sum")])
+        return g.rename_columns(["wk", "p_n", "p_k"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["wk"], [("p_n", "sum"), ("p_k", "sum")],
+        ["wk", "p_n", "p_k"], ["wk", "n", "k"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        row = {int(r["wk"]): r for r in b.to_pylist()}
+        n1, k1 = row[1]["n"], row[1]["k"]   # weekend
+        n2, k2 = row[0]["n"], row[0]["k"]   # weekday
+        p1 = np.float64(k1) / np.float64(n1)
+        p2 = np.float64(k2) / np.float64(n2)
+        pp = np.float64(k1 + k2) / np.float64(n1 + n2)
+        se = np.sqrt(pp * (1.0 - pp)
+                     * (1.0 / np.float64(n1) + 1.0 / np.float64(n2)))
+        z = (p1 - p2) / se
+        return pa.table({
+            "n_weekend": pa.array([n1], pa.int64()),
+            "k_weekend": pa.array([k1], pa.int64()),
+            "n_weekday": pa.array([n2], pa.int64()),
+            "k_weekday": pa.array([k2], pa.int64()),
+            "p_weekend": pa.array([float(p1)], pa.float64()),
+            "p_weekday": pa.array([float(p2)], pa.float64()),
+            "z_two_prop": pa.array([float(z)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_dow_seasonality(sf_dir: str) -> Dataset:
+    """Day-of-week seasonal index — the weekly-seasonality staple:
+    per ISO dow, event count, share of total, and the seasonal index
+    (share × 7, so 1.0 = flat).  Counts exact off one bounded tree
+    combine; the two floats divide the exact ints the twin's way
+    (share first, then × 7.0)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = _isodow_from_us(us)
+        t = pa.table({"isodow": pa.array(dow.astype(np.int64)),
+                      "one": pa.array(np.ones(len(us), np.int64))})
+        g = t.group_by("isodow").aggregate([("one", "sum")])
+        return g.rename_columns(["isodow", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["isodow"], [("p_n", "sum")],
+        ["isodow", "p_n"], ["isodow", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("isodow", "ascending")])
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        share = n.astype(np.float64) / np.float64(total)
+        return pa.table({
+            "isodow": b.column("isodow").cast(pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "share": pa.array(share, pa.float64()),
+            "seasonal_index": pa.array(share * 7.0, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -1,0 +1,138 @@
+"""Planted-corpus semantic tests for the round-4 session-9 batch:
+Wilson interval coverage behavior, Cohen's d sign/magnitude, the
+two-proportion z pooling rule, and the seasonal-index normalization.
+Bit-exactness vs DuckDB is pinned by the contract sweep; these pin the
+SEMANTICS on hand-checkable corpora.
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _tab(res) -> pa.Table:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        rows = res.take_all()
+        if not rows:
+            return res.schema().base_schema.empty_table()
+        return pa.Table.from_pylist(rows)
+    return res
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, minutes_after_base, event_type, value).
+    Base is 2024-01-01, a Monday (ISO dow 1)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[2] * 60_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+
+DAY_MIN = 24 * 60
+
+
+def test_wilson_ci_planted(ray_session, tmp_path):
+    """Type 'a': 1 of 4 events on a weekend (Jan 6 2024 = Saturday).
+    The Wilson interval must bracket p̂ = 0.25 and match the closed
+    form computed independently here."""
+    rows = [
+        (1, 1, 0 * DAY_MIN, "a", 1.0),          # Mon
+        (2, 1, 1 * DAY_MIN, "a", 1.0),          # Tue
+        (3, 1, 2 * DAY_MIN, "a", 1.0),          # Wed
+        (4, 1, 5 * DAY_MIN, "a", 1.0),          # Sat
+        (5, 2, 6 * DAY_MIN, "b", 1.0),          # Sun
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_wilson_ci
+
+    out = {r["event_type"]: r for r in
+           _tab(q_events_wilson_ci(str(tmp_path))).to_pylist()}
+    a = out["a"]
+    assert a["n_events"] == 4 and a["n_weekend"] == 1
+    assert a["p_weekend"] == 0.25
+    n, p, z = 4.0, 0.25, 1.96
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n
+                         + z * z / (4.0 * n * n)) / denom
+    assert abs(a["ci_lo"] - (center - half)) < 1e-12
+    assert abs(a["ci_hi"] - (center + half)) < 1e-12
+    assert a["ci_lo"] < 0.25 < a["ci_hi"]
+    # a one-sided type (all weekend) keeps a CI strictly inside [0,1]
+    b = out["b"]
+    assert b["p_weekend"] == 1.0 and b["ci_lo"] > 0.0 \
+        and b["ci_hi"] <= 1.0
+
+
+def test_cohens_d_planted(ray_session, tmp_path):
+    """purchase values {10,12}, view values {1,3}: means 11 vs 2 in
+    dollars (1100 vs 200 cents), both variances 2 cents^2-scaled, so
+    d = 900 / sqrt(20000) in cents exactly."""
+    rows = [
+        (1, 1, 0, "purchase", 10.0),
+        (2, 1, 1, "purchase", 12.0),
+        (3, 1, 2, "view", 1.0),
+        (4, 1, 3, "view", 3.0),
+        (5, 1, 4, "click", 99.0),   # other types must not contribute
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_cohens_d
+
+    row = _tab(q_events_cohens_d(str(tmp_path))).to_pylist()[0]
+    assert row["n_purchase"] == 2 and row["n_view"] == 2
+    assert row["mean_purchase_cents"] == 1100.0
+    assert row["mean_view_cents"] == 200.0
+    # var = 20000 cents^2 for both groups; pooled = 20000
+    assert abs(row["cohens_d"] - 900.0 / math.sqrt(20000.0)) < 1e-12
+
+
+def test_weekend_ztest_planted(ray_session, tmp_path):
+    """Weekend: 1 purchase of 2 events; weekday: 1 purchase of 4.
+    Pooled p = 2/6; z from the standard pooled formula."""
+    rows = [
+        (1, 1, 0 * DAY_MIN, "purchase", 1.0),   # Mon
+        (2, 1, 1 * DAY_MIN, "view", 1.0),
+        (3, 1, 2 * DAY_MIN, "view", 1.0),
+        (4, 1, 3 * DAY_MIN, "view", 1.0),
+        (5, 1, 5 * DAY_MIN, "purchase", 1.0),   # Sat
+        (6, 1, 6 * DAY_MIN, "view", 1.0),       # Sun
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_weekend_ztest
+
+    row = _tab(q_events_weekend_ztest(str(tmp_path))).to_pylist()[0]
+    assert (row["n_weekend"], row["k_weekend"]) == (2, 1)
+    assert (row["n_weekday"], row["k_weekday"]) == (4, 1)
+    p1, p2, pp = 0.5, 0.25, 2.0 / 6.0
+    se = math.sqrt(pp * (1.0 - pp) * (1.0 / 2.0 + 1.0 / 4.0))
+    assert abs(row["z_two_prop"] - (p1 - p2) / se) < 1e-12
+
+
+def test_dow_seasonality_planted(ray_session, tmp_path):
+    """Two Mondays, one Saturday: Monday index = (2/3)*7, shares sum
+    to 1, and absent days emit no rows (count semantics, not
+    gap-fill)."""
+    rows = [
+        (1, 1, 0 * DAY_MIN, "a", 1.0),           # Mon Jan 1
+        (2, 1, 7 * DAY_MIN, "a", 1.0),           # Mon Jan 8
+        (3, 1, 5 * DAY_MIN, "a", 1.0),           # Sat Jan 6
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_dow_seasonality
+
+    out = {r["isodow"]: r for r in
+           _tab(q_events_dow_seasonality(str(tmp_path))).to_pylist()}
+    assert set(out) == {1, 6}
+    assert out[1]["n_events"] == 2
+    assert abs(out[1]["seasonal_index"] - (2.0 / 3.0) * 7.0) < 1e-12
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
