@@ -513,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohens_d": q.q_events_cohens_d,
         "events_weekend_ztest": q.q_events_weekend_ztest,
         "events_dow_seasonality": q.q_events_dow_seasonality,
+        "events_seasonal_adjust": q.q_events_seasonal_adjust,
+        "events_wow_growth": q.q_events_wow_growth,
+        "documents_nb_classify": q.q_documents_nb_classify,
     }
 
 
@@ -4522,5 +4525,72 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(SUM(n) OVER () AS DOUBLE) * 7.0
                        AS seasonal_index
             FROM g
+        """,
+        "events_seasonal_adjust": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            w AS (SELECT day, n,
+                         CAST(isodow(day) AS BIGINT) AS isodow,
+                         SUM(n) OVER (PARTITION BY isodow(day)) AS dn,
+                         SUM(n) OVER () AS tn
+                  FROM d)
+            SELECT day, n AS n_events, isodow,
+                   CAST(dn AS DOUBLE) / CAST(tn AS DOUBLE) * 7.0
+                       AS seasonal_index,
+                   CAST(n AS DOUBLE)
+                       / (CAST(dn AS DOUBLE) / CAST(tn AS DOUBLE) * 7.0)
+                       AS adjusted_events
+            FROM w
+        """,
+        "events_wow_growth": """
+            WITH w AS (SELECT date_trunc('week', ts) AS week,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            l AS (SELECT week, n,
+                         LAG(n) OVER (ORDER BY week) AS prev
+                  FROM w)
+            SELECT week, n AS n_events,
+                   CAST(prev AS BIGINT) AS prev_events,
+                   CAST(n - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                       AS wow_growth
+            FROM l WHERE prev IS NOT NULL
+        """,
+        "documents_nb_classify": """
+            WITH t AS (SELECT doc_id, source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            ctc AS (SELECT source AS cls, tok,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM t GROUP BY 1, 2),
+            q AS (SELECT cls, tok,
+                         CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS q1
+                  FROM ctc),
+            v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+                  FROM t),
+            z AS (SELECT cls,
+                         CAST(round(ln(CAST(SUM(c) + (SELECT vsz FROM v)
+                                            AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS qz
+                  FROM ctc GROUP BY cls),
+            d AS (SELECT doc_id, source,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens
+                  FROM t GROUP BY 1, 2),
+            j AS (SELECT t.doc_id, q.cls,
+                         CAST(SUM(q.q1) AS BIGINT) AS s
+                  FROM t JOIN q ON t.tok = q.tok GROUP BY 1, 2),
+            sc AS (SELECT d.doc_id, d.source, z.cls,
+                          COALESCE(j.s, 0) - d.n_tokens * z.qz AS score
+                   FROM d CROSS JOIN z
+                   LEFT JOIN j ON j.doc_id = d.doc_id
+                              AND j.cls = z.cls),
+            p AS (SELECT doc_id, source, cls AS predicted,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cls ASC) AS rn
+                  FROM sc)
+            SELECT source, predicted,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM p WHERE rn = 1 GROUP BY 1, 2
         """,
     }

@@ -12485,3 +12485,289 @@ def q_events_dow_seasonality(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_events_seasonal_adjust(sf_dir: str) -> Dataset:
+    """Seasonally-adjusted daily event series: each day's count divided
+    by its day-of-week seasonal index (dow share × 7) — the
+    deseasonalization step every volume-anomaly monitor runs before
+    thresholding, so a quiet Sunday doesn't page.  Counts are exact
+    int64 off one bounded tree combine (calendar days); the index and
+    the adjusted value replay the twin's float expression tree on the
+    single final block (dow share first, × 7.0, then the division).
+
+    Scale shape: one (day) count partial per block, tree-combined over
+    the bounded calendar grid; the dow totals derive from the day grid
+    itself on the final single block — no second pass over raw rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        us = b.column("day").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = _isodow_from_us(us).astype(np.int64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.float64(int(n.sum()))
+        dow_tot = np.zeros(8, np.int64)
+        np.add.at(dow_tot, dow, n)
+        idx = dow_tot[dow].astype(np.float64) / total * 7.0
+        return pa.table({
+            "day": b.column("day"),
+            "n_events": pa.array(n, pa.int64()),
+            "isodow": pa.array(dow, pa.int64()),
+            "seasonal_index": pa.array(idx, pa.float64()),
+            "adjusted_events": pa.array(n.astype(np.float64) / idx,
+                                        pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_wow_growth(sf_dir: str) -> Dataset:
+    """Week-over-week growth: Monday-truncated weekly event counts with
+    the previous week's count and the relative change — the growth-rate
+    report every ingest dashboard leads with.  floor_temporal(week)
+    is Monday-based like DuckDB's date_trunc('week'); counts are exact
+    int64 off one bounded tree combine, the LAG is a driver-trivial
+    shift on the sorted final block, and the growth ratio is the one
+    float division replayed from exact ints.  The first week (no
+    predecessor) is dropped on both sides — emitting its NULL would
+    downgrade prev_events to float in both frames and hash fine, but
+    the dropped row is the cleaner contract."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(b.column("ts"), unit="week")
+        t = pa.table({"week": wk})
+        g = t.group_by("week").aggregate([("week", "count")])
+        return g.rename_columns(["week", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["week"], [("p_n", "sum")], ["week", "p_n"], ["week", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("week", "ascending")])
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n) <= 1:
+            return pa.table({
+                "week": b.column("week").slice(0, 0),
+                "n_events": pa.array([], pa.int64()),
+                "prev_events": pa.array([], pa.int64()),
+                "wow_growth": pa.array([], pa.float64()),
+            })
+        cur, prev = n[1:], n[:-1]
+        growth = (cur - prev).astype(np.float64) \
+            / prev.astype(np.float64)
+        return pa.table({
+            "week": b.column("week").slice(1),
+            "n_events": pa.array(cur, pa.int64()),
+            "prev_events": pa.array(prev, pa.int64()),
+            "wow_growth": pa.array(growth, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_documents_nb_classify(sf_dir: str) -> Dataset:
+    """Multinomial Naive Bayes source classifier, trained and evaluated
+    on the corpus in one distributed pass, reported as the (true
+    source × predicted source) confusion matrix — the classic
+    bag-of-words classifier (and the standard domain-tagging /
+    source-attribution primitive in curation pipelines), kept
+    bit-checkable end-to-end.
+
+    Exact-integer decomposition: with Laplace smoothing, score(d, c) =
+    Σ_t∈d ln(cnt(c,t)+1) − |d|·ln(T_c + V); unseen (c,t) pairs
+    contribute ln(1) = 0, so the scoring join only touches OBSERVED
+    class-token rows and missing classes densify with s = 0.  Both ln
+    terms are quantized to int64 (round(ln·1e6), the unigram_logprob
+    precedent), every sum is order-independent int64, and the per-doc
+    argmax rides a packed key (score·64 − class_idx, classes in sorted
+    order) whose max is exactly the twin's ORDER BY score DESC, cls ASC.
+
+    Scale shape: per-doc token counts fold INSIDE the tokenizing batch
+    (a document never straddles blocks), so the only exchanges are the
+    (class, token) vocabulary groupby, the token-keyed scoring join,
+    and a (doc, class) combine at K×n_docs rows; the class-constant
+    table (T_c, V — a handful of rows) is the lone driver-side state.
+
+    No direct reference analogue (engine-mandated ML primitive); the
+    per-class state mirrors SURVEY §2.4's stateful-stage discipline."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def dt_rows(b: pa.Table) -> pa.Table:
+        """(doc_id, source, tok, c_dt): per-doc token counts, folded
+        locally — each document's tokens live in one batch."""
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+            "source": pa.array(np.repeat(src, n), pa.string()),
+            "tok": flat,
+        })
+        g = t.group_by(["doc_id", "source", "tok"]).aggregate(
+            [("tok", "count")])
+        return g.rename_columns(["doc_id", "source", "tok", "c_dt"])
+
+    dt = ds.map_batches(dt_rows, batch_format="pyarrow")
+
+    # class-token training counts: the one vocabulary-sized shuffle.
+    def ct_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "tok"]).aggregate([("c_dt", "sum")])
+        return g.rename_columns(["cls", "tok", "p_c"])
+
+    ctc = with_schema(
+        dt.map_batches(ct_partial, batch_format="pyarrow")
+        .groupby(["cls", "tok"]).aggregate(Sum("p_c", alias_name="c")),
+        pa.schema([("cls", pa.string()), ("tok", pa.string()),
+                   ("c", pa.int64())])).materialize()
+
+    # class constants: T_c (tokens per class) and V (vocabulary size) —
+    # bounded driver-side state, like the broadcast dims elsewhere.
+    tcls_rows = ctc.map_batches(
+        lambda b: b.group_by("cls").aggregate([("c", "sum")])
+        .rename_columns(["cls", "t_c"]),
+        batch_format="pyarrow") \
+        .groupby("cls").aggregate(Sum("t_c", alias_name="t_c")) \
+        .take_all()
+    t_c = {r["cls"]: int(r["t_c"]) for r in tcls_rows}
+    vocab_n = ctc.groupby("tok").count().count()
+    classes = sorted(t_c)
+    if len(classes) > 64:
+        # the argmax rides packed = score·64 − class_idx; beyond 64
+        # classes the pack would alias scores — fail loud, like the
+        # vocab-overlap bitmask guard.
+        raise ValueError(
+            f"nb_classify: {len(classes)} classes exceed the 64-class "
+            "packed-argmax capacity; widen the pack factor first")
+    qz = {c: int(scaled_int_sql(
+        np.array([np.log(np.float64(t_c[c] + vocab_n))]), 1e6)[0])
+        for c in classes}
+
+    def q_rows(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "tok": b.column("tok"),
+            "cls": b.column("cls"),
+            "q1": pa.array(scaled_int_sql(np.log(c + 1.0), 1e6),
+                           pa.int64()),
+        })
+
+    qtab = ctc.map_batches(q_rows, batch_format="pyarrow")
+
+    # scoring join: observed (doc, tok) counts × observed (cls, tok)
+    # log-likelihoods; contribution = c_dt · q1.
+    j = dt.join(qtab, join_type="inner", num_partitions=8, on=("tok",))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        c_dt = b.column("c_dt").to_numpy(zero_copy_only=False)
+        q1 = b.column("q1").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "cls": b.column("cls"),
+            "p_s": pa.array(c_dt * q1, pa.int64()),
+            "p_nt": pa.array(np.zeros(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["doc_id", "source", "cls"]).aggregate(
+            [("p_s", "sum"), ("p_nt", "sum")])
+        return g.rename_columns(
+            ["doc_id", "source", "cls", "p_s", "p_nt"])
+
+    # densifier: one s=0 row per (doc, class) carrying |d| so every
+    # class scores even with zero token overlap.
+    def grid_rows(b: pa.Table) -> pa.Table:
+        g = b.group_by(["doc_id", "source"]).aggregate(
+            [("c_dt", "sum")])
+        nd = g.num_rows
+        k = len(classes)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                g.column("doc_id").to_numpy(zero_copy_only=False), k),
+                pa.int64()),
+            "source": pa.array(np.repeat(
+                g.column("source").to_numpy(zero_copy_only=False), k),
+                pa.string()),
+            "cls": pa.array(np.tile(np.array(classes, object), nd),
+                            pa.string()),
+            "p_s": pa.array(np.zeros(nd * k, np.int64)),
+            "p_nt": pa.array(np.repeat(
+                g.column("c_dt_sum").to_numpy(zero_copy_only=False), k)
+                .astype(np.int64)),
+        })
+
+    scores = j.map_batches(score_partial, batch_format="pyarrow") \
+        .union(dt.map_batches(grid_rows, batch_format="pyarrow")) \
+        .groupby(["doc_id", "source", "cls"]).aggregate(
+            Sum("p_s", alias_name="s"),
+            Sum("p_nt", alias_name="n_tokens"))
+
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    qz_vec = np.array([qz[c] for c in classes], np.int64)
+
+    def pack_partial(b: pa.Table) -> pa.Table:
+        ci = np.array([cls_idx[c] for c in
+                       b.column("cls").to_pylist()], np.int64)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        score = s - nt * qz_vec[ci]
+        t = pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "packed": pa.array(score * 64 - ci, pa.int64()),
+        })
+        g = t.group_by(["doc_id", "source"]).aggregate(
+            [("packed", "max")])
+        return g.rename_columns(["doc_id", "source", "p_m"])
+
+    best = scores.map_batches(pack_partial, batch_format="pyarrow") \
+        .groupby(["doc_id", "source"]).aggregate(
+            Max("p_m", alias_name="m"))
+
+    cls_arr = np.array(classes, object)
+
+    def conf_partial(b: pa.Table) -> pa.Table:
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        score = -(-m // 64)
+        idx = score * 64 - m
+        t = pa.table({
+            "source": b.column("source"),
+            "predicted": pa.array(cls_arr[idx], pa.string()),
+        })
+        g = t.group_by(["source", "predicted"]).aggregate(
+            [("predicted", "count")])
+        return g.rename_columns(["source", "predicted", "p_n"])
+
+    agg = _tree_combine(
+        best.map_batches(conf_partial, batch_format="pyarrow"),
+        ["source", "predicted"], [("p_n", "sum")],
+        ["source", "predicted", "p_n"], ["source", "predicted", "n_docs"])
+
+    return agg.map_batches(
+        lambda b: b.sort_by([("source", "ascending"),
+                             ("predicted", "ascending")]),
+        batch_format="pyarrow", batch_size=None)

@@ -136,3 +136,79 @@ def test_dow_seasonality_planted(ray_session, tmp_path):
     assert out[1]["n_events"] == 2
     assert abs(out[1]["seasonal_index"] - (2.0 / 3.0) * 7.0) < 1e-12
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_seasonal_adjust_planted(ray_session, tmp_path):
+    """Mondays carry 2 events, every other day 1, over two full weeks
+    (14 days): Monday's index = (4/16)*7 = 1.75, other days
+    (2/16)*7 = 0.875; adjusted = n / index recovers a flat series
+    (16/14 everywhere)."""
+    rows = []
+    eid = 0
+    for d in range(14):            # 2024-01-01 (Mon) .. 2024-01-14
+        k = 2 if d % 7 == 0 else 1
+        for j in range(k):
+            eid += 1
+            rows.append((eid, 1, d * DAY_MIN + j, "a", 1.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_seasonal_adjust
+
+    out = _tab(q_events_seasonal_adjust(str(tmp_path))).to_pylist()
+    assert len(out) == 14
+    for r in out:
+        if r["isodow"] == 1:
+            assert r["n_events"] == 2
+            assert abs(r["seasonal_index"] - 1.75) < 1e-12
+        else:
+            assert r["n_events"] == 1
+            assert abs(r["seasonal_index"] - 0.875) < 1e-12
+        assert abs(r["adjusted_events"] - 16.0 / 14.0) < 1e-12
+
+
+def test_wow_growth_planted(ray_session, tmp_path):
+    """Weekly counts 10, 20, 10 -> growth rows (+1.0, -0.5); the first
+    week is dropped (no predecessor)."""
+    rows = []
+    eid = 0
+    for w, k in enumerate((10, 20, 10)):
+        for j in range(k):
+            eid += 1
+            rows.append((eid, 1, w * 7 * DAY_MIN + j, "a", 1.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_wow_growth
+
+    out = _tab(q_events_wow_growth(str(tmp_path))).to_pylist()
+    assert [(r["n_events"], r["prev_events"], r["wow_growth"])
+            for r in out] == [(20, 10, 1.0), (10, 20, -0.5)]
+
+
+def test_nb_classify_planted(ray_session, tmp_path):
+    """Two sources with disjoint vocabularies classify perfectly
+    (diagonal confusion matrix); a third source whose lone doc is
+    written in source-a vocabulary is attributed to the class that
+    actually generated the words."""
+    import pyarrow.parquet as pq
+
+    docs = [
+        (1, "a", "alpha beta alpha gamma"),
+        (2, "a", "beta beta gamma alpha"),
+        (3, "b", "delta epsilon delta zeta"),
+        (4, "b", "epsilon zeta zeta delta"),
+        (5, "c", "alpha beta gamma alpha"),   # a-vocab text, source c
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_nb_classify
+
+    out = {(r["source"], r["predicted"]): r["n_docs"]
+           for r in _tab(q_documents_nb_classify(str(tmp_path)))
+           .to_pylist()}
+    assert out[("a", "a")] == 2
+    assert out[("b", "b")] == 2
+    # the c doc's words all come from class a's likelihood table;
+    # class c saw them once each too, but a's higher counts win
+    assert out[("c", "a")] == 1
+    assert ("a", "b") not in out and ("b", "a") not in out
