@@ -516,6 +516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_adjust": q.q_events_seasonal_adjust,
         "events_wow_growth": q.q_events_wow_growth,
         "documents_nb_classify": q.q_documents_nb_classify,
+        "documents_js_divergence": q.q_documents_js_divergence,
+        "events_markov_stationary": q.q_events_markov_stationary,
+        "documents_sentence_stats": q.q_documents_sentence_stats,
     }
 
 
@@ -4592,5 +4595,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, predicted,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM p WHERE rn = 1 GROUP BY 1, 2
+        """,
+        "documents_js_divergence": """
+            WITH t AS (SELECT source, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+                   FROM t GROUP BY 1, 2),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t
+                   FROM t GROUP BY tok),
+            ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+                   FROM st GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t),
+            r AS (SELECT st.source, st.c_st, tf.c_t, ns.n_s,
+                         CAST(st.c_st AS DOUBLE)
+                             / CAST(ns.n_s AS DOUBLE) AS p,
+                         CAST(tf.c_t AS DOUBLE)
+                             / CAST((SELECT nt FROM n) AS DOUBLE) AS q
+                  FROM st JOIN tf USING (tok) JOIN ns USING (source)),
+            g AS (SELECT source,
+                         CAST(SUM(c_st * CAST(round(
+                             ln(2.0 * p / (p + q)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s1,
+                         CAST(SUM(c_t * CAST(round(
+                             ln(2.0 * q / (p + q)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s2,
+                         CAST(SUM(c_t) AS BIGINT) AS cc,
+                         CAST(MAX(n_s) AS BIGINT) AS n_s
+                  FROM r GROUP BY source)
+            SELECT source, n_s AS n_tokens,
+                   ROUND(0.5 * (CAST(s1 AS DOUBLE) / 1000000.0
+                                    / CAST(n_s AS DOUBLE)
+                                + CAST(s2 AS DOUBLE) / 1000000.0
+                                    / CAST((SELECT nt FROM n)
+                                           AS DOUBLE))
+                         + 0.5 * ln(2.0)
+                             * (1.0 - CAST(cc AS DOUBLE)
+                                / CAST((SELECT nt FROM n) AS DOUBLE)),
+                         6) AS js_vs_corpus
+            FROM g
+        """,
+        "events_markov_stationary": """
+            WITH RECURSIVE
+            w AS (SELECT user_id, event_type,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                  FROM events),
+            c AS (SELECT prev_type AS i, event_type AS j,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            st AS (SELECT DISTINCT s FROM (
+                       SELECT i AS s FROM c
+                       UNION ALL SELECT j FROM c)),
+            ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
+            tots AS (SELECT i, CAST(SUM(n) AS BIGINT) AS tot
+                     FROM c GROUP BY i),
+            e AS (SELECT c.i, c.j, c.n AS num, tots.tot AS den
+                  FROM c JOIN tots USING (i)
+                  UNION ALL
+                  SELECT a.s, b.s, CAST(1 AS BIGINT),
+                         (SELECT k FROM ns)
+                  FROM st a, st b
+                  WHERE a.s NOT IN (SELECT i FROM tots)),
+            v(it, s, val) AS (
+                SELECT 0, s,
+                       CAST(round(1000000000000.0
+                            / CAST((SELECT k FROM ns) AS DOUBLE))
+                            AS BIGINT)
+                FROM st
+                UNION ALL
+                SELECT it + 1, e.j,
+                       CAST(SUM(CAST(round(CAST(v.val AS DOUBLE)
+                           * CAST(e.num AS DOUBLE)
+                           / CAST(e.den AS DOUBLE)) AS BIGINT))
+                           AS BIGINT)
+                FROM v JOIN e ON v.s = e.i
+                WHERE v.it < 20
+                GROUP BY 1, 2
+            )
+            SELECT s AS event_type, val AS pi_q,
+                   CAST(val AS DOUBLE) / 1000000000000.0 AS pi
+            FROM v WHERE it = 20
+        """,
+        "documents_sentence_stats": """
+            WITH s AS (SELECT source,
+                              unnest(string_split_regex(text, '[.!?]+'))
+                                  AS piece
+                       FROM documents),
+            c AS (SELECT source, trim(piece) AS p FROM s),
+            f AS (SELECT source,
+                         CAST(COUNT(*) AS BIGINT) AS n_sentences,
+                         CAST(SUM(length(p)) AS BIGINT) AS sum_chars
+                  FROM c WHERE p <> '' GROUP BY 1),
+            d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY 1)
+            SELECT d.source, d.n_docs, f.n_sentences,
+                   CAST(f.sum_chars AS DOUBLE)
+                       / CAST(f.n_sentences AS DOUBLE)
+                       AS avg_sentence_chars,
+                   CAST(f.n_sentences AS DOUBLE)
+                       / CAST(d.n_docs AS DOUBLE) AS sentences_per_doc
+            FROM d JOIN f USING (source)
         """,
     }

@@ -12771,3 +12771,276 @@ def q_documents_nb_classify(sf_dir: str) -> Dataset:
         lambda b: b.sort_by([("source", "ascending"),
                              ("predicted", "ascending")]),
         batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_js_divergence(sf_dir: str) -> Dataset:
+    """Per-source Jensen-Shannon divergence vs the corpus unigram
+    distribution — the symmetric, bounded [0, ln 2] drift score most
+    mixture-monitoring pipelines prefer over raw KL (finite even on
+    disjoint support).  Exact-integer decomposition (the source_kl
+    pattern): with p = c_st/n_s, q = c_t/N over the source's observed
+    vocabulary, JS = ½(S1/1e6/n_s + S2/1e6/N) + ½·ln2·(1 − C/N) where
+    S1 = Σ c_st·q(ln 2p/(p+q)), S2 = Σ c_t·q(ln 2q/(p+q)), C = Σ c_t,
+    q(·) = round(·×1e6) — the out-of-support complement folds into the
+    closed-form ln2 term, so every sum is an order-free int64 and only
+    the final expression is float.  Same quantized-sum headroom caveat
+    as source_kl: |q(ln)| ≤ ~3e7 bounds n_s at ~3e11 tokens/source.
+
+    Scale shape: the (source, token) grid and the corpus tf table are
+    the two vocabulary exchanges; the per-source totals broadcast as a
+    bounded dict; one token-keyed join, then bounded combines."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(np.repeat(src, n), pa.string()),
+            "tok": flat,
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "p_n"])
+
+    st = with_schema(
+        toks.map_batches(st_partial, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(
+            Sum("p_n", alias_name="c_st")),
+        pa.schema([("source", pa.string()), ("tok", pa.string()),
+                   ("c_st", pa.int64())]))
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["tok"]).group_by("tok").aggregate(
+            [("tok", "count")])
+        return g.rename_columns(["tok", "p_n"])
+
+    tf = with_schema(
+        toks.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="c_t")),
+        pa.schema([("tok", pa.string()), ("c_t", pa.int64())]))
+
+    # bounded per-source token totals + the corpus total, driver-side
+    ns_rows = st.map_batches(
+        lambda b: b.group_by("source").aggregate([("c_st", "sum")])
+        .rename_columns(["source", "n_s"]),
+        batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_s", alias_name="n_s")) \
+        .take_all()
+    n_s_map = {r["source"]: int(r["n_s"]) for r in ns_rows}
+    n_total = sum(n_s_map.values())
+
+    j = st.join(tf, join_type="inner", num_partitions=8, on=("tok",))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        c_st = b.column("c_st").to_numpy(zero_copy_only=False)
+        c_t = b.column("c_t").to_numpy(zero_copy_only=False)
+        n_s = np.array([n_s_map[s] for s in
+                        b.column("source").to_pylist()], np.float64)
+        p = c_st.astype(np.float64) / n_s
+        q = c_t.astype(np.float64) / np.float64(n_total)
+        q1 = scaled_int_sql(np.log(2.0 * p / (p + q)), 1e6)
+        q2 = scaled_int_sql(np.log(2.0 * q / (p + q)), 1e6)
+        t = pa.table({
+            "source": b.column("source"),
+            "s1": pa.array(c_st * q1, pa.int64()),
+            "s2": pa.array(c_t * q2, pa.int64()),
+            "c": pa.array(c_t, pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("c", "sum")])
+        return g.rename_columns(["source", "p_s1", "p_s2", "p_c"])
+
+    agg = j.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("p_s1", alias_name="s1"),
+                                     Sum("p_s2", alias_name="s2"),
+                                     Sum("p_c", alias_name="cc"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s1 = b.column("s1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cc = b.column("cc").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_s = np.array([n_s_map[s] for s in
+                        b.column("source").to_pylist()], np.float64)
+        nt = np.float64(n_total)
+        js = 0.5 * (s1 / 1e6 / n_s + s2 / 1e6 / nt) \
+            + 0.5 * np.log(2.0) * (1.0 - cc / nt)
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pa.array(n_s.astype(np.int64), pa.int64()),
+            "js_vs_corpus": round_sql(pa.array(js, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_markov_stationary(sf_dir: str) -> Dataset:
+    """Stationary distribution of the per-user event-type Markov chain
+    (20 quantized power-iteration steps) — 'where does user behaviour
+    settle' — with the transition counts built by the same distributed
+    pass as events_type_transitions and the tiny |types|² iteration as
+    driver math (the pagerank discipline, but here the state space is
+    structurally bounded so the fixpoint itself is ORACLE-CHECKED: the
+    twin replays the identical quantized recurrence in a recursive
+    CTE).  Each step stores the vector as int64 at scale 1e12;
+    contributions round(v_i·n_ij/tot_i) use DuckDB ROUND semantics
+    (scaled_int_sql), so every iterate is bit-identical to the twin's.
+    Dangling states (never a predecessor) redistribute uniformly via
+    synthetic (i, j, 1, |states|) edges — the PageRank convention,
+    replayed in the twin's edge table."""
+    import numpy as np
+
+    ITERS = 20
+    Q = 1e12
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def steps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        et = g.column("event_type").combine_chunks()
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        t = pa.table({"prev_type": et.slice(0, len(et) - 1),
+                      "next_type": et.slice(1),
+                      "one": pa.array(np.ones(len(et) - 1, np.int64))})
+        out = t.group_by(["prev_type", "next_type"]) \
+            .aggregate([("one", "sum")])
+        return out.rename_columns(["prev_type", "next_type", "p_c"])
+
+    counts = _small_table(_tree_combine(
+        ds.groupby("user_id").map_groups(steps, batch_format="pyarrow"),
+        ["prev_type", "next_type"], [("p_c", "sum")],
+        ["prev_type", "next_type", "p_c"],
+        ["prev_type", "next_type", "n"]).materialize())
+
+    prev = counts.column("prev_type").to_pylist()
+    nxt = counts.column("next_type").to_pylist()
+    n_ij = counts.column("n").to_numpy(zero_copy_only=False)
+    states = sorted(set(prev) | set(nxt))
+    k = len(states)
+    if k == 0:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "pi_q": pa.array([], pa.int64()),
+            "pi": pa.array([], pa.float64())}))
+    sidx = {s: i for i, s in enumerate(states)}
+    src = np.array([sidx[s] for s in prev], np.int64)
+    dst = np.array([sidx[s] for s in nxt], np.int64)
+    tot = np.zeros(k, np.int64)
+    np.add.at(tot, src, n_ij)
+
+    # edge list (i, j, num, den): observed rows normalize by the row
+    # total; dangling states fan out uniformly (num=1, den=k)
+    dangling = np.flatnonzero(tot == 0)
+    e_i = np.concatenate([src, np.repeat(dangling, k)])
+    e_j = np.concatenate([dst, np.tile(np.arange(k), len(dangling))])
+    e_num = np.concatenate([n_ij,
+                            np.ones(len(dangling) * k, np.int64)])
+    e_den = np.concatenate([tot[src],
+                            np.full(len(dangling) * k, k, np.int64)])
+
+    v = np.full(k, int(scaled_int_sql(
+        np.array([Q / np.float64(k)]), 1.0)[0]), np.int64)
+    for _ in range(ITERS):
+        contrib = scaled_int_sql(
+            v[e_i].astype(np.float64) * e_num.astype(np.float64)
+            / e_den.astype(np.float64), 1.0)
+        nv = np.zeros(k, np.int64)
+        np.add.at(nv, e_j, contrib)
+        v = nv
+
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(states, pa.string()),
+        "pi_q": pa.array(v, pa.int64()),
+        "pi": pa.array(v.astype(np.float64) / Q, pa.float64()),
+    }))
+
+
+def q_documents_sentence_stats(sf_dir: str) -> Dataset:
+    """Per-source sentence segmentation profile: sentence count, mean
+    sentence length (chars) and sentences-per-doc — the readability /
+    segment-size fingerprint a curation run keeps per feed.  Sentences
+    are '[.!?]+'-split pieces, space-trimmed, non-empty (pyarrow
+    split_pattern_regex and DuckDB string_split_regex share RE2
+    semantics — verified piece-for-piece, including trailing empties).
+    All sums are exact int64 over one bounded (source) tree combine;
+    the two means are single float divisions of those ints."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pieces = pc.split_pattern_regex(b.column("text"), "[.!?]+")
+        flat = pc.utf8_trim(pc.list_flatten(pieces), " ")
+        n = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+        src = np.repeat(
+            b.column("source").to_numpy(zero_copy_only=False), n)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": pa.array(src[keep], pa.string()),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "chars": pa.array(chars[keep].astype(np.int64)),
+        })
+        g = t.group_by("source").aggregate(
+            [("one", "sum"), ("chars", "sum")])
+        g = g.rename_columns(["source", "p_sent", "p_chars"])
+        d = b.group_by("source").aggregate([("source", "count")]) \
+            .rename_columns(["source", "p_docs"])
+        # align the two partials on the same source key set
+        return pa.table({
+            "source": d.column("source"),
+            "p_docs": d.column("p_docs"),
+            "p_sent": pa.array(
+                [dict(zip(g.column("source").to_pylist(),
+                          g.column("p_sent").to_pylist()))
+                 .get(s, 0) for s in d.column("source").to_pylist()],
+                pa.int64()),
+            "p_chars": pa.array(
+                [dict(zip(g.column("source").to_pylist(),
+                          g.column("p_chars").to_pylist()))
+                 .get(s, 0) for s in d.column("source").to_pylist()],
+                pa.int64()),
+        })
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("p_docs", "sum"), ("p_sent", "sum"), ("p_chars", "sum")],
+        ["source", "p_docs", "p_sent", "p_chars"],
+        ["source", "n_docs", "n_sentences", "sum_chars"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("n_sentences"), 0))
+        b = b.sort_by([("source", "ascending")])
+        ns = b.column("n_sentences").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sc = b.column("sum_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": b.column("n_docs"),
+            "n_sentences": b.column("n_sentences"),
+            "avg_sentence_chars": pa.array(sc / ns, pa.float64()),
+            "sentences_per_doc": pa.array(ns / nd, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -212,3 +212,91 @@ def test_nb_classify_planted(ray_session, tmp_path):
     # class c saw them once each too, but a's higher counts win
     assert out[("c", "a")] == 1
     assert ("a", "b") not in out and ("b", "a") not in out
+
+
+def _write_docs(tmp_path, docs):
+    """docs: (doc_id, source, text)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+def test_js_divergence_planted(ray_session, tmp_path):
+    """A source distributed exactly like the corpus has JS ~ 0; a
+    source with vocabulary disjoint from the rest scores strictly
+    higher, bounded by ln 2."""
+    _write_docs(tmp_path, [
+        (1, "mirror", "x y x y"),
+        (2, "mirror", "x y x y"),
+        (3, "alien", "zz ww zz ww"),
+    ])
+    from ocr_engine_ray.pipelines.queries import q_documents_js_divergence
+
+    out = {r["source"]: r for r in
+           _tab(q_documents_js_divergence(str(tmp_path))).to_pylist()}
+    assert out["mirror"]["n_tokens"] == 8
+    assert out["alien"]["n_tokens"] == 4
+    # mirror's unigram dist (.5/.5 on x,y) vs corpus (1/3 each on
+    # x,y + 1/6 each on zz,ww): small but nonzero; alien much larger
+    assert 0.0 < out["mirror"]["js_vs_corpus"] \
+        < out["alien"]["js_vs_corpus"] <= math.log(2.0) + 1e-9
+
+
+def test_markov_stationary_planted(ray_session, tmp_path):
+    """One user alternating a,b,a,b...: the chain is a deterministic
+    2-cycle with stationary distribution (1/2, 1/2)."""
+    rows = [(i + 1, 1, i, "a" if i % 2 == 0 else "b", 1.0)
+            for i in range(10)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_markov_stationary
+
+    out = {r["event_type"]: r["pi"] for r in
+           _tab(q_events_markov_stationary(str(tmp_path))).to_pylist()}
+    assert set(out) == {"a", "b"}
+    assert abs(out["a"] - 0.5) < 1e-9
+    assert abs(out["b"] - 0.5) < 1e-9
+
+
+def test_markov_stationary_dangling(ray_session, tmp_path):
+    """A state that is never a predecessor (the stream's last-only
+    type) redistributes uniformly instead of absorbing all mass."""
+    # a -> a -> b  (b has no outgoing edge)
+    rows = [(1, 1, 0, "a", 1.0), (2, 1, 1, "a", 1.0),
+            (3, 1, 2, "b", 1.0)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_markov_stationary
+
+    out = {r["event_type"]: r["pi"] for r in
+           _tab(q_events_markov_stationary(str(tmp_path))).to_pylist()}
+    # P = [[.5,.5],[.5,.5]] effectively: a stays/leaves evenly, b
+    # fans back uniformly -> stationary (2/3, 1/3) solves pi=piP with
+    # P=[[1/2,1/2],[1/2,1/2]]? no: a: 2 transitions (a->a, a->b) each
+    # 1/2; b uniform over {a,b} each 1/2 -> symmetric -> (1/2, 1/2)
+    assert abs(out["a"] - 0.5) < 1e-6
+    assert abs(out["b"] - 0.5) < 1e-6
+
+
+def test_sentence_stats_planted(ray_session, tmp_path):
+    """Hand-counted sentences: trims spaces, drops empty pieces,
+    counts unicode chars."""
+    _write_docs(tmp_path, [
+        (1, "s1", "Hello world. How are you?  Fine!"),
+        (2, "s1", "One sentence"),
+        (3, "s2", "..."),                 # zero sentences -> s2 absent
+    ])
+    from ocr_engine_ray.pipelines.queries import q_documents_sentence_stats
+
+    out = {r["source"]: r for r in
+           _tab(q_documents_sentence_stats(str(tmp_path))).to_pylist()}
+    assert set(out) == {"s1"}
+    r = out["s1"]
+    # sentences: 'Hello world' (11), 'How are you' (11), 'Fine' (4),
+    # 'One sentence' (12)
+    assert r["n_docs"] == 2
+    assert r["n_sentences"] == 4
+    assert abs(r["avg_sentence_chars"] - 38.0 / 4.0) < 1e-12
+    assert abs(r["sentences_per_doc"] - 2.0) < 1e-12
