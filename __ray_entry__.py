@@ -519,6 +519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_js_divergence": q.q_documents_js_divergence,
         "events_markov_stationary": q.q_events_markov_stationary,
         "documents_sentence_stats": q.q_documents_sentence_stats,
+        "embeddings_rrf_fusion": q.q_embeddings_rrf_fusion,
+        "events_daily_holt": q.q_events_daily_holt,
     }
 
 
@@ -4696,5 +4698,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f.n_sentences AS DOUBLE)
                        / CAST(d.n_docs AS DOUBLE) AS sentences_per_doc
             FROM d JOIN f USING (source)
+        """,
+        "embeddings_rrf_fusion": """
+            WITH s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                              CAST(round(list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) * 1000000)
+                                  AS BIGINT) AS qcos,
+                              CAST(round(list_dot_product(
+                                  q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) * 1000000)
+                                  AS BIGINT) AS qdot
+                       FROM embeddings q CROSS JOIN embeddings c
+                       WHERE q.vec_id < 8),
+            rc AS (SELECT qid, vid,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY qcos DESC, vid ASC) AS BIGINT)
+                              AS r
+                   FROM s QUALIFY r <= 20),
+            rdd AS (SELECT qid, vid,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY qdot DESC, vid ASC) AS BIGINT)
+                               AS r
+                    FROM s QUALIFY r <= 20),
+            f AS (SELECT COALESCE(rc.qid, rdd.qid) AS qid,
+                         COALESCE(rc.vid, rdd.vid) AS vid,
+                         COALESCE(1.0 / (60.0 + CAST(rc.r AS DOUBLE)),
+                                  0.0)
+                             + COALESCE(1.0 / (60.0
+                                   + CAST(rdd.r AS DOUBLE)), 0.0)
+                             AS rrf
+                  FROM rc FULL OUTER JOIN rdd
+                  ON rc.qid = rdd.qid AND rc.vid = rdd.vid)
+            SELECT qid AS query_id, vid AS vec_id, rrf, rank
+            FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY rrf DESC, vid ASC) AS BIGINT) AS rank
+                  FROM f)
+            WHERE rank <= 10
+        """,
+        "events_daily_holt": """
+            WITH RECURSIVE
+            d AS (SELECT date_trunc('day', ts) AS day,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+            r AS (SELECT day, n,
+                         CAST(ROW_NUMBER() OVER (ORDER BY day)
+                              AS BIGINT) AS rn
+                  FROM d),
+            h(rn, l, b) AS (
+                SELECT CAST(1 AS BIGINT), n * 1000000,
+                       CAST(0 AS BIGINT)
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT h.rn + 1,
+                       CAST(round((CAST(r.n * 1000000 AS DOUBLE)
+                           + CAST(h.l + h.b AS DOUBLE)) / 2.0)
+                           AS BIGINT),
+                       CAST(round((CAST(CAST(round((
+                               CAST(r.n * 1000000 AS DOUBLE)
+                               + CAST(h.l + h.b AS DOUBLE)) / 2.0)
+                               AS BIGINT) - h.l AS DOUBLE)
+                           + CAST(h.b AS DOUBLE)) / 2.0) AS BIGINT)
+                FROM h JOIN r ON r.rn = h.rn + 1
+            )
+            SELECT r.day, r.n AS n_events,
+                   CAST(h.l AS DOUBLE) / 1000000.0 AS level,
+                   CAST(h.b AS DOUBLE) / 1000000.0 AS trend,
+                   CAST(h.l + h.b AS DOUBLE) / 1000000.0
+                       AS forecast_next
+            FROM h JOIN r USING (rn)
         """,
     }

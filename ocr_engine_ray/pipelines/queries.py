@@ -13044,3 +13044,174 @@ def q_documents_sentence_stats(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_embeddings_rrf_fusion(sf_dir: str) -> Dataset:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings —
+    cosine and raw dot-product — for the first-8-vector query set: the
+    standard hybrid-retrieval combiner (Cormack et al.), fused over
+    each ranker's top-20 and reported as the per-query top-10 by
+    fused score.
+
+    Parity design: both similarity scores are quantized to int64 at
+    1e-6 BEFORE ranking (ulp-level engine differences in the float
+    kernels collapse; ties break on vec_id like ROW_NUMBER), list
+    membership is rank ≤ 20 on the quantized order, and the fused
+    score is the fixed two-term float expression 1/(60+r_cos) +
+    1/(60+r_dot) with absent-list terms contributing 0.0 — replayed
+    operand-for-operand by the twin's FULL OUTER JOIN + COALESCE.
+
+    Scale shape: the 8×d query matrix broadcasts once (ray.put); each
+    batch computes both similarity columns in one zero-copy matmul
+    pair and emits only its tie-widened local top-20 per (query,
+    metric) — a vector in the global top-20 is in its block's top-20,
+    so the candidate stream (≤ ~40 rows × batches × queries), never
+    the corpus, reaches the single merge block."""
+    import numpy as np
+
+    from ..util import vec_matrix
+
+    NQ, LIST_K, OUT_K, RRF_K = 8, 20, 10, 60.0
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", NQ)],
+                         columns=["vec_id", "embedding"]) \
+        .sort_by("vec_id")
+    qmat = vec_matrix(qtab.column("embedding"))
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = qtab.column("vec_id").to_pylist()
+    state = ray.put((qmat, qn, qids))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        qm, qnrm, qi = ray.get(state)
+        X = vec_matrix(b.column("embedding"))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        cos = (X / nrm) @ qnrm.T          # (n, NQ)
+        dot = X @ qm.T
+        qcos = scaled_int_sql(cos.ravel(), 1e6).reshape(cos.shape)
+        qdot = scaled_int_sql(dot.ravel(), 1e6).reshape(dot.shape)
+        out_q, out_v, out_c, out_d = [], [], [], []
+        for col, qid in enumerate(qi):
+            keep = np.zeros(len(ids), bool)
+            for m in (qcos[:, col], qdot[:, col]):
+                # tie-widened local top-LIST_K on (metric desc, id asc)
+                order = np.lexsort((ids, -m))
+                if len(order) > LIST_K:
+                    kth = m[order[LIST_K - 1]]
+                    cut = LIST_K
+                    while cut < len(order) and m[order[cut]] == kth:
+                        cut += 1
+                    order = order[:cut]
+                keep[order] = True
+            sel = np.flatnonzero(keep)
+            out_q.extend([qid] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(qcos[sel, col].tolist())
+            out_d.extend(qdot[sel, col].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "qcos": pa.array(out_c, pa.int64()),
+            "qdot": pa.array(out_d, pa.int64()),
+        })
+
+    def fuse(b: pa.Table) -> pa.Table:
+        qid = b.column("query_id").to_numpy(zero_copy_only=False)
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        qc = b.column("qcos").to_numpy(zero_copy_only=False)
+        qd = b.column("qdot").to_numpy(zero_copy_only=False)
+        rq, rv, rs, rr = [], [], [], []
+        for q in np.unique(qid):
+            m = qid == q
+            v, c, d = vid[m], qc[m], qd[m]
+            rrf = np.zeros(len(v), np.float64)
+            for metric in (c, d):
+                order = np.lexsort((v, -metric))
+                ranks = np.empty(len(v), np.int64)
+                ranks[order] = np.arange(1, len(v) + 1)
+                inlist = ranks <= LIST_K
+                rrf[inlist] = rrf[inlist] \
+                    + 1.0 / (RRF_K + ranks[inlist].astype(np.float64))
+            hit = rrf > 0.0
+            v, rrf = v[hit], rrf[hit]
+            order = np.lexsort((v, -rrf))[:OUT_K]
+            rq.extend([int(q)] * len(order))
+            rv.extend(v[order].tolist())
+            rs.extend(rrf[order].tolist())
+            rr.extend(range(1, len(order) + 1))
+        return pa.table({
+            "query_id": pa.array(rq, pa.int64()),
+            "vec_id": pa.array(rv, pa.int64()),
+            "rrf": pa.array(rs, pa.float64()),
+            "rank": pa.array(rr, pa.int64()),
+        })
+
+    return ds.map_batches(local_top, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(fuse, batch_format="pyarrow", batch_size=None)
+
+
+def q_events_daily_holt(sf_dir: str) -> Dataset:
+    """Holt's linear (double-exponential) smoothing over the daily
+    event-count series, α = β = 1/2 — level + trend state and the
+    one-step-ahead forecast per day, the classic capacity-planning
+    smoother one rung above the shipped EWMA.  The coupled recurrence
+    l_t = round((y_t·1e6 + (l+b))/2), b_t = round(((l_t−l)+b)/2) runs
+    on int64 state at scale 1e6 (seed l_1 = y_1·1e6, b_1 = 0), so
+    every iterate is bit-replayed by the twin's recursive CTE — the
+    events_markov_stationary discipline applied to a time-series
+    fixpoint; only the final /1e6 displays are float."""
+    import numpy as np
+
+    Q = 1_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(n)
+        lvl = np.zeros(k, np.int64)
+        trd = np.zeros(k, np.int64)
+        if k:
+            lvl[0] = n[0] * Q
+            trd[0] = 0
+        for i in range(1, k):
+            l_new = int(scaled_int_sql(np.array(
+                [(np.float64(n[i] * Q)
+                  + np.float64(lvl[i - 1] + trd[i - 1])) / 2.0]),
+                1.0)[0])
+            b_new = int(scaled_int_sql(np.array(
+                [(np.float64(l_new - lvl[i - 1])
+                  + np.float64(trd[i - 1])) / 2.0]), 1.0)[0])
+            lvl[i], trd[i] = l_new, b_new
+        return pa.table({
+            "day": b.column("day"),
+            "n_events": pa.array(n, pa.int64()),
+            "level": pa.array(lvl.astype(np.float64) / np.float64(Q),
+                              pa.float64()),
+            "trend": pa.array(trd.astype(np.float64) / np.float64(Q),
+                              pa.float64()),
+            "forecast_next": pa.array(
+                (lvl + trd).astype(np.float64) / np.float64(Q),
+                pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

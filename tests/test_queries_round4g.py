@@ -300,3 +300,63 @@ def test_sentence_stats_planted(ray_session, tmp_path):
     assert r["n_sentences"] == 4
     assert abs(r["avg_sentence_chars"] - 38.0 / 4.0) < 1e-12
     assert abs(r["sentences_per_doc"] - 2.0) < 1e-12
+
+
+def test_rrf_fusion_planted(ray_session, tmp_path):
+    """Vectors engineered so cosine and dot-product rank DIFFERENTLY:
+    a long vector aligned with the query wins dot; a short unit vector
+    in the same direction wins cosine equally — RRF rewards the one
+    appearing high in BOTH lists."""
+    import pyarrow.parquet as pq
+
+    # query 0 = e1.  candidates: 10 = e1 (tiny norm, cos=1, dot small),
+    # 11 = 100*e1 (cos=1, dot huge), 12 = orthogonal.
+    vecs = {
+        0: [1.0, 0.0], 1: [0.0, 1.0], 2: [1.0, 1.0], 3: [0.5, 0.5],
+        4: [1.0, 2.0], 5: [2.0, 1.0], 6: [3.0, 0.1], 7: [0.1, 3.0],
+        10: [0.01, 0.0], 11: [100.0, 0.0], 12: [0.0, 5.0],
+    }
+    ids = sorted(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([vecs[i] for i in ids],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_rrf_fusion
+
+    rows = _tab(q_embeddings_rrf_fusion(str(tmp_path))).to_pylist()
+    q0 = {r["vec_id"]: r for r in rows if r["query_id"] == 0}
+    # 11 tops the dot list and ties the cos list -> near the top;
+    # 12 (orthogonal: worst in both lists) misses the top-10 cut
+    # entirely (11 candidates, OUT_K=10)
+    assert 11 in q0 and q0[11]["rank"] <= 3
+    assert 12 not in q0
+    # every rrf score is a sum of at most two 1/(60+r) terms
+    for r in rows:
+        assert 0.0 < r["rrf"] <= 2.0 / 61.0 + 1e-12
+
+
+def test_daily_holt_planted(ray_session, tmp_path):
+    """A perfectly linear series y = 10, 20, 30, ...: Holt's level
+    locks onto the series and the trend converges toward the true
+    slope; the exact first steps are hand-replayed."""
+    rows = []
+    eid = 0
+    for d in range(8):
+        for j in range(10 * (d + 1)):
+            eid += 1
+            rows.append((eid, 1, d * DAY_MIN + j, "a", 1.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_daily_holt
+
+    out = _tab(q_events_daily_holt(str(tmp_path))).to_pylist()
+    out.sort(key=lambda r: r["day"])
+    assert [r["n_events"] for r in out] == [10 * (d + 1)
+                                            for d in range(8)]
+    # day 1: l=10, b=0.  day 2: l=(20+10)/2=15, b=(5+0)/2=2.5
+    assert out[0]["level"] == 10.0 and out[0]["trend"] == 0.0
+    assert out[1]["level"] == 15.0 and out[1]["trend"] == 2.5
+    assert out[1]["forecast_next"] == 17.5
+    # trend converges toward the true slope 10 (overshoot allowed:
+    # the 0-seeded trend oscillates before settling)
+    assert 8.0 < out[-1]["trend"] < 12.0
