@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sentence_stats": q.q_documents_sentence_stats,
         "embeddings_rrf_fusion": q.q_embeddings_rrf_fusion,
         "events_daily_holt": q.q_events_daily_holt,
+        "events_logit_purchase": q.q_events_logit_purchase,
     }
 
 
@@ -4767,5 +4768,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h.l + h.b AS DOUBLE) / 1000000.0
                        AS forecast_next
             FROM h JOIN r USING (rn)
+        """,
+        "events_logit_purchase": """
+            WITH RECURSIVE
+            cells AS (SELECT CAST(isodow(ts) >= 6 AS BIGINT) AS x1,
+                             CAST(hour(ts) >= 18 AS BIGINT) AS x2,
+                             CAST(event_type = 'purchase' AS BIGINT)
+                                 AS y,
+                             CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY 1, 2, 3),
+            nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+            w(it, w0, w1, w2) AS (
+                SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT it + 1,
+                       w0 - CAST(round(0.5 * (CAST(g0 AS DOUBLE)
+                            / CAST((SELECT n FROM nn) AS DOUBLE)))
+                            AS BIGINT),
+                       w1 - CAST(round(0.5 * (CAST(g1 AS DOUBLE)
+                            / CAST((SELECT n FROM nn) AS DOUBLE)))
+                            AS BIGINT),
+                       w2 - CAST(round(0.5 * (CAST(g2 AS DOUBLE)
+                            / CAST((SELECT n FROM nn) AS DOUBLE)))
+                            AS BIGINT)
+                FROM (SELECT it, w0, w1, w2,
+                             CAST(SUM(qr * cnt) AS BIGINT) AS g0,
+                             CAST(SUM(qr * cnt * x1) AS BIGINT) AS g1,
+                             CAST(SUM(qr * cnt * x2) AS BIGINT) AS g2
+                      FROM (SELECT w.it, w.w0, w.w1, w.w2,
+                                   c.cnt, c.x1, c.x2,
+                                   CAST(round((1.0 / (1.0 + exp(-(
+                                        CAST(w.w0 + w.w1 * c.x1
+                                             + w.w2 * c.x2 AS DOUBLE)
+                                        / 1000000000.0)))
+                                        - CAST(c.y AS DOUBLE))
+                                        * 1000000000) AS BIGINT) AS qr
+                            FROM w, cells c WHERE w.it < 50)
+                      GROUP BY 1, 2, 3, 4)),
+            fin AS (SELECT w0, w1, w2 FROM w WHERE it = 50),
+            sc AS (SELECT c.cnt, c.y,
+                          1.0 / (1.0 + exp(-(CAST(f.w0 + f.w1 * c.x1
+                               + f.w2 * c.x2 AS DOUBLE)
+                               / 1000000000.0))) AS s
+                   FROM cells c, fin f),
+            ll AS (SELECT CAST(SUM(cnt * CASE WHEN y = 1
+                           THEN CAST(round(ln(s) * 1000000) AS BIGINT)
+                           ELSE CAST(round(ln(1.0 - s) * 1000000)
+                                     AS BIGINT)
+                           END) AS BIGINT) AS num
+                   FROM sc)
+            SELECT nn.n AS n_events,
+                   CAST(f.w0 AS DOUBLE) / 1000000000.0 AS w_intercept,
+                   CAST(f.w1 AS DOUBLE) / 1000000000.0 AS w_weekend,
+                   CAST(f.w2 AS DOUBLE) / 1000000000.0 AS w_evening,
+                   -(CAST(ll.num AS DOUBLE) / 1000000.0)
+                       / CAST(nn.n AS DOUBLE) AS log_loss
+            FROM fin f, ll, nn
         """,
     }

@@ -13215,3 +13215,83 @@ def q_events_daily_holt(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_events_logit_purchase(sf_dir: str) -> Dataset:
+    """Distributed logistic regression, ORACLE-CHECKED end to end:
+    purchase propensity on [1, is_weekend, is_evening] by 50 full-batch
+    gradient-descent steps (η = 0.5) — the counterpart to the kmeans /
+    pagerank iterative family, but with binary features the sufficient
+    statistics collapse to the 8-cell (x1, x2, y) count grid, so the
+    whole GD trajectory is bit-replayed by the twin's recursive CTE
+    (the markov_stationary discipline applied to model fitting).
+
+    Parity design: weights live as int64 at scale 1e9; per step the
+    per-cell residual σ(w·x) − y is quantized to int64 at 1e9, the
+    gradient components are order-free integer sums Σ qr·cnt·x_j, and
+    the update subtracts round(0.5·G/n).  The final log-loss rides
+    1e6-quantized ln(σ)/ln(1−σ) per cell.  Gradient headroom: |qr| ≤
+    1e9, so Σ qr·cnt caps the corpus at ~9e9 events per cell grid —
+    beyond that raise the partial-sum width (same caveat family as
+    source_kl).
+
+    Scale shape: ONE pass over events builds the bounded cell grid
+    (tree combine); all 50 iterations are driver math on 8 rows."""
+    import numpy as np
+
+    ITERS, ETA, QW = 50, 0.5, 1e9
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x1 = (_isodow_from_us(us) >= 6).astype(np.int64)
+        x2 = ((us // 3_600_000_000) % 24 >= 18).astype(np.int64)
+        y = pc.equal(b.column("event_type"), "purchase") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
+                      "y": pa.array(y),
+                      "one": pa.array(np.ones(len(us), np.int64))})
+        g = t.group_by(["x1", "x2", "y"]).aggregate([("one", "sum")])
+        return g.rename_columns(["x1", "x2", "y", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["x1", "x2", "y"], [("p_n", "sum")],
+        ["x1", "x2", "y", "p_n"], ["x1", "x2", "y", "cnt"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        x1 = b.column("x1").to_numpy(zero_copy_only=False)
+        x2 = b.column("x2").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        n = np.float64(int(cnt.sum()))
+        w = np.zeros(3, np.int64)
+        for _ in range(ITERS):
+            z = (w[0] + w[1] * x1 + w[2] * x2).astype(np.float64) / QW
+            s = 1.0 / (1.0 + np.exp(-z))
+            qr = scaled_int_sql(s - y.astype(np.float64), QW)
+            g0 = int((qr * cnt).sum())
+            g1 = int((qr * cnt * x1).sum())
+            g2 = int((qr * cnt * x2).sum())
+            for j, g in enumerate((g0, g1, g2)):
+                w[j] = w[j] - int(scaled_int_sql(
+                    np.array([ETA * (np.float64(g) / n)]), 1.0)[0])
+        z = (w[0] + w[1] * x1 + w[2] * x2).astype(np.float64) / QW
+        s = 1.0 / (1.0 + np.exp(-z))
+        q1 = scaled_int_sql(np.log(s), 1e6)
+        q0 = scaled_int_sql(np.log(1.0 - s), 1e6)
+        ll_num = int((cnt * np.where(y == 1, q1, q0)).sum())
+        loss = -(np.float64(ll_num) / 1e6) / n
+        return pa.table({
+            "n_events": pa.array([int(n)], pa.int64()),
+            "w_intercept": pa.array([w[0] / QW], pa.float64()),
+            "w_weekend": pa.array([w[1] / QW], pa.float64()),
+            "w_evening": pa.array([w[2] / QW], pa.float64()),
+            "log_loss": pa.array([float(loss)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -360,3 +360,28 @@ def test_daily_holt_planted(ray_session, tmp_path):
     # trend converges toward the true slope 10 (overshoot allowed:
     # the 0-seeded trend oscillates before settling)
     assert 8.0 < out[-1]["trend"] < 12.0
+
+
+def test_logit_purchase_planted(ray_session, tmp_path):
+    """A corpus where purchases happen ONLY on weekends: the weekend
+    weight must come out strongly positive, the evening weight ~0 (no
+    evening signal), and the loss far below the ln 2 of an
+    uninformed model."""
+    rows = []
+    eid = 0
+    for rep in range(30):
+        # weekdays: views at noon (x1=0, x2=0, y=0)
+        rows.append((eid := eid + 1, 1, rep * 7 * DAY_MIN + 12 * 60,
+                     "view", 1.0))
+        # weekends (Sat): purchases at noon (x1=1, x2=0, y=1)
+        rows.append((eid := eid + 1, 1,
+                     (rep * 7 + 5) * DAY_MIN + 12 * 60,
+                     "purchase", 1.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_logit_purchase
+
+    r = _tab(q_events_logit_purchase(str(tmp_path))).to_pylist()[0]
+    assert r["n_events"] == 60
+    assert r["w_weekend"] > 1.0
+    assert r["w_evening"] == 0.0
+    assert 0.0 < r["log_loss"] < math.log(2.0)
