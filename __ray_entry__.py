@@ -522,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_rrf_fusion": q.q_embeddings_rrf_fusion,
         "events_daily_holt": q.q_events_daily_holt,
         "events_logit_purchase": q.q_events_logit_purchase,
+        "customers_golden_record": q.q_customers_golden_record,
+        "events_hour_dow_heatmap": q.q_events_hour_dow_heatmap,
     }
 
 
@@ -4825,5 +4827,54 @@ def oracle_sql() -> dict[str, str]:
                    -(CAST(ll.num AS DOUBLE) / 1000000.0)
                        / CAST(nn.n AS DOUBLE) AS log_loss
             FROM fin f, ll, nn
+        """,
+        "customers_golden_record": """
+            WITH RECURSIVE
+            names AS (SELECT DISTINCT c_name FROM customer),
+            p AS (SELECT a.c_name AS na, b.c_name AS nb
+                  FROM customer a, customer b
+                  WHERE a.c_name < b.c_name
+                    AND a.c_nationkey = b.c_nationkey
+                    AND levenshtein(a.c_name, b.c_name) = 1),
+            e AS (SELECT na AS a, nb AS b FROM p
+                  UNION ALL SELECT nb, na FROM p),
+            r AS (SELECT c_name AS id, c_name AS reach FROM names
+                  UNION
+                  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+            rep AS (SELECT id AS c_name, MIN(reach) AS rep
+                    FROM r GROUP BY id),
+            m AS (SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+                         rep.rep
+                  FROM customer c JOIN rep USING (c_name)),
+            surv AS (SELECT rep,
+                            CAST(MIN(c_custkey) AS BIGINT)
+                                AS canonical_custkey,
+                            CAST(COUNT(*) AS BIGINT) AS n_members,
+                            CAST(MAX(CAST(round(c_acctbal * 100)
+                                 AS BIGINT)) AS BIGINT)
+                                AS max_acctbal_cents,
+                            MAX(c_mktsegment) AS top_segment,
+                            MAX(lpad(CAST(CAST(round(c_acctbal * 100)
+                                     AS BIGINT) + 10000000 AS VARCHAR),
+                                     10, '0')
+                                || lpad(CAST(c_custkey AS VARCHAR),
+                                        12, '0')) AS packed
+                     FROM m GROUP BY rep)
+            SELECT rep AS rep_name, canonical_custkey, n_members,
+                   max_acctbal_cents, top_segment,
+                   CAST(substr(packed, 11) AS BIGINT)
+                       AS richest_custkey
+            FROM surv
+        """,
+        "events_hour_dow_heatmap": """
+            WITH g AS (SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                              CAST(hour(ts) AS BIGINT) AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT isodow, hour, n AS n_events,
+                   CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER (PARTITION BY isodow)
+                              AS DOUBLE) AS share_of_dow
+            FROM g
         """,
     }

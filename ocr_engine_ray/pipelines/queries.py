@@ -13295,3 +13295,161 @@ def q_events_logit_purchase(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_customers_golden_record(sf_dir: str) -> Dataset:
+    """Entity resolution with survivorship (the MDM 'golden record'
+    step): customers whose names sit at edit distance ≤ 1 AND share a
+    nation (the classic blocking rule — without it TPC-H's sequential
+    names chain the whole table into one degenerate cluster) collapse
+    into one cluster, and each cluster keeps one surviving record by
+    explicit rules — canonical key = MIN(c_custkey), balance = MAX
+    (exact cents), the richest member's custkey (arg-max by balance,
+    ties to the larger key, via the packed-string arg-max the CDC
+    compaction uses; cents offset by +10⁷ keep negative balances
+    lexically ordered), segment = MAX(c_mktsegment), plus the member
+    count.  Cluster id = MIN member name.
+
+    Scale shape: candidate pairs come from the SymSpell-blocked fuzzy
+    join (q_customers_fuzzy_name_pairs — no cross join); the pair list
+    is the bounded candidate stream every dedup family already pulls
+    to the driver for union-find, the name→rep map broadcasts once,
+    and survivorship is one partial-agg + hash groupby over rep.  The
+    twin replays the clusters through the recursive-CTE closure and
+    the identical packed-string MAX."""
+    import numpy as np
+
+    pairs = q_customers_fuzzy_name_pairs(sf_dir).take_all()
+
+    # nation lookup ONLY for names appearing in candidate pairs (the
+    # bounded candidate stream) — never the whole customer table
+    pair_names = sorted({r["name_a"] for r in pairs}
+                        | {r["name_b"] for r in pairs})
+    names_ref = ray.put(set(pair_names))
+    nat_rows = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_name", "c_nationkey"]) \
+        .map_batches(
+            lambda b: b.filter(pa.array(
+                [n in ray.get(names_ref)
+                 for n in b.column("c_name").to_pylist()])),
+            batch_format="pyarrow").take_all()
+    nat = {r["c_name"]: r["c_nationkey"] for r in nat_rows}
+    pairs = [r for r in pairs
+             if nat.get(r["name_a"]) == nat.get(r["name_b"])]
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b_ = r["name_a"], r["name_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b_, b_)
+        ra, rb = find(a), find(b_)
+        if ra != rb:
+            # union by MIN so the representative is the smallest name
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rep_map = {n: find(n) for n in parent}
+    rep_ref = ray.put(rep_map)
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        names = b.column("c_name").to_pylist()
+        rep = pa.array([m.get(n, n) for n in names], pa.string())
+        cents = scaled_int_sql(b.column("c_acctbal"), 100.0)
+        packed = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(
+                pa.array(cents + 10_000_000, pa.int64()),
+                pa.string()), 10, "0"),
+            pc.utf8_lpad(pc.cast(b.column("c_custkey"), pa.string()),
+                         12, "0"), "")
+        t = pa.table({
+            "rep": rep,
+            "k": b.column("c_custkey"),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "cents": pa.array(cents, pa.int64()),
+            "seg": b.column("c_mktsegment"),
+            "packed": packed,
+        })
+        g = t.group_by("rep").aggregate(
+            [("k", "min"), ("one", "sum"), ("cents", "max"),
+             ("seg", "max"), ("packed", "max")])
+        return g.rename_columns(
+            ["rep", "p_k", "p_n", "p_c", "p_s", "p_a"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rep").aggregate(
+            Min("p_k", alias_name="canonical_custkey"),
+            Sum("p_n", alias_name="n_members"),
+            Max("p_c", alias_name="max_acctbal_cents"),
+            Max("p_s", alias_name="top_segment"),
+            Max("p_a", alias_name="packed"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rep_name": b.column("rep"),
+            "canonical_custkey": pc.cast(
+                b.column("canonical_custkey"), pa.int64()),
+            "n_members": pc.cast(b.column("n_members"), pa.int64()),
+            "max_acctbal_cents": pc.cast(
+                b.column("max_acctbal_cents"), pa.int64()),
+            "top_segment": b.column("top_segment"),
+            "richest_custkey": pc.cast(pc.utf8_slice_codeunits(
+                b.column("packed").combine_chunks(), 10, 2 ** 31 - 1),
+                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_hour_dow_heatmap(sf_dir: str) -> Dataset:
+    """Hour-of-day × day-of-week activity heatmap with each cell's
+    share within its dow — the calendar-grid view every ops dashboard
+    draws.  One bounded (dow, hour) count partial per block, tree
+    combine over the ≤168-cell grid; shares divide exact ints on the
+    final block the twin's way (window SUM per dow)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = _isodow_from_us(us).astype(np.int64)
+        hr = ((us // 3_600_000_000) % 24).astype(np.int64)
+        t = pa.table({"isodow": pa.array(dow), "hour": pa.array(hr),
+                      "one": pa.array(np.ones(len(us), np.int64))})
+        g = t.group_by(["isodow", "hour"]).aggregate([("one", "sum")])
+        return g.rename_columns(["isodow", "hour", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["isodow", "hour"], [("p_n", "sum")],
+        ["isodow", "hour", "p_n"], ["isodow", "hour", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("isodow", "ascending"), ("hour", "ascending")])
+        dow = b.column("isodow").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.zeros(8, np.int64)
+        np.add.at(tot, dow, n)
+        return pa.table({
+            "isodow": b.column("isodow"),
+            "hour": b.column("hour"),
+            "n_events": pa.array(n, pa.int64()),
+            "share_of_dow": pa.array(
+                n.astype(np.float64) / tot[dow].astype(np.float64),
+                pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

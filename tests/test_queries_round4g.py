@@ -385,3 +385,45 @@ def test_logit_purchase_planted(ray_session, tmp_path):
     assert r["w_weekend"] > 1.0
     assert r["w_evening"] == 0.0
     assert 0.0 < r["log_loss"] < math.log(2.0)
+
+
+def test_golden_record_planted(ray_session, tmp_path):
+    """Three records 'Ann'/'Anna'(ed 1, same nation), 'Bob' isolated;
+    'Anne' in ANOTHER nation must NOT join the Ann cluster despite
+    ed 1 to 'Anna' — the blocking rule.  Survivorship rules checked
+    member-by-member."""
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["Ann", "Anna", "Bob", "Anne"], pa.string()),
+        "c_nationkey": pa.array([7, 7, 7, 9], pa.int64()),
+        "c_acctbal": pa.array([10.0, 25.5, 3.0, 99.0], pa.float64()),
+        "c_mktsegment": pa.array(["AUTO", "BUILDING", "AUTO", "AUTO"],
+                                 pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_customers_golden_record
+
+    out = {r["rep_name"]: r for r in
+           _tab(q_customers_golden_record(str(tmp_path))).to_pylist()}
+    assert set(out) == {"Ann", "Bob", "Anne"}
+    g = out["Ann"]
+    assert g["n_members"] == 2
+    assert g["canonical_custkey"] == 1
+    assert g["max_acctbal_cents"] == 2550
+    assert g["richest_custkey"] == 2
+    assert g["top_segment"] == "BUILDING"
+    assert out["Anne"]["n_members"] == 1
+
+
+def test_hour_dow_heatmap_planted(ray_session, tmp_path):
+    """Two Monday-noon events and one Monday-18h event: shares within
+    the dow are 2/3 and 1/3."""
+    rows = [(1, 1, 12 * 60, "a", 1.0), (2, 1, 12 * 60 + 1, "a", 1.0),
+            (3, 1, 18 * 60, "a", 1.0)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_hour_dow_heatmap
+
+    out = {(r["isodow"], r["hour"]): r for r in
+           _tab(q_events_hour_dow_heatmap(str(tmp_path))).to_pylist()}
+    assert out[(1, 12)]["n_events"] == 2
+    assert abs(out[(1, 12)]["share_of_dow"] - 2.0 / 3.0) < 1e-12
+    assert abs(out[(1, 18)]["share_of_dow"] - 1.0 / 3.0) < 1e-12
