@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_logit_purchase": q.q_events_logit_purchase,
         "customers_golden_record": q.q_customers_golden_record,
         "events_hour_dow_heatmap": q.q_events_hour_dow_heatmap,
+        "embeddings_silhouette": q.q_embeddings_silhouette,
     }
 
 
@@ -4876,5 +4877,49 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(SUM(n) OVER (PARTITION BY isodow)
                               AS DOUBLE) AS share_of_dow
             FROM g
+        """,
+        "embeddings_silhouette": """
+            WITH dims AS (SELECT e.vec_id, e.label, t.i AS dim,
+                                 CAST(e.embedding[t.i] AS DOUBLE) AS x
+                          FROM embeddings e,
+                               unnest(range(1, 65)) AS t(i)),
+            cent AS (SELECT label, dim,
+                            CAST(SUM(CAST(round(x * 1073741824.0)
+                                 AS BIGINT)) AS BIGINT) AS s,
+                            CAST(COUNT(*) AS BIGINT) AS n
+                     FROM dims GROUP BY 1, 2),
+            mu AS (SELECT label AS c_label, dim,
+                          (CAST(s AS DOUBLE) / 1073741824.0)
+                              / CAST(n AS DOUBLE) AS m
+                   FROM cent),
+            d2 AS (SELECT d.vec_id, d.label AS row_label, mu.c_label,
+                          CAST(SUM(CAST(round((d.x - mu.m)
+                               * (d.x - mu.m) * 1000000000000.0)
+                               AS BIGINT)) AS BIGINT) AS sq
+                   FROM dims d JOIN mu ON d.dim = mu.dim
+                   GROUP BY 1, 2, 3),
+            ab AS (SELECT vec_id, row_label,
+                          MAX(CASE WHEN c_label = row_label
+                              THEN sq END) AS a_sq,
+                          MIN(CASE WHEN c_label <> row_label
+                              THEN sq END) AS b_sq
+                   FROM d2 GROUP BY 1, 2),
+            sv AS (SELECT row_label AS label,
+                          sqrt(CAST(a_sq AS DOUBLE)
+                               / 1000000000000.0) AS a,
+                          sqrt(CAST(b_sq AS DOUBLE)
+                               / 1000000000000.0) AS b
+                   FROM ab),
+            qv AS (SELECT label,
+                          CAST(round((CASE WHEN GREATEST(a, b) = 0.0
+                               THEN 0.0
+                               ELSE (b - a) / GREATEST(a, b) END)
+                               * 1000000000) AS BIGINT) AS qs
+                   FROM sv)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   (CAST(SUM(qs) AS DOUBLE) / 1000000000.0)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+            FROM qv GROUP BY 1
         """,
     }

@@ -189,6 +189,20 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_twap(sf_dir).count())
     timed("ri_audit",
           lambda: q.q_ri_audit(sf_dir).count())
+    # round-4 session-9 additions: inference stats, ML primitives,
+    # entity resolution, hybrid retrieval
+    timed("documents_nb_classify",
+          lambda: q.q_documents_nb_classify(sf_dir).count())
+    timed("documents_js_divergence",
+          lambda: q.q_documents_js_divergence(sf_dir).count())
+    timed("customers_golden_record",
+          lambda: q.q_customers_golden_record(sf_dir).count())
+    timed("embeddings_rrf_fusion",
+          lambda: q.q_embeddings_rrf_fusion(sf_dir).count())
+    timed("events_logit_purchase",
+          lambda: q.q_events_logit_purchase(sf_dir).count())
+    timed("documents_sentence_stats",
+          lambda: q.q_documents_sentence_stats(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

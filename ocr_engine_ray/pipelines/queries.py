@@ -13453,3 +13453,115 @@ def q_events_hour_dow_heatmap(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_embeddings_silhouette(sf_dir: str) -> Dataset:
+    """Centroid silhouette per label — the clustering-quality score
+    (simplified silhouette: a = distance to own centroid, b = distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b)) every embedding
+    -space labeling job reports.  Fully exact: centroids ride the
+    label_centroids 2^30-quantized sums; each per-(row, centroid)
+    squared distance is an int64 sum of 1e12-quantized per-dim squares
+    (order-free), the nearest-other argmin compares those ints, the
+    per-row s is one fixed float expression, and the per-label mean
+    sums 1e9-quantized s values — so the twin hashes bit-exact despite
+    two levels of float math.
+
+    Scale shape: pass 1 is the bounded (label, dim) centroid combine;
+    pass 2 streams rows against the broadcast centroid matrix (one
+    vectorized numpy pass per bounded label count) into a bounded
+    per-label combine.  Nothing row-sized leaves the workers."""
+    import numpy as np
+
+    DIM, CSCALE, DSCALE, SSCALE = 64, float(1 << 30), 1e12, 1e9
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def cent_partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(b.column("embedding").combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        c = scaled_int_sql(flat, CSCALE).reshape(len(lab), DIM)
+        order = np.argsort(lab, kind="stable")
+        labs, starts = np.unique(lab[order], return_index=True)
+        sums = np.add.reduceat(c[order], starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(lab)]]))
+        return pa.table({
+            "label": pa.array(np.repeat(labs, DIM), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(DIM), len(labs)),
+                            pa.int64()),
+            "p_s": pa.array(sums.ravel(), pa.int64()),
+            "p_n": pa.array(np.repeat(counts, DIM), pa.int64()),
+        })
+
+    cent = _small_table(_tree_combine(
+        ds.map_batches(cent_partial, batch_format="pyarrow"),
+        ["label", "dim"], [("p_s", "sum"), ("p_n", "sum")],
+        ["label", "dim", "p_s", "p_n"],
+        ["label", "dim", "s", "n"]).materialize())
+
+    labs = np.sort(np.unique(
+        cent.column("label").to_numpy(zero_copy_only=False)))
+    k = len(labs)
+    mu = np.zeros((k, DIM), np.float64)
+    li = {int(l): i for i, l in enumerate(labs)}
+    cl = cent.column("label").to_numpy(zero_copy_only=False)
+    cd = cent.column("dim").to_numpy(zero_copy_only=False)
+    cs = cent.column("s").to_numpy(zero_copy_only=False)
+    cn = cent.column("n").to_numpy(zero_copy_only=False)
+    for l_, d_, s_, n_ in zip(cl, cd, cs, cn):
+        mu[li[int(l_)], d_] = (np.float64(s_) / CSCALE) / np.float64(n_)
+    mu_ref = ray.put((labs, mu))
+
+    def sil_partial(b: pa.Table) -> pa.Table:
+        labs_s, mu_s = ray.get(mu_ref)
+        lab = b.column("label").combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        X = pc.list_flatten(b.column("embedding").combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) \
+            .reshape(len(lab), DIM)
+        n = len(lab)
+        sq = np.empty((n, len(labs_s)), np.int64)
+        for ci in range(len(labs_s)):
+            d = X - mu_s[ci]
+            sq[:, ci] = scaled_int_sql((d * d).ravel(), DSCALE) \
+                .reshape(n, DIM).sum(axis=1)
+        own_ci = np.searchsorted(labs_s, lab)
+        a_sq = sq[np.arange(n), own_ci]
+        sq_masked = sq.copy()
+        sq_masked[np.arange(n), own_ci] = np.iinfo(np.int64).max
+        b_sq = sq_masked.min(axis=1)
+        a = np.sqrt(a_sq.astype(np.float64) / DSCALE)
+        bb = np.sqrt(b_sq.astype(np.float64) / DSCALE)
+        mx = np.maximum(a, bb)
+        s = np.where(mx == 0.0, 0.0, (bb - a) / mx)
+        qs = scaled_int_sql(s, SSCALE)
+        t = pa.table({"label": pa.array(lab),
+                      "p_q": pa.array(qs, pa.int64()),
+                      "p_n": pa.array(np.ones(n, np.int64))})
+        g = t.group_by("label").aggregate(
+            [("p_q", "sum"), ("p_n", "sum")])
+        return g.rename_columns(["label", "p_q", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(sil_partial, batch_format="pyarrow"),
+        ["label"], [("p_q", "sum"), ("p_n", "sum")],
+        ["label", "p_q", "p_n"], ["label", "sq", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("label", "ascending")])
+        sqv = b.column("sq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nv = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "n_vectors": pc.cast(b.column("n"), pa.int64()),
+            "mean_silhouette": pa.array(
+                (sqv / SSCALE) / nv, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -427,3 +427,37 @@ def test_hour_dow_heatmap_planted(ray_session, tmp_path):
     assert out[(1, 12)]["n_events"] == 2
     assert abs(out[(1, 12)]["share_of_dow"] - 2.0 / 3.0) < 1e-12
     assert abs(out[(1, 18)]["share_of_dow"] - 1.0 / 3.0) < 1e-12
+
+
+def test_silhouette_planted(ray_session, tmp_path):
+    """Two tight, well-separated clusters score near 1; mixing one
+    vector into the wrong label drags that label's mean down and
+    makes the planted misfit's own contribution negative."""
+    import pyarrow.parquet as pq
+
+    DIM = 64
+    rows = []
+    # label 0 around (0,...): 4 vectors at tiny offsets
+    for i, off in enumerate((0.0, 0.01, -0.01, 0.02)):
+        rows.append((i, 0, [off] + [0.0] * (DIM - 1)))
+    # label 1 around (10, ...): 3 vectors
+    for i, off in enumerate((0.0, 0.01, -0.01)):
+        rows.append((10 + i, 1, [10.0 + off] + [0.0] * (DIM - 1)))
+    # misfit: sits at the label-1 centroid but is labeled 0
+    rows.append((99, 0, [10.0] + [0.0] * (DIM - 1)))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "label": pa.array([r[1] for r in rows], pa.int32()),
+        "embedding": pa.array([r[2] for r in rows],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_silhouette
+
+    out = {r["label"]: r for r in
+           _tab(q_embeddings_silhouette(str(tmp_path))).to_pylist()}
+    assert out[1]["n_vectors"] == 3
+    assert out[1]["mean_silhouette"] > 0.9      # tight & far
+    assert out[0]["n_vectors"] == 5
+    # the misfit contributes a strongly negative s, pulling label 0
+    # well below label 1
+    assert out[0]["mean_silhouette"] < out[1]["mean_silhouette"] - 0.2
