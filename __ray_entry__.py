@@ -525,6 +525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_golden_record": q.q_customers_golden_record,
         "events_hour_dow_heatmap": q.q_events_hour_dow_heatmap,
         "embeddings_silhouette": q.q_embeddings_silhouette,
+        "documents_simpson_diversity": q.q_documents_simpson_diversity,
+        "orders_backlog_curve": q.q_orders_backlog_curve,
     }
 
 
@@ -4921,5 +4923,40 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(SUM(qs) AS DOUBLE) / 1000000000.0)
                        / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
             FROM qv GROUP BY 1
+        """,
+        "documents_simpson_diversity": """
+            WITH t AS (SELECT source, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM t GROUP BY 1, 2)
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                       / (CAST(SUM(c) AS DOUBLE)
+                          * (CAST(SUM(c) AS DOUBLE) - 1.0))
+                       AS simpson_diversity
+            FROM st GROUP BY source
+        """,
+        "orders_backlog_curve": """
+            WITH o AS (SELECT o_orderdate AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n_opened
+                       FROM orders GROUP BY 1),
+            last_ship AS (SELECT l_orderkey, MAX(l_shipdate) AS d
+                          FROM lineitem GROUP BY 1),
+            c AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT)
+                          AS n_closed
+                  FROM last_ship GROUP BY 1),
+            g AS (SELECT COALESCE(o.day, c.day) AS day,
+                         COALESCE(o.n_opened, 0) AS n_opened,
+                         COALESCE(c.n_closed, 0) AS n_closed
+                  FROM o FULL OUTER JOIN c ON o.day = c.day)
+            SELECT day,
+                   CAST(n_opened AS BIGINT) AS n_opened,
+                   CAST(n_closed AS BIGINT) AS n_closed,
+                   CAST(SUM(n_opened - n_closed)
+                        OVER (ORDER BY day) AS BIGINT) AS open_backlog
+            FROM g
         """,
     }

@@ -12595,29 +12595,34 @@ def q_documents_nb_classify(sf_dir: str) -> Dataset:
 
     Exact-integer decomposition: with Laplace smoothing, score(d, c) =
     Σ_t∈d ln(cnt(c,t)+1) − |d|·ln(T_c + V); unseen (c,t) pairs
-    contribute ln(1) = 0, so the scoring join only touches OBSERVED
-    class-token rows and missing classes densify with s = 0.  Both ln
-    terms are quantized to int64 (round(ln·1e6), the unigram_logprob
-    precedent), every sum is order-independent int64, and the per-doc
-    argmax rides a packed key (score·64 − class_idx, classes in sorted
-    order) whose max is exactly the twin's ORDER BY score DESC, cls ASC.
+    contribute ln(1) = 0, so the model matrix is zero-filled there.
+    Both ln terms are quantized to int64 (round(ln·1e6), the
+    unigram_logprob precedent), every per-doc sum is order-independent
+    int64, and the per-doc argmax rides a packed key (score·64 −
+    class_idx, classes in sorted order) whose max is exactly the
+    twin's ORDER BY score DESC, cls ASC.
 
-    Scale shape: per-doc token counts fold INSIDE the tokenizing batch
-    (a document never straddles blocks), so the only exchanges are the
-    (class, token) vocabulary groupby, the token-keyed scoring join,
-    and a (doc, class) combine at K×n_docs rows; the class-constant
-    table (T_c, V — a handful of rows) is the lone driver-side state.
+    Scale shape: training is ONE (class, token) vocabulary groupby
+    (per-doc counts fold inside the tokenizing batch — a document
+    never straddles blocks); the fitted model (V×K quantized
+    log-likelihood matrix — NB's model-fits-in-memory assumption,
+    ~3 MB/100k-token vocabulary at 20 classes) broadcasts once via
+    ray.put, and scoring + per-doc argmax + the confusion partial all
+    run INSIDE each scoring batch — no token-keyed join, no (doc,
+    class) exchange.  (The first version shipped that join; it fanned
+    out ×|classes| per token occurrence and cost 43 s at sf0.1 where
+    this broadcast form is one corpus scan.)
 
     No direct reference analogue (engine-mandated ML primitive); the
-    per-class state mirrors SURVEY §2.4's stateful-stage discipline."""
+    broadcast-model scoring mirrors the kmeans/pagerank discipline."""
     import numpy as np
 
     ds = rd.read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "source", "text"])
 
     def dt_rows(b: pa.Table) -> pa.Table:
-        """(doc_id, source, tok, c_dt): per-doc token counts, folded
-        locally — each document's tokens live in one batch."""
+        """(source, tok, c_dt): per-doc token counts folded locally —
+        each document's tokens live in one batch."""
         toks = pc.split_pattern(b.column("text"), " ")
         flat = pc.list_flatten(toks)
         n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -12639,22 +12644,17 @@ def q_documents_nb_classify(sf_dir: str) -> Dataset:
         g = b.group_by(["source", "tok"]).aggregate([("c_dt", "sum")])
         return g.rename_columns(["cls", "tok", "p_c"])
 
-    ctc = with_schema(
+    ctc = _small_table(
         dt.map_batches(ct_partial, batch_format="pyarrow")
-        .groupby(["cls", "tok"]).aggregate(Sum("p_c", alias_name="c")),
-        pa.schema([("cls", pa.string()), ("tok", pa.string()),
-                   ("c", pa.int64())])).materialize()
+        .groupby(["cls", "tok"]).aggregate(Sum("p_c", alias_name="c")))
 
-    # class constants: T_c (tokens per class) and V (vocabulary size) —
-    # bounded driver-side state, like the broadcast dims elsewhere.
-    tcls_rows = ctc.map_batches(
-        lambda b: b.group_by("cls").aggregate([("c", "sum")])
-        .rename_columns(["cls", "t_c"]),
-        batch_format="pyarrow") \
-        .groupby("cls").aggregate(Sum("t_c", alias_name="t_c")) \
-        .take_all()
-    t_c = {r["cls"]: int(r["t_c"]) for r in tcls_rows}
-    vocab_n = ctc.groupby("tok").count().count()
+    cls_col = ctc.column("cls").to_numpy(zero_copy_only=False)
+    tok_col = ctc.column("tok").combine_chunks()
+    c_col = ctc.column("c").to_numpy(zero_copy_only=False)
+
+    t_c: dict = {}
+    for cl, cv in zip(cls_col, c_col):
+        t_c[cl] = t_c.get(cl, 0) + int(cv)
     classes = sorted(t_c)
     if len(classes) > 64:
         # the argmax rides packed = score·64 − class_idx; beyond 64
@@ -12663,109 +12663,50 @@ def q_documents_nb_classify(sf_dir: str) -> Dataset:
         raise ValueError(
             f"nb_classify: {len(classes)} classes exceed the 64-class "
             "packed-argmax capacity; widen the pack factor first")
-    qz = {c: int(scaled_int_sql(
-        np.array([np.log(np.float64(t_c[c] + vocab_n))]), 1e6)[0])
-        for c in classes}
-
-    def q_rows(b: pa.Table) -> pa.Table:
-        c = b.column("c").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        return pa.table({
-            "tok": b.column("tok"),
-            "cls": b.column("cls"),
-            "q1": pa.array(scaled_int_sql(np.log(c + 1.0), 1e6),
-                           pa.int64()),
-        })
-
-    qtab = ctc.map_batches(q_rows, batch_format="pyarrow")
-
-    # scoring join: observed (doc, tok) counts × observed (cls, tok)
-    # log-likelihoods; contribution = c_dt · q1.
-    j = dt.join(qtab, join_type="inner", num_partitions=8, on=("tok",))
-
-    def score_partial(b: pa.Table) -> pa.Table:
-        c_dt = b.column("c_dt").to_numpy(zero_copy_only=False)
-        q1 = b.column("q1").to_numpy(zero_copy_only=False)
-        t = pa.table({
-            "doc_id": b.column("doc_id"),
-            "source": b.column("source"),
-            "cls": b.column("cls"),
-            "p_s": pa.array(c_dt * q1, pa.int64()),
-            "p_nt": pa.array(np.zeros(b.num_rows, np.int64)),
-        })
-        g = t.group_by(["doc_id", "source", "cls"]).aggregate(
-            [("p_s", "sum"), ("p_nt", "sum")])
-        return g.rename_columns(
-            ["doc_id", "source", "cls", "p_s", "p_nt"])
-
-    # densifier: one s=0 row per (doc, class) carrying |d| so every
-    # class scores even with zero token overlap.
-    def grid_rows(b: pa.Table) -> pa.Table:
-        g = b.group_by(["doc_id", "source"]).aggregate(
-            [("c_dt", "sum")])
-        nd = g.num_rows
-        k = len(classes)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(
-                g.column("doc_id").to_numpy(zero_copy_only=False), k),
-                pa.int64()),
-            "source": pa.array(np.repeat(
-                g.column("source").to_numpy(zero_copy_only=False), k),
-                pa.string()),
-            "cls": pa.array(np.tile(np.array(classes, object), nd),
-                            pa.string()),
-            "p_s": pa.array(np.zeros(nd * k, np.int64)),
-            "p_nt": pa.array(np.repeat(
-                g.column("c_dt_sum").to_numpy(zero_copy_only=False), k)
-                .astype(np.int64)),
-        })
-
-    scores = j.map_batches(score_partial, batch_format="pyarrow") \
-        .union(dt.map_batches(grid_rows, batch_format="pyarrow")) \
-        .groupby(["doc_id", "source", "cls"]).aggregate(
-            Sum("p_s", alias_name="s"),
-            Sum("p_nt", alias_name="n_tokens"))
-
+    k = len(classes)
     cls_idx = {c: i for i, c in enumerate(classes)}
-    qz_vec = np.array([qz[c] for c in classes], np.int64)
 
-    def pack_partial(b: pa.Table) -> pa.Table:
-        ci = np.array([cls_idx[c] for c in
-                       b.column("cls").to_pylist()], np.int64)
-        s = b.column("s").to_numpy(zero_copy_only=False)
-        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
-        score = s - nt * qz_vec[ci]
+    vocab = pc.unique(tok_col).sort()
+    vocab_n = len(vocab)
+    qz_vec = np.array([int(scaled_int_sql(
+        np.array([np.log(np.float64(t_c[c] + vocab_n))]), 1e6)[0])
+        for c in classes], np.int64)
+
+    # V×K quantized log-likelihood matrix; absent (cls, tok) = ln 1 = 0
+    q1_mat = np.zeros((vocab_n, k), np.int64)
+    vid = pc.index_in(tok_col, value_set=vocab)         .to_numpy(zero_copy_only=False)
+    ci = np.array([cls_idx[c] for c in cls_col], np.int64)
+    q1_mat[vid, ci] = scaled_int_sql(
+        np.log(c_col.astype(np.float64) + 1.0), 1e6)
+    model_ref = ray.put((vocab, q1_mat, qz_vec,
+                         np.array(classes, object)))
+
+    def classify(b: pa.Table) -> pa.Table:
+        voc, q1m, qz, cls_arr = ray.get(model_ref)
+        toks = pc.split_pattern(b.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        nper = pc.list_value_length(toks)             .to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(flat, value_set=voc)             .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(nper)[:-1]])
+        S = np.add.reduceat(q1m[idx], starts, axis=0)
+        score = S - nper[:, None] * qz[None, :]
+        packed = score * 64 - np.arange(k, dtype=np.int64)[None, :]
+        pred = cls_arr[np.argmax(packed, axis=1)]
         t = pa.table({
-            "doc_id": b.column("doc_id"),
             "source": b.column("source"),
-            "packed": pa.array(score * 64 - ci, pa.int64()),
-        })
-        g = t.group_by(["doc_id", "source"]).aggregate(
-            [("packed", "max")])
-        return g.rename_columns(["doc_id", "source", "p_m"])
-
-    best = scores.map_batches(pack_partial, batch_format="pyarrow") \
-        .groupby(["doc_id", "source"]).aggregate(
-            Max("p_m", alias_name="m"))
-
-    cls_arr = np.array(classes, object)
-
-    def conf_partial(b: pa.Table) -> pa.Table:
-        m = b.column("m").to_numpy(zero_copy_only=False)
-        score = -(-m // 64)
-        idx = score * 64 - m
-        t = pa.table({
-            "source": b.column("source"),
-            "predicted": pa.array(cls_arr[idx], pa.string()),
+            "predicted": pa.array(pred, pa.string()),
         })
         g = t.group_by(["source", "predicted"]).aggregate(
             [("predicted", "count")])
         return g.rename_columns(["source", "predicted", "p_n"])
 
     agg = _tree_combine(
-        best.map_batches(conf_partial, batch_format="pyarrow"),
+        ds.map_batches(classify, batch_format="pyarrow"),
         ["source", "predicted"], [("p_n", "sum")],
-        ["source", "predicted", "p_n"], ["source", "predicted", "n_docs"])
+        ["source", "predicted", "p_n"],
+        ["source", "predicted", "n_docs"])
 
     return agg.map_batches(
         lambda b: b.sort_by([("source", "ascending"),
@@ -13561,6 +13502,159 @@ def q_embeddings_silhouette(sf_dir: str) -> Dataset:
             "n_vectors": pc.cast(b.column("n"), pa.int64()),
             "mean_silhouette": pa.array(
                 (sqv / SSCALE) / nv, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_documents_simpson_diversity(sf_dir: str) -> Dataset:
+    """Per-source Simpson diversity of the token distribution —
+    1 − Σ c(c−1)/(N(N−1)), the probability two random tokens differ —
+    the concentration fingerprint that needs NO logarithm: every term
+    is an exact int64, the only float is the final ratio, so parity is
+    structural.  Headroom: Σ c(c−1) caps a source at ~3e9 tokens on a
+    single dominating term (same caveat family as source_kl).
+
+    Scale shape: one (source, token) exchange (the st table every
+    per-source text stat shares), then a bounded per-source combine."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(np.repeat(src, n), pa.string()),
+            "tok": flat,
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "p_n"])
+
+    st = toks.map_batches(st_partial, batch_format="pyarrow") \
+        .groupby(["source", "tok"]).aggregate(
+            Sum("p_n", alias_name="c"))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": b.column("source"),
+            "p_pairs": pa.array(c * (c - 1), pa.int64()),
+            "p_n": pa.array(c, pa.int64()),
+            "p_v": pa.array(np.ones(len(c), np.int64)),
+        })
+        g = t.group_by("source").aggregate(
+            [("p_pairs", "sum"), ("p_n", "sum"), ("p_v", "sum")])
+        return g.rename_columns(["source", "p_pairs", "p_n", "p_v"])
+
+    agg = _tree_combine(
+        st.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"],
+        [("p_pairs", "sum"), ("p_n", "sum"), ("p_v", "sum")],
+        ["source", "p_pairs", "p_n", "p_v"],
+        ["source", "pairs", "n", "v"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("source", "ascending")])
+        pr = b.column("pairs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pc.cast(b.column("n"), pa.int64()),
+            "n_types": pc.cast(b.column("v"), pa.int64()),
+            "simpson_diversity": pa.array(
+                1.0 - pr / (n * (n - 1.0)), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_orders_backlog_curve(sf_dir: str) -> Dataset:
+    """Daily open-order backlog: +1 when an order is placed, −1 on the
+    day its LAST lineitem ships, cumulated over the calendar — the
+    order-lifecycle balance curve a fulfilment dashboard tracks.
+    Orders whose lines never ship (none in TPC-H) would simply never
+    close.  Counts are exact int64; the running total folds on the
+    bounded day grid in the final block (no window shuffle).
+
+    Scale shape: the close-date pass is one partial arg-max per block
+    + one (orderkey) groupby — the only fact-sized exchange; open/close
+    deltas then tree-combine over calendar days."""
+    import numpy as np
+
+    opens = rd.read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_orderdate"])
+
+    def open_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": b.column("o_orderdate")})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "p_o"])
+
+    open_days = opens.map_batches(open_partial, batch_format="pyarrow")
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def close_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return g.rename_columns(["l_orderkey", "p_d"])
+
+    closes = with_schema(
+        li.map_batches(close_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Max("p_d", alias_name="d")),
+        pa.schema([("l_orderkey", pa.int64()),
+                   ("d", pa.timestamp("us"))]))
+
+    def close_days(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": b.column("d")})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "p_c"])
+
+    closed = closes.map_batches(close_days, batch_format="pyarrow")
+
+    def as_deltas_open(b: pa.Table) -> pa.Table:
+        return pa.table({"day": b.column("day"),
+                         "p_open": b.column("p_o"),
+                         "p_close": pa.array(
+                             np.zeros(b.num_rows, np.int64))})
+
+    def as_deltas_close(b: pa.Table) -> pa.Table:
+        return pa.table({"day": b.column("day"),
+                         "p_open": pa.array(
+                             np.zeros(b.num_rows, np.int64)),
+                         "p_close": b.column("p_c")})
+
+    deltas = open_days.map_batches(as_deltas_open,
+                                   batch_format="pyarrow") \
+        .union(closed.map_batches(as_deltas_close,
+                                  batch_format="pyarrow"))
+
+    agg = _tree_combine(
+        deltas, ["day"], [("p_open", "sum"), ("p_close", "sum")],
+        ["day", "p_open", "p_close"], ["day", "n_opened", "n_closed"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        o = b.column("n_opened").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = b.column("n_closed").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "day": b.column("day"),
+            "n_opened": pa.array(o, pa.int64()),
+            "n_closed": pa.array(c, pa.int64()),
+            "open_backlog": pa.array(np.cumsum(o - c), pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow",
