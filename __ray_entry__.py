@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_silhouette": q.q_embeddings_silhouette,
         "documents_simpson_diversity": q.q_documents_simpson_diversity,
         "orders_backlog_curve": q.q_orders_backlog_curve,
+        "documents_decision_stump": q.q_documents_decision_stump,
     }
 
 
@@ -4958,5 +4959,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_opened - n_closed)
                         OVER (ORDER BY day) AS BIGINT) AS open_backlog
             FROM g
+        """,
+        "documents_decision_stump": """
+            WITH g AS (SELECT n_chars AS x,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(*) FILTER (lang = 'en')
+                                   AS BIGINT) AS p
+                       FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                           CAST(SUM(p) AS BIGINT) AS pp
+                    FROM g),
+            pre AS (SELECT x,
+                           CAST(SUM(n) OVER (ORDER BY x) AS BIGINT)
+                               AS nl,
+                           CAST(SUM(p) OVER (ORDER BY x) AS BIGINT)
+                               AS pl
+                    FROM g),
+            s AS (SELECT x, nl, pl,
+                         tot.nn - nl AS nr, tot.pp - pl AS pr,
+                         tot.nn AS nn
+                  FROM pre, tot WHERE nl < tot.nn),
+            r AS (SELECT x, nl, nr, nn,
+                         CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)
+                             AS plr,
+                         CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)
+                             AS prr
+                  FROM s),
+            w AS (SELECT x, nl, nr,
+                         (CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * (1.0 - plr * plr
+                                - (1.0 - plr) * (1.0 - plr))
+                         + (CAST(nr AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * (1.0 - prr * prr
+                                - (1.0 - prr) * (1.0 - prr)) AS wg
+                  FROM r),
+            b0 AS (SELECT 1.0
+                          - (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (CAST(pp AS DOUBLE)
+                                 / CAST(nn AS DOUBLE))
+                          - (1.0 - CAST(pp AS DOUBLE)
+                                 / CAST(nn AS DOUBLE))
+                              * (1.0 - CAST(pp AS DOUBLE)
+                                     / CAST(nn AS DOUBLE)) AS g0
+                   FROM tot)
+            SELECT x AS split_threshold, nl AS n_left, nr AS n_right,
+                   wg AS weighted_gini,
+                   (SELECT g0 FROM b0) AS baseline_gini
+            FROM w ORDER BY wg, x LIMIT 1
         """,
     }

@@ -13659,3 +13659,73 @@ def q_orders_backlog_curve(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_documents_decision_stump(sf_dir: str) -> Dataset:
+    """Optimal decision stump (1-split CART) on document length
+    predicting lang = 'en': the Gini-impurity-minimizing threshold —
+    the exhaustive-split-search primitive under every tree learner,
+    oracle-checked.  For each candidate threshold t (each distinct
+    n_chars with a non-empty right side; rule x ≤ t), the weighted
+    impurity (nL/N)·G(L) + (nR/N)·G(R) is one fixed float expression
+    over exact prefix-sum ints, with G = 1 − p² − (1−p)², and the
+    argmin tie-breaks to the smallest t — identical floats both sides,
+    so ORDER BY wg, t replays bit-exact.
+
+    Scale shape: one bounded (n_chars) grid combine (the value domain,
+    not the corpus, bounds it); the split search is one vectorized
+    pass over the sorted grid in the final block."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["n_chars", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pos = pc.equal(b.column("lang"), "en").cast(pa.int64())
+        t = pa.table({"x": b.column("n_chars"),
+                      "one": pa.array(
+                          np.ones(b.num_rows, np.int64)),
+                      "pos": pos})
+        g = t.group_by("x").aggregate([("one", "sum"), ("pos", "sum")])
+        return g.rename_columns(["x", "p_n", "p_p"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["x"], [("p_n", "sum"), ("p_p", "sum")],
+        ["x", "p_n", "p_p"], ["x", "n", "p"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("x", "ascending")])
+        x = b.column("x").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = b.column("p").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        N = np.float64(int(n.sum()))
+        P = np.float64(int(p.sum()))
+        nl = np.cumsum(n)
+        pl = np.cumsum(p)
+        keep = nl < int(N)          # right side must be non-empty
+        xv, nlv, plv = x[keep], nl[keep], pl[keep]
+        nrv = np.int64(int(N)) - nlv
+        prv = np.int64(int(P)) - plv
+        plr = plv.astype(np.float64) / nlv.astype(np.float64)
+        prr = prv.astype(np.float64) / nrv.astype(np.float64)
+        gl = 1.0 - plr * plr - (1.0 - plr) * (1.0 - plr)
+        gr = 1.0 - prr * prr - (1.0 - prr) * (1.0 - prr)
+        wg = (nlv.astype(np.float64) / N) * gl \
+            + (nrv.astype(np.float64) / N) * gr
+        best = np.lexsort((xv, wg))[0]
+        p0 = P / N
+        g0 = 1.0 - p0 * p0 - (1.0 - p0) * (1.0 - p0)
+        return pa.table({
+            "split_threshold": pa.array([int(xv[best])], pa.int64()),
+            "n_left": pa.array([int(nlv[best])], pa.int64()),
+            "n_right": pa.array([int(nrv[best])], pa.int64()),
+            "weighted_gini": pa.array([float(wg[best])], pa.float64()),
+            "baseline_gini": pa.array([float(g0)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -461,3 +461,20 @@ def test_silhouette_planted(ray_session, tmp_path):
     # the misfit contributes a strongly negative s, pulling label 0
     # well below label 1
     assert out[0]["mean_silhouette"] < out[1]["mean_silhouette"] - 0.2
+
+
+def test_decision_stump_planted(ray_session, tmp_path):
+    """Lengths 10,20 are 'en', 90,100 are 'de': the perfect split is
+    any t in [20, 90) -> smallest distinct value 20; weighted Gini 0."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "n_chars": pa.array([10, 20, 90, 100], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_decision_stump
+
+    r = _tab(q_documents_decision_stump(str(tmp_path))).to_pylist()[0]
+    assert r["split_threshold"] == 20
+    assert r["n_left"] == 2 and r["n_right"] == 2
+    assert r["weighted_gini"] == 0.0
+    assert abs(r["baseline_gini"] - 0.5) < 1e-12
