@@ -528,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_simpson_diversity": q.q_documents_simpson_diversity,
         "orders_backlog_curve": q.q_orders_backlog_curve,
         "documents_decision_stump": q.q_documents_decision_stump,
+        "events_entropy_rate": q.q_events_entropy_rate,
+        "events_weekly_churn": q.q_events_weekly_churn,
     }
 
 
@@ -5006,5 +5008,95 @@ def oracle_sql() -> dict[str, str]:
                    wg AS weighted_gini,
                    (SELECT g0 FROM b0) AS baseline_gini
             FROM w ORDER BY wg, x LIMIT 1
+        """,
+        "events_entropy_rate": """
+            WITH RECURSIVE
+            w AS (SELECT user_id, event_type,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                  FROM events),
+            c AS (SELECT prev_type AS i, event_type AS j,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            st AS (SELECT DISTINCT s FROM (
+                       SELECT i AS s FROM c
+                       UNION ALL SELECT j FROM c)),
+            ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
+            tots AS (SELECT i, CAST(SUM(n) AS BIGINT) AS tot
+                     FROM c GROUP BY i),
+            e AS (SELECT c.i, c.j, c.n AS num, tots.tot AS den
+                  FROM c JOIN tots USING (i)
+                  UNION ALL
+                  SELECT a.s, b.s, CAST(1 AS BIGINT),
+                         (SELECT k FROM ns)
+                  FROM st a, st b
+                  WHERE a.s NOT IN (SELECT i FROM tots)),
+            v(it, s, val) AS (
+                SELECT 0, s,
+                       CAST(round(1000000000000.0
+                            / CAST((SELECT k FROM ns) AS DOUBLE))
+                            AS BIGINT)
+                FROM st
+                UNION ALL
+                SELECT it + 1, e.j,
+                       CAST(SUM(CAST(round(CAST(v.val AS DOUBLE)
+                           * CAST(e.num AS DOUBLE)
+                           / CAST(e.den AS DOUBLE)) AS BIGINT))
+                           AS BIGINT)
+                FROM v JOIN e ON v.s = e.i
+                WHERE v.it < 20
+                GROUP BY 1, 2
+            ),
+            pi AS (SELECT s, CAST(val AS DOUBLE) / 1000000000000.0
+                              AS pi
+                   FROM v WHERE it = 20),
+            h AS (SELECT CAST(SUM(CAST(round((pi.pi
+                       * (CAST(c.n AS DOUBLE)
+                          / CAST(tots.tot AS DOUBLE))
+                       * ln(CAST(c.n AS DOUBLE)
+                            / CAST(tots.tot AS DOUBLE)))
+                       * 1000000000000.0) AS BIGINT)) AS BIGINT) AS hq
+                  FROM c JOIN tots USING (i)
+                  JOIN pi ON pi.s = c.i)
+            SELECT (SELECT k FROM ns) AS n_states,
+                   -(CAST(hq AS DOUBLE) / 1000000000000.0)
+                       AS entropy_rate_nats,
+                   ln(CAST((SELECT k FROM ns) AS DOUBLE))
+                       AS max_entropy_nats
+            FROM h
+        """,
+        "events_weekly_churn": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               date_trunc('week', ts) AS week
+                        FROM events),
+            prv AS (SELECT user_id AS user_id_r,
+                           week + INTERVAL 7 DAY AS week_r
+                    FROM uw),
+            f AS (SELECT COALESCE(c.week, p.week_r) AS week,
+                         CAST(c.user_id IS NOT NULL
+                              AND p.user_id_r IS NOT NULL AS BIGINT)
+                             AS ret,
+                         CAST(c.user_id IS NOT NULL
+                              AND p.user_id_r IS NULL AS BIGINT)
+                             AS new,
+                         CAST(c.user_id IS NULL
+                              AND p.user_id_r IS NOT NULL AS BIGINT)
+                             AS chu
+                  FROM uw c FULL OUTER JOIN prv p
+                  ON c.week = p.week_r AND c.user_id = p.user_id_r),
+            g AS (SELECT week,
+                         CAST(SUM(ret) AS BIGINT) AS n_retained,
+                         CAST(SUM(new) AS BIGINT) AS n_new,
+                         CAST(SUM(chu) AS BIGINT) AS n_churned
+                  FROM f GROUP BY week)
+            SELECT week,
+                   n_retained + n_new AS n_active,
+                   n_retained, n_new, n_churned,
+                   CAST(n_churned AS DOUBLE)
+                       / CAST(n_retained + n_churned AS DOUBLE)
+                       AS churn_rate
+            FROM g
+            WHERE n_retained + n_churned > 0
+              AND n_retained + n_new > 0
         """,
     }

@@ -12596,7 +12596,7 @@ def q_documents_nb_classify(sf_dir: str) -> Dataset:
     Exact-integer decomposition: with Laplace smoothing, score(d, c) =
     Σ_t∈d ln(cnt(c,t)+1) − |d|·ln(T_c + V); unseen (c,t) pairs
     contribute ln(1) = 0, so the model matrix is zero-filled there.
-    Both ln terms are quantized to int64 (round(ln·1e6), the
+    Both ln terms are quantized to int64 (ROUND(ln × 1e6), the
     unigram_logprob precedent), every per-doc sum is order-independent
     int64, and the per-doc argmax rides a packed key (score·64 −
     class_idx, classes in sorted order) whose max is exactly the
@@ -12722,7 +12722,7 @@ def q_documents_js_divergence(sf_dir: str) -> Dataset:
     pattern): with p = c_st/n_s, q = c_t/N over the source's observed
     vocabulary, JS = ½(S1/1e6/n_s + S2/1e6/N) + ½·ln2·(1 − C/N) where
     S1 = Σ c_st·q(ln 2p/(p+q)), S2 = Σ c_t·q(ln 2q/(p+q)), C = Σ c_t,
-    q(·) = round(·×1e6) — the out-of-support complement folds into the
+    q(·) = ROUND(· × 1e6) — the out-of-support complement folds into the
     closed-form ln2 term, so every sum is an order-free int64 and only
     the final expression is float.  Same quantized-sum headroom caveat
     as source_kl: |q(ln)| ≤ ~3e7 bounds n_s at ~3e11 tokens/source.
@@ -12834,7 +12834,7 @@ def q_events_markov_stationary(sf_dir: str) -> Dataset:
     structurally bounded so the fixpoint itself is ORACLE-CHECKED: the
     twin replays the identical quantized recurrence in a recursive
     CTE).  Each step stores the vector as int64 at scale 1e12;
-    contributions round(v_i·n_ij/tot_i) use DuckDB ROUND semantics
+    contributions ROUND(v_i·n_ij/tot_i) use DuckDB ROUND semantics
     (scaled_int_sql), so every iterate is bit-identical to the twin's.
     Dangling states (never a predecessor) redistribute uniformly via
     synthetic (i, j, 1, |states|) edges — the PageRank convention,
@@ -13103,7 +13103,7 @@ def q_events_daily_holt(sf_dir: str) -> Dataset:
     event-count series, α = β = 1/2 — level + trend state and the
     one-step-ahead forecast per day, the classic capacity-planning
     smoother one rung above the shipped EWMA.  The coupled recurrence
-    l_t = round((y_t·1e6 + (l+b))/2), b_t = round(((l_t−l)+b)/2) runs
+    l_t = ROUND((y_t·1e6 + (l+b))/2), b_t = ROUND(((l_t−l)+b)/2) runs
     on int64 state at scale 1e6 (seed l_1 = y_1·1e6, b_1 = 0), so
     every iterate is bit-replayed by the twin's recursive CTE — the
     events_markov_stationary discipline applied to a time-series
@@ -13170,7 +13170,7 @@ def q_events_logit_purchase(sf_dir: str) -> Dataset:
     Parity design: weights live as int64 at scale 1e9; per step the
     per-cell residual σ(w·x) − y is quantized to int64 at 1e9, the
     gradient components are order-free integer sums Σ qr·cnt·x_j, and
-    the update subtracts round(0.5·G/n).  The final log-loss rides
+    the update subtracts ROUND(0.5·G/n).  The final log-loss rides
     1e6-quantized ln(σ)/ln(1−σ) per cell.  Gradient headroom: |qr| ≤
     1e9, so Σ qr·cnt caps the corpus at ~9e9 events per cell grid —
     beyond that raise the partial-sum width (same caveat family as
@@ -13725,6 +13725,210 @@ def q_documents_decision_stump(sf_dir: str) -> Dataset:
             "n_right": pa.array([int(nrv[best])], pa.int64()),
             "weighted_gini": pa.array([float(wg[best])], pa.float64()),
             "baseline_gini": pa.array([float(g0)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_entropy_rate(sf_dir: str) -> Dataset:
+    """Entropy rate of the per-user event-type Markov chain —
+    H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ (nats/step), the predictability score of
+    user behaviour (H = 0 ⇒ deterministic next action).  π is the
+    20-step quantized stationary iterate events_markov_stationary
+    ships (same recurrence, bit-identical); each edge's term
+    πᵢ·Pᵢⱼ·ln Pᵢⱼ is one fixed float expression over exact ints,
+    quantized to int64 at 1e12 so the Σ over the bounded edge grid is
+    order-free; H is one final negation/scale.  Dangling states have
+    no outgoing terms (their rows simply don't exist — the twin's
+    edge table agrees).
+
+    Scale shape: one groupby(user) co-partition for the transition
+    counts; everything after is bounded-grid driver math."""
+    import numpy as np
+
+    ITERS = 20
+    Q = 1e12
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def steps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        et = g.column("event_type").combine_chunks()
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        t = pa.table({"prev_type": et.slice(0, len(et) - 1),
+                      "next_type": et.slice(1),
+                      "one": pa.array(np.ones(len(et) - 1, np.int64))})
+        out = t.group_by(["prev_type", "next_type"]) \
+            .aggregate([("one", "sum")])
+        return out.rename_columns(["prev_type", "next_type", "p_c"])
+
+    counts = _small_table(_tree_combine(
+        ds.groupby("user_id").map_groups(steps, batch_format="pyarrow"),
+        ["prev_type", "next_type"], [("p_c", "sum")],
+        ["prev_type", "next_type", "p_c"],
+        ["prev_type", "next_type", "n"]).materialize())
+
+    prev = counts.column("prev_type").to_pylist()
+    nxt = counts.column("next_type").to_pylist()
+    n_ij = counts.column("n").to_numpy(zero_copy_only=False)
+    states = sorted(set(prev) | set(nxt))
+    k = len(states)
+    if k == 0:
+        return rd.from_arrow(pa.table({
+            "n_states": pa.array([], pa.int64()),
+            "entropy_rate_nats": pa.array([], pa.float64()),
+            "max_entropy_nats": pa.array([], pa.float64())}))
+    sidx = {s: i for i, s in enumerate(states)}
+    src = np.array([sidx[s] for s in prev], np.int64)
+    dst = np.array([sidx[s] for s in nxt], np.int64)
+    tot = np.zeros(k, np.int64)
+    np.add.at(tot, src, n_ij)
+
+    dangling = np.flatnonzero(tot == 0)
+    e_i = np.concatenate([src, np.repeat(dangling, k)])
+    e_j = np.concatenate([dst, np.tile(np.arange(k), len(dangling))])
+    e_num = np.concatenate([n_ij,
+                            np.ones(len(dangling) * k, np.int64)])
+    e_den = np.concatenate([tot[src],
+                            np.full(len(dangling) * k, k, np.int64)])
+
+    v = np.full(k, int(scaled_int_sql(
+        np.array([Q / np.float64(k)]), 1.0)[0]), np.int64)
+    for _ in range(ITERS):
+        contrib = scaled_int_sql(
+            v[e_i].astype(np.float64) * e_num.astype(np.float64)
+            / e_den.astype(np.float64), 1.0)
+        nv = np.zeros(k, np.int64)
+        np.add.at(nv, e_j, contrib)
+        v = nv
+
+    # per observed edge: π_i · p_ij · ln p_ij, quantized then summed
+    pi_i = v[src].astype(np.float64) / Q
+    p_ij = n_ij.astype(np.float64) / tot[src].astype(np.float64)
+    h_q = scaled_int_sql(pi_i * p_ij * np.log(p_ij), Q)
+    h = -(np.float64(int(h_q.sum())) / Q)
+    return rd.from_arrow(pa.table({
+        "n_states": pa.array([k], pa.int64()),
+        "entropy_rate_nats": pa.array([float(h)], pa.float64()),
+        "max_entropy_nats": pa.array(
+            [float(np.log(np.float64(k)))], pa.float64()),
+    }))
+
+
+WEEK_US_ = 7 * 86_400_000_000
+
+
+def q_events_weekly_churn(sf_dir: str) -> Dataset:
+    """Weekly churn ledger: per Monday-truncated week (with a previous
+    week present in the data), the distinct active users split into
+    retained / new / churned vs the prior week, plus the churn rate
+    churned ÷ previous-week actives — the subscription-health staple.
+    Counts are exact int64; the rate is one float division of them.
+
+    Scale shape: the raw stream reduces to distinct (user, week) pairs
+    first (one exchange); 'previous week' is the SAME pair set shifted
+    +7 days, full-outer-joined back pair-for-pair (hash join on the
+    composite key — never a window over raw events); per-(week, kind)
+    counts then fold over the bounded calendar grid."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def uw_partial(b: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(b.column("ts"), unit="week")
+        g = pa.table({"user_id": b.column("user_id"), "week": wk}) \
+            .group_by(["user_id", "week"]).aggregate([])
+        return g
+
+    uw = with_schema(
+        ds.map_batches(uw_partial, batch_format="pyarrow")
+        .groupby(["user_id", "week"]).aggregate(
+            Count("user_id", alias_name="_n")),
+        pa.schema([("user_id", pa.int64()),
+                   ("week", pa.timestamp("us")), ("_n", pa.int64())]))
+
+    def mark_cur(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "week": b.column("week"),
+            "c_mark": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+
+    cur = uw.map_batches(mark_cur, batch_format="pyarrow")
+
+    def shift(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = b.column("week").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id_r": b.column("user_id"),
+            "week_r": pa.array(us + WEEK_US_).cast(pa.timestamp("us")),
+            "p_mark": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+
+    prv = uw.map_batches(shift, batch_format="pyarrow")
+
+    joined = with_schema(
+        cur, pa.schema([("user_id", pa.int64()),
+                        ("week", pa.timestamp("us")),
+                        ("c_mark", pa.int64())])) \
+        .join(with_schema(
+            prv, pa.schema([("user_id_r", pa.int64()),
+                            ("week_r", pa.timestamp("us")),
+                            ("p_mark", pa.int64())])),
+            join_type="full_outer", num_partitions=16,
+            on=("user_id", "week"),
+            right_on=("user_id_r", "week_r"))
+
+    def classify(b: pa.Table) -> pa.Table:
+        week = b.column("week")
+        has_c = pc.is_valid(b.column("c_mark"))
+        has_p = pc.is_valid(b.column("p_mark"))
+        ret = pc.and_(has_c, has_p).cast(pa.int64())
+        new = pc.and_(has_c, pc.invert(has_p)).cast(pa.int64())
+        chu = pc.and_(pc.invert(has_c), has_p).cast(pa.int64())
+        t = pa.table({"week": week, "p_ret": ret, "p_new": new,
+                      "p_chu": chu})
+        g = t.group_by("week").aggregate(
+            [("p_ret", "sum"), ("p_new", "sum"), ("p_chu", "sum")])
+        return g.rename_columns(["week", "p_ret", "p_new", "p_chu"])
+
+    agg = _tree_combine(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["week"],
+        [("p_ret", "sum"), ("p_new", "sum"), ("p_chu", "sum")],
+        ["week", "p_ret", "p_new", "p_chu"],
+        ["week", "n_retained", "n_new", "n_churned"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("week", "ascending")])
+        ret = b.column("n_retained").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        new = b.column("n_new").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        chu = b.column("n_churned").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ((ret + chu) > 0) & ((ret + new) > 0)
+        ret, new, chu = ret[keep], new[keep], chu[keep]
+        return pa.table({
+            "week": b.column("week").filter(pa.array(keep)),
+            "n_active": pa.array(ret + new, pa.int64()),
+            "n_retained": pa.array(ret, pa.int64()),
+            "n_new": pa.array(new, pa.int64()),
+            "n_churned": pa.array(chu, pa.int64()),
+            "churn_rate": pa.array(
+                chu.astype(np.float64)
+                / (ret + chu).astype(np.float64), pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow",

@@ -478,3 +478,40 @@ def test_decision_stump_planted(ray_session, tmp_path):
     assert r["n_left"] == 2 and r["n_right"] == 2
     assert r["weighted_gini"] == 0.0
     assert abs(r["baseline_gini"] - 0.5) < 1e-12
+
+
+def test_weekly_churn_planted(ray_session, tmp_path):
+    """Week 1 actives {1,2,3}; week 2 actives {2,3,4,5}: retained 2,
+    new 2, churned 1, rate 1/3.  Week 1 itself emits no row (no
+    observed previous week)."""
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        eid += 1
+        rows.append((eid, u, 0, "a", 1.0))
+    for u in (2, 3, 4, 5):
+        eid += 1
+        rows.append((eid, u, 7 * DAY_MIN, "a", 1.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_weekly_churn
+
+    out = _tab(q_events_weekly_churn(str(tmp_path))).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_active"], r["n_retained"], r["n_new"],
+            r["n_churned"]) == (4, 2, 2, 1)
+    assert abs(r["churn_rate"] - 1.0 / 3.0) < 1e-12
+
+
+def test_entropy_rate_planted(ray_session, tmp_path):
+    """Deterministic alternation a,b,a,b...: every transition is
+    certain, so the entropy rate is exactly 0."""
+    rows = [(i + 1, 1, i, "a" if i % 2 == 0 else "b", 1.0)
+            for i in range(12)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_entropy_rate
+
+    r = _tab(q_events_entropy_rate(str(tmp_path))).to_pylist()[0]
+    assert r["n_states"] == 2
+    assert abs(r["entropy_rate_nats"]) < 1e-9
+    assert abs(r["max_entropy_nats"] - math.log(2.0)) < 1e-12
