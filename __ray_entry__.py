@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_decision_stump": q.q_documents_decision_stump,
         "events_entropy_rate": q.q_events_entropy_rate,
         "events_weekly_churn": q.q_events_weekly_churn,
+        "embeddings_hubness": q.q_embeddings_hubness,
     }
 
 
@@ -5098,5 +5099,26 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             WHERE n_retained + n_churned > 0
               AND n_retained + n_new > 0
+        """,
+        "embeddings_hubness": """
+            WITH s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                              CAST(round(list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]) * 1000000)
+                                  AS BIGINT) AS qcos
+                       FROM embeddings q CROSS JOIN embeddings c
+                       WHERE q.vec_id <> c.vec_id),
+            r AS (SELECT qid, vid,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY qcos DESC, vid ASC) AS rk
+                  FROM s),
+            nb AS (SELECT vid FROM r WHERE rk <= 5),
+            deg AS (SELECT e.vec_id,
+                           CAST(COUNT(nb.vid) AS BIGINT) AS d
+                    FROM embeddings e LEFT JOIN nb
+                    ON nb.vid = e.vec_id GROUP BY 1)
+            SELECT d AS in_degree, CAST(COUNT(*) AS BIGINT)
+                       AS n_vectors
+            FROM deg GROUP BY 1
         """,
     }

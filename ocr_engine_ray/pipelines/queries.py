@@ -13933,3 +13933,92 @@ def q_events_weekly_churn(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_embeddings_hubness(sf_dir: str) -> Dataset:
+    """Hubness diagnostic of the embedding space: the in-degree
+    histogram of the exact cosine 5-NN graph — high-dimensional spaces
+    concentrate neighborships onto 'hub' vectors, which skews ANN
+    recall and dedup; this reports how heavy that tail is (in_degree =
+    0 vectors included).  Cosines are 1e-6-quantized BEFORE ranking
+    (ties to the smaller vec_id), so the neighbor lists replay the
+    twin's ROW_NUMBER exactly.
+
+    Scale shape: every vector is a query — the all-pairs EXACT path
+    (the LSH/IVF variants are the scale path, as with ann_topk): the
+    query matrix broadcasts once, each block emits its tie-widened
+    local top-5 per query, and only that candidate stream reaches the
+    single merge block."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..util import vec_matrix
+
+    K = 5
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]) \
+        .sort_by("vec_id")
+    qmat = vec_matrix(qtab.column("embedding"))
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = np.array(qtab.column("vec_id").to_pylist(), np.int64)
+    state = ray.put((qn, qids))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        qnrm, qi = ray.get(state)
+        X = vec_matrix(b.column("embedding"))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        cos = (X / nrm) @ qnrm.T          # (n_block, n_queries)
+        qcos = scaled_int_sql(cos.ravel(), 1e6).reshape(cos.shape)
+        out_q, out_v, out_c = [], [], []
+        for col in range(len(qi)):
+            m = qcos[:, col]
+            sel = ids != qi[col]          # exclude self
+            mi, vi = m[sel], ids[sel]
+            order = np.lexsort((vi, -mi))
+            if len(order) > K:
+                kth = mi[order[K - 1]]
+                cut = K
+                while cut < len(order) and mi[order[cut]] == kth:
+                    cut += 1
+                order = order[:cut]
+            out_q.extend([int(qi[col])] * len(order))
+            out_v.extend(vi[order].tolist())
+            out_c.extend(mi[order].tolist())
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vid": pa.array(out_v, pa.int64()),
+            "qcos": pa.array(out_c, pa.int64()),
+        })
+
+    def merge(b: pa.Table) -> pa.Table:
+        qid = b.column("qid").to_numpy(zero_copy_only=False)
+        vid = b.column("vid").to_numpy(zero_copy_only=False)
+        qc = b.column("qcos").to_numpy(zero_copy_only=False)
+        deg: dict = {}
+        n_total = 0
+        for q in np.unique(qid):
+            n_total += 1
+            m = qid == q
+            v, c = vid[m], qc[m]
+            order = np.lexsort((v, -c))[:K]
+            for nb in v[order]:
+                deg[int(nb)] = deg.get(int(nb), 0) + 1
+        hist: dict = {}
+        for d in deg.values():
+            hist[d] = hist.get(d, 0) + 1
+        hist[0] = hist.get(0, 0) + (n_total - len(deg))
+        ks = sorted(hist)
+        return pa.table({
+            "in_degree": pa.array(ks, pa.int64()),
+            "n_vectors": pa.array([hist[d] for d in ks], pa.int64()),
+        })
+
+    return ds.map_batches(local_top, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)

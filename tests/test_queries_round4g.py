@@ -515,3 +515,29 @@ def test_entropy_rate_planted(ray_session, tmp_path):
     assert r["n_states"] == 2
     assert abs(r["entropy_rate_nats"]) < 1e-9
     assert abs(r["max_entropy_nats"] - math.log(2.0)) < 1e-12
+
+
+def test_hubness_planted(ray_session, tmp_path):
+    """8 near-collinear vectors: the 5-NN graph's in-degree histogram
+    must cover every vector and carry exactly 8x5 units of degree."""
+    DIM = 64
+    rows = [(0, [1.0] + [0.0] * (DIM - 1))]            # hub
+    for i in range(7):                                  # spokes
+        v = [1.0] + [0.0] * (DIM - 1)
+        v[1 + i] = 0.3
+        rows.append((i + 1, v))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_hubness
+
+    out = {r["in_degree"]: r["n_vectors"] for r in
+           _tab(q_embeddings_hubness(str(tmp_path))).to_pylist()}
+    # with k=5 of only 7 candidates most vectors are near-universal
+    # neighbors; the invariants that must hold exactly:
+    assert sum(out.values()) == 8                       # every vector
+    assert sum(d * n for d, n in out.items()) == 40     # 8 queries x 5
+    assert max(out) == 7                                # true hubs
