@@ -531,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy_rate": q.q_events_entropy_rate,
         "events_weekly_churn": q.q_events_weekly_churn,
         "embeddings_hubness": q.q_embeddings_hubness,
+        "events_mann_kendall": q.q_events_mann_kendall,
+        "orders_dupe_audit": q.q_orders_dupe_audit,
     }
 
 
@@ -5120,5 +5122,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT d AS in_degree, CAST(COUNT(*) AS BIGINT)
                        AS n_vectors
             FROM deg GROUP BY 1
+        """,
+        "events_mann_kendall": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM d),
+            s AS (SELECT CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                                       WHEN b.n < a.n THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM d a JOIN d b ON a.day < b.day),
+            ties AS (SELECT CAST(COALESCE(SUM(tk * (tk - 1)
+                                 * (2 * tk + 5)), 0) AS BIGINT) AS tt
+                     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tk
+                           FROM d GROUP BY n) WHERE tk > 1),
+            v AS (SELECT CAST(m.m * (m.m - 1) * (2 * m.m + 5)
+                              - ties.tt AS DOUBLE) / 18.0 AS var_s
+                  FROM m, ties)
+            SELECT m.m AS n_days, s.s_stat,
+                   v.var_s,
+                   CASE WHEN s.s_stat > 0
+                        THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+                             / sqrt(v.var_s)
+                        WHEN s.s_stat < 0
+                        THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+                             / sqrt(v.var_s)
+                        ELSE 0.0 END AS z_mk
+            FROM m, s, v
+        """,
+        "orders_dupe_audit": """
+            WITH g AS (SELECT o_custkey,
+                              o_orderdate AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders,
+                              CAST(MIN(CAST(round(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT)
+                                  AS min_total_cents,
+                              CAST(MAX(CAST(round(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT)
+                                  AS max_total_cents,
+                              CAST(MIN(o_orderkey) AS BIGINT)
+                                  AS first_orderkey,
+                              CAST(MAX(o_orderkey) AS BIGINT)
+                                  AS last_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT o_custkey, day, n_orders, min_total_cents,
+                   max_total_cents, first_orderkey, last_orderkey
+            FROM g WHERE n_orders > 1
         """,
     }

@@ -14022,3 +14022,113 @@ def q_embeddings_hubness(sf_dir: str) -> Dataset:
     return ds.map_batches(local_top, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def q_events_mann_kendall(sf_dir: str) -> Dataset:
+    """Mann-Kendall trend test on the daily event-count series — the
+    nonparametric companion to the shipped Theil-Sen slope: S =
+    Σ_{i<j} sign(xⱼ − xᵢ) over the bounded day grid, tie-corrected
+    variance [m(m−1)(2m+5) − Σ tₖ(tₖ−1)(2tₖ+5)]/18, and the
+    continuity-corrected z — S and the variance numerator are exact
+    int64 driver math on the grid; z is the one float expression
+    replayed.
+
+    Scale shape: one bounded (day) count combine; the O(m²) pair scan
+    runs on the ≤calendar-sized final block."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return g.rename_columns(["day", "p_n"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        x = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = len(x)
+        diff = np.sign(x[None, :] - x[:, None])
+        s_stat = int(np.triu(diff, 1).sum())
+        _, tie_counts = np.unique(x, return_counts=True)
+        t_k = tie_counts[tie_counts > 1].astype(np.int64)
+        var_num = m * (m - 1) * (2 * m + 5) \
+            - int((t_k * (t_k - 1) * (2 * t_k + 5)).sum())
+        var_s = np.float64(var_num) / 18.0
+        if s_stat > 0:
+            z = (np.float64(s_stat) - 1.0) / np.sqrt(var_s)
+        elif s_stat < 0:
+            z = (np.float64(s_stat) + 1.0) / np.sqrt(var_s)
+        else:
+            z = np.float64(0.0)
+        return pa.table({
+            "n_days": pa.array([m], pa.int64()),
+            "s_stat": pa.array([s_stat], pa.int64()),
+            "var_s": pa.array([float(var_s)], pa.float64()),
+            "z_mk": pa.array([float(z)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_orders_dupe_audit(sf_dir: str) -> Dataset:
+    """Duplicate-transaction audit: customers placing MORE than one
+    order on the same day — the double-submission triage every billing
+    pipeline runs, with the total-cents spread per group (identical
+    min/max totals flag likely replays; a wide spread clears them).
+    One partial-agg + hash groupby on the composite key."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("o_totalprice"), 100.0)
+        t = pa.table({
+            "c": b.column("o_custkey"),
+            "day": b.column("o_orderdate"),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "tmin": pa.array(cents, pa.int64()),
+            "tmax": pa.array(cents, pa.int64()),
+            "kmin": b.column("o_orderkey"),
+            "kmax": b.column("o_orderkey"),
+        })
+        g = t.group_by(["c", "day"]).aggregate(
+            [("one", "sum"), ("tmin", "min"), ("tmax", "max"),
+             ("kmin", "min"), ("kmax", "max")])
+        return g.rename_columns(
+            ["c", "day", "p_n", "p_tl", "p_th", "p_lo", "p_hi"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c", "day"]).aggregate(
+            Sum("p_n", alias_name="n_orders"),
+            Min("p_tl", alias_name="min_total_cents"),
+            Max("p_th", alias_name="max_total_cents"),
+            Min("p_lo", alias_name="first_orderkey"),
+            Max("p_hi", alias_name="last_orderkey"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("n_orders"), 1))
+        return pa.table({
+            "o_custkey": pc.cast(b.column("c"), pa.int64()),
+            "day": b.column("day"),
+            "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+            "min_total_cents": pc.cast(b.column("min_total_cents"),
+                                       pa.int64()),
+            "max_total_cents": pc.cast(b.column("max_total_cents"),
+                                       pa.int64()),
+            "first_orderkey": pc.cast(b.column("first_orderkey"),
+                                      pa.int64()),
+            "last_orderkey": pc.cast(b.column("last_orderkey"),
+                                     pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -541,3 +541,50 @@ def test_hubness_planted(ray_session, tmp_path):
     assert sum(out.values()) == 8                       # every vector
     assert sum(d * n for d, n in out.items()) == 40     # 8 queries x 5
     assert max(out) == 7                                # true hubs
+
+
+def test_mann_kendall_planted(ray_session, tmp_path):
+    """Strictly increasing daily counts: S = C(m,2) pairs all +1,
+    no ties, z = (S-1)/sqrt(m(m-1)(2m+5)/18)."""
+    rows = []
+    eid = 0
+    for d in range(6):
+        for j in range(d + 1):
+            eid += 1
+            rows.append((eid, 1, d * DAY_MIN + j, "a", 1.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_mann_kendall
+
+    r = _tab(q_events_mann_kendall(str(tmp_path))).to_pylist()[0]
+    m = 6
+    assert r["n_days"] == m
+    assert r["s_stat"] == m * (m - 1) // 2
+    var = m * (m - 1) * (2 * m + 5) / 18.0
+    assert abs(r["var_s"] - var) < 1e-12
+    assert abs(r["z_mk"] - (r["s_stat"] - 1.0) / math.sqrt(var)) \
+        < 1e-12
+
+
+def test_dupe_audit_planted(ray_session, tmp_path):
+    """Customer 1 orders twice on the same day (identical totals —
+    the replay signature); customer 2 orders on two different days
+    (clean)."""
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101, 200, 201], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "o_orderdate": pa.array(
+            [base, base, base, base + np.timedelta64(86400_000_000,
+                                                     "us")],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([50.0, 50.0, 70.0, 80.0],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_orders_dupe_audit
+
+    out = _tab(q_orders_dupe_audit(str(tmp_path))).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert r["o_custkey"] == 1 and r["n_orders"] == 2
+    assert r["min_total_cents"] == r["max_total_cents"] == 5000
+    assert (r["first_orderkey"], r["last_orderkey"]) == (100, 101)
