@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_hubness": q.q_embeddings_hubness,
         "events_mann_kendall": q.q_events_mann_kendall,
         "orders_dupe_audit": q.q_orders_dupe_audit,
+        "lineitem_abc_classes": q.q_lineitem_abc_classes,
     }
 
 
@@ -5168,5 +5169,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, day, n_orders, min_total_cents,
                    max_total_cents, first_orderkey, last_orderkey
             FROM g WHERE n_orders > 1
+        """,
+        "lineitem_abc_classes": """
+            WITH pr AS (SELECT l_partkey AS p,
+                               CAST(SUM(CAST(round(l_extendedprice
+                                    * (1 - l_discount) * 10000)
+                                    AS BIGINT)) AS BIGINT) AS r
+                        FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(SUM(r) AS BIGINT) AS tot FROM pr),
+            c AS (SELECT p, r,
+                         CAST(SUM(r) OVER (ORDER BY r DESC, p ASC)
+                              AS BIGINT) AS cum
+                  FROM pr),
+            k AS (SELECT r,
+                         CASE WHEN cum * 5 <= (SELECT tot FROM t) * 4
+                              THEN 'A'
+                              WHEN cum * 20 <= (SELECT tot FROM t) * 19
+                              THEN 'B'
+                              ELSE 'C' END AS abc_class
+                  FROM c)
+            SELECT abc_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(CAST(SUM(r) AS BIGINT) AS DOUBLE) / 10000.0
+                       AS revenue,
+                   CAST(CAST(SUM(r) AS BIGINT) AS DOUBLE)
+                       / CAST((SELECT tot FROM t) AS DOUBLE)
+                       AS revenue_share
+            FROM k GROUP BY 1
         """,
     }

@@ -14132,3 +14132,69 @@ def q_orders_dupe_audit(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lineitem_abc_classes(sf_dir: str) -> Dataset:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the prefix holding ≤ 80 % of cumulative revenue, B to 95 %, C
+    the tail — the Pareto-banding every supply-chain report ships.
+    The class decision is EXACT integer arithmetic (cum·5 ≤ tot·4 ⟺
+    share ≤ 0.8, cum·20 ≤ tot·19 ⟺ ≤ 0.95 on 1e4-fixed-point revenue),
+    so no float ever gates a row; the reported shares are final-display
+    divisions only.
+
+    Scale shape: per-part int64 revenue partials + one groupby bounded
+    by the part dimension; the ranked cumulative scan runs on that
+    dimension-sized single block (documented trade — same as
+    part_revenue_share's materialized per-part aggregate)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = scaled_int_sql(
+            pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount"))), 10000.0)
+        g = pa.table({
+            "p": pc.cast(b.column("l_partkey"), pa.int64()),
+            "r": pa.array(rev, pa.int64()),
+        }).group_by("p").aggregate([("r", "sum")])
+        return g.rename_columns(["p", "p_r"])
+
+    per_part = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("p_r", alias_name="r")),
+        pa.schema([("p", pa.int64()), ("r", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        p = b.column("p").to_numpy(zero_copy_only=False)
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -r))
+        r = r[order]
+        tot = int(r.sum())
+        cum = np.cumsum(r)
+        is_a = cum * 5 <= tot * 4
+        is_b = (~is_a) & (cum * 20 <= tot * 19)
+        cls = np.where(is_a, "A", np.where(is_b, "B", "C"))
+        out_c, out_n, out_r = [], [], []
+        for k in ("A", "B", "C"):
+            m = cls == k
+            out_c.append(k)
+            out_n.append(int(m.sum()))
+            out_r.append(int(r[m].sum()))
+        totf = np.float64(tot)
+        return pa.table({
+            "abc_class": pa.array(out_c, pa.string()),
+            "n_parts": pa.array(out_n, pa.int64()),
+            "revenue": pa.array(
+                [np.float64(x) / 10000.0 for x in out_r],
+                pa.float64()),
+            "revenue_share": pa.array(
+                [np.float64(x) / totf for x in out_r], pa.float64()),
+        })
+
+    return per_part.repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)

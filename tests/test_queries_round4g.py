@@ -588,3 +588,23 @@ def test_dupe_audit_planted(ray_session, tmp_path):
     assert r["o_custkey"] == 1 and r["n_orders"] == 2
     assert r["min_total_cents"] == r["max_total_cents"] == 5000
     assert (r["first_orderkey"], r["last_orderkey"]) == (100, 101)
+
+
+def test_abc_classes_planted(ray_session, tmp_path):
+    """Revenues 80, 15, 5 (one lineitem each, no discount): part 1
+    alone is exactly the 80% prefix (class A), part 2 reaches 95%
+    (B), part 3 is the tail (C) — boundary shares land exactly on the
+    integer thresholds."""
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([80.0, 15.0, 5.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_lineitem_abc_classes
+
+    out = {r["abc_class"]: r for r in
+           _tab(q_lineitem_abc_classes(str(tmp_path))).to_pylist()}
+    assert out["A"]["n_parts"] == 1 and out["A"]["revenue"] == 80.0
+    assert out["B"]["n_parts"] == 1 and out["B"]["revenue"] == 15.0
+    assert out["C"]["n_parts"] == 1 and out["C"]["revenue"] == 5.0
+    assert abs(out["A"]["revenue_share"] - 0.8) < 1e-12
