@@ -534,6 +534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mann_kendall": q.q_events_mann_kendall,
         "orders_dupe_audit": q.q_orders_dupe_audit,
         "lineitem_abc_classes": q.q_lineitem_abc_classes,
+        "documents_robust_scale": q.q_documents_robust_scale,
+        "events_user_lifespan": q.q_events_user_lifespan,
+        "events_signup_to_purchase": q.q_events_signup_to_purchase,
     }
 
 
@@ -5196,5 +5199,60 @@ def oracle_sql() -> dict[str, str]:
                        / CAST((SELECT tot FROM t) AS DOUBLE)
                        AS revenue_share
             FROM k GROUP BY 1
+        """,
+        "documents_robust_scale": """
+            WITH q AS (SELECT source,
+                              quantile_disc(n_chars, 0.25) AS q25,
+                              quantile_disc(n_chars, 0.5) AS q50,
+                              quantile_disc(n_chars, 0.75) AS q75
+                       FROM documents GROUP BY source),
+            ok AS (SELECT source, q50, q75 - q25 AS iqr
+                   FROM q WHERE q75 - q25 <> 0)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   (CAST(d.n_chars AS DOUBLE) - CAST(ok.q50 AS DOUBLE))
+                       / CAST(ok.iqr AS DOUBLE) AS robust_z
+            FROM documents d JOIN ok USING (source)
+        """,
+        "events_user_lifespan": """
+            WITH u AS (SELECT user_id,
+                              CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+                              CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+                       FROM events GROUP BY 1)
+            SELECT CAST((hi - lo) // 86400000000 AS BIGINT)
+                       AS lifespan_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1
+        """,
+        "events_signup_to_purchase": """
+            WITH s AS (SELECT user_id,
+                              CAST(MIN(epoch_us(ts)) AS BIGINT) AS s_min
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY 1),
+            p AS (SELECT e.user_id,
+                         CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS p_min
+                  FROM events e JOIN s USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) >= s.s_min
+                  GROUP BY 1),
+            u AS (SELECT s.user_id, s.s_min, p.p_min
+                  FROM s LEFT JOIN p USING (user_id)),
+            c AS (SELECT
+                      CAST((s_min // 86400000000
+                            - (s_min // 86400000000 + 3) % 7)
+                           * 86400000000 AS BIGINT) AS wk_us,
+                      CAST(COUNT(*) AS BIGINT) AS n_signups,
+                      CAST(COUNT(p_min) AS BIGINT) AS n_converted,
+                      CAST(COALESCE(SUM((p_min - s_min)
+                           // 3600000000), 0) AS BIGINT) AS sum_hours
+                  FROM u GROUP BY 1)
+            SELECT make_timestamp(wk_us) AS signup_week,
+                   n_signups, n_converted,
+                   CAST(n_converted AS DOUBLE)
+                       / CAST(n_signups AS DOUBLE) AS conversion_rate,
+                   CASE WHEN n_converted > 0
+                        THEN CAST(sum_hours AS DOUBLE)
+                             / CAST(n_converted AS DOUBLE)
+                        END AS avg_hours_to_purchase
+            FROM c
         """,
     }

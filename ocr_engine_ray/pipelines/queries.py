@@ -14198,3 +14198,268 @@ def q_lineitem_abc_classes(sf_dir: str) -> Dataset:
 
     return per_part.repartition(1) \
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_robust_scale(sf_dir: str) -> Dataset:
+    """Per-source robust scaling of document length: (n_chars −
+    source median) / source IQR — the outlier-insensitive
+    standardization (sklearn RobustScaler semantics) a curation run
+    applies before cross-feed length comparisons.  Medians/quartiles
+    are exact quantile_disc picks (the grouped-quantiles machinery,
+    DuckDB's ceil(nq)−1 rank convention); sources whose IQR is 0 are
+    excluded on both sides (no scale to divide by); the score is one
+    float division of exact ints.
+
+    Scale shape: one keyed (source, n_chars) histogram exchange for
+    the quartiles, broadcast as a bounded per-source table; the scoring
+    pass is a map over the stream."""
+    import numpy as np
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "n_chars"])
+
+    qt = _small_table(grouped_exact_quantiles(
+        ds.map_batches(lambda b: b.select(["source", "n_chars"]),
+                       batch_format="pyarrow"),
+        "source", "n_chars", qs=(0.25, 0.5, 0.75)))
+    med, iqr = {}, {}
+    for r in qt.to_pylist():
+        lo, m, hi = r["q25"], r["q50"], r["q75"]
+        if lo is None or hi is None or hi - lo == 0:
+            continue
+        med[r["source"]] = m
+        iqr[r["source"]] = hi - lo
+    state = ray.put((med, iqr))
+
+    def score(b: pa.Table) -> pa.Table:
+        m_map, i_map = ray.get(state)
+        src = b.column("source").to_pylist()
+        keep = np.array([s in m_map for s in src], bool)
+        b = b.filter(pa.array(keep))
+        src = [s for s, k in zip(src, keep) if k]
+        x = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = np.array([m_map[s] for s in src], np.float64)
+        i = np.array([i_map[s] for s in src], np.float64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "n_chars": b.column("n_chars"),
+            "robust_z": pa.array((x - m) / i, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_events_user_lifespan(sf_dir: str) -> Dataset:
+    """User lifespan histogram: days between a user's first and last
+    event, bucketed per whole day — the engagement-length profile a
+    retention model starts from.  Per-user min/max ride one exchange
+    at user grain; the lifespan histogram folds over the bounded
+    day-count domain."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        # epoch-µs ints BEFORE the exchange: Ray's aggregate path can
+        # round-trip timestamp blocks through pandas at reduced
+        # ('D') precision, silently flooring sub-day spans — ints
+        # survive exactly
+        us = b.column("ts").cast(pa.int64())
+        t = pa.table({"user_id": b.column("user_id"),
+                      "lo": us, "hi": us})
+        g = t.group_by("user_id").aggregate(
+            [("lo", "min"), ("hi", "max")])
+        return g.rename_columns(["user_id", "p_lo", "p_hi"])
+
+    spans = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("p_lo", alias_name="lo"),
+            Max("p_hi", alias_name="hi"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        lo = b.column("lo").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hi = b.column("hi").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        days = (hi - lo) // DAY_US_
+        t = pa.table({"lifespan_days": pa.array(days, pa.int64()),
+                      "one": pa.array(np.ones(len(days), np.int64))})
+        g = t.group_by("lifespan_days").aggregate([("one", "sum")])
+        return g.rename_columns(["lifespan_days", "p_n"])
+
+    agg = _tree_combine(
+        spans.map_batches(hist_partial, batch_format="pyarrow"),
+        ["lifespan_days"], [("p_n", "sum")],
+        ["lifespan_days", "p_n"], ["lifespan_days", "n_users"])
+
+    return agg.map_batches(
+        lambda b: b.sort_by([("lifespan_days", "ascending")]),
+        batch_format="pyarrow", batch_size=None)
+
+
+def q_events_signup_to_purchase(sf_dir: str) -> Dataset:
+    """Time-to-convert funnel: per signup-week cohort, how many users
+    signed up, how many later purchased, the conversion rate and the
+    mean hours from FIRST signup to the FIRST purchase AFTER it — the
+    activation-lag report growth teams track weekly.  All inputs ride
+    exact int64 (epoch-µs mins, hour deltas floored); the rate and
+    mean are final float divisions.
+
+    Scale shape: one user-grain exchange carrying (first signup,
+    first qualifying purchase) partials — the purchase side is folded
+    per batch against the per-batch signup min, then re-minimized
+    globally against the global signup min via a second bounded pass
+    on the per-user table (users whose batch-local purchase pick
+    preceded the true signup are re-filtered exactly)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    SENTINEL = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        sign = et == "signup"
+        pur = et == "purchase"
+        t = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "s_min": pa.array(np.where(sign, us, SENTINEL), pa.int64()),
+            # keep EVERY purchase ts min per user; the after-signup
+            # filter happens once the global signup min is known
+            "p_min": pa.array(np.where(pur, us, SENTINEL), pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate(
+            [("s_min", "min"), ("p_min", "min")])
+        return g.rename_columns(["user_id", "p_s", "p_p"])
+
+    per_user = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("p_s", alias_name="s_min"),
+            Min("p_p", alias_name="p_min"))
+
+    # p_min is the min over ALL purchases; a purchase BEFORE signup
+    # must not count.  Exact fix without a second scan: re-derive the
+    # first-after-signup purchase per user from the raw stream, keyed
+    # by the (tiny) set of users whose global p_min < s_min.
+    def hist_partial(b: pa.Table) -> pa.Table:
+        s = b.column("s_min").to_numpy(zero_copy_only=False)
+        p = b.column("p_min").to_numpy(zero_copy_only=False)
+        has_s = s != SENTINEL
+        amb = has_s & (p < s)          # earliest purchase pre-signup
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "s_min": pa.array(s, pa.int64()),
+            "p_min": pa.array(p, pa.int64()),
+            "ambiguous": pa.array(amb),
+        })
+        return t.filter(pa.array(has_s))
+
+    users = per_user.map_batches(hist_partial,
+                                 batch_format="pyarrow").materialize()
+
+    amb_tab = _small_table(users.map_batches(
+        lambda b: b.filter(b.column("ambiguous"))
+        .select(["user_id", "s_min"]),
+        batch_format="pyarrow"))
+    amb_map = dict(zip(amb_tab.column("user_id").to_pylist(),
+                       amb_tab.column("s_min").to_pylist()))
+    amb_ref = ray.put(amb_map)
+
+    def refine(b: pa.Table) -> pa.Table:
+        m = ray.get(amb_ref)
+        if not m:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "p_fix": pa.array([], pa.int64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        keep = np.array([u in m for u in uid.tolist()], bool)
+        if not keep.any():
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "p_fix": pa.array([], pa.int64())})
+        f = b.filter(pa.array(keep))
+        us = f.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid_f = f.column("user_id").to_numpy(zero_copy_only=False)
+        et = f.column("event_type").to_numpy(zero_copy_only=False)
+        smin = np.array([m[u] for u in uid_f.tolist()], np.int64)
+        ok = (et == "purchase") & (us >= smin)
+        t = pa.table({
+            "user_id": pa.array(uid_f[ok], pa.int64()),
+            "p_fix": pa.array(us[ok], pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate([("p_fix", "min")])
+        return g.rename_columns(["user_id", "p_fix"])
+
+    fixes = _small_table(with_schema(
+        ds.map_batches(refine, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("p_fix", alias_name="p_fix")),
+        pa.schema([("user_id", pa.int64()), ("p_fix", pa.int64())])))
+    fix_map = dict(zip(fixes.column("user_id").to_pylist(),
+                       fixes.column("p_fix").to_pylist()))
+    fix_ref = ray.put(fix_map)
+
+    def cohort_partial(b: pa.Table) -> pa.Table:
+        fm = ray.get(fix_ref)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        s = b.column("s_min").to_numpy(zero_copy_only=False)
+        p = b.column("p_min").to_numpy(zero_copy_only=False)
+        amb = b.column("ambiguous").to_numpy(zero_copy_only=False)
+        p = np.where(amb,
+                     np.array([fm.get(u, SENTINEL)
+                               for u in uid.tolist()], np.int64), p)
+        # Monday-truncated signup week off epoch µs (1970-01-01 = Thu)
+        days = s // DAY_US_
+        week = (days - (days + 3) % 7) * DAY_US_
+        conv = p != SENTINEL
+        hours = np.where(conv, (p - s) // 3_600_000_000, 0)
+        t = pa.table({
+            "week": pa.array(week).cast(pa.timestamp("us")),
+            "p_u": pa.array(np.ones(len(s), np.int64)),
+            "p_c": pa.array(conv.astype(np.int64)),
+            "p_h": pa.array(hours.astype(np.int64)),
+        })
+        g = t.group_by("week").aggregate(
+            [("p_u", "sum"), ("p_c", "sum"), ("p_h", "sum")])
+        return g.rename_columns(["week", "p_u", "p_c", "p_h"])
+
+    agg = _tree_combine(
+        users.map_batches(cohort_partial, batch_format="pyarrow"),
+        ["week"], [("p_u", "sum"), ("p_c", "sum"), ("p_h", "sum")],
+        ["week", "p_u", "p_c", "p_h"],
+        ["week", "n_signups", "n_converted", "sum_hours"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("week", "ascending")])
+        u = b.column("n_signups").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = b.column("n_converted").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = b.column("sum_hours").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        conv_rate = c.astype(np.float64) / u.astype(np.float64)
+        avg_h = np.where(c > 0,
+                         h.astype(np.float64)
+                         / np.where(c > 0, c, 1).astype(np.float64),
+                         np.nan)
+        mask = c == 0
+        return pa.table({
+            "signup_week": b.column("week"),
+            "n_signups": pa.array(u, pa.int64()),
+            "n_converted": pa.array(c, pa.int64()),
+            "conversion_rate": pa.array(conv_rate, pa.float64()),
+            "avg_hours_to_purchase": pa.array(
+                avg_h, pa.float64(), mask=mask),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

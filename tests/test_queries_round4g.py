@@ -608,3 +608,60 @@ def test_abc_classes_planted(ray_session, tmp_path):
     assert out["B"]["n_parts"] == 1 and out["B"]["revenue"] == 15.0
     assert out["C"]["n_parts"] == 1 and out["C"]["revenue"] == 5.0
     assert abs(out["A"]["revenue_share"] - 0.8) < 1e-12
+
+
+def test_robust_scale_planted(ray_session, tmp_path):
+    """Source s1 lengths {10,20,30,40}: quantile_disc picks index
+    ceil(n*q)-1 -> q25=10, med=20, q75=30, IQR=20; x=10 scores
+    (10-20)/20 = -0.5.  A constant-length source is excluded
+    (IQR 0)."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "source": ["s1", "s1", "s1", "s1", "flat", "flat"],
+        "n_chars": pa.array([10, 20, 30, 40, 7, 7], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_robust_scale
+
+    out = {r["doc_id"]: r for r in
+           _tab(q_documents_robust_scale(str(tmp_path))).to_pylist()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["robust_z"] == (10 - 20) / 20.0
+    assert out[4]["robust_z"] == (40 - 20) / 20.0
+
+
+def test_user_lifespan_planted(ray_session, tmp_path):
+    """User 1 spans 2.5 days -> bucket 2; user 2 a single event ->
+    bucket 0."""
+    rows = [(1, 1, 0, "a", 1.0),
+            (2, 1, 2 * DAY_MIN + 12 * 60, "a", 1.0),
+            (3, 2, 60, "a", 1.0)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_user_lifespan
+
+    out = {r["lifespan_days"]: r["n_users"] for r in
+           _tab(q_events_user_lifespan(str(tmp_path))).to_pylist()}
+    assert out == {0: 1, 2: 1}
+
+
+def test_signup_to_purchase_planted(ray_session, tmp_path):
+    """User 1: purchase BEFORE signup must not count; the one 5h
+    after does.  User 2 signs up, never purchases.  Both signed up in
+    the same Monday week."""
+    rows = [
+        (1, 1, 10 * 60, "purchase", 1.0),      # pre-signup purchase
+        (2, 1, 20 * 60, "signup", 1.0),
+        (3, 1, 25 * 60, "purchase", 1.0),      # +5h
+        (4, 2, 30 * 60, "signup", 1.0),
+        (5, 2, 40 * 60, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_signup_to_purchase,
+    )
+
+    out = _tab(q_events_signup_to_purchase(str(tmp_path))).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_signups"] == 2 and r["n_converted"] == 1
+    assert r["conversion_rate"] == 0.5
+    assert r["avg_hours_to_purchase"] == 5.0
