@@ -537,6 +537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_robust_scale": q.q_documents_robust_scale,
         "events_user_lifespan": q.q_events_user_lifespan,
         "events_signup_to_purchase": q.q_events_signup_to_purchase,
+        "supplier_return_rate": q.q_supplier_return_rate,
+        "documents_dedup_loss_by_source":
+            q.q_documents_dedup_loss_by_source,
     }
 
 
@@ -5254,5 +5257,40 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_converted AS DOUBLE)
                         END AS avg_hours_to_purchase
             FROM c
+        """,
+        "supplier_return_rate": """
+            WITH g AS (SELECT l_suppkey,
+                              CAST(COUNT(*) AS BIGINT) AS n_lines,
+                              CAST(COUNT(*) FILTER (l_returnflag = 'R')
+                                   AS BIGINT) AS n_returned
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS nn,
+                         CAST(SUM(n_returned) AS BIGINT) AS rr
+                  FROM g)
+            SELECT l_suppkey, n_lines, n_returned,
+                   CAST(n_returned AS DOUBLE)
+                       / CAST(n_lines AS DOUBLE) AS return_rate,
+                   n_returned * (SELECT nn FROM t)
+                       > n_lines * (SELECT rr FROM t)
+                       AS above_corpus_rate
+            FROM g
+        """,
+        "documents_dedup_loss_by_source": """
+            WITH w AS (SELECT text, CAST(MIN(doc_id) AS BIGINT) AS w
+                       FROM documents GROUP BY text),
+            j AS (SELECT d.source,
+                         CAST(d.doc_id = w.w AS BIGINT) AS kept,
+                         CAST(len(string_split(d.text, ' '))
+                              AS BIGINT) AS toks
+                  FROM documents d JOIN w USING (text))
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+                   CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM((1 - kept) * toks) AS BIGINT)
+                       AS tokens_dropped,
+                   CAST(SUM(1 - kept) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS drop_rate
+            FROM j GROUP BY source
         """,
     }

@@ -14463,3 +14463,140 @@ def q_events_signup_to_purchase(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_supplier_return_rate(sf_dir: str) -> Dataset:
+    """Supplier quality scorecard: per supplier, lineitem count,
+    returned ('R') count, the return rate, and an above-corpus-rate
+    flag decided by EXACT integer cross-multiplication
+    (ret·N > n·RET — no float ever gates the flag).  One bounded
+    partial-agg exchange at supplier grain."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        r = pc.equal(b.column("l_returnflag"), "R").cast(pa.int64())
+        t = pa.table({"s": pc.cast(b.column("l_suppkey"), pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "r": r})
+        g = t.group_by("s").aggregate([("one", "sum"), ("r", "sum")])
+        return g.rename_columns(["s", "p_n", "p_r"])
+
+    agg = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s").aggregate(Sum("p_n", alias_name="n_lines"),
+                                Sum("p_r", alias_name="n_returned")),
+        pa.schema([("s", pa.int64()), ("n_lines", pa.int64()),
+                   ("n_returned", pa.int64())])).materialize()
+
+    totals = agg.map_batches(
+        lambda b: pa.table({
+            "k": pa.array([0] * b.num_rows, pa.int64()),
+            "p_n": b.column("n_lines"),
+            "p_r": b.column("n_returned")})
+        .group_by("k").aggregate([("p_n", "sum"), ("p_r", "sum")]),
+        batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("p_n_sum", alias_name="N"),
+                                Sum("p_r_sum", alias_name="R")) \
+        .take_all()[0]
+    big_n, big_r = int(totals["N"]), int(totals["R"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_lines").to_numpy(zero_copy_only=False)
+        r = b.column("n_returned").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_suppkey": b.column("s"),
+            "n_lines": pa.array(n, pa.int64()),
+            "n_returned": pa.array(r, pa.int64()),
+            "return_rate": pa.array(
+                r.astype(np.float64) / n.astype(np.float64),
+                pa.float64()),
+            "above_corpus_rate": pa.array(
+                r * big_n > n * big_r),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_documents_dedup_loss_by_source(sf_dir: str) -> Dataset:
+    """Dedup-impact report per ingest feed: after exact text dedup
+    (keep the min doc_id per text corpus-wide), how many documents and
+    how many whitespace tokens each source LOSES — the per-feed view a
+    curation run uses to spot feeds that are mostly mirrors.  Counts
+    are exact; the loss fraction is one float division.
+
+    Scale shape: the winner per text rides one (text) exchange of
+    per-batch (text, min doc_id) partials; losses then fold per source
+    on a bounded combine.  (The winner join is by doc_id membership —
+    a broadcast of winner ids is avoided by re-deriving min per text
+    and comparing in place.)"""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def win_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["text", "doc_id"]).group_by("text").aggregate(
+            [("doc_id", "min")])
+        return g.rename_columns(["text", "p_w"])
+
+    winners = with_schema(
+        ds.map_batches(win_partial, batch_format="pyarrow")
+        .groupby("text").aggregate(Min("p_w", alias_name="w")),
+        pa.schema([("text", pa.string()), ("w", pa.int64())]))
+
+    docs = with_schema(
+        ds, pa.schema([("doc_id", pa.int64()),
+                       ("source", pa.string()),
+                       ("text", pa.string())]))
+
+    j = docs.join(winners, join_type="inner", num_partitions=8,
+                  on=("text",))
+
+    def loss_partial(b: pa.Table) -> pa.Table:
+        kept = pc.equal(b.column("doc_id"), b.column("w")) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "source": b.column("source"),
+            "p_docs": pa.array(np.ones(b.num_rows, np.int64)),
+            "p_drop": pa.array((~kept).astype(np.int64)),
+            "p_tok": pa.array(toks),
+            "p_tokdrop": pa.array(np.where(kept, 0, toks)),
+        })
+        g = t.group_by("source").aggregate(
+            [("p_docs", "sum"), ("p_drop", "sum"),
+             ("p_tok", "sum"), ("p_tokdrop", "sum")])
+        return g.rename_columns(
+            ["source", "p_docs", "p_drop", "p_tok", "p_tokdrop"])
+
+    agg = _tree_combine(
+        j.map_batches(loss_partial, batch_format="pyarrow"),
+        ["source"],
+        [("p_docs", "sum"), ("p_drop", "sum"),
+         ("p_tok", "sum"), ("p_tokdrop", "sum")],
+        ["source", "p_docs", "p_drop", "p_tok", "p_tokdrop"],
+        ["source", "n_docs", "n_dropped", "n_tokens",
+         "tokens_dropped"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("source", "ascending")])
+        d = b.column("n_dropped").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": b.column("n_docs"),
+            "n_dropped": b.column("n_dropped"),
+            "n_tokens": b.column("n_tokens"),
+            "tokens_dropped": b.column("tokens_dropped"),
+            "drop_rate": pa.array(d / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

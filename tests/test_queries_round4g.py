@@ -665,3 +665,44 @@ def test_signup_to_purchase_planted(ray_session, tmp_path):
     assert r["n_signups"] == 2 and r["n_converted"] == 1
     assert r["conversion_rate"] == 0.5
     assert r["avg_hours_to_purchase"] == 5.0
+
+
+def test_supplier_return_rate_planted(ray_session, tmp_path):
+    """Supplier 1: 1 of 2 returned; supplier 2: 0 of 2.  Corpus rate
+    1/4 -> supplier 1 flags above, supplier 2 not (exact
+    cross-multiply, no float gate)."""
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "A"], pa.string()),
+    }), str(tmp_path / "lineitem.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_supplier_return_rate
+
+    out = {r["l_suppkey"]: r for r in
+           _tab(q_supplier_return_rate(str(tmp_path))).to_pylist()}
+    assert out[1]["return_rate"] == 0.5
+    assert out[1]["above_corpus_rate"] is True
+    assert out[2]["n_returned"] == 0
+    assert out[2]["above_corpus_rate"] is False
+
+
+def test_dedup_loss_by_source_planted(ray_session, tmp_path):
+    """'mirror' duplicates a text 'canon' already owns (smaller
+    doc_id wins corpus-wide), so mirror drops its copy; unique texts
+    survive."""
+    _write_docs(tmp_path, [
+        (1, "canon", "shared body text"),
+        (2, "mirror", "shared body text"),
+        (3, "mirror", "original piece"),
+    ])
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_dedup_loss_by_source,
+    )
+
+    out = {r["source"]: r for r in
+           _tab(q_documents_dedup_loss_by_source(str(tmp_path)))
+           .to_pylist()}
+    assert out["canon"]["n_dropped"] == 0
+    m = out["mirror"]
+    assert m["n_docs"] == 2 and m["n_dropped"] == 1
+    assert m["tokens_dropped"] == 3
+    assert m["drop_rate"] == 0.5
