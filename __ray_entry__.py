@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_return_rate": q.q_supplier_return_rate,
         "documents_dedup_loss_by_source":
             q.q_documents_dedup_loss_by_source,
+        "orders_ltv_triangle": q.q_orders_ltv_triangle,
+        "events_stickiness": q.q_events_stickiness,
     }
 
 
@@ -5292,5 +5294,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(1 - kept) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS drop_rate
             FROM j GROUP BY source
+        """,
+        "orders_ltv_triangle": """
+            WITH f AS (SELECT o_custkey,
+                              MIN(date_trunc('month', o_orderdate))
+                                  AS cm
+                       FROM orders GROUP BY 1),
+            j AS (SELECT o.o_custkey, f.cm,
+                         date_trunc('month', o.o_orderdate) AS om,
+                         CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             AS cents
+                  FROM orders o JOIN f USING (o_custkey))
+            SELECT strftime(cm, '%Y-%m') AS cohort_month,
+                   CAST((year(om) * 12 + month(om))
+                        - (year(cm) * 12 + month(cm)) AS BIGINT)
+                       AS age_months,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY 1, 2
+        """,
+        "events_stickiness": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               date_trunc('day', ts) AS day
+                        FROM events),
+            dau AS (SELECT date_trunc('month', day) AS m, day,
+                           CAST(COUNT(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY 1, 2),
+            dm AS (SELECT m, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+                          CAST(COUNT(*) AS BIGINT) AS n_days
+                   FROM dau GROUP BY 1),
+            mm AS (SELECT date_trunc('month', day) AS m,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                              AS mau
+                   FROM ud GROUP BY 1)
+            SELECT strftime(dm.m, '%Y-%m') AS month, dm.n_days,
+                   mm.mau,
+                   CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       AS avg_dau,
+                   CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       / CAST(mau AS DOUBLE) AS stickiness
+            FROM dm JOIN mm USING (m)
         """,
     }

@@ -14600,3 +14600,211 @@ def q_documents_dedup_loss_by_source(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_orders_ltv_triangle(sf_dir: str) -> Dataset:
+    """Cohort LTV triangle: customers grouped by FIRST-order month,
+    revenue laid out by months-since-first (the retention-revenue
+    matrix every finance dashboard draws).  Month arithmetic is exact
+    integer (year·12 + month deltas); revenue rides exact cents.
+
+    Scale shape: per-customer first-month via one customer-grain
+    exchange of int64 month ordinals; the cohort tag joins back to
+    orders by hash join; the (cohort, age) grid is bounded by
+    months² and tree-combines."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def month_ord(col) -> "np.ndarray":
+        import numpy as np
+
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // DAY_US_
+        d = (np.array(["1970-01-01"], "datetime64[D]")[0]
+             + days.astype("timedelta64[D]")).astype("datetime64[M]")
+        # months since 1970-01 + 1970·12 = absolute year·12 + (month−1)
+        return d.astype(np.int64) + 1970 * 12
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        m = month_ord(b.column("o_orderdate"))
+        t = pa.table({"c": pc.cast(b.column("o_custkey"), pa.int64()),
+                      "m": pa.array(m, pa.int64())})
+        g = t.group_by("c").aggregate([("m", "min")])
+        return g.rename_columns(["c", "p_m"])
+
+    first = with_schema(
+        ds.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("c").aggregate(Min("p_m", alias_name="cohort_m")),
+        pa.schema([("c", pa.int64()), ("cohort_m", pa.int64())]))
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("o_totalprice"), 100.0)
+        return pa.table({
+            "c": pc.cast(b.column("o_custkey"), pa.int64()),
+            "m": pa.array(month_ord(b.column("o_orderdate")),
+                          pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    orders = ds.map_batches(order_rows, batch_format="pyarrow")
+    j = orders.join(first, join_type="inner", num_partitions=8,
+                    on=("c",))
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        coh = b.column("cohort_m").to_numpy(zero_copy_only=False)
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "cohort_m": pa.array(coh, pa.int64()),
+            "age_months": pa.array(m - coh, pa.int64()),
+            "p_r": b.column("cents"),
+            "p_n": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["cohort_m", "age_months"]).aggregate(
+            [("p_r", "sum"), ("p_n", "sum")])
+        return g.rename_columns(
+            ["cohort_m", "age_months", "p_r", "p_n"])
+
+    agg = _tree_combine(
+        j.map_batches(grid_partial, batch_format="pyarrow"),
+        ["cohort_m", "age_months"], [("p_r", "sum"), ("p_n", "sum")],
+        ["cohort_m", "age_months", "p_r", "p_n"],
+        ["cohort_m", "age_months", "revenue_cents", "n_orders"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = b.sort_by([("cohort_m", "ascending"),
+                       ("age_months", "ascending")])
+        m = b.column("cohort_m").to_numpy(zero_copy_only=False)
+        y = m // 12
+        mo = m - y * 12 + 1
+        lab = [f"{int(a):04d}-{int(bb):02d}" for a, bb in zip(y, mo)]
+        return pa.table({
+            "cohort_month": pa.array(lab, pa.string()),
+            "age_months": b.column("age_months"),
+            "revenue_cents": b.column("revenue_cents"),
+            "n_orders": b.column("n_orders"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_stickiness(sf_dir: str) -> Dataset:
+    """DAU/MAU stickiness per calendar month: average daily actives ÷
+    monthly actives — the engagement ratio product teams headline.
+    All counts ride distinct-pair exchanges ((user, day) then
+    (user, month)); the two floats are final divisions of exact ints.
+
+    avg_dau divides by DAYS OBSERVED in the month (days with ≥1
+    event), not the calendar length — the honest denominator for a
+    partial month, and the twin's COUNT(DISTINCT day) agrees."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                      pa.int64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    pairs = with_schema(
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).aggregate(
+            Count("user_id", alias_name="_n")),
+        pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                   ("_n", pa.int64())])).materialize()
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        days = b.column("day").to_numpy(zero_copy_only=False)
+        mon = (np.array(["1970-01-01"], "datetime64[D]")[0]
+               + (days // DAY_US_).astype("timedelta64[D]")) \
+            .astype("datetime64[M]").astype(np.int64)
+        t = pa.table({"m": pa.array(mon, pa.int64()),
+                      "day": b.column("day"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["m", "day"]).aggregate([("one", "sum")])
+        return g.rename_columns(["m", "day", "p_dau"])
+
+    daily = _tree_combine(
+        pairs.map_batches(day_counts, batch_format="pyarrow"),
+        ["m", "day"], [("p_dau", "sum")],
+        ["m", "day", "p_dau"], ["m", "day", "dau"])
+
+    def month_fold(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = pa.table({"m": b.column("m"),
+                      "p_sum": b.column("dau"),
+                      "p_days": pa.array(
+                          np.ones(b.num_rows, np.int64))})
+        g = t.group_by("m").aggregate(
+            [("p_sum", "sum"), ("p_days", "sum")])
+        return g.rename_columns(["m", "p_sum", "p_days"])
+
+    dau_m = _tree_combine(
+        daily.map_batches(month_fold, batch_format="pyarrow"),
+        ["m"], [("p_sum", "sum"), ("p_days", "sum")],
+        ["m", "p_sum", "p_days"], ["m", "dau_sum", "n_days"])
+
+    def um_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        days = b.column("day").to_numpy(zero_copy_only=False)
+        mon = (np.array(["1970-01-01"], "datetime64[D]")[0]
+               + (days // DAY_US_).astype("timedelta64[D]")) \
+            .astype("datetime64[M]").astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "m": pa.array(mon, pa.int64())}) \
+            .group_by(["user_id", "m"]).aggregate([])
+
+    mau_m = _tree_combine(
+        with_schema(
+            pairs.map_batches(um_partial, batch_format="pyarrow")
+            .groupby(["user_id", "m"]).aggregate(
+                Count("user_id", alias_name="_k")),
+            pa.schema([("user_id", pa.int64()), ("m", pa.int64()),
+                       ("_k", pa.int64())]))
+        .map_batches(
+            lambda b: pa.table({
+                "m": b.column("m"),
+                "p_mau": pa.array([1] * b.num_rows, pa.int64())})
+            .group_by("m").aggregate([("p_mau", "sum")])
+            .rename_columns(["m", "p_mau"]),
+            batch_format="pyarrow"),
+        ["m"], [("p_mau", "sum")], ["m", "p_mau"], ["m", "mau"])
+
+    dt = _small_table(dau_m.materialize())
+    mt = _small_table(mau_m.materialize())
+    dau_map = {int(r["m"]): (int(r["dau_sum"]), int(r["n_days"]))
+               for r in dt.to_pylist()}
+    mau_map = {int(r["m"]): int(r["mau"]) for r in mt.to_pylist()}
+
+    import numpy as np
+
+    ms = sorted(dau_map)
+    y = np.array(ms, np.int64) // 12 + 1970
+    mo = np.array(ms, np.int64) - (np.array(ms, np.int64) // 12) * 12 + 1
+    lab = [f"{int(a):04d}-{int(bb):02d}" for a, bb in zip(y, mo)]
+    dau_sum = np.array([dau_map[m][0] for m in ms], np.int64)
+    n_days = np.array([dau_map[m][1] for m in ms], np.int64)
+    mau = np.array([mau_map[m] for m in ms], np.int64)
+    avg_dau = dau_sum.astype(np.float64) / n_days.astype(np.float64)
+    return rd.from_arrow(pa.table({
+        "month": pa.array(lab, pa.string()),
+        "n_days": pa.array(n_days, pa.int64()),
+        "mau": pa.array(mau, pa.int64()),
+        "avg_dau": pa.array(avg_dau, pa.float64()),
+        "stickiness": pa.array(
+            avg_dau / mau.astype(np.float64), pa.float64()),
+    }))

@@ -706,3 +706,48 @@ def test_dedup_loss_by_source_planted(ray_session, tmp_path):
     assert m["n_docs"] == 2 and m["n_dropped"] == 1
     assert m["tokens_dropped"] == 3
     assert m["drop_rate"] == 0.5
+
+
+def test_ltv_triangle_planted(ray_session, tmp_path):
+    """Customer 1 first orders in Jan (cohort 2024-01) and again in
+    Mar -> ages 0 and 2; customer 2 starts in Feb (age 0).  Month
+    arithmetic crosses the year boundary exactly."""
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("2024-01-15", "us"),
+             np.datetime64("2024-03-02", "us"),
+             np.datetime64("2024-02-20", "us"),
+             np.datetime64("2023-12-31", "us")], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 5.0, 7.0],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_orders_ltv_triangle
+
+    out = {(r["cohort_month"], r["age_months"]): r for r in
+           _tab(q_orders_ltv_triangle(str(tmp_path))).to_pylist()}
+    assert out[("2024-01", 0)]["revenue_cents"] == 1000
+    assert out[("2024-01", 2)]["revenue_cents"] == 2000
+    assert out[("2024-02", 0)]["revenue_cents"] == 500
+    assert out[("2023-12", 0)]["revenue_cents"] == 700
+    assert len(out) == 4
+
+
+def test_stickiness_planted(ray_session, tmp_path):
+    """3 observed days in one month: DAUs 2, 1, 1 (avg 4/3); MAU = 2
+    distinct users -> stickiness (4/3)/2 = 2/3."""
+    rows = [
+        (1, 1, 0, "a", 1.0), (2, 2, 1, "a", 1.0),        # day 1: u1,u2
+        (3, 1, DAY_MIN, "a", 1.0),                        # day 2: u1
+        (4, 1, 2 * DAY_MIN, "a", 1.0),                    # day 3: u1
+        (5, 1, 2 * DAY_MIN + 1, "a", 1.0),                # dup pair
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_stickiness
+
+    out = _tab(q_events_stickiness(str(tmp_path))).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 3 and r["mau"] == 2
+    assert abs(r["avg_dau"] - 4.0 / 3.0) < 1e-12
+    assert abs(r["stickiness"] - 2.0 / 3.0) < 1e-12
