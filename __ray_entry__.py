@@ -542,6 +542,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_dedup_loss_by_source,
         "orders_ltv_triangle": q.q_orders_ltv_triangle,
         "events_stickiness": q.q_events_stickiness,
+        # model-evaluation family (round 4, session 10)
+        "documents_stump_confusion": q.q_documents_stump_confusion,
+        "documents_length_auc": q.q_documents_length_auc,
+        "documents_kfold_stats": q.q_documents_kfold_stats,
     }
 
 
@@ -5334,5 +5338,123 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
                        / CAST(mau AS DOUBLE) AS stickiness
             FROM dm JOIN mm USING (m)
+        """,
+        "documents_stump_confusion": """
+            WITH g AS (SELECT n_chars AS x,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(*) FILTER (lang = 'en')
+                                   AS BIGINT) AS p
+                       FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                           CAST(SUM(p) AS BIGINT) AS pp
+                    FROM g),
+            pre AS (SELECT x,
+                           CAST(SUM(n) OVER (ORDER BY x) AS BIGINT)
+                               AS nl,
+                           CAST(SUM(p) OVER (ORDER BY x) AS BIGINT)
+                               AS pl
+                    FROM g),
+            s AS (SELECT x, nl, pl,
+                         tot.nn - nl AS nr, tot.pp - pl AS pr,
+                         tot.nn AS nn, tot.pp AS pp
+                  FROM pre, tot WHERE nl < tot.nn),
+            r AS (SELECT x, nl, pl, nr, pr, nn, pp,
+                         CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)
+                             AS plr,
+                         CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)
+                             AS prr
+                  FROM s),
+            w AS (SELECT x, nl, pl, nr, pr, nn, pp,
+                         (CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * (1.0 - plr * plr
+                                - (1.0 - plr) * (1.0 - plr))
+                         + (CAST(nr AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * (1.0 - prr * prr
+                                - (1.0 - prr) * (1.0 - prr)) AS wg
+                  FROM r),
+            best AS (SELECT * FROM w ORDER BY wg, x LIMIT 1),
+            cells AS (SELECT x, nn, pp,
+                             CASE WHEN pl * nn >= pp * nl THEN pl
+                                  ELSE 0 END
+                             + CASE WHEN pr * nn >= pp * nr THEN pr
+                                    ELSE 0 END AS tp,
+                             CASE WHEN pl * nn >= pp * nl THEN nl - pl
+                                  ELSE 0 END
+                             + CASE WHEN pr * nn >= pp * nr
+                                    THEN nr - pr
+                                    ELSE 0 END AS fp,
+                             CASE WHEN pl * nn >= pp * nl THEN 0
+                                  ELSE pl END
+                             + CASE WHEN pr * nn >= pp * nr THEN 0
+                                    ELSE pr END AS fn,
+                             CASE WHEN pl * nn >= pp * nl THEN 0
+                                  ELSE nl - pl END
+                             + CASE WHEN pr * nn >= pp * nr THEN 0
+                                    ELSE nr - pr END AS tn
+                      FROM best)
+            SELECT x AS split_threshold,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                   CAST(tp + tn AS DOUBLE) / CAST(nn AS DOUBLE) AS acc,
+                   CASE WHEN tp + fp = 0 THEN NULL
+                        ELSE CAST(tp AS DOUBLE)
+                             / CAST(tp + fp AS DOUBLE) END AS prec,
+                   CASE WHEN pp = 0 THEN NULL
+                        ELSE CAST(tp AS DOUBLE)
+                             / CAST(pp AS DOUBLE) END AS rec,
+                   CASE WHEN tp = 0 OR tp + fp = 0 OR pp = 0 THEN NULL
+                        ELSE 2.0 * (CAST(tp AS DOUBLE)
+                                    / CAST(tp + fp AS DOUBLE))
+                                 * (CAST(tp AS DOUBLE)
+                                    / CAST(pp AS DOUBLE))
+                             / ((CAST(tp AS DOUBLE)
+                                 / CAST(tp + fp AS DOUBLE))
+                                + (CAST(tp AS DOUBLE)
+                                   / CAST(pp AS DOUBLE))) END AS f1
+            FROM cells
+        """,
+        "documents_length_auc": """
+            WITH g AS (SELECT n_chars AS x,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(*) FILTER (lang = 'en')
+                                   AS BIGINT) AS p
+                       FROM documents GROUP BY 1),
+            pre AS (SELECT x, p, n - p AS neg,
+                           CAST(SUM(n - p) OVER (ORDER BY x)
+                                AS BIGINT) - (n - p) AS cb
+                    FROM g),
+            tot AS (SELECT CAST(SUM(p) AS BIGINT) AS pp,
+                           CAST(SUM(n - p) AS BIGINT) AS nn
+                    FROM g),
+            s AS (SELECT CAST(SUM(p * (2 * cb + neg)) AS BIGINT) AS u2
+                  FROM pre)
+            SELECT tot.pp AS n_pos, tot.nn AS n_neg, s.u2 AS u2,
+                   CASE WHEN pp = 0 OR nn = 0 THEN NULL
+                        ELSE CAST(u2 AS DOUBLE)
+                             / (2.0 * CAST(pp AS DOUBLE)
+                                * CAST(nn AS DOUBLE)) END AS auc,
+                   CASE WHEN pp = 0 OR nn = 0 THEN NULL
+                        ELSE 2.0 * (CAST(u2 AS DOUBLE)
+                                    / (2.0 * CAST(pp AS DOUBLE)
+                                       * CAST(nn AS DOUBLE)))
+                             - 1.0 END AS gini
+            FROM tot, s
+        """,
+        "documents_kfold_stats": """
+            WITH f AS (SELECT CAST('0x' || substr(md5(
+                                  doc_id::VARCHAR || chr(31) || '42'),
+                              1, 8) AS BIGINT) % 5 AS fold,
+                              lang, n_chars
+                       FROM documents)
+            SELECT fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT)
+                       AS n_en,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(n_chars) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+                   CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS en_rate
+            FROM f GROUP BY fold
         """,
     }

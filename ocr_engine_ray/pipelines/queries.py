@@ -14808,3 +14808,206 @@ def q_events_stickiness(sf_dir: str) -> Dataset:
         "stickiness": pa.array(
             avg_dau / mau.astype(np.float64), pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation family (round 4, session 10): once a classifier exists
+# (the Gini stump, the NB source model), a training pipeline needs the
+# evaluation primitives — confusion matrix, exact ROC AUC, CV folds —
+# and each is one bounded-grid exchange over exact integers.
+# ---------------------------------------------------------------------------
+
+def _length_label_grid(sf_dir: str) -> Dataset:
+    """Shared (n_chars, n, n_positive) grid for the length-based
+    classifier family (decision stump, confusion matrix, ROC AUC):
+    per-batch partial counts per distinct length, one bounded tree
+    combine — the value domain, not the corpus, bounds the exchange."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["n_chars", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pos = pc.equal(b.column("lang"), "en").cast(pa.int64())
+        t = pa.table({"x": b.column("n_chars"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "pos": pos})
+        g = t.group_by("x").aggregate([("one", "sum"), ("pos", "sum")])
+        return g.rename_columns(["x", "p_n", "p_p"])
+
+    return _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["x"], [("p_n", "sum"), ("p_p", "sum")],
+        ["x", "p_n", "p_p"], ["x", "n", "p"])
+
+
+def q_documents_stump_confusion(sf_dir: str) -> Dataset:
+    """Confusion matrix + accuracy/precision/recall/F1 for the optimal
+    Gini stump of q_documents_decision_stump — the evaluation half of
+    the 1-split CART.  Each leaf predicts positive iff its positive
+    rate lifts over the base rate (p_leaf·N ≥ P·n_leaf, an exact
+    cross-multiplied integer test; majority voting would predict
+    all-negative whenever the positive class is a sub-50 % plurality,
+    which this corpus is).  Exactly one leaf lifts unless the split is
+    degenerate (both rates equal the base — then ≥ makes both predict
+    positive, total recall rather than all-negative), so tp > 0
+    whenever P > 0 and the ratio columns never go all-NULL.  Every
+    cell (tp/fp/fn/tn) falls straight out of the split's prefix sums —
+    NO second corpus pass.  The metric ratios are single float
+    expressions over exact ints, NULL-guarded like the twin's CASE.
+
+    Scale shape: identical to the stump — one bounded (n_chars) grid
+    combine, then driver-block math."""
+    import numpy as np
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("x", "ascending")])
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        N = int(n.sum())
+        P = int(p.sum())
+        nl = np.cumsum(n)
+        pl = np.cumsum(p)
+        keep = nl < N
+        xv, nlv, plv = x[keep], nl[keep], pl[keep]
+        nrv = np.int64(N) - nlv
+        prv = np.int64(P) - plv
+        nf = np.float64(N)
+        plr = plv.astype(np.float64) / nlv.astype(np.float64)
+        prr = prv.astype(np.float64) / nrv.astype(np.float64)
+        gl = 1.0 - plr * plr - (1.0 - plr) * (1.0 - plr)
+        gr = 1.0 - prr * prr - (1.0 - prr) * (1.0 - prr)
+        wg = (nlv.astype(np.float64) / nf) * gl \
+            + (nrv.astype(np.float64) / nf) * gr
+        best = np.lexsort((xv, wg))[0]
+        t = int(xv[best])
+        nlb, plb = int(nlv[best]), int(plv[best])
+        nrb, prb = N - nlb, P - plb
+        left_pos = plb * N >= P * nlb
+        right_pos = prb * N >= P * nrb
+        tp = (plb if left_pos else 0) + (prb if right_pos else 0)
+        fp = ((nlb - plb) if left_pos else 0) \
+            + ((nrb - prb) if right_pos else 0)
+        fn = (0 if left_pos else plb) + (0 if right_pos else prb)
+        tn = (0 if left_pos else nlb - plb) \
+            + (0 if right_pos else nrb - prb)
+        acc = float(tp + tn) / float(N)
+        prec = None if tp + fp == 0 else float(tp) / float(tp + fp)
+        rec = None if P == 0 else float(tp) / float(P)
+        if tp == 0 or prec is None or rec is None:
+            f1 = None
+        else:
+            f1 = 2.0 * prec * rec / (prec + rec)
+        return pa.table({
+            "split_threshold": pa.array([t], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+            "acc": pa.array([acc], pa.float64()),
+            "prec": pa.array([prec], pa.float64()),
+            "rec": pa.array([rec], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+        })
+
+    return _length_label_grid(sf_dir).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_length_auc(sf_dir: str) -> Dataset:
+    """Exact ROC AUC of document length as a score for lang = 'en' —
+    the rank statistic AUC = U/(n₊·n₋) with the tie-aware numerator
+    kept entirely in integers: 2·U = Σ_v p_v·(2·cneg_before + neg_v)
+    over the sorted (n_chars) grid (each positive counts negatives
+    strictly below it twice and ties once).  One float division at
+    the end; the Gini coefficient 2·AUC − 1 replays the same tree.
+
+    Scale shape: the same bounded length-grid combine as the stump —
+    AUC over a value-domain histogram, never a corpus sort."""
+    import numpy as np
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("x", "ascending")])
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        neg = n - p
+        cb = np.cumsum(neg) - neg
+        u2 = int((p.astype(object) * (2 * cb.astype(object) + neg)).sum())
+        P = int(p.sum())
+        NN = int(neg.sum())
+        if P == 0 or NN == 0:
+            auc = gini = None
+        else:
+            auc = float(u2) / (2.0 * float(P) * float(NN))
+            gini = 2.0 * auc - 1.0
+        return pa.table({
+            "n_pos": pa.array([P], pa.int64()),
+            "n_neg": pa.array([NN], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+            "gini": pa.array([gini], pa.float64()),
+        })
+
+    return _length_label_grid(sf_dir).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_kfold_stats(sf_dir: str) -> Dataset:
+    """5-fold cross-validation assignment + per-fold balance audit —
+    the split primitive under every CV loop, using THE shared seeded
+    row-identity hash (stages.partition.row_hash_hex, seed 42) so the
+    assignment is a pure function of doc_id: fold = first-8-hex-chars
+    of md5 as an integer, mod 5 (resume-safe, partitioning-independent,
+    exactly reproducible in SQL).  Per fold: doc count, positive-class
+    count, char total (exact ints) and the mean/rate ratios as final
+    float divisions — the numbers a fold-balance check reads before
+    trusting a CV estimate.
+
+    Scale shape: one corpus scan, per-batch partial groupby(fold),
+    bounded 5-key tree combine."""
+    import hashlib
+
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        fold = np.fromiter(
+            (int(hashlib.md5((str(i) + "\x1f42").encode()).hexdigest()[:8],
+                 16) % 5 for i in ids),
+            dtype=np.int64, count=len(ids))
+        t = pa.table({
+            "fold": pa.array(fold),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "pos": pc.equal(b.column("lang"), "en").cast(pa.int64()),
+            "chars": pc.cast(b.column("n_chars"), pa.int64()),
+        })
+        g = t.group_by("fold").aggregate(
+            [("one", "sum"), ("pos", "sum"), ("chars", "sum")])
+        return g.rename_columns(["fold", "p_n", "p_p", "p_c"])
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["fold"], [("p_n", "sum"), ("p_p", "sum"), ("p_c", "sum")],
+        ["fold", "p_n", "p_p", "p_c"], ["fold", "n_docs", "n_en", "sum_chars"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "fold": pc.cast(b.column("fold"), pa.int64()),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "n_en": pc.cast(b.column("n_en"), pa.int64()),
+            "sum_chars": pc.cast(b.column("sum_chars"), pa.int64()),
+            "mean_chars": pa.array(
+                b.column("sum_chars").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / n, pa.float64()),
+            "en_rate": pa.array(
+                b.column("n_en").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -1,0 +1,126 @@
+"""Planted-corpus semantic tests for the round-4 session-10 batch:
+the model-evaluation family (stump confusion matrix lift rule, exact
+tie-aware ROC AUC, k-fold assignment determinism).  Bit-exactness vs
+DuckDB is pinned by the contract sweep; these pin the SEMANTICS on
+hand-checkable corpora.
+"""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _tab(res) -> pa.Table:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        rows = res.take_all()
+        if not rows:
+            return res.schema().base_schema.empty_table()
+        return pa.Table.from_pylist(rows)
+    return res
+
+
+def _write_label_docs(tmp_path, docs):
+    """docs: (doc_id, lang, n_chars)."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array(["x" * d[2] for d in docs], pa.string()),
+        "lang": pa.array([d[1] for d in docs], pa.string()),
+        "source": pa.array(["s0"] * len(docs), pa.string()),
+        "n_chars": pa.array([d[2] for d in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+def test_stump_confusion_planted(ray_session, tmp_path):
+    """Perfectly separable corpus: en docs short (10), others long
+    (100).  The stump must split at 10 with a perfect confusion
+    matrix — tp = 3 positives, zero errors, acc = prec = rec = f1 = 1."""
+    docs = [(1, "en", 10), (2, "en", 10), (3, "en", 10),
+            (4, "fr", 100), (5, "de", 100)]
+    _write_label_docs(tmp_path, docs)
+    from ocr_engine_ray.pipelines.queries import q_documents_stump_confusion
+
+    r = _tab(q_documents_stump_confusion(str(tmp_path))).to_pylist()[0]
+    assert r["split_threshold"] == 10
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 0, 0, 2)
+    assert r["acc"] == 1.0 and r["prec"] == 1.0
+    assert r["rec"] == 1.0 and r["f1"] == 1.0
+
+
+def test_stump_confusion_lift_rule(ray_session, tmp_path):
+    """Sub-50 % plurality positive class: en is 40 % overall and 2/3
+    in the left leaf — majority voting would predict all-negative
+    (tp = 0), the lift rule must predict positive on the left leaf.
+    Corpus: left (len 10) = 2 en + 1 fr, right (len 100) = 0 en + 2 fr.
+    Best split must isolate the leaves at threshold 10; left rate
+    2/3 >= base 2/5 -> positive; right 0 < base -> negative."""
+    docs = [(1, "en", 10), (2, "en", 10), (3, "fr", 10),
+            (4, "fr", 100), (5, "fr", 100)]
+    _write_label_docs(tmp_path, docs)
+    from ocr_engine_ray.pipelines.queries import q_documents_stump_confusion
+
+    r = _tab(q_documents_stump_confusion(str(tmp_path))).to_pylist()[0]
+    assert r["split_threshold"] == 10
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 0, 2)
+    assert r["acc"] == 4.0 / 5.0
+    assert r["prec"] == 2.0 / 3.0 and r["rec"] == 1.0
+    assert abs(r["f1"] - 0.8) < 1e-12
+
+
+def test_length_auc_planted(ray_session, tmp_path):
+    """Hand-checked AUC with one tie: positives at lengths {10, 30},
+    negatives at {10, 20}.  Pairs: (10+,10-) tie = 0.5, (10+,20-) = 0,
+    (30+,10-) = 1, (30+,20-) = 1 -> AUC = 2.5/4 = 0.625; the exact
+    integer numerator 2U = 5."""
+    docs = [(1, "en", 10), (2, "fr", 10), (3, "fr", 20), (4, "en", 30)]
+    _write_label_docs(tmp_path, docs)
+    from ocr_engine_ray.pipelines.queries import q_documents_length_auc
+
+    r = _tab(q_documents_length_auc(str(tmp_path))).to_pylist()[0]
+    assert (r["n_pos"], r["n_neg"], r["u2"]) == (2, 2, 5)
+    assert r["auc"] == 0.625
+    assert r["gini"] == 2.0 * 0.625 - 1.0
+
+
+def test_length_auc_perfect_and_inverted(ray_session, tmp_path):
+    """All positives above all negatives -> AUC 1; flipping the label
+    inverts to 0 (computed on the complement corpus)."""
+    docs = [(1, "en", 50), (2, "en", 60), (3, "fr", 10), (4, "fr", 20)]
+    _write_label_docs(tmp_path, docs)
+    from ocr_engine_ray.pipelines.queries import q_documents_length_auc
+
+    r = _tab(q_documents_length_auc(str(tmp_path))).to_pylist()[0]
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+    docs = [(1, "fr", 50), (2, "fr", 60), (3, "en", 10), (4, "en", 20)]
+    _write_label_docs(tmp_path, docs)
+    r = _tab(q_documents_length_auc(str(tmp_path))).to_pylist()[0]
+    assert r["auc"] == 0.0 and r["gini"] == -1.0
+
+
+def test_kfold_assignment_deterministic(ray_session, tmp_path):
+    """Folds partition the corpus, every fold statistic is consistent,
+    and the assignment replays the shared seeded row-identity hash
+    (md5(doc_id || chr(31) || '42') first 8 hex chars, mod 5)."""
+    docs = [(i, "en" if i % 3 == 0 else "fr", 10 + i) for i in range(60)]
+    _write_label_docs(tmp_path, docs)
+    from ocr_engine_ray.pipelines.queries import q_documents_kfold_stats
+
+    rows = {r["fold"]: r for r in
+            _tab(q_documents_kfold_stats(str(tmp_path))).to_pylist()}
+    assert sum(r["n_docs"] for r in rows.values()) == 60
+    assert sum(r["n_en"] for r in rows.values()) == 20
+
+    expect = {}
+    for i, lang, nc in docs:
+        f = int(hashlib.md5(f"{i}\x1f42".encode()).hexdigest()[:8], 16) % 5
+        d = expect.setdefault(f, [0, 0, 0])
+        d[0] += 1
+        d[1] += 1 if lang == "en" else 0
+        d[2] += nc
+    for f, (n, en, ch) in expect.items():
+        r = rows[f]
+        assert (r["n_docs"], r["n_en"], r["sum_chars"]) == (n, en, ch)
+        assert r["mean_chars"] == float(ch) / float(n)
+        assert r["en_rate"] == float(en) / float(n)
