@@ -546,6 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_stump_confusion": q.q_documents_stump_confusion,
         "documents_length_auc": q.q_documents_length_auc,
         "documents_kfold_stats": q.q_documents_kfold_stats,
+        "events_poisson_bootstrap": q.q_events_poisson_bootstrap,
+        "events_permutation_test": q.q_events_permutation_test,
     }
 
 
@@ -5456,5 +5458,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS en_rate
             FROM f GROUP BY fold
+        """,
+        "events_poisson_bootstrap": """
+            WITH p AS (SELECT CAST(round(value * 100) AS BIGINT)
+                                  AS cents,
+                              md5(event_id::VARCHAR || chr(31)
+                                  || 'boot') AS h
+                       FROM events WHERE event_type = 'purchase'),
+            d AS (SELECT g.r AS replicate, cents,
+                         CAST('0x' || substr(h, 1 + 4 * g.r, 4)
+                              AS BIGINT) AS u
+                  FROM p, generate_series(0, 7) AS g(r)),
+            w AS (SELECT replicate, cents,
+                         CASE WHEN u < 24109 THEN 0
+                              WHEN u < 48218 THEN 1
+                              WHEN u < 60273 THEN 2
+                              WHEN u < 64291 THEN 3
+                              WHEN u < 65296 THEN 4
+                              WHEN u < 65497 THEN 5
+                              WHEN u < 65530 THEN 6
+                              WHEN u < 65535 THEN 7
+                              ELSE 10 END AS wt
+                  FROM d)
+            SELECT replicate,
+                   CAST(SUM(wt) AS BIGINT) AS n_eff,
+                   CASE WHEN SUM(wt) = 0 THEN NULL
+                        ELSE CAST(SUM(wt * cents) AS DOUBLE)
+                             / CAST(SUM(wt) AS DOUBLE) / 100.0
+                        END AS boot_mean
+            FROM w GROUP BY replicate
+        """,
+        "events_permutation_test": """
+            WITH p AS (SELECT CAST(round(value * 100) AS BIGINT)
+                                  AS cents,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS ga,
+                              CAST('0x' || substr(md5(
+                                      event_id::VARCHAR || chr(31)
+                                      || 'perm'), 1, 8)
+                                   AS BIGINT) AS u
+                       FROM events
+                       WHERE event_type IN ('purchase', 'click')),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(cents) AS BIGINT) AS s,
+                           CAST(SUM(ga) AS BIGINT) AS n1,
+                           CAST(SUM(ga * cents) AS BIGINT) AS s1
+                    FROM p),
+            perm AS (SELECT g.j,
+                            CAST(SUM((u >> g.j) & 1) AS BIGINT)
+                                AS n1p,
+                            CAST(SUM(((u >> g.j) & 1) * cents)
+                                 AS BIGINT) AS s1p
+                     FROM p, generate_series(0, 31) AS g(j)
+                     GROUP BY g.j),
+            e AS (SELECT j, n1p, s1p,
+                         tot.n - n1p AS n2p, tot.s - s1p AS s2p,
+                         tot.n1 AS n1o, tot.s1 AS s1o,
+                         tot.n - tot.n1 AS n2o,
+                         tot.s - tot.s1 AS s2o
+                  FROM perm, tot),
+            v AS (SELECT j,
+                         CASE WHEN n1p = 0 OR n2p = 0 THEN NULL
+                              WHEN CAST(abs(s1p * n2p - s2p * n1p)
+                                        AS HUGEINT)
+                                   * CAST(n1o * n2o AS HUGEINT)
+                                   >= CAST(abs(s1o * n2o - s2o * n1o)
+                                           AS HUGEINT)
+                                      * CAST(n1p * n2p AS HUGEINT)
+                              THEN 1 ELSE 0 END AS ex
+                  FROM e)
+            SELECT tot.n1 AS n_purchase, tot.n - tot.n1 AS n_click,
+                   CASE WHEN tot.n1 = 0 OR tot.n = tot.n1 THEN NULL
+                        ELSE (CAST(tot.s1 AS DOUBLE)
+                              / CAST(tot.n1 AS DOUBLE)
+                              - CAST(tot.s - tot.s1 AS DOUBLE)
+                                / CAST(tot.n - tot.n1 AS DOUBLE))
+                             / 100.0 END AS diff_obs,
+                   CASE WHEN tot.n1 = 0 OR tot.n = tot.n1 THEN 0
+                        ELSE CAST(COUNT(v.ex) AS BIGINT)
+                        END AS n_valid,
+                   CASE WHEN tot.n1 = 0 OR tot.n = tot.n1 THEN 0
+                        ELSE CAST(COALESCE(SUM(v.ex), 0) AS BIGINT)
+                        END AS n_extreme,
+                   CASE WHEN tot.n1 = 0 OR tot.n = tot.n1 THEN NULL
+                        ELSE CAST(COALESCE(SUM(v.ex), 0) + 1
+                                  AS DOUBLE)
+                             / CAST(COUNT(v.ex) + 1 AS DOUBLE)
+                        END AS p_value
+            FROM v, tot
+            GROUP BY tot.n1, tot.n, tot.s1, tot.s
         """,
     }

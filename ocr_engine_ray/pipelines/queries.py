@@ -15011,3 +15011,182 @@ def q_documents_kfold_stats(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+# Poisson(1) inverse-CDF cutoffs at 16-bit resolution: C_k =
+# floor(CDF(k) * 65536); a uniform 16-bit draw u maps to weight
+# min{k : u < C_k} (else 10).  The SAME integer literals appear in the
+# DuckDB twin's CASE ladder — the bootstrap weight is exact both sides.
+_POISSON1_CUTS_16 = (24109, 48218, 60273, 64291, 65296, 65497,
+                     65530, 65535, 65535, 65535)
+
+
+def q_events_poisson_bootstrap(sf_dir: str) -> Dataset:
+    """Poisson bootstrap (the map-reduce bootstrap: per-row
+    Poisson(1)-distributed resample weights instead of a global n-draw
+    resample, so replicates stream with the scan) of the mean purchase
+    value — 8 deterministic replicates whose weights come from one md5
+    per row: the 128-bit digest of the seeded row identity yields
+    eight independent 16-bit uniforms, each inverse-CDF'd through the
+    shared integer cutoff table.  Per replicate the weighted sum and
+    weight total are exact int64; the replicate mean is one final
+    float division chain, so the whole null distribution is
+    bit-reproducible in SQL.
+
+    Scale shape: one corpus scan, per-batch (replicate, Σw·x, Σw)
+    partials via a bits×values matmul, bounded 8-key tree combine —
+    the classic derandomized-resampling pattern for clusters (each
+    row's weights are a pure function of its identity: resume-safe,
+    partitioning-independent)."""
+    import hashlib
+
+    import numpy as np
+
+    R = 8
+    cuts = np.array(_POISSON1_CUTS_16, np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "purchase")
+        f = b.filter(m)
+        if f.num_rows == 0:
+            return pa.table({"replicate": pa.array([], pa.int64()),
+                             "p_wx": pa.array([], pa.int64()),
+                             "p_w": pa.array([], pa.int64())})
+        cents = scaled_int_sql(f.column("value"), 100)
+        ids = f.column("event_id").to_pylist()
+        dig = np.frombuffer(
+            b"".join(hashlib.md5((str(i) + "\x1fboot").encode()).digest()
+                     for i in ids), dtype=">u2").reshape(-1, 8) \
+            .astype(np.int64)
+        w = np.searchsorted(cuts, dig.ravel(), side="right") \
+            .reshape(-1, 8).astype(np.int64)
+        return pa.table({
+            "replicate": pa.array(np.arange(R, dtype=np.int64)),
+            "p_wx": pa.array(w.T @ cents),
+            "p_w": pa.array(w.sum(axis=0)),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["replicate"], [("p_wx", "sum"), ("p_w", "sum")],
+        ["replicate", "p_wx", "p_w"], ["replicate", "wx", "w"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        wx = b.column("wx").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        mean = np.where(
+            w > 0,
+            wx.astype(np.float64) / np.where(w > 0, w, 1)
+            .astype(np.float64) / 100.0,
+            np.nan)
+        out = pa.table({
+            "replicate": pc.cast(b.column("replicate"), pa.int64()),
+            "n_eff": pc.cast(b.column("w"), pa.int64()),
+            "boot_mean": pa.array(
+                [None if wi == 0 else float(mi)
+                 for wi, mi in zip(w, mean)], pa.float64()),
+        })
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_permutation_test(sf_dir: str) -> Dataset:
+    """Randomization test for the purchase-vs-click mean-value
+    difference: 32 deterministic re-assignments (bit j of the seeded
+    row-identity md5's first 32 bits sends the row to group A), the
+    observed |Δmean| compared against each replicate's with EXACT
+    cross-multiplied integer arithmetic — |s₁ₚn₂ₚ − s₂ₚn₁ₚ|·n₁ₒn₂ₒ vs
+    |s₁ₒn₂ₒ − s₂ₒn₁ₒ|·n₁ₚn₂ₚ in big ints (HUGEINT in the twin), so
+    "extreme" never depends on float rounding.  p = (#extreme + 1) /
+    (#valid + 1); replicates that land every row in one group are
+    NULL-excluded (mirrored CASE).
+
+    Scale shape: one corpus scan, per-batch bit-matrix matmul partials
+    (32 sums), bounded 34-key tree combine (32 replicates + 2 sentinel
+    rows carrying the observed totals), driver math on the grid."""
+    import hashlib
+
+    import numpy as np
+
+    R = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        m1 = pc.equal(b.column("event_type"), "purchase")
+        keep = pc.or_(m1, pc.equal(b.column("event_type"), "click"))
+        f = b.filter(keep)
+        if f.num_rows == 0:
+            return pa.table({"perm": pa.array([], pa.int64()),
+                             "p_n1": pa.array([], pa.int64()),
+                             "p_s1": pa.array([], pa.int64())})
+        cents = scaled_int_sql(f.column("value"), 100)
+        ga = pc.equal(f.column("event_type"), "purchase") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = f.column("event_id").to_pylist()
+        u = np.fromiter(
+            (int(hashlib.md5((str(i) + "\x1fperm").encode())
+                 .hexdigest()[:8], 16) for i in ids),
+            dtype=np.int64, count=len(ids))
+        bits = ((u[:, None] >> np.arange(R, dtype=np.int64)) & 1)
+        perm = np.concatenate(
+            [np.arange(R, dtype=np.int64), [-1, -2]])
+        p_n1 = np.concatenate(
+            [bits.sum(axis=0), [int(ga.sum()), f.num_rows]])
+        p_s1 = np.concatenate(
+            [bits.T @ cents, [int(ga @ cents), int(cents.sum())]])
+        return pa.table({"perm": pa.array(perm),
+                         "p_n1": pa.array(p_n1),
+                         "p_s1": pa.array(p_s1)})
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["perm"], [("p_n1", "sum"), ("p_s1", "sum")],
+        ["perm", "p_n1", "p_s1"], ["perm", "n1", "s1"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        rowmap = {int(p): (int(n), int(s)) for p, n, s in
+                  zip(b.column("perm").to_pylist(),
+                      b.column("n1").to_pylist(),
+                      b.column("s1").to_pylist())}
+        n1o, s1o = rowmap[-1]
+        n, s = rowmap[-2]
+        n2o, s2o = n - n1o, s - s1o
+        if n1o == 0 or n2o == 0:
+            return pa.table({
+                "n_purchase": pa.array([n1o], pa.int64()),
+                "n_click": pa.array([n2o], pa.int64()),
+                "diff_obs": pa.array([None], pa.float64()),
+                "n_valid": pa.array([0], pa.int64()),
+                "n_extreme": pa.array([0], pa.int64()),
+                "p_value": pa.array([None], pa.float64()),
+            })
+        obs_num = abs(s1o * n2o - s2o * n1o)
+        nv = ne = 0
+        for j in range(R):
+            n1p, s1p = rowmap[j]
+            n2p, s2p = n - n1p, s - s1p
+            if n1p == 0 or n2p == 0:
+                continue
+            nv += 1
+            if abs(s1p * n2p - s2p * n1p) * (n1o * n2o) \
+                    >= obs_num * (n1p * n2p):
+                ne += 1
+        diff = (float(s1o) / float(n1o)
+                - float(s2o) / float(n2o)) / 100.0
+        return pa.table({
+            "n_purchase": pa.array([n1o], pa.int64()),
+            "n_click": pa.array([n2o], pa.int64()),
+            "diff_obs": pa.array([diff], pa.float64()),
+            "n_valid": pa.array([nv], pa.int64()),
+            "n_extreme": pa.array([ne], pa.int64()),
+            "p_value": pa.array(
+                [float(ne + 1) / float(nv + 1)], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

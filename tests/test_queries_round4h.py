@@ -124,3 +124,121 @@ def test_kfold_assignment_deterministic(ray_session, tmp_path):
         assert (r["n_docs"], r["n_en"], r["sum_chars"]) == (n, en, ch)
         assert r["mean_chars"] == float(ch) / float(n)
         assert r["en_rate"] == float(en) / float(n)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, minutes_after_base, event_type, value)."""
+    import numpy as np
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[2] * 60_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+
+def _poisson_weight(u: int) -> int:
+    from ocr_engine_ray.pipelines.queries import _POISSON1_CUTS_16
+
+    for k, c in enumerate(_POISSON1_CUTS_16):
+        if u < c:
+            return k
+    return 10
+
+
+def test_poisson_bootstrap_replays_hash(ray_session, tmp_path):
+    """Each replicate's n_eff and mean replay the md5-derived weights
+    computed independently here; non-purchase rows never contribute."""
+    rows = [(i, 1, i, "purchase", float(i + 1)) for i in range(40)]
+    rows += [(100, 1, 0, "click", 999.0)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_poisson_bootstrap
+
+    got = {r["replicate"]: r for r in
+           _tab(q_events_poisson_bootstrap(str(tmp_path))).to_pylist()}
+    assert sorted(got) == list(range(8))
+    for r in range(8):
+        wsum = wx = 0
+        for i in range(40):
+            dig = hashlib.md5(f"{i}\x1fboot".encode()).digest()
+            u = int.from_bytes(dig[2 * r:2 * r + 2], "big")
+            w = _poisson_weight(u)
+            wsum += w
+            wx += w * (i + 1) * 100
+        assert got[r]["n_eff"] == wsum
+        assert got[r]["boot_mean"] == float(wx) / float(wsum) / 100.0
+
+
+def test_poisson_bootstrap_weights_center_on_one(ray_session, tmp_path):
+    """Poisson(1) weights must average ~1: total effective mass within
+    15 percent of the corpus size on a 400-row corpus."""
+    rows = [(i, 1, i % 100, "purchase", 10.0) for i in range(400)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_poisson_bootstrap
+
+    t = _tab(q_events_poisson_bootstrap(str(tmp_path)))
+    for r in t.to_pylist():
+        assert 340 <= r["n_eff"] <= 460
+        assert r["boot_mean"] == 10.0
+
+
+def test_permutation_test_separated_vs_null(ray_session, tmp_path):
+    """Well-separated groups (purchase 100x click) must give a small
+    p-value; identical distributions give p = 1 (every replicate's
+    |diff| >= the observed 0)."""
+    rows = [(i, 1, i, "purchase", 500.0) for i in range(30)]
+    rows += [(100 + i, 2, i, "click", 5.0) for i in range(30)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_permutation_test
+
+    r = _tab(q_events_permutation_test(str(tmp_path))).to_pylist()[0]
+    assert (r["n_purchase"], r["n_click"]) == (30, 30)
+    assert r["diff_obs"] == 495.0
+    assert r["n_valid"] == 32
+    assert r["p_value"] <= 3.0 / 33.0
+
+    rows = [(i, 1, i, "purchase", 7.0) for i in range(20)]
+    rows += [(100 + i, 2, i, "click", 7.0) for i in range(20)]
+    _write_events(tmp_path, rows)
+    r = _tab(q_events_permutation_test(str(tmp_path))).to_pylist()[0]
+    assert r["diff_obs"] == 0.0
+    assert r["n_extreme"] == r["n_valid"]
+    assert r["p_value"] == float(r["n_valid"] + 1) / float(r["n_valid"] + 1)
+
+
+def test_permutation_test_replays_bits(ray_session, tmp_path):
+    """n_extreme replays the md5 bit-assignment computed independently
+    here (exact cross-multiplied integer comparison)."""
+    vals = [3.0, 9.0, 4.0, 12.0, 5.0, 1.0]
+    rows = [(i, 1, i, "purchase" if i % 2 == 0 else "click", v)
+            for i, v in enumerate(vals)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_permutation_test
+
+    r = _tab(q_events_permutation_test(str(tmp_path))).to_pylist()[0]
+    cents = [int(v * 100) for v in vals]
+    ga = [1 if i % 2 == 0 else 0 for i in range(6)]
+    us = [int(hashlib.md5(f"{i}\x1fperm".encode()).hexdigest()[:8], 16)
+          for i in range(6)]
+    n, s = 6, sum(cents)
+    n1o, s1o = sum(ga), sum(g * c for g, c in zip(ga, cents))
+    n2o, s2o = n - n1o, s - s1o
+    obs = abs(s1o * n2o - s2o * n1o)
+    nv = ne = 0
+    for j in range(32):
+        bits = [(u >> j) & 1 for u in us]
+        n1p = sum(bits)
+        s1p = sum(b * c for b, c in zip(bits, cents))
+        n2p, s2p = n - n1p, s - s1p
+        if n1p == 0 or n2p == 0:
+            continue
+        nv += 1
+        if abs(s1p * n2p - s2p * n1p) * (n1o * n2o) >= obs * (n1p * n2p):
+            ne += 1
+    assert (r["n_valid"], r["n_extreme"]) == (nv, ne)
+    assert r["p_value"] == float(ne + 1) / float(nv + 1)
