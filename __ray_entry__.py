@@ -548,6 +548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_kfold_stats": q.q_documents_kfold_stats,
         "events_poisson_bootstrap": q.q_events_poisson_bootstrap,
         "events_permutation_test": q.q_events_permutation_test,
+        "lineitem_multireg": q.q_lineitem_multireg,
+        "embeddings_int8_recall": q.q_embeddings_int8_recall,
     }
 
 
@@ -5547,5 +5549,92 @@ def oracle_sql() -> dict[str, str]:
                         END AS p_value
             FROM v, tot
             GROUP BY tot.n1, tot.n, tot.s1, tot.s
+        """,
+        "lineitem_multireg": """
+            WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                              CAST(round(l_discount * 100) AS BIGINT)
+                                  AS x2,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS y
+                       FROM lineitem),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x1) AS HUGEINT) AS s1,
+                         CAST(SUM(x2) AS HUGEINT) AS s2,
+                         CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                         CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                         CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+                         CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+                  FROM b),
+            d AS (SELECT n,
+                         n * (s11 * s22 - s12 * s12)
+                         - s1 * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s12 - s11 * s2) AS det,
+                         sy * (s11 * s22 - s12 * s12)
+                         - s1 * (s1y * s22 - s12 * s2y)
+                         + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                         n * (s1y * s22 - s12 * s2y)
+                         - sy * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s2y - s1y * s2) AS det1,
+                         n * (s11 * s2y - s1y * s12)
+                         - s1 * (s1 * s2y - s1y * s2)
+                         + sy * (s1 * s12 - s11 * s2) AS det2
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN det = 0 THEN NULL
+                        ELSE CAST(det0 AS DOUBLE)
+                             / CAST(det AS DOUBLE)
+                        END AS intercept_cents,
+                   CASE WHEN det = 0 THEN NULL
+                        ELSE CAST(det1 AS DOUBLE)
+                             / CAST(det AS DOUBLE)
+                        END AS per_qty_cents,
+                   CASE WHEN det = 0 THEN NULL
+                        ELSE CAST(det2 AS DOUBLE)
+                             / CAST(det AS DOUBLE)
+                        END AS per_discpct_cents
+            FROM d
+        """,
+        "embeddings_int8_recall": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            u AS (SELECT vec_id, generate_subscripts(emb, 1) AS dim,
+                         unnest(emb) AS x
+                  FROM e),
+            sc AS (SELECT dim, MAX(abs(x)) AS s FROM u GROUP BY dim),
+            qz AS (SELECT vec_id, u.dim,
+                          CASE WHEN s > 0
+                               THEN CAST(floor(x / s * 127.0 + 0.5)
+                                         AS BIGINT)
+                               ELSE 0 END AS qv
+                   FROM u JOIN sc USING (dim)),
+            dots AS (SELECT a.vec_id AS qid, bb.vec_id AS vid,
+                            CAST(SUM(a.qv * bb.qv) AS BIGINT) AS dot
+                     FROM (SELECT * FROM qz WHERE vec_id < 8) a
+                     JOIN qz bb USING (dim)
+                     GROUP BY 1, 2),
+            i8 AS (SELECT qid, vid FROM (
+                       SELECT qid, vid, ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY dot DESC, vid ASC) AS rk
+                       FROM dots) t WHERE rk <= 5),
+            fl AS (SELECT query_id AS qid, vec_id AS vid FROM (
+                       SELECT q.vec_id AS query_id,
+                              c.vec_id AS vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(
+                                      q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id ASC) AS rank
+                       FROM embeddings q CROSS JOIN embeddings c
+                       WHERE q.vec_id < 8) t
+                   WHERE rank <= 5)
+            SELECT i8.qid AS query_id,
+                   CAST(COUNT(fl.vid) AS BIGINT) AS n_overlap,
+                   CAST(COUNT(fl.vid) AS DOUBLE) / 5.0 AS recall
+            FROM i8 LEFT JOIN fl
+              ON i8.qid = fl.qid AND i8.vid = fl.vid
+            GROUP BY i8.qid
         """,
     }

@@ -15190,3 +15190,185 @@ def q_events_permutation_test(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_lineitem_multireg(sf_dir: str) -> Dataset:
+    """Multiple linear regression with an EXACT distributed solve:
+    extendedprice (cents) ~ quantity + discount (pct), fitted by
+    Cramer's rule over the 3×3 integer normal equations — the nine
+    sufficient statistics (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y,
+    Σx₂y) are exact int64 sums, the four 3×3 determinants are exact
+    big-int expressions (HUGEINT in the twin), and each coefficient is
+    ONE final float division — float summation order never exists, so
+    a multi-feature OLS fit is bit-reproducible in SQL.  This extends
+    the single-feature q_events_ols_trend pattern to a full feature
+    matrix (the sufficient-statistics-then-solve shape every
+    distributed linear model reduces to).
+
+    Scale shape: one fact scan, 9 scalars per batch, single-key tree
+    combine; the solve is constant-time driver math."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        x1 = pc.cast(b.column("l_quantity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x2 = scaled_int_sql(b.column("l_discount"), 100)
+        y = scaled_int_sql(b.column("l_extendedprice"), 100)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "p_n": pa.array([b.num_rows], pa.int64()),
+            "p_s1": pa.array([int(x1.sum())], pa.int64()),
+            "p_s2": pa.array([int(x2.sum())], pa.int64()),
+            "p_s11": pa.array([int((x1 * x1).sum())], pa.int64()),
+            "p_s12": pa.array([int((x1 * x2).sum())], pa.int64()),
+            "p_s22": pa.array([int((x2 * x2).sum())], pa.int64()),
+            "p_sy": pa.array([int(y.sum())], pa.int64()),
+            "p_s1y": pa.array([int((x1 * y).sum())], pa.int64()),
+            "p_s2y": pa.array([int((x2 * y).sum())], pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_discount", "l_extendedprice"])
+    names = ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"], [(f"p_{c}", "sum") for c in names],
+        ["k"] + [f"p_{c}" for c in names], ["k"] + names)
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = {c: int(b.column(c)[0].as_py()) for c in names}
+        n, s1, s2 = v["n"], v["s1"], v["s2"]
+        s11, s12, s22 = v["s11"], v["s12"], v["s22"]
+        sy, s1y, s2y = v["sy"], v["s1y"], v["s2y"]
+        det = n * (s11 * s22 - s12 * s12) \
+            - s1 * (s1 * s22 - s12 * s2) \
+            + s2 * (s1 * s12 - s11 * s2)
+        det0 = sy * (s11 * s22 - s12 * s12) \
+            - s1 * (s1y * s22 - s12 * s2y) \
+            + s2 * (s1y * s12 - s11 * s2y)
+        det1 = n * (s1y * s22 - s12 * s2y) \
+            - sy * (s1 * s22 - s12 * s2) \
+            + s2 * (s1 * s2y - s1y * s2)
+        det2 = n * (s11 * s2y - s1y * s12) \
+            - s1 * (s1 * s2y - s1y * s2) \
+            + sy * (s1 * s12 - s11 * s2)
+        if det == 0:
+            b0 = b1 = b2 = None
+        else:
+            b0 = float(det0) / float(det)
+            b1 = float(det1) / float(det)
+            b2 = float(det2) / float(det)
+        return pa.table({
+            "n_rows": pa.array([n], pa.int64()),
+            "intercept_cents": pa.array([b0], pa.float64()),
+            "per_qty_cents": pa.array([b1], pa.float64()),
+            "per_discpct_cents": pa.array([b2], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_embeddings_int8_recall(sf_dir: str) -> pa.Table:
+    """Int8 symmetric per-dimension quantization of the embedding
+    corpus + recall@5 of the quantized index against the exact float
+    top-5 — the compression/recall trade every production ANN deploy
+    measures before shipping a quantized index.  Quantization is
+    bit-pinned both sides: scale_d = max|x_d| (an exact float32 max),
+    q = floor(x/scale·127 + 0.5) evaluated in float64 (zero-scale
+    dims quantize to 0), so the int8 code grid and the integer dot
+    products (≤ 64·127², far inside int64) are exact and the
+    quantized top-5 per query is fully deterministic (dot DESC,
+    vec_id ASC).  Recall joins it against the established exact float
+    path (brute_force_topk — the q_embeddings_ann_topk oracle).
+
+    Scale shape: pass 1 one corpus scan → 64 (dim, max) partials,
+    bounded tree combine; pass 2 one scan with the 64-entry scale
+    vector broadcast once via ray.put, per-batch int matmul + local
+    top-5, driver heap merge over ≤ 5·8·n_blocks candidate rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import brute_force_topk
+    from ..util import vec_matrix
+
+    K = 5
+
+    def dim_max(b: pa.Table) -> pa.Table:
+        m = np.abs(vec_matrix(b.column("embedding"))).max(axis=0)
+        return pa.table({
+            "dim": pa.array(np.arange(len(m), dtype=np.int64)),
+            "p_m": pa.array(m, pa.float64())})
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    sc_tab = _small_table(_tree_combine(
+        ds.map_batches(dim_max, batch_format="pyarrow"),
+        ["dim"], [("p_m", "max")], ["dim", "p_m"], ["dim", "m"]))
+    sc_tab = sc_tab.sort_by("dim")
+    scales = sc_tab.column("m").to_numpy(zero_copy_only=False)
+
+    def quantize(mat: np.ndarray, s: np.ndarray) -> np.ndarray:
+        safe = np.where(s > 0, s, 1.0)
+        q = np.floor(mat / safe * 127.0 + 0.5).astype(np.int64)
+        return np.where(s > 0, q, 0)
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "<", 8)],
+                         columns=["vec_id", "embedding"]).sort_by("vec_id")
+    qids = qtab.column("vec_id").to_pylist()
+    qmat = vec_matrix(qtab.column("embedding"))
+    qq = quantize(qmat, scales)          # (8, d) int64
+    state = ray.put((qq, scales, qids))
+
+    def cand(b: pa.Table) -> pa.Table:
+        qqv, sv, qidv = ray.get(state)
+        cz = quantize(vec_matrix(b.column("embedding")), sv)
+        dots = cz @ qqv.T                # (n, nq) exact int64
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        k = min(K, dots.shape[0])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(dots.shape[1]):
+            col = dots[:, qi]
+            idx = np.lexsort((vids, -col))[:k]
+            out_q.extend([qidv[qi]] * len(idx))
+            out_v.extend(vids[idx])
+            out_d.extend(col[idx])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "dot": pa.array(out_d, pa.int64())})
+
+    import heapq
+
+    best: dict[int, list] = {}
+    cands = ds.map_batches(cand, batch_format="pyarrow")
+    for b in cands.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for qid, vid, d in zip(b.column("query_id").to_pylist(),
+                               b.column("vec_id").to_pylist(),
+                               b.column("dot").to_pylist()):
+            heapq.heappush(best.setdefault(qid, []), (d, -vid))
+            if len(best[qid]) > K:
+                heapq.heappop(best[qid])
+    i8 = {q: {-nv for _, nv in h} for q, h in best.items()}
+
+    fl_tab = brute_force_topk(
+        rd.read_parquet(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"]),
+        qmat, qids, k=K)
+    fl: dict[int, set] = {}
+    for qid, vid in zip(fl_tab.column("query_id").to_pylist(),
+                        fl_tab.column("vec_id").to_pylist()):
+        fl.setdefault(qid, set()).add(vid)
+
+    rows_q, rows_n, rows_r = [], [], []
+    for qid in sorted(i8):
+        n_ov = len(i8[qid] & fl.get(qid, set()))
+        rows_q.append(qid)
+        rows_n.append(n_ov)
+        rows_r.append(float(n_ov) / 5.0)
+    return pa.table({
+        "query_id": pa.array(rows_q, pa.int64()),
+        "n_overlap": pa.array(rows_n, pa.int64()),
+        "recall": pa.array(rows_r, pa.float64())})

@@ -242,3 +242,67 @@ def test_permutation_test_replays_bits(ray_session, tmp_path):
             ne += 1
     assert (r["n_valid"], r["n_extreme"]) == (nv, ne)
     assert r["p_value"] == float(ne + 1) / float(nv + 1)
+
+
+def test_multireg_exact_plane(ray_session, tmp_path):
+    """Noise-free plane y = 10000 + 500*qty + 300*discpct (cents) must
+    be recovered EXACTLY: Cramer's determinant ratios are integers
+    small enough that the final float division is exact."""
+    import numpy as np
+
+    qty = [1, 2, 3, 4, 5, 6, 7, 8, 2, 9]
+    dpc = [0, 1, 2, 0, 1, 2, 0, 1, 2, 1]
+    price = [(10000 + 500 * a + 300 * b) / 100.0
+             for a, b in zip(qty, dpc)]
+    n = len(qty)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([float(x) for x in qty], pa.float64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array([b / 100.0 for b in dpc], pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * n, pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_lineitem_multireg
+
+    r = _tab(q_lineitem_multireg(str(tmp_path))).to_pylist()[0]
+    assert r["n_rows"] == n
+    assert r["intercept_cents"] == 10000.0
+    assert r["per_qty_cents"] == 500.0
+    assert r["per_discpct_cents"] == 300.0
+
+
+def test_int8_recall_well_separated(ray_session, tmp_path):
+    """Well-separated axis-aligned clusters survive int8 quantization:
+    recall@5 = 1 for every query.  16 vectors in 4 orthogonal groups
+    of 4 (unique per-vector jitter on a shared axis); vec_id < 8 are
+    the queries."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = []
+    for i in range(16):
+        v = np.zeros(64, np.float32)
+        axis = i % 4
+        v[axis * 16:(axis + 1) * 16] = \
+            (1.0 + 0.01 * rng.rand(16)).astype(np.float32)
+        vecs.append(v)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(16), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(16)], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_int8_recall
+
+    rows = _tab(q_embeddings_int8_recall(str(tmp_path))).to_pylist()
+    assert sorted(r["query_id"] for r in rows) == list(range(8))
+    for r in rows:
+        assert r["n_overlap"] == 5
+        assert r["recall"] == 1.0
