@@ -550,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_permutation_test": q.q_events_permutation_test,
         "lineitem_multireg": q.q_lineitem_multireg,
         "embeddings_int8_recall": q.q_embeddings_int8_recall,
+        "events_user_path_agg": q.q_events_user_path_agg,
+        "customers_snm_pairs": q.q_customers_snm_pairs,
     }
 
 
@@ -5636,5 +5638,24 @@ def oracle_sql() -> dict[str, str]:
             FROM i8 LEFT JOIN fl
               ON i8.qid = fl.qid AND i8.vid = fl.vid
             GROUP BY i8.qid
+        """,
+        "events_user_path_agg": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   STRING_AGG(event_type, '>'
+                              ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        """,
+        "customers_snm_pairs": """
+            WITH r AS (SELECT c_name, c_nationkey,
+                              ROW_NUMBER() OVER (
+                                  ORDER BY c_name, c_custkey) AS rn
+                       FROM customer)
+            SELECT a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+                   CAST(CASE WHEN a.c_nationkey = b.c_nationkey
+                             THEN 1 ELSE 0 END AS BIGINT)
+                       AS same_nation
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
         """,
     }

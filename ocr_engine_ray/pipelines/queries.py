@@ -15372,3 +15372,173 @@ def q_embeddings_int8_recall(sf_dir: str) -> pa.Table:
         "query_id": pa.array(rows_q, pa.int64()),
         "n_overlap": pa.array(rows_n, pa.int64()),
         "recall": pa.array(rows_r, pa.float64())})
+
+
+def q_events_user_path_agg(sf_dir: str) -> Dataset:
+    """Ordered string aggregation (the LISTAGG / STRING_AGG staple):
+    each user's full event-type path concatenated in (ts, event_id)
+    order — the sequence feature under journey clustering and
+    next-action models.  Ray shape: ONE groupby(user_id) co-partition,
+    in-group vectorized sort + a single Arrow-join per group; the
+    deterministic (ts, event_id) tie-break makes the string
+    bit-reproducible in SQL's STRING_AGG(... ORDER BY ts, event_id).
+
+    Scale note: per-user paths are bounded by per-user activity (the
+    same bound events_funnel already rides); a pathological mega-user
+    degrades to one wide string row, never a driver loop."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def path(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        toks = g.column("event_type").to_pylist()
+        return pa.table({
+            "user_id": pa.array([g.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "n_events": pa.array([g.num_rows], pa.int64()),
+            "path": pa.array([">".join(toks)], pa.string()),
+        })
+
+    return ds.groupby("user_id").map_groups(path, batch_format="pyarrow")
+
+
+def q_customers_snm_pairs(sf_dir: str) -> Dataset:
+    """Sorted-neighborhood blocking (the OTHER classic entity-
+    resolution blocking strategy beside customers_golden_record's key
+    blocking and customers_fuzzy_name_pairs' variant buckets): sort by
+    the blocking key (c_name), emit every pair within a rank window of
+    W = 3, tagged with its rank gap and a same-nation flag.  SNM
+    bounds candidate pairs at W·n regardless of key-frequency skew —
+    the property that makes it the safe default on a 100 TB corpus
+    whose hottest blocking key would explode a key-equality block.
+
+    Distributed shape: range-partition by splitters drawn from a
+    deterministic bounded sample (driver sees ~≤2k names, never the
+    table), ONE groupby(part) co-partition; each partition receives
+    its predecessor's last W rows as ghost context (a second keyed
+    emission, no broadcast), sorts locally, and emits sliding-window
+    pairs whose LATER element it owns — cross-boundary pairs appear
+    exactly once.  Loud failure (never silence) if a partition is
+    thinner than W, which would make a window span two boundaries."""
+    import numpy as np
+
+    from ..stages.partition import deterministic_sample
+
+    W = 3
+    N_PARTS = 8
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    n_rows = rd.read_parquet(_t(sf_dir, "customer"),
+                             columns=["c_custkey"]).count()
+    frac = min(1.0, 2000.0 / max(n_rows, 1))
+    sample = deterministic_sample(
+        ds.select_columns(["c_name", "c_custkey"]), frac,
+        ["c_custkey"]).take_all()
+    names = sorted(r["c_name"] for r in sample)
+    if len(names) >= N_PARTS:
+        idx = [len(names) * i // N_PARTS for i in range(1, N_PARTS)]
+        splitters = sorted({names[i] for i in idx})
+    else:
+        splitters = []
+    spl = np.array(splitters, dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        nm = np.asarray(b.column("c_name").to_pylist(), dtype=object)
+        part = np.searchsorted(spl, nm, side="right").astype(np.int64) \
+            if len(spl) else np.zeros(len(nm), np.int64)
+        own = b.append_column("part", pa.array(part)) \
+            .append_column("ghost", pa.array(
+                np.zeros(len(nm), np.bool_)))
+        return own
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    # ghost pass: each partition's last W rows re-keyed to part+1.
+    # The tail of a partition is found with one bounded per-partition
+    # top-k (names sort ascending; keep the W largest) — a (part, W)
+    # combine, never a corpus sort.
+    def tail_partial(b: pa.Table) -> pa.Table:
+        out = []
+        t = b.sort_by([("part", "ascending"), ("c_name", "descending"),
+                       ("c_custkey", "descending")])
+        parts = t.column("part").to_numpy(zero_copy_only=False)
+        changes = np.flatnonzero(np.diff(parts)) + 1
+        bounds = np.concatenate([[0], changes, [t.num_rows]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out.append(t.slice(int(s), min(W, int(e - s))))
+        return pa.concat_tables(out) if out else t.slice(0, 0)
+
+    tails = assigned.map_batches(tail_partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(tail_partial, batch_format="pyarrow",
+                     batch_size=None)
+
+    # The global tail set is bounded (≤ W rows per partition) — pull it
+    # to the driver to (a) validate no mid-stream partition is thinner
+    # than W (a window would silently span two boundaries) and (b)
+    # re-key each tail to its successor partition as ghost context.
+    max_part = len(splitters)
+    tail_tab = _small_table(tails)
+    if tail_tab is None:
+        tail_tab = pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "c_nationkey": pa.array([], pa.int32()),
+            "part": pa.array([], pa.int64()),
+            "ghost": pa.array([], pa.bool_())})
+    counts = {}
+    for p in tail_tab.column("part").to_pylist():
+        counts[p] = counts.get(p, 0) + 1
+    thin = [p for p in range(1, max_part)
+            if counts.get(p, 0) not in (0, W)]
+    if thin:
+        raise ValueError(
+            f"snm_pairs: partitions {thin} hold fewer than W={W} rows; "
+            "lower N_PARTS so windows never span two partition "
+            "boundaries")
+    empty_mid = [p for p in range(1, max_part)
+                 if counts.get(p, 0) == 0 and counts.get(p - 1, 0)]
+    if empty_mid:
+        raise ValueError(
+            f"snm_pairs: partitions {empty_mid} are empty mid-stream; "
+            "lower N_PARTS (ghost context cannot hop an empty "
+            "partition)")
+    ghost_tab = tail_tab.filter(
+        pc.less_equal(pc.add(tail_tab.column("part"), 1), max_part)) \
+        if tail_tab.num_rows else tail_tab
+    ghost_tab = pa.table({
+        "c_custkey": ghost_tab.column("c_custkey"),
+        "c_name": ghost_tab.column("c_name"),
+        "c_nationkey": ghost_tab.column("c_nationkey"),
+        "part": pc.add(ghost_tab.column("part"), 1),
+        "ghost": pa.array(np.ones(ghost_tab.num_rows, np.bool_)),
+    })
+    ghosts = rd.from_arrow(ghost_tab)
+
+    def window_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("c_name", "ascending"),
+                       ("c_custkey", "ascending")])
+        nm = g.column("c_name").to_pylist()
+        nk = g.column("c_nationkey").to_numpy(zero_copy_only=False)
+        gh = g.column("ghost").to_numpy(zero_copy_only=False)
+        a_n, b_n, gap, same = [], [], [], []
+        for d in range(1, W + 1):
+            if d >= g.num_rows:
+                break
+            later_own = ~gh[d:]
+            for i in np.flatnonzero(later_own):
+                a_n.append(nm[i])
+                b_n.append(nm[i + d])
+                gap.append(d)
+                same.append(int(nk[i] == nk[i + d]))
+        return pa.table({
+            "name_a": pa.array(a_n, pa.string()),
+            "name_b": pa.array(b_n, pa.string()),
+            "rank_gap": pa.array(gap, pa.int64()),
+            "same_nation": pa.array(same, pa.int64()),
+        })
+
+    return assigned.union(ghosts).groupby("part") \
+        .map_groups(window_pairs, batch_format="pyarrow")

@@ -306,3 +306,55 @@ def test_int8_recall_well_separated(ray_session, tmp_path):
     for r in rows:
         assert r["n_overlap"] == 5
         assert r["recall"] == 1.0
+
+
+def test_user_path_agg_ordering(ray_session, tmp_path):
+    """Path respects (ts, event_id) order including a same-timestamp
+    tie broken by event_id."""
+    rows = [
+        (5, 1, 10, "view", 1.0),
+        (2, 1, 10, "click", 1.0),      # same ts as event 5: id order
+        (9, 1, 20, "purchase", 1.0),
+        (1, 2, 5, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_user_path_agg
+
+    got = {r["user_id"]: r for r in
+           _tab(q_events_user_path_agg(str(tmp_path))).to_pylist()}
+    assert got[1]["path"] == "click>view>purchase"
+    assert got[1]["n_events"] == 3
+    assert got[2]["path"] == "view"
+
+
+def test_snm_pairs_match_bruteforce(ray_session, tmp_path):
+    """Distributed sorted-neighborhood pairs (range partitions + ghost
+    tails) equal the brute-force single-machine window join — every
+    cross-boundary pair appears exactly once."""
+    import numpy as np
+
+    n = 40
+    names = [f"Name#{(i * 7919) % 97:03d}" for i in range(n)]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_name": pa.array(names, pa.string()),
+        "c_nationkey": pa.array([i % 5 for i in range(n)], pa.int32()),
+        "c_acctbal": pa.array([0.0] * n, pa.float64()),
+        "c_mktsegment": pa.array(["A"] * n, pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_customers_snm_pairs
+
+    got = sorted(
+        (r["name_a"], r["name_b"], r["rank_gap"], r["same_nation"])
+        for r in _tab(q_customers_snm_pairs(str(tmp_path))).to_pylist())
+
+    order = sorted(range(n), key=lambda i: (names[i], i))
+    want = []
+    for i in range(n):
+        for d in range(1, 4):
+            if i + d >= n:
+                break
+            a, b = order[i], order[i + d]
+            want.append((names[a], names[b], d,
+                         int((a % 5) == (b % 5))))
+    assert got == sorted(want)
