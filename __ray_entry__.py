@@ -552,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_int8_recall": q.q_embeddings_int8_recall,
         "events_user_path_agg": q.q_events_user_path_agg,
         "customers_snm_pairs": q.q_customers_snm_pairs,
+        "events_temporal_split": q.q_events_temporal_split,
+        "events_cuped": q.q_events_cuped,
     }
 
 
@@ -5657,5 +5659,83 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT)
                        AS same_nation
             FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        """,
+        "events_temporal_split": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d),
+            c AS (SELECT day, n,
+                         CAST(SUM(n) OVER (ORDER BY day) AS BIGINT)
+                             AS cum
+                  FROM d),
+            cut AS (SELECT MIN(day) AS cutoff
+                    FROM c, tot WHERE 10 * cum >= 7 * t),
+            lab AS (SELECT day, n,
+                           CASE WHEN day <= cutoff THEN 'train'
+                                WHEN day <= cutoff + INTERVAL 2 DAY
+                                THEN 'purged'
+                                ELSE 'test' END AS split
+                    FROM c, cut)
+            SELECT split, CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   MIN(day) AS min_day, MAX(day) AS max_day
+            FROM lab GROUP BY split
+        """,
+        "events_cuped": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            tot0 AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d),
+            c AS (SELECT day,
+                         CAST(SUM(n) OVER (ORDER BY day) AS BIGINT)
+                             AS cum
+                  FROM d),
+            cut AS (SELECT MIN(day) AS cutoff
+                    FROM c, tot0 WHERE 2 * cum >= t),
+            u AS (SELECT user_id,
+                         CAST(SUM(CASE WHEN date_trunc('day', ts)
+                                            <= cutoff
+                                       THEN CAST(round(value * 100)
+                                                 AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS x,
+                         CAST(SUM(CASE WHEN date_trunc('day', ts)
+                                            > cutoff
+                                        AND event_type = 'purchase'
+                                       THEN CAST(round(value * 100)
+                                                 AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS y
+                  FROM events, cut GROUP BY user_id),
+            g AS (SELECT user_id % 2 AS arm,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                         CAST(SUM(x * x) AS HUGEINT) AS sxx
+                  FROM u GROUP BY 1),
+            t2 AS (SELECT CAST(SUM(n) AS HUGEINT) AS n,
+                          CAST(SUM(sx) AS HUGEINT) AS sx,
+                          CAST(SUM(sy) AS HUGEINT) AS sy,
+                          CAST(SUM(sxy) AS HUGEINT) AS sxy,
+                          CAST(SUM(sxx) AS HUGEINT) AS sxx
+                   FROM g),
+            th AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                               ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx
+                                           AS DOUBLE)
+                               END AS theta,
+                          sx AS gsx, n AS gn
+                   FROM t2)
+            SELECT g.arm, CAST(g.n AS BIGINT) AS n_users,
+                   CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE)
+                       / 100.0 AS mean_y,
+                   (CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE)
+                    - th.theta * (CAST(g.sx AS DOUBLE)
+                                  / CAST(g.n AS DOUBLE)
+                                  - CAST(th.gsx AS DOUBLE)
+                                    / CAST(th.gn AS DOUBLE)))
+                       / 100.0 AS mean_y_adj,
+                   th.theta AS theta
+            FROM g, th
         """,
     }

@@ -15542,3 +15542,203 @@ def q_customers_snm_pairs(sf_dir: str) -> Dataset:
 
     return assigned.union(ghosts).groupby("part") \
         .map_groups(window_pairs, batch_format="pyarrow")
+
+
+def q_events_temporal_split(sf_dir: str) -> Dataset:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap —
+    the time-series counterpart of documents_leakage_safe_split's
+    hash split: the cutoff is the first day whose cumulative volume
+    reaches 70 % (exact-integer rank test 10·cum ≥ 7·total over the
+    bounded day grid), train ≤ cutoff, the next 2 days are PURGED
+    (the embargo every forecast/label-horizon pipeline needs so
+    boundary labels can't leak across), test is the rest.  Output:
+    per-split event count, day count and day range.
+
+    Scale shape: ONE corpus scan reduced to the (day, n) grid, tree
+    combine, pure driver math after — min/max come off the grid, so
+    no raw-timestamp Min/Max exchange (the pandas day-floor hazard
+    never applies)."""
+    import numpy as np
+
+    EMBARGO_DAYS = 2
+    US_DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("day").aggregate([("one", "sum")]) \
+            .rename_columns(["day", "p_n"])
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        day_us = b.column("day").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        cut_i = int(np.argmax(10 * cum >= 7 * total))
+        cutoff = int(day_us[cut_i])
+        emb_hi = cutoff + EMBARGO_DAYS * US_DAY
+        lab = np.where(day_us <= cutoff, "train",
+                       np.where(day_us <= emb_hi, "purged", "test"))
+        rows = []
+        for split in ("train", "purged", "test"):
+            m = lab == split
+            if not m.any():
+                continue
+            rows.append({
+                "split": split,
+                "n_events": int(n[m].sum()),
+                "n_days": int(m.sum()),
+                "min_day": int(day_us[m].min()),
+                "max_day": int(day_us[m].max()),
+            })
+        return pa.table({
+            "split": pa.array([r["split"] for r in rows], pa.string()),
+            "n_events": pa.array([r["n_events"] for r in rows],
+                                 pa.int64()),
+            "n_days": pa.array([r["n_days"] for r in rows], pa.int64()),
+            "min_day": pa.array([r["min_day"] for r in rows],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "max_day": pa.array([r["max_day"] for r in rows],
+                                pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_cuped(sf_dir: str) -> Dataset:
+    """CUPED variance reduction (Deng et al. 2013, public) for an A/B
+    readout: arms are the deterministic user_id parity, the covariate
+    X is each user's PRE-period total value (all event types before
+    the 50 %-volume day cutoff), the metric Y their POST-period
+    purchase value; θ = cov(X,Y)/var(X) and each arm's adjusted mean
+    Ȳ − θ(X̄_arm − X̄) come from EXACT integer sufficient statistics
+    (per-user cents sums, then Σ X·Y / Σ X² over users), so the whole
+    estimator is three float expressions — no float accumulation
+    anywhere.
+
+    Scale shape: a bounded day-grid pass finds the cutoff, ONE
+    user-grain co-partition builds (X, Y) per user, per-batch partials
+    reduce to nine arm/global scalars, single-key tree combine.
+    int64 headroom: Σ_users X·Y stays < 2⁶³ while per-user cents stay
+    under ~3·10⁹ — the twin's HUGEINT has no such bound (documented,
+    loudly checked)."""
+    import numpy as np
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"day": day,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("day").aggregate([("one", "sum")]) \
+            .rename_columns(["day", "p_n"])
+
+    ds_ts = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    grid = _small_table(_tree_combine(
+        ds_ts.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"]))
+    grid = grid.sort_by([("day", "ascending")])
+    day_us = grid.column("day").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    cum = np.cumsum(grid.column("n").to_numpy(zero_copy_only=False))
+    total = int(cum[-1])
+    cutoff = int(day_us[int(np.argmax(2 * cum >= total))])
+    cut_scalar = pa.scalar(cutoff, pa.timestamp("us"))
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("value"), 100)
+        pre = pc.less_equal(
+            pc.floor_temporal(b.column("ts"), unit="day"),
+            cut_scalar).to_numpy(zero_copy_only=False)
+        is_y = pc.equal(b.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False) & ~pre
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "px": pa.array(np.where(pre, cents, 0)),
+            "py": pa.array(np.where(is_y, cents, 0)),
+        })
+        return t.group_by("user_id").aggregate(
+            [("px", "sum"), ("py", "sum")]) \
+            .rename_columns(["user_id", "p_x", "p_y"])
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type",
+                                  "value"])
+    per_user = ds.map_batches(user_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("p_x", alias_name="x"),
+                                      Sum("p_y", alias_name="y"))
+
+    def arm_partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        if (np.abs(x) > 3_000_000_000).any() \
+                or (np.abs(y) > 3_000_000_000).any():
+            raise ValueError(
+                "cuped: per-user cents exceed the int64 product "
+                "headroom; widen the partials to object dtype")
+        arm = (uid % 2).astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            rows.append((a, int(m.sum()), int(x[m].sum()),
+                         int(y[m].sum()),
+                         int((x[m] * y[m]).sum()),
+                         int((x[m] * x[m]).sum())))
+        return pa.table({
+            "arm": pa.array([r[0] for r in rows], pa.int64()),
+            "p_n": pa.array([r[1] for r in rows], pa.int64()),
+            "p_sx": pa.array([r[2] for r in rows], pa.int64()),
+            "p_sy": pa.array([r[3] for r in rows], pa.int64()),
+            "p_sxy": pa.array([r[4] for r in rows], pa.int64()),
+            "p_sxx": pa.array([r[5] for r in rows], pa.int64()),
+        })
+
+    agg = _tree_combine(
+        per_user.map_batches(arm_partial, batch_format="pyarrow"),
+        ["arm"], [("p_n", "sum"), ("p_sx", "sum"), ("p_sy", "sum"),
+                  ("p_sxy", "sum"), ("p_sxx", "sum")],
+        ["arm", "p_n", "p_sx", "p_sy", "p_sxy", "p_sxx"],
+        ["arm", "n", "sx", "sy", "sxy", "sxx"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        rows = {int(r["arm"]): r for r in b.to_pylist()}
+        n = sum(int(r["n"]) for r in rows.values())
+        sx = sum(int(r["sx"]) for r in rows.values())
+        sy = sum(int(r["sy"]) for r in rows.values())
+        sxy = sum(int(r["sxy"]) for r in rows.values())
+        sxx = sum(int(r["sxx"]) for r in rows.values())
+        var_num = n * sxx - sx * sx
+        cov_num = n * sxy - sx * sy
+        theta = 0.0 if var_num == 0 else float(cov_num) / float(var_num)
+        out = {"arm": [], "n_users": [], "mean_y": [],
+               "mean_y_adj": [], "theta": []}
+        for a in sorted(rows):
+            r = rows[a]
+            ng, sxg, syg = int(r["n"]), int(r["sx"]), int(r["sy"])
+            mean_y = float(syg) / float(ng) / 100.0
+            adj = (float(syg) / float(ng)
+                   - theta * (float(sxg) / float(ng)
+                              - float(sx) / float(n))) / 100.0
+            out["arm"].append(a)
+            out["n_users"].append(ng)
+            out["mean_y"].append(mean_y)
+            out["mean_y_adj"].append(adj)
+            out["theta"].append(theta)
+        return pa.table({
+            "arm": pa.array(out["arm"], pa.int64()),
+            "n_users": pa.array(out["n_users"], pa.int64()),
+            "mean_y": pa.array(out["mean_y"], pa.float64()),
+            "mean_y_adj": pa.array(out["mean_y_adj"], pa.float64()),
+            "theta": pa.array(out["theta"], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -358,3 +358,70 @@ def test_snm_pairs_match_bruteforce(ray_session, tmp_path):
             want.append((names[a], names[b], d,
                          int((a % 5) == (b % 5))))
     assert got == sorted(want)
+
+
+def test_temporal_split_embargo(ray_session, tmp_path):
+    """10 days, 10 events each: the 70 %-volume cutoff is day 7
+    (1-indexed), days 8-9 are purged, day 10 is test."""
+    rows = []
+    eid = 0
+    for d in range(10):
+        for k in range(10):
+            rows.append((eid, 1, d * DAY_MIN_H + k, "view", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_temporal_split
+
+    got = {r["split"]: r for r in
+           _tab(q_events_temporal_split(str(tmp_path))).to_pylist()}
+    assert got["train"]["n_events"] == 70
+    assert got["train"]["n_days"] == 7
+    assert got["purged"]["n_events"] == 20
+    assert got["purged"]["n_days"] == 2
+    assert got["test"]["n_events"] == 10
+    assert got["test"]["n_days"] == 1
+
+
+DAY_MIN_H = 24 * 60
+
+
+def test_cuped_reduces_to_raw_when_uncorrelated(ray_session, tmp_path):
+    """If every user has identical pre-period X, var(X) = 0 -> theta
+    pins to 0 and the adjusted means equal the raw means."""
+    rows = []
+    # pre period (days 0-4): every user spends exactly 10.00
+    for u in range(4):
+        rows.append((u, u, u * 60, "view", 10.0))
+    # post period (days 6-9): purchases differ by arm
+    for u in range(4):
+        rows.append((100 + u, u, 8 * DAY_MIN_H + u * 60, "purchase",
+                     20.0 if u % 2 == 0 else 40.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_cuped
+
+    got = {r["arm"]: r for r in
+           _tab(q_events_cuped(str(tmp_path))).to_pylist()}
+    assert got[0]["theta"] == 0.0
+    assert got[0]["mean_y"] == got[0]["mean_y_adj"] == 20.0
+    assert got[1]["mean_y"] == got[1]["mean_y_adj"] == 40.0
+
+
+def test_cuped_removes_covariate_shift(ray_session, tmp_path):
+    """Y = X exactly (every post purchase equals the user's pre spend):
+    theta = 1 and the adjusted means equalize across arms at the
+    global pre mean."""
+    pre = {0: 10.0, 1: 30.0, 2: 20.0, 3: 40.0}
+    rows = []
+    for u, v in pre.items():
+        rows.append((u, u, u * 60, "view", v))
+        rows.append((100 + u, u, 8 * DAY_MIN_H + u * 60, "purchase", v))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_cuped
+
+    got = {r["arm"]: r for r in
+           _tab(q_events_cuped(str(tmp_path))).to_pylist()}
+    assert got[0]["theta"] == 1.0
+    # global pre mean = 25.00: both arms adjust exactly onto it
+    assert got[0]["mean_y_adj"] == 25.0
+    assert got[1]["mean_y_adj"] == 25.0
+    assert got[0]["mean_y"] == 15.0 and got[1]["mean_y"] == 35.0
