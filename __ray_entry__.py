@@ -554,6 +554,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_snm_pairs": q.q_customers_snm_pairs,
         "events_temporal_split": q.q_events_temporal_split,
         "events_cuped": q.q_events_cuped,
+        "events_k_anonymity": q.q_events_k_anonymity,
+        "events_randomized_response": q.q_events_randomized_response,
+        "events_hodges_lehmann": q.q_events_hodges_lehmann,
+        "events_conformal_intervals": q.q_events_conformal_intervals,
+        "documents_minhash_sql": q.q_documents_minhash_sql,
+        "documents_minhash_pr": q.q_documents_minhash_pr,
     }
 
 
@@ -5737,5 +5743,196 @@ def oracle_sql() -> dict[str, str]:
                        / 100.0 AS mean_y_adj,
                    th.theta AS theta
             FROM g, th
+        """,
+        "events_k_anonymity": """
+            WITH rel AS (SELECT event_type,
+                                date_trunc('day', ts) AS day,
+                                CAST(round(value * 100) AS BIGINT)
+                                    // 1000 AS band,
+                                user_id
+                         FROM events),
+            c AS (SELECT event_type, day, band,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+                  FROM rel GROUP BY 1, 2, 3)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k_violations,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(MIN(n) AS BIGINT) AS min_class_size,
+                   CAST(SUM(CASE WHEN u < 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS l_violations
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "events_randomized_response": """
+            WITH b AS (SELECT event_type,
+                              CASE WHEN CAST(round(value * 100)
+                                             AS BIGINT) > 10000
+                                   THEN 1 ELSE 0 END AS tr,
+                              CASE WHEN strpos('cdef',
+                                       substr(md5(event_id::VARCHAR
+                                                  || chr(31) || 'rr'),
+                                              1, 1)) > 0
+                                   THEN 1 ELSE 0 END AS flip
+                       FROM events),
+            g AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(tr) AS BIGINT) AS true_yes,
+                         CAST(SUM(CASE WHEN tr <> flip THEN 1
+                                       ELSE 0 END) AS BIGINT)
+                             AS reported_yes
+                  FROM b GROUP BY 1)
+            SELECT event_type, n, true_yes, reported_yes,
+                   CAST(4 * reported_yes - n AS DOUBLE) / 2.0
+                       AS est_yes,
+                   CAST(4 * reported_yes - n AS DOUBLE) / 2.0
+                       - CAST(true_yes AS DOUBLE) AS est_error
+            FROM g ORDER BY event_type
+        """,
+        "events_hodges_lehmann": """
+            WITH e AS (SELECT event_type,
+                              date_trunc('day', ts) AS day,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            h AS (SELECT event_type, day, c,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM e GROUP BY 1, 2, 3),
+            nn AS (SELECT event_type, day,
+                          CAST(SUM(cnt) AS BIGINT) AS n
+                   FROM h GROUP BY 1, 2),
+            p AS (SELECT a.event_type, a.day, a.c + b.c AS s,
+                         CASE WHEN a.c = b.c
+                              THEN a.cnt * (a.cnt + 1) // 2
+                              ELSE a.cnt * b.cnt END AS w
+                  FROM h a JOIN h b
+                    ON a.event_type = b.event_type
+                   AND a.day = b.day AND a.c <= b.c),
+            s AS (SELECT event_type, day, s,
+                         CAST(SUM(w) AS BIGINT) AS w
+                  FROM p GROUP BY 1, 2, 3),
+            r AS (SELECT event_type, day, s,
+                         CAST(SUM(w) OVER (PARTITION BY event_type, day
+                                           ORDER BY s) AS BIGINT) AS cum,
+                         CAST(SUM(w) OVER (PARTITION BY event_type, day)
+                              AS BIGINT) AS m
+                  FROM s),
+            x AS (SELECT event_type, day,
+                         MIN(CASE WHEN cum >= (m + 1) // 2
+                                  THEN s END) AS s_lo,
+                         MIN(CASE WHEN cum >= (m + 2) // 2
+                                  THEN s END) AS s_hi
+                  FROM r GROUP BY 1, 2)
+            SELECT x.event_type, x.day, nn.n,
+                   CAST(x.s_lo + x.s_hi AS DOUBLE) / 400.0 AS hl
+            FROM x JOIN nn
+              ON x.event_type = nn.event_type AND x.day = nn.day
+            ORDER BY 1, 2
+        """,
+        "events_conformal_intervals": """
+            WITH b AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c,
+                              substr(md5(event_id::VARCHAR || chr(31)
+                                         || 'conf'), 1, 1) AS hx
+                       FROM events),
+            t AS (SELECT event_type,
+                         CAST(SUM(c) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b WHERE strpos('01234567', hx) > 0
+                  GROUP BY 1),
+            cal AS (SELECT b.event_type,
+                           abs(b.c * t.n - t.s) AS r
+                    FROM b JOIN t USING (event_type)
+                    WHERE strpos('89ab', hx) > 0),
+            tst AS (SELECT b.event_type,
+                           abs(b.c * t.n - t.s) AS r
+                    FROM b JOIN t USING (event_type)
+                    WHERE strpos('cdef', hx) > 0),
+            kc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+                              AS n_cal,
+                          LEAST((9 * (COUNT(*) + 1) + 9) // 10,
+                                COUNT(*)) AS k
+                   FROM cal GROUP BY 1),
+            rk AS (SELECT event_type, r,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY r) AS rn
+                   FROM cal),
+            qn AS (SELECT rk.event_type, rk.r AS q_num
+                   FROM rk JOIN kc ON rk.event_type = kc.event_type
+                                  AND rk.rn = kc.k),
+            cov AS (SELECT tst.event_type,
+                           CAST(COUNT(*) AS BIGINT) AS n_test,
+                           CAST(SUM(CASE WHEN tst.r <= qn.q_num
+                                         THEN 1 ELSE 0 END)
+                                AS BIGINT) AS covered
+                    FROM tst JOIN qn USING (event_type)
+                    GROUP BY 1)
+            SELECT t.event_type, t.n AS n_train, kc.n_cal,
+                   cov.n_test,
+                   CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                       / 100.0 AS pred,
+                   CAST(qn.q_num AS DOUBLE) / CAST(t.n AS DOUBLE)
+                       / 100.0 AS q_hat,
+                   CAST(cov.covered AS DOUBLE)
+                       / CAST(cov.n_test AS DOUBLE) AS coverage
+            FROM t JOIN kc USING (event_type)
+                   JOIN qn USING (event_type)
+                   JOIN cov USING (event_type)
+            ORDER BY t.event_type
+        """,
+        "documents_minhash_sql": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' '
+                         || toks[i+2]))) AS sh
+                  FROM d WHERE len(toks) >= 3),
+            mh AS (SELECT doc_id, g.r AS r,
+                          MIN(CAST('0x' || substr(md5(sh || chr(31)
+                                       || 'mh' || g.r), 1, 8)
+                              AS BIGINT)) AS m
+                   FROM s, generate_series(0, 7) AS g(r)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           MIN(CASE WHEN r = 0 THEN m END) AS m0,
+                           MIN(CASE WHEN r = 1 THEN m END) AS m1,
+                           MIN(CASE WHEN r = 2 THEN m END) AS m2,
+                           MIN(CASE WHEN r = 3 THEN m END) AS m3,
+                           MIN(CASE WHEN r = 4 THEN m END) AS m4,
+                           MIN(CASE WHEN r = 5 THEN m END) AS m5,
+                           MIN(CASE WHEN r = 6 THEN m END) AS m6,
+                           MIN(CASE WHEN r = 7 THEN m END) AS m7
+                    FROM mh GROUP BY 1),
+            bands AS (SELECT doc_id, g.j AS j,
+                             CASE g.j WHEN 0 THEN m0 WHEN 1 THEN m2
+                                      WHEN 2 THEN m4 ELSE m6
+                             END AS k1,
+                             CASE g.j WHEN 0 THEN m1 WHEN 1 THEN m3
+                                      WHEN 2 THEN m5 ELSE m7
+                             END AS k2
+                      FROM sig, generate_series(0, 3) AS g(j)),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a,
+                                      b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.j = b.j AND a.k1 = b.k1
+                       AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+            m AS (SELECT p.doc_a, p.doc_b,
+                         CAST((sa.m0 = sb.m0)::INT
+                              + (sa.m1 = sb.m1)::INT
+                              + (sa.m2 = sb.m2)::INT
+                              + (sa.m3 = sb.m3)::INT
+                              + (sa.m4 = sb.m4)::INT
+                              + (sa.m5 = sb.m5)::INT
+                              + (sa.m6 = sb.m6)::INT
+                              + (sa.m7 = sb.m7)::INT AS BIGINT)
+                             AS n_match
+                  FROM pairs p
+                  JOIN sig sa ON p.doc_a = sa.doc_id
+                  JOIN sig sb ON p.doc_b = sb.doc_id)
+            SELECT doc_a, doc_b, n_match,
+                   CAST(n_match AS DOUBLE) / 8.0 AS est_sim
+            FROM m ORDER BY 1, 2
         """,
     }

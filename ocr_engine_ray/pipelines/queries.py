@@ -1402,8 +1402,13 @@ def _jaccard_sized_pairs(sf_dir: str) -> Dataset:
         pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]))
     # shared inverted-index kernel (in-group pair expansion — the
     # sh ⋈ sh self-join formulation of the same plan measured 5×
-    # slower at sf0.1), then the per-doc set sizes arrive by join
-    inter = _shingle_pair_counts(sh)
+    # slower at sf0.1), then the per-doc set sizes arrive by join.
+    # with_schema: on sparse corpora every map_groups partition can be
+    # a schema-less zero-row block, which crashes join 1's finalize
+    inter = with_schema(
+        _shingle_pair_counts(sh),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("c", pa.int64())]))
 
     # with_schema between the chained joins: join 1's empty partitions
     # emit schema-less zero-row blocks that crash join 2's finalize on
@@ -15742,3 +15747,528 @@ def q_events_cuped(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Privacy / release-audit family (round 4, tenth session)
+# ---------------------------------------------------------------------------
+
+def q_events_k_anonymity(sf_dir: str) -> Dataset:
+    """k-anonymity / l-diversity release audit — the privacy staple a
+    training-data pipeline runs before publishing an event extract.
+    The released quasi-identifier is (event_type, day, $10 value band);
+    the sensitive attribute is user_id.  Per event type: how many QI
+    equivalence classes exist, how many violate k=5 (class smaller than
+    5 rows), how many rows those expose, the smallest class, and how
+    many classes violate l=3 diversity (fewer than 3 distinct users).
+    All counts are exact int64 — nothing float anywhere.
+
+    Scale shape: one scan; per-batch pre-aggregation to
+    (class, user, cnt) rows (bounded by the release's own class × user
+    cardinality, the audit's working set by definition), ONE
+    groupby(class) exchange, then a bounded per-type tree combine.
+    Raw rows never shuffle."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "user_id", "value"])
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = scaled_int_sql(b.column("value"), 100)
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "day_us": pa.array(us - us % DAY_US, pa.int64()),
+            "band": pa.array(cents // 1000, pa.int64()),
+            "user_id": b.column("user_id"),
+            "one": pa.array(np.ones(len(us), np.int64)),
+        })
+        g = t.group_by(["event_type", "day_us", "band", "user_id"]) \
+             .aggregate([("one", "sum")])
+        return g.rename_columns(
+            ["event_type", "day_us", "band", "user_id", "cnt"])
+
+    def per_class(g: pa.Table) -> pa.Table:
+        # a (class, user) pair may arrive once per source batch: fold
+        u = g.group_by("user_id").aggregate([("cnt", "sum")])
+        n = int(pc.sum(u.column("cnt_sum")).as_py())
+        users = u.num_rows
+        return pa.table({
+            "event_type": g.column("event_type")[:1],
+            "one": pa.array([1], pa.int64()),
+            "k_viol": pa.array([int(n < 5)], pa.int64()),
+            "risk": pa.array([n if n < 5 else 0], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "l_viol": pa.array([int(users < 3)], pa.int64()),
+        })
+
+    classes = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day_us", "band"]) \
+        .map_groups(per_class, batch_format="pyarrow")
+
+    agg = _tree_combine(
+        classes, ["event_type"],
+        [("one", "sum"), ("k_viol", "sum"), ("risk", "sum"),
+         ("n", "min"), ("l_viol", "sum")],
+        ["event_type", "one", "k_viol", "risk", "n", "l_viol"],
+        ["event_type", "n_classes", "k_violations", "rows_at_risk",
+         "min_class_size", "l_violations"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("event_type", "ascending")])
+        return b.select(["event_type", "n_classes", "k_violations",
+                         "rows_at_risk", "min_class_size", "l_violations"])
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_randomized_response(sf_dir: str) -> Dataset:
+    """Randomized response (Warner 1965 — the local-DP primitive): each
+    row reports whether its value exceeds $100, but lies with
+    probability 1/4 (ε = ln 3 local differential privacy).  The flip
+    decision is two md5 bits of the seeded row identity — derandomized,
+    resume-safe, and replayed bit-for-bit by the SQL twin — and the
+    debiased estimate 2·reported − n/2 rides an exact integer numerator
+    (4·reported − n) so the only floats are two final divisions.
+
+    Per event type: n, the true count (for evaluation), the noised
+    reported count, the debiased estimate, and its signed error.
+
+    Scale shape: one scan, per-batch (type, n, true, reported) partials,
+    bounded 5-key tree combine."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("value"), 100)
+        truth = (cents > 10_000)
+        ids = b.column("event_id").to_pylist()
+        first = np.frombuffer(
+            b"".join(hashlib.md5((str(i) + "\x1frr").encode()).digest()
+                     for i in ids), dtype=np.uint8)[::16]
+        flip = first >= 192                    # top two bits == 11: P=1/4
+        rep = truth ^ flip
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "one": pa.array(np.ones(len(ids), np.int64)),
+            "tr": pa.array(truth.astype(np.int64)),
+            "rp": pa.array(rep.astype(np.int64)),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("tr", "sum"), ("rp", "sum")])
+        return g.rename_columns(["event_type", "p_n", "p_t", "p_r"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("p_n", "sum"), ("p_t", "sum"), ("p_r", "sum")],
+        ["event_type", "p_n", "p_t", "p_r"],
+        ["event_type", "n", "tr", "rp"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("event_type", "ascending")])
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = b.column("tr").to_numpy(zero_copy_only=False).astype(np.int64)
+        rp = b.column("rp").to_numpy(zero_copy_only=False).astype(np.int64)
+        est = (4 * rp - n).astype(np.float64) / 2.0
+        err = est - tr.astype(np.float64)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n": pa.array(n, pa.int64()),
+            "true_yes": pa.array(tr, pa.int64()),
+            "reported_yes": pa.array(rp, pa.int64()),
+            "est_yes": pa.array(est, pa.float64()),
+            "est_error": pa.array(err, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_hodges_lehmann(sf_dir: str) -> Dataset:
+    """Exact Hodges–Lehmann estimator (median of all Walsh averages
+    (x_i + x_j)/2, i ≤ j) of the value distribution per (event type,
+    day) — the rank-based robust location the Wilcoxon family inverts,
+    ~0.96 efficient under normality yet 29 %-breakdown robust.  Exact,
+    not sampled: values ride int64 cents, the group's Walsh-sum
+    DISTRIBUTION is built from the (cents, count) histogram (pair
+    multiplicities c_i·c_j off-diagonal, c_i(c_i+1)/2 on), and the
+    median rank is read off an integer cumulative sum; the only float
+    is the final (s_lo + s_hi)/400 dollars expression, replayed
+    operand-for-operand by the twin's histogram self-join.
+
+    Scale shape: per-batch (type, day, cents, count) pre-aggregation,
+    ONE bounded histogram exchange (≤ distinct-cents rows per group —
+    the audit never ships raw rows), per-group O(d²) Walsh expansion
+    over the DISTINCT values only (d ≪ n)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "day_us": pa.array(us - us % DAY_US, pa.int64()),
+            "c": pa.array(scaled_int_sql(b.column("value"), 100)),
+            "one": pa.array(np.ones(len(us), np.int64)),
+        })
+        g = t.group_by(["event_type", "day_us", "c"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["event_type", "day_us", "c", "cnt"])
+
+    def hl(g: pa.Table) -> pa.Table:
+        h = g.group_by("c").aggregate([("cnt", "sum")]) \
+             .sort_by([("c", "ascending")])
+        v = h.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = h.column("cnt_sum").to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        n = int(c.sum())
+        iu, ju = np.triu_indices(len(v))
+        sums = v[iu] + v[ju]
+        w = c[iu] * c[ju]
+        diag = iu == ju
+        w[diag] = c[iu[diag]] * (c[iu[diag]] + 1) // 2
+        order = np.argsort(sums, kind="stable")
+        sums, w = sums[order], w[order]
+        cum = np.cumsum(w)
+        m = n * (n + 1) // 2
+        k_lo, k_hi = (m + 1) // 2, (m + 2) // 2
+        s_lo = int(sums[np.searchsorted(cum, k_lo)])
+        s_hi = int(sums[np.searchsorted(cum, k_hi)])
+        return pa.table({
+            "event_type": g.column("event_type")[:1],
+            "day": pa.array([g.column("day_us")[0].as_py()],
+                            pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array([n], pa.int64()),
+            "hl": pa.array([float(s_lo + s_hi) / 400.0], pa.float64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day_us"]) \
+        .map_groups(hl, batch_format="pyarrow")
+
+
+def q_events_conformal_intervals(sf_dir: str) -> Dataset:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018 —
+    public) per event type, with its empirical coverage — the
+    distribution-free ML-eval staple.  Rows split 1/2 train, 1/4
+    calibrate, 1/4 test on one md5 hex digit of the seeded row identity
+    (derandomized; the twin replays the same bands).  The predictor is
+    the train mean; the nonconformity score |x − x̄_train| rides the
+    EXACT integer |c·n_train − S_train| (cents cross-multiplied by the
+    train count, so the float mean never exists in the comparison); the
+    conformal quantile is the k = ⌈0.9(n_cal+1)⌉-th smallest
+    calibration score read off an integer histogram, and test coverage
+    counts integer comparisons.  Floats appear only in the three final
+    reporting divisions, replayed operand-for-operand.
+
+    Scale shape: pass 1 is a bounded (type, Σcents, n) tree combine;
+    pass 2 pre-aggregates (type, split, score) histograms per batch and
+    makes ONE bounded groupby(type) exchange."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def band_of(b: pa.Table) -> "np.ndarray":
+        ids = b.column("event_id").to_pylist()
+        first = np.frombuffer(
+            b"".join(hashlib.md5((str(i) + "\x1fconf").encode()).digest()
+                     for i in ids), dtype=np.uint8)[::16]
+        return first >> 6        # 0,1 → train; 2 → cal; 3 → test
+
+    def train_partial(b: pa.Table) -> pa.Table:
+        keep = band_of(b) <= 1
+        f = b.filter(pa.array(keep))
+        if f.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "p_s": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64())})
+        t = pa.table({
+            "event_type": f.column("event_type"),
+            "c": pa.array(scaled_int_sql(f.column("value"), 100)),
+            "one": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("c", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "p_s", "p_n"])
+
+    tr = _small_table(_tree_combine(
+        ds.map_batches(train_partial, batch_format="pyarrow"),
+        ["event_type"], [("p_s", "sum"), ("p_n", "sum")],
+        ["event_type", "p_s", "p_n"], ["event_type", "s", "n"]))
+    stats = {r["event_type"]: (int(r["s"]), int(r["n"]))
+             for r in tr.to_pylist()}
+    stats_ref = ray.put(stats)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        band = band_of(b)
+        keep = band >= 2
+        f = b.filter(pa.array(keep))
+        if f.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        st = ray.get(stats_ref)
+        cents = scaled_int_sql(f.column("value"), 100)
+        types = f.column("event_type").to_pylist()
+        sv = np.array([st[t][0] for t in types], np.int64)
+        nv = np.array([st[t][1] for t in types], np.int64)
+        t = pa.table({
+            "event_type": f.column("event_type"),
+            "part": pa.array(band[keep].astype(np.int64)),
+            "r": pa.array(np.abs(cents * nv - sv)),
+            "one": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "part", "r"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["event_type", "part", "r", "cnt"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        etype = g.column("event_type")[0].as_py()
+        s, n_train = ray.get(stats_ref)[etype]
+        h = g.group_by(["part", "r"]).aggregate([("cnt", "sum")]) \
+             .sort_by([("r", "ascending")])
+        part = h.column("part").to_numpy(zero_copy_only=False)
+        r = h.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = h.column("cnt_sum").to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        cal, tst = part == 2, part == 3
+        n_cal = int(cnt[cal].sum())
+        n_test = int(cnt[tst].sum())
+        k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+        cum = np.cumsum(cnt[cal])
+        q_num = int(r[cal][np.searchsorted(cum, k)])
+        covered = int(cnt[tst][r[tst] <= q_num].sum())
+        pred = float(s) / float(n_train) / 100.0
+        q_hat = float(q_num) / float(n_train) / 100.0
+        return pa.table({
+            "event_type": pa.array([etype], pa.string()),
+            "n_train": pa.array([n_train], pa.int64()),
+            "n_cal": pa.array([n_cal], pa.int64()),
+            "n_test": pa.array([n_test], pa.int64()),
+            "pred": pa.array([pred], pa.float64()),
+            "q_hat": pa.array([q_hat], pa.float64()),
+            "coverage": pa.array([float(covered) / float(n_test)],
+                                 pa.float64()),
+        })
+
+    return ds.map_batches(score_partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .map_groups(finish, batch_format="pyarrow")
+
+
+def q_documents_minhash_sql(sf_dir: str) -> Dataset:
+    """MinHash + LSH near-dup candidates, FULLY oracle-checked — the
+    derandomized twin of the production path (q_documents_minhash_
+    neardup): every min-hash is md5(shingle, seed) so the entire
+    approximate pipeline — signatures, banding, candidate generation,
+    signature-agreement estimate — is replayed bit-for-bit by the
+    DuckDB twin (the production path's crc/sip hashing is faster but
+    not SQL-expressible; this variant exists so the APPROXIMATE
+    machinery itself sits under the hash gate, not just its exact
+    verifier).  K = 8 hashes, 4 bands × 2 rows; output one row per
+    banded candidate pair with its signature-agreement estimate
+    n_match/8.
+
+    Scale shape: distinct word-3-gram rows per doc (the vectorized
+    shared shingler), md5 ONCE per distinct shingle per seed per batch
+    (dictionary-encoded), per-batch (doc, seed, min) partials, ONE
+    groupby(doc) exchange for signatures, ONE groupby(band-key)
+    exchange for candidates (singleton buckets skipped), and a
+    signature join only on the candidate rows — raw text never
+    shuffles."""
+    import hashlib
+
+    import numpy as np
+
+    K = 8
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    sh = ds.map_batches(_doc_shingle_rows("doc_id"),
+                        batch_format="pyarrow")
+
+    def sig_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        enc = b.column("sh").combine_chunks().dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        hv = np.empty((len(vocab), K), np.int64)
+        for j, s in enumerate(vocab):
+            sb = s.encode()
+            for r in range(K):
+                hv[j, r] = int(hashlib.md5(
+                    sb + b"\x1fmh" + str(r).encode()).hexdigest()[:8], 16)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({
+            "doc_id": pa.array(np.repeat(ids, K)),
+            "r": pa.array(np.tile(np.arange(K, dtype=np.int64),
+                                  len(idx))),
+            "h": pa.array(hv[idx].ravel()),
+        })
+        g = t.group_by(["doc_id", "r"]).aggregate([("h", "min")])
+        return g.rename_columns(["doc_id", "r", "h"])
+
+    def pivot_sig(g: pa.Table) -> pa.Table:
+        r = g.column("r").to_numpy(zero_copy_only=False)
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.full(K, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, r, h)
+        cols = {"doc_id": g.column("doc_id")[:1]}
+        for j in range(K):
+            cols[f"m{j}"] = pa.array([int(m[j])], pa.int64())
+        return pa.table(cols)
+
+    sig = sh.map_batches(sig_partial, batch_format="pyarrow") \
+        .groupby("doc_id").map_groups(pivot_sig, batch_format="pyarrow")
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out = {"doc_id": pa.array(np.repeat(ids, K // 2)),
+               "j": pa.array(np.tile(np.arange(K // 2, dtype=np.int64),
+                                     n))}
+        k1 = np.empty((n, K // 2), np.int64)
+        k2 = np.empty((n, K // 2), np.int64)
+        for j in range(K // 2):
+            k1[:, j] = b.column(f"m{2 * j}").to_numpy(
+                zero_copy_only=False)
+            k2[:, j] = b.column(f"m{2 * j + 1}").to_numpy(
+                zero_copy_only=False)
+        out["k1"] = pa.array(k1.ravel())
+        out["k2"] = pa.array(k2.ravel())
+        return pa.table(out)
+
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty_pairs
+        ids = np.sort(np.unique(
+            g.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)))
+        if len(ids) < 2:
+            return empty_pairs
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[iu]),
+                         "doc_b": pa.array(ids[ju])})
+
+    pairs = sig.map_batches(band_rows, batch_format="pyarrow") \
+        .groupby(["j", "k1", "k2"]) \
+        .map_groups(bucket_pairs, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .map_groups(lambda g: g[:1], batch_format="pyarrow")
+    pairs = with_schema(pairs, pa.schema([("doc_a", pa.int64()),
+                                          ("doc_b", pa.int64())]))
+
+    # with_schema on the renamed signature sides: map_groups emits
+    # schema-less zero-row blocks on sparse corpora, which crash the
+    # Dataset.join finalize (see util.with_schema)
+    sig_a = with_schema(
+        sig.map_batches(
+            lambda b: b.rename_columns(
+                ["doc_a"] + [f"a{j}" for j in range(K)]),
+            batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64())]
+                  + [(f"a{j}", pa.int64()) for j in range(K)]))
+    sig_b = with_schema(
+        sig.map_batches(
+            lambda b: b.rename_columns(
+                ["doc_b"] + [f"b{j}" for j in range(K)]),
+            batch_format="pyarrow"),
+        pa.schema([("doc_b", pa.int64())]
+                  + [(f"b{j}", pa.int64()) for j in range(K)]))
+    half = with_schema(
+        pairs.join(sig_a, join_type="inner", num_partitions=8,
+                   on=("doc_a",)),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]
+                  + [(f"a{j}", pa.int64()) for j in range(K)]))
+    full = half.join(sig_b, join_type="inner",
+                     num_partitions=8, on=("doc_b",))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_match": pa.array([], pa.int64()),
+                             "est_sim": pa.array([], pa.float64())})
+        nm = np.zeros(b.num_rows, np.int64)
+        for j in range(K):
+            nm += (b.column(f"a{j}").to_numpy(zero_copy_only=False)
+                   == b.column(f"b{j}").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_a": b.column("doc_a"),
+            "doc_b": b.column("doc_b"),
+            "n_match": pa.array(nm),
+            "est_sim": pa.array(nm.astype(np.float64) / 8.0),
+        })
+
+    return full.map_batches(score, batch_format="pyarrow")
+
+
+def q_documents_minhash_pr(sf_dir: str) -> pa.Table:
+    """Precision/recall evaluation of the PRODUCTION MinHash/LSH
+    near-dup path against the exact-Jaccard ground truth — the eval
+    every approximate dedup deployment owes its users.  Ground truth =
+    q_documents_jaccard_pairs (word-3-gram Jaccard ≥ 0.5, the exact
+    oracle kernel); prediction = the crc-hashed banded-LSH pairs of
+    minhash_dedup_pairs at the same threshold.  One row: tp/fp/fn as
+    exact ints, precision/recall/f1 as the three final divisions.
+
+    Both pair sets are structurally bounded (near-dup pairs above a
+    0.5 threshold, the same cardinality class as every candidate-pair
+    take_all in the catalog), so the set algebra runs on the driver."""
+    from ..stages.dedup import minhash_dedup_pairs
+
+    truth_t = _small_table(q_documents_jaccard_pairs(sf_dir))
+    truth = set()
+    if truth_t is not None:
+        truth = {(min(a, b), max(a, b)) for a, b in
+                 zip(truth_t.column("id_a").to_pylist(),
+                     truth_t.column("id_b").to_pylist())}
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    pred_t = _small_table(
+        minhash_dedup_pairs(ds, "doc_id", threshold=0.5, verify="join"))
+    pred = set()
+    if pred_t is not None:
+        cols = pred_t.column_names
+        a_col = "id_a" if "id_a" in cols else cols[0]
+        b_col = "id_b" if "id_b" in cols else cols[1]
+        pred = {(min(a, b), max(a, b)) for a, b in
+                zip(pred_t.column(a_col).to_pylist(),
+                    pred_t.column(b_col).to_pylist())}
+
+    tp = len(truth & pred)
+    fp = len(pred - truth)
+    fn = len(truth - pred)
+    prec = float(tp) / float(tp + fp) if tp + fp else 1.0
+    rec = float(tp) / float(tp + fn) if tp + fn else 1.0
+    f1 = (2.0 * prec * rec / (prec + rec)) if prec + rec else 0.0
+    return pa.table({
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([fp], pa.int64()),
+        "fn": pa.array([fn], pa.int64()),
+        "precision": pa.array([prec], pa.float64()),
+        "recall": pa.array([rec], pa.float64()),
+        "f1": pa.array([f1], pa.float64()),
+    })

@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
-from ..util import default_pool_size, vec_matrix
+from ..util import default_pool_size, vec_matrix, with_schema
 
 # ---------------------------------------------------------------------------
 # exact dedup (A5/J3): content-hash key, keep-first
@@ -890,8 +890,21 @@ def _verify_pairs_join(ds: Dataset, cands: Dataset, id_col: str,
         lambda b: b.rename_columns(["id_a", "text_a"]), batch_format="pyarrow")
     b_side = docs.map_batches(
         lambda b: b.rename_columns(["id_b", "text_b"]), batch_format="pyarrow")
-    with_a = cands.join(a_side, join_type="inner",
-                        num_partitions=num_partitions, on=("id_a",))
+    # schema pins around the chained joins: on sparse corpora the
+    # candidate aggregate (and join 1's empty partitions) emit
+    # schema-less zero-row blocks that crash the pyarrow join finalize
+    # ("No match for key field") — see util.with_schema
+    base = ds.schema().base_schema
+    id_type = base.field(id_col).type
+    text_type = base.field(text_col).type
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                             ("capped", pa.int32())])
+    cands = with_schema(cands, pair_schema)
+    with_a = with_schema(
+        cands.join(a_side, join_type="inner",
+                   num_partitions=num_partitions, on=("id_a",)),
+        pa.schema([("id_a", id_type), ("id_b", id_type),
+                   ("capped", pa.int32()), ("text_a", text_type)]))
     with_ab = with_a.join(b_side, join_type="inner",
                           num_partitions=num_partitions, on=("id_b",))
 
