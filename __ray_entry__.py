@@ -560,6 +560,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conformal_intervals": q.q_events_conformal_intervals,
         "documents_minhash_sql": q.q_documents_minhash_sql,
         "documents_minhash_pr": q.q_documents_minhash_pr,
+        # graph family part 2 (round 4, session 11)
+        "parts_copurchase_kcore": q.q_parts_copurchase_kcore,
+        "parts_copurchase_bfs": q.q_parts_copurchase_bfs,
+        "events_sprt": q.q_events_sprt,
+        "supplier_eb_shrinkage": q.q_supplier_eb_shrinkage,
     }
 
 
@@ -3851,6 +3856,131 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "events_sprt": """
+            WITH b AS (SELECT event_type, ts, event_id,
+                              CASE WHEN CAST(round(value * 100)
+                                             AS BIGINT) > 10000
+                                   THEN 693147 ELSE -405465 END AS inc
+                       FROM events),
+            w AS (SELECT event_type, inc,
+                         CAST(SUM(inc) OVER (
+                             PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum,
+                         CAST(ROW_NUMBER() OVER (
+                             PARTITION BY event_type
+                             ORDER BY ts, event_id) AS BIGINT) AS rn
+                  FROM b),
+            n AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n_events,
+                         CAST(SUM(CASE WHEN inc = 693147 THEN 1
+                                       ELSE 0 END) AS BIGINT)
+                             AS n_success,
+                         CAST(SUM(inc) AS BIGINT) AS cum_final
+                  FROM b GROUP BY 1),
+            st AS (SELECT event_type, CAST(MIN(rn) AS BIGINT)
+                              AS stop_n
+                   FROM w WHERE cum >= 2944439 OR cum <= -2944439
+                   GROUP BY 1),
+            sc AS (SELECT w.event_type, w.cum AS stop_llr
+                   FROM w JOIN st ON w.event_type = st.event_type
+                                 AND w.rn = st.stop_n)
+            SELECT n.event_type, n.n_events, n.n_success,
+                   CASE WHEN sc.stop_llr IS NULL THEN 'continue'
+                        WHEN sc.stop_llr >= 2944439 THEN 'accept_h1'
+                        ELSE 'accept_h0' END AS decision,
+                   CAST(COALESCE(st.stop_n, 0) AS BIGINT) AS stop_n,
+                   CAST(COALESCE(sc.stop_llr, n.cum_final) AS BIGINT)
+                       AS llr_q
+            FROM n LEFT JOIN st ON n.event_type = st.event_type
+                   LEFT JOIN sc ON n.event_type = sc.event_type
+            ORDER BY 1
+        """,
+        "supplier_eb_shrinkage": """
+            WITH per AS (SELECT l_suppkey AS s,
+                                CAST(COUNT(*) AS BIGINT) AS n,
+                                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                              THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS k
+                         FROM lineitem GROUP BY 1),
+            q AS (SELECT s, n, k, k * 1000000 // n AS r_q FROM per),
+            mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sup,
+                          CAST(SUM(r_q) AS BIGINT) AS sum_r,
+                          CAST(SUM(r_q * r_q) AS BIGINT) AS sum_r2
+                   FROM q),
+            pr AS (SELECT
+                       CAST(sum_r AS DOUBLE) / CAST(n_sup AS DOUBLE)
+                           / 1000000.0 AS m_f,
+                       (CAST(sum_r2 AS DOUBLE) / CAST(n_sup AS DOUBLE)
+                        - (CAST(sum_r AS DOUBLE)
+                           / CAST(n_sup AS DOUBLE))
+                          * (CAST(sum_r AS DOUBLE)
+                             / CAST(n_sup AS DOUBLE)))
+                           / 1000000000000.0 AS v_f
+                   FROM mo),
+            ab AS (SELECT m_f * (1.0 - m_f) / v_f - 1.0 AS k0,
+                          m_f FROM pr),
+            ab2 AS (SELECT m_f * k0 AS alpha,
+                           (1.0 - m_f) * k0 AS beta FROM ab)
+            SELECT q.s AS suppkey, q.n AS n_items, q.k AS n_returns,
+                   q.r_q AS rate_ppm, ab2.alpha, ab2.beta,
+                   (CAST(q.k AS DOUBLE) + ab2.alpha)
+                       / (CAST(q.n AS DOUBLE) + ab2.alpha + ab2.beta)
+                       AS shrunk_rate
+            FROM q, ab2
+            ORDER BY shrunk_rate DESC, suppkey
+            LIMIT 20
+        """,
+        "parts_copurchase_kcore": """
+            WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o,
+                                                  l_partkey AS p
+                                  FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            de AS (SELECT p1 AS s, p2 AS t FROM e
+                   UNION ALL SELECT p2, p1 FROM e),
+            peel(iter, s, t) AS (
+                SELECT 0, s, t FROM de
+                UNION ALL
+                SELECT iter + 1, s, t FROM (
+                    SELECT iter, s, t,
+                           COUNT(*) OVER (PARTITION BY s) AS ds,
+                           COUNT(*) OVER (PARTITION BY t) AS dt
+                    FROM peel)
+                WHERE ds >= 75 AND dt >= 75 AND iter < 16
+            )
+            SELECT s AS p, CAST(COUNT(*) AS BIGINT) AS core_degree
+            FROM peel WHERE iter = 16 GROUP BY 1 ORDER BY 1
+        """,
+        "parts_copurchase_bfs": """
+            WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o,
+                                                  l_partkey AS p
+                                  FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            de AS (SELECT p1 AS s, p2 AS t FROM e
+                   UNION ALL SELECT p2, p1 FROM e),
+            seed AS (SELECT MIN(s) AS p FROM de),
+            bfs(p, dist) AS (
+                SELECT p, 0 FROM seed
+                UNION
+                SELECT de.t, bfs.dist + 1
+                FROM bfs JOIN de ON de.s = bfs.p
+                WHERE bfs.dist < 12
+            ),
+            md AS (SELECT p, CAST(MIN(dist) AS BIGINT) AS dist
+                   FROM bfs GROUP BY 1),
+            nodes AS (SELECT COUNT(DISTINCT s) AS n FROM de)
+            SELECT dist AS hops, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM md GROUP BY 1
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT),
+                   CAST(nodes.n - (SELECT COUNT(*) FROM md) AS BIGINT)
+            FROM nodes
+            WHERE nodes.n > (SELECT COUNT(*) FROM md)
+            ORDER BY 1
         """,
         "parts_basket_lift": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o,

@@ -1,0 +1,223 @@
+"""Planted-corpus semantic tests for the round-4 session-11 batch:
+the graph-family part 2 (k-core peel, BFS hops) — hand-checkable
+graphs, plus driver-path vs distributed-path parity (both queries are
+hybrid like connected_components).  Bit-exactness vs DuckDB is pinned
+by the contract sweep; these pin SEMANTICS.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_basket_lineitem(tmp_path, edges):
+    """One 2-part order per edge — the co-purchase graph of the
+    resulting lineitem IS exactly ``edges``."""
+    ok, pk = [], []
+    for i, (a, b) in enumerate(edges):
+        ok += [i, i]
+        pk += [a, b]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+# K4 clique (3-core, each core_degree 3) + pendant chain 4-5-6 (peeled
+# in two cascading rounds) + a triangle 7-8-9 (deg 2, peeled round 1).
+KCORE_EDGES = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+               (4, 5), (5, 6),
+               (7, 8), (8, 9), (7, 9)]
+
+
+def test_kcore_planted_peel(ray_session, tmp_path):
+    _write_basket_lineitem(tmp_path, KCORE_EDGES)
+    from ocr_engine_ray.pipelines.queries import _kcore_core_degrees
+
+    got = _kcore_core_degrees(str(tmp_path), k=3).to_pylist()
+    assert got == [{"p": 1, "core_degree": 3},
+                   {"p": 2, "core_degree": 3},
+                   {"p": 3, "core_degree": 3},
+                   {"p": 4, "core_degree": 3}]
+
+
+def test_kcore_distributed_path_parity(ray_session, tmp_path):
+    """driver_edge_cap=0 forces the broadcast-state distributed peel;
+    it must equal the driver numpy peel row for row."""
+    _write_basket_lineitem(tmp_path, KCORE_EDGES)
+    from ocr_engine_ray.pipelines.queries import _kcore_core_degrees
+
+    drv = _kcore_core_degrees(str(tmp_path), k=3).to_pylist()
+    dist = _kcore_core_degrees(str(tmp_path), k=3,
+                               driver_edge_cap=0).to_pylist()
+    assert drv == dist
+
+
+def test_kcore_empty_core(ray_session, tmp_path):
+    """A bare chain has no 3-core: both paths return a typed empty."""
+    _write_basket_lineitem(tmp_path, [(1, 2), (2, 3), (3, 4)])
+    from ocr_engine_ray.pipelines.queries import _kcore_core_degrees
+
+    for cap in (5_000_000, 0):
+        t = _kcore_core_degrees(str(tmp_path), k=3,
+                                driver_edge_cap=cap)
+        assert t.num_rows == 0
+        assert t.schema.names == ["p", "core_degree"]
+
+
+def test_kcore_nonconvergence_is_loud(ray_session, tmp_path):
+    """A long chain at k=2 peels one pendant per round from each end —
+    max_iters=1 must raise, never silently truncate."""
+    import pytest
+
+    _write_basket_lineitem(
+        tmp_path, [(i, i + 1) for i in range(1, 8)])
+    from ocr_engine_ray.pipelines.queries import _kcore_core_degrees
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _kcore_core_degrees(str(tmp_path), k=2, max_iters=1)
+
+
+# Path 1-2-3-4 (hops 0..3 from seed 1) plus a disconnected edge
+# {10, 11} (2 unreachable parts -> the hops=-1 row).
+BFS_EDGES = [(1, 2), (2, 3), (3, 4), (10, 11)]
+BFS_EXPECT = [{"hops": -1, "n_parts": 2},
+              {"hops": 0, "n_parts": 1},
+              {"hops": 1, "n_parts": 1},
+              {"hops": 2, "n_parts": 1},
+              {"hops": 3, "n_parts": 1}]
+
+
+def test_bfs_planted_hops(ray_session, tmp_path):
+    _write_basket_lineitem(tmp_path, BFS_EDGES)
+    from ocr_engine_ray.pipelines.queries import _bfs_hops
+
+    assert _bfs_hops(str(tmp_path)).to_pylist() == BFS_EXPECT
+
+
+def test_bfs_distributed_path_parity(ray_session, tmp_path):
+    _write_basket_lineitem(tmp_path, BFS_EDGES)
+    from ocr_engine_ray.pipelines.queries import _bfs_hops
+
+    assert _bfs_hops(str(tmp_path),
+                     driver_edge_cap=0).to_pylist() == BFS_EXPECT
+
+
+def test_bfs_hop_bound_is_loud(ray_session, tmp_path):
+    import pytest
+
+    _write_basket_lineitem(tmp_path, BFS_EDGES)
+    from ocr_engine_ray.pipelines.queries import _bfs_hops
+
+    with pytest.raises(RuntimeError, match="frontier still nonempty"):
+        _bfs_hops(str(tmp_path), max_hops=2)
+
+
+# --- SPRT + EB shrinkage (same session) -----------------------------------
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, minutes_after_base, event_type, value)."""
+    import numpy as np
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[2] * 60_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+
+def _rows(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.take_all()
+    return res.to_pylist()
+
+
+def test_sprt_hand_checked_walk(ray_session, tmp_path):
+    """Five straight successes cross +A exactly at n=5 (4·693147 =
+    2772588 < 2944439 ≤ 5·693147); eight straight failures cross −A at
+    n=8; two successes never cross ('continue')."""
+    rows = []
+    rows += [(i, 1, i, "up", 150.0) for i in range(5)]
+    rows += [(100 + i, 1, i, "down", 50.0) for i in range(8)]
+    rows += [(200 + i, 1, i, "flat", 150.0) for i in range(2)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_sprt
+
+    got = {r["event_type"]: r for r in _rows(q_events_sprt(str(tmp_path)))}
+    assert got["up"]["decision"] == "accept_h1"
+    assert got["up"]["stop_n"] == 5
+    assert got["up"]["llr_q"] == 5 * 693147
+    assert got["down"]["decision"] == "accept_h0"
+    assert got["down"]["stop_n"] == 8
+    assert got["down"]["llr_q"] == -8 * 405465
+    assert got["flat"]["decision"] == "continue"
+    assert got["flat"]["stop_n"] == 0
+    assert got["flat"]["llr_q"] == 2 * 693147
+    assert got["flat"]["n_success"] == 2
+
+
+def test_sprt_order_is_ts_then_event_id(ray_session, tmp_path):
+    """All five events share ONE ts, so the walk order is pinned
+    entirely by the event_id tiebreak (ids 0-3 success, id 4 failure):
+    the final cum 4·693147 − 405465 = 2367123 stays below A, so the
+    correct result is 'continue' with exactly that llr — any other
+    tie order that crossed a boundary mid-walk would stop early and
+    report a different (decision, llr_q)."""
+    rows = [(i, 1, 0, "t", 150.0) for i in range(4)]
+    rows.append((4, 1, 0, "t", 50.0))
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_sprt
+
+    got = _rows(q_events_sprt(str(tmp_path)))[0]
+    assert got["decision"] == "continue"
+    assert got["llr_q"] == 4 * 693147 - 405465
+
+
+def _write_supplier_lineitem(tmp_path, sup_rows):
+    """sup_rows: (suppkey, n_items, n_returns)."""
+    sk, rf = [], []
+    for s, n, k in sup_rows:
+        sk += [s] * n
+        rf += ["R"] * k + ["N"] * (n - k)
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_returnflag": pa.array(rf, pa.string()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_eb_shrinkage_hand_checked(ray_session, tmp_path):
+    """Rates {0.5, 0.0, 1.0} → MoM prior m=0.5, v=1/6, k0=0.5,
+    α=β=0.25.  The small-n extreme supplier (2/2) shrinks to 0.9,
+    the large-n moderate one (2/4) stays at 0.5 — EB ranks by
+    evidence-weighted rate, and the exact ints are floor-ppm."""
+    _write_supplier_lineitem(tmp_path, [(1, 4, 2), (2, 4, 0),
+                                        (3, 2, 2)])
+    from ocr_engine_ray.pipelines.queries import q_supplier_eb_shrinkage
+
+    got = _rows(q_supplier_eb_shrinkage(str(tmp_path)))
+    assert [r["suppkey"] for r in got] == [3, 1, 2]
+    by = {r["suppkey"]: r for r in got}
+    assert by[1]["rate_ppm"] == 500000
+    assert by[2]["rate_ppm"] == 0
+    assert by[3]["rate_ppm"] == 1000000
+    assert abs(by[3]["shrunk_rate"] - 0.9) < 1e-12
+    assert abs(by[1]["shrunk_rate"] - 0.5) < 1e-12
+    assert abs(by[2]["shrunk_rate"] - 0.25 / 4.5) < 1e-12
+    assert abs(by[1]["alpha"] - 0.25) < 1e-12
+    assert abs(by[1]["beta"] - 0.25) < 1e-12
+
+
+def test_eb_shrinkage_zero_variance_is_loud(ray_session, tmp_path):
+    import pytest
+
+    _write_supplier_lineitem(tmp_path, [(1, 4, 2), (2, 2, 1)])
+    from ocr_engine_ray.pipelines.queries import q_supplier_eb_shrinkage
+
+    with pytest.raises(RuntimeError, match="zero variance"):
+        q_supplier_eb_shrinkage(str(tmp_path))
