@@ -565,6 +565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_bfs": q.q_parts_copurchase_bfs,
         "events_sprt": q.q_events_sprt,
         "supplier_eb_shrinkage": q.q_supplier_eb_shrinkage,
+        "parts_copurchase_eigencentrality":
+            q.q_parts_copurchase_eigencentrality,
+        "embeddings_mmr": q.q_embeddings_mmr,
     }
 
 
@@ -3856,6 +3859,76 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "embeddings_mmr": """
+            WITH RECURSIVE rel0 AS (
+              SELECT c.vec_id,
+                     ROUND(list_cosine_similarity(
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0)::DOUBLE[],
+                         c.embedding::DOUBLE[]), 6) AS rel
+              FROM embeddings c WHERE c.vec_id <> 0),
+            pool AS (SELECT vec_id, rel FROM rel0
+                     ORDER BY rel DESC, vec_id LIMIT 30),
+            pw AS (SELECT a.vec_id AS av, b.vec_id AS bv,
+                          ROUND(list_cosine_similarity(
+                              ea.embedding::DOUBLE[],
+                              eb.embedding::DOUBLE[]), 6) AS s
+                   FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+                        JOIN embeddings ea ON ea.vec_id = a.vec_id
+                        JOIN embeddings eb ON eb.vec_id = b.vec_id),
+            mmr(step, sel, vec_id, rel, maxsim, score) AS (
+              SELECT 1, [vec_id], vec_id, rel,
+                     CAST(NULL AS DOUBLE), rel
+              FROM pool
+              QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC,
+                                         vec_id) = 1
+              UNION ALL
+              SELECT step + 1, list_append(sel, vec_id), vec_id,
+                     rel, maxsim, score
+              FROM (SELECT m.step AS step, m.sel AS sel,
+                           p.vec_id AS vec_id, p.rel AS rel,
+                           MAX(pw.s) AS maxsim,
+                           0.5 * p.rel - 0.5 * MAX(pw.s) AS score
+                    FROM mmr m
+                         JOIN pool p
+                           ON NOT list_contains(m.sel, p.vec_id)
+                         JOIN pw ON pw.av = p.vec_id
+                                AND list_contains(m.sel, pw.bv)
+                    GROUP BY m.step, m.sel, p.vec_id, p.rel)
+              WHERE step < 10
+              QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC,
+                                         vec_id) = 1
+            )
+            SELECT CAST(step AS BIGINT) AS step, vec_id, rel,
+                   maxsim, score
+            FROM mmr ORDER BY step
+        """,
+        "parts_copurchase_eigencentrality": """
+            WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o,
+                                                  l_partkey AS p
+                                  FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            de AS (SELECT p1 AS s, p2 AS t FROM e
+                   UNION ALL SELECT p2, p1 FROM e),
+            init AS (SELECT DISTINCT s AS p,
+                            CAST(1000000000 AS BIGINT) AS x
+                     FROM de),
+            it(iter, p, x) AS (
+                SELECT 0, p, x FROM init
+                UNION ALL
+                SELECT iter + 1, p,
+                       CAST(CAST(sx AS HUGEINT) * 1000000000
+                            // MAX(sx) OVER () AS BIGINT)
+                FROM (SELECT it.iter AS iter, de.t AS p,
+                             CAST(SUM(it.x) AS BIGINT) AS sx
+                      FROM it JOIN de ON de.s = it.p
+                      GROUP BY 1, 2)
+                WHERE iter < 8
+            )
+            SELECT p, x AS score_ppb FROM it WHERE iter = 8
+            ORDER BY x DESC, p LIMIT 20
         """,
         "events_sprt": """
             WITH b AS (SELECT event_type, ts, event_id,

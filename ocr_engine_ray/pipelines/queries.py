@@ -16700,3 +16700,176 @@ def q_supplier_eb_shrinkage(sf_dir: str) -> Dataset:
         "beta": pa.array(np.full(len(order), beta), pa.float64()),
         "shrunk_rate": pa.array(shrunk[order], pa.float64()),
     }))
+
+
+#: Fixed power-iteration count for eigenvector centrality (the replayed
+#: spec, not a convergence target — 8 rounds separates the hub ranking
+#: clearly at every test scale and the twin replays exactly 8).
+EIGEN_ITERS = 8
+
+
+def q_parts_copurchase_eigencentrality(sf_dir: str) -> Dataset:
+    """Eigenvector centrality of the co-purchase graph (HITS on an
+    undirected graph collapses to this — hubs ≡ authorities): 8
+    max-normalized power-iteration rounds, ENTIRELY in integer
+    arithmetic — x' = Σ_nbr x is an exact int64 sum and the
+    normalization x'·1e9 // max(x') is floor division (driver side in
+    arbitrary-precision Python ints, twin side in HUGEINT) — so unlike
+    PageRank's float ranks this iterative fixpoint sits under the
+    bit-exact SQL gate, replayed as a recursive CTE with GROUP BY +
+    a window MAX inside the recursive term.  Per iteration: ONE edge
+    pass against the broadcast score vector (node-sized driver state,
+    the documented pagerank/kmeans trade).  Top 20 by score."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    deg_t = _small_table(_copurchase_degrees(edges).materialize())
+    empty = pa.table({"p": pa.array([], pa.int64()),
+                      "score_ppb": pa.array([], pa.int64())})
+    if deg_t is None:
+        return rd.from_arrow(empty)
+    node_ids = np.sort(deg_t.column("p").to_numpy(zero_copy_only=False))
+    n = len(node_ids)
+    x = np.full(n, 1_000_000_000, np.int64)
+
+    for _ in range(EIGEN_ITERS):
+        state = ray.put((node_ids, x))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            ids, xv = ray.get(state)
+            a = np.searchsorted(
+                ids, b.column("id_a").to_numpy(zero_copy_only=False))
+            bb = np.searchsorted(
+                ids, b.column("id_b").to_numpy(zero_copy_only=False))
+            g = pa.table({
+                "i": pa.array(np.concatenate([bb, a]), pa.int64()),
+                "q": pa.array(np.concatenate([xv[a], xv[bb]]),
+                              pa.int64()),
+            }).group_by("i").aggregate([("q", "sum")])
+            return g.rename_columns(["i", "p_q"])
+
+        agg = _small_table(_tree_combine(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["i"], [("p_q", "sum")], ["i", "p_q"],
+            ["i", "sx"]).materialize())
+        y = np.zeros(n, np.int64)
+        y[agg.column("i").to_numpy(zero_copy_only=False)] = \
+            agg.column("sx").to_numpy(zero_copy_only=False)
+        # x'·1e9 overflows int64 (Σ_nbr x ≤ deg·1e9 ≈ 2e11), so the
+        # normalize step runs in Python ints — n is dim-sized.
+        mx = int(y.max())
+        x = np.array([int(v) * 1_000_000_000 // mx
+                      for v in y.tolist()], np.int64)
+
+    order = np.lexsort((node_ids, -x))[:20]
+    return rd.from_arrow(pa.table({
+        "p": pa.array(node_ids[order], pa.int64()),
+        "score_ppb": pa.array(x[order], pa.int64()),
+    }))
+
+
+#: MMR spec: candidate pool size, selections, and the relevance /
+#: diversity mix (λ = 0.5 → score = 0.5·rel − 0.5·max_sel_sim).
+MMR_POOL = 30
+MMR_K = 10
+
+
+def q_embeddings_mmr(sf_dir: str) -> pa.Table:
+    """Maximal Marginal Relevance diversified retrieval (the RAG
+    context-selection staple): greedy-select MMR_K of the MMR_POOL
+    most-query-similar vectors, each step maximizing
+    0.5·rel − 0.5·max-sim-to-already-selected.  Query = vec_id 0.
+    Determinism contract: every cosine is ROUND(·, 6) BEFORE any
+    comparison (the ann_topk convention), ties break on vec_id, so
+    the greedy path is a pure function of the corpus and the DuckDB
+    twin replays it as a recursive CTE carrying the selected list
+    (QUALIFY ROW_NUMBER argmax per step).  Scale shape: the corpus is
+    touched ONCE by the rel scan (per-batch tie-widened top-POOL, the
+    topk_combine discipline); the greedy loop runs on the POOL-sized
+    driver table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ..util import vec_matrix
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         filters=[("vec_id", "=", 0)],
+                         columns=["embedding"])
+    qvec = np.asarray(qtab.column("embedding").to_pylist()[0],
+                      np.float64)
+    qref = ray.put(qvec)
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def local_pool(b: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != 0
+        mat = vec_matrix(b.column("embedding"))[keep]
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.float64())})
+        # DuckDB's cosine shape: dot / (|a|·|q|), then ROUND 6 —
+        # rounding happens BEFORE the top-k cut so the pool boundary
+        # is decided on the same values the twin orders by.
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        rel = np.array([round_sql_f(v, 6) for v in
+                        (mat @ q) / (norms * float(np.sqrt(q @ q)))])
+        order = np.lexsort((ids, -rel))
+        if len(order) > MMR_POOL:
+            cut = rel[order[MMR_POOL - 1]]
+            order = order[rel[order] >= cut]  # tie-widened local top-k
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "rel": pa.array(rel[order], pa.float64())})
+
+    cand = _small_table(
+        ds.map_batches(local_pool, batch_format="pyarrow")
+        .materialize())
+    ids = cand.column("vec_id").to_numpy(zero_copy_only=False)
+    rel = cand.column("rel").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -rel))[:MMR_POOL]
+    pool_ids = ids[order]
+    pool_rel = rel[order]
+
+    ptab = pq.read_table(
+        _t(sf_dir, "embeddings"),
+        filters=[("vec_id", "in", pool_ids.tolist())],
+        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    pid_sorted = ptab.column("vec_id").to_numpy(zero_copy_only=False)
+    pmat = vec_matrix(ptab.column("embedding"))
+    pos = np.searchsorted(pid_sorted, pool_ids)
+    pmat = pmat[pos]  # rows aligned with pool_ids
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1))
+    sim = (pmat @ pmat.T) / np.outer(pnorm, pnorm)
+    sim = np.vectorize(lambda v: round_sql_f(v, 6))(sim)
+
+    n = len(pool_ids)
+    selected: list[int] = []
+    rows = []
+    remaining = np.ones(n, bool)
+    for step in range(1, MMR_K + 1):
+        if not remaining.any():
+            break  # pool exhausted — the twin's recursion stops too
+        if step == 1:
+            scores = pool_rel.copy()
+            maxs = np.full(n, np.nan)
+        else:
+            maxs = sim[:, selected].max(axis=1)
+            scores = 0.5 * pool_rel - 0.5 * maxs
+        scores_m = np.where(remaining, scores, -np.inf)
+        # argmax with vec_id tiebreak
+        best = np.lexsort((pool_ids, -scores_m))[0]
+        rows.append((step, int(pool_ids[best]), float(pool_rel[best]),
+                     None if step == 1 else float(maxs[best]),
+                     float(scores[best])))
+        selected.append(best)
+        remaining[best] = False
+
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "rel": pa.array([r[2] for r in rows], pa.float64()),
+        "maxsim": pa.array([r[3] for r in rows], pa.float64()),
+        "score": pa.array([r[4] for r in rows], pa.float64()),
+    })

@@ -221,3 +221,59 @@ def test_eb_shrinkage_zero_variance_is_loud(ray_session, tmp_path):
 
     with pytest.raises(RuntimeError, match="zero variance"):
         q_supplier_eb_shrinkage(str(tmp_path))
+
+
+def test_eigencentrality_integer_replay(ray_session, tmp_path):
+    """Triangle {1,2,3} + pendant 4-1 (an odd cycle, so the power
+    iteration doesn't oscillate): the engine's 8 max-normalized
+    integer rounds must equal a pure-Python replay bit for bit, and
+    the ranking must read hub > symmetric pair > pendant."""
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4)]
+    _write_basket_lineitem(tmp_path, edges)
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_eigencentrality,
+    )
+
+    nodes = [1, 2, 3, 4]
+    nbrs = {1: [2, 3, 4], 2: [1, 3], 3: [1, 2], 4: [1]}
+    x = {p: 10**9 for p in nodes}
+    for _ in range(8):
+        y = {p: sum(x[q] for q in nbrs[p]) for p in nodes}
+        mx = max(y.values())
+        x = {p: y[p] * 10**9 // mx for p in nodes}
+    expect = sorted(((p, s) for p, s in x.items()),
+                    key=lambda t: (-t[1], t[0]))
+
+    got = _rows(q_parts_copurchase_eigencentrality(str(tmp_path)))
+    assert [(r["p"], r["score_ppb"]) for r in got] == expect
+    score = {r["p"]: r["score_ppb"] for r in got}
+    assert score[1] > score[2] == score[3] > score[4]
+
+
+def test_mmr_prefers_diversity_over_neardup(ray_session, tmp_path):
+    """Query (1,0); a=(.9,.4357) and its mirror c=(.9,−.4357) are
+    EQUALLY relevant (tie broken to the lower vec_id 7), and b is a's
+    near-duplicate: step 2 must pick the mirror c — its ~0.62
+    similarity to a beats b's ~1.0 under 0.5·rel − 0.5·maxsim even
+    though b's raw relevance is a hair higher — and with only 3
+    candidates the walk stops at 3 rows, not MMR_K."""
+    import numpy as np
+
+    vecs = {0: [1.0, 0.0], 7: [0.9, 0.4357], 8: [0.9, 0.4367],
+            9: [0.9, -0.4357]}
+    pq.write_table(pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[k] for k in sorted(vecs)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, pa.int64()),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_mmr
+
+    got = q_embeddings_mmr(str(tmp_path)).to_pylist()
+    assert [r["step"] for r in got] == [1, 2, 3]
+    assert got[0]["vec_id"] == 7      # most relevant first
+    assert got[1]["vec_id"] == 9      # diversity beats the near-dup
+    assert got[2]["vec_id"] == 8
+    assert got[0]["maxsim"] is None
+    assert np.isclose(got[1]["score"],
+                      0.5 * got[1]["rel"] - 0.5 * got[1]["maxsim"])
