@@ -568,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_eigencentrality":
             q.q_parts_copurchase_eigencentrality,
         "embeddings_mmr": q.q_embeddings_mmr,
+        "events_isotonic_daily": q.q_events_isotonic_daily,
+        "documents_chao1": q.q_documents_chao1,
     }
 
 
@@ -3859,6 +3861,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "documents_chao1": """
+            WITH t AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM t GROUP BY 1, 2),
+            s AS (SELECT source,
+                         CAST(COUNT(*) AS BIGINT) AS v_obs,
+                         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS f1,
+                         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS f2
+                  FROM tf GROUP BY source)
+            SELECT source, v_obs, f1, f2,
+                   ROUND(CAST(v_obs AS DOUBLE)
+                         + CAST(f1 * (f1 - 1) AS DOUBLE)
+                           / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1
+            FROM s
+        """,
+        "events_isotonic_daily": """
+            WITH RECURSIVE daily AS (
+              SELECT date_trunc('day', ts) AS day,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS sy,
+                     CAST(1 AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            pav(iter, s_day, sy, n) AS (
+              SELECT 0, day, sy, n FROM daily
+              UNION ALL
+              SELECT iter + 1, new_s, CAST(SUM(sy) AS BIGINT),
+                     CAST(SUM(n) AS BIGINT)
+              FROM (
+                SELECT iter, sy, n,
+                       CASE WHEN (rn + iter) % 2 = 0
+                                 AND psy IS NOT NULL
+                                 AND psy * n > sy * pn
+                            THEN ps ELSE s_day END AS new_s
+                FROM (SELECT iter, s_day, sy, n,
+                             ROW_NUMBER() OVER (ORDER BY s_day)
+                                 AS rn,
+                             LAG(sy) OVER (ORDER BY s_day) AS psy,
+                             LAG(n) OVER (ORDER BY s_day) AS pn,
+                             LAG(s_day) OVER (ORDER BY s_day) AS ps
+                      FROM pav))
+              GROUP BY 1, 2
+              HAVING iter + 1 <= 80
+            )
+            SELECT s_day AS start_day, n AS n_days, sy AS sum_cents,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS fitted
+            FROM pav WHERE iter = 80 ORDER BY 1
         """,
         "embeddings_mmr": """
             WITH RECURSIVE rel0 AS (

@@ -16873,3 +16873,139 @@ def q_embeddings_mmr(sf_dir: str) -> pa.Table:
         "maxsim": pa.array([r[3] for r in rows], pa.float64()),
         "score": pa.array([r[4] for r in rows], pa.float64()),
     })
+
+
+#: Parity-merge round bound for the isotonic PAV replay: odd-even
+#: pairwise pooling makes progress every two rounds, so 2·(#days)+pad
+#: covers any 30-day corpus many times over; the engine raises loudly
+#: if violations survive the bound (they would mean a day grid far
+#: beyond the corpus spec, and the twin replays exactly this bound).
+PAV_ROUNDS = 80
+
+
+def q_events_isotonic_daily(sf_dir: str) -> Dataset:
+    """Isotonic (monotone non-decreasing) regression of the daily
+    value-cents totals via pool-adjacent-violators, replayed exactly:
+    odd-even parity rounds merge each eligible adjacent pair whose
+    means violate (psy·n > sy·pn — cross-multiplied EXACT ints, no
+    float mean ever compared), so disjoint merges commute and the
+    DuckDB twin replays the identical schedule as a recursive CTE
+    (LAG + ROW_NUMBER parity inside the recursive term).  PAV's
+    fixpoint is merge-order-independent, so the parity schedule
+    reaches the canonical solution — pinned against an exact
+    Fraction-arithmetic reference PAV in pytest.  Output: one row per
+    final pool; the only float is the final mean division.  Scale
+    shape: ONE bounded (day) combine; the loop runs on the
+    calendar-sized final block."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        t = pa.table({"day": day, "p_sy": pa.array(cents, pa.int64())})
+        g = t.group_by("day").aggregate([("p_sy", "sum")])
+        return g.rename_columns(["day", "p_sy"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_sy", "sum")], ["day", "p_sy"], ["day", "sy"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        days = b.column("day").to_numpy(zero_copy_only=False)
+        pools = [(i, int(v), 1) for i, v in enumerate(
+            b.column("sy").to_numpy(zero_copy_only=False))]
+        for it in range(PAV_ROUNDS):
+            merged = []
+            i = 0
+            while i < len(pools):
+                # rn is 1-based; the pair (rn, rn+1) merges when the
+                # RIGHT element has (rn+1 + it) % 2 == 0 and violates.
+                rn = i + 1
+                if (i + 1 < len(pools)
+                        and (rn + 1 + it) % 2 == 0
+                        and pools[i][1] * pools[i + 1][2]
+                        > pools[i + 1][1] * pools[i][2]):
+                    s, sy, n = pools[i]
+                    _, sy2, n2 = pools[i + 1]
+                    merged.append((s, sy + sy2, n + n2))
+                    i += 2
+                else:
+                    merged.append(pools[i])
+                    i += 1
+            pools = merged
+            if all(pools[j][1] * pools[j + 1][2]
+                   <= pools[j + 1][1] * pools[j][2]
+                   for j in range(len(pools) - 1)):
+                break
+        else:
+            raise RuntimeError(
+                f"PAV did not converge in {PAV_ROUNDS} parity rounds; "
+                "raise PAV_ROUNDS and keep the SQL twin's bound in "
+                "lockstep")
+        return pa.table({
+            "start_day": pa.array([days[s] for s, _, _ in pools],
+                                  b.column("day").type),
+            "n_days": pa.array([n for _, _, n in pools], pa.int64()),
+            "sum_cents": pa.array([sy for _, sy, _ in pools],
+                                  pa.int64()),
+            "fitted": pa.array([float(sy) / float(n)
+                                for _, sy, n in pools], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_documents_chao1(sf_dir: str) -> Dataset:
+    """Chao1 species-richness estimate per source feed (Chao 1984,
+    bias-corrected form): how many DISTINCT words the feed likely has,
+    observed + f1(f1−1)/(2(f2+1)) from the singleton/doubleton counts
+    — the vocabulary-coverage companion to documents_gt_unseen (how
+    much mass is unseen vs how many TYPES are unseen).  Same scale
+    shape: the shared (source, tok) partial-count exchange, a bounded
+    per-source tree combine over the distinct-term table, exact int64
+    until the one final division."""
+    import numpy as np
+
+    tf = _source_term_counts(sf_dir)
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b.column("source"),
+                      "p_typ": pa.array(np.ones(len(c), np.int64)),
+                      "p_f1": pa.array((c == 1).astype(np.int64)),
+                      "p_f2": pa.array((c == 2).astype(np.int64))})
+        g = t.group_by("source").aggregate(
+            [("p_typ", "sum"), ("p_f1", "sum"), ("p_f2", "sum")])
+        return g.rename_columns(["source", "p_typ", "p_f1", "p_f2"])
+
+    agg = _tree_combine(
+        tf.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"],
+        [("p_typ", "sum"), ("p_f1", "sum"), ("p_f2", "sum")],
+        ["source", "p_typ", "p_f1", "p_f2"],
+        ["source", "v_obs", "f1", "f2"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = b.column("v_obs").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f1 = b.column("f1").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f2 = b.column("f2").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        chao1 = v.astype(np.float64) \
+            + (f1 * (f1 - 1)).astype(np.float64) \
+            / (2 * (f2 + 1)).astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "v_obs": pa.array(v, pa.int64()),
+            "f1": pa.array(f1, pa.int64()),
+            "f2": pa.array(f2, pa.int64()),
+            "chao1": round_sql(pa.array(chao1, pa.float64()), 6)})
+
+    return _small_table(agg.map_batches(finish, batch_format="pyarrow",
+                                        batch_size=None))

@@ -277,3 +277,65 @@ def test_mmr_prefers_diversity_over_neardup(ray_session, tmp_path):
     assert got[0]["maxsim"] is None
     assert np.isclose(got[1]["score"],
                       0.5 * got[1]["rel"] - 0.5 * got[1]["maxsim"])
+
+
+def test_isotonic_matches_canonical_pav(ray_session, tmp_path):
+    """The parity-scheduled odd-even merging must land on the SAME
+    pools as the classic stack PAV (PAV merges are confluent) — the
+    reference here runs in exact Fractions on a series with nested
+    violations: 5, 3, 4, 10, 1 → pools {5,3} (mean 4), {4} (mean 4 —
+    equal means are NOT a strict violation, so no merge), and {10,1}
+    (mean 5.5)."""
+    from fractions import Fraction
+
+    daily = [500, 300, 400, 1000, 100]  # cents per day, 5 days
+    rows = []
+    eid = 0
+    for d, cents in enumerate(daily):
+        rows.append((eid, 1, d * DAY_MIN_LOCAL, "view", cents / 100.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_isotonic_daily
+
+    # canonical stack PAV on (sy, n) with Fraction means
+    stack = [(i, sy, 1) for i, sy in enumerate(daily)]
+    out = []
+    for p in stack:
+        out.append(p)
+        while len(out) > 1 and (Fraction(out[-2][1], out[-2][2])
+                                > Fraction(out[-1][1], out[-1][2])):
+            s1, sy1, n1 = out[-2]
+            _, sy2, n2 = out[-1]
+            out[-2:] = [(s1, sy1 + sy2, n1 + n2)]
+    expect = [(s, sy, n) for s, sy, n in out]
+    assert expect == [(0, 800, 2), (2, 400, 1),
+                      (3, 1100, 2)]  # hand-checked
+
+    got = _rows(q_events_isotonic_daily(str(tmp_path)))
+    assert [(r["n_days"], r["sum_cents"]) for r in got] \
+        == [(n, sy) for _, sy, n in expect]
+    fits = [r["fitted"] for r in got]
+    assert fits == sorted(fits)
+    assert fits == [400.0, 400.0, 550.0]
+
+
+DAY_MIN_LOCAL = 24 * 60
+
+
+def test_chao1_hand_checked(ray_session, tmp_path):
+    """Corpus 'a a b c' → V=3, f1={b,c}=2, f2={a}=1 → chao1 = 3 +
+    2·1/(2·2) = 3.5; corpus 'x x y y' → V=2, f1=0, f2=2 → chao1 = 2
+    (no singletons ⇒ no estimated unseen types)."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a b c", "x x y y"], pa.string()),
+        "source": pa.array(["s1", "s2"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_documents_chao1
+
+    got = {r["source"]: r for r in
+           q_documents_chao1(str(tmp_path)).to_pylist()}
+    assert got["s1"]["v_obs"] == 3 and got["s1"]["f1"] == 2 \
+        and got["s1"]["f2"] == 1 and got["s1"]["chao1"] == 3.5
+    assert got["s2"]["v_obs"] == 2 and got["s2"]["f1"] == 0 \
+        and got["s2"]["f2"] == 2 and got["s2"]["chao1"] == 2.0
