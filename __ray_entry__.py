@@ -570,6 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mmr": q.q_embeddings_mmr,
         "events_isotonic_daily": q.q_events_isotonic_daily,
         "documents_chao1": q.q_documents_chao1,
+        "parts_copurchase_assortativity":
+            q.q_parts_copurchase_assortativity,
+        "embeddings_dbscan": q.q_embeddings_dbscan,
     }
 
 
@@ -3861,6 +3864,68 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "embeddings_dbscan": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[])
+                    >= 0.35),
+            e AS (SELECT ia AS s, ib AS t FROM p
+                  UNION ALL SELECT ib, ia FROM p),
+            d AS (SELECT s AS id, CAST(COUNT(*) + 1 AS BIGINT) AS nn
+                  FROM e GROUP BY 1),
+            core AS (SELECT id FROM d WHERE nn >= 4),
+            ce AS (SELECT e.s, e.t FROM e
+                   WHERE e.s IN (SELECT id FROM core)
+                     AND e.t IN (SELECT id FROM core)),
+            r(id, reach) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT r.id, ce.t FROM r JOIN ce ON ce.s = r.reach),
+            lab AS (SELECT id, CAST(MIN(reach) AS BIGINT) AS cluster
+                    FROM r GROUP BY 1),
+            border AS (SELECT e.s AS id,
+                              CAST(MIN(e.t) AS BIGINT) AS near_core
+                       FROM e
+                       WHERE e.s NOT IN (SELECT id FROM core)
+                         AND e.t IN (SELECT id FROM core)
+                       GROUP BY 1)
+            SELECT em.vec_id,
+                   CASE WHEN lab.id IS NOT NULL THEN 'core'
+                        WHEN border.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CASE WHEN lab.id IS NOT NULL THEN lab.cluster
+                        ELSE lab2.cluster END AS cluster
+            FROM embeddings em
+            LEFT JOIN lab ON lab.id = em.vec_id
+            LEFT JOIN border ON border.id = em.vec_id
+            LEFT JOIN lab lab2 ON lab2.id = border.near_core
+            ORDER BY em.vec_id
+        """,
+        "parts_copurchase_assortativity": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            de AS (SELECT p1 AS s, p2 AS t FROM e
+                   UNION ALL SELECT p2, p1 FROM e),
+            deg AS (SELECT s AS p, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM de GROUP BY 1),
+            mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                          CAST(SUM(da.d) AS BIGINT) AS sx,
+                          CAST(SUM(da.d * da.d) AS BIGINT) AS sxx,
+                          CAST(SUM(da.d * db.d) AS BIGINT) AS sxy
+                   FROM de JOIN deg da ON da.p = de.s
+                           JOIN deg db ON db.p = de.t)
+            SELECT m // 2 AS n_edges,
+                   ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                         / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+                       AS assortativity
+            FROM mo
         """,
         "documents_chao1": """
             WITH t AS (SELECT source,

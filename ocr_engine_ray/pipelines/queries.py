@@ -17009,3 +17009,196 @@ def q_documents_chao1(sf_dir: str) -> Dataset:
 
     return _small_table(agg.map_batches(finish, batch_format="pyarrow",
                                         batch_size=None))
+
+
+def q_parts_copurchase_assortativity(sf_dir: str) -> Dataset:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the doubled
+    (both-orientation) edge list — do popular parts co-sell with other
+    popular parts?  Every moment (Σx, Σxy, Σx², M) is an EXACT int64
+    accumulated on one edge pass against the broadcast degree vector;
+    the correlation is one final float expression replayed
+    operand-by-operand.  By symmetry of the doubled edge list the x
+    and y moments coincide, so r = (M·Σxy − Σx²ₛᵤₘ) / (M·Σx² − (Σx)²)
+    needs no sqrt at all — the denominator IS the variance."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    deg_t = _small_table(_copurchase_degrees(edges).materialize())
+    if deg_t is None:
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "assortativity": pa.array([None], pa.float64())}))
+    ids = np.sort(deg_t.column("p").to_numpy(zero_copy_only=False))
+    dv = deg_t.column("degree").to_numpy(zero_copy_only=False)[
+        np.argsort(deg_t.column("p").to_numpy(zero_copy_only=False))]
+    dref = ray.put((ids, dv))
+
+    def moments(b: pa.Table) -> pa.Table:
+        idx, d = ray.get(dref)
+        da = d[np.searchsorted(
+            idx, b.column("id_a").to_numpy(zero_copy_only=False))]
+        db = d[np.searchsorted(
+            idx, b.column("id_b").to_numpy(zero_copy_only=False))]
+        x = np.concatenate([da, db]).astype(np.int64)
+        y = np.concatenate([db, da]).astype(np.int64)
+        return pa.table({
+            "p_m": pa.array([len(x)], pa.int64()),
+            "p_sx": pa.array([int(x.sum())], pa.int64()),
+            "p_sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "p_sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    agg = edges.map_batches(moments, batch_format="pyarrow") \
+        .aggregate(Sum("p_m", alias_name="m"),
+                   Sum("p_sx", alias_name="sx"),
+                   Sum("p_sxx", alias_name="sxx"),
+                   Sum("p_sxy", alias_name="sxy"))
+    m = int(agg["m"])
+    sx = int(agg["sx"])
+    sxx = int(agg["sxx"])
+    sxy = int(agg["sxy"])
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r = round_sql_f(float(num) / float(den), 6) if den else None
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([m // 2], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    }))
+
+
+#: DBSCAN spec over the embedding space: neighbor iff raw cosine ≥
+#: DBSCAN_EPS_SIM (the embeddings_neardup threshold convention), core
+#: iff |N(p)| + 1 ≥ DBSCAN_MIN_PTS (self included, the classic rule).
+DBSCAN_EPS_SIM = 0.35
+DBSCAN_MIN_PTS = 4
+
+
+def q_embeddings_dbscan(sf_dir: str) -> Dataset:
+    """Density-based clustering (DBSCAN, cosine metric) — the
+    density companion to the shipped k-means/silhouette family:
+    core points have ≥ 4 neighbors at cosine ≥ 0.35 (self included),
+    clusters are connected components of the core-core neighbor graph
+    labeled by their MIN core vec_id, border points join the cluster
+    of their MINIMUM-id adjacent core (the deterministic stand-in for
+    classic DBSCAN's arrival-order border assignment), everything
+    else is noise.  Output: (vec_id, role, cluster) with cluster NULL
+    for noise.  Scale shape: the neighbor pairs come from the
+    existing block-pair task grid (exact path; LSH is the scale
+    variant), degrees ride one (id) combine, and the core-graph CC is
+    the hybrid union-find / label-propagation stage."""
+    import numpy as np
+
+    from ..stages.dedup import connected_components, \
+        embedding_neardup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(
+        ds, threshold=DBSCAN_EPS_SIM).select_columns(["id_a", "id_b"]) \
+        .materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([b.column("id_a").combine_chunks(),
+                                b.column("id_b").combine_chunks()])
+        g = pa.table({"id": ids}).group_by("id").aggregate(
+            [("id", "count")])
+        return g.rename_columns(["id", "p_n"])
+
+    deg = with_schema(
+        pairs.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("id").aggregate(Sum("p_n", alias_name="nn")),
+        pa.schema([("id", pa.int64()), ("nn", pa.int64())]))
+    deg_t = _small_table(deg.materialize())
+    if deg_t is not None:
+        d_ids = deg_t.column("id").to_numpy(zero_copy_only=False)
+        d_nn = deg_t.column("nn").to_numpy(zero_copy_only=False)
+        order = np.argsort(d_ids)
+        d_ids, d_nn = d_ids[order], d_nn[order]
+        cores = np.sort(d_ids[d_nn + 1 >= DBSCAN_MIN_PTS])
+    else:
+        d_ids = np.array([], np.int64)
+        cores = np.array([], np.int64)
+    cores_ref = ray.put(cores)
+
+    def is_core(arr: np.ndarray) -> np.ndarray:
+        c = ray.get(cores_ref)
+        pos = np.searchsorted(c, arr)
+        return (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == arr)
+
+    def core_edges(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)
+        keep = is_core(ia) & is_core(ib)
+        return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
+                         "id_b": pa.array(ib[keep], pa.int64())})
+
+    cc = _small_table(connected_components(
+        pairs.map_batches(core_edges,
+                          batch_format="pyarrow")).materialize())
+    cluster_of: dict = {}
+    if cc is not None:
+        cluster_of = dict(zip(cc.column("id").to_pylist(),
+                              cc.column("rep").to_pylist()))
+    # isolated cores (≥ minPts neighbors but none of them core) are
+    # their own singleton clusters
+    for c in cores.tolist():
+        cluster_of.setdefault(c, c)
+
+    def border_partial(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)
+        ca, cb = is_core(ia), is_core(ib)
+        # non-core endpoint adjacent to a core: (point, core) rows
+        pt = np.concatenate([ia[~ca & cb], ib[~cb & ca]])
+        co = np.concatenate([ib[~ca & cb], ia[~cb & ca]])
+        t = pa.table({"id": pa.array(pt, pa.int64()),
+                      "p_c": pa.array(co, pa.int64())})
+        g = t.group_by("id").aggregate([("p_c", "min")])
+        return g.rename_columns(["id", "p_c"])
+
+    btab = _small_table(with_schema(
+        pairs.map_batches(border_partial, batch_format="pyarrow")
+        .groupby("id").aggregate(Min("p_c", alias_name="near_core")),
+        pa.schema([("id", pa.int64()),
+                   ("near_core", pa.int64())])).materialize())
+    border_of: dict = {}
+    if btab is not None:
+        border_of = dict(zip(btab.column("id").to_pylist(),
+                             btab.column("near_core").to_pylist()))
+
+    # Per-point labeling stays STREAMING: the corpus never lands on
+    # the driver — only the (core → cluster) / (border → near-core)
+    # maps do, and those are density-bounded, not corpus-sized.
+    core_cluster = np.array([cluster_of[c] for c in cores.tolist()],
+                            np.int64)
+    b_ids = np.array(sorted(border_of), np.int64)
+    b_cluster = np.array([cluster_of[border_of[i]]
+                          for i in b_ids.tolist()], np.int64)
+    lab_ref = ray.put((cores, core_cluster, b_ids, b_cluster))
+
+    def label(b: pa.Table) -> pa.Table:
+        cs, cc_arr, bi, bc = ray.get(lab_ref)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        pos_c = np.searchsorted(cs, ids)
+        on_c = (pos_c < len(cs)) & (
+            cs[np.minimum(pos_c, len(cs) - 1)] == ids)
+        pos_b = np.searchsorted(bi, ids)
+        on_b = (pos_b < len(bi)) & (
+            bi[np.minimum(pos_b, len(bi) - 1)] == ids)
+        role = np.where(on_c, "core", np.where(on_b, "border",
+                                               "noise"))
+        cl = np.zeros(len(ids), np.int64)
+        cl[on_c] = cc_arr[pos_c[on_c]]
+        cl[on_b & ~on_c] = bc[pos_b[on_b & ~on_c]]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "role": pa.array(role.tolist(), pa.string()),
+            "cluster": pa.array(
+                np.ma.masked_array(cl, mask=~(on_c | on_b)).tolist(),
+                pa.int64()),
+        })
+
+    return rd.read_parquet(_t(sf_dir, "embeddings"),
+                           columns=["vec_id"]) \
+        .map_batches(label, batch_format="pyarrow")

@@ -339,3 +339,31 @@ def test_chao1_hand_checked(ray_session, tmp_path):
         and got["s1"]["f2"] == 1 and got["s1"]["chao1"] == 3.5
     assert got["s2"]["v_obs"] == 2 and got["s2"]["f1"] == 0 \
         and got["s2"]["f2"] == 2 and got["s2"]["chao1"] == 2.0
+
+
+def test_dbscan_roles_hand_checked(ray_session, tmp_path):
+    """2-d vectors by angle: 0/5/10/15° are mutually ≥ cos15° ≈ .966
+    similar (4 points incl self ⇒ all core, one cluster labeled by the
+    min core id 1); 75° sees only 60°/65° (cos .50/.42 ≥ .35 but
+    cos 70° ≈ .34 < .35 to the 5° point and cos 75° ≈ .26 to 0°) ⇒
+    3 < minPts incl self ⇒ border, joining min-adjacent-core 3's
+    cluster; 160° sees nobody ⇒ noise."""
+    import numpy as np
+
+    angles = {1: 0.0, 2: 5.0, 3: 10.0, 4: 15.0, 5: 75.0, 6: 160.0}
+    ids = sorted(angles)
+    vecs = [[float(np.cos(np.radians(angles[i]))),
+             float(np.sin(np.radians(angles[i])))] for i in ids]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int64()),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_dbscan
+
+    got = {r["vec_id"]: r for r in
+           _rows(q_embeddings_dbscan(str(tmp_path)))}
+    for i in (1, 2, 3, 4):
+        assert got[i]["role"] == "core" and got[i]["cluster"] == 1
+    assert got[5]["role"] == "border" and got[5]["cluster"] == 1
+    assert got[6]["role"] == "noise" and got[6]["cluster"] is None
