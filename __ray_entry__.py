@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_assortativity":
             q.q_parts_copurchase_assortativity,
         "embeddings_dbscan": q.q_embeddings_dbscan,
+        "supplier_rank_rbo": q.q_supplier_rank_rbo,
+        "documents_reliability_bins": q.q_documents_reliability_bins,
     }
 
 
@@ -3864,6 +3866,74 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "documents_reliability_bins": """
+            WITH b AS (SELECT n_chars // 100 AS band,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                                  AS y
+                       FROM documents),
+            g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(y) AS BIGINT) AS n_pos
+                  FROM b GROUP BY 1)
+            SELECT band, n_docs, n_pos,
+                   CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                       AS rate,
+                   n_pos * (n_docs - n_pos) * 1000000000000 // n_docs
+                       AS brier_q
+            FROM g ORDER BY band
+        """,
+        "supplier_rank_rbo": """
+            WITH per AS (SELECT l_suppkey AS s,
+                                CAST(COUNT(*) AS BIGINT) AS n,
+                                CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                              THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS k
+                         FROM lineitem GROUP BY 1),
+            q AS (SELECT s, n, k, k * 1000000 // n AS r_q FROM per),
+            mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sup,
+                          CAST(SUM(r_q) AS BIGINT) AS sum_r,
+                          CAST(SUM(r_q * r_q) AS BIGINT) AS sum_r2
+                   FROM q),
+            pr AS (SELECT
+                       CAST(sum_r AS DOUBLE) / CAST(n_sup AS DOUBLE)
+                           / 1000000.0 AS m_f,
+                       (CAST(sum_r2 AS DOUBLE) / CAST(n_sup AS DOUBLE)
+                        - (CAST(sum_r AS DOUBLE)
+                           / CAST(n_sup AS DOUBLE))
+                          * (CAST(sum_r AS DOUBLE)
+                             / CAST(n_sup AS DOUBLE)))
+                           / 1000000000000.0 AS v_f
+                   FROM mo),
+            ab AS (SELECT m_f * (1.0 - m_f) / v_f - 1.0 AS k0,
+                          m_f FROM pr),
+            ab2 AS (SELECT m_f * k0 AS alpha,
+                           (1.0 - m_f) * k0 AS beta FROM ab),
+            ranked AS (SELECT q.s,
+                           ROW_NUMBER() OVER (ORDER BY q.r_q DESC,
+                                              q.s) AS ra,
+                           ROW_NUMBER() OVER (ORDER BY
+                               (CAST(q.k AS DOUBLE) + ab2.alpha)
+                               / (CAST(q.n AS DOUBLE) + ab2.alpha
+                                  + ab2.beta) DESC, q.s) AS rb
+                       FROM q, ab2),
+            dd AS (SELECT t.d AS d,
+                          (SELECT CAST(COUNT(*) AS BIGINT)
+                           FROM ranked
+                           WHERE ra <= t.d AND rb <= t.d) AS x
+                   FROM range(1, 21) t(d)),
+            tq AS (SELECT d, x,
+                          CAST(round(0.5 * POWER(0.5, d - 1)
+                                     * (CAST(x AS DOUBLE)
+                                        / CAST(d AS DOUBLE))
+                                     * 1000000000000000.0)
+                               AS BIGINT) AS term_q
+                   FROM dd)
+            SELECT CAST(20 AS BIGINT) AS depth,
+                   (SELECT x FROM tq WHERE d = 20) AS overlap_at_depth,
+                   CAST(SUM(term_q) AS BIGINT) AS rbo_q,
+                   CAST(SUM(term_q) AS DOUBLE)
+                       / 1000000000000000.0 AS rbo
+            FROM tq
         """,
         "embeddings_dbscan": """
             WITH RECURSIVE p AS (

@@ -17202,3 +17202,133 @@ def q_embeddings_dbscan(sf_dir: str) -> Dataset:
     return rd.read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id"]) \
         .map_batches(label, batch_format="pyarrow")
+
+
+#: RBO spec: persistence p = 1/2 (exact power-of-two weights),
+#: truncation depth 20, per-depth terms quantized at 1e15 so the sum
+#: is order-independent int64.
+RBO_DEPTH = 20
+
+
+def q_supplier_rank_rbo(sf_dir: str) -> Dataset:
+    """Rank-biased overlap (Webber et al. 2010) between the RAW
+    per-supplier return-rate ranking and the EB-shrunk ranking — "how
+    much did the prior change the leaderboard?", the standard
+    top-weighted rank-similarity eval.  p = 1/2 makes every weight an
+    exact power of two; each depth-d term (1−p)·p^(d−1)·(overlap/d)
+    is an identical float expression both sides and is QUANTIZED to
+    int64 femto-units before summing, so the total never depends on
+    summation order.  Rankings ride the same one partial-agg combine
+    as supplier_eb_shrinkage; the depth loop runs on the dim-sized
+    driver table."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(b.column("l_returnflag"), "R"),
+                      pa.int64())
+        t = pa.table({"s": b.column("l_suppkey"),
+                      "p_n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "p_k": ret})
+        g = t.group_by("s").aggregate([("p_n", "sum"), ("p_k", "sum")])
+        return g.rename_columns(["s", "p_n", "p_k"])
+
+    per = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s").aggregate(Sum("p_n", alias_name="n"),
+                                Sum("p_k", alias_name="k")),
+        pa.schema([("s", pa.int64()), ("n", pa.int64()),
+                   ("k", pa.int64())]))
+    t = _small_table(per.materialize())
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_q = k * 1_000_000 // n
+    n_sup = len(s)
+    sum_r = int(r_q.sum())
+    sum_r2 = int((r_q * r_q).sum())
+    m_f = float(sum_r) / float(n_sup) / 1000000.0
+    v_f = (float(sum_r2) / float(n_sup)
+           - (float(sum_r) / float(n_sup))
+           * (float(sum_r) / float(n_sup))) / 1000000000000.0
+    if not v_f > 0.0:
+        raise RuntimeError(
+            "rank_rbo: zero variance across supplier return rates; "
+            "the EB ranking is undefined on this corpus")
+    k0 = m_f * (1.0 - m_f) / v_f - 1.0
+    alpha = m_f * k0
+    beta = (1.0 - m_f) * k0
+    shrunk = (k.astype(np.float64) + alpha) \
+        / ((n.astype(np.float64) + alpha) + beta)
+
+    rank_a = np.empty(n_sup, np.int64)
+    rank_a[np.lexsort((s, -r_q))] = np.arange(1, n_sup + 1)
+    rank_b = np.empty(n_sup, np.int64)
+    rank_b[np.lexsort((s, -shrunk))] = np.arange(1, n_sup + 1)
+
+    acc_q = 0
+    rows = []
+    for d in range(1, RBO_DEPTH + 1):
+        x = int(((rank_a <= d) & (rank_b <= d)).sum())
+        term = 0.5 * (0.5 ** (d - 1)) * (float(x) / float(d))
+        acc_q += int(round_sql_f(term * 1e15, 0))
+        rows.append((d, x))
+    return rd.from_arrow(pa.table({
+        "depth": pa.array([RBO_DEPTH], pa.int64()),
+        "overlap_at_depth": pa.array([rows[-1][1]], pa.int64()),
+        "rbo_q": pa.array([acc_q], pa.int64()),
+        "rbo": pa.array([float(acc_q) / 1e15], pa.float64()),
+    }))
+
+
+def q_documents_reliability_bins(sf_dir: str) -> Dataset:
+    """Calibration / reliability table for the length-as-score
+    classifier family (the eval companion to the stump and the exact
+    AUC): documents binned by n_chars // 100, per-bin support, positive
+    count, observed rate, and the bin's EXACT Brier contribution for
+    the bin-rate predictor — Σ_docs (r_bin − y)² collapses to
+    k(n−k)/n, carried as the pico-quantized integer
+    k·(n−k)·1e12 // n so the global Brier is a plain integer sum the
+    reader can take.  Scale shape: the shared bounded length-grid
+    combine re-binned in one pass; rates are one float division each."""
+    import numpy as np
+
+    grid = _length_label_grid(sf_dir)
+
+    def rebin(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        t = pa.table({"band": pa.array(x // 100, pa.int64()),
+                      "p_n": b.column("n"), "p_p": b.column("p")})
+        g = t.group_by("band").aggregate([("p_n", "sum"),
+                                          ("p_p", "sum")])
+        return g.rename_columns(["band", "p_n", "p_p"])
+
+    agg = _tree_combine(
+        grid.map_batches(rebin, batch_format="pyarrow"),
+        ["band"], [("p_n", "sum"), ("p_p", "sum")],
+        ["band", "p_n", "p_p"], ["band", "n_docs", "n_pos"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = b.column("n_pos").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "band": pc.cast(b.column("band"), pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_pos": pa.array(k, pa.int64()),
+            "rate": pa.array(k.astype(np.float64)
+                             / n.astype(np.float64), pa.float64()),
+            # Python ints: k·(n−k)·1e12 can pass 2^63 on a huge band,
+            # where numpy would WRAP silently but DuckDB (and this
+            # explicit int) raise loudly.
+            "brier_q": pa.array(
+                [int(kk) * int(nn - kk) * 1_000_000_000_000 // int(nn)
+                 for kk, nn in zip(k.tolist(), n.tolist())],
+                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

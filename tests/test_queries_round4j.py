@@ -367,3 +367,53 @@ def test_dbscan_roles_hand_checked(ray_session, tmp_path):
         assert got[i]["role"] == "core" and got[i]["cluster"] == 1
     assert got[5]["role"] == "border" and got[5]["cluster"] == 1
     assert got[6]["role"] == "noise" and got[6]["cluster"] is None
+
+
+def test_rbo_full_overlap_weights(ray_session, tmp_path):
+    """Three suppliers whose raw and EB-shrunk rankings coincide (the
+    eb_shrinkage hand corpus): overlap at every depth is min(d, 3),
+    so RBO must equal the documented weight formula Σ (1−p)·p^(d−1)·
+    (min(d,3)/d) under the same fempto-quantization."""
+    from ocr_engine_ray.util import round_sql_f
+
+    _write_supplier_lineitem(tmp_path, [(1, 4, 2), (2, 4, 0),
+                                        (3, 2, 2)])
+    from ocr_engine_ray.pipelines.queries import q_supplier_rank_rbo
+
+    got = _rows(q_supplier_rank_rbo(str(tmp_path)))[0]
+    acc = 0
+    for d in range(1, 21):
+        x = min(d, 3)
+        acc += int(round_sql_f(
+            0.5 * (0.5 ** (d - 1)) * (float(x) / float(d)) * 1e15, 0))
+    assert got["overlap_at_depth"] == 3
+    assert got["rbo_q"] == acc
+    assert got["rbo"] == float(acc) / 1e15
+    assert 0.0 < got["rbo"] <= 1.0
+
+
+def test_reliability_bins_hand_checked(ray_session, tmp_path):
+    """Band 0 (lengths < 100): 3 docs, 1 'en' → rate 1/3 and Brier
+    contribution k(n−k)/n = 2/3 → 666...e9 floor-quantized; band 1:
+    2 docs both 'en' → rate 1.0, perfectly calibrated, Brier 0."""
+    texts = ["a" * 10, "b" * 20, "c" * 30, "d" * 150, "e" * 160]
+    langs = ["en", "de", "fr", "en", "en"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_reliability_bins,
+    )
+
+    got = _rows(q_documents_reliability_bins(str(tmp_path)))
+    by = {r["band"]: r for r in got}
+    assert set(by) == {0, 1}
+    assert by[0]["n_docs"] == 3 and by[0]["n_pos"] == 1
+    assert by[0]["rate"] == 1.0 / 3.0
+    assert by[0]["brier_q"] == 1 * 2 * 10**12 // 3
+    assert by[1]["n_docs"] == 2 and by[1]["n_pos"] == 2
+    assert by[1]["rate"] == 1.0 and by[1]["brier_q"] == 0
