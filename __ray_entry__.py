@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dbscan": q.q_embeddings_dbscan,
         "supplier_rank_rbo": q.q_supplier_rank_rbo,
         "documents_reliability_bins": q.q_documents_reliability_bins,
+        "events_locf_daily": q.q_events_locf_daily,
     }
 
 
@@ -3866,6 +3867,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "events_locf_daily": """
+            WITH obs AS (SELECT user_id, date_trunc('day', ts) AS day,
+                                CAST(SUM(CAST(round(value * 100)
+                                              AS BIGINT)) AS BIGINT)
+                                    AS cents
+                         FROM events GROUP BY 1, 2),
+            span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM obs),
+            days AS (SELECT UNNEST(generate_series(lo, hi,
+                                   INTERVAL 1 DAY)) AS day
+                     FROM span),
+            users AS (SELECT DISTINCT user_id FROM obs),
+            grid AS (SELECT u.user_id, d.day
+                     FROM users u CROSS JOIN days d)
+            SELECT g.user_id, g.day,
+                   obs.cents AS observed,
+                   CAST(last_value(obs.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled
+            FROM grid g LEFT JOIN obs
+              ON obs.user_id = g.user_id AND obs.day = g.day
+            ORDER BY 1, 2
         """,
         "documents_reliability_bins": """
             WITH b AS (SELECT n_chars // 100 AS band,

@@ -203,6 +203,22 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_logit_purchase(sf_dir).count())
     timed("documents_sentence_stats",
           lambda: q.q_documents_sentence_stats(sf_dir).count())
+    # round-4 session-11 additions: graph part 2, density clustering,
+    # diversified retrieval, sequential/isotonic replays
+    timed("parts_copurchase_kcore",
+          lambda: q.q_parts_copurchase_kcore(sf_dir).count())
+    timed("parts_copurchase_bfs",
+          lambda: q.q_parts_copurchase_bfs(sf_dir).count())
+    timed("parts_copurchase_eigencentrality",
+          lambda: q.q_parts_copurchase_eigencentrality(sf_dir).count())
+    timed("embeddings_dbscan",
+          lambda: q.q_embeddings_dbscan(sf_dir).count())
+    timed("embeddings_mmr",
+          lambda: q.q_embeddings_mmr(sf_dir).num_rows)
+    timed("events_sprt",
+          lambda: q.q_events_sprt(sf_dir).count())
+    timed("events_isotonic_daily",
+          lambda: q.q_events_isotonic_daily(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

@@ -17332,3 +17332,79 @@ def q_documents_reliability_bins(sf_dir: str) -> Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def q_events_locf_daily(sf_dir: str) -> Dataset:
+    """LOCF forward fill (the time-series imputation staple the
+    median-impute query doesn't cover): per user, the dense calendar
+    grid over the corpus's global day span with each day's observed
+    value-cents total, and missing days carrying the LAST observed
+    total forward (days before a user's first observation stay NULL).
+    Scale shape: ONE (user, day) partial-agg combine builds the
+    observed table; the global day span is a bounded combine broadcast
+    to every group; the fill itself is a vectorized
+    maximum.accumulate gather inside per-user map_groups (users are
+    the partitioning key — the NTILE/LAG co-location contract).  The
+    DuckDB twin is the canonical cross-join grid +
+    last_value(... IGNORE NULLS) window."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        t = pa.table({"user_id": b.column("user_id"), "day": day,
+                      "p_c": pa.array(cents, pa.int64())})
+        g = t.group_by(["user_id", "day"]).aggregate([("p_c", "sum")])
+        return g.rename_columns(["user_id", "day", "p_c"])
+
+    obs = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).aggregate(
+            Sum("p_c", alias_name="cents")),
+        pa.schema([("user_id", pa.int64()),
+                   ("day", pa.timestamp("us")),
+                   ("cents", pa.int64())])).materialize()
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array([d.min()], pa.timestamp("us")),
+            "hi": pa.array([d.max()], pa.timestamp("us")),
+        })
+
+    span = [t for t in ray.get(
+        obs.map_batches(day_partial, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    span_t = pa.concat_tables(span)
+    lo = span_t.column("lo").to_numpy(zero_copy_only=False).min()
+    hi = span_t.column("hi").to_numpy(zero_copy_only=False).max()
+    grid = np.arange(lo, hi + np.timedelta64(1, "D"),
+                     np.timedelta64(1, "D")).astype("datetime64[us]")
+    grid_ref = ray.put(grid)
+
+    def fill(g: pa.Table) -> pa.Table:
+        days = ray.get(grid_ref)
+        uid = g.column("user_id")[0].as_py()
+        od = g.column("day").to_numpy(zero_copy_only=False)
+        oc = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(od)
+        od, oc = od[order], oc[order]
+        # index of the last observation at-or-before each grid day;
+        # -1 = before the first observation (stays NULL)
+        idx = np.searchsorted(od, days, side="right") - 1
+        filled = np.where(idx >= 0, oc[np.maximum(idx, 0)], 0)
+        is_obs = (idx >= 0) & (od[np.maximum(idx, 0)] == days)
+        observed = np.where(is_obs, filled, 0)
+        return pa.table({
+            "user_id": pa.array(np.full(len(days), uid), pa.int64()),
+            "day": pa.array(days, pa.timestamp("us")),
+            "observed": pa.array(observed, pa.int64(),
+                                 mask=~is_obs),
+            "filled": pa.array(filled, pa.int64(), mask=idx < 0),
+        })
+
+    return obs.groupby("user_id").map_groups(fill,
+                                             batch_format="pyarrow")

@@ -417,3 +417,27 @@ def test_reliability_bins_hand_checked(ray_session, tmp_path):
     assert by[0]["brier_q"] == 1 * 2 * 10**12 // 3
     assert by[1]["n_docs"] == 2 and by[1]["n_pos"] == 2
     assert by[1]["rate"] == 1.0 and by[1]["brier_q"] == 0
+
+
+def test_locf_daily_hand_checked(ray_session, tmp_path):
+    """User 1 observes day 0 (100¢) and day 3 (300¢); user 2 only
+    day 4 (50¢, which also extends the global grid).  Days 1-2 carry
+    100 forward, day 4 carries 300; user 2's days 0-3 stay NULL (no
+    prior observation), never zero-filled."""
+    rows = [(1, 1, 0, "view", 1.00), (2, 1, 3 * DAY_MIN_LOCAL,
+                                      "view", 3.00),
+            (3, 2, 4 * DAY_MIN_LOCAL, "view", 0.50)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_locf_daily
+
+    got = {(r["user_id"], r["day"].day): (r["observed"], r["filled"])
+           for r in _rows(q_events_locf_daily(str(tmp_path)))}
+    assert len(got) == 10  # 2 users x 5 grid days
+    assert got[(1, 1)] == (100, 100)
+    assert got[(1, 2)] == (None, 100)
+    assert got[(1, 3)] == (None, 100)
+    assert got[(1, 4)] == (300, 300)
+    assert got[(1, 5)] == (None, 300)
+    assert got[(2, 1)] == (None, None)
+    assert got[(2, 4)] == (None, None)
+    assert got[(2, 5)] == (50, 50)
