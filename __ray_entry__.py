@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_rank_rbo": q.q_supplier_rank_rbo,
         "documents_reliability_bins": q.q_documents_reliability_bins,
         "events_locf_daily": q.q_events_locf_daily,
+        "embeddings_pq_recall": q.q_embeddings_pq_recall,
     }
 
 

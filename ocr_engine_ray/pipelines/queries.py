@@ -17408,3 +17408,160 @@ def q_events_locf_daily(sf_dir: str) -> Dataset:
 
     return obs.groupby("user_id").map_groups(fill,
                                              batch_format="pyarrow")
+
+
+def q_embeddings_pq_recall(sf_dir: str, m: int = 8, k: int = 16,
+                           iters: int = 3) -> pa.Table:
+    """Product quantization (the FAISS-style ANN compression staple):
+    train per-subspace codebooks (m=8 subspaces, k=16 centroids,
+    Lloyd, the kmeans conventions — first-k-vec_id init, broadcast
+    centroids, int64-quantized (subspace, cluster, dim) sum grid so
+    training is block-layout-independent), encode every vector to m
+    uint8 codes, and report asymmetric-distance (ADC) recall@5 against
+    the exact L2 top-5 for the first 8 query vectors.  Rows-only
+    (iterative training + approximate by design); the lossless-corpus
+    pytest pins recall = 1.0 when the codebook can represent the
+    corpus exactly.  Scale shape: training is one combined exchange
+    per round (ALL subspaces ride the same grid), encode/ADC touch
+    the corpus once per phase with broadcast state; only k×dim grids
+    and 5-row candidates reach the driver."""
+    import heapq
+
+    import numpy as np
+    import pyarrow.parquet as pqt
+    from ..util import vec_matrix
+
+    SCALE = float(1 << 30)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    seed_tab = _small_table(_topk_combine(
+        ds, sorted_topk([("vec_id", "ascending")], k)))
+    if seed_tab is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64()),
+                         "recall5": pa.array([], pa.float64())})
+    seeds = np.array(seed_tab.sort_by("vec_id")
+                     .column("embedding").to_pylist(), np.float64)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise RuntimeError(f"pq_recall: dim {dim} not divisible by "
+                           f"m={m} subspaces")
+    sub = dim // m
+    # cent[s] is the (k, sub) codebook of subspace s
+    cent = seeds.reshape(k, m, sub).transpose(1, 0, 2).copy()
+
+    def sub_assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        """(n, sub) × (k, sub) → argmin L2 codes, ties → lowest."""
+        return np.argmin((c * c).sum(axis=1)[None, :]
+                         - 2.0 * (mat @ c.T), axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def train_partial(b: pa.Table, ref=ref) -> pa.Table:
+            c = ray.get(ref)
+            mat = vec_matrix(b.column("embedding"))
+            keys, dims, sums, cnts = [], [], [], []
+            for s in range(m):
+                sm = mat[:, s * sub:(s + 1) * sub]
+                a = sub_assign(sm, c[s])
+                q = scaled_int_sql(sm.ravel(), SCALE).reshape(sm.shape)
+                order = np.argsort(a, kind="stable")
+                labs, starts = np.unique(a[order], return_index=True)
+                ss = np.add.reduceat(q[order], starts, axis=0)
+                nn = np.diff(np.concatenate([starts, [len(a)]]))
+                keys.append(np.repeat(s * k + labs, sub))
+                dims.append(np.tile(np.arange(sub), len(labs)))
+                sums.append(ss.ravel())
+                cnts.append(np.repeat(nn, sub))
+            return pa.table({
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "dim": pa.array(np.concatenate(dims), pa.int64()),
+                "p_s": pa.array(np.concatenate(sums), pa.int64()),
+                "p_n": pa.array(np.concatenate(cnts), pa.int64()),
+            })
+
+        grid = _small_table(_tree_combine(
+            ds.map_batches(train_partial, batch_format="pyarrow"),
+            ["key", "dim"], [("p_s", "sum"), ("p_n", "sum")],
+            ["key", "dim", "p_s", "p_n"],
+            ["key", "dim", "s", "n"]).materialize())
+        new = cent.copy()
+        gk = grid.column("key").to_numpy(zero_copy_only=False)
+        gd = grid.column("dim").to_numpy(zero_copy_only=False)
+        gs = grid.column("s").to_numpy(zero_copy_only=False)
+        gn = grid.column("n").to_numpy(zero_copy_only=False)
+        new[gk // k, gk % k, gd] = \
+            gs.astype(np.float64) / SCALE / gn.astype(np.float64)
+        cent = new
+
+    qtab = pqt.read_table(_t(sf_dir, "embeddings"),
+                          filters=[("vec_id", "<", 8)],
+                          columns=["vec_id", "embedding"]) \
+        .sort_by("vec_id")
+    qids = qtab.column("vec_id").to_pylist()
+    qmat = np.array(qtab.column("embedding").to_pylist(), np.float64)
+    # exact L2 top-5 and PQ-ADC top-5 share one candidate-merge shape:
+    # per batch local top-5 (dist asc, vec_id asc), driver heap merge
+    luts = np.stack([
+        ((cent[s][None, :, :]
+          - qmat[:, s * sub:(s + 1) * sub][:, None, :]) ** 2)
+        .sum(axis=2)
+        for s in range(m)], axis=1)  # (n_q, m, k)
+    state = ray.put((qmat, luts, cent))
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        qm, lut, c = ray.get(state)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = vec_matrix(b.column("embedding"))
+        d_ex = ((mat[None, :, :] - qm[:, None, :]) ** 2).sum(axis=2)
+        codes = np.stack([sub_assign(mat[:, s * sub:(s + 1) * sub],
+                                     c[s]) for s in range(m)], axis=1)
+        d_pq = np.stack([lut[qi, np.arange(m)[None, :],
+                             codes].sum(axis=1)
+                         for qi in range(len(qm))])
+        out_q, out_v, out_e, out_p = [], [], [], []
+        top = min(5, len(ids))
+        for qi in range(len(qm)):
+            sel_e = np.lexsort((ids, d_ex[qi]))[:top]
+            sel_p = np.lexsort((ids, d_pq[qi]))[:top]
+            keep = np.union1d(sel_e, sel_p)
+            out_q.append(np.full(len(keep), qi))
+            out_v.append(ids[keep])
+            out_e.append(d_ex[qi][keep])
+            out_p.append(d_pq[qi][keep])
+        return pa.table({
+            "qi": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "d_ex": pa.array(np.concatenate(out_e), pa.float64()),
+            "d_pq": pa.array(np.concatenate(out_p), pa.float64()),
+        })
+
+    best_ex: dict = {}
+    best_pq: dict = {}
+    cands = ds.map_batches(cand_partial, batch_format="pyarrow")
+    for b in cands.iter_batches(batch_size=8192,
+                                batch_format="pyarrow"):
+        for qi, v, de, dp in zip(b.column("qi").to_pylist(),
+                                 b.column("vec_id").to_pylist(),
+                                 b.column("d_ex").to_pylist(),
+                                 b.column("d_pq").to_pylist()):
+            heapq.heappush(best_ex.setdefault(qi, []), (-de, -v))
+            heapq.heappush(best_pq.setdefault(qi, []), (-dp, -v))
+            if len(best_ex[qi]) > 5:
+                heapq.heappop(best_ex[qi])
+            if len(best_pq[qi]) > 5:
+                heapq.heappop(best_pq[qi])
+    rows = []
+    for qi in sorted(best_ex):
+        ex = {-v for _, v in best_ex[qi]}
+        pq_set = {-v for _, v in best_pq[qi]}
+        hits = len(ex & pq_set)
+        rows.append((int(qids[qi]), hits,
+                     float(hits) / float(len(ex))))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_hits": pa.array([r[1] for r in rows], pa.int64()),
+        "recall5": pa.array([r[2] for r in rows], pa.float64()),
+    })

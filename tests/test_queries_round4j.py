@@ -441,3 +441,27 @@ def test_locf_daily_hand_checked(ray_session, tmp_path):
     assert got[(2, 1)] == (None, None)
     assert got[(2, 4)] == (None, None)
     assert got[(2, 5)] == (50, 50)
+
+
+def test_pq_recall_lossless_corpus(ray_session, tmp_path):
+    """A corpus the codebook can represent EXACTLY (8-dim vectors,
+    subspace width 1; only dim 0 varies, over exactly 16 distinct
+    values all present among the first-16 vec_id init seeds): Lloyd
+    keeps the seeds, encoding reconstructs every vector, ADC distance
+    equals exact L2 — recall@5 must be 1.0 for every query."""
+    vecs, ids = [], []
+    for i in range(40):
+        v = [float(i % 16)] + [1.0] * 7
+        ids.append(i)
+        vecs.append(v)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int64()),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import q_embeddings_pq_recall
+
+    t = q_embeddings_pq_recall(str(tmp_path))
+    assert t.num_rows == 8
+    assert t.column("recall5").to_pylist() == [1.0] * 8
+    assert t.column("n_hits").to_pylist() == [5] * 8
