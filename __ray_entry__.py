@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_reliability_bins": q.q_documents_reliability_bins,
         "events_locf_daily": q.q_events_locf_daily,
         "embeddings_pq_recall": q.q_embeddings_pq_recall,
+        "events_max_drawdown": q.q_events_max_drawdown,
+        "embeddings_jl_distortion": q.q_embeddings_jl_distortion,
     }
 
 
@@ -3868,6 +3870,74 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(3 * t.n_tri AS DOUBLE)
                          / CAST(w.n_wedges AS DOUBLE), 6) AS clustering
             FROM t, w
+        """,
+        "embeddings_jl_distortion": """
+            WITH dims AS (SELECT i FROM range(1, 65) t(i)),
+            outs AS (SELECT j FROM range(0, 16) t(j)),
+            sgn AS (SELECT d.i, o.j,
+                           CASE WHEN strpos('01234567',
+                                    substr(md5((d.i - 1)::VARCHAR
+                                               || ':' || o.j::VARCHAR
+                                               || ':jl'), 1, 1)) > 0
+                                THEN 1 ELSE -1 END AS s
+                    FROM dims d CROSS JOIN outs o),
+            v AS (SELECT e.vec_id, d.i,
+                         CAST(round(list_extract(e.embedding, d.i)
+                                    * 1000000) AS BIGINT) AS q
+                  FROM embeddings e CROSS JOIN dims d),
+            pairs AS (SELECT a.vec_id // 2 AS t, a.i,
+                             a.q - b.q AS diff
+                      FROM v a JOIN v b
+                        ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+                      WHERE a.vec_id % 2 = 0),
+            dorig AS (SELECT t, CAST(SUM(diff * diff) AS BIGINT)
+                                   AS d2
+                      FROM pairs GROUP BY 1),
+            proj AS (SELECT p.t, sgn.j,
+                            CAST(SUM(sgn.s * p.diff) AS BIGINT)
+                                AS pd
+                     FROM pairs p JOIN sgn ON sgn.i = p.i
+                     GROUP BY 1, 2),
+            dproj AS (SELECT t, CAST(SUM(pd * pd) AS BIGINT) AS p2
+                      FROM proj GROUP BY 1),
+            ratio AS (SELECT CAST(CAST(dproj.p2 AS HUGEINT)
+                                  * 1000000
+                                  // (16 * CAST(dorig.d2 AS HUGEINT))
+                                  AS BIGINT) AS ratio_q
+                      FROM dproj JOIN dorig USING (t)
+                      WHERE dorig.d2 > 0)
+            SELECT ratio_q // 100000 AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM ratio GROUP BY 1 ORDER BY 1
+        """,
+        "events_max_drawdown": """
+            WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                                  CAST(SUM(CAST(round(value * 100)
+                                                AS BIGINT)) AS BIGINT)
+                                      AS cents
+                           FROM events GROUP BY 1),
+            w AS (SELECT day,
+                         CAST(SUM(cents) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum
+                  FROM daily),
+            w2 AS (SELECT day, cum,
+                          CAST(MAX(cum) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS peak
+                   FROM w),
+            mx AS (SELECT CAST(MAX(peak - cum) AS BIGINT) AS mdd
+                   FROM w2)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily)
+                       AS n_days,
+                   (SELECT cum FROM w2 ORDER BY day DESC LIMIT 1)
+                       AS final_cents,
+                   (SELECT peak FROM w2 ORDER BY day DESC LIMIT 1)
+                       AS peak_cents,
+                   mx.mdd AS max_drawdown_cents,
+                   (SELECT MIN(day) FROM w2, mx
+                    WHERE peak - cum = mx.mdd) AS trough_day
+            FROM mx
         """,
         "events_locf_daily": """
             WITH obs AS (SELECT user_id, date_trunc('day', ts) AS day,

@@ -17565,3 +17565,131 @@ def q_embeddings_pq_recall(sf_dir: str, m: int = 8, k: int = 16,
         "n_hits": pa.array([r[1] for r in rows], pa.int64()),
         "recall5": pa.array([r[2] for r in rows], pa.float64()),
     })
+
+
+def q_events_max_drawdown(sf_dir: str) -> Dataset:
+    """Maximum drawdown of the cumulative daily value series (the
+    risk-analytics walk statistic): running peak minus running
+    cumulative, maximized — ENTIRELY exact int64 cents, with the
+    first day attaining the max pinned as the deterministic trough.
+    Scale shape: one bounded (day) combine; the walk is a vectorized
+    cumsum/cummax on the calendar-sized final block.  The twin is
+    the canonical window cumsum + running MAX."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        cents = scaled_int_sql(b.column("value"), 100.0)
+        t = pa.table({"day": day, "p_c": pa.array(cents, pa.int64())})
+        g = t.group_by("day").aggregate([("p_c", "sum")])
+        return g.rename_columns(["day", "p_c"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_c", "sum")], ["day", "p_c"], ["day", "cents"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("day", "ascending")])
+        c = b.column("cents").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(c)
+        peak = np.maximum.accumulate(cum)
+        dd = peak - cum
+        mx = int(dd.max()) if len(dd) else 0
+        ti = int(np.argmax(dd)) if len(dd) else 0
+        return pa.table({
+            "n_days": pa.array([len(c)], pa.int64()),
+            "final_cents": pa.array([int(cum[-1]) if len(cum) else 0],
+                                    pa.int64()),
+            "peak_cents": pa.array([int(peak[-1]) if len(peak) else 0],
+                                   pa.int64()),
+            "max_drawdown_cents": pa.array([mx], pa.int64()),
+            "trough_day": pa.array([b.column("day")[ti].as_py()],
+                                   pa.timestamp("us")),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+#: JL spec: 64 → 16 dims, ±1 signs derandomized off md5(i:j:jl)
+#: (the randomized_response hex-band convention), inputs quantized to
+#: integer micro-units so every sum/square is exact int64.
+JL_OUT_DIMS = 16
+
+
+def _jl_signs(d_in: int, d_out: int):
+    """Deterministic ±1 projection matrix: +1 iff the first hex char
+    of md5(f"{i}:{j}:jl") lands in '01234567' — exactly replayable in
+    SQL off the same string."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((d_in, d_out), np.int64)
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"{i}:{j}:jl".encode()).hexdigest()[0]
+            s[i, j] = 1 if h in "01234567" else -1
+    return s
+
+
+def q_embeddings_jl_distortion(sf_dir: str) -> Dataset:
+    """Johnson–Lindenstrauss sketch quality report: project the
+    micro-quantized embeddings 64 → 16 dims with a derandomized ±1
+    matrix and histogram the per-pair squared-distance ratio
+    d_proj²·1e6 // (16·d_orig²) over the deterministic (2t, 2t+1)
+    vec_id pairs — all integer arithmetic, so an approximate-sketch
+    quality metric sits under the bit-exact SQL gate.  Scale shape:
+    pairs co-locate via ONE groupby(vec_id // 2) exchange (the
+    pair-id key), the sign matrix is a 1 KB broadcast, and the ratio
+    histogram rides a bounded (band) combine."""
+    import numpy as np
+
+    signs = _jl_signs(64, JL_OUT_DIMS)
+    from ..util import vec_matrix
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def add_pair(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pair",
+                               pa.array(ids // 2, pa.int64()))
+
+    empty = pa.table({"ratio_q": pa.array([], pa.int64())})
+
+    def pair_ratio(g: pa.Table) -> pa.Table:
+        if g.num_rows != 2:
+            return empty  # unpaired tail id
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        mat = vec_matrix(g.column("embedding"))[order]
+        q = scaled_int_sql(mat.ravel(), 1e6).reshape(mat.shape)
+        diff = q[0] - q[1]
+        d_orig2 = int((diff * diff).sum())
+        if d_orig2 == 0:
+            return empty  # identical vectors: ratio undefined
+        pdiff = diff @ signs
+        d_proj2 = int((pdiff * pdiff).sum())
+        return pa.table({"ratio_q": pa.array(
+            [d_proj2 * 1_000_000 // (JL_OUT_DIMS * d_orig2)],
+            pa.int64())})
+
+    ratios = ds.map_batches(add_pair, batch_format="pyarrow") \
+        .groupby("pair").map_groups(pair_ratio, batch_format="pyarrow")
+
+    def band_partial(b: pa.Table) -> pa.Table:
+        r = b.column("ratio_q").to_numpy(zero_copy_only=False)
+        t = pa.table({"band": pa.array(r // 100_000, pa.int64()),
+                      "p_n": pa.array(np.ones(len(r), np.int64))})
+        g = t.group_by("band").aggregate([("p_n", "sum")])
+        return g.rename_columns(["band", "p_n"])
+
+    return _tree_combine(
+        ratios.map_batches(band_partial, batch_format="pyarrow"),
+        ["band"], [("p_n", "sum")], ["band", "p_n"],
+        ["band", "n_pairs"])

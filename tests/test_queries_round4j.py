@@ -465,3 +465,44 @@ def test_pq_recall_lossless_corpus(ray_session, tmp_path):
     assert t.num_rows == 8
     assert t.column("recall5").to_pylist() == [1.0] * 8
     assert t.column("n_hits").to_pylist() == [5] * 8
+
+
+def test_max_drawdown_hand_checked(ray_session, tmp_path):
+    """Daily totals +100, −40, −30, +200, −10: cumulative 100, 60,
+    30, 230, 220 → peak path 100, 100, 100, 230, 230 → drawdowns 0,
+    40, 70, 0, 10 → max 70 bottoming on day 3 (first attainment)."""
+    rows = [(1, 1, 0, "v", 1.00),
+            (2, 1, DAY_MIN_LOCAL, "v", -0.40),
+            (3, 1, 2 * DAY_MIN_LOCAL, "v", -0.30),
+            (4, 1, 3 * DAY_MIN_LOCAL, "v", 2.00),
+            (5, 1, 4 * DAY_MIN_LOCAL, "v", -0.10)]
+    _write_events(tmp_path, rows)
+    from ocr_engine_ray.pipelines.queries import q_events_max_drawdown
+
+    got = _rows(q_events_max_drawdown(str(tmp_path)))[0]
+    assert got["n_days"] == 5
+    assert got["final_cents"] == 220
+    assert got["peak_cents"] == 230
+    assert got["max_drawdown_cents"] == 70
+    assert got["trough_day"].day == 3
+
+
+def test_jl_distortion_identity_and_exactness(ray_session, tmp_path):
+    """Two planted pairs: (0,1) differ in ONE input dim by exactly
+    1.0 → d_orig² = 1e12 and d_proj² = Σⱼ (±1e6)² = 16e12, so the
+    ratio is exactly 1e6 (band 10) — a single-coordinate difference
+    is preserved losslessly by a ±1 projection; (2,3) are identical →
+    excluded, never a divide-by-zero."""
+    vecs = [[0.0] * 64, [0.0] * 64, [0.5] * 64, [0.5] * 64]
+    vecs[1] = [1.0] + [0.0] * 63
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, pa.int64()),
+    }), str(tmp_path / "embeddings.parquet"))
+    from ocr_engine_ray.pipelines.queries import (
+        q_embeddings_jl_distortion,
+    )
+
+    got = _rows(q_embeddings_jl_distortion(str(tmp_path)))
+    assert got == [{"band": 10, "n_pairs": 1}]
