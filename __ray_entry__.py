@@ -579,6 +579,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pq_recall": q.q_embeddings_pq_recall,
         "events_max_drawdown": q.q_events_max_drawdown,
         "embeddings_jl_distortion": q.q_embeddings_jl_distortion,
+        # warehouse-ops wave (round 4, session 12)
+        "orders_hhi_by_nation": q.q_orders_hhi_by_nation,
+        "events_lorenz_deciles": q.q_events_lorenz_deciles,
+        "parts_copurchase_linkpred": q.q_parts_copurchase_linkpred,
+        "events_freshness": q.q_events_freshness,
     }
 
 
@@ -6419,5 +6424,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, n_match,
                    CAST(n_match AS DOUBLE) / 8.0 AS est_sim
             FROM m ORDER BY 1, 2
+        """,
+        "orders_hhi_by_nation": """
+            WITH cc AS (SELECT o_custkey AS c,
+                               CAST(SUM(CAST(round(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS cents
+                        FROM orders GROUP BY 1),
+            j AS (SELECT n.n_name, cc.cents
+                  FROM cc JOIN customer cu ON cu.c_custkey = cc.c
+                       JOIN nation n
+                         ON n.n_nationkey = cu.c_nationkey)
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   ROUND(CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                              AS DOUBLE)
+                         / (CAST(SUM(cents) AS DOUBLE)
+                            * CAST(SUM(cents) AS DOUBLE)), 6) AS hhi
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "events_lorenz_deciles": """
+            WITH us AS (SELECT user_id,
+                               CAST(SUM(CAST(round(value * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS cents
+                        FROM events WHERE value IS NOT NULL
+                        GROUP BY 1),
+            t AS (SELECT cents,
+                         CAST(NTILE(10) OVER (ORDER BY cents, user_id)
+                              AS BIGINT) AS decile
+                  FROM us),
+            d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                         CAST(SUM(cents) AS BIGINT) AS decile_cents
+                  FROM t GROUP BY 1),
+            c AS (SELECT decile, n_users, decile_cents,
+                         CAST(SUM(decile_cents) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_cents
+                  FROM d)
+            SELECT decile, n_users, decile_cents, cum_cents,
+                   ROUND(CAST(cum_cents AS DOUBLE)
+                         / (SELECT CAST(SUM(cents) AS DOUBLE)
+                            FROM us), 6) AS cum_share
+            FROM c ORDER BY decile
+        """,
+        "parts_copurchase_linkpred": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            s AS (SELECT p1 AS ctr, p2 AS nbr FROM e
+                  UNION ALL SELECT p2, p1 FROM e),
+            cn AS (SELECT a.nbr AS id_a, b.nbr AS id_b,
+                          CAST(COUNT(*) AS BIGINT)
+                              AS common_neighbors
+                   FROM s a JOIN s b
+                     ON a.ctr = b.ctr AND a.nbr < b.nbr
+                   GROUP BY 1, 2)
+            SELECT id_a, id_b, common_neighbors
+            FROM cn
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.p1 = cn.id_a
+                                AND e.p2 = cn.id_b)
+            ORDER BY common_neighbors DESC, id_a, id_b
+            LIMIT 20
+        """,
+        "events_freshness": """
+            WITH b AS (SELECT event_type, ts,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            g AS (SELECT MAX(day) AS gd FROM b)
+            SELECT event_type,
+                   MAX(ts) AS last_ts,
+                   CAST((SELECT gd FROM g) - MAX(day) AS BIGINT)
+                       AS days_stale,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN day >= (SELECT gd FROM g) - 6
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_last_7d
+            FROM b GROUP BY 1 ORDER BY 1
         """,
     }

@@ -17693,3 +17693,283 @@ def q_embeddings_jl_distortion(sf_dir: str) -> Dataset:
         ratios.map_batches(band_partial, batch_format="pyarrow"),
         ["band"], [("p_n", "sum")], ["band", "p_n"],
         ["band", "n_pairs"])
+
+
+def q_orders_hhi_by_nation(sf_dir: str) -> Dataset:
+    """Revenue-concentration HHI (Herfindahl-Hirschman index) per
+    nation: how concentrated is each nation's order revenue across its
+    customers?  HHI = Σᵢ sᵢ² where sᵢ is customer i's share of the
+    nation's revenue — the antitrust-screen staple, and for a data
+    pipeline the standard "is one tenant dominating this shard" skew
+    probe.  Plan: orders pre-aggregate to customer-grain cents before
+    the ONE shuffle (fact rows never move twice); the customer→nation
+    map is the dim join; the nation-grain Σc and Σc² fold runs on the
+    driver in arbitrary-precision Python ints because Σc² overflows
+    int64 at sf≥0.1 (c≈10⁸ cents ⇒ c²≈10¹⁶ ⇒ 600 customers ≈ 10¹⁹) —
+    the twin uses HUGEINT for the same reason.  The only floats are
+    the final CAST-by-CAST division replayed operand-for-operand."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = scaled_int_sql(b.column("o_totalprice"), 100.0)
+        t = pa.table({"c": b.column("o_custkey"),
+                      "p_m": pa.array(cents, pa.int64())})
+        g = t.group_by("c").aggregate([("p_m", "sum")])
+        return g.rename_columns(["c", "p_m"])
+
+    cust_cents = with_schema(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c").aggregate(Sum("p_m", alias_name="cents")),
+        pa.schema([("c", pa.int64()), ("cents", pa.int64())]))
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    nat = _small_table(rd.read_parquet(_t(sf_dir, "nation"),
+                                       columns=["n_nationkey", "n_name"]))
+    n_name = {int(k): v for k, v in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+
+    j = cust_cents.join(cust, join_type="inner", num_partitions=8,
+                        on=("c",), right_on=("c_custkey",))
+    # customer-grain aggregate: dim-sized by construction (one row per
+    # ordering customer) — the driver fold below is the documented
+    # small-side trade, NOT a raw-data materialization.
+    t = _small_table(j.select_columns(["c_nationkey", "cents"]))
+    acc: dict[int, list] = {}
+    if t is not None:
+        nk = t.column("c_nationkey").to_pylist()
+        cc = t.column("cents").to_pylist()
+        for k, c in zip(nk, cc):
+            a = acc.setdefault(int(k), [0, 0, 0])
+            a[0] += 1
+            a[1] += c           # Python int: exact
+            a[2] += c * c       # exact beyond int64
+    names, ncust, tot, hhi = [], [], [], []
+    for k in sorted(acc, key=lambda x: n_name[x]):
+        n, s, ssq = acc[k]
+        names.append(n_name[k])
+        ncust.append(n)
+        tot.append(s)
+        hhi.append(round_sql_f(float(ssq) / (float(s) * float(s)), 6))
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_customers": pa.array(ncust, pa.int64()),
+        "total_cents": pa.array(tot, pa.int64()),
+        "hhi": pa.array(hhi, pa.float64()),
+    }))
+
+
+def q_events_lorenz_deciles(sf_dir: str) -> Dataset:
+    """Lorenz-curve decile table of event value by user — the
+    inequality curve behind the Gini number q_events_user_gini already
+    reports: users ranked ascending by lifetime value, NTILE(10), and
+    per decile the user count, decile cents, cumulative cents and
+    cumulative share.  Users whose every value is NULL are excluded
+    (their SUM is NULL on both sides).  One user-grain exchange; the
+    ranked fill runs on the driver over the user-grain AGGREGATE (the
+    rfm_segments trade — swap for quantile-boundary assignment beyond
+    driver scale); DuckDB's NTILE fill (first n mod 10 buckets take
+    the extra row) is replayed exactly."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("value")))
+        cents = scaled_int_sql(f.column("value"), 100.0)
+        t = pa.table({"user_id": f.column("user_id"),
+                      "p_c": pa.array(cents, pa.int64())})
+        g = t.group_by("user_id").aggregate([("p_c", "sum")])
+        return g.rename_columns(["user_id", "p_c"])
+
+    sums = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Sum("p_c", alias_name="cents")),
+        pa.schema([("user_id", pa.int64()), ("cents", pa.int64())]))
+    t = _small_table(sums)
+    if t is None:
+        return rd.from_arrow(pa.table({
+            "decile": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+            "decile_cents": pa.array([], pa.int64()),
+            "cum_cents": pa.array([], pa.int64()),
+            "cum_share": pa.array([], pa.float64()),
+        }))
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    cents = t.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((uid, cents))        # ORDER BY cents, user_id
+    cents = cents[order]
+    n = len(cents)
+    k, r = divmod(n, 10)
+    bounds = np.cumsum([k + 1] * r + [k] * (10 - r))
+    tiles = np.searchsorted(bounds, np.arange(n), side="right") + 1
+    total = int(cents.sum())
+    dec, nus, dcents, cum, share = [], [], [], [], []
+    run = 0
+    for d in range(1, 11):
+        m = tiles == d
+        if not m.any():
+            continue
+        s = int(cents[m].sum())
+        run += s
+        dec.append(d)
+        nus.append(int(m.sum()))
+        dcents.append(s)
+        cum.append(run)
+        share.append(round_sql_f(float(run) / float(total), 6)
+                     if total else 0.0)
+    return rd.from_arrow(pa.table({
+        "decile": pa.array(dec, pa.int64()),
+        "n_users": pa.array(nus, pa.int64()),
+        "decile_cents": pa.array(dcents, pa.int64()),
+        "cum_cents": pa.array(cum, pa.int64()),
+        "cum_share": pa.array(share, pa.float64()),
+    }))
+
+
+def q_parts_copurchase_linkpred(sf_dir: str) -> Dataset:
+    """Common-neighbor link prediction over the part co-purchase
+    graph: the 20 strongest NOT-yet-connected pairs by shared
+    neighbors — the classic "customers who bought these also
+    bought…" candidate generator.  Plan: symmetrize the distinct edge
+    set, generate each open wedge IN-GROUP per center (the triangle
+    query's expansion shape; Σdeg² rows but only (pair, 1) partials
+    leave the task), adaptive pair combine, then drop pairs that are
+    already edges with the broadcast sorted-key membership probe
+    (ray.put once, searchsorted per batch — never a join), and a
+    local-prune top-k (only each block's top 20 moves).  Ties at the
+    cut break by (id_a, id_b) exactly like the twin's ORDER BY."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    n_edges = edges.count()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "common_neighbors": pa.array([], pa.int64()),
+        }))
+
+    ekeys = np.sort(np.concatenate([
+        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
+            np.int64) << 32)
+        | t.column("id_b").to_numpy(zero_copy_only=False)
+        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
+    ]))
+    ekeys_ref = ray.put(ekeys)
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").combine_chunks()
+        c = b.column("id_b").combine_chunks()
+        return pa.table({
+            "ctr": pa.concat_arrays([a, c]),
+            "nbr": pa.concat_arrays([c, a]),
+        })
+
+    def wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
+        i, j = np.triu_indices(len(nb), k=1)
+        return pa.table({"id_a": pa.array(nb[i], pa.int64()),
+                         "id_b": pa.array(nb[j], pa.int64()),
+                         "p_c": pa.array(np.ones(len(i), np.int64))})
+
+    pairs = edges.map_batches(sym, batch_format="pyarrow") \
+        .groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
+        .materialize()
+    cn = _pair_combine(pairs, ["id_a", "id_b"], "common_neighbors")
+
+    def nonedge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ek = ray.get(ekeys_ref)
+        keys = (b.column("id_a").to_numpy(zero_copy_only=False)
+                .astype(np.int64) << 32) \
+            | b.column("id_b").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ek, keys)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
+                                 == keys)
+        return b.filter(pa.array(~hit))
+
+    cand = cn.map_batches(nonedge, batch_format="pyarrow")
+    return _topk_combine(cand, sorted_topk(
+        [("common_neighbors", "descending"), ("id_a", "ascending"),
+         ("id_b", "ascending")], 20))
+
+
+def q_events_freshness(sf_dir: str) -> Dataset:
+    """Per-source data-freshness / staleness report — the pipeline-ops
+    monitor every warehouse runs: for each event_type, the last event
+    timestamp, how many whole days stale it is vs the newest event
+    anywhere, total rows, and rows landed in the last 7 calendar days
+    (day-grain window ending at the global max day).  ONE scan; the
+    only exchange is the bounded (type, day) grid carrying (count,
+    max_us) partials; the calendar fold runs on the driver.  Max runs
+    on epoch-us int64, never on raw timestamps (Ray's aggregate path
+    can round-trip timestamp blocks through pandas at day precision —
+    the audited catalog rule)."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "day_idx": pc.divide(us, pa.scalar(DAY_US, pa.int64())),
+            "us": us,
+        })
+        g = t.group_by(["event_type", "day_idx"]).aggregate(
+            [([], "count_all"), ("us", "max")])
+        return g.rename_columns(["event_type", "day_idx", "p_n",
+                                 "p_max"])
+
+    grid = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day_idx"])
+        .aggregate(Sum("p_n", alias_name="n"),
+                   Max("p_max", alias_name="max_us")),
+        pa.schema([("event_type", pa.string()),
+                   ("day_idx", pa.int64()), ("n", pa.int64()),
+                   ("max_us", pa.int64())]))
+    t = _small_table(grid)  # bounded: types × calendar days
+    if t is None:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "last_ts": pa.array([], pa.timestamp("us")),
+            "days_stale": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "n_last_7d": pa.array([], pa.int64()),
+        }))
+    et = t.column("event_type").to_pylist()
+    day = t.column("day_idx").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    mx = t.column("max_us").to_numpy(zero_copy_only=False)
+    gmax_day = int(day.max())
+    out: dict[str, list] = {}
+    for e, d, cnt, m in zip(et, day, n, mx):
+        a = out.setdefault(e, [0, 0, 0])   # max_us, n_total, n_7d
+        a[0] = max(a[0], int(m))
+        a[1] += int(cnt)
+        if d >= gmax_day - 6:
+            a[2] += int(cnt)
+    keys = sorted(out)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "last_ts": pa.array([out[k][0] for k in keys],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "days_stale": pa.array(
+            [gmax_day - out[k][0] // DAY_US for k in keys], pa.int64()),
+        "n_total": pa.array([out[k][1] for k in keys], pa.int64()),
+        "n_last_7d": pa.array([out[k][2] for k in keys], pa.int64()),
+    }))
