@@ -584,6 +584,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lorenz_deciles": q.q_events_lorenz_deciles,
         "parts_copurchase_linkpred": q.q_parts_copurchase_linkpred,
         "events_freshness": q.q_events_freshness,
+        # transcripts wave (round 4, session 12)
+        "transcripts_tool_stats": q.q_transcripts_tool_stats,
+        "transcripts_role_transitions": q.q_transcripts_role_transitions,
+        "transcripts_context_budget": q.q_transcripts_context_budget,
+        "transcripts_response_latency": q.q_transcripts_response_latency,
+        "parts_copurchase_adamic_adar":
+            q.q_parts_copurchase_adamic_adar,
+        "documents_source_cosine": q.q_documents_source_cosine,
+        "events_mcnemar": q.q_events_mcnemar,
+        "lineitem_branch_revenue": q.q_lineitem_branch_revenue,
+        "documents_readability": q.q_documents_readability,
+        "parts_discount_elasticity": q.q_parts_discount_elasticity,
+        "supplier_ship_lag": q.q_supplier_ship_lag,
+        "documents_hapax_by_source": q.q_documents_hapax_by_source,
+        "transcripts_sft_pairs": q.q_transcripts_sft_pairs,
+        "transcripts_tool_chains": q.q_transcripts_tool_chains,
+        "parts_copurchase_edge_jaccard":
+            q.q_parts_copurchase_edge_jaccard,
+        "documents_lang_mix": q.q_documents_lang_mix,
+        "documents_lexical_rank": q.q_documents_lexical_rank,
+        "events_bot_audit": q.q_events_bot_audit,
+        "embeddings_kcenter": q.q_embeddings_kcenter,
+        "events_acf": q.q_events_acf,
+        "transcripts_tool_followup": q.q_transcripts_tool_followup,
+        "events_type_burstiness": q.q_events_type_burstiness,
+        "documents_compression_ratio":
+            q.q_documents_compression_ratio,
     }
 
 
@@ -6506,5 +6533,468 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_last_7d
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_tool_stats": f"""
+            WITH c AS (SELECT tool, conv_id,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(COALESCE(length(text), 0))
+                                   AS BIGINT) AS ch,
+                              CAST(SUM(turn_idx) AS BIGINT) AS si
+                       FROM {transcripts}
+                       WHERE role = 'tool'
+                         AND COALESCE(tool, '') <> ''
+                       GROUP BY 1, 2)
+            SELECT tool,
+                   CAST(SUM(n) AS BIGINT) AS n_calls,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(SUM(ch) AS BIGINT) AS total_chars,
+                   CAST(SUM(si) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                       AS mean_turn_idx
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_role_transitions": f"""
+            WITH s AS (SELECT conv_id, role,
+                              LAG(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS prev_role
+                       FROM {transcripts}),
+            c AS (SELECT prev_role, role AS next_role,
+                         CAST(COUNT(*) AS BIGINT) AS n_trans
+                  FROM s WHERE prev_role IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_role, next_role, n_trans,
+                   CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY prev_role)
+                          AS DOUBLE) AS p
+            FROM c ORDER BY 1, 2
+        """,
+        "transcripts_context_budget": f"""
+            WITH t AS (SELECT conv_id, turn_idx, ts,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts}),
+            w AS (SELECT conv_id, turn_idx, tok,
+                         CAST(SUM(tok) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx, ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum
+                  FROM t)
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN cum <= 4096 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_turns_in_budget,
+                   CAST(MIN(CASE WHEN cum > 4096 THEN turn_idx END)
+                        AS BIGINT) AS cut_turn_idx
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_response_latency": f"""
+            WITH s AS (SELECT conv_id, role, epoch_us(ts) AS us,
+                              LAG(epoch_us(ts)) OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS prev_us
+                       FROM {transcripts})
+            SELECT role,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(us - prev_us) AS BIGINT) AS total_gap_us,
+                   CAST(SUM(us - prev_us) AS DOUBLE) / COUNT(*)
+                       AS mean_gap_us,
+                   CAST(MAX(us - prev_us) AS BIGINT) AS max_gap_us
+            FROM s WHERE prev_us IS NOT NULL GROUP BY 1 ORDER BY 1
+        """,
+        "parts_copurchase_adamic_adar": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            s AS (SELECT p1 AS ctr, p2 AS nbr FROM e
+                  UNION ALL SELECT p2, p1 FROM e),
+            d AS (SELECT ctr,
+                         CAST(round(1000000000000.0
+                                    / ln(CAST(COUNT(*) AS DOUBLE)))
+                              AS BIGINT) AS wq
+                  FROM s GROUP BY 1 HAVING COUNT(*) >= 2),
+            cn AS (SELECT a.nbr AS id_a, b.nbr AS id_b,
+                          CAST(SUM(d.wq) AS BIGINT) AS aa_q,
+                          CAST(COUNT(*) AS BIGINT)
+                              AS common_neighbors
+                   FROM s a JOIN s b
+                     ON a.ctr = b.ctr AND a.nbr < b.nbr
+                   JOIN d ON d.ctr = a.ctr
+                   GROUP BY 1, 2)
+            SELECT id_a, id_b, aa_q, common_neighbors
+            FROM cn
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.p1 = cn.id_a
+                                AND e.p2 = cn.id_b)
+            ORDER BY aa_q DESC, id_a, id_b
+            LIMIT 20
+        """,
+        "documents_source_cosine": """
+            WITH t AS (SELECT source, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM t GROUP BY 1, 2),
+            pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                          CAST(SUM(a.c * b.c) AS BIGINT) AS num
+                   FROM st a JOIN st b
+                     ON a.tok = b.tok AND a.source < b.source
+                   GROUP BY 1, 2),
+            nm AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+                   FROM st GROUP BY 1)
+            SELECT pr.source_a, pr.source_b, pr.num AS dot,
+                   ROUND(CAST(pr.num AS DOUBLE)
+                         / (sqrt(CAST(na.n2 AS DOUBLE))
+                            * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                       AS cosine
+            FROM pr JOIN nm na ON na.source = pr.source_a
+                 JOIN nm nb ON nb.source = pr.source_b
+            ORDER BY 1, 2
+        """,
+        "events_mcnemar": """
+            WITH d AS (SELECT user_id, event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS day
+                       FROM events),
+            m AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+            u AS (SELECT user_id,
+                         MAX(CASE WHEN event_type = 'purchase'
+                                   AND day <= (SELECT mid FROM m)
+                                  THEN 1 ELSE 0 END) AS b1,
+                         MAX(CASE WHEN event_type = 'purchase'
+                                   AND day > (SELECT mid FROM m)
+                                  THEN 1 ELSE 0 END) AS b2
+                  FROM d GROUP BY 1),
+            c AS (SELECT
+                      CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n00,
+                      CAST(SUM(CASE WHEN b1 = 0 AND b2 = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n01,
+                      CAST(SUM(CASE WHEN b1 = 1 AND b2 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n10,
+                      CAST(SUM(CASE WHEN b1 = 1 AND b2 = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n11
+                  FROM u)
+            SELECT n00, n01, n10, n11,
+                   CASE WHEN n01 + n10 > 0
+                        THEN CAST((n01 - n10) * (n01 - n10) AS DOUBLE)
+                             / CAST(n01 + n10 AS DOUBLE)
+                        ELSE 0.0 END AS mcnemar_chi2
+            FROM c
+        """,
+        "lineitem_branch_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12'
+                   AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23'
+                   AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34'
+                   AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "documents_readability": """
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(len(string_split(t, ' ')) AS BIGINT)
+                             AS w,
+                         CAST(len(regexp_extract_all(lower(t),
+                                                     '[aeiouy]+'))
+                              AS BIGINT) AS syl,
+                         CAST(len(list_filter(
+                                  string_split_regex(t, '[.!?]+'),
+                                  p -> trim(p) <> '')) AS BIGINT) AS s
+                  FROM d)
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   syl AS n_syllables,
+                   ROUND(206.835
+                         - 1.015 * (CAST(w AS DOUBLE)
+                                    / CAST(GREATEST(s, 1) AS DOUBLE))
+                         - 84.6 * (CAST(syl AS DOUBLE)
+                                   / CAST(GREATEST(w, 1) AS DOUBLE)),
+                         6) AS fre
+            FROM c
+        """,
+        "parts_discount_elasticity": """
+            WITH f AS (SELECT p_brand,
+                              CAST(round(l_discount * 100) AS BIGINT)
+                                  AS x,
+                              CAST(round(l_quantity) AS BIGINT) AS y
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+            s AS (SELECT p_brand,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM f GROUP BY 1)
+            SELECT p_brand, n,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS slope,
+                   ROUND((CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+            ORDER BY 1
+        """,
+        "supplier_ship_lag": """
+            WITH f AS (SELECT l_suppkey AS s_suppkey,
+                              epoch_us(l_shipdate) // 86400000000
+                              - epoch_us(o_orderdate) // 86400000000
+                                  AS lag
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey)
+            SELECT s_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(lag) AS DOUBLE) / COUNT(*)
+                       AS mean_lag_days,
+                   CAST(quantile_disc(lag, 0.5) AS BIGINT)
+                       AS median_lag_days,
+                   CAST(MAX(lag) AS BIGINT) AS max_lag_days
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "documents_hapax_by_source": """
+            WITH t AS (SELECT source, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2),
+            g AS (SELECT source,
+                         CAST(COUNT(*) AS BIGINT) AS vocab,
+                         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                         CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_hapax
+                  FROM st GROUP BY 1)
+            SELECT source, vocab, n_tokens, n_hapax,
+                   CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS ttr,
+                   CAST(n_hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+                       AS hapax_share
+            FROM g ORDER BY 1
+        """,
+        "transcripts_sft_pairs": f"""
+            WITH o AS (SELECT conv_id, turn_idx, role,
+                              COALESCE(text, '') AS text, ts
+                       FROM {transcripts}),
+            w AS (SELECT conv_id, turn_idx, role, text,
+                         LAG(role || ': ' || text, 3) OVER win AS l3,
+                         LAG(role || ': ' || text, 2) OVER win AS l2,
+                         LAG(role || ': ' || text, 1) OVER win AS l1
+                  FROM o
+                  WINDOW win AS (PARTITION BY conv_id
+                                 ORDER BY turn_idx, ts))
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   concat_ws(chr(10), l3, l2, l1) AS prompt,
+                   text AS response
+            FROM w WHERE role = 'assistant' ORDER BY 1, 2
+        """,
+        "transcripts_tool_chains": f"""
+            WITH o AS (SELECT conv_id, role,
+                              ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS rn
+                       FROM {transcripts}),
+            t AS (SELECT conv_id, rn,
+                         rn - ROW_NUMBER() OVER (PARTITION BY conv_id
+                             ORDER BY rn) AS grp
+                  FROM o WHERE role = 'tool'),
+            r AS (SELECT CAST(COUNT(*) AS BIGINT) AS chain_len
+                  FROM t GROUP BY conv_id, grp)
+            SELECT chain_len, CAST(COUNT(*) AS BIGINT) AS n_chains
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "parts_copurchase_edge_jaccard": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
+            s AS (SELECT p1 AS ctr, p2 AS nbr FROM e
+                  UNION ALL SELECT p2, p1 FROM e),
+            deg AS (SELECT ctr AS p, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM s GROUP BY 1),
+            cn AS (SELECT a.nbr AS id_a, b.nbr AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM s a JOIN s b
+                     ON a.ctr = b.ctr AND a.nbr < b.nbr
+                   GROUP BY 1, 2),
+            j AS (SELECT e.p1 AS id_a, e.p2 AS id_b,
+                         cn.c AS common_neighbors,
+                         da.d + db.d - 2 - cn.c AS union_size
+                  FROM e
+                  JOIN cn ON cn.id_a = e.p1 AND cn.id_b = e.p2
+                  JOIN deg da ON da.p = e.p1
+                  JOIN deg db ON db.p = e.p2)
+            SELECT id_a, id_b, common_neighbors, union_size,
+                   common_neighbors * 1000000 // union_size
+                       AS jaccard_q
+            FROM j
+            ORDER BY jaccard_q DESC, id_a, id_b LIMIT 20
+        """,
+        "documents_lang_mix": """
+            WITH g AS (SELECT source, lang,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT source,
+                         CAST(SUM(n) AS BIGINT) AS n_source,
+                         CAST(SUM(n * CAST(round(
+                             ln(CAST(n AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s1
+                  FROM g GROUP BY 1)
+            SELECT g.source, g.lang, g.n AS n_docs, t.n_source,
+                   CAST(g.n AS DOUBLE) / CAST(t.n_source AS DOUBLE)
+                       AS share,
+                   ROUND(ln(CAST(t.n_source AS DOUBLE))
+                         - CAST(t.s1 AS DOUBLE) / 1000000.0
+                           / CAST(t.n_source AS DOUBLE), 6)
+                       AS entropy
+            FROM g JOIN t USING (source) ORDER BY 1, 2
+        """,
+        "documents_lexical_rank": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1),
+            r AS (SELECT tok,
+                         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC,
+                                                 tok) AS BIGINT)
+                             AS rnk
+                  FROM tf),
+            d AS (SELECT t.doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         CAST(SUM(r.rnk) AS BIGINT) AS s
+                  FROM t JOIN r USING (tok) GROUP BY 1)
+            SELECT doc_id, n_tokens,
+                   CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS mean_rank
+            FROM d ORDER BY 1
+        """,
+        "events_bot_audit": """
+            WITH o AS (SELECT user_id, event_id,
+                              epoch_us(ts) // 60000000 AS minute
+                       FROM events),
+            mx AS (SELECT user_id, CAST(MAX(c) AS BIGINT)
+                              AS max_per_minute,
+                          CAST(SUM(c) AS BIGINT) AS n_events
+                   FROM (SELECT user_id, minute,
+                                CAST(COUNT(*) AS BIGINT) AS c
+                         FROM o GROUP BY 1, 2)
+                   GROUP BY 1),
+            g AS (SELECT user_id,
+                         minute - LAG(minute) OVER (
+                             PARTITION BY user_id
+                             ORDER BY minute, event_id) AS gap
+                  FROM o),
+            v AS (SELECT user_id,
+                         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                         CAST(COUNT(gap) * SUM(gap * gap)
+                              - SUM(gap) * SUM(gap) AS BIGINT)
+                             AS gap_var_num,
+                         CAST(SUM(gap) AS BIGINT) AS gap_sum
+                  FROM g GROUP BY 1)
+            SELECT mx.user_id, mx.n_events, mx.max_per_minute,
+                   v.n_gaps, COALESCE(v.gap_var_num, 0)
+                       AS gap_var_num,
+                   mx.max_per_minute >= 10 AS is_burst,
+                   (v.n_gaps >= 5 AND v.gap_var_num = 0
+                    AND v.gap_sum > 0) AS is_metronome
+            FROM mx JOIN v USING (user_id) ORDER BY 1
+        """,
+        "events_acf": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            l AS (SELECT k FROM range(1, 8) t(k)),
+            p AS (SELECT l.k, a.n AS x, b.n AS y
+                  FROM l JOIN d a ON TRUE
+                  JOIN d b ON b.day = a.day
+                                      + (l.k * INTERVAL 1 DAY)),
+            s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(y * y) AS BIGINT) AS syy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM p GROUP BY 1)
+            SELECT CAST(k AS BIGINT) AS lag, np AS n_pairs,
+                   ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                                * CAST(np * syy - sy * sy
+                                       AS DOUBLE)), 6) AS autocorr
+            FROM s
+            WHERE np >= 2 AND np * sxx - sx * sx > 0
+              AND np * syy - sy * sy > 0
+            ORDER BY 1
+        """,
+        "transcripts_tool_followup": f"""
+            WITH o AS (SELECT conv_id, role,
+                              ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS rn
+                       FROM {transcripts}),
+            nt AS (SELECT conv_id, rn FROM o WHERE role <> 'tool'),
+            t AS (SELECT conv_id, rn FROM o WHERE role = 'tool'),
+            nx AS (SELECT t.conv_id, t.rn,
+                          (SELECT MIN(nt.rn) FROM nt
+                           WHERE nt.conv_id = t.conv_id
+                             AND nt.rn > t.rn) AS next_rn
+                   FROM t),
+            j AS (SELECT nx.conv_id, nx.rn, o2.role AS next_role
+                  FROM nx LEFT JOIN o o2
+                    ON o2.conv_id = nx.conv_id
+                   AND o2.rn = nx.next_rn)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tool_turns,
+                   CAST(SUM(CASE WHEN next_role = 'assistant'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_consumed,
+                   CAST(SUM(CASE WHEN next_role IS NULL
+                                  OR next_role <> 'assistant'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dangling,
+                   CASE WHEN COUNT(*) > 0
+                        THEN CAST(SUM(CASE WHEN next_role
+                                            = 'assistant'
+                                           THEN 1 ELSE 0 END)
+                                  AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE)
+                        ELSE 0.0 END AS consumed_rate
+            FROM j
+        """,
+        "events_type_burstiness": """
+            WITH d AS (SELECT event_type,
+                              date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS nd,
+                         CAST(SUM(n) AS BIGINT) AS s,
+                         CAST(SUM(n * n) AS BIGINT) AS s2
+                  FROM d GROUP BY 1),
+            v AS (SELECT event_type, nd, s,
+                         nd * s2 - s * s AS vn
+                  FROM s)
+            SELECT event_type, nd AS n_days, s AS n_total,
+                   ROUND(CAST(vn AS DOUBLE)
+                         / CAST(nd * s AS DOUBLE), 6) AS fano,
+                   ROUND((sqrt(CAST(vn AS DOUBLE))
+                          - CAST(s AS DOUBLE))
+                         / (sqrt(CAST(vn AS DOUBLE))
+                            + CAST(s AS DOUBLE)), 6) AS burstiness
+            FROM v ORDER BY 1
         """,
     }

@@ -219,6 +219,22 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_sprt(sf_dir).count())
     timed("events_isotonic_daily",
           lambda: q.q_events_isotonic_daily(sf_dir).count())
+    # round-4 session-12 additions: transcripts payload ops, link
+    # prediction, SFT pair construction
+    timed("transcripts_sft_pairs",
+          lambda: q.q_transcripts_sft_pairs(sf_dir).count())
+    timed("transcripts_tool_stats",
+          lambda: q.q_transcripts_tool_stats(sf_dir).count())
+    timed("transcripts_context_budget",
+          lambda: q.q_transcripts_context_budget(sf_dir).count())
+    timed("parts_copurchase_linkpred",
+          lambda: q.q_parts_copurchase_linkpred(sf_dir).count())
+    timed("documents_lexical_rank",
+          lambda: q.q_documents_lexical_rank(sf_dir).count())
+    timed("events_bot_audit",
+          lambda: q.q_events_bot_audit(sf_dir).count())
+    timed("supplier_ship_lag",
+          lambda: q.q_supplier_ship_lag(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]

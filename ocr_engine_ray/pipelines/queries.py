@@ -3901,25 +3901,32 @@ def q_events_approx_distinct_per_type(sf_dir: str) -> pa.Table:
 
 def _pair_combine(pairs: Dataset, keys: list[str], out: str,
                   pcol: str = "p_c") -> Dataset:
-    """Adaptive pair-count combine shared by the similarity kernels:
-    tree (two Arrow group_by passes) while the candidate-pair table
-    fits one combine task — Ray's sort-shuffle Aggregate costs
-    ~0.5 s/block in fixed machinery — else the partial-agg shuffle with
-    identical semantics.  ``pairs`` must be materialized (it is counted
-    and then consumed)."""
-    PAIR_TREE_MAX = 5_000_000
+    """Adaptive pair-count combine shared by the similarity/graph
+    kernels.  The decision that matters is NOT the raw pair count but
+    the size of the table the final combine task must hold — so the
+    per-block partial aggregation (which collapses each block's
+    repeated keys) runs FIRST, and the tree-vs-shuffle choice gates on
+    the POST-partial row count.  The old raw-count gate sent the
+    sf0.01 co-purchase wedge table (13.8M raw rows, 2.0M distinct
+    pairs) down Ray's sort-shuffle Aggregate: 156 s; the tree path on
+    the same partials runs in seconds.  ``pairs`` must be
+    materialized (it is counted and then consumed)."""
+    PAIR_TREE_MAX = 20_000_000  # rows the single final task may see
     partial_names = keys + [pcol]
-    if pairs.count() <= PAIR_TREE_MAX:
-        combined = _tree_combine(pairs, keys, [(pcol, "sum")],
-                                 partial_names, keys + [out])
-    else:
-        def pair_partial(b: pa.Table) -> pa.Table:
-            g = b.group_by(keys).aggregate([(pcol, "sum")])
-            return g.rename_columns(partial_names)
 
-        combined = pairs.map_batches(pair_partial,
-                                     batch_format="pyarrow") \
-            .groupby(keys).aggregate(Sum(pcol, alias_name=out))
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate([(pcol, "sum")])
+        return g.rename_columns(partial_names)
+
+    partials = pairs.map_batches(pair_partial,
+                                 batch_format="pyarrow").materialize()
+    if partials.count() <= PAIR_TREE_MAX:
+        combined = _tree_combine(partials, keys, [(pcol, "sum")],
+                                 partial_names, keys + [out],
+                                 width=16)
+    else:
+        combined = partials.groupby(keys).aggregate(
+            Sum(pcol, alias_name=out))
     return with_schema(combined, pa.schema(
         [(k, pa.int64()) for k in keys] + [(out, pa.int64())]))
 
@@ -17973,3 +17980,1555 @@ def q_events_freshness(sf_dir: str) -> Dataset:
         "n_total": pa.array([out[k][1] for k in keys], pa.int64()),
         "n_last_7d": pa.array([out[k][2] for k in keys], pa.int64()),
     }))
+
+
+def q_transcripts_tool_stats(sf_dir: str) -> Dataset:
+    """Tool-usage report over the transcript corpus — the first thing
+    an agent-pipeline operator asks of a new dump: per tool (rows with
+    role='tool' and a non-empty tool name) the call count, how many
+    conversations invoke it, total result chars, and the mean position
+    in the conversation (average turn_idx).  Exchanges: ONE bounded
+    (tool, conv_id) partial-agg tree combine (tools × convs is
+    structurally dim-sized); the per-tool fold then runs on that
+    single combined block.  The mean is the only float — one IEEE
+    division of two exact int64 sums, operand-cast like the twin."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text", "tool"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(b.column("role"), "tool"),
+                       pc.not_equal(pc.fill_null(b.column("tool"), ""),
+                                    ""))
+        f = b.filter(mask)
+        chars = pc.fill_null(pc.utf8_length(
+            f.column("text").combine_chunks()), 0).cast(pa.int64())
+        t = pa.table({
+            "tool": f.column("tool"),
+            "conv_id": f.column("conv_id"),
+            "one": pa.array(np.ones(f.num_rows, np.int64)),
+            "ch": chars,
+            "si": f.column("turn_idx").cast(pa.int64()),
+        })
+        g = t.group_by(["tool", "conv_id"]).aggregate(
+            [("one", "sum"), ("ch", "sum"), ("si", "sum")])
+        return g.rename_columns(["tool", "conv_id", "p_n", "p_ch",
+                                 "p_si"])
+
+    per_conv = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tool", "conv_id"],
+        [("p_n", "sum"), ("p_ch", "sum"), ("p_si", "sum")],
+        ["tool", "conv_id", "p_n", "p_ch", "p_si"],
+        ["tool", "conv_id", "n", "ch", "si"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = b.group_by(["tool"]).aggregate(
+            [("n", "sum"), ("conv_id", "count"), ("ch", "sum"),
+             ("si", "sum")])
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        si = g.column("si_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tool": g.column("tool"),
+            "n_calls": g.column("n_sum").cast(pa.int64()),
+            "n_convs": g.column("conv_id_count").cast(pa.int64()),
+            "total_chars": g.column("ch_sum").cast(pa.int64()),
+            "mean_turn_idx": pa.array(
+                si.astype(np.float64) / n.astype(np.float64),
+                pa.float64()),
+        })
+
+    return per_conv.map_batches(finish, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def q_transcripts_role_transitions(sf_dir: str) -> pa.Table:
+    """Global role-transition matrix over the transcript corpus (the
+    dialogue-structure fingerprint: does assistant follow user, how
+    often does a tool result interleave): per conversation ordered by
+    (turn_idx, ts), every adjacent (prev_role → next_role) step, then
+    the transition probability out of each prev_role.  Duplicate turns
+    are FULL-row duplicates in this corpus, so tie order inside the
+    sort cannot change the pair multiset.  Scale shape: one
+    groupby(conv_id) co-partition emitting ≤ |roles|² partials per
+    group, a bounded tree combine, and one single-block probability
+    pass — the events_type_transitions plan on the transcript axis."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def steps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        r = g.column("role").combine_chunks()
+        if len(r) < 2:
+            return pa.table({"prev_role": pa.array([], pa.string()),
+                             "next_role": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        t = pa.table({"prev_role": r.slice(0, len(r) - 1),
+                      "next_role": r.slice(1),
+                      "one": pa.array(np.ones(len(r) - 1, np.int64))})
+        out = t.group_by(["prev_role", "next_role"]) \
+            .aggregate([("one", "sum")])
+        return out.rename_columns(["prev_role", "next_role", "p_c"])
+
+    partials = ds.groupby("conv_id").map_groups(steps,
+                                                batch_format="pyarrow")
+    counts = _tree_combine(partials, ["prev_role", "next_role"],
+                           [("p_c", "sum")],
+                           ["prev_role", "next_role", "p_c"],
+                           ["prev_role", "next_role", "n_trans"])
+
+    def probs(b: pa.Table) -> pa.Table:
+        tot = b.group_by(["prev_role"]).aggregate([("n_trans", "sum")])
+        m = dict(zip(tot.column("prev_role").to_pylist(),
+                     tot.column("n_trans_sum").to_pylist()))
+        n = b.column("n_trans").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = np.array([m[p] for p in
+                      b.column("prev_role").to_pylist()], np.float64)
+        return b.append_column("p", pa.array(n / d, pa.float64()))
+
+    out = counts.map_batches(probs, batch_format="pyarrow",
+                             batch_size=None)
+    return _small_table(out)
+
+
+def q_transcripts_context_budget(sf_dir: str) -> Dataset:
+    """Context-window budget report per conversation — the truncation
+    planner every transcript-training pipeline runs before packing:
+    turns ordered by (turn_idx, ts), whitespace-token counts
+    accumulated, and per conv_id the turn count, total tokens, how
+    many leading turns fit a 4096-token budget, and the turn_idx at
+    which the running total first exceeds it (NULL when the whole
+    conversation fits).  The running sum is exact int64 and tie-order
+    invariant (duplicate turns are full-row duplicates, and swapping
+    equal values never changes a prefix-sum sequence).  ONE
+    groupby(conv_id) co-partition; each group's fold is a vectorized
+    cumsum — nothing exchanges twice."""
+    import numpy as np
+
+    BUDGET = 4096
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "text", "ts"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        txt = pc.fill_null(g.column("text").combine_chunks(), "")
+        # len(string_split(text, ' ')) ≡ count(' ') + 1, empties kept
+        tok = pc.add(pc.count_substring(txt, " "), 1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(tok)
+        over = cum > BUDGET
+        first = int(np.argmax(over)) if over.any() else -1
+        idx = g.column("turn_idx").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cut = pa.array([int(idx[first]) if first >= 0 else None],
+                       pa.int64())
+        return pa.table({
+            "conv_id": g.column("conv_id").slice(0, 1),
+            "n_turns": pa.array([g.num_rows], pa.int64()),
+            "total_tokens": pa.array([int(cum[-1])], pa.int64()),
+            "n_turns_in_budget": pa.array(
+                [int((~over).sum())], pa.int64()),
+            "cut_turn_idx": cut,
+        })
+
+    return ds.groupby("conv_id").map_groups(fold,
+                                            batch_format="pyarrow")
+
+
+def q_transcripts_response_latency(sf_dir: str) -> Dataset:
+    """Per-role response-latency profile: for every turn after the
+    first (per conversation, ordered by (turn_idx, ts)), the wall gap
+    to the preceding turn, attributed to the RESPONDING turn's role —
+    how long users wait on the assistant, how fast tool results land.
+    Gaps are exact integer µs end-to-end; mean is the single final
+    float.  Duplicate turns are full-row duplicates, so the (role,
+    gap) multiset is invariant to tie order.  ONE groupby(conv_id)
+    co-partition emitting bounded per-role partial sums, then a tree
+    combine over the role grid."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        if g.num_rows < 2:
+            return pa.table({"role": pa.array([], pa.string()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_sum": pa.array([], pa.int64()),
+                             "p_max": pa.array([], pa.int64())})
+        us = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = np.diff(us)
+        t = pa.table({
+            "role": g.column("role").slice(1),
+            "g": pa.array(d, pa.int64()),
+            "one": pa.array(np.ones(len(d), np.int64)),
+        })
+        out = t.group_by("role").aggregate(
+            [("one", "sum"), ("g", "sum"), ("g", "max")])
+        return out.rename_columns(["role", "p_n", "p_sum", "p_max"])
+
+    partials = ds.groupby("conv_id").map_groups(gaps,
+                                                batch_format="pyarrow")
+    agg = _tree_combine(
+        partials, ["role"],
+        [("p_n", "sum"), ("p_sum", "sum"), ("p_max", "max")],
+        ["role", "p_n", "p_sum", "p_max"],
+        ["role", "n_gaps", "total_gap_us", "max_gap_us"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("total_gap_us").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_gaps").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "role": b.column("role"),
+            "n_gaps": b.column("n_gaps").cast(pa.int64()),
+            "total_gap_us": b.column("total_gap_us").cast(pa.int64()),
+            "mean_gap_us": pa.array(s / n, pa.float64()),
+            "max_gap_us": b.column("max_gap_us").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_parts_copurchase_adamic_adar(sf_dir: str) -> Dataset:
+    """Adamic-Adar link prediction over the part co-purchase graph —
+    the common-neighbor score reweighted so rare hubs count more
+    (AA(a,b) = Σ_{z∈N(a)∩N(b)} 1/ln deg z): top 20 non-adjacent pairs.
+    Exactness: the per-center weight 1e12/ln(deg) is quantized to an
+    int64 (DuckDB ROUND semantics via scaled_int_sql) INSIDE the
+    wedge expansion — deg(center) is simply the group size, so no
+    degree broadcast is needed — and the pair score is then an
+    order-independent integer sum.  Same plan as linkpred: in-group
+    wedge expansion, adaptive pair combine, broadcast sorted-edge-key
+    non-edge filter, local-prune top-k.  int64 headroom: 1e12/ln 2 ≈
+    1.4e12 per wedge — ~6M shared centers per pair before overflow."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "p_w": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+    out_empty = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "common_neighbors": pa.array([], pa.int64()),
+        "aa_q": pa.array([], pa.int64()),
+    })
+    if edges.count() == 0:
+        return rd.from_arrow(out_empty)
+
+    ekeys = np.sort(np.concatenate([
+        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
+            np.int64) << 32)
+        | t.column("id_b").to_numpy(zero_copy_only=False)
+        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
+    ]))
+    ekeys_ref = ray.put(ekeys)
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").combine_chunks()
+        c = b.column("id_b").combine_chunks()
+        return pa.table({
+            "ctr": pa.concat_arrays([a, c]),
+            "nbr": pa.concat_arrays([c, a]),
+        })
+
+    def wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
+        wq = int(scaled_int_sql(
+            np.array([1e12 / np.log(float(len(nb)))]), 1.0)[0])
+        i, j = np.triu_indices(len(nb), k=1)
+        return pa.table({
+            "id_a": pa.array(nb[i], pa.int64()),
+            "id_b": pa.array(nb[j], pa.int64()),
+            "p_w": pa.array(np.full(len(i), wq, np.int64)),
+            "p_c": pa.array(np.ones(len(i), np.int64)),
+        })
+
+    pairs = edges.map_batches(sym, batch_format="pyarrow") \
+        .groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
+        .materialize()
+
+    # adaptive 2-column pair combine (the _pair_combine plan, two sums)
+    PAIR_TREE_MAX = 5_000_000
+    names = ["id_a", "id_b", "aa_q", "common_neighbors"]
+    if pairs.count() <= PAIR_TREE_MAX:
+        cn = _tree_combine(pairs, ["id_a", "id_b"],
+                           [("p_w", "sum"), ("p_c", "sum")],
+                           ["id_a", "id_b", "p_w", "p_c"], names)
+    else:
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(["id_a", "id_b"]).aggregate(
+                [("p_w", "sum"), ("p_c", "sum")])
+            return g.rename_columns(["id_a", "id_b", "p_w", "p_c"])
+
+        cn = with_schema(
+            pairs.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Sum("p_w", alias_name="aa_q"),
+                       Sum("p_c", alias_name="common_neighbors")),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("aa_q", pa.int64()),
+                       ("common_neighbors", pa.int64())]))
+
+    def nonedge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ek = ray.get(ekeys_ref)
+        keys = (b.column("id_a").to_numpy(zero_copy_only=False)
+                .astype(np.int64) << 32) \
+            | b.column("id_b").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ek, keys)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
+                                 == keys)
+        return b.filter(pa.array(~hit))
+
+    cand = cn.map_batches(nonedge, batch_format="pyarrow") \
+        .select_columns(names)
+    return _topk_combine(cand, sorted_topk(
+        [("aa_q", "descending"), ("id_a", "ascending"),
+         ("id_b", "ascending")], 20))
+
+
+def q_documents_source_cosine(sf_dir: str) -> Dataset:
+    """Pairwise cosine similarity between per-source token-frequency
+    vectors — the corpus-mixture redundancy matrix ("are src3 and
+    src7 the same feed?") a curation pipeline reads before weighting
+    sources.  The dot product and both norms are EXACT int64 sums of
+    tf products (tf ≤ ~3e9 before the product overflows — quantize tf
+    beyond that); the cosine is one float expression replayed
+    operand-for-operand.  Plan: per-batch (source, tok) partials, ONE
+    groupby(tok).map_groups that emits in-group source-pair cross
+    products AND per-source squared terms (sources per token ≤ the
+    source count, so the expansion is structurally bounded), then a
+    bounded (source_a, source_b) tree combine."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": pa.array(np.repeat(src, n), pa.string()),
+            "tok": flat,
+        })
+        g = t.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "p_n"])
+
+    st = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    empty = pa.table({"source_a": pa.array([], pa.string()),
+                      "source_b": pa.array([], pa.string()),
+                      "p_x": pa.array([], pa.int64())})
+
+    def cross(g: pa.Table) -> pa.Table:
+        # one token's tf across sources: finish the tf sum in-group,
+        # then emit diagonal (norm) + upper-triangle (dot) partials
+        t = g.group_by("source").aggregate([("p_n", "sum")])
+        src = t.column("source").to_pylist()
+        c = t.column("p_n_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(np.asarray(src, dtype=object))
+        src = [src[i] for i in order]
+        c = c[order]
+        k = len(src)
+        i, j = np.triu_indices(k, k=0)  # k=0: diagonal included
+        return pa.table({
+            "source_a": pa.array([src[x] for x in i], pa.string()),
+            "source_b": pa.array([src[x] for x in j], pa.string()),
+            "p_x": pa.array(c[i] * c[j], pa.int64()),
+        })
+
+    grid = st.groupby("tok").map_groups(cross, batch_format="pyarrow")
+    if grid.count() == 0:
+        return rd.from_arrow(pa.table({
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "dot": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }))
+    agg = _tree_combine(grid, ["source_a", "source_b"],
+                        [("p_x", "sum")],
+                        ["source_a", "source_b", "p_x"],
+                        ["source_a", "source_b", "x"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        sa = b.column("source_a").to_pylist()
+        sb = b.column("source_b").to_pylist()
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        norm = {a: v for a, bb, v in zip(sa, sb, x) if a == bb}
+        mask = np.array([a != bb for a, bb in zip(sa, sb)])
+        if not mask.any():
+            return pa.table({
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "dot": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        f = b.filter(pa.array(mask))
+        fa = f.column("source_a").to_pylist()
+        fb = f.column("source_b").to_pylist()
+        num = f.column("x").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = np.array([float(norm[a]) for a in fa], np.float64)
+        nb = np.array([float(norm[bb]) for bb in fb], np.float64)
+        cos = num / (np.sqrt(na) * np.sqrt(nb))
+        return pa.table({
+            "source_a": f.column("source_a"),
+            "source_b": f.column("source_b"),
+            "dot": f.column("x").cast(pa.int64()),
+            "cosine": round_sql(pa.array(cos, pa.float64()), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_events_mcnemar(sf_dir: str) -> Dataset:
+    """McNemar paired test: did per-user purchase behaviour CHANGE
+    between the first and second half of the observation window?  Each
+    user contributes a (before, after) flag pair split at the midpoint
+    day; the statistic (n01−n10)²/(n01+n10) reads only the discordant
+    cells.  Two scans by construction (the split day is a global
+    reduction): pass 1 is a column-pruned min/max over day indices;
+    pass 2 folds per-batch (user, flag-pair) partials through one
+    user-grain exchange, then a 4-cell grid combine.  The chi-square
+    is the single float, over exact int64 cell counts."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    # pass 1: global day span.  Cast to epoch-us int64 IN the scan —
+    # raw timestamps never enter a Min/Max exchange (the audited
+    # catalog rule: Ray's aggregate path can round-trip timestamp
+    # blocks through pandas at day precision).
+    span = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"]) \
+        .map_batches(lambda b: pa.table(
+            {"us": b.column("ts").cast(pa.int64())}),
+            batch_format="pyarrow") \
+        .aggregate(Min("us"), Max("us"))
+    lo_day = int(span["min(us)"]) // DAY_US
+    hi_day = int(span["max(us)"]) // DAY_US
+    mid = (lo_day + hi_day) // 2
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table, mid=mid) -> pa.Table:
+        day = pc.divide(b.column("ts").cast(pa.int64()),
+                        pa.scalar(DAY_US, pa.int64()))
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        day_np = day.to_numpy(zero_copy_only=False)
+        p_np = is_p.combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "b1": pa.array((p_np & (day_np <= mid)).astype(np.int64)),
+            "b2": pa.array((p_np & (day_np > mid)).astype(np.int64)),
+        })
+        g = t.group_by("user_id").aggregate(
+            [("b1", "max"), ("b2", "max")])
+        return g.rename_columns(["user_id", "p_b1", "p_b2"])
+
+    flags = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Max("p_b1", alias_name="b1"),
+                                      Max("p_b2", alias_name="b2")),
+        pa.schema([("user_id", pa.int64()), ("b1", pa.int64()),
+                   ("b2", pa.int64())]))
+
+    def cells(b: pa.Table) -> pa.Table:
+        b1 = b.column("b1").to_numpy(zero_copy_only=False)
+        b2 = b.column("b2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_n00": pa.array([int(((b1 == 0) & (b2 == 0)).sum())],
+                              pa.int64()),
+            "p_n01": pa.array([int(((b1 == 0) & (b2 == 1)).sum())],
+                              pa.int64()),
+            "p_n10": pa.array([int(((b1 == 1) & (b2 == 0)).sum())],
+                              pa.int64()),
+            "p_n11": pa.array([int(((b1 == 1) & (b2 == 1)).sum())],
+                              pa.int64()),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        n00 = int(pc.sum(b.column("p_n00")).as_py() or 0)
+        n01 = int(pc.sum(b.column("p_n01")).as_py() or 0)
+        n10 = int(pc.sum(b.column("p_n10")).as_py() or 0)
+        n11 = int(pc.sum(b.column("p_n11")).as_py() or 0)
+        # zero discordant pairs ⇒ no evidence of change: χ² defined 0
+        # (an all-NULL float column would degrade to object dtype
+        # through the driver's row path and break the schema check)
+        disc = n01 + n10
+        chi2 = (float((n01 - n10) * (n01 - n10)) / float(disc)
+                if disc > 0 else 0.0)
+        return pa.table({
+            "n00": pa.array([n00], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "n10": pa.array([n10], pa.int64()),
+            "n11": pa.array([n11], pa.int64()),
+            "mcnemar_chi2": pa.array([chi2], pa.float64()),
+        })
+
+    return flags.map_batches(cells, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_lineitem_branch_revenue(sf_dir: str) -> Dataset:
+    """TPC-H-Q19-shaped multi-branch predicate revenue: three
+    (brand, size-range, quantity-range) OR-branches, one number out.
+    The part side is a DIM table — each branch's surviving part keys
+    are resolved on the driver and broadcast as sorted key arrays
+    (ray.put once, searchsorted per batch), so the fact scan is
+    join-free: ONE column-pruned lineitem pass with vectorized branch
+    masks, int64 cent-of-cent partial sums, and a single-row combine.
+    Revenue is quantized at 1e4 exactly like revenue_by_nation."""
+    import numpy as np
+
+    BRANCHES = [("Brand#12", 1, 15, 1.0, 11.0),
+                ("Brand#23", 1, 20, 10.0, 20.0),
+                ("Brand#34", 1, 25, 20.0, 30.0)]
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand", "p_size"])
+    pt = _small_table(part)
+    keys_per_branch = []
+    if pt is not None:
+        brand = np.asarray(pt.column("p_brand").to_pylist(),
+                           dtype=object)
+        size = pt.column("p_size").to_numpy(zero_copy_only=False)
+        pk = pt.column("p_partkey").to_numpy(zero_copy_only=False)
+        for b, lo, hi, _, _ in BRANCHES:
+            m = (brand == b) & (size >= lo) & (size <= hi)
+            keys_per_branch.append(np.sort(pk[m]))
+    else:
+        keys_per_branch = [np.array([], np.int64)] * 3
+    keys_ref = ray.put(keys_per_branch)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(pk), bool)
+        for keys, (_, _, _, qlo, qhi) in zip(ks, BRANCHES):
+            if len(keys) == 0:
+                continue
+            pos = np.searchsorted(keys, pk)
+            inpart = (pos < len(keys)) & \
+                (keys[np.minimum(pos, len(keys) - 1)] == pk)
+            mask |= inpart & (qty >= qlo) & (qty <= qhi)
+        f = b.filter(pa.array(mask))
+        rev = scaled_int_sql(
+            pc.multiply(f.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    f.column("l_discount"))), 10000.0)
+        return pa.table({
+            "p_n": pa.array([f.num_rows], pa.int64()),
+            "p_r": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = int(pc.sum(b.column("p_n")).as_py() or 0)
+        r = int(pc.sum(b.column("p_r")).as_py() or 0)
+        return pa.table({
+            "n_items": pa.array([n], pa.int64()),
+            "revenue": pa.array([float(r) / 10000.0], pa.float64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_documents_readability(sf_dir: str) -> Dataset:
+    """Flesch reading-ease score per document — the classic
+    readability gate a curation pipeline layers on top of the Gopher
+    rules.  Every count is exact int64 (words = single-space splits,
+    sentences = nonempty trimmed [.!?]+ pieces floored at 1, syllable
+    proxy = [aeiouy]+ vowel groups in the lowercased text); the score
+    is ONE float expression — 206.835 − 1.015·(w/s) − 84.6·(syl/w),
+    left-associated exactly like the twin — over those ints.  Single
+    scan, zero exchanges: every column is per-document."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        low = pc.utf8_lower(txt)
+        w = pc.add(pc.count_substring(txt, " "), 1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        syl = pc.count_substring_regex(low, "[aeiouy]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pieces = pc.split_pattern_regex(txt, "[.!?]+")
+        n_p = pc.list_value_length(pieces) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(pieces))
+        nonempty = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(n_p)])[:-1]
+        s = np.add.reduceat(
+            np.concatenate([nonempty, [0]]), bounds) \
+            if len(n_p) else np.array([], np.int64)
+        s[n_p == 0] = 0
+        wf = np.maximum(w, 1).astype(np.float64)
+        sf = np.maximum(s, 1).astype(np.float64)
+        fre = 206.835 - 1.015 * (w / sf) - 84.6 * (syl / wf)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(s, pa.int64()),
+            "n_syllables": pa.array(syl, pa.int64()),
+            "fre": round_sql(pa.array(fre, pa.float64()), 6),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_parts_discount_elasticity(sf_dir: str) -> Dataset:
+    """Discount-elasticity OLS per brand: the slope of order quantity
+    against discount percentage — "does a deeper discount move more
+    units of this brand?"  The part→brand map is DIM-sized and
+    broadcast once (ray.put, searchsorted per batch — no fact join);
+    quantity is integral and discount is 2-dp in this corpus, so all
+    five OLS sums are exact int64 and the slope/intercept are single
+    closed-form float expressions over them (the value_trend
+    discipline).  ONE fact scan, one bounded (brand) combine."""
+    import numpy as np
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand"])
+    pt = _small_table(part)
+    if pt is None:
+        return rd.from_arrow(pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "slope": pa.array([], pa.float64()),
+            "intercept": pa.array([], pa.float64()),
+        }))
+    order = np.argsort(pt.column("p_partkey").to_numpy(
+        zero_copy_only=False))
+    pk_sorted = pt.column("p_partkey").to_numpy(
+        zero_copy_only=False)[order]
+    brands = np.asarray(pt.column("p_brand").to_pylist(),
+                        dtype=object)[order]
+    map_ref = ray.put((pk_sorted, brands))
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk_s, br = ray.get(map_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_s, pk)
+        pos = np.minimum(pos, len(pk_s) - 1)
+        ok = pk_s[pos] == pk
+        x = scaled_int_sql(b.column("l_discount"), 100.0)[ok]
+        y = scaled_int_sql(b.column("l_quantity"), 1.0)[ok]
+        t = pa.table({
+            "p_brand": pa.array(br[pos[ok]], pa.string()),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxx": pa.array(x * x, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+        })
+        g = t.group_by("p_brand").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["p_brand", "p_n", "p_sx", "p_sy",
+                                 "p_sxx", "p_sxy"])
+
+    agg = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"],
+        [("p_n", "sum"), ("p_sx", "sum"), ("p_sy", "sum"),
+         ("p_sxx", "sum"), ("p_sxy", "sum")],
+        ["p_brand", "p_n", "p_sx", "p_sy", "p_sxx", "p_sxy"],
+        ["p_brand", "n", "sx", "sy", "sxx", "sxy"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        den = n * sxx - sx * sx
+        keep = (n >= 2) & (den != 0)
+        nf = n[keep].astype(np.float64)
+        num = (n[keep] * sxy[keep] - sx[keep] * sy[keep]) \
+            .astype(np.float64)
+        denf = den[keep].astype(np.float64)
+        slope = num / denf
+        intercept = (sy[keep].astype(np.float64)
+                     - slope * sx[keep].astype(np.float64)) / nf
+        return pa.table({
+            "p_brand": pa.array(
+                np.asarray(b.column("p_brand").to_pylist(),
+                           dtype=object)[keep], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+            "slope": round_sql(pa.array(slope, pa.float64()), 6),
+            "intercept": round_sql(pa.array(intercept, pa.float64()),
+                                   6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_supplier_ship_lag(sf_dir: str) -> Dataset:
+    """Supplier fulfilment-latency scorecard: per supplier, the
+    distribution of (ship date − order date) in whole days — count,
+    mean, exact median (ceil(n·q)−1 rank convention), and max.  The
+    only fact-fact exchange is ONE hash join on l_orderkey with both
+    sides column-pruned to ≤3 columns; per-lineitem lags then fold to
+    the bounded (supplier, lag_day) histogram grid IN-batch, so the
+    median pass never re-shuffles raw rows (the grouped-quantile
+    histogram discipline)."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "ship_us": b.column("l_shipdate").cast(pa.int64()),
+        })
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "order_us": b.column("o_orderdate").cast(pa.int64()),
+        })
+
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        # lag = day(ship) − day(order), NOT (ship−order)//day: this
+        # corpus HAS ship-before-order rows, and a negative numerator
+        # floors in numpy but truncates in DuckDB.  Day indices of
+        # post-1970 timestamps are positive, so each // is sign-safe.
+        lag = (b.column("ship_us").to_numpy(zero_copy_only=False)
+               // DAY_US
+               - b.column("order_us").to_numpy(zero_copy_only=False)
+               // DAY_US)
+        t = pa.table({
+            "s": b.column("l_suppkey"),
+            "lag": pa.array(lag, pa.int64()),
+            "one": pa.array(np.ones(len(lag), np.int64)),
+        })
+        g = t.group_by(["s", "lag"]).aggregate([("one", "sum")])
+        return g.rename_columns(["s", "lag", "p_n"])
+
+    grid = with_schema(
+        j.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby(["s", "lag"]).aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("s", pa.int64()), ("lag", pa.int64()),
+                   ("n", pa.int64())]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        lag = g.column("lag").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(lag)
+        lag, n = lag[order], n[order]
+        tot = int(n.sum())
+        cum = np.cumsum(n)
+        med = int(lag[np.searchsorted(
+            cum, int(np.ceil(tot * 0.5)))])  # ceil(n·q)−1 0-indexed
+        mean = float(int((lag * n).sum())) / float(tot)
+        return pa.table({
+            "s_suppkey": g.column("s").slice(0, 1),
+            "n_items": pa.array([tot], pa.int64()),
+            "mean_lag_days": pa.array([mean], pa.float64()),
+            "median_lag_days": pa.array([med], pa.int64()),
+            "max_lag_days": pa.array([int(lag[-1])], pa.int64()),
+        })
+
+    return grid.groupby("s").map_groups(fold, batch_format="pyarrow")
+
+
+def q_documents_hapax_by_source(sf_dir: str) -> Dataset:
+    """Lexical-richness profile per ingest source: vocabulary size,
+    token count, hapax legomena (tokens seen exactly once WITHIN the
+    source), type-token ratio and hapax share — the quick "is this
+    feed template spam or natural prose" screen (template spam has
+    tiny TTR).  ONE (source, token) tf exchange; the per-source fold
+    is a bounded in-group pass; the two ratios are single float
+    divisions of exact ints."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": pa.array(np.repeat(src, n), pa.string()),
+            "tok": flat,
+        })
+        g = t.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["source", "tok", "p_n"])
+
+    st = with_schema(
+        ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(
+            Sum("p_n", alias_name="tf")),
+        pa.schema([("source", pa.string()), ("tok", pa.string()),
+                   ("tf", pa.int64())]))
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": b.column("source"),
+            "v": pa.array(np.ones(len(tf), np.int64)),
+            "n": pa.array(tf, pa.int64()),
+            "h": pa.array((tf == 1).astype(np.int64)),
+        })
+        g = t.group_by("source").aggregate(
+            [("v", "sum"), ("n", "sum"), ("h", "sum")])
+        return g.rename_columns(["source", "p_v", "p_n", "p_h"])
+
+    agg = _tree_combine(
+        st.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"], [("p_v", "sum"), ("p_n", "sum"), ("p_h", "sum")],
+        ["source", "p_v", "p_n", "p_h"],
+        ["source", "vocab", "n_tokens", "n_hapax"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = b.column("vocab").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        h = b.column("n_hapax").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "vocab": b.column("vocab").cast(pa.int64()),
+            "n_tokens": b.column("n_tokens").cast(pa.int64()),
+            "n_hapax": b.column("n_hapax").cast(pa.int64()),
+            "ttr": pa.array(v / n, pa.float64()),
+            "hapax_share": pa.array(h / v, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def q_transcripts_sft_pairs(sf_dir: str) -> Dataset:
+    """SFT training-pair construction — THE transcript-to-training-data
+    operator: for every assistant turn, a (prompt, response) row where
+    the prompt is the previous ≤3 turns rendered "role: text" and
+    joined by newline, the response is the assistant text.  Ordering
+    is (turn_idx, ts) per conversation (duplicate turns are full-row
+    duplicates, so tie order cannot change any window).  ONE
+    groupby(conv_id) co-partition; the context window is three
+    vectorized shifts — no per-row Python, no join, nothing exchanges
+    twice.  Output key (conv_id, turn_idx) keeps pairs resumable."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text", "ts"])
+
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),
+        "prompt": pa.array([], pa.string()),
+        "response": pa.array([], pa.string()),
+    })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        role = np.asarray(g.column("role").to_pylist(), dtype=object)
+        text = np.asarray(
+            [t if t is not None else ""
+             for t in g.column("text").to_pylist()], dtype=object)
+        n = len(role)
+        is_asst = role == "assistant"
+        if not is_asst.any():
+            return empty
+        lines = np.array([f"{r}: {t}" for r, t in zip(role, text)],
+                         dtype=object)
+        idx = np.nonzero(is_asst)[0]
+        prompts = ["\n".join(lines[max(0, i - 3):i]) for i in idx]
+        return pa.table({
+            "conv_id": pa.array(
+                [g.column("conv_id")[0].as_py()] * len(idx),
+                pa.string()),
+            "turn_idx": pa.array(
+                g.column("turn_idx").cast(pa.int64())
+                .to_numpy(zero_copy_only=False)[idx], pa.int64()),
+            "prompt": pa.array(prompts, pa.string()),
+            "response": pa.array(list(text[idx]), pa.string()),
+        })
+
+    return ds.groupby("conv_id").map_groups(pairs,
+                                            batch_format="pyarrow")
+
+
+def q_transcripts_tool_chains(sf_dir: str) -> Dataset:
+    """Tool-chain length histogram — how deep do the agent's
+    consecutive tool-call runs go before a non-tool turn interrupts?
+    Per conversation (ordered by turn_idx, ts), maximal runs of
+    role='tool' turns are measured gaps-and-islands style and only
+    the bounded (chain_len, count) grid leaves each group; one tree
+    combine finishes.  The run-length multiset is tie-order invariant
+    (duplicate turns are full-row duplicates, same role)."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+
+    empty = pa.table({"chain_len": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+
+    def runs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        is_tool = pc.equal(g.column("role"), "tool").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if not is_tool.any():
+            return empty
+        x = np.concatenate([[False], is_tool, [False]]).astype(np.int8)
+        d = np.diff(x)
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        lens = ends - starts
+        t = pa.table({"chain_len": pa.array(lens, pa.int64()),
+                      "one": pa.array(np.ones(len(lens), np.int64))})
+        out = t.group_by("chain_len").aggregate([("one", "sum")])
+        return out.rename_columns(["chain_len", "p_c"])
+
+    partials = ds.groupby("conv_id").map_groups(runs,
+                                                batch_format="pyarrow")
+    return _tree_combine(partials, ["chain_len"], [("p_c", "sum")],
+                         ["chain_len", "p_c"],
+                         ["chain_len", "n_chains"])
+
+
+def q_parts_copurchase_edge_jaccard(sf_dir: str) -> Dataset:
+    """Edge embeddedness / neighborhood-Jaccard for the co-purchase
+    graph: for each EDGE (a,b), |N(a)∩N(b)| over |N(a)∪N(b)\\{a,b}| —
+    the tie-strength score community detectors threshold on.  Top 20
+    by the score.  Exactness: the common-neighbor count is the wedge
+    expansion KEPT where the pair IS an edge (the linkpred filter,
+    inverted); the union is deg(a)+deg(b)−2−cn off the broadcast
+    dim-sized degree map; the rank key is the INTEGER
+    cn·1e6 // union, so no float ordering exists anywhere."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    out_schema = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "common_neighbors": pa.array([], pa.int64()),
+        "union_size": pa.array([], pa.int64()),
+        "jaccard_q": pa.array([], pa.int64()),
+    })
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema)
+
+    ekeys = np.sort(np.concatenate([
+        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
+            np.int64) << 32)
+        | t.column("id_b").to_numpy(zero_copy_only=False)
+        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
+    ]))
+    ekeys_ref = ray.put(ekeys)
+    deg_t = _small_table(_copurchase_degrees(edges))
+    dk = deg_t.column("p").to_numpy(zero_copy_only=False)
+    dv = deg_t.column("degree").to_numpy(zero_copy_only=False)
+    order = np.argsort(dk)
+    deg_ref = ray.put((dk[order], dv[order]))
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").combine_chunks()
+        c = b.column("id_b").combine_chunks()
+        return pa.table({
+            "ctr": pa.concat_arrays([a, c]),
+            "nbr": pa.concat_arrays([c, a]),
+        })
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "p_c": pa.array([], pa.int64())})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # emit ONLY wedge pairs that are themselves edges (broadcast
+        # sorted-key probe INSIDE the expansion): the combine then
+        # exchanges one row per (edge, shared center) — triangle
+        # slots — instead of the full Σdeg² open-wedge table, which
+        # measured 148M rows at sf0.1 and dominated the wall.
+        if g.num_rows < 2:
+            return empty
+        ek = ray.get(ekeys_ref)
+        nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
+        i, j = np.triu_indices(len(nb), k=1)
+        keys = (nb[i].astype(np.int64) << 32) | nb[j]
+        pos = np.searchsorted(ek, keys)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
+                                 == keys)
+        if not hit.any():
+            return empty
+        return pa.table({"id_a": pa.array(nb[i][hit], pa.int64()),
+                         "id_b": pa.array(nb[j][hit], pa.int64()),
+                         "p_c": pa.array(
+                             np.ones(int(hit.sum()), np.int64))})
+
+    pairs = edges.map_batches(sym, batch_format="pyarrow") \
+        .groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
+        .materialize()
+    cn = _pair_combine(pairs, ["id_a", "id_b"], "common_neighbors")
+
+    def edge_score(f: pa.Table) -> pa.Table:
+        if f.num_rows == 0:
+            return pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "common_neighbors": pa.array([], pa.int64()),
+                "union_size": pa.array([], pa.int64()),
+                "jaccard_q": pa.array([], pa.int64()),
+            })
+        dks, dvs = ray.get(deg_ref)
+        fa = f.column("id_a").to_numpy(zero_copy_only=False)
+        fb = f.column("id_b").to_numpy(zero_copy_only=False)
+        c = f.column("common_neighbors").to_numpy(
+            zero_copy_only=False)
+        da = dvs[np.searchsorted(dks, fa)]
+        db = dvs[np.searchsorted(dks, fb)]
+        union = da + db - 2 - c
+        jq = np.where(union > 0, (c * 1_000_000) // np.maximum(
+            union, 1), 0).astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(fa, pa.int64()),
+            "id_b": pa.array(fb, pa.int64()),
+            "common_neighbors": pa.array(c, pa.int64()),
+            "union_size": pa.array(union, pa.int64()),
+            "jaccard_q": pa.array(jq, pa.int64()),
+        })
+
+    cand = cn.map_batches(edge_score, batch_format="pyarrow")
+    return _topk_combine(cand, sorted_topk(
+        [("jaccard_q", "descending"), ("id_a", "ascending"),
+         ("id_b", "ascending")], 20))
+
+
+def q_documents_lang_mix(sf_dir: str) -> Dataset:
+    """Language-mixture audit per ingest source: per-language doc
+    counts pivoted against the source total, each language's share,
+    and the source's language ENTROPY (how monolingual is this feed)
+    — the standard multilingual-corpus balance report.  One bounded
+    (source, lang) combine; entropy is Σ c·q(ln c) over exact ints
+    with the quantized-ln discipline, so the twin hashes bit-exact."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "lang": b.column("lang"),
+                      "one": pa.array(
+                          np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["source", "lang"]).aggregate([("one", "sum")])
+        return g.rename_columns(["source", "lang", "p_n"])
+
+    grid = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"], [("p_n", "sum")],
+        ["source", "lang", "p_n"], ["source", "lang", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        # single block (tree_combine ends repartition(1)): per-source
+        # totals + entropy fold locally
+        src = np.asarray(b.column("source").to_pylist(), dtype=object)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        tot = {}
+        for s, c in zip(src, n):
+            tot[s] = tot.get(s, 0) + int(c)
+        totv = np.array([tot[s] for s in src], np.int64)
+        share = n.astype(np.float64) / totv.astype(np.float64)
+        # H = ln(tot) − (Σ c·q(ln c))/tot with q = round(·1e6)/1e6
+        q_ln = scaled_int_sql(np.log(n.astype(np.float64)), 1e6)
+        s1 = {}
+        for s, c, ql in zip(src, n, q_ln):
+            s1[s] = s1.get(s, 0) + int(c) * int(ql)
+        s1v = np.array([s1[s] for s in src], np.float64)
+        ent = (np.log(totv.astype(np.float64))
+               - s1v / 1e6 / totv.astype(np.float64))
+        return pa.table({
+            "source": b.column("source"),
+            "lang": b.column("lang"),
+            "n_docs": b.column("n").cast(pa.int64()),
+            "n_source": pa.array(totv, pa.int64()),
+            "share": pa.array(share, pa.float64()),
+            "entropy": round_sql(pa.array(ent, pa.float64()), 6),
+        })
+
+    return grid.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def q_documents_lexical_rank(sf_dir: str) -> Dataset:
+    """Mean corpus-frequency rank per document — the lexical-
+    sophistication score (documents built from rare vocabulary rank
+    high, template spam built from the corpus head ranks low) used to
+    stratify curriculum sampling.  rank(token) = ROW_NUMBER over
+    (tf DESC, tok ASC) on the GLOBAL vocabulary, computed distributed:
+    the bounded (tf, count) histogram gives each tf-bucket's rank
+    offset (broadcast as a sorted lookup), and each bucket's
+    within-tf string order is resolved IN-GROUP by one
+    groupby(tf).map_groups — the corpus vocabulary never sorts
+    globally.  Per-doc means are then Σc·rank / Σc over exact ints
+    via one (tok) join."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+            "tok": flat,
+        })
+        g = t.group_by(["doc_id", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["doc_id", "tok", "p_n"])
+
+    dt = with_schema(
+        ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby(["doc_id", "tok"]).aggregate(
+            Sum("p_n", alias_name="c")),
+        pa.schema([("doc_id", pa.int64()), ("tok", pa.string()),
+                   ("c", pa.int64())]))
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("tok").aggregate([("c", "sum")])
+        return g.rename_columns(["tok", "p_n"])
+
+    tf = with_schema(
+        dt.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("p_n", alias_name="tf")),
+        pa.schema([("tok", pa.string()), ("tf", pa.int64())]))
+
+    # bounded (tf, n_types) histogram → rank offset of each tf bucket
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("tf").aggregate([("tf", "count")])
+        return g.rename_columns(["tf", "p_n"])
+
+    hist = _small_table(_tree_combine(
+        tf.map_batches(hist_partial, batch_format="pyarrow"),
+        ["tf"], [("p_n", "sum")], ["tf", "p_n"], ["tf", "n_types"]))
+    if hist is None:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "mean_rank": pa.array([], pa.float64()),
+        }))
+    hv = hist.column("tf").to_numpy(zero_copy_only=False)
+    hn = hist.column("n_types").to_numpy(zero_copy_only=False)
+    order = np.argsort(-hv)  # tf descending
+    hv, hn = hv[order], hn[order]
+    offsets = np.concatenate([[0], np.cumsum(hn)])[:-1]
+    off_ref = ray.put((hv[::-1], offsets[::-1]))  # ascending for search
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        # one tf bucket: within-bucket rank is the token string order
+        g = g.sort_by([("tok", "ascending")])
+        hv_a, off_a = ray.get(off_ref)
+        tfv = int(g.column("tf")[0].as_py())
+        base = int(off_a[np.searchsorted(hv_a, tfv)])
+        return pa.table({
+            "tok": g.column("tok"),
+            "rnk": pa.array(base + np.arange(1, g.num_rows + 1),
+                            pa.int64()),
+        })
+
+    ranks = tf.groupby("tf").map_groups(rank_group,
+                                        batch_format="pyarrow")
+    j = dt.join(ranks, join_type="inner", num_partitions=8,
+                on=("tok",))
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        r = b.column("rnk").to_numpy(zero_copy_only=False)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "n": pa.array(c, pa.int64()),
+                      "s": pa.array(c * r, pa.int64())})
+        g = t.group_by("doc_id").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["doc_id", "p_n", "p_s"])
+
+    agg = with_schema(
+        j.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("p_n", alias_name="n_tokens"),
+                                     Sum("p_s", alias_name="s")),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("s", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens").cast(pa.int64()),
+            "mean_rank": pa.array(s / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_bot_audit(sf_dir: str) -> Dataset:
+    """Bot/automation screen per user — the abuse-ops staple two
+    rules deep: burst bots (≥10 events inside one wall-clock minute)
+    and metronome bots (≥5 perfectly regular minute-grain gaps,
+    variance exactly 0).  100 % integer pipeline: minute indices are
+    day-index-style positive floors, the gap variance is the
+    cross-multiplied numerator n·Σg²−(Σg)² on minute-grain gaps (the
+    int64-headroom choice: µs-grain squares overflow), so there is NO
+    float anywhere.  ONE groupby(user_id) co-partition; each group
+    folds internally."""
+    import numpy as np
+
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def audit(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        us = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        minute = us // MIN_US
+        _, counts = np.unique(minute, return_counts=True)
+        mpm = int(counts.max())
+        gaps = np.diff(minute)
+        n = len(gaps)
+        sg = int(gaps.sum())
+        sg2 = int((gaps * gaps).sum())
+        var_num = n * sg2 - sg * sg
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "n_events": pa.array([g.num_rows], pa.int64()),
+            "max_per_minute": pa.array([mpm], pa.int64()),
+            "n_gaps": pa.array([n], pa.int64()),
+            "gap_var_num": pa.array([var_num], pa.int64()),
+            "is_burst": pa.array([mpm >= 10], pa.bool_()),
+            # metronome = regular NONZERO period (an all-zero-gap
+            # burst is the other rule, not this one)
+            "is_metronome": pa.array(
+                [n >= 5 and var_num == 0 and sg > 0], pa.bool_()),
+        })
+
+    return ds.groupby("user_id").map_groups(audit,
+                                            batch_format="pyarrow")
+
+
+def q_embeddings_kcenter(sf_dir: str) -> Dataset:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus — the diversity-sampling primitive behind
+    coreset curation: start from vec_id 0, repeatedly add the point
+    farthest from the selected set (k = 8).  Deterministic: distances
+    are int64-quantized squared L2 (d²·1e6, half-away) and argmax ties
+    break on the smaller vec_id.  Each of the k rounds is ONE
+    broadcast-centers map_batches pass emitting per-block (best_d,
+    best_id) partials — the corpus never moves, only k tiny candidate
+    rows per block do.  Rows-only (iterative); numpy parity is
+    pytest-pinned."""
+    import numpy as np
+
+    from ..util import vec_matrix
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).materialize()
+
+    K = 8
+    centers: list[int] = [0]
+    # center vectors live on the driver (k × d — tiny); the corpus
+    # streams per round
+    ctr_rows = ds.filter(lambda r: r["vec_id"] == 0).take_all()
+    if not ctr_rows:
+        return rd.from_arrow(pa.table({
+            "step": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "dist_q": pa.array([], pa.int64()),
+        }))
+    ctr_vecs = [np.asarray(ctr_rows[0]["embedding"], np.float64)]
+    out_steps, out_ids, out_d = [0], [0], [0]
+
+    for step in range(1, K):
+        cm = np.stack(ctr_vecs)
+        cm_ref = ray.put(cm)
+
+        def far_partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cm_ref)
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            m = vec_matrix(b.column("embedding"))
+            # squared L2 to nearest center, quantized
+            d2 = ((m * m).sum(1)[:, None] - 2.0 * (m @ c.T)
+                  + (c * c).sum(1)[None, :]).min(1)
+            dq = scaled_int_sql(d2, 1e6)
+            i = int(np.lexsort((ids, -dq))[0])  # max dq, min id
+            return pa.table({
+                "vec_id": pa.array([int(ids[i])], pa.int64()),
+                "dq": pa.array([int(dq[i])], pa.int64()),
+            })
+
+        cand = _small_table(ds.map_batches(far_partial,
+                                           batch_format="pyarrow"))
+        ids = cand.column("vec_id").to_numpy(zero_copy_only=False)
+        dq = cand.column("dq").to_numpy(zero_copy_only=False)
+        best = int(np.lexsort((ids, -dq))[0])
+        bid, bdq = int(ids[best]), int(dq[best])
+        rows = ds.filter(lambda r, b=bid: r["vec_id"] == b).take_all()
+        ctr_vecs.append(np.asarray(rows[0]["embedding"], np.float64))
+        centers.append(bid)
+        out_steps.append(step)
+        out_ids.append(bid)
+        out_d.append(bdq)
+
+    return rd.from_arrow(pa.table({
+        "step": pa.array(out_steps, pa.int64()),
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "dist_q": pa.array(out_d, pa.int64()),
+    }))
+
+
+def q_events_acf(sf_dir: str) -> Dataset:
+    """Autocorrelation function of the daily event count at lags 1-7
+    — the weekly-seasonality fingerprint (a spike at lag 7 = weekly
+    cycle), extending q_events_daily_autocorr's lag-1 convention:
+    each lag's Pearson runs over (day, day+lag) pairs both present in
+    the calendar grid, all five moment sums exact big-ints, one float
+    expression per lag replayed operand-for-operand.  The grid is
+    bounded (calendar days) — one tree combine, driver fold."""
+    import math
+
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+        }).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "n"]))
+    empty = pa.table({"lag": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "autocorr": pa.array([], pa.float64())})
+    if grid is None or grid.num_rows < 3:
+        return rd.from_arrow(empty)
+    grid = grid.sort_by("day")
+    days = grid.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    n = grid.column("n").to_numpy(zero_copy_only=False)
+    DAY_US = 86_400_000_000
+
+    lags, npairs, acs = [], [], []
+    for k in range(1, 8):
+        pos = np.searchsorted(days, days + k * DAY_US)
+        ok = (pos < len(days)) & \
+            (days[np.minimum(pos, len(days) - 1)]
+             == days + k * DAY_US)
+        i = np.nonzero(ok)[0]
+        if len(i) < 2:
+            continue
+        x = n[i].astype(object)
+        y = n[pos[i]].astype(object)
+        np_ = len(i)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        d1 = np_ * sxx - sx * sx
+        d2 = np_ * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        r = float(np_ * sxy - sx * sy) / math.sqrt(
+            float(d1) * float(d2))
+        lags.append(k)
+        npairs.append(np_)
+        acs.append(round_sql_f(r, 6))
+    return rd.from_arrow(pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n_pairs": pa.array(npairs, pa.int64()),
+        "autocorr": pa.array(acs, pa.float64()),
+    }))
+
+
+def q_transcripts_tool_followup(sf_dir: str) -> Dataset:
+    """Agent-trace hygiene audit: is every tool result actually READ?
+    For each role='tool' turn, the next non-tool turn in its
+    conversation decides consumed (assistant speaks next) vs dangling
+    (conversation ends, or user/system preempts).  One number each,
+    plus the consumed rate.  The role sequence is tie-order invariant
+    (duplicate turns are full-row duplicates).  ONE groupby(conv_id)
+    co-partition emitting 3 ints per conversation; single-row tree
+    fold after."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def audit(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        roles = np.asarray(g.column("role").to_pylist(), dtype=object)
+        is_tool = roles == "tool"
+        nt_idx = np.nonzero(~is_tool)[0]
+        ti = np.nonzero(is_tool)[0]
+        n_tool = len(ti)
+        consumed = 0
+        if n_tool and len(nt_idx):
+            pos = np.searchsorted(nt_idx, ti, side="right")
+            has_next = pos < len(nt_idx)
+            nxt = nt_idx[np.minimum(pos, len(nt_idx) - 1)]
+            consumed = int((has_next
+                            & (roles[nxt] == "assistant")).sum())
+        return pa.table({
+            "p_tool": pa.array([n_tool], pa.int64()),
+            "p_cons": pa.array([consumed], pa.int64()),
+        })
+
+    partials = ds.groupby("conv_id").map_groups(
+        audit, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = int(pc.sum(b.column("p_tool")).as_py() or 0)
+        c = int(pc.sum(b.column("p_cons")).as_py() or 0)
+        return pa.table({
+            "n_tool_turns": pa.array([t], pa.int64()),
+            "n_consumed": pa.array([c], pa.int64()),
+            "n_dangling": pa.array([t - c], pa.int64()),
+            "consumed_rate": pa.array(
+                [float(c) / float(t) if t else 0.0], pa.float64()),
+        })
+
+    return partials.repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_events_type_burstiness(sf_dir: str) -> Dataset:
+    """Fano factor and Goh-Barabási burstiness of the daily count
+    series per event type — the dispersion screen separating steady
+    telemetry (F≈1 Poisson) from bursty human-driven types.  Over
+    observed days only.  Identity that keeps it exact: with
+    vn = n·Σx²−(Σx)², F = vn/(n·S) and
+    B = (√vn − S)/(√vn + S) — both single float expressions over two
+    exact int64 aggregates.  One bounded (type, day) exchange."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "day": pc.floor_temporal(b.column("ts"), unit="day"),
+        }).group_by(["event_type", "day"]).aggregate([([],
+                                                       "count_all")])
+        return g.rename_columns(["event_type", "day", "p_n"])
+
+    grid = _tree_combine(
+        rd.read_parquet(_t(sf_dir, "events"),
+                        columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], [("p_n", "sum")],
+        ["event_type", "day", "p_n"], ["event_type", "day", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type").to_pylist(),
+                        dtype=object)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        acc: dict = {}
+        for e, c in zip(et, n):
+            a = acc.setdefault(e, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(c)
+            a[2] += int(c) * int(c)
+        keys = sorted(acc)
+        nd = np.array([acc[k][0] for k in keys], np.int64)
+        s = np.array([acc[k][1] for k in keys], np.int64)
+        s2 = np.array([acc[k][2] for k in keys], np.int64)
+        vn = nd * s2 - s * s
+        fano = vn.astype(np.float64) / (nd * s).astype(np.float64)
+        rt = np.sqrt(vn.astype(np.float64))
+        burst = (rt - s.astype(np.float64)) \
+            / (rt + s.astype(np.float64))
+        return pa.table({
+            "event_type": pa.array(list(keys), pa.string()),
+            "n_days": pa.array(nd, pa.int64()),
+            "n_total": pa.array(s, pa.int64()),
+            "fano": round_sql(pa.array(fano, pa.float64()), 6),
+            "burstiness": round_sql(pa.array(burst, pa.float64()), 6),
+        })
+
+    return grid.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def q_documents_compression_ratio(sf_dir: str) -> Dataset:
+    """Compressibility gate (the classic near-free quality signal:
+    template spam and repetitive boilerplate compress far better than
+    natural prose): per document, raw UTF-8 bytes, zlib-6 compressed
+    bytes, and the ratio.  Deterministic for a fixed zlib build —
+    rows-only under the driver gate (DuckDB has no zlib), with a
+    direct-zlib parity pytest.  The per-row C call IS the workload
+    (the extract_turn profile); everything around it is one scan."""
+    import zlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        raw, comp = [], []
+        for t in texts:
+            enc = (t or "").encode("utf-8")
+            raw.append(len(enc))
+            comp.append(len(zlib.compress(enc, 6)))
+        ratio = [c / r if r else 1.0 for c, r in zip(comp, raw)]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
