@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_burstiness": q.q_events_type_burstiness,
         "documents_compression_ratio":
             q.q_documents_compression_ratio,
+        "transcripts_link_density": q.q_transcripts_link_density,
+        "transcripts_md_structure": q.q_transcripts_md_structure,
+        "transcripts_system_prompts": q.q_transcripts_system_prompts,
     }
 
 
@@ -6996,5 +6999,57 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(CAST(vn AS DOUBLE))
                             + CAST(s AS DOUBLE)), 6) AS burstiness
             FROM v ORDER BY 1
+        """,
+        "transcripts_link_density": f"""
+            WITH h AS (SELECT conv_id,
+                              CAST(turn_idx AS BIGINT) AS turn_idx,
+                              COALESCE(text, '') AS t
+                       FROM {transcripts}
+                       WHERE COALESCE(text, '')
+                             LIKE '<!DOCTYPE%'),
+            c AS (SELECT conv_id, turn_idx,
+                         CAST(len(regexp_extract_all(t,
+                             '<a [^>]*>[^<]*</a>')) AS BIGINT)
+                             AS n_links,
+                         CAST(length(t) AS BIGINT) AS total_chars,
+                         CAST(length(t) - length(regexp_replace(t,
+                             '<a [^>]*>[^<]*</a>', '', 'g'))
+                             AS BIGINT) AS link_chars
+                  FROM h)
+            SELECT conv_id, turn_idx, n_links, total_chars,
+                   link_chars,
+                   CAST(link_chars AS DOUBLE)
+                   / CAST(GREATEST(total_chars, 1) AS DOUBLE)
+                       AS link_density
+            FROM c ORDER BY 1, 2
+        """,
+        "transcripts_md_structure": f"""
+            WITH m AS (SELECT conv_id,
+                              CAST(turn_idx AS BIGINT) AS turn_idx,
+                              COALESCE(text, '') AS t
+                       FROM {transcripts})
+            SELECT conv_id, turn_idx,
+                   CAST(len(regexp_extract_all(t, '(?m)^#+ '))
+                        AS BIGINT) AS n_headers,
+                   CAST(len(regexp_extract_all(t,
+                       '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT)
+                       AS n_links,
+                   CAST(len(regexp_extract_all(t, '`[^`]+`'))
+                        AS BIGINT) AS n_code_spans
+            FROM m
+            WHERE len(regexp_extract_all(t, '(?m)^#+ ')) > 0
+            ORDER BY 1, 2
+        """,
+        "transcripts_system_prompts": f"""
+            WITH s AS (SELECT md5(COALESCE(text, '')) AS sys_md5,
+                              conv_id
+                       FROM {transcripts} WHERE role = 'system'),
+            g AS (SELECT sys_md5,
+                         CAST(COUNT(*) AS BIGINT) AS n_turns,
+                         CAST(COUNT(DISTINCT conv_id) AS BIGINT)
+                             AS n_convs
+                  FROM s GROUP BY 1)
+            SELECT sys_md5, n_turns, n_convs
+            FROM g ORDER BY n_turns DESC, sys_md5 LIMIT 10
         """,
     }

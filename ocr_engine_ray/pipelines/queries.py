@@ -19532,3 +19532,131 @@ def q_documents_compression_ratio(sf_dir: str) -> Dataset:
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_transcripts_link_density(sf_dir: str) -> Dataset:
+    """Link-density screen over the HTML turns — the Readability/
+    trafilatura-style boilerplate heuristic the flagship extractor
+    applies, exposed as an oracle-checked per-turn report: for every
+    '<!DOCTYPE'-opening turn, the anchor-element character mass
+    (chars consumed by <a …>…</a> spans, via the SAME RE2 pattern in
+    Arrow and DuckDB) over total chars.  Nav-heavy boilerplate turns
+    score high, article-like turns score low.  ONE scan, zero
+    exchanges; the division is the single float."""
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+
+    PAT = r"<a [^>]*>[^<]*</a>"
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        is_html = pc.starts_with(txt, "<!DOCTYPE")
+        f = b.filter(is_html)
+        t = pc.fill_null(f.column("text").combine_chunks(), "")
+        total = pc.utf8_length(t).cast(pa.int64())
+        stripped = pc.utf8_length(
+            pc.replace_substring_regex(t, PAT, "")).cast(pa.int64())
+        n_links = pc.count_substring_regex(t, PAT).cast(pa.int64())
+        tn = total.to_numpy(zero_copy_only=False)
+        sn = stripped.to_numpy(zero_copy_only=False)
+        import numpy as np
+        dens = (tn - sn).astype(np.float64) \
+            / np.maximum(tn, 1).astype(np.float64)
+        return pa.table({
+            "conv_id": f.column("conv_id"),
+            "turn_idx": f.column("turn_idx").cast(pa.int64()),
+            "n_links": n_links,
+            "total_chars": total,
+            "link_chars": pa.array(tn - sn, pa.int64()),
+            "link_density": pa.array(dens, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_transcripts_md_structure(sf_dir: str) -> Dataset:
+    """Markdown structural profile per markdown turn (ATX headers,
+    inline links, code spans — the counts the markdown
+    boilerplate-stripper keys on), for every turn with at least one
+    ATX header line.  The three counters are the SAME RE2 patterns in
+    Arrow and DuckDB; one scan, no exchange, all-integer output."""
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+
+    H = r"(?m)^#+ "
+    L = r"\[[^\]]*\]\([^)]*\)"
+    C = r"`[^`]+`"
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        n_h = pc.count_substring_regex(txt, H).cast(pa.int64())
+        keep = pc.greater(n_h, 0)
+        f = b.filter(keep)
+        t = pc.fill_null(f.column("text").combine_chunks(), "")
+        return pa.table({
+            "conv_id": f.column("conv_id"),
+            "turn_idx": f.column("turn_idx").cast(pa.int64()),
+            "n_headers": pc.count_substring_regex(t, H)
+            .cast(pa.int64()),
+            "n_links": pc.count_substring_regex(t, L)
+            .cast(pa.int64()),
+            "n_code_spans": pc.count_substring_regex(t, C)
+            .cast(pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_transcripts_system_prompts(sf_dir: str) -> Dataset:
+    """Top-10 repeated system prompts — the boilerplate census a
+    transcript pipeline runs before deciding what to strip or dedup:
+    system turns keyed by md5(text), ranked by turn count (ties on
+    the digest).  The (digest, conv) grid is bounded (distinct system
+    prompts × conversations); ONE tree combine, then the per-digest
+    fold and the top-10 slice on the single combined block.  md5 runs
+    per DISTINCT text via dictionary encoding, not per row."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "role", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("role"), "system"))
+        txt = pc.fill_null(f.column("text").combine_chunks(), "")
+        d = txt.dictionary_encode()
+        uniq = [hashlib.md5(
+            (s or "").encode("utf-8")).hexdigest()
+            for s in d.dictionary.to_pylist()]
+        md5s = np.asarray(uniq, dtype=object)[
+            d.indices.to_numpy(zero_copy_only=False)] \
+            if f.num_rows else np.array([], dtype=object)
+        t = pa.table({
+            "sys_md5": pa.array(list(md5s), pa.string()),
+            "conv_id": f.column("conv_id"),
+            "one": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+        g = t.group_by(["sys_md5", "conv_id"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["sys_md5", "conv_id", "p_n"])
+
+    grid = _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["sys_md5", "conv_id"], [("p_n", "sum")],
+        ["sys_md5", "conv_id", "p_n"], ["sys_md5", "conv_id", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = b.group_by("sys_md5").aggregate(
+            [("n", "sum"), ("conv_id", "count")])
+        g = g.rename_columns(["sys_md5", "n_turns", "n_convs"])
+        g = g.sort_by([("n_turns", "descending"),
+                       ("sys_md5", "ascending")]).slice(0, 10)
+        return pa.table({
+            "sys_md5": g.column("sys_md5"),
+            "n_turns": g.column("n_turns").cast(pa.int64()),
+            "n_convs": g.column("n_convs").cast(pa.int64()),
+        })
+
+    return grid.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)

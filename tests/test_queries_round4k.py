@@ -820,3 +820,90 @@ def test_compression_ratio_zlib_parity(ray_session, tmp_path):
     assert rows[1]["ratio"] < 0.1      # template spam compresses away
     assert rows[2]["ratio"] > 0.5      # short natural text doesn't
     assert rows[3]["ratio"] == 1.0     # empty-doc convention
+
+
+# ---------------------------------------------------------------------------
+# session-12 wave 7: link density, md structure, system prompts
+# ---------------------------------------------------------------------------
+
+def _write_transcript_synth_override():
+    """Wave-7 transcripts queries read the derived synth corpus; the
+    planted tests therefore assert against a Python re reference on
+    that same corpus rather than a tmp table."""
+
+
+def test_link_density_python_reference(ray_session):
+    import re as _re
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_link_density,
+    )
+
+    df = _synth_df()
+    html = df[df["text"].fillna("").str.startswith("<!DOCTYPE")]
+    pat = _re.compile(r"<a [^>]*>[^<]*</a>")
+    rows = q_transcripts_link_density(
+        "/root/testdata/sf0.001").take_all()
+    assert len(rows) == len(html)
+    by = {}
+    for _, r in html.iterrows():
+        t = r["text"]
+        stripped = pat.sub("", t)
+        by.setdefault((r["conv_id"], r["turn_idx"]), []).append(
+            (len(pat.findall(t)), len(t), len(t) - len(stripped)))
+    for r in rows:
+        assert (r["n_links"], r["total_chars"], r["link_chars"]) \
+            in by[(r["conv_id"], r["turn_idx"])]
+        assert r["link_density"] == float(r["link_chars"]) / float(
+            max(r["total_chars"], 1))
+        # boilerplate-heavy synth HTML: nav links must be detected
+        assert r["n_links"] >= 1
+
+
+def test_md_structure_python_reference(ray_session):
+    import re as _re
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_md_structure,
+    )
+
+    df = _synth_df()
+    h = _re.compile(r"^#+ ", _re.M)
+    link = _re.compile(r"\[[^\]]*\]\([^)]*\)")
+    code = _re.compile(r"`[^`]+`")
+    md = df[df["text"].fillna("").apply(lambda t: bool(h.search(t)))]
+    rows = q_transcripts_md_structure(
+        "/root/testdata/sf0.001").take_all()
+    assert len(rows) == len(md)
+    by = {}
+    for _, r in md.iterrows():
+        t = r["text"]
+        by.setdefault((r["conv_id"], r["turn_idx"]), []).append(
+            (len(h.findall(t)), len(link.findall(t)),
+             len(code.findall(t))))
+    for r in rows:
+        assert (r["n_headers"], r["n_links"], r["n_code_spans"]) \
+            in by[(r["conv_id"], r["turn_idx"])]
+
+
+def test_system_prompts_python_reference(ray_session):
+    import hashlib
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_system_prompts,
+    )
+
+    df = _synth_df()
+    sysd = df[df["role"] == "system"].copy()
+    sysd["md5"] = sysd["text"].fillna("").apply(
+        lambda t: hashlib.md5(t.encode()).hexdigest())
+    agg = sysd.groupby("md5").agg(
+        n_turns=("md5", "size"), n_convs=("conv_id", "nunique"))
+    top = agg.sort_values(["n_turns", "md5"],
+                          ascending=[False, True]).head(10)
+    rows = q_transcripts_system_prompts(
+        "/root/testdata/sf0.001").take_all()
+    got = [(r["sys_md5"], r["n_turns"], r["n_convs"]) for r in rows]
+    exp = [(i, int(r["n_turns"]), int(r["n_convs"]))
+           for i, r in top.iterrows()]
+    assert got == exp
