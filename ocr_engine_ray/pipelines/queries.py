@@ -3902,31 +3902,36 @@ def q_events_approx_distinct_per_type(sf_dir: str) -> pa.Table:
 def _pair_combine(pairs: Dataset, keys: list[str], out: str,
                   pcol: str = "p_c") -> Dataset:
     """Adaptive pair-count combine shared by the similarity/graph
-    kernels.  The decision that matters is NOT the raw pair count but
-    the size of the table the final combine task must hold — so the
-    per-block partial aggregation (which collapses each block's
-    repeated keys) runs FIRST, and the tree-vs-shuffle choice gates on
-    the POST-partial row count.  The old raw-count gate sent the
-    sf0.01 co-purchase wedge table (13.8M raw rows, 2.0M distinct
-    pairs) down Ray's sort-shuffle Aggregate: 156 s; the tree path on
-    the same partials runs in seconds.  ``pairs`` must be
+    kernels: tree (Arrow group_by passes, width 16, one final task)
+    while the raw pair table fits the final task's budget, else the
+    map-side-partial sort-shuffle.  The cap is 20M (was 5M): a
+    first-level comb pass collapses each block's repeated keys, so
+    the final task sees far fewer rows than the raw count — the
+    sf0.01 co-purchase wedge table (13.8M raw, 2.0M distinct) ran
+    156 s on the shuffle and runs in seconds on the tree.  Do NOT
+    materialize a separate partial pass before the shuffle branch: at
+    sf0.1 (148M wedge rows) that extra materialization made the
+    shuffle strictly slower (measured this round).  ``pairs`` must be
     materialized (it is counted and then consumed)."""
-    PAIR_TREE_MAX = 20_000_000  # rows the single final task may see
+    PAIR_TREE_MAX = 20_000_000
     partial_names = keys + [pcol]
-
-    def pair_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(keys).aggregate([(pcol, "sum")])
-        return g.rename_columns(partial_names)
-
-    partials = pairs.map_batches(pair_partial,
-                                 batch_format="pyarrow").materialize()
-    if partials.count() <= PAIR_TREE_MAX:
-        combined = _tree_combine(partials, keys, [(pcol, "sum")],
+    if pairs.count() <= PAIR_TREE_MAX:
+        # tree: its first comb pass IS the per-block partial agg, so no
+        # separate materialization — 13.8M raw / 2.0M distinct at
+        # sf0.01 runs in seconds here vs 156 s on the sort-shuffle
+        combined = _tree_combine(pairs, keys, [(pcol, "sum")],
                                  partial_names, keys + [out],
                                  width=16)
     else:
-        combined = partials.groupby(keys).aggregate(
-            Sum(pcol, alias_name=out))
+        # beyond what one final tree task should hold: map-side partial
+        # fused into the shuffle (no extra materialization pass)
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(keys).aggregate([(pcol, "sum")])
+            return g.rename_columns(partial_names)
+
+        combined = pairs.map_batches(pair_partial,
+                                     batch_format="pyarrow") \
+            .groupby(keys).aggregate(Sum(pcol, alias_name=out))
     return with_schema(combined, pa.schema(
         [(k, pa.int64()) for k in keys] + [(out, pa.int64())]))
 
