@@ -934,10 +934,13 @@ def q_events_asof_join(sf_dir: str) -> Dataset:
     """As-of join (custom operator the Dataset API lacks natively,
     SURVEY 'custom operators' path (a)): for every purchase, the most
     recent 'view' event by the same user at or before the purchase ts.
-    Composition: filter both sides → groupby(user_id) → pandas
-    merge_asof inside map_groups (per-key sorted merge; the partitioning
-    assumption is user_id co-location, provided by the groupby)."""
-    import pandas as pd
+    Composition: filter both sides → groupby(user_id) → vectorized
+    backward searchsorted inside map_groups (per-key sorted merge —
+    the same semantics pandas merge_asof computed here until r5, now
+    Arrow/numpy so the catalog's pandas batch_format count is zero;
+    the partitioning assumption is user_id co-location, provided by
+    the groupby)."""
+    import numpy as np
 
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "ts", "event_type"])
@@ -946,21 +949,46 @@ def q_events_asof_join(sf_dir: str) -> Dataset:
                                     value_set=pa.array(["purchase", "view"]))),
         batch_format="pyarrow")
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g.event_type == "purchase"].sort_values("ts")
-        right = g[g.event_type == "view"].sort_values("ts")
-        if left.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "ts",
-                                         "prior_view_event_id", "prior_view_ts"])
-        merged = pd.merge_asof(
-            left[["event_id", "user_id", "ts"]],
-            right[["event_id", "ts"]].rename(
-                columns={"event_id": "prior_view_event_id",
-                         "ts": "prior_view_ts"}),
-            left_on="ts", right_on="prior_view_ts", direction="backward")
-        return merged
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "prior_view_event_id": pa.array([], pa.int64()),
+        "prior_view_ts": pa.array([], pa.timestamp("us")),
+    })
 
-    out = both.groupby("user_id").map_groups(asof, batch_format="pandas")
+    def asof(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")
+        lt = g.filter(pc.equal(et, "purchase"))
+        if lt.num_rows == 0:
+            return empty
+        rt = g.filter(pc.equal(et, "view"))
+        lts = lt.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rts = rt.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ro = np.argsort(rts, kind="stable")
+        rts_s = rts[ro]
+        rid_s = rt.column("event_id") \
+            .to_numpy(zero_copy_only=False)[ro]
+        # backward as-of: last view with ts ≤ purchase ts (ties take
+        # the later sorted row — merge_asof's backward convention)
+        idx = np.searchsorted(rts_s, lts, side="right") - 1
+        miss = idx < 0
+        safe = np.maximum(idx, 0)
+        return pa.table({
+            "event_id": lt.column("event_id"),
+            "user_id": lt.column("user_id"),
+            "ts": lt.column("ts"),
+            "prior_view_event_id": pa.array(rid_s[safe], pa.int64(),
+                                            mask=miss),
+            "prior_view_ts": pa.array(rts_s[safe], pa.int64(),
+                                      mask=miss)
+            .cast(pa.timestamp("us")),
+        })
+
+    out = both.groupby("user_id").map_groups(asof,
+                                             batch_format="pyarrow")
     # normalize dtypes for the hash compare (prior_* nullable)
     def cast(b: pa.Table) -> pa.Table:
         return b.cast(pa.schema([
@@ -10581,7 +10609,11 @@ def q_parts_copurchase_triangles(sf_dir: str) -> Dataset:
 
     def tri_group(g: pa.Table) -> pa.Table:
         nb = np.sort(g.column("id_b").to_numpy(zero_copy_only=False))
-        if len(nb) < 2:
+        # oriented out-degree cap: a hub center would triu-expand
+        # O(deg²) keys in ONE task (see WEDGE_DEG_CAP) — drop loudly,
+        # triangle count truncates visibly, oracle corpora unaffected
+        if len(nb) < 2 or _df_capped(
+                g, len(nb), WEDGE_DEG_CAP, "triangles_wedges", "id_a"):
             return pa.table({"p_t": pa.array([], pa.int64())})
         ek = ray.get(ekeys_ref)
         i, j = np.triu_indices(len(nb), k=1)
@@ -17842,75 +17874,286 @@ def q_events_lorenz_deciles(sf_dir: str) -> Dataset:
     }))
 
 
+#: Hub-degree cap for the graph wedge/2-hop kernels (linkpred /
+#: Adamic-Adar / edge-Jaccard / triangles).  The same failure mode
+#: :data:`SHINGLE_DF_CAP` closes for shingles exists in every graph
+#: kernel that expands a node's neighborhood: a hub with degree 100k
+#: would emit 5×10⁹ pairs (triu) or gather 10⁹+ 2-hop candidates from
+#: ONE group/row — O(deg²) rows and memory from a single task.  A node
+#: above the cap contributes no wedges/candidates and is dropped with
+#: the `_df_capped` loud-log discipline (never silent).  10_000² / 2 =
+#: 5×10⁷ pairs bounds the worst group; the oracle corpora sit ~45×
+#: below the cap (max co-purchase degree 222 at sf0.1), so every [SQL]
+#: twin is bit-exact at all three scales.  Truncation is path-local:
+#: the broadcast 2-hop kernel caps the ENDPOINT degree, the shuffle
+#: fallback caps the wedge CENTER degree.
+WEDGE_DEG_CAP = 10_000
+
+#: Per-endpoint 2-hop gather cap for the broadcast kernel: even below
+#: the degree cap, Σ_{z∈N(a)} deg(z) can blow up when every neighbor
+#: is itself a hub.  20M int64 candidates ≈ 160 MB bounds one node's
+#: gather; drops are loud-logged like stop shingles.
+TWO_HOP_GATHER_CAP = 20_000_000
+
+#: Max distinct edges for the broadcast-adjacency graph kernels
+#: (linkpred / adamic_adar primary path; the ekeys membership probes).
+#: The CSR adjacency is driver-built then ray.put once (read zero-copy
+#: by every task — one copy per NODE on a real cluster, the
+#: ANN-centroid / kmeans pattern): 2E int64 dst + E-node offsets ≈
+#: 1.6 GB at 100M edges, the practical per-node bound.  Beyond it the
+#: kernels fall back to the shuffle plan (wedge expansion + fused
+#: edge-tag anti-join in ONE pair-key exchange — no driver edge
+#: materialization at all), the same adaptivity discipline as
+#: dedup's cache_hashed.
+EDGE_BROADCAST_MAX = 100_000_000
+
+
+def _adj_csr(edges: Dataset):
+    """Driver-side CSR adjacency of the distinct (id_a < id_b) edge
+    set: sorted ``node_ids``, ``offsets`` (len n+1), ``dst`` (2E,
+    per-row sorted), ``deg``.  O(E) driver memory — callers must gate
+    on :data:`EDGE_BROADCAST_MAX` (see there for the fallback)."""
+    import numpy as np
+
+    tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        z = np.array([], np.int64)
+        return z, np.zeros(1, np.int64), z, z
+    ea = np.concatenate([t.column("id_a").to_numpy(zero_copy_only=False)
+                         for t in tabs])
+    eb = np.concatenate([t.column("id_b").to_numpy(zero_copy_only=False)
+                         for t in tabs])
+    src = np.concatenate([ea, eb])
+    dst = np.concatenate([eb, ea])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    node_ids, deg = np.unique(src, return_counts=True)
+    offsets = np.zeros(len(node_ids) + 1, np.int64)
+    np.cumsum(deg, out=offsets[1:])
+    return node_ids, offsets, dst.astype(np.int64, copy=False), deg
+
+
+def _two_hop_topk_broadcast(edges: Dataset, k: int,
+                            weighted: bool) -> Dataset:
+    """Per-endpoint top-k non-adjacent common-neighbor candidates via
+    a broadcast CSR adjacency — the kernel linkpred and Adamic-Adar
+    share.  For each node a (node table partitioned into row blocks),
+    the multiset {b ∈ N(z) : z ∈ N(a)} counts b with multiplicity
+    cn(a, b) — each pair's TOTAL count materializes in ONE task, so a
+    per-group top-k prune is exact and only ≤k rows per node ever
+    move.  This replaces the Σdeg² open-wedge exchange (148M rows,
+    709 s at sf0.1) with compute-local numpy: the only exchanges left
+    are the node-block fan-out and ≤ n·k candidate rows.  Pair (a,b)
+    is emitted once, in min(a,b)'s block (the b > a filter); edges are
+    excluded in-block via the sorted N(a) probe; ordering ties break
+    (score desc, id_a, id_b) exactly like the twin — a pair cut by its
+    group's top-k is beaten by ≥k pairs that also beat it globally.
+    ``weighted`` adds the Adamic-Adar sum with the per-center weight
+    round(1e12/ln deg z) quantized ONCE per node on the driver (same
+    scaled_int_sql value as the per-group quantization it replaces).
+    Hub safety: endpoints above :data:`WEDGE_DEG_CAP` and gathers
+    above :data:`TWO_HOP_GATHER_CAP` drop loudly."""
+    import logging
+
+    import numpy as np
+
+    names = (["id_a", "id_b", "aa_q", "common_neighbors"] if weighted
+             else ["id_a", "id_b", "common_neighbors"])
+    empty = pa.table({n: pa.array([], pa.int64()) for n in names})
+
+    node_ids, offsets, dst, deg = _adj_csr(edges)
+    if len(node_ids) == 0:
+        return rd.from_arrow(empty)
+    wq = None
+    if weighted:
+        lnv = np.log(np.maximum(deg, 2).astype(np.float64))
+        wq = scaled_int_sql(1e12 / lnv, 1.0)
+        wq[deg < 2] = 0  # deg-1 centers generate no wedges
+    csr_ref = ray.put((node_ids, offsets, dst, wq))
+
+    def block(b: pa.Table) -> pa.Table:
+        ids_, off_, dst_, wq_ = ray.get(csr_ref)
+        acc: dict[str, list] = {n: [] for n in names}
+        log = logging.getLogger(__name__)
+        for a in b.column("a").to_numpy(zero_copy_only=False):
+            ai = int(np.searchsorted(ids_, a))
+            nb = dst_[off_[ai]:off_[ai + 1]]  # sorted neighbors of a
+            if len(nb) < 1:
+                continue
+            if len(nb) > WEDGE_DEG_CAP:
+                log.warning(
+                    "two_hop_topk: hub endpoint dropped (deg=%d > "
+                    "WEDGE_DEG_CAP=%d, node=%d): its candidate pairs "
+                    "are truncated; raise the cap for exact-on-hubs "
+                    "semantics", len(nb), WEDGE_DEG_CAP, int(a))
+                continue
+            zi = np.searchsorted(ids_, nb)
+            lens = off_[zi + 1] - off_[zi]
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            if total > TWO_HOP_GATHER_CAP:
+                log.warning(
+                    "two_hop_topk: 2-hop gather dropped (%d > cap=%d, "
+                    "node=%d)", total, TWO_HOP_GATHER_CAP, int(a))
+                continue
+            cs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=cs[1:])
+            flat = (np.arange(total, dtype=np.int64)
+                    - np.repeat(cs[:-1], lens)
+                    + np.repeat(off_[zi], lens))
+            cand = dst_[flat]
+            o = np.argsort(cand, kind="stable")
+            c = cand[o]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(c)) + 1])
+            ub = c[starts]
+            cnt = np.diff(np.concatenate([starts, [len(c)]]))
+            # drop b ≤ a (dedupe to the smaller endpoint; b == a is
+            # a itself, reached through every z) and existing edges
+            # (b ∈ sorted N(a) probe — the linkpred non-edge filter,
+            # now in-block)
+            pos = np.searchsorted(nb, ub)
+            is_edge = (pos < len(nb)) & (
+                nb[np.minimum(pos, len(nb) - 1)] == ub)
+            keep = np.flatnonzero((ub > a) & ~is_edge)
+            if keep.size == 0:
+                continue
+            bsel, csel = ub[keep], cnt[keep]
+            if weighted:
+                w = np.repeat(wq_[zi], lens)[o]
+                aa = np.add.reduceat(w, starts)[keep]
+                score = aa
+            else:
+                score = csel
+            top = np.lexsort((bsel, -score))[:k]
+            acc["id_a"].append(np.full(len(top), a, np.int64))
+            acc["id_b"].append(bsel[top])
+            acc["common_neighbors"].append(csel[top])
+            if weighted:
+                acc["aa_q"].append(aa[top])
+        if not acc["id_a"]:
+            return empty
+        return pa.table({n: pa.array(
+            np.concatenate(acc[n]).astype(np.int64), pa.int64())
+            for n in names})
+
+    nparts = int(min(128, max(1, len(node_ids))))
+    nodes = rd.from_arrow(pa.table({
+        "a": pa.array(node_ids, pa.int64())})).repartition(nparts)
+    return nodes.map_batches(block, batch_format="pyarrow")
+
+
+def _two_hop_candidates_shuffle(edges: Dataset,
+                                weighted: bool) -> Dataset:
+    """Shuffle fallback for the 2-hop kernels when the edge set
+    exceeds :data:`EDGE_BROADCAST_MAX`: per-center wedge expansion
+    (capped at :data:`WEDGE_DEG_CAP`) UNIONED with edge-tag rows so
+    the non-edge filter rides the SAME pair-key exchange as the count
+    combine (no driver-side edge materialization, no broadcast probe
+    — the anti-join is fused into the aggregate).  Emits the full
+    non-adjacent candidate table; callers local-prune with
+    _topk_combine, so only k rows per block survive the final pass."""
+    import numpy as np
+
+    kernel = "adamic_adar" if weighted else "linkpred"
+    pcols = ["p_c", "p_e"] + (["p_w"] if weighted else [])
+    partial_names = ["id_a", "id_b"] + pcols
+    final_names = ["id_a", "id_b", "common_neighbors", "n_edge"] + \
+        (["aa_q"] if weighted else [])
+    out_names = (["id_a", "id_b", "aa_q", "common_neighbors"]
+                 if weighted else ["id_a", "id_b", "common_neighbors"])
+    empty = pa.table({n: pa.array([], pa.int64())
+                      for n in partial_names})
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").combine_chunks()
+        c = b.column("id_b").combine_chunks()
+        return pa.table({"ctr": pa.concat_arrays([a, c]),
+                         "nbr": pa.concat_arrays([c, a])})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or _df_capped(
+                g, g.num_rows, WEDGE_DEG_CAP, kernel + "_wedges",
+                "ctr"):
+            return empty
+        nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
+        i, j = np.triu_indices(len(nb), k=1)
+        cols = {"id_a": pa.array(nb[i], pa.int64()),
+                "id_b": pa.array(nb[j], pa.int64()),
+                "p_c": pa.array(np.ones(len(i), np.int64)),
+                "p_e": pa.array(np.zeros(len(i), np.int64))}
+        if weighted:
+            w = int(scaled_int_sql(
+                np.array([1e12 / np.log(float(len(nb)))]), 1.0)[0])
+            cols["p_w"] = pa.array(np.full(len(i), w, np.int64))
+        return pa.table(cols)
+
+    def edge_tag(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        cols = {"id_a": b.column("id_a"), "id_b": b.column("id_b"),
+                "p_c": z, "p_e": pa.array(
+                    np.ones(b.num_rows, np.int64))}
+        if weighted:
+            cols["p_w"] = z
+        return pa.table(cols)
+
+    pairs = edges.map_batches(sym, batch_format="pyarrow") \
+        .groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
+        .union(edges.map_batches(edge_tag, batch_format="pyarrow")) \
+        .materialize()
+
+    aggs = [(c, "sum") for c in pcols]
+    PAIR_TREE_MAX = 20_000_000  # _pair_combine's measured cap
+    if pairs.count() <= PAIR_TREE_MAX:
+        combined = _tree_combine(pairs, ["id_a", "id_b"], aggs,
+                                 partial_names, final_names, width=16)
+    else:
+        def pair_partial(b: pa.Table) -> pa.Table:
+            g = b.group_by(["id_a", "id_b"]).aggregate(aggs)
+            return g.rename_columns(partial_names)
+
+        ray_aggs = [Sum("p_c", alias_name="common_neighbors"),
+                    Sum("p_e", alias_name="n_edge")] + \
+            ([Sum("p_w", alias_name="aa_q")] if weighted else [])
+        combined = pairs.map_batches(
+            pair_partial, batch_format="pyarrow") \
+            .groupby(["id_a", "id_b"]).aggregate(*ray_aggs)
+    combined = with_schema(combined, pa.schema(
+        [(n, pa.int64()) for n in final_names]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("n_edge"),
+                              pa.scalar(0, pa.int64())))
+        return f.select(out_names)
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_parts_copurchase_linkpred(sf_dir: str) -> Dataset:
     """Common-neighbor link prediction over the part co-purchase
     graph: the 20 strongest NOT-yet-connected pairs by shared
     neighbors — the classic "customers who bought these also
-    bought…" candidate generator.  Plan: symmetrize the distinct edge
-    set, generate each open wedge IN-GROUP per center (the triangle
-    query's expansion shape; Σdeg² rows but only (pair, 1) partials
-    leave the task), adaptive pair combine, then drop pairs that are
-    already edges with the broadcast sorted-key membership probe
-    (ray.put once, searchsorted per batch — never a join), and a
-    local-prune top-k (only each block's top 20 moves).  Ties at the
-    cut break by (id_a, id_b) exactly like the twin's ORDER BY."""
-    import numpy as np
-
+    bought…" candidate generator.  Primary plan (edges ≤
+    :data:`EDGE_BROADCAST_MAX`): the broadcast-CSR 2-hop kernel —
+    each pair's full count computed locally in its smaller endpoint's
+    node block, in-block non-edge filter and local top-20, so only
+    ≤20 rows per node move (was: a 148M-row Σdeg² wedge exchange,
+    709 s at sf0.1).  Beyond the broadcast bound: the shuffle
+    fallback (capped wedge expansion + fused edge-tag anti-join).
+    Ties at the cut break by (id_a, id_b) exactly like the twin's
+    ORDER BY."""
     edges = _copurchase_edges(sf_dir)
     n_edges = edges.count()
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "p_c": pa.array([], pa.int64())})
     if n_edges == 0:
         return rd.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64()),
             "common_neighbors": pa.array([], pa.int64()),
         }))
-
-    ekeys = np.sort(np.concatenate([
-        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
-            np.int64) << 32)
-        | t.column("id_b").to_numpy(zero_copy_only=False)
-        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
-    ]))
-    ekeys_ref = ray.put(ekeys)
-
-    def sym(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").combine_chunks()
-        c = b.column("id_b").combine_chunks()
-        return pa.table({
-            "ctr": pa.concat_arrays([a, c]),
-            "nbr": pa.concat_arrays([c, a]),
-        })
-
-    def wedges(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
-            return empty
-        nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
-        i, j = np.triu_indices(len(nb), k=1)
-        return pa.table({"id_a": pa.array(nb[i], pa.int64()),
-                         "id_b": pa.array(nb[j], pa.int64()),
-                         "p_c": pa.array(np.ones(len(i), np.int64))})
-
-    pairs = edges.map_batches(sym, batch_format="pyarrow") \
-        .groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
-        .materialize()
-    cn = _pair_combine(pairs, ["id_a", "id_b"], "common_neighbors")
-
-    def nonedge(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        ek = ray.get(ekeys_ref)
-        keys = (b.column("id_a").to_numpy(zero_copy_only=False)
-                .astype(np.int64) << 32) \
-            | b.column("id_b").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ek, keys)
-        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
-                                 == keys)
-        return b.filter(pa.array(~hit))
-
-    cand = cn.map_batches(nonedge, batch_format="pyarrow")
+    cand = (_two_hop_topk_broadcast(edges, 20, weighted=False)
+            if n_edges <= EDGE_BROADCAST_MAX
+            else _two_hop_candidates_shuffle(edges, weighted=False))
     return _topk_combine(cand, sorted_topk(
         [("common_neighbors", "descending"), ("id_a", "ascending"),
          ("id_b", "ascending")], 20))
@@ -18210,100 +18453,24 @@ def q_parts_copurchase_adamic_adar(sf_dir: str) -> Dataset:
     the common-neighbor score reweighted so rare hubs count more
     (AA(a,b) = Σ_{z∈N(a)∩N(b)} 1/ln deg z): top 20 non-adjacent pairs.
     Exactness: the per-center weight 1e12/ln(deg) is quantized to an
-    int64 (DuckDB ROUND semantics via scaled_int_sql) INSIDE the
-    wedge expansion — deg(center) is simply the group size, so no
-    degree broadcast is needed — and the pair score is then an
-    order-independent integer sum.  Same plan as linkpred: in-group
-    wedge expansion, adaptive pair combine, broadcast sorted-edge-key
-    non-edge filter, local-prune top-k.  int64 headroom: 1e12/ln 2 ≈
-    1.4e12 per wedge — ~6M shared centers per pair before overflow."""
-    import numpy as np
-
-    edges = _copurchase_edges(sf_dir)
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "p_w": pa.array([], pa.int64()),
-                      "p_c": pa.array([], pa.int64())})
-    out_empty = pa.table({
-        "id_a": pa.array([], pa.int64()),
-        "id_b": pa.array([], pa.int64()),
-        "common_neighbors": pa.array([], pa.int64()),
-        "aa_q": pa.array([], pa.int64()),
-    })
-    if edges.count() == 0:
-        return rd.from_arrow(out_empty)
-
-    ekeys = np.sort(np.concatenate([
-        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
-            np.int64) << 32)
-        | t.column("id_b").to_numpy(zero_copy_only=False)
-        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
-    ]))
-    ekeys_ref = ray.put(ekeys)
-
-    def sym(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").combine_chunks()
-        c = b.column("id_b").combine_chunks()
-        return pa.table({
-            "ctr": pa.concat_arrays([a, c]),
-            "nbr": pa.concat_arrays([c, a]),
-        })
-
-    def wedges(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
-            return empty
-        nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
-        wq = int(scaled_int_sql(
-            np.array([1e12 / np.log(float(len(nb)))]), 1.0)[0])
-        i, j = np.triu_indices(len(nb), k=1)
-        return pa.table({
-            "id_a": pa.array(nb[i], pa.int64()),
-            "id_b": pa.array(nb[j], pa.int64()),
-            "p_w": pa.array(np.full(len(i), wq, np.int64)),
-            "p_c": pa.array(np.ones(len(i), np.int64)),
-        })
-
-    pairs = edges.map_batches(sym, batch_format="pyarrow") \
-        .groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
-        .materialize()
-
-    # adaptive 2-column pair combine (the _pair_combine plan, two sums)
-    PAIR_TREE_MAX = 5_000_000
+    int64 (DuckDB ROUND semantics via scaled_int_sql) once per node,
+    and the pair score is an order-independent integer sum — int64
+    headroom 1e12/ln 2 ≈ 1.4e12 per wedge, ~6M shared centers per
+    pair before overflow.  Same adaptive plan as linkpred: the
+    broadcast-CSR 2-hop kernel (weighted multiset counts, per-group
+    local top-20) while edges fit :data:`EDGE_BROADCAST_MAX`, else
+    the capped wedge-expansion shuffle with the fused edge-tag
+    anti-join."""
     names = ["id_a", "id_b", "aa_q", "common_neighbors"]
-    if pairs.count() <= PAIR_TREE_MAX:
-        cn = _tree_combine(pairs, ["id_a", "id_b"],
-                           [("p_w", "sum"), ("p_c", "sum")],
-                           ["id_a", "id_b", "p_w", "p_c"], names)
-    else:
-        def pair_partial(b: pa.Table) -> pa.Table:
-            g = b.group_by(["id_a", "id_b"]).aggregate(
-                [("p_w", "sum"), ("p_c", "sum")])
-            return g.rename_columns(["id_a", "id_b", "p_w", "p_c"])
-
-        cn = with_schema(
-            pairs.map_batches(pair_partial, batch_format="pyarrow")
-            .groupby(["id_a", "id_b"])
-            .aggregate(Sum("p_w", alias_name="aa_q"),
-                       Sum("p_c", alias_name="common_neighbors")),
-            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                       ("aa_q", pa.int64()),
-                       ("common_neighbors", pa.int64())]))
-
-    def nonedge(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        ek = ray.get(ekeys_ref)
-        keys = (b.column("id_a").to_numpy(zero_copy_only=False)
-                .astype(np.int64) << 32) \
-            | b.column("id_b").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ek, keys)
-        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)]
-                                 == keys)
-        return b.filter(pa.array(~hit))
-
-    cand = cn.map_batches(nonedge, batch_format="pyarrow") \
-        .select_columns(names)
-    return _topk_combine(cand, sorted_topk(
+    edges = _copurchase_edges(sf_dir)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            n: pa.array([], pa.int64()) for n in names}))
+    cand = (_two_hop_topk_broadcast(edges, 20, weighted=True)
+            if n_edges <= EDGE_BROADCAST_MAX
+            else _two_hop_candidates_shuffle(edges, weighted=True))
+    return _topk_combine(cand.select_columns(names), sorted_topk(
         [("aa_q", "descending"), ("id_a", "ascending"),
          ("id_b", "ascending")], 20))
 
@@ -18998,7 +19165,11 @@ def q_parts_copurchase_edge_jaccard(sf_dir: str) -> Dataset:
         # exchanges one row per (edge, shared center) — triangle
         # slots — instead of the full Σdeg² open-wedge table, which
         # measured 148M rows at sf0.1 and dominated the wall.
-        if g.num_rows < 2:
+        # Hub centers drop loudly (O(deg²) from one group — see
+        # WEDGE_DEG_CAP; oracle corpora sit ~45× below the cap).
+        if g.num_rows < 2 or _df_capped(
+                g, g.num_rows, WEDGE_DEG_CAP, "edge_jaccard_wedges",
+                "ctr"):
             return empty
         ek = ray.get(ekeys_ref)
         nb = np.sort(g.column("nbr").to_numpy(zero_copy_only=False))
@@ -19288,15 +19459,20 @@ def q_embeddings_kcenter(sf_dir: str) -> Dataset:
     K = 8
     centers: list[int] = [0]
     # center vectors live on the driver (k × d — tiny); the corpus
-    # streams per round
-    ctr_rows = ds.filter(lambda r: r["vec_id"] == 0).take_all()
-    if not ctr_rows:
+    # streams per round.  Seed vector via ONE vectorized Arrow-mask
+    # pass (was: per-row Python ds.filter(lambda) — r5 perf fix)
+    seed = _small_table(ds.map_batches(
+        lambda b: b.filter(pc.equal(
+            b.column("vec_id"), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow"))
+    if seed is None or seed.num_rows == 0:
         return rd.from_arrow(pa.table({
             "step": pa.array([], pa.int64()),
             "vec_id": pa.array([], pa.int64()),
             "dist_q": pa.array([], pa.int64()),
         }))
-    ctr_vecs = [np.asarray(ctr_rows[0]["embedding"], np.float64)]
+    ctr_vecs = [np.asarray(seed.column("embedding")[0].as_py(),
+                           np.float64)]
     out_steps, out_ids, out_d = [0], [0], [0]
 
     for step in range(1, K):
@@ -19312,9 +19488,14 @@ def q_embeddings_kcenter(sf_dir: str) -> Dataset:
                   + (c * c).sum(1)[None, :]).min(1)
             dq = scaled_int_sql(d2, 1e6)
             i = int(np.lexsort((ids, -dq))[0])  # max dq, min id
+            # carry the winner's VECTOR with the candidate row so the
+            # driver never re-scans the corpus for it (was: a per-row
+            # Python ds.filter(lambda) full scan per round — r5 fix)
             return pa.table({
                 "vec_id": pa.array([int(ids[i])], pa.int64()),
                 "dq": pa.array([int(dq[i])], pa.int64()),
+                "embedding": b.column("embedding").combine_chunks()
+                .take(pa.array([i], pa.int64())),
             })
 
         cand = _small_table(ds.map_batches(far_partial,
@@ -19323,8 +19504,8 @@ def q_embeddings_kcenter(sf_dir: str) -> Dataset:
         dq = cand.column("dq").to_numpy(zero_copy_only=False)
         best = int(np.lexsort((ids, -dq))[0])
         bid, bdq = int(ids[best]), int(dq[best])
-        rows = ds.filter(lambda r, b=bid: r["vec_id"] == b).take_all()
-        ctr_vecs.append(np.asarray(rows[0]["embedding"], np.float64))
+        ctr_vecs.append(np.asarray(
+            cand.column("embedding")[best].as_py(), np.float64))
         centers.append(bid)
         out_steps.append(step)
         out_ids.append(bid)
