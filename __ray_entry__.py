@@ -614,6 +614,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_link_density": q.q_transcripts_link_density,
         "transcripts_md_structure": q.q_transcripts_md_structure,
         "transcripts_system_prompts": q.q_transcripts_system_prompts,
+        "transcripts_turn_integrity": q.q_transcripts_turn_integrity,
+        "transcripts_conv_prefix_groups":
+            q.q_transcripts_conv_prefix_groups,
+        "transcripts_loop_runs": q.q_transcripts_loop_runs,
+        "transcripts_tool_latency_quantiles":
+            q.q_transcripts_tool_latency_quantiles,
+        "transcripts_anchor_spans": q.q_transcripts_anchor_spans,
     }
 
 
@@ -7051,5 +7058,101 @@ def oracle_sql() -> dict[str, str]:
                   FROM s GROUP BY 1)
             SELECT sys_md5, n_turns, n_convs
             FROM g ORDER BY n_turns DESC, sys_md5 LIMIT 10
+        """,
+        "transcripts_turn_integrity": f"""
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT turn_idx) AS BIGINT)
+                       AS n_distinct,
+                   CAST(MIN(turn_idx) AS BIGINT) AS min_idx,
+                   CAST(MAX(turn_idx) AS BIGINT) AS max_idx,
+                   CAST(MAX(turn_idx) - MIN(turn_idx) + 1
+                        - COUNT(DISTINCT turn_idx) AS BIGINT)
+                       AS n_gaps,
+                   CAST(COUNT(*) - COUNT(DISTINCT turn_idx)
+                        AS BIGINT) AS n_dup_idx,
+                   (MIN(turn_idx) = 0
+                    AND MAX(turn_idx) - MIN(turn_idx) + 1
+                        = COUNT(DISTINCT turn_idx)
+                    AND COUNT(*) = COUNT(DISTINCT turn_idx))
+                       AS is_contiguous
+            FROM {transcripts} GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_conv_prefix_groups": f"""
+            WITH r AS (SELECT conv_id, role, COALESCE(text, '') AS t,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, role, text) AS rn
+                       FROM {transcripts}),
+            p AS (SELECT conv_id,
+                         md5(string_agg(role || ':' || t, chr(31)
+                             ORDER BY rn)) AS prefix_md5
+                  FROM r WHERE rn <= 2 GROUP BY conv_id)
+            SELECT prefix_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   MIN(conv_id) AS example_conv
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_loop_runs": f"""
+            -- rid pins ONE total order: tied (identical, planted-dup)
+            -- rows would otherwise be ordered differently by the LAG
+            -- window and the island running-sum window, splitting a
+            -- dup pair across two islands (measured at sf0.01)
+            WITH r AS (SELECT conv_id, role, tool, text,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, role, text)
+                                  AS rid
+                       FROM {transcripts}),
+            s AS (SELECT conv_id, rid,
+                              CASE WHEN LAG(role) OVER w = role
+                                    AND LAG(tool) OVER w = tool
+                                    AND LAG(text) OVER w = text
+                                   THEN 0 ELSE 1 END AS brk
+                       FROM r
+                       WINDOW w AS (PARTITION BY conv_id
+                                    ORDER BY rid)),
+            i AS (SELECT conv_id,
+                         SUM(brk) OVER (PARTITION BY conv_id
+                             ORDER BY rid
+                             ROWS UNBOUNDED PRECEDING) AS island
+                  FROM s),
+            runs AS (SELECT conv_id, island,
+                            CAST(COUNT(*) AS BIGINT) AS c
+                     FROM i GROUP BY 1, 2)
+            SELECT conv_id,
+                   CAST(SUM(c) AS BIGINT) AS n_turns,
+                   CAST(MAX(c) AS BIGINT) AS max_run,
+                   CAST(SUM(c) - COUNT(*) AS BIGINT)
+                       AS n_repeat_turns
+            FROM runs GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_tool_latency_quantiles": f"""
+            WITH s AS (SELECT conv_id, role, tool, ts,
+                              LAG(ts) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS pts
+                       FROM {transcripts}),
+            g AS (SELECT tool,
+                         CAST(epoch_us(ts) - epoch_us(pts)
+                              AS BIGINT) AS gap
+                  FROM s
+                  WHERE role = 'tool' AND tool <> ''
+                    AND pts IS NOT NULL)
+            SELECT tool,
+                   CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS q50,
+                   CAST(quantile_disc(gap, 0.9) AS DOUBLE) AS q90
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_anchor_spans": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(strpos(text, 'Invoice') AS BIGINT)
+                       AS pos_invoice,
+                   CAST(strpos(text, 'Total') AS BIGINT) AS pos_total,
+                   CAST(strpos(text, 'Date') AS BIGINT) AS pos_date
+            FROM {transcripts}
+            WHERE strpos(text, 'Invoice') > 0
+               OR strpos(text, 'Total') > 0
+               OR strpos(text, 'Date') > 0
+            ORDER BY 1, 2
         """,
     }

@@ -17949,7 +17949,7 @@ def _two_hop_topk_broadcast(edges: Dataset, k: int,
     (score desc, id_a, id_b) exactly like the twin — a pair cut by its
     group's top-k is beaten by ≥k pairs that also beat it globally.
     ``weighted`` adds the Adamic-Adar sum with the per-center weight
-    round(1e12/ln deg z) quantized ONCE per node on the driver (same
+    1e12/ln(deg z) int64-quantized ONCE per node on the driver (same
     scaled_int_sql value as the per-group quantization it replaces).
     Hub safety: endpoints above :data:`WEDGE_DEG_CAP` and gathers
     above :data:`TWO_HOP_GATHER_CAP` drop loudly."""
@@ -19846,3 +19846,244 @@ def q_transcripts_system_prompts(sf_dir: str) -> Dataset:
 
     return grid.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
+
+
+def q_transcripts_turn_integrity(sf_dir: str) -> Dataset:
+    """Per-conversation turn-ordering integrity audit — the invariant
+    the whole extraction engine rides on (stable per-conv ordering;
+    reference analogue: the A4 grouping/ordering exchange) made an
+    explicit, oracle-checked report: per conv the row count, distinct
+    turn_idx count, index range, GAPS in the range, DUPLICATED
+    indices, and a contiguous-from-zero flag.  At 10^12 turns this is
+    the first audit a new dump gets.  Exchanges: one (conv, idx)
+    distinct combine, then one per-conv fold — all counts exact
+    int64."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["conv_id", "turn_idx", "p_n"])
+
+    pairs = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_idx"])
+        .aggregate(Sum("p_n", alias_name="n_rows")),
+        pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int64()),
+                   ("n_rows", pa.int64())]))
+
+    def add_one(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64)))
+
+    folded = with_schema(
+        pairs.map_batches(add_one, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n_rows", alias_name="n_turns"),
+                   Sum("one", alias_name="n_distinct"),
+                   Min("turn_idx", alias_name="min_idx"),
+                   Max("turn_idx", alias_name="max_idx")),
+        pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                   ("n_distinct", pa.int64()), ("min_idx", pa.int64()),
+                   ("max_idx", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_turns").to_numpy(zero_copy_only=False)
+        d = b.column("n_distinct").to_numpy(zero_copy_only=False)
+        mn = b.column("min_idx").to_numpy(zero_copy_only=False)
+        mx = b.column("max_idx").to_numpy(zero_copy_only=False)
+        gaps = mx - mn + 1 - d
+        dups = n - d
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "n_turns": b.column("n_turns"),
+            "n_distinct": b.column("n_distinct"),
+            "min_idx": b.column("min_idx"),
+            "max_idx": b.column("max_idx"),
+            "n_gaps": pa.array(gaps, pa.int64()),
+            "n_dup_idx": pa.array(dups, pa.int64()),
+            "is_contiguous": pa.array(
+                (mn == 0) & (gaps == 0) & (dups == 0), pa.bool_()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def q_transcripts_conv_prefix_groups(sf_dir: str) -> Dataset:
+    """Conversation-prefix duplicate groups — the retry-storm /
+    re-submission detector: conversations opening with the SAME first
+    two turns (by (turn_idx, role, text) order) share a prefix hash;
+    the report lists every prefix group with its conversation count
+    and smallest example conv_id (groups with n_convs > 1 are the
+    storms).  Per-conv md5 follows the audited samplers' rule — the
+    hash IS the spec (DuckDB md5 twin).  Exchanges: one per-conv
+    group pass emitting a single (hash, conv) row, then one bounded
+    per-hash fold."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text"])
+
+    def prefix_row(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"),
+                       ("role", "ascending"), ("text", "ascending")])
+        k = min(2, g.num_rows)
+        roles = g.column("role").slice(0, k).to_pylist()
+        texts = g.column("text").slice(0, k).to_pylist()
+        joined = "\x1f".join(
+            f"{r}:{t if t is not None else ''}"
+            for r, t in zip(roles, texts))
+        h = hashlib.md5(joined.encode("utf-8")).hexdigest()
+        return pa.table({
+            "prefix_md5": pa.array([h], pa.string()),
+            "conv_id": g.column("conv_id").slice(0, 1),
+        })
+
+    rows = ds.groupby("conv_id").map_groups(prefix_row,
+                                            batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        cids = sorted(g.column("conv_id").to_pylist())
+        return pa.table({
+            "prefix_md5": g.column("prefix_md5").slice(0, 1),
+            "n_convs": pa.array([g.num_rows], pa.int64()),
+            "example_conv": pa.array([cids[0]], pa.string()),
+        })
+
+    return rows.groupby("prefix_md5").map_groups(
+        fold, batch_format="pyarrow")
+
+
+def q_transcripts_loop_runs(sf_dir: str) -> Dataset:
+    """Agent-loop detector: per conversation, the longest run of
+    CONSECUTIVE identical (role, tool, text) turns and the total count
+    of repeated turns — the stuck-tool-cycle audit every agent-ops
+    pipeline runs before training on transcripts.  Order-safe: rows
+    ordered by (turn_idx, role, text); rows tied on all three keys are
+    full duplicates, so adjacency is invariant.  ONE per-conv group
+    pass; all counts exact int64 (gaps-and-islands twin)."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "tool", "text"])
+
+    def runs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"),
+                       ("role", "ascending"), ("text", "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "max_run": pa.array([], pa.int64()),
+                "n_repeat_turns": pa.array([], pa.int64()),
+            })
+        role = np.asarray(g.column("role").to_pylist(), dtype=object)
+        tool = np.asarray(g.column("tool").to_pylist(), dtype=object)
+        text = np.asarray(g.column("text").to_pylist(), dtype=object)
+        same = ((role[1:] == role[:-1]) & (tool[1:] == tool[:-1])
+                & (text[1:] == text[:-1])) if n > 1 \
+            else np.zeros(0, bool)
+        # islands: streak lengths of consecutive True in `same`
+        max_run, cur = 1, 1
+        for s in same:
+            cur = cur + 1 if s else 1
+            if cur > max_run:
+                max_run = cur
+        return pa.table({
+            "conv_id": g.column("conv_id").slice(0, 1),
+            "n_turns": pa.array([n], pa.int64()),
+            "max_run": pa.array([max_run], pa.int64()),
+            "n_repeat_turns": pa.array([int(same.sum())], pa.int64()),
+        })
+
+    return ds.groupby("conv_id").map_groups(runs,
+                                            batch_format="pyarrow")
+
+
+def q_transcripts_tool_latency_quantiles(sf_dir: str) -> Dataset:
+    """Exact per-tool latency quantiles (p50/p90 of the µs gap between
+    a tool-result turn and the turn before it) — the SLO table for the
+    agent fleet's tools, on the exact-quantile histogram exchange
+    (stages/quantiles.grouped_exact_quantiles): only (tool, gap,
+    count) rows move, never raw turns.  Gap extraction is one per-conv
+    sorted pass (ties are full-row duplicates — gap multiset
+    invariant, the response_latency rule)."""
+    import numpy as np
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "tool", "ts"])
+
+    empty = pa.table({"tool": pa.array([], pa.string()),
+                      "gap": pa.array([], pa.int64())})
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        if g.num_rows < 2:
+            return empty
+        us = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = np.diff(us)
+        role = g.column("role").slice(1)
+        tool = g.column("tool").slice(1)
+        t = pa.table({"tool": tool, "gap": pa.array(d, pa.int64()),
+                      "role": role})
+        keep = pc.and_(pc.equal(t.column("role"), "tool"),
+                       pc.not_equal(t.column("tool"), ""))
+        return t.filter(keep).select(["tool", "gap"])
+
+    rows = ds.groupby("conv_id").map_groups(gaps,
+                                            batch_format="pyarrow")
+    return grouped_exact_quantiles(rows, "tool", "gap", qs=(0.5, 0.9))
+
+
+def q_transcripts_anchor_spans(sf_dir: str) -> Dataset:
+    """Extraction SPAN parity under the oracle gate: the 1-based
+    CHARACTER offset of the first 'Invoice' / 'Total' / 'Date' anchor
+    per turn (0 = absent), for turns containing at least one — the
+    field extractors' seek positions (core/fields.py anchors) checked
+    bit-exact against DuckDB strpos.  Char semantics via ONE
+    split_pattern(max_splits=1) + utf8_length per anchor (Arrow
+    find_substring is BYTE-based and diverges after multibyte chars —
+    measured; the split-prefix length is char-exact).  Pure
+    single-scan map_batches, no exchange."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+
+    ANCHORS = ("Invoice", "Total", "Date")
+
+    def spans(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        cols = {"conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx").cast(pa.int64())}
+        any_hit = None
+        for a in ANCHORS:
+            parts = pc.split_pattern(text, pattern=a, max_splits=1)
+            hit = pc.greater(pc.list_value_length(parts), 1)
+            prefix_len = pc.utf8_length(
+                pc.list_element(parts, 0)).cast(pa.int64())
+            pos = pc.if_else(hit, pc.add(prefix_len,
+                                         pa.scalar(1, pa.int64())),
+                             pa.scalar(0, pa.int64()))
+            cols[f"pos_{a.lower()}"] = pos
+            any_hit = hit if any_hit is None else pc.or_(any_hit, hit)
+        return pa.table(cols).filter(any_hit)
+
+    return ds.map_batches(spans, batch_format="pyarrow")

@@ -1,0 +1,156 @@
+"""Python-reference semantic tests for the round-5 transcripts wave:
+turn-order integrity audit, conversation-prefix duplicate groups,
+agent-loop run detection, per-tool latency quantiles, and extraction
+anchor spans.  Bit-exactness vs DuckDB is pinned by the contract
+sweep; these pin SEMANTICS against independent pandas/Python
+references on the sf0.001 synthetic corpus.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def _synth_df():
+    from ocr_engine_ray.pipelines.queries import transcript_paths
+
+    paths = transcript_paths("/root/testdata/sf0.001")
+    return pd.concat([pq.read_table(p).to_pandas() for p in paths],
+                     ignore_index=True)
+
+
+def test_turn_integrity_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_turn_integrity,
+    )
+
+    df = _synth_df()
+    rows = {r["conv_id"]: r for r in q_transcripts_turn_integrity(
+        "/root/testdata/sf0.001").take_all()}
+    assert len(rows) == df["conv_id"].nunique()
+    for cid, g in df.groupby("conv_id"):
+        r = rows[cid]
+        idx = g["turn_idx"].astype("int64")
+        assert r["n_turns"] == len(g)
+        assert r["n_distinct"] == idx.nunique()
+        assert r["min_idx"] == int(idx.min())
+        assert r["max_idx"] == int(idx.max())
+        assert r["n_gaps"] == int(idx.max() - idx.min() + 1
+                                  - idx.nunique())
+        assert r["n_dup_idx"] == len(g) - idx.nunique()
+        assert r["is_contiguous"] == (
+            int(idx.min()) == 0 and r["n_gaps"] == 0
+            and r["n_dup_idx"] == 0)
+    # the synthetic corpus plants full-row duplicate turns → at least
+    # one conv must be flagged non-contiguous
+    assert any(not r["is_contiguous"] for r in rows.values())
+
+
+def test_conv_prefix_groups_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_conv_prefix_groups,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "role",
+                                  "text"], kind="stable")
+    ref = {}
+    for cid, g in df.groupby("conv_id"):
+        head = g.head(2)
+        joined = "\x1f".join(
+            f"{r}:{t}" for r, t in zip(head["role"], head["text"]))
+        h = hashlib.md5(joined.encode("utf-8")).hexdigest()
+        ref.setdefault(h, []).append(cid)
+    rows = q_transcripts_conv_prefix_groups(
+        "/root/testdata/sf0.001").take_all()
+    got = {r["prefix_md5"]: (r["n_convs"], r["example_conv"])
+           for r in rows}
+    assert got == {h: (len(v), min(v)) for h, v in ref.items()}
+    # every conv lands in exactly one group
+    assert sum(n for n, _ in got.values()) == df["conv_id"].nunique()
+
+
+def test_loop_runs_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_loop_runs,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "role",
+                                  "text"], kind="stable")
+    rows = {r["conv_id"]: r for r in q_transcripts_loop_runs(
+        "/root/testdata/sf0.001").take_all()}
+    planted_repeats = 0
+    for cid, g in df.groupby("conv_id"):
+        trip = list(zip(g["role"], g["tool"], g["text"]))
+        max_run, cur, rep = 1, 1, 0
+        for a, b in zip(trip, trip[1:]):
+            if a == b:
+                cur += 1
+                rep += 1
+            else:
+                cur = 1
+            max_run = max(max_run, cur)
+        r = rows[cid]
+        assert (r["n_turns"], r["max_run"],
+                r["n_repeat_turns"]) == (len(g), max_run, rep)
+        planted_repeats += rep
+    # the planted full-row duplicates make adjacent identical pairs
+    assert planted_repeats > 0
+
+
+def test_tool_latency_quantiles_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_tool_latency_quantiles,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "ts"],
+                                 kind="stable")
+    gaps = {}
+    for cid, g in df.groupby("conv_id"):
+        us = (g["ts"].astype("datetime64[us]").astype("int64")
+              ).to_numpy()
+        d = np.diff(us)
+        roles = g["role"].to_numpy()[1:]
+        tools = g["tool"].to_numpy()[1:]
+        for gap, ro, to in zip(d, roles, tools):
+            if ro == "tool" and to:
+                gaps.setdefault(to, []).append(int(gap))
+
+    def qdisc(vals, q):
+        s = sorted(vals)
+        return float(s[int(np.ceil(len(s) * q)) - 1])
+
+    rows = {r["tool"]: r for r in q_transcripts_tool_latency_quantiles(
+        "/root/testdata/sf0.001").take_all()}
+    assert set(rows) == set(gaps)
+    for t, vals in gaps.items():
+        assert rows[t]["q50"] == qdisc(vals, 0.5)
+        assert rows[t]["q90"] == qdisc(vals, 0.9)
+
+
+def test_anchor_spans_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_anchor_spans,
+    )
+
+    df = _synth_df()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["pos_invoice"],
+         r["pos_total"], r["pos_date"])
+        for r in q_transcripts_anchor_spans(
+            "/root/testdata/sf0.001").take_all())
+
+    def pos(text, a):
+        # CHARACTER-based 1-indexed (strpos semantics); absent → 0.
+        # Python str.find is already char-based.
+        return text.find(a) + 1
+
+    # multiset compare: planted duplicate turns legitimately emit one
+    # output row per input row
+    exp = []
+    for _, r in df.iterrows():
+        p = [pos(r["text"], a) for a in ("Invoice", "Total", "Date")]
+        if any(v > 0 for v in p):
+            exp.append((r["conv_id"], int(r["turn_idx"]), *p))
+    assert got == sorted(exp) and len(got) > 0
