@@ -621,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_latency_quantiles":
             q.q_transcripts_tool_latency_quantiles,
         "transcripts_anchor_spans": q.q_transcripts_anchor_spans,
+        "transcripts_episodes": q.q_transcripts_episodes,
+        "parts_copurchase_communities":
+            q.q_parts_copurchase_communities,
     }
 
 
@@ -7154,5 +7157,57 @@ def oracle_sql() -> dict[str, str]:
                OR strpos(text, 'Total') > 0
                OR strpos(text, 'Date') > 0
             ORDER BY 1, 2
+        """,
+        "transcripts_episodes": f"""
+            WITH r AS (SELECT conv_id, epoch_us(ts) AS us,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS rid
+                       FROM {transcripts}),
+            s AS (SELECT conv_id, rid,
+                         CASE WHEN us - LAG(us) OVER w > 90000000
+                              THEN 1 ELSE 0 END AS brk,
+                         COALESCE(us - LAG(us) OVER w, 0) AS gap
+                  FROM r
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY rid)),
+            i AS (SELECT conv_id, gap,
+                         SUM(brk) OVER (PARTITION BY conv_id
+                             ORDER BY rid
+                             ROWS UNBOUNDED PRECEDING) AS ep
+                  FROM s),
+            epi AS (SELECT conv_id, ep,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM i GROUP BY 1, 2),
+            agg AS (SELECT conv_id,
+                           CAST(SUM(c) AS BIGINT) AS n_turns,
+                           CAST(COUNT(*) AS BIGINT) AS n_episodes,
+                           CAST(MAX(c) AS BIGINT)
+                               AS max_episode_turns
+                    FROM epi GROUP BY 1),
+            mg AS (SELECT conv_id, CAST(MAX(gap) AS BIGINT)
+                              AS max_gap_us
+                   FROM i GROUP BY 1)
+            SELECT agg.conv_id, n_turns, n_episodes,
+                   max_episode_turns, max_gap_us
+            FROM agg JOIN mg USING (conv_id) ORDER BY 1
+        """,
+        "parts_copurchase_communities": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS w
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            e AS (SELECT id_a AS a, id_b AS b FROM e0
+                  UNION ALL SELECT id_b, id_a FROM e0),
+            n AS (SELECT DISTINCT a AS id FROM e),
+            r AS (SELECT id, id AS reach FROM n
+                  UNION
+                  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+            c AS (SELECT id, MIN(reach) AS rep FROM r GROUP BY id)
+            SELECT CAST(rep AS BIGINT) AS component,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM c GROUP BY 1 ORDER BY 1
         """,
     }

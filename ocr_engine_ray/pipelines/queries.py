@@ -20087,3 +20087,83 @@ def q_transcripts_anchor_spans(sf_dir: str) -> Dataset:
         return pa.table(cols).filter(any_hit)
 
     return ds.map_batches(spans, batch_format="pyarrow")
+
+
+def q_transcripts_episodes(sf_dir: str) -> Dataset:
+    """Conversation episode sessionization — split each conversation
+    at idle gaps > 90 s (the transcript-payload twin of
+    events_sessionize): per conv the episode count, the longest
+    episode in turns, and the longest idle gap.  The threshold sits
+    between the corpus's median (59 s) and p99 (118 s) intra-turn
+    gap, so the split is exercised corpus-wide.  ONE per-conv group
+    pass; ties are full-row duplicates (gap 0 → same episode), so the
+    result is order-invariant; all values exact int64."""
+    import numpy as np
+
+    GAP_US = 90_000_000
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        n = g.num_rows
+        us = g.column("ts").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = np.diff(us)
+        brk = d > GAP_US
+        # longest run of rows NOT preceded by a break
+        max_ep, cur = 1, 1
+        for b_ in brk:
+            cur = 1 if b_ else cur + 1
+            if cur > max_ep:
+                max_ep = cur
+        return pa.table({
+            "conv_id": g.column("conv_id").slice(0, 1),
+            "n_turns": pa.array([n], pa.int64()),
+            "n_episodes": pa.array([1 + int(brk.sum())], pa.int64()),
+            "max_episode_turns": pa.array([max_ep], pa.int64()),
+            "max_gap_us": pa.array(
+                [int(d.max()) if len(d) else 0], pa.int64()),
+        })
+
+    return ds.groupby("conv_id").map_groups(fold,
+                                            batch_format="pyarrow")
+
+
+def q_parts_copurchase_communities(sf_dir: str) -> Dataset:
+    """Strong-tie communities of the co-purchase graph: connected
+    components over edges with weight ≥ 3 (parts co-bought in ≥3
+    orders — the repeat-association backbone), reported as
+    (component = min part id, n_parts).  Rides the shared hybrid
+    components kernel (driver union-find under the 5M-edge cap /
+    distributed min-label propagation beyond —
+    stages/dedup.connected_components); the strong-edge filter makes
+    the closure input structurally sparse (63 edges at sf0.01).  The
+    twin replays the closure with WITH RECURSIVE."""
+    from ..stages.dedup import connected_components
+
+    W_MIN = 3
+
+    edges = _copurchase_edges(sf_dir)
+    strong = edges.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("w"), pa.scalar(W_MIN, pa.int64())))
+        .select(["id_a", "id_b"]),
+        batch_format="pyarrow").materialize()
+    if strong.count() == 0:
+        return rd.from_arrow(pa.table({
+            "component": pa.array([], pa.int64()),
+            "n_parts": pa.array([], pa.int64()),
+        }))
+    comp = connected_components(strong)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["rep"]).group_by("rep").aggregate(
+            [("rep", "count")])
+        return g.rename_columns(["rep", "p_n"])
+
+    return _tree_combine(
+        comp.map_batches(partial, batch_format="pyarrow"),
+        ["rep"], [("p_n", "sum")],
+        ["rep", "p_n"], ["component", "n_parts"])

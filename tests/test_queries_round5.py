@@ -154,3 +154,68 @@ def test_anchor_spans_reference(ray_session):
         if any(v > 0 for v in p):
             exp.append((r["conv_id"], int(r["turn_idx"]), *p))
     assert got == sorted(exp) and len(got) > 0
+
+
+def test_episodes_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_transcripts_episodes
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "ts"],
+                                 kind="stable")
+    rows = {r["conv_id"]: r for r in q_transcripts_episodes(
+        "/root/testdata/sf0.001").take_all()}
+    split_seen = False
+    for cid, g in df.groupby("conv_id"):
+        us = (g["ts"].astype("datetime64[us]").astype("int64")
+              ).to_numpy()
+        d = np.diff(us)
+        brk = d > 90_000_000
+        max_ep, cur = 1, 1
+        for b in brk:
+            cur = 1 if b else cur + 1
+            max_ep = max(max_ep, cur)
+        r = rows[cid]
+        assert r["n_turns"] == len(g)
+        assert r["n_episodes"] == 1 + int(brk.sum())
+        assert r["max_episode_turns"] == max_ep
+        assert r["max_gap_us"] == (int(d.max()) if len(d) else 0)
+        split_seen = split_seen or brk.any()
+    assert split_seen  # the 90 s threshold must actually split
+
+
+def test_communities_reference(ray_session):
+    """Union-find reference over the strong (w>=3) co-purchase edges
+    of the sf0.001 corpus."""
+    import duckdb
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_communities,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute("""
+        WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM '/root/testdata/sf0.001/lineitem.parquet'),
+        e AS (SELECT a.p a, b.p b, COUNT(*) w FROM op a
+              JOIN op b USING (o) WHERE a.p < b.p GROUP BY 1, 2)
+        SELECT a, b FROM e WHERE w >= 3""").fetchall()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {}
+    for a, b in edges:
+        for x in (a, b):
+            ref.setdefault(find(x), set()).add(x)
+    exp = sorted((min(v), len(v)) for v in ref.values())
+    got = sorted((r["component"], r["n_parts"])
+                 for r in q_parts_copurchase_communities(
+                     "/root/testdata/sf0.001").take_all())
+    assert got == exp and len(got) > 0
