@@ -624,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_episodes": q.q_transcripts_episodes,
         "parts_copurchase_communities":
             q.q_parts_copurchase_communities,
+        "transcripts_role_balance": q.q_transcripts_role_balance,
+        "embeddings_qa": q.q_embeddings_qa,
     }
 
 
@@ -7190,6 +7192,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.conv_id, n_turns, n_episodes,
                    max_episode_turns, max_gap_us
             FROM agg JOIN mg USING (conv_id) ORDER BY 1
+        """,
+        "transcripts_role_balance": f"""
+            WITH r AS (SELECT conv_id, role,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, role, text)
+                                  AS rid
+                       FROM {transcripts})
+            SELECT conv_id,
+                   CAST(SUM(CASE WHEN role = 'system' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_system,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1
+                                 ELSE 0 END) AS BIGINT)
+                       AS n_assistant,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_tool,
+                   (SUM(CASE WHEN role = 'system' THEN 1
+                             ELSE 0 END) > 0) AS has_system,
+                   MIN(CASE WHEN rid = 1 THEN role END)
+                       AS first_role
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "embeddings_qa": """
+            WITH v AS (SELECT vec_id,
+                              CAST(len(embedding) AS BIGINT) AS d,
+                              CAST(ROUND(list_sum(list_transform(
+                                  embedding::DOUBLE[], x -> x * x))
+                                  * 1e6) AS BIGINT) AS nq
+                       FROM embeddings)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(MIN(d) AS BIGINT) AS dim_min,
+                   CAST(MAX(d) AS BIGINT) AS dim_max,
+                   CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero,
+                   CAST(MIN(nq) AS BIGINT) AS norm2q_min,
+                   CAST(MAX(nq) AS BIGINT) AS norm2q_max,
+                   CAST(SUM(nq) AS BIGINT) AS norm2q_sum
+            FROM v
         """,
         "parts_copurchase_communities": """
             WITH RECURSIVE

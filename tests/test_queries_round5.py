@@ -219,3 +219,54 @@ def test_communities_reference(ray_session):
                  for r in q_parts_copurchase_communities(
                      "/root/testdata/sf0.001").take_all())
     assert got == exp and len(got) > 0
+
+
+def test_role_balance_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_role_balance,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "role",
+                                  "text"], kind="stable")
+    rows = {r["conv_id"]: r for r in q_transcripts_role_balance(
+        "/root/testdata/sf0.001").take_all()}
+    for cid, g in df.groupby("conv_id"):
+        r = rows[cid]
+        vc = g["role"].value_counts()
+        for role in ("system", "user", "assistant", "tool"):
+            assert r[f"n_{role}"] == int(vc.get(role, 0))
+        assert r["has_system"] == (int(vc.get("system", 0)) > 0)
+        assert r["first_role"] == g["role"].iloc[0]
+
+
+def test_embeddings_qa_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_embeddings_qa
+    from ocr_engine_ray.util import scaled_int_sql
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["embedding"])
+    m = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    norm2 = np.cumsum(m * m, axis=1)[:, -1]
+    nq = scaled_int_sql(norm2, 1e6)
+    r = q_embeddings_qa("/root/testdata/sf0.001").take_all()[0]
+    assert r["n_vecs"] == len(m)
+    assert r["dim_min"] == r["dim_max"] == m.shape[1]
+    assert r["n_zero"] == int((nq == 0).sum())
+    assert r["norm2q_min"] == int(nq.min())
+    assert r["norm2q_max"] == int(nq.max())
+    assert r["norm2q_sum"] == int(nq.sum())
+
+
+def test_copurchase_edge_cache_reuse(ray_session):
+    """The per-process edge memo returns the SAME materialized
+    Dataset for repeat calls on one sf_dir and distinct ones for
+    distinct dirs."""
+    from ocr_engine_ray.pipelines import queries as q
+
+    q._COPURCHASE_EDGE_CACHE.clear()
+    a = q._copurchase_edges("/root/testdata/sf0.001")
+    b = q._copurchase_edges("/root/testdata/sf0.001")
+    assert a is b
+    assert a.count() == b.count() > 0
