@@ -626,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_parts_copurchase_communities,
         "transcripts_role_balance": q.q_transcripts_role_balance,
         "embeddings_qa": q.q_embeddings_qa,
+        "parts_copurchase_betweenness":
+            q.q_parts_copurchase_betweenness,
     }
 
 

@@ -20268,3 +20268,119 @@ def q_embeddings_qa(sf_dir: str) -> Dataset:
         k: pa.array([int(agg[k])], pa.int64())
         for k in ("n_vecs", "dim_min", "dim_max", "n_zero",
                   "norm2q_min", "norm2q_max", "norm2q_sum")}))
+
+
+#: Source-sample size for the sampled-Brandes betweenness estimate:
+#: exact betweenness is O(V·E) (all-sources BFS) — 4.6×10¹⁰ edge
+#: relaxations at sf0.1 and unbounded at web scale — so the estimator
+#: runs Brandes from a DETERMINISTIC md5-ranked sample of sources (the
+#: standard Riondato/Kornaropoulos-style scale path; the sample is a
+#: pure function of node identity, so the result is stable across
+#: reruns and partitionings).
+BETWEENNESS_SOURCES = 256
+
+
+def q_parts_copurchase_betweenness(sf_dir: str) -> Dataset:
+    """Sampled Brandes betweenness centrality over the co-purchase
+    graph: top 20 parts by the summed single-source dependency score
+    from :data:`BETWEENNESS_SOURCES` md5-sampled sources — the
+    bridge-part detector (which parts connect otherwise-separate
+    purchase communities).  Distribution: SOURCE-parallel Brandes —
+    the node table fans out in blocks, each task runs vectorized
+    level-synchronous BFS + dependency backprop per source against
+    the broadcast CSR adjacency (the linkpred kernel's structure;
+    same :data:`EDGE_BROADCAST_MAX` bound applies), and per-source
+    dependency vectors are int64-QUANTIZED (round(δ·1e9)) before the
+    (node, partial) combine, so the sum is order- and
+    partitioning-independent.  Scores count each (s → pair) once per
+    sampled endpoint (no /2), documented.  Rows-only (iterative /
+    sampled by nature); an independent pure-Python BFS reference pins
+    the semantics in pytest."""
+    import hashlib
+
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    out_schema = pa.table({"p": pa.array([], pa.int64()),
+                           "bc_q": pa.array([], pa.int64())})
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema)
+
+    node_ids, offsets, dst, deg = _adj_csr(edges)
+    n = len(node_ids)
+    # deterministic md5-ranked source sample (partition.row_hash_hex
+    # convention: md5(str(id) + chr(31) + seed))
+    ranked = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(
+            f"{int(node_ids[i])}\x1f42".encode()).hexdigest(),
+            int(node_ids[i])))
+    sources = np.array(sorted(ranked[:BETWEENNESS_SOURCES]), np.int64)
+    csr_ref = ray.put((node_ids, offsets, dst))
+
+    def block(b: pa.Table) -> pa.Table:
+        ids_, off_, dst_ = ray.get(csr_ref)
+        nn = len(ids_)
+        # node ids → CSR row indices once per batch
+        sidx = b.column("s").to_numpy(zero_copy_only=False)
+        acc = np.zeros(nn, np.int64)
+
+        def gather(rows: "np.ndarray"):
+            lens = off_[rows + 1] - off_[rows]
+            tot = int(lens.sum())
+            cs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=cs[1:])
+            flat = (np.arange(tot, dtype=np.int64)
+                    - np.repeat(cs[:-1], lens)
+                    + np.repeat(off_[rows], lens))
+            return dst_[flat], lens
+
+        for s in sidx:
+            s = int(s)
+            dist = np.full(nn, -1, np.int64)
+            sigma = np.zeros(nn, np.int64)
+            dist[s] = 0
+            sigma[s] = 1
+            levels = [np.array([s], np.int64)]
+            cur = 0
+            while len(levels[-1]):
+                fr = levels[-1]
+                cand, lens = gather(fr)
+                ci = np.searchsorted(ids_, cand)
+                w = np.repeat(sigma[fr], lens)
+                new = np.unique(ci[dist[ci] == -1])
+                dist[new] = cur + 1
+                m2 = dist[ci] == cur + 1
+                np.add.at(sigma, ci[m2], w[m2])
+                levels.append(new)
+                cur += 1
+            delta = np.zeros(nn, np.float64)
+            # process w-levels deepest → 1: contributions to a node
+            # are complete before it is processed as w; level-1 w's
+            # only feed delta[s], which is zeroed below
+            for wl in range(len(levels) - 2, 0, -1):
+                vs = levels[wl]
+                if not len(vs):
+                    continue
+                cand, lens = gather(vs)
+                ui = np.searchsorted(ids_, cand)
+                vrep = np.repeat(vs, lens)
+                mpred = dist[ui] == dist[vrep] - 1
+                contrib = (sigma[ui[mpred]].astype(np.float64)
+                           / sigma[vrep[mpred]].astype(np.float64)
+                           * (1.0 + delta[vrep[mpred]]))
+                np.add.at(delta, ui[mpred], contrib)
+            delta[s] = 0.0
+            acc += scaled_int_sql(delta, 1e9)
+        nz = np.flatnonzero(acc)
+        return pa.table({"p": pa.array(ids_[nz], pa.int64()),
+                         "bc_q": pa.array(acc[nz], pa.int64())})
+
+    nparts = int(min(64, max(1, len(sources))))
+    src_ds = rd.from_arrow(pa.table({
+        "s": pa.array(sources, pa.int64())})).repartition(nparts)
+    partials = src_ds.map_batches(block, batch_format="pyarrow") \
+        .materialize()
+    combined = _pair_combine(partials, ["p"], "bc_q", pcol="bc_q")
+    return _topk_combine(combined, sorted_topk(
+        [("bc_q", "descending"), ("p", "ascending")], 20))

@@ -270,3 +270,68 @@ def test_copurchase_edge_cache_reuse(ray_session):
     b = q._copurchase_edges("/root/testdata/sf0.001")
     assert a is b
     assert a.count() == b.count() > 0
+
+
+def test_betweenness_independent_reference(ray_session):
+    """Sampled-Brandes betweenness vs an INDEPENDENT pure-Python
+    dict-based Brandes (Ulrik Brandes 2001, textbook form) on the
+    sf0.001 co-purchase graph, same md5-ranked source sample and the
+    same per-source 1e9 quantization."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from ocr_engine_ray.pipelines import queries as q
+    from ocr_engine_ray.util import scaled_int_sql
+
+    con = duckdb.connect()
+    edges = con.execute("""
+        WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM '/root/testdata/sf0.001/lineitem.parquet')
+        SELECT DISTINCT a.p, b.p FROM op a JOIN op b USING (o)
+        WHERE a.p < b.p""").fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    ranked = sorted(
+        nodes, key=lambda v: (hashlib.md5(
+            f"{v}\x1f42".encode()).hexdigest(), v))
+    sources = sorted(ranked[:q.BETWEENNESS_SOURCES])
+
+    acc = defaultdict(int)
+    for s in sources:
+        # textbook Brandes: BFS with path counts, stack-order backprop
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v in sorted(adj[u]):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for u in sorted(adj[w]):
+                if dist.get(u, -2) == dist[w] - 1:
+                    delta[u] += (sigma[u] / sigma[w]) * (1 + delta[w])
+        delta[s] = 0.0
+        for v, d in delta.items():
+            if v != s:
+                acc[v] += int(scaled_int_sql(
+                    __import__("numpy").array([d]), 1e9)[0])
+
+    exp = sorted(((v, c) for v, c in acc.items() if c),
+                 key=lambda t: (-t[1], t[0]))[:20]
+    got = [(r["p"], r["bc_q"]) for r in
+           q.q_parts_copurchase_betweenness(
+               "/root/testdata/sf0.001").take_all()]
+    assert got == exp and len(got) > 0
