@@ -628,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_qa": q.q_embeddings_qa,
         "parts_copurchase_betweenness":
             q.q_parts_copurchase_betweenness,
+        "documents_neardup_streaming":
+            q.q_documents_neardup_streaming,
     }
 
 

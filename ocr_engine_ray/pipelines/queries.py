@@ -127,9 +127,19 @@ def q_events_conv_rollup(sf_dir: str) -> Dataset:
 
 
 def q_events_filter_purchases(sf_dir: str) -> Dataset:
-    """Predicate filter + projection (M1) as a vectorized Arrow mask."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
-                         columns=["event_id", "user_id", "ts", "event_type", "value"])
+    """Predicate filter + projection (M1), PUSHED TO THE READ: the
+    constant predicate rides ``read_parquet(filter=...)`` so PyArrow
+    prunes row groups by statistics and non-matching rows never enter
+    the object store (the prune-at-the-read rule); the residual Arrow
+    mask stays as defense-in-depth (fragment-level filters are
+    best-effort on row-group granularity)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+        filter=(pads.field("event_type") == "purchase")
+        & (pads.field("value") > 50.0))
     return ds.map_batches(
         lambda b: b.filter(pc.and_(pc.equal(b.column("event_type"), "purchase"),
                                    pc.greater(b.column("value"), 50.0)))
@@ -20384,3 +20394,19 @@ def q_parts_copurchase_betweenness(sf_dir: str) -> Dataset:
     combined = _pair_combine(partials, ["p"], "bc_q", pcol="bc_q")
     return _topk_combine(combined, sorted_topk(
         [("bc_q", "descending"), ("p", "ascending")], 20))
+
+
+def q_documents_neardup_streaming(sf_dir: str) -> Dataset:
+    """One-pass streaming near-dup FLAGGING over the documents corpus
+    (stages/dedup.neardup_streaming): MinHash-LSH band digests routed
+    through the shared mutable index shards — the incremental path
+    beside the batch q_documents_minhash_neardup.  Output: doc_id +
+    the neardup_hit candidate flag.  Rows-only (arrival-order
+    any-winner by design; recall/cleanliness pinned by the prose
+    corpus pytest)."""
+    from ..stages.dedup import neardup_streaming
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return neardup_streaming(ds).select_columns(
+        ["doc_id", "neardup_hit"])

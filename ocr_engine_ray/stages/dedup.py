@@ -1566,3 +1566,90 @@ def minhash_join(ds_a: Dataset, ds_b: Dataset, id_col_a: str, id_col_b: str,
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return with_ab.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup index (MinHash-LSH bands over the shared mutable
+# exact-dedup shards — the continuous-ingestion analogue of
+# minhash_candidates, reference app.py's incremental upload path)
+# ---------------------------------------------------------------------------
+
+class StreamingNearDeduper:
+    """Callable map_batches stage for ONE-PASS incremental near-dup
+    detection: each row's MinHash signature is banded (LSH) and the
+    band digests are check-and-add'ed against the SAME hash-sharded
+    :class:`DedupIndexShard` actors the exact path uses (band keys
+    and row keys are both opaque digests, so the shard machinery —
+    atomic first-wins, caller-token idempotency, snapshot/restore —
+    is reused wholesale).  A row whose ANY band bucket was already
+    occupied by a PRIOR row (earlier batch against the same index, or
+    earlier row of this batch — first-wins within a shard call) is
+    flagged ``neardup_hit`` = True: it is a near-dup CANDIDATE of the
+    prior ingestion at the banding threshold (k=64, bands=16 ≈ 0.5
+    jaccard knee).  Flags are candidate-level by design — the
+    streaming path cannot re-read prior text to verify; batch
+    pipelines wanting exact jaccard confirmation use
+    :func:`minhash_dedup_pairs`."""
+
+    def __init__(self, shards: list, text_col: str = "text",
+                 k: int = 64, bands: int = 16, w: int = 3,
+                 seed: int = 42):
+        import os
+
+        if k % bands:
+            raise ValueError("bands must divide k")
+        self.mh = MinHasher(text_col, k, w, seed)
+        self.shards = shards
+        self.bands = bands
+        self.text_col = text_col
+        self.run_token = os.urandom(8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                "neardup_hit", pa.array([], pa.bool_()))
+        sigs = self.mh.signatures_batch(batch.column(self.text_col))
+        r = self.mh.k // self.bands
+        digests: list[bytes] = []
+        for i in range(n):
+            row = sigs[i]
+            for j in range(self.bands):
+                digests.append(hashlib.sha1(
+                    j.to_bytes(4, "big")
+                    + row[j * r:(j + 1) * r].tobytes()).digest())
+        n_shards = len(self.shards)
+        by_shard: dict[int, list[int]] = {}
+        for idx, d in enumerate(digests):
+            by_shard.setdefault(d[0] % n_shards, []).append(idx)
+        token = hashlib.sha1(self.run_token
+                             + b"".join(digests)).digest()
+        is_new = [True] * len(digests)
+        futures = {
+            s: self.shards[s].check_and_add.remote(
+                token, [digests[i] for i in idxs])
+            for s, idxs in by_shard.items()
+        }
+        for s, idxs in by_shard.items():
+            for i, new in zip(idxs, ray.get(futures[s])):
+                is_new[i] = new
+        hit = [any(not is_new[i * self.bands + j]
+                   for j in range(self.bands)) for i in range(n)]
+        return batch.append_column("neardup_hit",
+                                   pa.array(hit, pa.bool_()))
+
+
+def neardup_streaming(ds: Dataset, text_col: str = "text",
+                      index: list | None = None,
+                      num_shards: int = 8, k: int = 64,
+                      bands: int = 16, w: int = 3,
+                      seed: int = 42) -> Dataset:
+    """One-pass incremental near-dup FLAGGING against a shared mutable
+    LSH band index (see :class:`StreamingNearDeduper`).  Returns the
+    input with a ``neardup_hit`` column, MATERIALIZED (the stage
+    mutates the index — the dedup_exact_streaming rule)."""
+    if index is None:
+        index = make_dedup_index(num_shards)
+    return ds.map_batches(
+        StreamingNearDeduper(index, text_col, k, bands, w, seed),
+        batch_format="pyarrow").materialize()

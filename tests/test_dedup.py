@@ -480,3 +480,59 @@ def test_separator_ambiguity_never_merges_rows(ray_session):
         (r["k1"], r["k2"])
         for r in dedup_exact_streaming(ds, ["k1", "k2"]).take_all())
     assert stream_out == [("a", "b\x1fc"), ("a\x1fb", "c"), ("plain", "x")]
+
+
+def test_streaming_neardup_flags_later_ingestion(ray_session):
+    """Round-5 streaming LSH index: ingest the prose corpus bases
+    first; a second ingestion of near-dup edits and exact copies
+    against the SAME index flags every one, while a batch of fresh
+    docs stays clean."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import (
+        make_dedup_index, neardup_streaming,
+    )
+
+    t = _prose_corpus(n_docs=60)
+    base = t.filter(pa.array([i % 3 == 0 for i in range(t.num_rows)]))
+    edits = t.filter(pa.array([i % 3 != 0 for i in range(t.num_rows)]))
+
+    index = make_dedup_index(4)
+    first = neardup_streaming(rd.from_arrow(base).repartition(2),
+                              index=index).take_all()
+    # distinct prose bases must not collide with each other
+    assert sum(r["neardup_hit"] for r in first) == 0
+
+    second = neardup_streaming(rd.from_arrow(edits).repartition(2),
+                               index=index).take_all()
+    # every edit/copy is a near-dup of an already-ingested base
+    assert all(r["neardup_hit"] for r in second)
+
+    rng = np.random.RandomState(77)
+    fresh = pa.Table.from_pylist([
+        {"doc_id": 10_000 + i,
+         "text": " ".join(rng.choice(
+             [f"w{j:04d}" for j in range(3000)], size=150))}
+        for i in range(10)])
+    third = neardup_streaming(rd.from_arrow(fresh), index=index) \
+        .take_all()
+    assert sum(r["neardup_hit"] for r in third) == 0
+
+
+def test_streaming_neardup_intra_batch_first_wins(ray_session):
+    """Within one ingestion, the FIRST occurrence of a text is clean
+    and its duplicates flag — single batch, single shard call per
+    key, so the shard's sequential first-wins covers intra-batch."""
+    import ray.data as rd
+
+    from ocr_engine_ray.stages.dedup import neardup_streaming
+
+    t = pa.Table.from_pylist([
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta "
+                              "eta theta iota kappa"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta "
+                              "eta theta iota kappa"},
+    ])
+    rows = sorted(neardup_streaming(rd.from_arrow(t)).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["neardup_hit"] for r in rows] == [False, True]
