@@ -19140,14 +19140,104 @@ def q_transcripts_tool_chains(sf_dir: str) -> Dataset:
                          ["chain_len", "n_chains"])
 
 
+def _edge_jaccard_broadcast(edges: Dataset, k: int) -> Dataset:
+    """Broadcast-CSR edge-Jaccard kernel (the linkpred 2-hop shape
+    with the edge filter INVERTED): per endpoint a, the 2-hop multiset
+    counts cn(a, b) for b ∈ N(a), b > a — each edge's full count in
+    ONE task, union = deg(a)+deg(b)−2−cn straight off the CSR row
+    lengths, local top-k by the integer rank key cn·1e6 // union, so
+    only ≤k rows per node move and no float ordering exists.  Same
+    :data:`WEDGE_DEG_CAP` / :data:`TWO_HOP_GATHER_CAP` loud-log hub
+    truncation as the linkpred kernel."""
+    import logging
+
+    import numpy as np
+
+    names = ["id_a", "id_b", "common_neighbors", "union_size",
+             "jaccard_q"]
+    empty = pa.table({n: pa.array([], pa.int64()) for n in names})
+    node_ids, offsets, dst, deg = _adj_csr(edges)
+    if len(node_ids) == 0:
+        return rd.from_arrow(empty)
+    csr_ref = ray.put((node_ids, offsets, dst, deg))
+
+    def block(b: pa.Table) -> pa.Table:
+        ids_, off_, dst_, deg_ = ray.get(csr_ref)
+        acc: dict[str, list] = {n: [] for n in names}
+        log = logging.getLogger(__name__)
+        for a in b.column("a").to_numpy(zero_copy_only=False):
+            ai = int(np.searchsorted(ids_, a))
+            nb = dst_[off_[ai]:off_[ai + 1]]
+            if len(nb) < 1:
+                continue
+            if len(nb) > WEDGE_DEG_CAP:
+                log.warning(
+                    "edge_jaccard: hub endpoint dropped (deg=%d > "
+                    "WEDGE_DEG_CAP=%d, node=%d)", len(nb),
+                    WEDGE_DEG_CAP, int(a))
+                continue
+            zi = np.searchsorted(ids_, nb)
+            lens = off_[zi + 1] - off_[zi]
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            if total > TWO_HOP_GATHER_CAP:
+                log.warning(
+                    "edge_jaccard: 2-hop gather dropped (%d > cap=%d,"
+                    " node=%d)", total, TWO_HOP_GATHER_CAP, int(a))
+                continue
+            cs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=cs[1:])
+            flat = (np.arange(total, dtype=np.int64)
+                    - np.repeat(cs[:-1], lens)
+                    + np.repeat(off_[zi], lens))
+            cand = dst_[flat]
+            o = np.argsort(cand, kind="stable")
+            c = cand[o]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(c)) + 1])
+            ub = c[starts]
+            cnt = np.diff(np.concatenate([starts, [len(c)]]))
+            # keep b > a that ARE edges (b ∈ sorted N(a))
+            pos = np.searchsorted(nb, ub)
+            is_edge = (pos < len(nb)) & (
+                nb[np.minimum(pos, len(nb) - 1)] == ub)
+            keep = np.flatnonzero((ub > a) & is_edge)
+            if keep.size == 0:
+                continue
+            bsel, csel = ub[keep], cnt[keep]
+            db = deg_[np.searchsorted(ids_, bsel)]
+            union = len(nb) + db - 2 - csel
+            jq = np.where(union > 0,
+                          (csel * 1_000_000) // np.maximum(union, 1),
+                          0).astype(np.int64)
+            top = np.lexsort((bsel, -jq))[:k]
+            acc["id_a"].append(np.full(len(top), a, np.int64))
+            acc["id_b"].append(bsel[top])
+            acc["common_neighbors"].append(csel[top])
+            acc["union_size"].append(union[top])
+            acc["jaccard_q"].append(jq[top])
+        if not acc["id_a"]:
+            return empty
+        return pa.table({n: pa.array(
+            np.concatenate(acc[n]).astype(np.int64), pa.int64())
+            for n in names})
+
+    nparts = int(min(128, max(1, len(node_ids))))
+    nodes = rd.from_arrow(pa.table({
+        "a": pa.array(node_ids, pa.int64())})).repartition(nparts)
+    return nodes.map_batches(block, batch_format="pyarrow")
+
+
 def q_parts_copurchase_edge_jaccard(sf_dir: str) -> Dataset:
     """Edge embeddedness / neighborhood-Jaccard for the co-purchase
     graph: for each EDGE (a,b), |N(a)∩N(b)| over |N(a)∪N(b)\\{a,b}| —
     the tie-strength score community detectors threshold on.  Top 20
-    by the score.  Exactness: the common-neighbor count is the wedge
-    expansion KEPT where the pair IS an edge (the linkpred filter,
-    inverted); the union is deg(a)+deg(b)−2−cn off the broadcast
-    dim-sized degree map; the rank key is the INTEGER
+    by the score.  Primary plan (edges ≤ :data:`EDGE_BROADCAST_MAX`):
+    the broadcast-CSR endpoint kernel (:func:`_edge_jaccard_broadcast`
+    — 24.3 s → ~3 s warm at sf0.1); beyond the bound, the capped
+    wedge expansion with the in-expansion edge filter (triangle-slot
+    rows only reach the combine).  The rank key is the INTEGER
     cn·1e6 // union, so no float ordering exists anywhere."""
     import numpy as np
 
@@ -19159,8 +19249,14 @@ def q_parts_copurchase_edge_jaccard(sf_dir: str) -> Dataset:
         "union_size": pa.array([], pa.int64()),
         "jaccard_q": pa.array([], pa.int64()),
     })
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(out_schema)
+    if n_edges <= EDGE_BROADCAST_MAX:
+        return _topk_combine(
+            _edge_jaccard_broadcast(edges, 20), sorted_topk(
+                [("jaccard_q", "descending"), ("id_a", "ascending"),
+                 ("id_b", "ascending")], 20))
 
     ekeys = np.sort(np.concatenate([
         (t.column("id_a").to_numpy(zero_copy_only=False).astype(

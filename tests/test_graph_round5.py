@@ -185,13 +185,15 @@ def test_triangles_and_edge_jaccard_center_cap(ray_session, tmp_path):
     # only other oriented groups are (100→101) and (102→103), single
     # neighbors → no triu pairs → zero triangles under the cap
     assert capped["n_triangles"] == 0
-    # edge_jaccard wedges center on SYMMETRIC degree: the hub (deg
-    # 12) drops, leaf centers (deg ≤ 3) survive.  Edge (100,101)'s
-    # only common neighbor is the hub → it vanishes under the cap;
-    # edges like (1,100) keep their leaf-centered neighbor (101).
-    pairs = {(r["id_a"], r["id_b"]) for r in ej}
-    assert (100, 101) not in pairs and (102, 103) not in pairs
-    assert (1, 100) in pairs
+    # edge_jaccard's broadcast path caps the ENDPOINT (path-local
+    # truncation, like linkpred): hub-endpoint edges (1, x) drop, but
+    # leaf-endpoint edges keep their hub-MEDIATED common neighbor —
+    # (100,101) survives with cn=1 through center 1 (the gather may
+    # pass THROUGH a hub; only hub endpoints truncate).
+    pairs = {(r["id_a"], r["id_b"]): r["common_neighbors"]
+             for r in ej}
+    assert all(a != 1 for a, _ in pairs)      # hub endpoint truncated
+    assert pairs[(100, 101)] == 1 and pairs[(102, 103)] == 1
 
 
 def test_kcenter_no_corpus_rescan(ray_session):
