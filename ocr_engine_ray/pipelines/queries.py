@@ -10601,16 +10601,16 @@ def q_parts_copurchase_degrees(sf_dir: str) -> Dataset:
 
 def q_parts_copurchase_triangles(sf_dir: str) -> Dataset:
     """EXACT triangle count + global clustering coefficient of the
-    part co-purchase graph.  Plan: the distinct edge set doubles as a
-    broadcast membership index (sorted packed int64 keys — ~10 MB/M
-    edges via ray.put, read once per task, the ANN-centroid pattern);
-    wedge generation is in-group per lowest endpoint (id-orientation
-    counts every triangle exactly once) with a vectorized triu +
-    searchsorted membership probe, so no wedge ever crosses the wire —
-    only per-group (triangles, wedges) partial counts do.  At true
-    web scale the broadcast side swaps for a degree-oriented
-    partitioned wedge join; the twin is the exact 3-way self-join
-    oracle."""
+    part co-purchase graph.  Primary plan (edges ≤
+    :data:`EDGE_BROADCAST_MAX`): 3·triangles = Σ over edges of
+    |N(a)∩N(b)| via the broadcast-CSR endpoint kernel
+    (:func:`_edge_jaccard_broadcast` with ``k=None`` — each edge's
+    count computed locally, only (edge, cn) rows move; 11.4 s → ~2 s
+    warm at sf0.1); wedge count comes straight off the degree vector.
+    Fallback beyond the bound: the oriented triu + sorted-edge-key
+    membership probe (per-group partial counts only), whose broadcast
+    side swaps for a degree-oriented partitioned wedge join at true
+    web scale.  Twin: the exact 3-way self-join oracle."""
     import numpy as np
 
     edges = _copurchase_edges(sf_dir)
@@ -10626,33 +10626,45 @@ def q_parts_copurchase_triangles(sf_dir: str) -> Dataset:
     n_wedges = int(deg.map_batches(cw_partial, batch_format="pyarrow")
                    .aggregate(Sum("p_w", alias_name="w"))["w"])
 
-    ekeys = np.sort(np.concatenate([
-        (t.column("id_a").to_numpy(zero_copy_only=False).astype(
-            np.int64) << 32)
-        | t.column("id_b").to_numpy(zero_copy_only=False)
-        for t in ray.get(edges.to_arrow_refs()) if t.num_rows
-    ])) if n_edges else np.array([], np.int64)
-    assert n_edges == 0 or int(ekeys.max() & 0xFFFFFFFF) < (1 << 32)
-    ekeys_ref = ray.put(ekeys)
+    if n_edges and n_edges <= EDGE_BROADCAST_MAX:
+        agg = _edge_jaccard_broadcast(edges, None).aggregate(
+            Sum("common_neighbors", alias_name="s"))
+        n_tri = int((agg["s"] or 0) // 3)
+    else:
+        ekeys = np.sort(np.concatenate([
+            (t.column("id_a").to_numpy(zero_copy_only=False).astype(
+                np.int64) << 32)
+            | t.column("id_b").to_numpy(zero_copy_only=False)
+            for t in ray.get(edges.to_arrow_refs()) if t.num_rows
+        ])) if n_edges else np.array([], np.int64)
+        assert n_edges == 0 or \
+            int(ekeys.max() & 0xFFFFFFFF) < (1 << 32)
+        ekeys_ref = ray.put(ekeys)
 
-    def tri_group(g: pa.Table) -> pa.Table:
-        nb = np.sort(g.column("id_b").to_numpy(zero_copy_only=False))
-        # oriented out-degree cap: a hub center would triu-expand
-        # O(deg²) keys in ONE task (see WEDGE_DEG_CAP) — drop loudly,
-        # triangle count truncates visibly, oracle corpora unaffected
-        if len(nb) < 2 or _df_capped(
-                g, len(nb), WEDGE_DEG_CAP, "triangles_wedges", "id_a"):
-            return pa.table({"p_t": pa.array([], pa.int64())})
-        ek = ray.get(ekeys_ref)
-        i, j = np.triu_indices(len(nb), k=1)
-        keys = (nb[i] << 32) | nb[j]
-        pos = np.searchsorted(ek, keys)
-        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == keys)
-        return pa.table({"p_t": pa.array([int(hit.sum())], pa.int64())})
+        def tri_group(g: pa.Table) -> pa.Table:
+            nb = np.sort(
+                g.column("id_b").to_numpy(zero_copy_only=False))
+            # oriented out-degree cap: a hub center would triu-expand
+            # O(deg²) keys in ONE task (see WEDGE_DEG_CAP) — drop
+            # loudly, count truncates visibly, oracle corpora
+            # unaffected
+            if len(nb) < 2 or _df_capped(
+                    g, len(nb), WEDGE_DEG_CAP, "triangles_wedges",
+                    "id_a"):
+                return pa.table({"p_t": pa.array([], pa.int64())})
+            ek = ray.get(ekeys_ref)
+            i, j = np.triu_indices(len(nb), k=1)
+            keys = (nb[i] << 32) | nb[j]
+            pos = np.searchsorted(ek, keys)
+            hit = (pos < len(ek)) & (
+                ek[np.minimum(pos, len(ek) - 1)] == keys)
+            return pa.table(
+                {"p_t": pa.array([int(hit.sum())], pa.int64())})
 
-    tri = edges.groupby("id_a").map_groups(tri_group,
-                                           batch_format="pyarrow")
-    n_tri = int(tri.aggregate(Sum("p_t", alias_name="t"))["t"] or 0)
+        tri = edges.groupby("id_a").map_groups(
+            tri_group, batch_format="pyarrow")
+        n_tri = int(tri.aggregate(Sum("p_t", alias_name="t"))["t"]
+                    or 0)
     clust = round_sql_f(float(3 * n_tri) / float(n_wedges), 6) \
         if n_wedges else 0.0
     return rd.from_arrow(pa.table({
@@ -19140,7 +19152,8 @@ def q_transcripts_tool_chains(sf_dir: str) -> Dataset:
                          ["chain_len", "n_chains"])
 
 
-def _edge_jaccard_broadcast(edges: Dataset, k: int) -> Dataset:
+def _edge_jaccard_broadcast(edges: Dataset,
+                            k: int | None) -> Dataset:
     """Broadcast-CSR edge-Jaccard kernel (the linkpred 2-hop shape
     with the edge filter INVERTED): per endpoint a, the 2-hop multiset
     counts cn(a, b) for b ∈ N(a), b > a — each edge's full count in
@@ -19211,7 +19224,10 @@ def _edge_jaccard_broadcast(edges: Dataset, k: int) -> Dataset:
             jq = np.where(union > 0,
                           (csel * 1_000_000) // np.maximum(union, 1),
                           0).astype(np.int64)
-            top = np.lexsort((bsel, -jq))[:k]
+            # k=None: emit every edge row (the triangle-sum caller);
+            # else the per-group local top-k prune
+            top = np.arange(len(keep)) if k is None \
+                else np.lexsort((bsel, -jq))[:k]
             acc["id_a"].append(np.full(len(top), a, np.int64))
             acc["id_b"].append(bsel[top])
             acc["common_neighbors"].append(csel[top])
