@@ -235,6 +235,38 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_events_bot_audit(sf_dir).count())
     timed("supplier_ship_lag",
           lambda: q.q_supplier_ship_lag(sf_dir).count())
+    # round-5 additions: broadcast-CSR graph kernels (edge Dataset is
+    # memoized, so family members after the first measure their own
+    # kernel), transcripts integrity/agent-ops wave, streaming near-dup
+    timed("parts_copurchase_adamic_adar",
+          lambda: q.q_parts_copurchase_adamic_adar(sf_dir).count())
+    timed("parts_copurchase_edge_jaccard",
+          lambda: q.q_parts_copurchase_edge_jaccard(sf_dir).count())
+    timed("parts_copurchase_betweenness",
+          lambda: q.q_parts_copurchase_betweenness(sf_dir).count())
+    timed("parts_copurchase_communities",
+          lambda: q.q_parts_copurchase_communities(sf_dir).count())
+    timed("transcripts_turn_integrity",
+          lambda: q.q_transcripts_turn_integrity(sf_dir).count())
+    timed("transcripts_loop_runs",
+          lambda: q.q_transcripts_loop_runs(sf_dir).count())
+    timed("transcripts_episodes",
+          lambda: q.q_transcripts_episodes(sf_dir).count())
+    timed("transcripts_anchor_spans",
+          lambda: q.q_transcripts_anchor_spans(sf_dir).count())
+    timed("transcripts_role_balance",
+          lambda: q.q_transcripts_role_balance(sf_dir).count())
+    timed("transcripts_tool_latency_quantiles",
+          lambda: q.q_transcripts_tool_latency_quantiles(
+              sf_dir).count())
+    timed("events_asof_join",
+          lambda: q.q_events_asof_join(sf_dir).count())
+    timed("embeddings_kcenter",
+          lambda: q.q_embeddings_kcenter(sf_dir).count())
+    timed("embeddings_qa",
+          lambda: q.q_embeddings_qa(sf_dir).count())
+    timed("documents_neardup_streaming",
+          lambda: q.q_documents_neardup_streaming(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
