@@ -6808,8 +6808,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY 1
         """,
         "transcripts_sft_pairs": f"""
+            -- replace(chr(0)) mirrors the engine's NUL hygiene: NULs
+            -- are junk in training text AND break pandas' C-string
+            -- hash factorizer in row-sorted compares
             WITH o AS (SELECT conv_id, turn_idx, role,
-                              COALESCE(text, '') AS text, ts
+                              replace(COALESCE(text, ''), chr(0), '')
+                                  AS text, ts
                        FROM {transcripts}),
             w AS (SELECT conv_id, turn_idx, role, text,
                          LAG(role || ': ' || text, 3) OVER win AS l3,

@@ -19070,7 +19070,15 @@ def q_transcripts_sft_pairs(sf_dir: str) -> Dataset:
     duplicates, so tie order cannot change any window).  ONE
     groupby(conv_id) co-partition; the context window is three
     vectorized shifts — no per-row Python, no join, nothing exchanges
-    twice.  Output key (conv_id, turn_idx) keeps pairs resumable."""
+    twice.  Output key (conv_id, turn_idx) keeps pairs resumable.
+
+    NUL hygiene (r5): embedded ``\\x00`` bytes are STRIPPED from the
+    rendered text in both engines.  Beyond being junk in training
+    text, NULs break pandas' multi-column sort (its hash factorizer
+    compares object strings with C-string semantics, so two prompts
+    identical up to an embedded NUL tie arbitrarily) — the driver's
+    row-sorted hash compare then flips with Ray block arrival order
+    (measured at sf0.1: two dup-turn context prefixes)."""
     import numpy as np
 
     ds = rd.read_parquet(transcript_paths(sf_dir),
@@ -19088,7 +19096,7 @@ def q_transcripts_sft_pairs(sf_dir: str) -> Dataset:
         g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
         role = np.asarray(g.column("role").to_pylist(), dtype=object)
         text = np.asarray(
-            [t if t is not None else ""
+            [(t if t is not None else "").replace("\x00", "")
              for t in g.column("text").to_pylist()], dtype=object)
         n = len(role)
         is_asst = role == "assistant"
@@ -20412,7 +20420,7 @@ def q_parts_copurchase_betweenness(sf_dir: str) -> Dataset:
     level-synchronous BFS + dependency backprop per source against
     the broadcast CSR adjacency (the linkpred kernel's structure;
     same :data:`EDGE_BROADCAST_MAX` bound applies), and per-source
-    dependency vectors are int64-QUANTIZED (round(δ·1e9)) before the
+    dependency vectors are int64-QUANTIZED (δ·1e9, half-away) before the
     (node, partial) combine, so the sum is order- and
     partitioning-independent.  Scores count each (s → pair) once per
     sampled endpoint (no /2), documented.  Rows-only (iterative /

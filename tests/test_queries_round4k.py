@@ -485,11 +485,14 @@ def test_sft_pairs_python_reference(ray_session):
     df = _synth_df().sort_values(["conv_id", "turn_idx", "ts"])
     ref = {}
     for conv, g in df.groupby("conv_id"):
-        lines = [f"{r}: {t if t is not None else ''}"
-                 for r, t in zip(g["role"], g["text"])]
+        # r5 NUL hygiene: the engine strips embedded \x00 from the
+        # rendered text (junk in training data + pandas C-string
+        # factorizer hazard in row-sorted compares)
+        texts = [(t if t is not None else "").replace("\x00", "")
+                 for t in g["text"]]
+        lines = [f"{r}: {t}" for r, t in zip(g["role"], texts)]
         roles = g["role"].tolist()
         idxs = g["turn_idx"].tolist()
-        texts = g["text"].tolist()
         for i, role in enumerate(roles):
             if role == "assistant":
                 ref.setdefault((conv, idxs[i]), []).append(
