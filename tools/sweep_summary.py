@@ -15,7 +15,7 @@ import sys
 
 OK_SQL = re.compile(r"^ok\s+(\S+): (\d+) rows match oracle \(bit-exact\)")
 OK_ROWS = re.compile(r"^ok\s+(\S+): rows-only, (\d+) rows")
-BAD = re.compile(r"^(FAIL|MISMATCH)\s+(\S+)")
+BAD = re.compile(r"^(FAIL|MISMATCH)\s+([^\s:]+):?")
 
 
 def parse(path: str) -> dict:
