@@ -630,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_parts_copurchase_betweenness,
         "documents_neardup_streaming":
             q.q_documents_neardup_streaming,
+        "transcripts_conv_dedup": q.q_transcripts_conv_dedup,
     }
 
 
@@ -7167,6 +7168,25 @@ def oracle_sql() -> dict[str, str]:
                OR strpos(text, 'Total') > 0
                OR strpos(text, 'Date') > 0
             ORDER BY 1, 2
+        """,
+        "transcripts_conv_dedup": f"""
+            WITH r AS (SELECT conv_id, role,
+                              replace(COALESCE(text, ''), chr(0), '')
+                                  AS t,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, role, text)
+                                  AS rn
+                       FROM {transcripts}),
+            p AS (SELECT conv_id,
+                         md5(replace(string_agg(role || ': ' || t,
+                             chr(10) ORDER BY rn), chr(0), ''))
+                             AS conv_md5
+                  FROM r GROUP BY conv_id)
+            SELECT conv_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   MIN(conv_id) AS example_conv
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "transcripts_episodes": f"""
             WITH r AS (SELECT conv_id, epoch_us(ts) AS us,

@@ -20530,3 +20530,47 @@ def q_documents_neardup_streaming(sf_dir: str) -> Dataset:
                          columns=["doc_id", "text"])
     return neardup_streaming(ds).select_columns(
         ["doc_id", "neardup_hit"])
+
+
+def q_transcripts_conv_dedup(sf_dir: str) -> Dataset:
+    """Conversation-LEVEL exact-duplicate groups: two conversations
+    whose ENTIRE ordered renders match ("role: text" joined by
+    newline under the pinned (turn_idx, role, text) order) are copies
+    — the whole-session twin of the turn-level dedup and the k=2
+    prefix groups.  Per-conv md5 (the samplers' hash-IS-the-spec
+    rule, NUL-stripped like the SFT render), one bounded per-hash
+    fold; output (conv_md5, n_convs, example_conv) for EVERY group so
+    the duplicate mass is auditable."""
+    import hashlib
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text"])
+
+    def conv_row(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"),
+                       ("role", "ascending"), ("text", "ascending")])
+        joined = "\n".join(
+            f"{r}: {(t if t is not None else '')}"
+            for r, t in zip(g.column("role").to_pylist(),
+                            g.column("text").to_pylist())) \
+            .replace("\x00", "")
+        h = hashlib.md5(joined.encode("utf-8")).hexdigest()
+        return pa.table({
+            "conv_md5": pa.array([h], pa.string()),
+            "conv_id": g.column("conv_id").slice(0, 1),
+        })
+
+    rows = ds.groupby("conv_id").map_groups(conv_row,
+                                            batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        cids = sorted(g.column("conv_id").to_pylist())
+        return pa.table({
+            "conv_md5": g.column("conv_md5").slice(0, 1),
+            "n_convs": pa.array([g.num_rows], pa.int64()),
+            "example_conv": pa.array([cids[0]], pa.string()),
+        })
+
+    return rows.groupby("conv_md5").map_groups(
+        fold, batch_format="pyarrow")
