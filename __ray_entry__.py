@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_neardup_streaming":
             q.q_documents_neardup_streaming,
         "transcripts_conv_dedup": q.q_transcripts_conv_dedup,
+        "parts_small_qty_revenue": q.q_parts_small_qty_revenue,
+        "suppliers_sole_late": q.q_suppliers_sole_late,
     }
 
 
@@ -7168,6 +7170,47 @@ def oracle_sql() -> dict[str, str]:
                OR strpos(text, 'Total') > 0
                OR strpos(text, 'Date') > 0
             ORDER BY 1, 2
+        """,
+        "parts_small_qty_revenue": """
+            -- integer cross-multiply replays the engine's exact
+            -- correlated threshold: qty < 0.2*avg(qty)  <=>
+            -- 5*qty*n < sum_qty (quantities are integral)
+            WITH st AS (SELECT l_partkey,
+                               CAST(SUM(CAST(l_quantity AS BIGINT))
+                                    AS BIGINT) AS sq,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM lineitem GROUP BY 1),
+            c AS (SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS cents
+                  FROM lineitem l JOIN st
+                    ON l.l_partkey = st.l_partkey
+                  WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n
+                        < st.sq)
+            SELECT CAST(COALESCE(cents, 0) AS DOUBLE) / 100.0 / 7.0
+                       AS avg_yearly
+            FROM c
+        """,
+        "suppliers_sole_late": """
+            WITH f AS (SELECT l_orderkey, l_suppkey,
+                              epoch_us(l_shipdate) AS us,
+                              MIN(epoch_us(l_shipdate)) OVER (
+                                  PARTITION BY l_orderkey) AS first_us
+                       FROM lineitem),
+            o AS (SELECT l_orderkey,
+                         COUNT(DISTINCT l_suppkey) AS n_sup
+                  FROM f GROUP BY 1),
+            late AS (SELECT DISTINCT l_orderkey, l_suppkey
+                     FROM f
+                     WHERE us > first_us + 30 * 86400000000),
+            sole AS (SELECT late.l_orderkey, MIN(l_suppkey) AS s
+                     FROM late JOIN o USING (l_orderkey)
+                     WHERE o.n_sup >= 2
+                     GROUP BY late.l_orderkey
+                     HAVING COUNT(*) = 1)
+            SELECT s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM sole JOIN supplier ON s = s_suppkey
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

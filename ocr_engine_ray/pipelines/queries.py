@@ -20574,3 +20574,127 @@ def q_transcripts_conv_dedup(sf_dir: str) -> Dataset:
 
     return rows.groupby("conv_md5").map_groups(
         fold, batch_format="pyarrow")
+
+
+def q_parts_small_qty_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q17-shaped small-quantity-order revenue: the yearly gross
+    loss if orders below 20% of a part's average order quantity moved
+    to bulk (Σ extendedprice / 7 over those lineitems).  Exactness:
+    the correlated threshold qty < 0.2·avg(qty) is evaluated as the
+    INTEGER cross-multiply 5·qty·n_part < sum_qty (quantities are
+    integral — no float compare anywhere), prices fold as exact int64
+    cents, and the single final /7 division is the only float.  Plan:
+    one (part) combine builds the per-part (n, Σqty) map, broadcast
+    via ray.put (dim-sized); the fact table then streams ONCE through
+    a vectorized filter + cents partial — no join, no second scan."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"p": b.column("l_partkey"),
+                      "q": pa.array(q, pa.int64()),
+                      "one": pa.array(np.ones(len(q), np.int64))})
+        g = t.group_by("p").aggregate([("q", "sum"), ("one", "sum")])
+        return g.rename_columns(["p", "p_q", "p_n"])
+
+    stats = _small_table(with_schema(
+        ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("p_q", alias_name="sq"),
+                                Sum("p_n", alias_name="n")),
+        pa.schema([("p", pa.int64()), ("sq", pa.int64()),
+                   ("n", pa.int64())])))
+    if stats is None:
+        return rd.from_arrow(pa.table({
+            "avg_yearly": pa.array([], pa.float64())}))
+    pk = stats.column("p").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    stats_ref = ray.put((
+        pk[order],
+        stats.column("sq").to_numpy(zero_copy_only=False)[order],
+        stats.column("n").to_numpy(zero_copy_only=False)[order]))
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        pks, sq, n = ray.get(stats_ref)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = np.searchsorted(pks, p)
+        keep = 5 * q * n[i] < sq[i]
+        cents = scaled_int_sql(
+            b.column("l_extendedprice"), 100.0)[keep]
+        return pa.table({"p_c": pa.array([int(cents.sum())],
+                                         pa.int64())})
+
+    total = int(ds.map_batches(cents_partial, batch_format="pyarrow")
+                .aggregate(Sum("p_c", alias_name="c"))["c"] or 0)
+    return rd.from_arrow(pa.table({
+        "avg_yearly": pa.array([float(total) / 100.0 / 7.0],
+                               pa.float64())}))
+
+
+def q_suppliers_sole_late(sf_dir: str) -> Dataset:
+    """TPC-H Q21-shaped sole-late-supplier census (receipt/commit
+    dates absent from this corpus, so lateness is self-contained: a
+    supplier is LATE in an order when one of its lineitems ships >30
+    days after the order's FIRST shipment): for multi-supplier orders
+    where EXACTLY ONE supplier is late, charge that supplier; top 20
+    suppliers by such orders (count desc, name asc — the Q21 output
+    shape).  ONE groupby(l_orderkey) co-partition with in-group
+    vectorized set logic; only (suppkey, 1) partials leave; the
+    supplier-name map is a broadcast dim."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"])
+
+    empty = pa.table({"s": pa.array([], pa.int64()),
+                      "p_n": pa.array([], pa.int64())})
+
+    def per_order(g: pa.Table) -> pa.Table:
+        s = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(np.unique(s)) < 2:
+            return empty
+        us = g.column("l_shipdate").combine_chunks() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = us > us.min() + 30 * DAY_US
+        late_sup = np.unique(s[late])
+        if len(late_sup) != 1:
+            return empty
+        return pa.table({"s": pa.array(late_sup, pa.int64()),
+                         "p_n": pa.array([1], pa.int64())})
+
+    counts = with_schema(
+        ds.groupby("l_orderkey").map_groups(per_order,
+                                            batch_format="pyarrow")
+        .groupby("s").aggregate(Sum("p_n", alias_name="numwait")),
+        pa.schema([("s", pa.int64()), ("numwait", pa.int64())]))
+
+    name_t = _small_table(rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]))
+    nk = name_t.column("s_suppkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(nk)
+    names = np.asarray(name_t.column("s_name").to_pylist(),
+                       dtype=object)[order]
+    name_ref = ray.put((nk[order], names))
+
+    def add_name(b: pa.Table) -> pa.Table:
+        ks, nm = ray.get(name_ref)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_name": pa.array(list(nm[np.searchsorted(ks, s)]),
+                               pa.string()),
+            "numwait": b.column("numwait"),
+        })
+
+    return _topk_combine(
+        counts.map_batches(add_name, batch_format="pyarrow"),
+        sorted_topk([("numwait", "descending"),
+                     ("s_name", "ascending")], 20))

@@ -10,6 +10,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
@@ -335,3 +336,55 @@ def test_betweenness_independent_reference(ray_session):
            q.q_parts_copurchase_betweenness(
                "/root/testdata/sf0.001").take_all()]
     assert got == exp and len(got) > 0
+
+
+def test_small_qty_revenue_planted(ray_session, tmp_path):
+    """Part 1: quantities 1,10,10,19 → avg 10, threshold 2 (integer
+    cross-multiply 5·q·n < Σq ⟺ 20·q < 40 ⟺ q < 2): only the q=1 row
+    (price 70.00) qualifies → 70/7 = 10.0 yearly."""
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_small_qty_revenue,
+    )
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 19.0], pa.float64()),
+        "l_extendedprice": pa.array([70.0, 5.0, 5.0, 5.0],
+                                    pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    rows = q_parts_small_qty_revenue(str(tmp_path)).take_all()
+    assert rows == [{"avg_yearly": 10.0}]
+
+
+def test_suppliers_sole_late_planted(ray_session, tmp_path):
+    """Order 1: suppliers A,B — B ships 40 days after first → sole
+    late, charged.  Order 2: B,C both late → nobody.  Order 3: only
+    supplier A (single-supplier) → excluded even though late."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_suppliers_sole_late,
+    )
+
+    def ts(day):
+        return dt.datetime(2025, 1, 1) + dt.timedelta(days=day)
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 2, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 11, 12, 10, 10, 10],
+                              pa.int64()),
+        "l_shipdate": pa.array(
+            [ts(0), ts(40), ts(0), ts(40), ts(45), ts(0), ts(50)],
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["SUP-A", "SUP-B", "SUP-C"], pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+    rows = q_suppliers_sole_late(str(tmp_path)).take_all()
+    assert rows == [{"s_name": "SUP-B", "numwait": 1}]
