@@ -633,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_dedup": q.q_transcripts_conv_dedup,
         "parts_small_qty_revenue": q.q_parts_small_qty_revenue,
         "suppliers_sole_late": q.q_suppliers_sole_late,
+        "parts_copurchase_closeness":
+            q.q_parts_copurchase_closeness,
+        "documents_kneser_ney": q.q_documents_kneser_ney,
     }
 
 
@@ -7211,6 +7214,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS numwait
             FROM sole JOIN supplier ON s = s_suppkey
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "documents_kneser_ney": """
+            WITH t AS (SELECT string_split(text, ' ') AS w
+                       FROM documents),
+            bg AS (SELECT unnest(list_transform(
+                       list_zip(w[:len(w)-1], w[2:len(w)]),
+                       z -> z[1] || ' ' || z[2])) AS bigram
+                   FROM t WHERE len(w) > 1),
+            g AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM bg GROUP BY 1),
+            sp AS (SELECT bigram, c,
+                          string_split(bigram, ' ')[1] AS w1,
+                          string_split(bigram, ' ')[2] AS w2
+                   FROM g),
+            s1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+                          CAST(COUNT(*) AS BIGINT) AS n1f
+                   FROM sp GROUP BY 1),
+            s2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+                   FROM sp GROUP BY 1),
+            nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+            top AS (SELECT * FROM sp
+                    ORDER BY c DESC, bigram LIMIT 20)
+            SELECT top.bigram, top.c AS n, s1.c1, s1.n1f, s2.n1b,
+                   GREATEST(CAST(top.c AS DOUBLE) - 0.75, 0.0)
+                       / CAST(s1.c1 AS DOUBLE)
+                   + 0.75 * CAST(s1.n1f AS DOUBLE)
+                       / CAST(s1.c1 AS DOUBLE)
+                       * (CAST(s2.n1b AS DOUBLE)
+                          / CAST((SELECT n FROM nbt) AS DOUBLE))
+                       AS p_kn
+            FROM top JOIN s1 USING (w1) JOIN s2 USING (w2)
+            ORDER BY n DESC, bigram
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

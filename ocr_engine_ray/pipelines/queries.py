@@ -20744,3 +20744,183 @@ def q_suppliers_sole_late(sf_dir: str) -> Dataset:
         counts.map_batches(add_name, batch_format="pyarrow"),
         sorted_topk([("numwait", "descending"),
                      ("s_name", "ascending")], 20))
+
+
+def q_parts_copurchase_closeness(sf_dir: str) -> Dataset:
+    """Sampled harmonic closeness centrality over the co-purchase
+    graph: H(v) = Σ_s 1/d(s, v) over the SAME deterministic
+    md5-ranked source sample as the betweenness estimator — the
+    reachability-robust closeness variant (disconnected pairs simply
+    contribute 0).  Source-parallel vectorized BFS against the
+    broadcast CSR; per-source reciprocal distances are int64-QUANTIZED
+    (1e9, half-away) before the per-node combine so the sum is
+    partitioning-independent.  Top 20 nodes by quantized score (ties
+    by id).  Rows-only (sampled/iterative); independent dict-BFS
+    reference pytest."""
+    import hashlib
+
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "p": pa.array([], pa.int64()),
+            "hc_q": pa.array([], pa.int64())}))
+    node_ids, offsets, dst, deg = _adj_csr(edges)
+    n = len(node_ids)
+    ranked = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(
+            f"{int(node_ids[i])}\x1f42".encode()).hexdigest(),
+            int(node_ids[i])))
+    sources = np.array(sorted(ranked[:BETWEENNESS_SOURCES]), np.int64)
+    csr_ref = ray.put((node_ids, offsets, dst))
+
+    def block(b: pa.Table) -> pa.Table:
+        ids_, off_, dst_ = ray.get(csr_ref)
+        nn = len(ids_)
+        acc = np.zeros(nn, np.int64)
+        for s in b.column("s").to_numpy(zero_copy_only=False):
+            s = int(s)
+            dist = np.full(nn, -1, np.int64)
+            dist[s] = 0
+            frontier = np.array([s], np.int64)
+            cur = 0
+            while len(frontier):
+                lens = off_[frontier + 1] - off_[frontier]
+                tot = int(lens.sum())
+                cs = np.zeros(len(lens) + 1, np.int64)
+                np.cumsum(lens, out=cs[1:])
+                flat = (np.arange(tot, dtype=np.int64)
+                        - np.repeat(cs[:-1], lens)
+                        + np.repeat(off_[frontier], lens))
+                ci = np.searchsorted(ids_, dst_[flat])
+                new = np.unique(ci[dist[ci] == -1])
+                dist[new] = cur + 1
+                frontier = new
+                cur += 1
+            reach = dist > 0
+            acc[reach] += scaled_int_sql(
+                1.0 / dist[reach].astype(np.float64), 1e9)
+        nz = np.flatnonzero(acc)
+        return pa.table({"p": pa.array(ids_[nz], pa.int64()),
+                         "hc_q": pa.array(acc[nz], pa.int64())})
+
+    nparts = int(min(64, max(1, len(sources))))
+    src_ds = rd.from_arrow(pa.table({
+        "s": pa.array(sources, pa.int64())})).repartition(nparts)
+    partials = src_ds.map_batches(block, batch_format="pyarrow") \
+        .materialize()
+    combined = _pair_combine(partials, ["p"], "hc_q", pcol="hc_q")
+    return _topk_combine(combined, sorted_topk(
+        [("hc_q", "descending"), ("p", "ascending")], 20))
+
+
+def q_documents_kneser_ney(sf_dir: str) -> Dataset:
+    """Kneser-Ney smoothed bigram probabilities (D = 0.75, the
+    interpolated form every n-gram LM pipeline ships) for the top-20
+    corpus bigrams: P_KN(w2|w1) = max(c12−D, 0)/c1 +
+    D·N1+(w1·)/c1 · (N1+(·w2)/|bigram types|).  All counts are exact
+    int64 off ONE distinct-bigram grid (the top_bigrams exchange);
+    the continuation/prefix stats for the 20 winners ride a second
+    pass over the materialized grid against broadcast 20-key sets
+    (bounded tree combines), and the final probability is a single
+    float expression replayed token-identically in the twin.
+    Exchanges: bigram groupby, top-k local prune, two ≤20-key
+    combines."""
+    import numpy as np
+
+    from ..stages.terms import bigram_partials
+
+    K = 20
+    D = 0.75
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    grid = with_schema(
+        ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby("bigram").aggregate(Sum("p_n", alias_name="c")),
+        pa.schema([("bigram", pa.string()), ("c", pa.int64())])) \
+        .materialize()
+    nbt = grid.count()
+    if nbt == 0:
+        return rd.from_arrow(pa.table({
+            "bigram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "c1": pa.array([], pa.int64()),
+            "n1f": pa.array([], pa.int64()),
+            "n1b": pa.array([], pa.int64()),
+            "p_kn": pa.array([], pa.float64()),
+        }))
+
+    top_t = _small_table(_topk_combine(grid, sorted_topk(
+        [("c", "descending"), ("bigram", "ascending")], K)))
+    tops = top_t.column("bigram").to_pylist()
+    tc = top_t.column("c").to_numpy(zero_copy_only=False)
+    w1s = [b.split(" ")[0] for b in tops]
+    w2s = [b.split(" ")[1] for b in tops]
+    keys_ref = ray.put((sorted(set(w1s)), sorted(set(w2s))))
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        w1set, w2set = ray.get(keys_ref)
+        parts = pc.split_pattern(b.column("bigram"), " ")
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        c = b.column("c")
+        t1 = pa.table({"k": w1, "c": c}).filter(
+            pc.is_in(w1, value_set=pa.array(w1set, pa.string())))
+        g1 = t1.group_by("k").aggregate([("c", "sum"),
+                                         ("c", "count")])
+        g1 = g1.rename_columns(["k", "p_c1", "p_n1f"])
+        t2 = pa.table({"k2": w2}).filter(
+            pc.is_in(w2, value_set=pa.array(w2set, pa.string())))
+        g2 = t2.group_by("k2").aggregate([([], "count_all")])
+        g2 = g2.rename_columns(["k2", "p_n1b"])
+        # one table, tag-separated (w1 stats rows + w2 stats rows)
+        return pa.table({
+            "k": pa.concat_arrays([
+                g1.column("k").combine_chunks(),
+                g2.column("k2").combine_chunks()]),
+            "tag": pa.array([0] * g1.num_rows + [1] * g2.num_rows,
+                            pa.int64()),
+            "p_c1": pa.concat_arrays([
+                g1.column("p_c1").cast(pa.int64()).combine_chunks(),
+                pa.array([0] * g2.num_rows, pa.int64())]),
+            "p_n1f": pa.concat_arrays([
+                g1.column("p_n1f").cast(pa.int64()).combine_chunks(),
+                pa.array([0] * g2.num_rows, pa.int64())]),
+            "p_n1b": pa.concat_arrays([
+                pa.array([0] * g1.num_rows, pa.int64()),
+                g2.column("p_n1b").cast(pa.int64()).combine_chunks()]),
+        })
+
+    stats = _small_table(_tree_combine(
+        grid.map_batches(stat_partial, batch_format="pyarrow"),
+        ["k", "tag"],
+        [("p_c1", "sum"), ("p_n1f", "sum"), ("p_n1b", "sum")],
+        ["k", "tag", "p_c1", "p_n1f", "p_n1b"],
+        ["k", "tag", "c1", "n1f", "n1b"]))
+    c1m: dict = {}
+    n1fm: dict = {}
+    n1bm: dict = {}
+    for r in stats.to_pylist():
+        if r["tag"] == 0:
+            c1m[r["k"]] = r["c1"]
+            n1fm[r["k"]] = r["n1f"]
+        else:
+            n1bm[r["k"]] = r["n1b"]
+
+    pkn = []
+    for b, c12, w1, w2 in zip(tops, tc, w1s, w2s):
+        c1, n1f, n1b = c1m[w1], n1fm[w1], n1bm[w2]
+        pkn.append(max(float(c12) - D, 0.0) / float(c1)
+                   + D * float(n1f) / float(c1)
+                   * (float(n1b) / float(nbt)))
+    return rd.from_arrow(pa.table({
+        "bigram": pa.array(tops, pa.string()),
+        "n": pa.array(tc, pa.int64()),
+        "c1": pa.array([c1m[w] for w in w1s], pa.int64()),
+        "n1f": pa.array([n1fm[w] for w in w1s], pa.int64()),
+        "n1b": pa.array([n1bm[w] for w in w2s], pa.int64()),
+        "p_kn": pa.array(pkn, pa.float64()),
+    }))

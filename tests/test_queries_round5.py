@@ -388,3 +388,53 @@ def test_suppliers_sole_late_planted(ray_session, tmp_path):
     }), str(tmp_path / "supplier.parquet"))
     rows = q_suppliers_sole_late(str(tmp_path)).take_all()
     assert rows == [{"s_name": "SUP-B", "numwait": 1}]
+
+
+def test_closeness_independent_reference(ray_session):
+    """Sampled harmonic closeness vs an independent dict-based BFS on
+    the sf0.001 co-purchase graph, same source sample and 1e9
+    quantization."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from ocr_engine_ray.pipelines import queries as q
+    from ocr_engine_ray.util import scaled_int_sql
+
+    con = duckdb.connect()
+    edges = con.execute("""
+        WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM '/root/testdata/sf0.001/lineitem.parquet')
+        SELECT DISTINCT a.p, b.p FROM op a JOIN op b USING (o)
+        WHERE a.p < b.p""").fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    ranked = sorted(
+        nodes, key=lambda v: (hashlib.md5(
+            f"{v}\x1f42".encode()).hexdigest(), v))
+    sources = sorted(ranked[:q.BETWEENNESS_SOURCES])
+
+    acc = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                acc[v] += int(scaled_int_sql(
+                    __import__("numpy").array([1.0 / d]), 1e9)[0])
+    exp = sorted(((v, c) for v, c in acc.items() if c),
+                 key=lambda t: (-t[1], t[0]))[:20]
+    got = [(r["p"], r["hc_q"]) for r in
+           q.q_parts_copurchase_closeness(
+               "/root/testdata/sf0.001").take_all()]
+    assert got == exp and len(got) > 0
