@@ -267,6 +267,16 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_embeddings_qa(sf_dir).count())
     timed("documents_neardup_streaming",
           lambda: q.q_documents_neardup_streaming(sf_dir).count())
+    timed("transcripts_conv_dedup",
+          lambda: q.q_transcripts_conv_dedup(sf_dir).count())
+    timed("parts_small_qty_revenue",
+          lambda: q.q_parts_small_qty_revenue(sf_dir).count())
+    timed("suppliers_sole_late",
+          lambda: q.q_suppliers_sole_late(sf_dir).count())
+    timed("parts_copurchase_closeness",
+          lambda: q.q_parts_copurchase_closeness(sf_dir).count())
+    timed("documents_kneser_ney",
+          lambda: q.q_documents_kneser_ney(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
