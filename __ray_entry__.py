@@ -636,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_closeness":
             q.q_parts_copurchase_closeness,
         "documents_kneser_ney": q.q_documents_kneser_ney,
+        "transcripts_training_windows":
+            q.q_transcripts_training_windows,
+        "embeddings_mrl_recall": q.q_embeddings_mrl_recall,
     }
 
 
@@ -7246,6 +7249,60 @@ def oracle_sql() -> dict[str, str]:
                        AS p_kn
             FROM top JOIN s1 USING (w1) JOIN s2 USING (w2)
             ORDER BY n DESC, bigram
+        """,
+        "transcripts_training_windows": f"""
+            WITH r AS (SELECT conv_id,
+                              CAST(turn_idx AS BIGINT) AS turn_idx,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS n_tokens,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, role, text)
+                                  AS rid
+                       FROM {transcripts})
+            SELECT conv_id, turn_idx, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            PARTITION BY conv_id ORDER BY rid
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) // 512
+                        AS BIGINT) AS window_idx
+            FROM r ORDER BY 1, 2
+        """,
+        "embeddings_mrl_recall": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id < 8),
+            fullr AS (SELECT q.query_id, c.vec_id,
+                             ROW_NUMBER() OVER (
+                                 PARTITION BY q.query_id
+                                 ORDER BY list_cosine_similarity(
+                                     q.embedding::DOUBLE[],
+                                     c.embedding::DOUBLE[]) DESC,
+                                     c.vec_id ASC) AS rk
+                      FROM q CROSS JOIN embeddings c),
+            halfr AS (SELECT q.query_id, c.vec_id,
+                             ROW_NUMBER() OVER (
+                                 PARTITION BY q.query_id
+                                 ORDER BY list_cosine_similarity(
+                                     (q.embedding::DOUBLE[])[1:32],
+                                     (c.embedding::DOUBLE[])[1:32])
+                                     DESC, c.vec_id ASC) AS rk
+                      FROM q CROSS JOIN embeddings c),
+            ov AS (SELECT f.query_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_overlap
+                   FROM (SELECT query_id, vec_id FROM fullr
+                         WHERE rk <= 5) f
+                   JOIN (SELECT query_id, vec_id FROM halfr
+                         WHERE rk <= 5) h
+                     USING (query_id, vec_id)
+                   GROUP BY 1)
+            SELECT query_id,
+                   COALESCE(n_overlap, 0) AS n_overlap,
+                   CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 5.0
+                       AS recall
+            FROM (SELECT DISTINCT query_id FROM fullr) a
+            LEFT JOIN ov USING (query_id)
+            ORDER BY 1
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

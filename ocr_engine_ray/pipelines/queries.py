@@ -20924,3 +20924,107 @@ def q_documents_kneser_ney(sf_dir: str) -> Dataset:
         "n1b": pa.array([n1bm[w] for w in w2s], pa.int64()),
         "p_kn": pa.array(pkn, pa.float64()),
     }))
+
+
+def q_transcripts_training_windows(sf_dir: str) -> Dataset:
+    """Turn-aligned training-window sharding: each conversation's
+    turns pack greedily into ≤512-token windows (window_idx =
+    EXCLUSIVE running token prefix-sum // 512 under the pinned
+    (turn_idx, role, text) order) — the conversation analogue of
+    documents_pack_bins that never splits inside a turn, the sharding
+    step between SFT pair construction and batch assembly.  Output:
+    one row per turn with its token count and window.  Duplicate
+    turns are full-row duplicates: the two copies receive consecutive
+    prefix sums whichever order they take, so the OUTPUT MULTISET is
+    order-invariant (the driver's sorted hash sees identical rows).
+    ONE per-conv group pass; the twin replays the prefix sum over a
+    pinned ROW_NUMBER."""
+    import numpy as np
+
+    BUDGET = 512
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text"])
+
+    def windows(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"),
+                       ("role", "ascending"), ("text", "ascending")])
+        toks = pc.split_pattern(g.column("text"), " ")
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        excl = np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table({
+            "conv_id": g.column("conv_id"),
+            "turn_idx": g.column("turn_idx").cast(pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "window_idx": pa.array(excl // BUDGET, pa.int64()),
+        })
+
+    return ds.groupby("conv_id").map_groups(windows,
+                                            batch_format="pyarrow")
+
+
+def q_embeddings_mrl_recall(sf_dir: str) -> Dataset:
+    """Matryoshka truncation recall — the MRL production question
+    (Kusupati et al. 2022, public): if ANN ran on only the FIRST HALF
+    of each embedding, how much of the full-dimension top-5 would
+    survive?  Per query (vec_id < 8, the ann_topk query set):
+    |top5_full ∩ top5_half| and recall = overlap/5.  Both rankings
+    ride the existing brute-force kernel (broadcast query matrix,
+    per-batch local top-k, driver heap merge — the corpus streams
+    twice, half-dim via one vectorized slice); rank order parity with
+    the twin follows the ann_topk discipline (cosines on this corpus
+    are rank-separated)."""
+    import numpy as np
+
+    from ..stages.similarity import brute_force_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).materialize()
+    qt = _small_table(ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"),
+                                   pa.scalar(8, pa.int64()))),
+        batch_format="pyarrow"))
+    if qt is None or qt.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "n_overlap": pa.array([], pa.int64()),
+            "recall": pa.array([], pa.float64()),
+        }))
+    order = np.argsort(qt.column("vec_id").to_numpy(
+        zero_copy_only=False))
+    qids = [int(qt.column("vec_id")[int(i)].as_py()) for i in order]
+    qmat = np.asarray(qt.column("embedding").to_pylist(),
+                      np.float64)[order]
+    d = qmat.shape[1]
+    h = d // 2
+
+    full = brute_force_topk(ds, qmat, qids, k=5)
+
+    def halve(b: pa.Table) -> pa.Table:
+        from ..util import vec_matrix
+        m = vec_matrix(b.column("embedding"))[:, :h]
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        })
+
+    half = brute_force_topk(ds.map_batches(halve,
+                                           batch_format="pyarrow"),
+                            qmat[:, :h], qids, k=5)
+
+    tf: dict[int, set] = {}
+    for r in full.to_pylist():
+        tf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    th: dict[int, set] = {}
+    for r in half.to_pylist():
+        th.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rows = sorted(tf)
+    ov = [len(tf[q] & th.get(q, set())) for q in rows]
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(rows, pa.int64()),
+        "n_overlap": pa.array(ov, pa.int64()),
+        "recall": pa.array([float(o) / 5.0 for o in ov],
+                           pa.float64()),
+    }))
