@@ -639,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_training_windows":
             q.q_transcripts_training_windows,
         "embeddings_mrl_recall": q.q_embeddings_mrl_recall,
+        "events_cusum_changepoint": q.q_events_cusum_changepoint,
     }
 
 
@@ -7303,6 +7304,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT query_id FROM fullr) a
             LEFT JOIN ov USING (query_id)
             ORDER BY 1
+        """,
+        "events_cusum_changepoint": """
+            WITH g AS (SELECT CAST(epoch_us(ts) // 86400000000
+                              AS BIGINT) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS x
+                       FROM events GROUP BY 1),
+            s AS (SELECT day, x,
+                         CAST(SUM(x) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS p,
+                         CAST(ROW_NUMBER() OVER (ORDER BY day)
+                              AS BIGINT) AS k,
+                         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                         CAST(SUM(x) OVER () AS BIGINT) AS t
+                  FROM g),
+            d AS (SELECT day, k, n, t, p,
+                         abs(n * p - k * t) AS stat
+                  FROM s WHERE k < n),
+            best AS (SELECT * FROM d
+                     ORDER BY stat DESC, day ASC LIMIT 1)
+            SELECT CAST(to_timestamp(day * 86400) AS TIMESTAMP)
+                       AS change_day,
+                   k, CAST(stat AS BIGINT) AS cusum_stat,
+                   CAST(p AS DOUBLE) / CAST(k AS DOUBLE)
+                       AS mean_before,
+                   CAST(t - p AS DOUBLE) / CAST(n - k AS DOUBLE)
+                       AS mean_after
+            FROM best
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

@@ -21054,3 +21054,58 @@ def q_embeddings_mrl_recall(sf_dir: str) -> Dataset:
         "recall": pa.array([float(o) / 5.0 for o in ov],
                            pa.float64()),
     }))
+
+
+def q_events_cusum_changepoint(sf_dir: str) -> Dataset:
+    """CUSUM mean-shift changepoint over the daily event-count series
+    — the pipeline-ops alarm for "did volume change regime?": the
+    split k maximizing |n·P_k − k·T| (the CUSUM deviation statistic
+    cross-multiplied into EXACT int64 — P_k prefix sum, T total, so
+    no float mean ever enters the argmax), earliest day on ties, plus
+    the two regime means as single final divisions.  The (day, count)
+    grid is calendar-bounded: one tree combine, driver fold (the ACF
+    discipline)."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "day": pc.divide(b.column("ts").cast(pa.int64()),
+                             pa.scalar(DAY_US, pa.int64())),
+        }).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "p_n"])
+
+    grid = _small_table(_tree_combine(
+        rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "p_n"], ["day", "x"]))
+    if grid is None or grid.num_rows < 2:
+        return rd.from_arrow(pa.table({
+            "change_day": pa.array([], pa.timestamp("us")),
+            "k": pa.array([], pa.int64()),
+            "cusum_stat": pa.array([], pa.int64()),
+            "mean_before": pa.array([], pa.float64()),
+            "mean_after": pa.array([], pa.float64()),
+        }))
+    day = grid.column("day").to_numpy(zero_copy_only=False)
+    x = grid.column("x").to_numpy(zero_copy_only=False)
+    o = np.argsort(day)
+    day, x = day[o], x[o]
+    n = len(x)
+    P = np.cumsum(x)
+    T = int(P[-1])
+    ks = np.arange(1, n, dtype=np.int64)
+    D = np.abs(n * P[:-1] - ks * T)
+    best = int(np.argmax(D))  # np.argmax takes the FIRST max — ties
+    k = best + 1              # → earliest split, mirrored in the twin
+    return rd.from_arrow(pa.table({
+        "change_day": pa.array([int(day[best]) * DAY_US],
+                               pa.int64()).cast(pa.timestamp("us")),
+        "k": pa.array([k], pa.int64()),
+        "cusum_stat": pa.array([int(D[best])], pa.int64()),
+        "mean_before": pa.array(
+            [float(P[best]) / float(k)], pa.float64()),
+        "mean_after": pa.array(
+            [float(T - P[best]) / float(n - k)], pa.float64()),
+    }))

@@ -438,3 +438,29 @@ def test_closeness_independent_reference(ray_session):
            q.q_parts_copurchase_closeness(
                "/root/testdata/sf0.001").take_all()]
     assert got == exp and len(got) > 0
+
+
+def test_cusum_changepoint_planted(ray_session, tmp_path):
+    """10 days at 10 events, then 10 days at 100 → the CUSUM argmax
+    lands exactly on the regime boundary (k=10) with the level means
+    recovered."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_cusum_changepoint,
+    )
+
+    rows_ts = []
+    for d in range(20):
+        per = 10 if d < 10 else 100
+        rows_ts += [dt.datetime(2025, 1, 1 + d, 0, 0, s % 60, s)
+                    for s in range(per)]
+    pq.write_table(pa.table({
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    r = q_events_cusum_changepoint(str(tmp_path)).take_all()[0]
+    assert r["k"] == 10
+    assert r["change_day"] == dt.datetime(2025, 1, 10)
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 100.0
