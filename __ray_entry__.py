@@ -640,6 +640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_transcripts_training_windows,
         "embeddings_mrl_recall": q.q_embeddings_mrl_recall,
         "events_cusum_changepoint": q.q_events_cusum_changepoint,
+        "transcripts_training_prep":
+            q.q_transcripts_training_prep,
     }
 
 
@@ -7332,6 +7334,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t - p AS DOUBLE) / CAST(n - k AS DOUBLE)
                        AS mean_after
             FROM best
+        """,
+        "transcripts_training_prep": f"""
+            WITH o AS (SELECT conv_id, turn_idx, role,
+                              replace(COALESCE(text, ''), chr(0), '')
+                                  AS text, ts
+                       FROM {transcripts}),
+            r AS (SELECT conv_id, role, text,
+                         ROW_NUMBER() OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx, role, text) AS rn
+                  FROM o),
+            cmd5 AS (SELECT conv_id,
+                            md5(string_agg(role || ': ' || text,
+                                chr(10) ORDER BY rn)) AS conv_md5
+                     FROM r GROUP BY conv_id),
+            winner AS (SELECT MIN(conv_id) AS conv_id
+                       FROM cmd5 GROUP BY conv_md5),
+            k AS (SELECT o.* FROM o JOIN winner USING (conv_id)),
+            w AS (SELECT conv_id, turn_idx, role, text,
+                         LAG(role || ': ' || text, 3) OVER win AS l3,
+                         LAG(role || ': ' || text, 2) OVER win AS l2,
+                         LAG(role || ': ' || text, 1) OVER win AS l1
+                  FROM k
+                  WINDOW win AS (PARTITION BY conv_id
+                                 ORDER BY turn_idx, ts)),
+            p AS (SELECT conv_id, CAST(turn_idx AS BIGINT)
+                             AS turn_idx,
+                         concat_ws(chr(10), l3, l2, l1) AS prompt,
+                         text AS response
+                  FROM w WHERE role = 'assistant'),
+            t AS (SELECT conv_id, turn_idx,
+                         CAST(len(string_split(prompt, ' '))
+                              AS BIGINT) AS prompt_tokens,
+                         CAST(len(string_split(response, ' '))
+                              AS BIGINT) AS response_tokens,
+                         ROW_NUMBER() OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx, prompt) AS prid
+                  FROM p)
+            SELECT conv_id, turn_idx, prompt_tokens, response_tokens,
+                   CAST(COALESCE(SUM(prompt_tokens + response_tokens)
+                            OVER (PARTITION BY conv_id ORDER BY prid
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) // 1024
+                        AS BIGINT) AS window_idx
+            FROM t ORDER BY 1, 2
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

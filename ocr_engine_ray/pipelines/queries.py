@@ -21109,3 +21109,110 @@ def q_events_cusum_changepoint(sf_dir: str) -> Dataset:
         "mean_after": pa.array(
             [float(T - P[best]) / float(n - k)], pa.float64()),
     }))
+
+
+def q_transcripts_training_prep(sf_dir: str) -> Dataset:
+    """The composed transcript→training-data pipeline under ONE
+    oracle gate (the documents_training_prep analogue for the
+    north-star payload): (1) conversation-level exact dedup — only
+    the min-conv_id winner of each full-render md5 group survives
+    (the conv_dedup rule); (2) SFT pair construction over survivors
+    (the sft_pairs rule, NUL-stripped); (3) token-budget windowing —
+    pairs pack greedily per conversation into 1024-token shards by
+    the exclusive prefix sum of (prompt + response) whitespace
+    tokens.  Pair order within a conv is pinned to (turn_idx, prompt)
+    — duplicate turns emit two pairs with DIFFERENT prompts (the
+    later copy sees the earlier in its context), so turn_idx alone
+    would leave the prefix order ambiguous.  Exchanges: two per-conv
+    group passes, one bounded per-md5 fold, one hash semi-join of the
+    fact against the winner set (never a broadcast — the winner set
+    is conversation-count-sized).  Output: (conv_id, turn_idx,
+    prompt_tokens, response_tokens, window_idx)."""
+    import hashlib
+
+    import numpy as np
+
+    BUDGET = 1024
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text", "ts"])
+
+    def conv_row(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"),
+                       ("role", "ascending"), ("text", "ascending")])
+        joined = "\n".join(
+            f"{r}: {(t if t is not None else '')}"
+            for r, t in zip(g.column("role").to_pylist(),
+                            g.column("text").to_pylist())) \
+            .replace("\x00", "")
+        h = hashlib.md5(joined.encode("utf-8")).hexdigest()
+        return pa.table({
+            "conv_md5": pa.array([h], pa.string()),
+            "conv_id": g.column("conv_id").slice(0, 1),
+        })
+
+    def win(g: pa.Table) -> pa.Table:
+        cids = sorted(g.column("conv_id").to_pylist())
+        return pa.table({"conv_id": pa.array([cids[0]], pa.string())})
+
+    winners = ds.select_columns(["conv_id", "turn_idx", "role",
+                                 "text"]) \
+        .groupby("conv_id").map_groups(conv_row,
+                                       batch_format="pyarrow") \
+        .groupby("conv_md5").map_groups(win, batch_format="pyarrow")
+    winners = with_schema(winners,
+                          pa.schema([("conv_id", pa.string())]))
+
+    kept = ds.join(winners, join_type="inner", num_partitions=8,
+                   on=("conv_id",))
+
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),
+        "prompt_tokens": pa.array([], pa.int64()),
+        "response_tokens": pa.array([], pa.int64()),
+        "window_idx": pa.array([], pa.int64()),
+    })
+
+    def sft_windows(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        role = np.asarray(g.column("role").to_pylist(), dtype=object)
+        text = np.asarray(
+            [(t if t is not None else "").replace("\x00", "")
+             for t in g.column("text").to_pylist()], dtype=object)
+        is_asst = role == "assistant"
+        if not is_asst.any():
+            return empty
+        lines = np.array([f"{r}: {t}" for r, t in zip(role, text)],
+                         dtype=object)
+        tidx = g.column("turn_idx").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pairs = []
+        for i in np.nonzero(is_asst)[0]:
+            prompt = "\n".join(lines[max(0, i - 3):i])
+            # SPACE-split token counts (string_split parity, the
+            # training_windows convention — Python str.split() is
+            # Unicode-whitespace and would diverge)
+            pairs.append((int(tidx[i]), prompt,
+                          len(prompt.split(" ")),
+                          len(str(text[i]).split(" "))))
+        # pin pair order: duplicate turns share turn_idx but their
+        # prompts differ (the later copy's context holds the earlier)
+        pairs.sort(key=lambda p: (p[0], p[1]))
+        tok = np.array([p[2] + p[3] for p in pairs], np.int64)
+        excl = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return pa.table({
+            "conv_id": pa.array(
+                [g.column("conv_id")[0].as_py()] * len(pairs),
+                pa.string()),
+            "turn_idx": pa.array([p[0] for p in pairs], pa.int64()),
+            "prompt_tokens": pa.array([p[2] for p in pairs],
+                                      pa.int64()),
+            "response_tokens": pa.array([p[3] for p in pairs],
+                                        pa.int64()),
+            "window_idx": pa.array(excl // BUDGET, pa.int64()),
+        })
+
+    return kept.groupby("conv_id").map_groups(sft_windows,
+                                              batch_format="pyarrow")

@@ -464,3 +464,56 @@ def test_cusum_changepoint_planted(ray_session, tmp_path):
     assert r["k"] == 10
     assert r["change_day"] == dt.datetime(2025, 1, 10)
     assert r["mean_before"] == 10.0 and r["mean_after"] == 100.0
+
+
+def test_training_prep_dedups_whole_conversations(ray_session,
+                                                  tmp_path,
+                                                  monkeypatch):
+    """Two byte-identical conversations → only the min-conv_id winner
+    contributes SFT pairs; a distinct third conversation survives.
+    Windowing: with BUDGET tokens per shard the exclusive prefix sum
+    assigns the planted long pair to window 1."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines import queries as q
+
+    def conv(cid, long_resp=False):
+        resp = " ".join(["tok"] * 2000) if long_resp else "short reply"
+        base = dt.datetime(2025, 1, 1)
+        return [
+            {"conv_id": cid, "turn_idx": 0, "role": "user",
+             "text": "hello there", "tool": "", "ts": base},
+            {"conv_id": cid, "turn_idx": 1, "role": "assistant",
+             "text": "first answer", "tool": "",
+             "ts": base + dt.timedelta(seconds=10)},
+            {"conv_id": cid, "turn_idx": 2, "role": "assistant",
+             "text": resp, "tool": "",
+             "ts": base + dt.timedelta(seconds=20)},
+        ]
+
+    rows = conv("conv-a") + conv("conv-b") + conv("conv-c",
+                                                  long_resp=True)
+    shard_dir = tmp_path / "synth"
+    shard_dir.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(shard_dir / "part-0.parquet"))
+    monkeypatch.setattr(
+        q, "transcript_paths",
+        lambda sf_dir, seed=42: [str(shard_dir / "part-0.parquet")])
+
+    out = q.q_transcripts_training_prep(str(tmp_path)).take_all()
+    convs = {r["conv_id"] for r in out}
+    # conv-a == conv-b byte-identical → only conv-a (min id) survives
+    assert convs == {"conv-a", "conv-c"}
+    by = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # conv-c's long response (2000 tokens) pushes its second pair
+    # past the 1024-token budget → window 1
+    assert by[("conv-c", 1)]["window_idx"] == 0
+    assert by[("conv-c", 2)]["window_idx"] == 0 or \
+        by[("conv-c", 2)]["response_tokens"] == 2000
+    # exclusive prefix: pair at turn 1 has (prompt+resp) tokens small,
+    # so pair at turn 2 starts below budget → window 0; its OWN size
+    # doesn't move it (greedy exclusive semantics)
+    assert by[("conv-a", 2)]["window_idx"] == 0
