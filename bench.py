@@ -277,6 +277,14 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_parts_copurchase_closeness(sf_dir).count())
     timed("documents_kneser_ney",
           lambda: q.q_documents_kneser_ney(sf_dir).count())
+    timed("transcripts_training_windows",
+          lambda: q.q_transcripts_training_windows(sf_dir).count())
+    timed("transcripts_training_prep",
+          lambda: q.q_transcripts_training_prep(sf_dir).count())
+    timed("embeddings_mrl_recall",
+          lambda: q.q_embeddings_mrl_recall(sf_dir).count())
+    timed("events_cusum_changepoint",
+          lambda: q.q_events_cusum_changepoint(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
