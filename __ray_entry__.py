@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_changepoint": q.q_events_cusum_changepoint,
         "transcripts_training_prep":
             q.q_transcripts_training_prep,
+        "events_trimmed_mean": q.q_events_trimmed_mean,
     }
 
 
@@ -7378,6 +7379,33 @@ def oracle_sql() -> dict[str, str]:
                                        AND 1 PRECEDING), 0) // 1024
                         AS BIGINT) AS window_idx
             FROM t ORDER BY 1, 2
+        """,
+        "events_trimmed_mean": """
+            WITH h AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS c,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY 1, 2),
+            w AS (SELECT event_type, c, n,
+                         CAST(SUM(n) OVER (PARTITION BY event_type
+                             ORDER BY c ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS cum,
+                         CAST(SUM(n) OVER (PARTITION BY event_type)
+                             AS BIGINT) AS tot
+                  FROM h),
+            t AS (SELECT event_type, tot,
+                         GREATEST(LEAST(cum, tot - tot // 10)
+                                  - GREATEST(cum - n, tot // 10),
+                                  0) AS clip, c
+                  FROM w)
+            SELECT event_type,
+                   CAST(MAX(tot) AS BIGINT) AS n_values,
+                   CAST(MAX(tot) - 2 * (MAX(tot) // 10) AS BIGINT)
+                       AS n_trimmed,
+                   CAST(SUM(clip * c) AS DOUBLE) / 100.0
+                       / CAST(MAX(tot) - 2 * (MAX(tot) // 10)
+                              AS DOUBLE) AS trimmed_mean
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

@@ -21216,3 +21216,58 @@ def q_transcripts_training_prep(sf_dir: str) -> Dataset:
 
     return kept.groupby("conv_id").map_groups(sft_windows,
                                               batch_format="pyarrow")
+
+
+def q_events_trimmed_mean(sf_dir: str) -> Dataset:
+    """Exact 10% trimmed mean of event value per type — the robust
+    location estimate beside the winsorize transform: drop the
+    k = n//10 lowest and k highest observations, average the rest.
+    Rides the keyed (type, cents) histogram exchange (the grouped
+    exact-quantile discipline): per type the in-group fold clips each
+    value's multiplicity to the [k, n−k) rank window with integer
+    arithmetic — Σ clipped·cents and the trimmed count stay exact
+    int64, the mean is ONE final division replayed operand-cast like
+    the twin.  NULL values excluded (SQL aggregate semantics)."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(b.column("value").is_valid())
+        cents = scaled_int_sql(f.column("value"), 100.0)
+        t = pa.table({"event_type": f.column("event_type"),
+                      "c": pa.array(cents, pa.int64()),
+                      "one": pa.array(np.ones(f.num_rows, np.int64))})
+        g = t.group_by(["event_type", "c"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "c", "p_n"])
+
+    hist = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("event_type", pa.string()), ("c", pa.int64()),
+                   ("n", pa.int64())]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("c", "ascending")])
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        m = g.column("n").to_numpy(zero_copy_only=False)
+        n = int(m.sum())
+        k = n // 10
+        cum = np.cumsum(m)
+        lo = cum - m  # exclusive prefix
+        clipped = np.minimum(cum, n - k) - np.maximum(lo, k)
+        clipped = np.maximum(clipped, 0)
+        tot = int((clipped * c).sum())
+        cnt = n - 2 * k
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "n_values": pa.array([n], pa.int64()),
+            "n_trimmed": pa.array([cnt], pa.int64()),
+            "trimmed_mean": pa.array(
+                [float(tot) / 100.0 / float(cnt)], pa.float64()),
+        })
+
+    return hist.groupby("event_type").map_groups(
+        fold, batch_format="pyarrow")

@@ -517,3 +517,27 @@ def test_training_prep_dedups_whole_conversations(ray_session,
     # so pair at turn 2 starts below budget → window 0; its OWN size
     # doesn't move it (greedy exclusive semantics)
     assert by[("conv-a", 2)]["window_idx"] == 0
+
+
+def test_trimmed_mean_planted(ray_session, tmp_path):
+    """Values 1..10 → k = 1 trimmed from each side, mean(2..9) = 5.5;
+    a second type with 5 equal values trims nothing below n=10."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from ocr_engine_ray.pipelines.queries import q_events_trimmed_mean
+
+    rows = [{"event_type": "a", "value": float(v),
+             "ts": dt.datetime(2025, 1, 1)} for v in range(1, 11)]
+    rows += [{"event_type": "b", "value": 7.0,
+              "ts": dt.datetime(2025, 1, 1)} for _ in range(5)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r for r in q_events_trimmed_mean(
+        str(tmp_path)).take_all()}
+    assert got["a"]["n_values"] == 10
+    assert got["a"]["n_trimmed"] == 8
+    assert got["a"]["trimmed_mean"] == 5.5
+    assert got["b"]["n_trimmed"] == 5
+    assert got["b"]["trimmed_mean"] == 7.0
