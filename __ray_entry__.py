@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_training_prep":
             q.q_transcripts_training_prep,
         "events_trimmed_mean": q.q_events_trimmed_mean,
+        "transcripts_role_lexical": q.q_transcripts_role_lexical,
     }
 
 
@@ -7406,6 +7407,26 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(MAX(tot) - 2 * (MAX(tot) // 10)
                               AS DOUBLE) AS trimmed_mean
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_role_lexical": f"""
+            WITH tk AS (SELECT role, unnest(string_split(
+                               COALESCE(text, ''), ' ')) AS tok
+                        FROM {transcripts}),
+            g AS (SELECT role, tok, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM tk GROUP BY 1, 2),
+            v AS (SELECT role,
+                         CAST(SUM(n) AS BIGINT) AS n_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                         CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_hapax
+                  FROM g GROUP BY 1),
+            t AS (SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns
+                  FROM {transcripts} GROUP BY 1)
+            SELECT v.role, t.n_turns, v.n_tokens, v.n_distinct,
+                   v.n_hapax,
+                   CAST(v.n_distinct AS DOUBLE)
+                       / CAST(v.n_tokens AS DOUBLE) AS ttr
+            FROM v JOIN t USING (role) ORDER BY 1
         """,
         "transcripts_conv_dedup": f"""
             WITH r AS (SELECT conv_id, role,

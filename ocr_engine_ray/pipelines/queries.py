@@ -21271,3 +21271,68 @@ def q_events_trimmed_mean(sf_dir: str) -> Dataset:
 
     return hist.groupby("event_type").map_groups(
         fold, batch_format="pyarrow")
+
+
+def q_transcripts_role_lexical(sf_dir: str) -> Dataset:
+    """Per-role lexical profile over the transcript corpus: turn
+    count, total tokens, distinct vocabulary, hapax count (tokens a
+    role uses exactly once) and type-token ratio — how templated is
+    each role's language (system prompts repeat, users improvise).
+    One (role, token) exchange carrying per-batch partial counts
+    (role domain is fixed, token domain is the vocabulary), then a
+    per-role in-group fold; TTR is the single final division."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["role", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), " ")
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        role = np.asarray(b.column("role").to_pylist(), dtype=object)
+        t = pa.table({
+            "role": pa.array(np.repeat(role, n), pa.string()),
+            "tok": pc.list_flatten(toks),
+            "one": pa.array(np.ones(int(n.sum()), np.int64)),
+        })
+        g = t.group_by(["role", "tok"]).aggregate([("one", "sum")])
+        g = g.rename_columns(["role", "tok", "p_n"])
+        # turn counts ride the same partial table, tagged with an
+        # impossible token (tokens never contain spaces)
+        tc = pa.table({
+            "role": b.column("role"),
+            "tok": pa.array(["\x1f turns"] * b.num_rows, pa.string()),
+            "p_n": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        return pa.concat_tables([g, tc])
+
+    grid = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["role", "tok"]).aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("role", pa.string()), ("tok", pa.string()),
+                   ("n", pa.int64())]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        toks = g.column("tok").to_pylist()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        is_turn = np.array([t == "\x1f turns" for t in toks])
+        n_turns = int(n[is_turn].sum()) if is_turn.any() else 0
+        cnt = n[~is_turn]
+        n_tokens = int(cnt.sum())
+        n_distinct = int((~is_turn).sum())
+        hapax = int((cnt == 1).sum())
+        return pa.table({
+            "role": g.column("role").slice(0, 1),
+            "n_turns": pa.array([n_turns], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_distinct": pa.array([n_distinct], pa.int64()),
+            "n_hapax": pa.array([hapax], pa.int64()),
+            "ttr": pa.array(
+                [float(n_distinct) / float(n_tokens)
+                 if n_tokens else 0.0], pa.float64()),
+        })
+
+    return grid.groupby("role").map_groups(fold,
+                                           batch_format="pyarrow")
