@@ -644,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_transcripts_training_prep,
         "events_trimmed_mean": q.q_events_trimmed_mean,
         "transcripts_role_lexical": q.q_transcripts_role_lexical,
+        "flagship_backend_agreement":
+            q.q_flagship_backend_agreement,
     }
 
 

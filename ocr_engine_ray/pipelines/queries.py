@@ -21336,3 +21336,81 @@ def q_transcripts_role_lexical(sf_dir: str) -> Dataset:
 
     return grid.groupby("role").map_groups(fold,
                                            batch_format="pyarrow")
+
+
+def q_flagship_backend_agreement(sf_dir: str) -> Dataset:
+    """Extraction-backend agreement audit — the QA gate for the M7
+    two-backend chain: run the flagship extractor BOTH ways (generic
+    regexes vs template rule-packs preferred for pdf_reader turns)
+    and report, per content type, how many turns produced identical
+    (invoice_number, invoice_date, final_total_cents) fields.  Turns
+    not routed through a template MUST agree 100% (pytest-pinned);
+    the pdf rows measure real backend divergence.  Plan: each run
+    packs its fields into one \\x1f-joined string, collapses planted
+    duplicate turns with the packed-string Min (dup copies are
+    identical), ONE hash join on (conv, turn), bounded per-type
+    combine.  Rows-only (the extraction itself is the non-SQL
+    workload)."""
+    import numpy as np
+
+    from .flagship import flagship
+
+    cols = ["conv_id", "turn_idx", "content_type", "invoice_number",
+            "invoice_date", "final_total_cents"]
+
+    def pack(tag):
+        def fn(b: pa.Table) -> pa.Table:
+            parts = [
+                pc.fill_null(b.column("content_type"), ""),
+                pc.fill_null(b.column("invoice_number"), ""),
+                pc.fill_null(b.column("invoice_date")
+                             .cast(pa.string()), ""),
+                pc.fill_null(b.column("final_total_cents")
+                             .cast(pa.string()), ""),
+            ]
+            return pa.table({
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx").cast(pa.int64()),
+                tag: pc.binary_join_element_wise(*parts, "\x1f"),
+            })
+        return fn
+
+    base = flagship(transcript_paths(sf_dir)).select_columns(cols) \
+        .map_batches(pack("fa"), batch_format="pyarrow") \
+        .groupby(["conv_id", "turn_idx"]) \
+        .aggregate(Min("fa", alias_name="fa"))
+    base = with_schema(base, pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int64()),
+         ("fa", pa.string())]))
+    tmpl = flagship(transcript_paths(sf_dir),
+                    template_tools=("pdf_reader",)) \
+        .select_columns(cols) \
+        .map_batches(pack("fb"), batch_format="pyarrow") \
+        .groupby(["conv_id", "turn_idx"]) \
+        .aggregate(Min("fb", alias_name="fb"))
+    tmpl = with_schema(tmpl, pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int64()),
+         ("fb", pa.string())]))
+
+    j = base.join(tmpl, join_type="inner", num_partitions=8,
+                  on=("conv_id", "turn_idx"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fa = b.column("fa").to_pylist()
+        fb = b.column("fb").to_pylist()
+        ctype = [s.split("\x1f", 1)[0] for s in fa]
+        agree = np.array([x == y for x, y in zip(fa, fb)], np.int64)
+        t = pa.table({
+            "content_type": pa.array(ctype, pa.string()),
+            "one": pa.array(np.ones(len(fa), np.int64)),
+            "agr": pa.array(agree, pa.int64()),
+        })
+        g = t.group_by("content_type").aggregate(
+            [("one", "sum"), ("agr", "sum")])
+        return g.rename_columns(["content_type", "p_n", "p_a"])
+
+    return _tree_combine(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["content_type"], [("p_n", "sum"), ("p_a", "sum")],
+        ["content_type", "p_n", "p_a"],
+        ["content_type", "n_turns", "n_agree"])

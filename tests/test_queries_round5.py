@@ -541,3 +541,23 @@ def test_trimmed_mean_planted(ray_session, tmp_path):
     assert got["a"]["trimmed_mean"] == 5.5
     assert got["b"]["n_trimmed"] == 5
     assert got["b"]["trimmed_mean"] == 7.0
+
+
+def test_backend_agreement_invariants(ray_session):
+    """Content types NOT routed through the template backend must
+    agree 100% between the two flagship runs; every type satisfies
+    n_turns >= n_agree >= 0 and the pdf rows exist (the routed
+    family)."""
+    from ocr_engine_ray.pipelines.queries import (
+        q_flagship_backend_agreement,
+    )
+
+    rows = q_flagship_backend_agreement(
+        "/root/testdata/sf0.001").take_all()
+    by = {r["content_type"]: r for r in rows}
+    assert "pdf" in by
+    for ct, r in by.items():
+        assert 0 <= r["n_agree"] <= r["n_turns"]
+        if ct != "pdf":
+            # only pdf_reader-tool turns route through templates
+            assert r["n_agree"] == r["n_turns"], ct
