@@ -285,6 +285,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_embeddings_mrl_recall(sf_dir).count())
     timed("events_cusum_changepoint",
           lambda: q.q_events_cusum_changepoint(sf_dir).count())
+    timed("events_trimmed_mean",
+          lambda: q.q_events_trimmed_mean(sf_dir).count())
+    timed("transcripts_role_lexical",
+          lambda: q.q_transcripts_role_lexical(sf_dir).count())
+    timed("flagship_backend_agreement",
+          lambda: q.q_flagship_backend_agreement(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
