@@ -646,6 +646,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_role_lexical": q.q_transcripts_role_lexical,
         "flagship_backend_agreement":
             q.q_flagship_backend_agreement,
+        "transcripts_preference_pairs":
+            q.q_transcripts_preference_pairs,
+        "transcripts_luhn_audit": q.q_transcripts_luhn_audit,
+        "transcripts_encoding_audit":
+            q.q_transcripts_encoding_audit,
+        "transcripts_tool_transitions":
+            q.q_transcripts_tool_transitions,
     }
 
 
@@ -7540,5 +7547,118 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rep AS BIGINT) AS component,
                    CAST(COUNT(*) AS BIGINT) AS n_parts
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_preference_pairs": f"""
+            WITH r AS (SELECT conv_id, turn_idx, role,
+                              replace(COALESCE(text, ''), chr(0), '')
+                                  AS t, ts,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS rn
+                       FROM {transcripts}),
+            u AS (SELECT *, MAX(CASE WHEN role = 'user' THEN rn END)
+                              OVER (PARTITION BY conv_id ORDER BY rn
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS urn
+                  FROM r),
+            pr AS (SELECT DISTINCT b.t AS prompt, a.t AS response
+                   FROM u a JOIN u b
+                     ON a.conv_id = b.conv_id AND a.urn = b.rn
+                   WHERE a.role = 'assistant'),
+            k AS (SELECT prompt, response,
+                         ROW_NUMBER() OVER (PARTITION BY prompt
+                             ORDER BY length(response) DESC,
+                                      response ASC) AS rb,
+                         COUNT(*) OVER (PARTITION BY prompt) AS nr
+                  FROM pr)
+            SELECT prompt,
+                   CAST(MAX(nr) AS BIGINT) AS n_responses,
+                   MIN(CASE WHEN rb = 1 THEN response END) AS chosen,
+                   MIN(CASE WHEN rb = nr THEN response END)
+                       AS rejected
+            FROM k WHERE nr >= 2 GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_luhn_audit": f"""
+            WITH d AS (SELECT role,
+                              unnest(regexp_extract_all(
+                                  COALESCE(text, ''), '[0-9]{{8,}}'))
+                                  AS num
+                       FROM {transcripts}),
+            v AS (SELECT role, num,
+                         CASE WHEN list_sum(list_transform(
+                                range(1, length(num) + 1), i ->
+                                CASE WHEN i % 2 = 1
+                                     THEN CAST(substr(num,
+                                         length(num) - i + 1, 1)
+                                         AS INTEGER)
+                                     ELSE CASE WHEN 2 * CAST(substr(
+                                              num,
+                                              length(num) - i + 1, 1)
+                                              AS INTEGER) > 9
+                                          THEN 2 * CAST(substr(num,
+                                              length(num) - i + 1, 1)
+                                              AS INTEGER) - 9
+                                          ELSE 2 * CAST(substr(num,
+                                              length(num) - i + 1, 1)
+                                              AS INTEGER) END
+                                END)) % 10 = 0
+                              THEN 1 ELSE 0 END AS ok
+                  FROM d),
+            t AS (SELECT role,
+                         CAST(COUNT(*) AS BIGINT) AS n_turns_with_ids
+                  FROM {transcripts}
+                  WHERE regexp_matches(COALESCE(text, ''),
+                                       '[0-9]{{8,}}')
+                  GROUP BY 1)
+            SELECT v.role, t.n_turns_with_ids,
+                   CAST(COUNT(*) AS BIGINT) AS n_ids,
+                   CAST(SUM(ok) AS BIGINT) AS n_luhn_valid,
+                   CAST(COUNT(DISTINCT num) AS BIGINT)
+                       AS n_distinct_ids,
+                   CAST(COUNT(DISTINCT CASE WHEN ok = 1
+                                            THEN num END) AS BIGINT)
+                       AS n_distinct_valid
+            FROM v JOIN t USING (role)
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "transcripts_encoding_audit": f"""
+            WITH c AS (SELECT role,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''),
+                                  '[^\\x00-\\x7f]')) AS na,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''),
+                                  '[\\x00-\\x08\\x0b\\x0c'
+                                  || '\\x0e-\\x1f\\x7f]')) AS ct,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''),
+                                  '\\x{{FFFD}}')) AS rp
+                       FROM {transcripts})
+            SELECT role,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nonascii_turns,
+                   CAST(SUM(na) AS BIGINT) AS n_nonascii_chars,
+                   CAST(SUM(CASE WHEN ct > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ctrl_turns,
+                   CAST(SUM(ct) AS BIGINT) AS n_ctrl_chars,
+                   CAST(SUM(rp) AS BIGINT) AS n_replacement_chars
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_tool_transitions": f"""
+            WITH s AS (SELECT conv_id, tool,
+                              LAG(tool) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS prev_tool
+                       FROM {transcripts}
+                       WHERE role = 'tool'
+                         AND COALESCE(tool, '') <> ''),
+            c AS (SELECT prev_tool, tool AS next_tool,
+                         CAST(COUNT(*) AS BIGINT) AS n_trans
+                  FROM s WHERE prev_tool IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_tool, next_tool, n_trans,
+                   CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY prev_tool)
+                          AS DOUBLE) AS p
+            FROM c ORDER BY 1, 2
         """,
     }

@@ -21414,3 +21414,267 @@ def q_flagship_backend_agreement(sf_dir: str) -> Dataset:
         ["content_type"], [("p_n", "sum"), ("p_a", "sum")],
         ["content_type", "p_n", "p_a"],
         ["content_type", "n_turns", "n_agree"])
+
+
+def q_transcripts_preference_pairs(sf_dir: str) -> Dataset:
+    """Preference-pair (DPO/RLHF-style) construction — the companion
+    to q_transcripts_sft_pairs on the training-data path: key every
+    assistant turn by its nearest PRECEDING user turn's text, and for
+    each prompt answered with >= 2 distinct responses across the
+    corpus emit (prompt, n_responses, chosen, rejected) where the
+    deterministic stand-in reward ranks responses by (longer, then
+    lexicographically smaller).  Two exchanges total: one
+    groupby(conv_id) co-partition that emits each group's DISTINCT
+    (prompt, response) pairs (retry-storm prefix duplicates collapse
+    here), then one groupby(prompt) whose groups are a handful of
+    candidate responses each.  NUL bytes are stripped in both engines
+    (the pandas C-string sort hazard, see q_transcripts_sft_pairs)."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text", "ts"])
+
+    empty_pr = pa.table({"prompt": pa.array([], pa.string()),
+                         "response": pa.array([], pa.string())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        role = np.asarray(g.column("role").to_pylist(), dtype=object)
+        text = np.asarray(
+            [(t if t is not None else "").replace("\x00", "")
+             for t in g.column("text").to_pylist()], dtype=object)
+        user_idx = np.nonzero(role == "user")[0]
+        asst_idx = np.nonzero(role == "assistant")[0]
+        if not len(user_idx) or not len(asst_idx):
+            return empty_pr
+        pos = np.searchsorted(user_idx, asst_idx, side="left") - 1
+        keep = pos >= 0
+        if not keep.any():
+            return empty_pr
+        seen = sorted(set(zip(text[user_idx[pos[keep]]],
+                              text[asst_idx[keep]])))
+        return pa.table({
+            "prompt": pa.array([p for p, _ in seen], pa.string()),
+            "response": pa.array([r for _, r in seen], pa.string()),
+        })
+
+    empty_out = pa.table({"prompt": pa.array([], pa.string()),
+                          "n_responses": pa.array([], pa.int64()),
+                          "chosen": pa.array([], pa.string()),
+                          "rejected": pa.array([], pa.string())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        rs = sorted(set(g.column("response").to_pylist()),
+                    key=lambda r: (-len(r), r))
+        if len(rs) < 2:
+            return empty_out
+        return pa.table({
+            "prompt": g.column("prompt").slice(0, 1),
+            "n_responses": pa.array([len(rs)], pa.int64()),
+            "chosen": pa.array([rs[0]], pa.string()),
+            "rejected": pa.array([rs[-1]], pa.string()),
+        })
+
+    cand = ds.groupby("conv_id").map_groups(pairs,
+                                            batch_format="pyarrow")
+    cand = with_schema(cand, pa.schema([("prompt", pa.string()),
+                                        ("response", pa.string())]))
+    return cand.groupby("prompt").map_groups(fold,
+                                             batch_format="pyarrow")
+
+
+def _luhn_ok(num: str) -> bool:
+    """Luhn checksum over a digit string (rightmost digit undoubled)."""
+    s = 0
+    for i, ch in enumerate(reversed(num)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d = d * 2
+            if d > 9:
+                d -= 9
+        s += d
+    return s % 10 == 0
+
+
+def q_transcripts_luhn_audit(sf_dir: str) -> Dataset:
+    """Checksum-valid identifier audit per role — the PII-risk triage
+    step before scrubbing: every run of >= 8 consecutive digits is a
+    candidate identifier; Luhn-validate each (the checksum used by
+    card/IMEI-style numbers) and report per role how many turns carry
+    candidates, total and distinct candidate counts, and how many
+    pass Luhn.  Scale shape: an Arrow regex prefilter keeps only the
+    rows containing a digit run (~3% of the corpus) before the Python
+    findall, the (role, num) grid that exchanges is the bounded
+    candidate vocabulary, and turn counts ride the same grid under an
+    impossible non-digit key."""
+    import re as _re
+
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["role", "text"])
+    pat = _re.compile(r"[0-9]{8,}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        has = pc.match_substring_regex(txt, "[0-9]{8,}")
+        f = pa.table({"role": b.column("role"),
+                      "text": txt}).filter(has)
+        roles, nums = [], []
+        tagged_roles = f.column("role").to_pylist()
+        for role, t in zip(tagged_roles, f.column("text").to_pylist()):
+            for m in pat.findall(t):
+                roles.append(role)
+                nums.append(m)
+        t = pa.table({"role": pa.array(roles + tagged_roles,
+                                       pa.string()),
+                      "num": pa.array(
+                          nums + ["\x1f"] * len(tagged_roles),
+                          pa.string()),
+                      "one": pa.array(
+                          np.ones(len(roles) + len(tagged_roles),
+                                  np.int64))})
+        g = t.group_by(["role", "num"]).aggregate([("one", "sum")])
+        return g.rename_columns(["role", "num", "p_n"])
+
+    grid = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["role", "num"]).aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("role", pa.string()), ("num", pa.string()),
+                   ("n", pa.int64())]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        nums = g.column("num").to_pylist()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        is_tag = np.array([x == "\x1f" for x in nums])
+        turns = int(n[is_tag].sum()) if is_tag.any() else 0
+        cnt = n[~is_tag]
+        real = [x for x, t in zip(nums, is_tag) if not t]
+        if not real:
+            return pa.table({"role": pa.array([], pa.string())})
+        ok = np.array([_luhn_ok(x) for x in real])
+        return pa.table({
+            "role": g.column("role").slice(0, 1),
+            "n_turns_with_ids": pa.array([turns], pa.int64()),
+            "n_ids": pa.array([int(cnt.sum())], pa.int64()),
+            "n_luhn_valid": pa.array([int(cnt[ok].sum())], pa.int64()),
+            "n_distinct_ids": pa.array([len(real)], pa.int64()),
+            "n_distinct_valid": pa.array([int(ok.sum())], pa.int64()),
+        })
+
+    return grid.groupby("role").map_groups(fold,
+                                           batch_format="pyarrow")
+
+
+def q_transcripts_encoding_audit(sf_dir: str) -> Dataset:
+    """Text-encoding hygiene report per role — the mojibake/control
+    -character gate a corpus passes before tokenization: per role the
+    turn count, turns containing (and total occurrences of) non-ASCII
+    code points, C0/DEL control characters (newline and tab excluded
+    — they are legitimate structure), and U+FFFD replacement
+    characters (the signature of a decode error upstream).  Fully
+    vectorized: three Arrow count_substring_regex passes per batch
+    (RE2 counts code points, matching the DuckDB twin), one bounded
+    (role) tree combine."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["role", "text"])
+
+    NONASCII = "[^\x00-\x7f]"
+    CTRL = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    REPL = "�"
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        na = pc.count_substring_regex(txt, NONASCII).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ct = pc.count_substring_regex(txt, CTRL).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rp = pc.count_substring(txt, REPL).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "role": b.column("role"),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "na_t": pa.array((na > 0).astype(np.int64)),
+            "na_c": pa.array(na),
+            "ct_t": pa.array((ct > 0).astype(np.int64)),
+            "ct_c": pa.array(ct),
+            "rp_c": pa.array(rp),
+        })
+        g = t.group_by("role").aggregate(
+            [("one", "sum"), ("na_t", "sum"), ("na_c", "sum"),
+             ("ct_t", "sum"), ("ct_c", "sum"), ("rp_c", "sum")])
+        return g.rename_columns(
+            ["role", "p_n", "p_nat", "p_nac", "p_ctt", "p_ctc",
+             "p_rpc"])
+
+    return _tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["role"],
+        [("p_n", "sum"), ("p_nat", "sum"), ("p_nac", "sum"),
+         ("p_ctt", "sum"), ("p_ctc", "sum"), ("p_rpc", "sum")],
+        ["role", "p_n", "p_nat", "p_nac", "p_ctt", "p_ctc", "p_rpc"],
+        ["role", "n_turns", "n_nonascii_turns", "n_nonascii_chars",
+         "n_ctrl_turns", "n_ctrl_chars", "n_replacement_chars"])
+
+
+def q_transcripts_tool_transitions(sf_dir: str) -> pa.Table:
+    """Tool-transition matrix — which tool does the agent reach for
+    after which (the tool-usage analogue of the role-transition
+    fingerprint): per conversation ordered by (turn_idx, ts), the
+    sequence of named-tool turns (role='tool', tool <> ''), every
+    adjacent prev_tool -> next_tool step, and the transition
+    probability out of each prev_tool.  Duplicate turns are full-row
+    duplicates, so tie order cannot change the pair multiset.  One
+    groupby(conv_id) co-partition emitting <= |tools|^2 partials per
+    group, a bounded tree combine, one single-block probability
+    pass."""
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "tool", "ts"])
+
+    empty = pa.table({"prev_tool": pa.array([], pa.string()),
+                      "next_tool": pa.array([], pa.string()),
+                      "p_c": pa.array([], pa.int64())})
+
+    def steps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending"), ("ts", "ascending")])
+        mask = pc.and_(pc.equal(g.column("role"), "tool"),
+                       pc.not_equal(pc.fill_null(g.column("tool"), ""),
+                                    ""))
+        f = g.filter(mask)
+        t = f.column("tool").combine_chunks()
+        if len(t) < 2:
+            return empty
+        out = pa.table({
+            "prev_tool": t.slice(0, len(t) - 1),
+            "next_tool": t.slice(1),
+            "one": pa.array(np.ones(len(t) - 1, np.int64)),
+        }).group_by(["prev_tool", "next_tool"]).aggregate(
+            [("one", "sum")])
+        return out.rename_columns(["prev_tool", "next_tool", "p_c"])
+
+    partials = ds.groupby("conv_id").map_groups(steps,
+                                                batch_format="pyarrow")
+    counts = _tree_combine(partials, ["prev_tool", "next_tool"],
+                           [("p_c", "sum")],
+                           ["prev_tool", "next_tool", "p_c"],
+                           ["prev_tool", "next_tool", "n_trans"])
+
+    def probs(b: pa.Table) -> pa.Table:
+        tot = b.group_by(["prev_tool"]).aggregate([("n_trans", "sum")])
+        m = dict(zip(tot.column("prev_tool").to_pylist(),
+                     tot.column("n_trans_sum").to_pylist()))
+        n = b.column("n_trans").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = np.array([m[p] for p in
+                      b.column("prev_tool").to_pylist()], np.float64)
+        return b.append_column("p", pa.array(n / d, pa.float64()))
+
+    out = counts.map_batches(probs, batch_format="pyarrow",
+                             batch_size=None)
+    return _small_table(out)
