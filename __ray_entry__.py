@@ -653,6 +653,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_transcripts_encoding_audit,
         "transcripts_tool_transitions":
             q.q_transcripts_tool_transitions,
+        "parts_copurchase_modularity":
+            q.q_parts_copurchase_modularity,
+        "parts_copurchase_clustering":
+            q.q_parts_copurchase_clustering,
+        "events_value_moments": q.q_events_value_moments,
+        "transcripts_conv_turn_jaccard":
+            q.q_transcripts_conv_turn_jaccard,
     }
 
 
@@ -7660,5 +7667,143 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(n_trans) OVER (PARTITION BY prev_tool)
                           AS DOUBLE) AS p
             FROM c ORDER BY 1, 2
+        """,
+        "parts_copurchase_modularity": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS w
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2),
+            es AS (SELECT id_a, id_b FROM e0 WHERE w >= 3),
+            se AS (SELECT id_a AS a, id_b AS b FROM es
+                   UNION ALL SELECT id_b, id_a FROM es),
+            sn AS (SELECT DISTINCT a AS id FROM se),
+            r AS (SELECT id, id AS reach FROM sn
+                  UNION
+                  SELECT r.id, se.b FROM r JOIN se ON r.reach = se.a),
+            c AS (SELECT id, MIN(reach) AS rep FROM r GROUP BY id),
+            n AS (SELECT DISTINCT p AS id FROM
+                  (SELECT id_a AS p FROM e0
+                   UNION ALL SELECT id_b FROM e0)),
+            asg AS (SELECT n.id, COALESCE(c.rep, n.id) AS rep
+                    FROM n LEFT JOIN c USING (id)),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+            intra AS (SELECT ca.rep,
+                             CAST(COUNT(*) AS BIGINT) AS l
+                      FROM e0 JOIN asg ca ON e0.id_a = ca.id
+                              JOIN asg cb ON e0.id_b = cb.id
+                      WHERE ca.rep = cb.rep GROUP BY 1),
+            degs AS (SELECT p AS id,
+                            CAST(COUNT(*) AS BIGINT) AS d
+                     FROM (SELECT id_a AS p FROM e0
+                           UNION ALL SELECT id_b AS p FROM e0)
+                     GROUP BY 1),
+            dc AS (SELECT asg.rep, CAST(SUM(d) AS BIGINT) AS dd
+                   FROM degs JOIN asg USING (id) GROUP BY 1),
+            qq AS (SELECT CAST(SUM(
+                            CAST(4 AS HUGEINT) * (SELECT m FROM mm)
+                                * CAST(COALESCE(intra.l, 0) AS HUGEINT)
+                            - CAST(dc.dd AS HUGEINT) * dc.dd)
+                          AS HUGEINT) AS qn,
+                          CAST(COUNT(*) AS BIGINT) AS nc
+                   FROM dc LEFT JOIN intra USING (rep))
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n)
+                       AS n_nodes,
+                   (SELECT m FROM mm) AS m_edges,
+                   (SELECT CAST(COALESCE(SUM(l), 0) AS BIGINT)
+                    FROM intra) AS intra_edges,
+                   nc AS n_communities,
+                   CAST(qn AS DOUBLE)
+                   / CAST(CAST(4 AS HUGEINT) * (SELECT m FROM mm)
+                          * (SELECT m FROM mm) AS DOUBLE)
+                       AS modularity
+            FROM qq
+        """,
+        "parts_copurchase_clustering": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2),
+            se AS (SELECT id_a AS a, id_b AS b FROM e0
+                   UNION ALL SELECT id_b, id_a FROM e0),
+            deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT)
+                        AS degree
+                    FROM se GROUP BY 1),
+            tri AS (SELECT s1.a AS id, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM se s1 JOIN se s2
+                      ON s1.a = s2.a AND s1.b < s2.b
+                    JOIN e0 ON e0.id_a = s1.b AND e0.id_b = s2.b
+                    GROUP BY 1)
+            SELECT deg.id AS p, degree,
+                   CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN degree >= 2
+                        THEN (2 * COALESCE(t, 0) * 1000000)
+                             // (degree * (degree - 1))
+                        ELSE 0 END AS BIGINT) AS clustering_q
+            FROM deg LEFT JOIN tri USING (id) ORDER BY 1
+        """,
+        "events_value_moments": """
+            WITH c AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(c) AS BIGINT) AS s1
+                  FROM c GROUP BY 1),
+            a AS (SELECT event_type, n,
+                         (s1 - ((s1 % n) + n) % n) // n AS anchor
+                  FROM s),
+            d AS (SELECT c.event_type, a.n, a.anchor,
+                         CAST(c.c - a.anchor AS HUGEINT) AS d
+                  FROM c JOIN a USING (event_type)),
+            g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(MAX(anchor) AS BIGINT) AS anchor,
+                         SUM(d) AS d1, SUM(d * d) AS d2,
+                         SUM(d * d * d) AS d3,
+                         SUM(d * d * d * d) AS d4
+                  FROM d GROUP BY 1),
+            f AS (SELECT event_type, n, anchor,
+                         CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+                         CAST(d2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                         CAST(d3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                         CAST(d4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                  FROM g)
+            SELECT event_type, n AS n_values,
+                   CAST(anchor AS DOUBLE) + e AS mean_cents,
+                   r2 - e * e AS var_cents2,
+                   CASE WHEN r2 - e * e > 0 THEN
+                       (r3 - 3.0 * e * r2 + 2.0 * (e * e * e))
+                       / ((r2 - e * e) * sqrt(r2 - e * e))
+                   END AS skewness,
+                   CASE WHEN r2 - e * e > 0 THEN
+                       (r4 - 4.0 * e * r3 + 6.0 * (e * e) * r2
+                        - 3.0 * (e * e * e * e))
+                       / ((r2 - e * e) * (r2 - e * e)) - 3.0
+                   END AS kurt_excess
+            FROM f ORDER BY 1
+        """,
+        "transcripts_conv_turn_jaccard": f"""
+            WITH l AS (SELECT DISTINCT conv_id,
+                              role || ': ' || replace(
+                                  COALESCE(text, ''), chr(0), '')
+                                  AS line
+                       FROM {transcripts}),
+            sizes AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM l GROUP BY 1),
+            inter AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                             CAST(COUNT(*) AS BIGINT) AS c
+                      FROM l a JOIN l b
+                        ON a.line = b.line
+                       AND a.conv_id < b.conv_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter JOIN sizes sa ON inter.id_a = sa.conv_id
+                       JOIN sizes sb ON inter.id_b = sb.conv_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.1
         """,
     }

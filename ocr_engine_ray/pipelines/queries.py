@@ -21678,3 +21678,316 @@ def q_transcripts_tool_transitions(sf_dir: str) -> pa.Table:
     out = counts.map_batches(probs, batch_format="pyarrow",
                              batch_size=None)
     return _small_table(out)
+
+
+def q_parts_copurchase_modularity(sf_dir: str) -> Dataset:
+    """Newman modularity of the strong-tie community partition over
+    the FULL co-purchase graph — the quality score for the community
+    detection the engine already runs: communities are the w>=3
+    connected components (q_parts_copurchase_communities), every
+    other node is its own singleton, and
+    Q = sum_c [ L_c/m - (D_c/2m)^2 ] is computed as the EXACT integer
+    numerator q_num = sum_c (4*m*L_c - D_c^2) over 4*m^2 — the only
+    float is the final division, replayed operand-for-operand by the
+    HUGEINT twin.  Scale shape: the strong backbone is sparse by
+    construction, so its component map broadcasts (ray.put) and each
+    edge/degree block folds locally; the (rep, L, D) grid rides one
+    tree combine and the final fold is a 1-row sum."""
+    import numpy as np
+
+    from ..stages.dedup import connected_components
+
+    W_MIN = 3
+
+    edges = _copurchase_edges(sf_dir)
+    m = edges.count()
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "n_nodes": pa.array([0], pa.int64()),
+            "m_edges": pa.array([0], pa.int64()),
+            "intra_edges": pa.array([0], pa.int64()),
+            "n_communities": pa.array([0], pa.int64()),
+            "modularity": pa.array([0.0], pa.float64()),
+        }))
+    strong = edges.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("w"), pa.scalar(W_MIN, pa.int64())))
+        .select(["id_a", "id_b"]),
+        batch_format="pyarrow").materialize()
+    rep_map: dict[int, int] = {}
+    if strong.count():
+        ct = _small_table(connected_components(strong))
+        rep_map = dict(zip(
+            ct.column("id").to_numpy(zero_copy_only=False).tolist(),
+            ct.column("rep").to_numpy(zero_copy_only=False).tolist()))
+    rep_ref = ray.put(rep_map)
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        rm = ray.get(rep_ref)
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False)
+        ra = np.array([rm.get(int(x), int(x)) for x in a], np.int64)
+        rb = np.array([rm.get(int(x), int(x)) for x in bb], np.int64)
+        intra = ra == rb
+        t = pa.table({"rep": pa.array(ra[intra], pa.int64()),
+                      "p_l": pa.array(
+                          np.ones(int(intra.sum()), np.int64)),
+                      "p_d": pa.array(
+                          np.zeros(int(intra.sum()), np.int64))})
+        return t.group_by("rep").aggregate(
+            [("p_l", "sum"), ("p_d", "sum")]).rename_columns(
+            ["rep", "p_l", "p_d"])
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        rm = ray.get(rep_ref)
+        p = b.column("p").to_numpy(zero_copy_only=False)
+        d = b.column("degree").to_numpy(zero_copy_only=False)
+        rp = np.array([rm.get(int(x), int(x)) for x in p], np.int64)
+        t = pa.table({"rep": pa.array(rp, pa.int64()),
+                      "p_l": pa.array(np.zeros(len(p), np.int64)),
+                      "p_d": pa.array(d, pa.int64())})
+        return t.group_by("rep").aggregate(
+            [("p_l", "sum"), ("p_d", "sum")]).rename_columns(
+            ["rep", "p_l", "p_d"])
+
+    deg = _copurchase_degrees(edges)
+    n_nodes = deg.count()
+    grid = _tree_combine(
+        edges.map_batches(edge_partial, batch_format="pyarrow")
+        .union(deg.map_batches(deg_partial, batch_format="pyarrow")),
+        ["rep"], [("p_l", "sum"), ("p_d", "sum")],
+        ["rep", "p_l", "p_d"], ["rep", "l", "dd"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        l = b.column("l").to_numpy(zero_copy_only=False)
+        dd = b.column("dd").to_numpy(zero_copy_only=False)
+        qn = sum(4 * m * int(x) - int(y) * int(y)
+                 for x, y in zip(l, dd))
+        return pa.table({
+            "p_q": pa.array([qn], pa.int64()),
+            "p_c": pa.array([b.num_rows], pa.int64()),
+            "p_i": pa.array([int(l.sum())], pa.int64()),
+        })
+
+    agg = grid.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("p_q", alias_name="qn"), Sum("p_c", alias_name="nc"),
+        Sum("p_i", alias_name="li"))
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "m_edges": pa.array([m], pa.int64()),
+        "intra_edges": pa.array([int(agg["li"] or 0)], pa.int64()),
+        "n_communities": pa.array([int(agg["nc"] or 0)], pa.int64()),
+        "modularity": pa.array(
+            [float(int(agg["qn"] or 0)) / float(4 * m * m)],
+            pa.float64()),
+    }))
+
+
+def q_parts_copurchase_clustering(sf_dir: str) -> Dataset:
+    """PER-NODE local clustering coefficient of the co-purchase graph
+    (the node-level refinement of q_parts_copurchase_triangles'
+    global number): for each part, its degree, triangle count, and
+    the 1e6-quantized coefficient 2T_v / (deg*(deg-1)) — all integer,
+    so no float ordering exists anywhere.  T_v comes off the same
+    broadcast-CSR edge-cn kernel triangles ride (each edge's
+    |N(a)∩N(b)| feeds BOTH endpoints: sum per node = 2*T_v), then one
+    left join back onto the degree table keeps triangle-free nodes.
+    Twin: the exact 3-way self-join per node."""
+    import numpy as np
+
+    edges = _copurchase_edges(sf_dir)
+    deg = _copurchase_degrees(edges).materialize()
+    cn = _edge_jaccard_broadcast(edges, None)
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        p = pa.concat_arrays([b.column("id_a").combine_chunks(),
+                              b.column("id_b").combine_chunks()])
+        c = pa.concat_arrays(
+            [b.column("common_neighbors").combine_chunks()] * 2)
+        t = pa.table({"p": p, "p_c": c})
+        g = t.group_by("p").aggregate([("p_c", "sum")])
+        return g.rename_columns(["p", "p_c"])
+
+    cn2 = with_schema(
+        cn.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("p_c", alias_name="cn2")),
+        pa.schema([("p", pa.int64()), ("cn2", pa.int64())]))
+
+    j = deg.join(cn2, join_type="left_outer", num_partitions=8,
+                 on=("p",))
+
+    def score(b: pa.Table) -> pa.Table:
+        d = b.column("degree").to_numpy(zero_copy_only=False)
+        c2 = pc.fill_null(b.column("cn2"), 0) \
+            .to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        cq = np.where(denom > 0, (c2 * 1_000_000) //
+                      np.maximum(denom, 1), 0).astype(np.int64)
+        return pa.table({
+            "p": b.column("p"),
+            "degree": pa.array(d, pa.int64()),
+            "n_triangles": pa.array(c2 // 2, pa.int64()),
+            "clustering_q": pa.array(cq, pa.int64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def q_events_value_moments(sf_dir: str) -> Dataset:
+    """Exact higher moments of event value per type — skewness and
+    excess kurtosis beside the mean/variance the stats family already
+    reports, with NO float accumulation anywhere: the (type, cents)
+    keyed histogram exchanges (the grouped exact-quantile
+    discipline), each type's fold anchors at floor(mean) and sums
+    d^k multiplicities in arbitrary-precision Python ints, and the
+    centered moments about the mean come out of the d-sums
+    algebraically.  The only floats are the final fixed-order
+    expression both engines replay operand-for-operand (one
+    correctly-rounded sqrt, no pow); the twin holds d^4 in
+    HUGEINT."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(b.column("value").is_valid())
+        cents = scaled_int_sql(f.column("value"), 100.0)
+        t = pa.table({"event_type": f.column("event_type"),
+                      "c": pa.array(cents, pa.int64()),
+                      "one": pa.array(np.ones(f.num_rows, np.int64))})
+        g = t.group_by(["event_type", "c"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "c", "p_n"])
+
+    hist = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("p_n", alias_name="n")),
+        pa.schema([("event_type", pa.string()), ("c", pa.int64()),
+                   ("n", pa.int64())]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        c = [int(x) for x in g.column("c").to_pylist()]
+        mlt = [int(x) for x in g.column("n").to_pylist()]
+        n = sum(mlt)
+        s1 = sum(mi * ci for mi, ci in zip(mlt, c))
+        pymod = ((s1 % n) + n) % n
+        anchor = (s1 - pymod) // n
+        d1 = d2 = d3 = d4 = 0
+        for mi, ci in zip(mlt, c):
+            d = ci - anchor
+            d1 += mi * d
+            dd = d * d
+            d2 += mi * dd
+            d3 += mi * dd * d
+            d4 += mi * dd * dd
+        e = float(d1) / float(n)
+        r2 = float(d2) / float(n)
+        r3 = float(d3) / float(n)
+        r4 = float(d4) / float(n)
+        var = r2 - e * e
+        if var > 0:
+            skew = (r3 - 3.0 * e * r2 + 2.0 * (e * e * e)) \
+                / (var * math.sqrt(var))
+            kurt = (r4 - 4.0 * e * r3 + 6.0 * (e * e) * r2
+                    - 3.0 * (e * e * e * e)) / (var * var) - 3.0
+        else:
+            skew = None
+            kurt = None
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "n_values": pa.array([n], pa.int64()),
+            "mean_cents": pa.array([float(anchor) + e], pa.float64()),
+            "var_cents2": pa.array([var], pa.float64()),
+            "skewness": pa.array([skew], pa.float64()),
+            "kurt_excess": pa.array([kurt], pa.float64()),
+        })
+
+    return hist.groupby("event_type").map_groups(
+        fold, batch_format="pyarrow")
+
+
+def q_transcripts_conv_turn_jaccard(sf_dir: str) -> Dataset:
+    """Conversation near-dup pairs by TURN-SET Jaccard — the
+    conv-level companion to the exact-dup groups: two conversations
+    are near-duplicates when the sets of distinct rendered turn lines
+    ("role: text") they contain overlap with jaccard >= 0.1 (retry
+    storms and partial copies share exact turns — the corpus' convs
+    top out near 0.5 — while unrelated convs share only scattered
+    boilerplate).  Same inverted-index discipline as
+    q_documents_jaccard_pairs with the LINE as the shingle: candidate
+    pairs exist only for convs sharing a line, per-pair intersection
+    counts off one groupby(line) in-group expansion, sizes by join.
+    Repeated system prompts are the hot keys (df ~ 1k at sf0.1, inside
+    :data:`SHINGLE_DF_CAP`; beyond it they stop-key out loudly —
+    true near-dups always share rarer turns too)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "role", "text"])
+
+    def lines(b: pa.Table) -> pa.Table:
+        txt = pc.replace_substring(
+            pc.fill_null(b.column("text"), ""), "\x00", "")
+        line = pc.binary_join_element_wise(
+            b.column("role"), txt, ": ")
+        return pa.table({"conv_id": b.column("conv_id"),
+                         "line": line}) \
+            .group_by(["conv_id", "line"]).aggregate([])
+
+    sh = with_schema(
+        ds.map_batches(lines, batch_format="pyarrow")
+        .groupby(["conv_id", "line"])
+        .aggregate(Count("line", alias_name="_n"))
+        .map_batches(lambda b: b.select(["conv_id", "line"]),
+                     batch_format="pyarrow"),
+        pa.schema([("conv_id", pa.string()),
+                   ("line", pa.string())])).materialize()
+
+    sizes = with_schema(
+        sh.groupby("conv_id").aggregate(Count("line", alias_name="n")),
+        pa.schema([("conv_id", pa.string()), ("n", pa.int64())]))
+
+    empty_pairs = pa.table({"id_a": pa.array([], pa.string()),
+                            "id_b": pa.array([], pa.string()),
+                            "p_c": pa.array([], pa.int64())})
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or _df_capped(g, g.num_rows,
+                                        SHINGLE_DF_CAP,
+                                        "conv_turn_jaccard", "line"):
+            return empty_pairs
+        ids = np.sort(np.asarray(g.column("conv_id").to_pylist(),
+                                 dtype=object))
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(list(ids[a]), pa.string()),
+                         "id_b": pa.array(list(ids[b]), pa.string()),
+                         "p_c": pa.array(np.ones(len(a), np.int64))})
+
+    pairs = sh.groupby("line").map_groups(
+        expand, batch_format="pyarrow").materialize()
+    inter = with_schema(
+        _tree_combine(pairs, ["id_a", "id_b"], [("p_c", "sum")],
+                      ["id_a", "id_b", "p_c"], ["id_a", "id_b", "c"],
+                      width=16),
+        pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                   ("c", pa.int64())]))
+
+    half = with_schema(
+        inter.join(
+            sizes.map_batches(
+                lambda b: b.rename_columns(["id_a", "n_a"]),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("id_a",)),
+        pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                   ("c", pa.int64()), ("n_a", pa.int64())]))
+    sized = half.join(
+        sizes.map_batches(lambda b: b.rename_columns(["id_b", "n_b"]),
+                          batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_b",))
+    return sized.map_batches(_pair_jaccard_score(0.1, "id_a", "id_b"),
+                             batch_format="pyarrow")
