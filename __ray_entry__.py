@@ -660,6 +660,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_moments": q.q_events_value_moments,
         "transcripts_conv_turn_jaccard":
             q.q_transcripts_conv_turn_jaccard,
+        "documents_query_likelihood":
+            q.q_documents_query_likelihood,
+        "events_bloom_filter": q.q_events_bloom_filter,
+        "transcripts_outlinks": q.q_transcripts_outlinks,
     }
 
 
@@ -7805,5 +7809,117 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.id_a = sa.conv_id
                        JOIN sizes sb ON inter.id_b = sb.conv_id
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.1
+        """,
+        "documents_query_likelihood": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+                   FROM d),
+            tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+                    GROUP BY doc_id, tok),
+            stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+            q AS (SELECT doc_id AS qid FROM documents
+                  ORDER BY md5(doc_id::VARCHAR || chr(31) || '13'),
+                           doc_id
+                  LIMIT 16),
+            qt AS (SELECT DISTINCT q.qid, tfc.tok
+                   FROM q JOIN tfc ON tfc.doc_id = q.qid),
+            cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf
+                   FROM tfc
+                   WHERE tok IN (SELECT DISTINCT tok FROM qt)
+                   GROUP BY tok),
+            qn AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nq,
+                          CAST(SUM(CAST(ROUND(LN(2000.0
+                              * (cf.cf / stats.tot)) * 1000000.0)
+                              AS BIGINT)) AS BIGINT) AS qconst
+                   FROM qt JOIN cf USING (tok), stats
+                   GROUP BY qid),
+            ov AS (SELECT qt.qid, tfc.doc_id,
+                          CAST(SUM(CAST(ROUND(LN(1.0 + tfc.tf
+                              / (2000.0 * (cf.cf / stats.tot)))
+                              * 1000000.0) AS BIGINT)) AS BIGINT)
+                              AS osum
+                   FROM qt
+                   JOIN tfc ON qt.tok = tfc.tok
+                   JOIN cf ON cf.tok = qt.tok, stats
+                   WHERE tfc.doc_id <> qt.qid
+                   GROUP BY qt.qid, tfc.doc_id),
+            sc AS (SELECT ov.qid, ov.doc_id,
+                          qn.qconst + ov.osum
+                          - qn.nq * CAST(ROUND(LN(dl.dl + 2000.0)
+                                * 1000000.0) AS BIGINT) AS score
+                   FROM ov JOIN qn USING (qid)
+                           JOIN dl ON dl.doc_id = ov.doc_id),
+            r AS (SELECT qid, doc_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score DESC, doc_id) AS rn
+                  FROM sc)
+            SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+                   doc_id, score
+            FROM r WHERE rn <= 5
+        """,
+        "events_bloom_filter": """
+            WITH u AS (SELECT DISTINCT user_id,
+                              CASE WHEN user_id % 7 = 0
+                                   THEN 1 ELSE 0 END AS is_mem
+                       FROM events),
+            hp AS (SELECT user_id, is_mem,
+                          (4096 * (strpos('0123456789abcdef',
+                               substr(md5(user_id::VARCHAR || chr(31)
+                                   || j::VARCHAR), 1, 1)) - 1)
+                           + 256 * (strpos('0123456789abcdef',
+                               substr(md5(user_id::VARCHAR || chr(31)
+                                   || j::VARCHAR), 2, 1)) - 1)
+                           + 16 * (strpos('0123456789abcdef',
+                               substr(md5(user_id::VARCHAR || chr(31)
+                                   || j::VARCHAR), 3, 1)) - 1)
+                           + (strpos('0123456789abcdef',
+                               substr(md5(user_id::VARCHAR || chr(31)
+                                   || j::VARCHAR), 4, 1)) - 1))
+                              % 512 AS pos
+                   FROM u, UNNEST([0, 1, 2, 3]) AS t(j)),
+            bits AS (SELECT DISTINCT pos FROM hp WHERE is_mem = 1),
+            kp AS (SELECT DISTINCT user_id, is_mem, pos FROM hp),
+            miss AS (SELECT kp.user_id, MAX(kp.is_mem) AS is_mem,
+                            CAST(SUM(CASE WHEN b.pos IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                                AS nmiss
+                     FROM kp LEFT JOIN bits b ON kp.pos = b.pos
+                     GROUP BY kp.user_id)
+            SELECT CAST(SUM(is_mem) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN nmiss = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   CAST(SUM(CASE WHEN nmiss = 0 AND is_mem = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_false_positives,
+                   CASE WHEN COUNT(*) - SUM(is_mem) > 0 THEN
+                       CAST(SUM(CASE WHEN nmiss = 0 AND is_mem = 0
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) - SUM(is_mem) AS DOUBLE)
+                   ELSE 0.0 END AS fp_rate
+            FROM miss
+        """,
+        "transcripts_outlinks": f"""
+            WITH x AS (SELECT conv_id,
+                              regexp_extract_all(COALESCE(text, ''),
+                                  'href="([^"]*)"', 1) AS tg
+                       FROM {transcripts}),
+            r AS (SELECT conv_id, unnest(tg) AS target FROM x),
+            td AS (SELECT conv_id,
+                          unnest(list_distinct(tg)) AS target
+                   FROM x),
+            tc AS (SELECT target, CAST(COUNT(*) AS BIGINT) AS n_turns
+                   FROM td GROUP BY 1),
+            lc AS (SELECT target, CAST(COUNT(*) AS BIGINT) AS n_links
+                   FROM r GROUP BY 1),
+            cc AS (SELECT target,
+                          CAST(COUNT(DISTINCT conv_id) AS BIGINT)
+                              AS n_convs
+                   FROM r GROUP BY 1)
+            SELECT target, n_links, n_turns, n_convs
+            FROM lc JOIN tc USING (target) JOIN cc USING (target)
+            ORDER BY 1
         """,
     }

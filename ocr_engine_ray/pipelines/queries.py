@@ -21991,3 +21991,345 @@ def q_transcripts_conv_turn_jaccard(sf_dir: str) -> Dataset:
         join_type="inner", num_partitions=8, on=("id_b",))
     return sized.map_batches(_pair_jaccard_score(0.1, "id_a", "id_b"),
                              batch_format="pyarrow")
+
+
+QL_QUERIES = 16
+QL_MU = 2000.0
+
+
+def q_documents_query_likelihood(sf_dir: str) -> Dataset:
+    """Dirichlet-smoothed query-likelihood retrieval (µ=2000, the
+    language-modeling IR baseline beside q_documents_bm25_topk): the
+    QL_QUERIES lowest-hash docs (seed 13) play the query set, each
+    retrieving its top-5 highest-scoring OTHER docs among those
+    sharing ≥1 query term (the inverted-index retrieval set).  The
+    score decomposes as qconst + Σ_t∈q∩d ln(1 + tf/(µ·P(t|C)))
+    − |q|·ln(dl + µ); every ln is 1e-6-quantized to int64 at the
+    point the twin quantizes it, so sums are order-independent and
+    floats cross no aggregation boundary.
+
+    Scale shape: pass 1 tree-combines (term, cf) over the QUERY
+    vocabulary plus the corpus totals; its output is ONE ray.put
+    broadcast.  Pass 2 scores fully in-batch (a doc is one row, so
+    the complete (query, doc) score exists locally) and only
+    overlapping (query, doc, score) rows reach the single per-query
+    top-5 group pass."""
+    import numpy as np
+
+    from ..stages.partition import row_hash_hex
+
+    TOPK = 5
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = pa.array([row_hash_hex((i,), 13)
+                      for i in b.column("doc_id").to_pylist()],
+                     pa.string())
+        return b.append_column("h", h)
+
+    qdocs = _small_table(_topk_combine(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        sorted_topk([("h", "ascending"), ("doc_id", "ascending")],
+                    QL_QUERIES))) \
+        .sort_by([("h", "ascending"), ("doc_id", "ascending")]) \
+        .slice(0, QL_QUERIES)
+    qids = qdocs.column("doc_id").to_pylist()
+    qterm_sets = [set(t.split(" ")) for t in
+                  qdocs.column("text").to_pylist()]
+    vocab = sorted(set().union(*qterm_sets)) if qterm_sets else []
+    vocab_arr = pa.array(vocab, pa.string())
+    V = len(vocab)
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("rank", pa.int64()),
+                            ("doc_id", pa.int64()),
+                            ("score", pa.int64())])
+    if V == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # pass 1: collection frequency over the query vocabulary + totals
+    def cf_partial(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        pos = pc.index_in(flat, value_set=vocab_arr)
+        hit = pos.is_valid().to_numpy(zero_copy_only=False)
+        posv = pos.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[hit]
+        cnt = np.bincount(posv, minlength=V).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        terms = pa.concat_arrays(
+            [pc.take(vocab_arr, pa.array(nz, pa.int64())),
+             pa.array([""], pa.string())])
+        return pa.table({
+            "tok": terms,
+            "p_cf": pa.array(np.append(cnt[nz], 0), pa.int64()),
+            "p_tot": pa.array(
+                np.append(np.zeros(len(nz), np.int64), len(flat)),
+                pa.int64()),
+        })
+
+    stats = _small_table(_tree_combine(
+        ds.map_batches(cf_partial, batch_format="pyarrow"),
+        ["tok"], [("p_cf", "sum"), ("p_tot", "sum")],
+        ["tok", "p_cf", "p_tot"], ["tok", "cf", "tot"]))
+    srows = {r["tok"]: int(r["cf"]) for r in stats.to_pylist()}
+    tot = float(sum(int(r["tot"]) for r in stats.to_pylist()))
+    cf = np.array([srows.get(t, 0) for t in vocab], np.float64)
+    # per-term quantized ln(µ·P) and membership masks per query
+    with np.errstate(divide="ignore"):
+        lnp = np.where(cf > 0, np.round(np.log(
+            QL_MU * (cf / tot)) * 1e6), 0).astype(np.int64)
+    tok_index = {t: i for i, t in enumerate(vocab)}
+    qmasks = np.zeros((len(qids), V), bool)
+    for qi, ts_ in enumerate(qterm_sets):
+        for t in ts_:
+            j = tok_index.get(t)
+            if j is not None and cf[j] > 0:
+                qmasks[qi, j] = True
+    qconst = (qmasks * lnp).sum(axis=1).astype(np.int64)
+    nq = qmasks.sum(axis=1).astype(np.int64)
+    bc = ray.put((vocab_arr, cf, qmasks, qconst, nq,
+                  np.array(qids, np.int64), tot))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_, cf_, qm_, qc_, nq_, qids_, tot_ = ray.get(bc)
+        txt = b.column("text").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        dl = np.diff(offs).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        pos = pc.index_in(flat, value_set=vocab_)
+        hit = pos.is_valid().to_numpy(zero_copy_only=False)
+        posv = pos.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(dl)), dl)
+        key = doc_idx[hit] * len(cf_) + posv[hit]
+        uk, tf = np.unique(key, return_counts=True)
+        di, ti = uk // len(cf_), uk % len(cf_)
+        ok = cf_[ti] > 0
+        di, ti, tf = di[ok], ti[ok], tf[ok]
+        contrib = np.round(np.log(
+            1.0 + tf / (QL_MU * (cf_[ti] / tot_))) * 1e6) \
+            .astype(np.int64)
+        lend = np.round(np.log(dl + QL_MU) * 1e6).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        for qi in range(len(qids_)):
+            sel = qm_[qi][ti]
+            if not sel.any():
+                continue
+            dsel = di[sel]
+            s = np.bincount(dsel, weights=contrib[sel],
+                            minlength=len(dl)).astype(np.int64)
+            docs = np.unique(dsel)
+            docs = docs[ids[docs] != qids_[qi]]
+            if docs.size == 0:
+                continue
+            total = qc_[qi] + s[docs] - nq_[qi] * lend[docs]
+            out_q.append(np.full(len(docs), qids_[qi], np.int64))
+            out_d.append(ids[docs])
+            out_s.append(total)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    scored = with_schema(
+        ds.map_batches(score, batch_format="pyarrow"),
+        pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64()),
+                   ("score", pa.int64())]))
+
+    def topk(g: pa.Table) -> pa.Table:
+        import numpy as np
+        s = g.column("score").to_numpy(zero_copy_only=False)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:TOPK]
+        return pa.table({
+            "query_id": g.column("query_id").take(
+                pa.array(order, pa.int64())),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(d[order], pa.int64()),
+            "score": pa.array(s[order], pa.int64()),
+        })
+
+    return scored.groupby("query_id").map_groups(
+        topk, batch_format="pyarrow")
+
+
+def q_events_bloom_filter(sf_dir: str) -> Dataset:
+    """Bloom-filter membership audit — the probabilistic-sketch
+    counterpart of the exact anti-join: a deliberately small 512-bit
+    / 4-hash Bloom filter is built over a member list (the
+    deterministic 1-in-7 user subset — every user in this corpus
+    does every event type, so behavioral predicates define no
+    subset), every distinct user probes it, and the report pins
+    members, probes, hits, false positives and the measured FP rate
+    (the undersized filter SATURATES at sf0.1 — the failure mode the
+    audit exists to catch).  Positions are first-4-hex-chars of
+    md5(user ⊕ j) mod 512, the seeded-row-hash construction every
+    sampler twin shares, so the whole sketch replays in SQL.  Scale
+    shape: the 512-bit bitmap partials OR together in a bounded
+    driver reduce (the dedup-counter pattern), ONE ray.put broadcast
+    serves every probe block, and only a 4-int partial row leaves
+    each."""
+    import hashlib
+
+    import numpy as np
+
+    M = 512
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        # u % 7 == 0 (Arrow has no modulo kernel; ids are positive,
+        # so truncating divide == floor divide)
+        isp = pc.equal(
+            pc.subtract(b.column("user_id"),
+                        pc.multiply(pc.divide(b.column("user_id"),
+                                              pa.scalar(7)),
+                                    pa.scalar(7))),
+            pa.scalar(0)).cast(pa.int64())
+        t = pa.table({"user_id": b.column("user_id"), "m": isp})
+        g = t.group_by("user_id").aggregate([("m", "max")])
+        return g.rename_columns(["user_id", "p_m"])
+
+    users = with_schema(
+        ds.map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Max("p_m", alias_name="is_mem")),
+        pa.schema([("user_id", pa.int64()),
+                   ("is_mem", pa.int64())])).materialize()
+
+    def positions(u: int) -> list[int]:
+        return [int(hashlib.md5(
+            f"{u}\x1f{j}".encode()).hexdigest()[:4], 16) % M
+            for j in range(4)]
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        bm = np.zeros(M, np.bool_)
+        mem = b.filter(pc.equal(b.column("is_mem"),
+                                pa.scalar(1, pa.int64())))
+        for u in mem.column("user_id").to_pylist():
+            for p in positions(int(u)):
+                bm[p] = True
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = np.zeros(M, np.bool_)
+    for row in users.map_batches(bitmap_partial,
+                                 batch_format="pyarrow").take_all():
+        bm |= np.frombuffer(row["bm"], np.bool_)
+    bm_ref = ray.put(bm)
+
+    def probe_partial(b: pa.Table) -> pa.Table:
+        bmp = ray.get(bm_ref)
+        us = b.column("user_id").to_pylist()
+        ms = b.column("is_mem").to_numpy(zero_copy_only=False)
+        hits = np.array(
+            [all(bmp[p] for p in positions(int(u))) for u in us],
+            np.int64)
+        return pa.table({
+            "p_probe": pa.array([len(us)], pa.int64()),
+            "p_mem": pa.array([int(ms.sum())], pa.int64()),
+            "p_hit": pa.array([int(hits.sum())], pa.int64()),
+            "p_fp": pa.array([int((hits & (ms == 0)).sum())],
+                             pa.int64()),
+        })
+
+    agg = users.map_batches(probe_partial,
+                            batch_format="pyarrow").aggregate(
+        Sum("p_probe", alias_name="n_probes"),
+        Sum("p_mem", alias_name="n_members"),
+        Sum("p_hit", alias_name="n_hits"),
+        Sum("p_fp", alias_name="n_fp"))
+    n_probes = int(agg["n_probes"] or 0)
+    n_mem = int(agg["n_members"] or 0)
+    n_fp = int(agg["n_fp"] or 0)
+    nonmem = n_probes - n_mem
+    return rd.from_arrow(pa.table({
+        "n_members": pa.array([n_mem], pa.int64()),
+        "n_probes": pa.array([n_probes], pa.int64()),
+        "n_hits": pa.array([int(agg["n_hits"] or 0)], pa.int64()),
+        "n_false_positives": pa.array([n_fp], pa.int64()),
+        "fp_rate": pa.array(
+            [float(n_fp) / float(nonmem) if nonmem else 0.0],
+            pa.float64()),
+    }))
+
+
+def q_transcripts_outlinks(sf_dir: str) -> Dataset:
+    """Outlink extraction over the HTML-bearing turns — the link
+    harvest that rides beside the boilerplate stripper (anchor spans
+    and link density already measure anchors; this reports WHERE they
+    point): per href target, total links, turns containing it, and
+    distinct conversations citing it.  Scale shape: an Arrow
+    substring prefilter keeps only href-bearing rows before the
+    compiled findall, the (target, conv_id) grid is the only
+    exchange (target domain is the site's path vocabulary), and the
+    per-target fold counts conversations as group rows."""
+    import re as _re
+
+    import numpy as np
+
+    ds = rd.read_parquet(transcript_paths(sf_dir),
+                         columns=["conv_id", "text"])
+    pat = _re.compile(r'href="([^"]*)"')
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        has = pc.match_substring(txt, 'href="')
+        f = pa.table({"conv_id": b.column("conv_id"),
+                      "text": txt}).filter(has)
+        tgts, convs, links, turns = [], [], [], []
+        for cid, t in zip(f.column("conv_id").to_pylist(),
+                          f.column("text").to_pylist()):
+            found = pat.findall(t)
+            if not found:
+                continue
+            cnt: dict[str, int] = {}
+            for m in found:
+                cnt[m] = cnt.get(m, 0) + 1
+            for tgt, c in cnt.items():
+                tgts.append(tgt)
+                convs.append(cid)
+                links.append(c)
+                turns.append(1)
+        t = pa.table({"target": pa.array(tgts, pa.string()),
+                      "conv_id": pa.array(convs, pa.string()),
+                      "p_l": pa.array(links, pa.int64()),
+                      "p_t": pa.array(turns, pa.int64())})
+        g = t.group_by(["target", "conv_id"]).aggregate(
+            [("p_l", "sum"), ("p_t", "sum")])
+        return g.rename_columns(["target", "conv_id", "p_l", "p_t"])
+
+    grid = with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["target", "conv_id"])
+        .aggregate(Sum("p_l", alias_name="l"),
+                   Sum("p_t", alias_name="t")),
+        pa.schema([("target", pa.string()), ("conv_id", pa.string()),
+                   ("l", pa.int64()), ("t", pa.int64())]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "target": g.column("target").slice(0, 1),
+            "n_links": pa.array(
+                [int(np.sum(g.column("l").to_numpy(
+                    zero_copy_only=False)))], pa.int64()),
+            "n_turns": pa.array(
+                [int(np.sum(g.column("t").to_numpy(
+                    zero_copy_only=False)))], pa.int64()),
+            "n_convs": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return grid.groupby("target").map_groups(fold,
+                                             batch_format="pyarrow")
