@@ -664,6 +664,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_query_likelihood,
         "events_bloom_filter": q.q_events_bloom_filter,
         "transcripts_outlinks": q.q_transcripts_outlinks,
+        "transcripts_html_tags": q.q_transcripts_html_tags,
+        "transcripts_ngram_loop": q.q_transcripts_ngram_loop,
+        "embeddings_triplet_margin":
+            q.q_embeddings_triplet_margin,
     }
 
 
@@ -7920,6 +7924,88 @@ def oracle_sql() -> dict[str, str]:
                    FROM r GROUP BY 1)
             SELECT target, n_links, n_turns, n_convs
             FROM lc JOIN tc USING (target) JOIN cc USING (target)
+            ORDER BY 1
+        """,
+        "transcripts_html_tags": f"""
+            WITH x AS (SELECT conv_id,
+                              regexp_extract_all(COALESCE(text, ''),
+                                  '<([a-zA-Z][a-zA-Z0-9]*)', 1) AS tg
+                       FROM {transcripts}),
+            r AS (SELECT conv_id, unnest(tg) AS tag FROM x),
+            td AS (SELECT conv_id, unnest(list_distinct(tg)) AS tag
+                   FROM x),
+            tc AS (SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_turns
+                   FROM td GROUP BY 1),
+            lc AS (SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_tags
+                   FROM r GROUP BY 1),
+            cc AS (SELECT tag,
+                          CAST(COUNT(DISTINCT conv_id) AS BIGINT)
+                              AS n_convs
+                   FROM r GROUP BY 1)
+            SELECT tag, n_tags, n_turns, n_convs
+            FROM lc JOIN tc USING (tag) JOIN cc USING (tag)
+            ORDER BY 1
+        """,
+        "transcripts_ngram_loop": f"""
+            WITH t AS (SELECT role,
+                              string_split(COALESCE(text, ''), ' ')
+                                  AS toks,
+                              ROW_NUMBER() OVER (
+                                  ORDER BY conv_id, turn_idx) AS rn
+                       FROM {transcripts}),
+            g AS (SELECT role, rn,
+                         unnest(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1]
+                                  || ' ' || toks[i+2])) AS gram
+                  FROM t WHERE len(toks) >= 3),
+            c AS (SELECT role, rn, gram,
+                         CAST(COUNT(*) AS BIGINT) AS m
+                  FROM g GROUP BY 1, 2, 3),
+            r AS (SELECT role, rn, MAX(m) AS mx FROM c GROUP BY 1, 2),
+            base AS (SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns
+                     FROM {transcripts} GROUP BY 1)
+            SELECT b.role, b.n_turns,
+                   CAST(COALESCE(SUM(CASE WHEN mx >= 3
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_looping_turns,
+                   CAST(COALESCE(MAX(mx), 0) AS BIGINT) AS max_repeat
+            FROM base b LEFT JOIN r ON r.role = b.role
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "embeddings_triplet_margin": """
+            WITH u AS (SELECT vec_id, label, i,
+                              CAST(ROUND(embedding[i] * 1048576.0)
+                                   AS BIGINT) AS q
+                       FROM embeddings,
+                            UNNEST(range(1, len(embedding) + 1))
+                                AS t(i)),
+            ua AS (SELECT * FROM u WHERE vec_id % 10 = 0),
+            d AS (SELECT a.vec_id AS ia, a.label AS la,
+                         b.vec_id AS ib, b.label AS lb,
+                         CAST(SUM((a.q - b.q) * (a.q - b.q))
+                              AS BIGINT) AS d2
+                  FROM ua a JOIN u b
+                    ON a.i = b.i AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2, 3, 4),
+            pos AS (SELECT ia, ib, d2,
+                           ROW_NUMBER() OVER (PARTITION BY ia
+                               ORDER BY d2, ib) AS rn
+                    FROM d WHERE la = lb),
+            neg AS (SELECT ia, ib, d2,
+                           ROW_NUMBER() OVER (PARTITION BY ia
+                               ORDER BY d2, ib) AS rn
+                    FROM d WHERE la <> lb)
+            SELECT q.vec_id, CAST(q.label AS BIGINT) AS label,
+                   pos.ib AS pos_id, neg.ib AS neg_id,
+                   pos.d2 AS d2_pos, neg.d2 AS d2_neg,
+                   neg.d2 - pos.d2 AS margin,
+                   CAST(CASE WHEN neg.d2 < pos.d2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS violation
+            FROM (SELECT vec_id, label FROM embeddings
+                  WHERE vec_id % 10 = 0) q
+            JOIN pos ON pos.ia = q.vec_id AND pos.rn = 1
+            JOIN neg ON neg.ia = q.vec_id AND neg.rn = 1
             ORDER BY 1
         """,
     }
