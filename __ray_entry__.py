@@ -668,6 +668,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_ngram_loop": q.q_transcripts_ngram_loop,
         "embeddings_triplet_margin":
             q.q_embeddings_triplet_margin,
+        "documents_rank_agreement": q.q_documents_rank_agreement,
+        "events_count_min": q.q_events_count_min,
+        "transcripts_verbosity_ols":
+            q.q_transcripts_verbosity_ols,
     }
 
 
@@ -8007,5 +8011,160 @@ def oracle_sql() -> dict[str, str]:
             JOIN pos ON pos.ia = q.vec_id AND pos.rn = 1
             JOIN neg ON neg.ia = q.vec_id AND neg.rn = 1
             ORDER BY 1
+        """,
+        "documents_rank_agreement": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+                   FROM d),
+            tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+                    GROUP BY doc_id, tok),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+            q AS (SELECT doc_id AS qid FROM documents
+                  ORDER BY md5(doc_id::VARCHAR || chr(31) || '13'),
+                           doc_id
+                  LIMIT 16),
+            qt AS (SELECT DISTINCT q.qid, tfc.tok
+                   FROM q JOIN tfc ON tfc.doc_id = q.qid),
+            df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+                          CAST(SUM(tf) AS BIGINT) AS cf
+                   FROM tfc
+                   WHERE tok IN (SELECT DISTINCT tok FROM qt)
+                   GROUP BY tok),
+            idf AS (SELECT tok, cf,
+                           CAST(ROUND(LN(((n - df) + 0.5) / (df + 0.5)
+                                         + 1.0) * 1000000.0) AS BIGINT)
+                               AS qidf
+                    FROM df, stats),
+            bm AS (SELECT qt.qid, tfc.doc_id,
+                          CAST(SUM(CAST(ROUND(idf.qidf * (tfc.tf * 2.2)
+                               / (tfc.tf + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (dl.dl / (stats.tot
+                                                     / stats.n)))))
+                              AS BIGINT)) AS BIGINT) AS score
+                   FROM qt
+                   JOIN tfc ON qt.tok = tfc.tok
+                   JOIN idf ON idf.tok = qt.tok
+                   JOIN dl ON dl.doc_id = tfc.doc_id, stats
+                   WHERE tfc.doc_id <> qt.qid
+                     AND idf.qidf <> 0
+                   GROUP BY qt.qid, tfc.doc_id),
+            qn AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nq,
+                          CAST(SUM(CAST(ROUND(LN(2000.0
+                              * (idf.cf / stats.tot)) * 1000000.0)
+                              AS BIGINT)) AS BIGINT) AS qconst
+                   FROM qt JOIN idf USING (tok), stats
+                   GROUP BY qid),
+            ov AS (SELECT qt.qid, tfc.doc_id,
+                          CAST(SUM(CAST(ROUND(LN(1.0 + tfc.tf
+                              / (2000.0 * (idf.cf / stats.tot)))
+                              * 1000000.0) AS BIGINT)) AS BIGINT)
+                              AS osum
+                   FROM qt
+                   JOIN tfc ON qt.tok = tfc.tok
+                   JOIN idf ON idf.tok = qt.tok, stats
+                   WHERE tfc.doc_id <> qt.qid
+                   GROUP BY qt.qid, tfc.doc_id),
+            ql AS (SELECT ov.qid, ov.doc_id,
+                          qn.qconst + ov.osum
+                          - qn.nq * CAST(ROUND(LN(dl.dl + 2000.0)
+                                * 1000000.0) AS BIGINT) AS score
+                   FROM ov JOIN qn USING (qid)
+                           JOIN dl ON dl.doc_id = ov.doc_id),
+            tb AS (SELECT qid, doc_id FROM (
+                       SELECT qid, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rn
+                       FROM bm) WHERE rn <= 5),
+            tq AS (SELECT qid, doc_id FROM (
+                       SELECT qid, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rn
+                       FROM ql) WHERE rn <= 5),
+            nb AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nb
+                   FROM tb GROUP BY 1),
+            nqc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nq
+                    FROM tq GROUP BY 1),
+            ovl AS (SELECT tb.qid, CAST(COUNT(*) AS BIGINT) AS ov
+                    FROM tb JOIN tq USING (qid, doc_id) GROUP BY 1)
+            SELECT nqc.qid AS query_id,
+                   COALESCE(ovl.ov, 0) AS n_overlap,
+                   CAST(COALESCE(ovl.ov, 0) AS DOUBLE)
+                   / CAST(COALESCE(nb.nb, 0) + nqc.nq
+                          - COALESCE(ovl.ov, 0) AS DOUBLE) AS jaccard
+            FROM nqc
+            LEFT JOIN nb ON nb.qid = nqc.qid
+            LEFT JOIN ovl ON ovl.qid = nqc.qid
+            ORDER BY 1
+        """,
+        "events_count_min": """
+            WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            h AS (SELECT user_id, c, j,
+                         (4096 * (strpos('0123456789abcdef',
+                              substr(md5(user_id::VARCHAR || chr(31)
+                                  || j::VARCHAR), 1, 1)) - 1)
+                          + 256 * (strpos('0123456789abcdef',
+                              substr(md5(user_id::VARCHAR || chr(31)
+                                  || j::VARCHAR), 2, 1)) - 1)
+                          + 16 * (strpos('0123456789abcdef',
+                              substr(md5(user_id::VARCHAR || chr(31)
+                                  || j::VARCHAR), 3, 1)) - 1)
+                          + (strpos('0123456789abcdef',
+                              substr(md5(user_id::VARCHAR || chr(31)
+                                  || j::VARCHAR), 4, 1)) - 1))
+                             % 256 AS pos
+                  FROM e, UNNEST([0, 1, 2, 3]) AS t(j)),
+            cell AS (SELECT j, pos, CAST(SUM(c) AS BIGINT) AS s
+                     FROM h GROUP BY 1, 2),
+            est AS (SELECT h.user_id,
+                           CAST(MIN(cell.s) AS BIGINT) AS cms
+                    FROM h JOIN cell USING (j, pos)
+                    GROUP BY h.user_id)
+            SELECT e.user_id, e.c AS n_exact, est.cms AS cms_est,
+                   est.cms - e.c AS overestimate
+            FROM e JOIN est USING (user_id) ORDER BY 1
+        """,
+        "transcripts_verbosity_ols": f"""
+            WITH r AS (SELECT conv_id, turn_idx, role, ts,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts}),
+            w AS (SELECT role, tok AS y,
+                         (COALESCE(LAG(tok, 1) OVER win, 0)
+                          + COALESCE(LAG(tok, 2) OVER win, 0)
+                          + COALESCE(LAG(tok, 3) OVER win, 0)) AS x
+                  FROM r WINDOW win AS (PARTITION BY conv_id
+                                        ORDER BY turn_idx, ts)),
+            p AS (SELECT x, y FROM w WHERE role = 'assistant'),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy
+                  FROM p)
+            SELECT n AS n_pairs,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END
+                       AS slope,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   END AS intercept,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                             AND n * syy - sy * sy <> 0 THEN
+                       (CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE))
+                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS r2
+            FROM s
         """,
     }
