@@ -672,6 +672,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_count_min": q.q_events_count_min,
         "transcripts_verbosity_ols":
             q.q_transcripts_verbosity_ols,
+        "documents_extractive_topsent":
+            q.q_documents_extractive_topsent,
+        "embeddings_knn_eval": q.q_embeddings_knn_eval,
+        "transcripts_number_density":
+            q.q_transcripts_number_density,
     }
 
 
@@ -8166,5 +8171,92 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(n * syy - sy * sy AS DOUBLE))
                    END AS r2
             FROM s
+        """,
+        "documents_extractive_topsent": """
+            WITH p AS (SELECT doc_id,
+                              string_split_regex(COALESCE(text, ''),
+                                                 '[.!?]+') AS l
+                       FROM documents),
+            s AS (SELECT doc_id, i AS sent_idx,
+                         trim(l[i], ' ') AS sent
+                  FROM p, UNNEST(range(1, len(l) + 1)) AS t(i)
+                  WHERE trim(l[i], ' ') <> ''),
+            tk AS (SELECT doc_id, sent_idx,
+                          unnest(string_split(sent, ' ')) AS tok
+                   FROM s),
+            dfg AS (SELECT tok,
+                           CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                               AS df
+                    FROM tk GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents),
+            idf AS (SELECT tok,
+                           CAST(ROUND(LN(n / df) * 1000000.0)
+                                AS BIGINT) AS w
+                    FROM dfg, nn),
+            sc AS (SELECT tk.doc_id, tk.sent_idx,
+                          CAST(SUM(idf.w) AS BIGINT) AS score
+                   FROM tk JOIN idf USING (tok) GROUP BY 1, 2),
+            r AS (SELECT doc_id, sent_idx, score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, sent_idx) AS rn
+                  FROM sc)
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank,
+                   CAST(sent_idx AS BIGINT) AS sent_idx, score
+            FROM r WHERE rn <= 2
+        """,
+        "embeddings_knn_eval": """
+            WITH u AS (SELECT vec_id, label, i,
+                              CAST(ROUND(embedding[i] * 1048576.0)
+                                   AS BIGINT) AS q
+                       FROM embeddings,
+                            UNNEST(range(1, len(embedding) + 1))
+                                AS t(i)),
+            ua AS (SELECT * FROM u WHERE vec_id % 10 = 0),
+            d AS (SELECT a.vec_id AS ia, a.label AS la,
+                         b.vec_id AS ib, b.label AS lb,
+                         CAST(SUM((a.q - b.q) * (a.q - b.q))
+                              AS BIGINT) AS d2
+                  FROM ua a JOIN u b
+                    ON a.i = b.i AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2, 3, 4),
+            nn1 AS (SELECT ia, la, lb,
+                           ROW_NUMBER() OVER (PARTITION BY ia
+                               ORDER BY d2, ib) AS rn
+                    FROM d)
+            SELECT CAST(la AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                   CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS accuracy
+            FROM nn1 WHERE rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_number_density": f"""
+            WITH t AS (SELECT role, COALESCE(text, '') AS tx
+                       FROM {transcripts}),
+            tk AS (SELECT role, unnest(string_split(tx, ' ')) AS tok
+                   FROM t),
+            n AS (SELECT role,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         CAST(SUM(CASE WHEN regexp_matches(tok,
+                             '^\\$?[0-9][0-9.,%]*$')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_numeric
+                  FROM tk GROUP BY 1),
+            r AS (SELECT role,
+                         CAST(COUNT(*) AS BIGINT) AS n_turns,
+                         CAST(SUM(CASE WHEN regexp_matches(tx,
+                             '[\\d,]+\\.\\d{{2}}')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_amount_turns
+                  FROM t GROUP BY 1)
+            SELECT r.role, r.n_turns, n.n_tokens,
+                   n.n_numeric AS n_numeric_tokens,
+                   r.n_amount_turns,
+                   CAST(n.n_numeric AS DOUBLE)
+                   / CAST(n.n_tokens AS DOUBLE) AS numeric_density
+            FROM r JOIN n USING (role) ORDER BY 1
         """,
     }
