@@ -677,6 +677,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_eval": q.q_embeddings_knn_eval,
         "transcripts_number_density":
             q.q_transcripts_number_density,
+        "transcripts_conv_redundancy":
+            q.q_transcripts_conv_redundancy,
+        "transcripts_markup_overhead":
+            q.q_transcripts_markup_overhead,
+        "events_log2_histogram": q.q_events_log2_histogram,
     }
 
 
@@ -8258,5 +8263,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n.n_numeric AS DOUBLE)
                    / CAST(n.n_tokens AS DOUBLE) AS numeric_density
             FROM r JOIN n USING (role) ORDER BY 1
+        """,
+        "transcripts_conv_redundancy": f"""
+            WITH l AS (SELECT conv_id,
+                              role || ': ' || replace(
+                                  COALESCE(text, ''), chr(0), '')
+                                  AS line
+                       FROM {transcripts}),
+            g AS (SELECT conv_id, line,
+                         CAST(COUNT(*) AS BIGINT) AS m
+                  FROM l GROUP BY 1, 2)
+            SELECT conv_id,
+                   CAST(SUM(m) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(m) - COUNT(*) AS BIGINT) AS n_dup_lines,
+                   CAST(MAX(m) AS BIGINT) AS max_multiplicity,
+                   1.0 - CAST(COUNT(*) AS DOUBLE)
+                         / CAST(SUM(m) AS DOUBLE) AS redundancy
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_markup_overhead": f"""
+            WITH t AS (SELECT role, COALESCE(text, '') AS tx
+                       FROM {transcripts}),
+            c AS (SELECT role,
+                         CAST(length(tx) AS BIGINT) AS raw,
+                         CAST(length(regexp_replace(tx, '<[^>]*>',
+                                                    '', 'g'))
+                              AS BIGINT) AS stripped
+                  FROM t)
+            SELECT role,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(raw) AS BIGINT) AS raw_chars,
+                   CAST(SUM(stripped) AS BIGINT) AS stripped_chars,
+                   1.0 - CAST(SUM(stripped) AS DOUBLE)
+                         / CAST(SUM(raw) AS DOUBLE)
+                       AS markup_fraction
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "events_log2_histogram": """
+            WITH c AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL),
+            b AS (SELECT event_type,
+                         CASE WHEN c > 0
+                              THEN CAST(FLOOR(LOG2(c)) AS BIGINT)
+                              ELSE -1 END AS bucket,
+                         c
+                  FROM c)
+            SELECT event_type, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(c) AS BIGINT) AS min_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
