@@ -291,6 +291,28 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_transcripts_role_lexical(sf_dir).count())
     timed("flagship_backend_agreement",
           lambda: q.q_flagship_backend_agreement(sf_dir).count())
+    # round-5 late-session additions: preference pairs, similarity/
+    # sketch family, graph quality scores, retrieval eval
+    timed("transcripts_preference_pairs",
+          lambda: q.q_transcripts_preference_pairs(sf_dir).count())
+    timed("transcripts_conv_turn_jaccard",
+          lambda: q.q_transcripts_conv_turn_jaccard(sf_dir).count())
+    timed("parts_copurchase_modularity",
+          lambda: q.q_parts_copurchase_modularity(sf_dir).count())
+    timed("parts_copurchase_clustering",
+          lambda: q.q_parts_copurchase_clustering(sf_dir).count())
+    timed("documents_rank_agreement",
+          lambda: q.q_documents_rank_agreement(sf_dir).count())
+    timed("events_bloom_filter",
+          lambda: q.q_events_bloom_filter(sf_dir).count())
+    timed("events_count_min",
+          lambda: q.q_events_count_min(sf_dir).count())
+    timed("embeddings_triplet_margin",
+          lambda: q.q_embeddings_triplet_margin(sf_dir).count())
+    timed("documents_extractive_topsent",
+          lambda: q.q_documents_extractive_topsent(sf_dir).count())
+    timed("transcripts_markup_overhead",
+          lambda: q.q_transcripts_markup_overhead(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
