@@ -682,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_markup_overhead":
             q.q_transcripts_markup_overhead,
         "events_log2_histogram": q.q_events_log2_histogram,
+        "transcripts_id_leakage": q.q_transcripts_id_leakage,
+        "transcripts_depth_profile":
+            q.q_transcripts_depth_profile,
     }
 
 
@@ -8315,5 +8318,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(c) AS BIGINT) AS min_cents,
                    CAST(MAX(c) AS BIGINT) AS max_cents
             FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "transcripts_id_leakage": f"""
+            WITH d AS (SELECT conv_id,
+                              unnest(list_distinct(
+                                  regexp_extract_all(
+                                      COALESCE(text, ''),
+                                      '[0-9]{{8,}}'))) AS num
+                       FROM {transcripts}),
+            g AS (SELECT num, conv_id,
+                         CAST(COUNT(*) AS BIGINT) AS t
+                  FROM d GROUP BY 1, 2)
+            SELECT num,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(SUM(t) AS BIGINT) AS n_turns,
+                   MIN(conv_id) AS example_conv
+            FROM g GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1
+        """,
+        "transcripts_depth_profile": f"""
+            WITH t AS (SELECT role,
+                              CASE WHEN turn_idx < 5 THEN 0
+                                   WHEN turn_idx < 10 THEN 1
+                                   WHEN turn_idx < 20 THEN 2
+                                   ELSE 3 END AS depth_bucket,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts})
+            SELECT role, CAST(depth_bucket AS BIGINT)
+                       AS depth_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(tok) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
