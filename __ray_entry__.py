@@ -685,6 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_id_leakage": q.q_transcripts_id_leakage,
         "transcripts_depth_profile":
             q.q_transcripts_depth_profile,
+        "transcripts_sft_quality_gate":
+            q.q_transcripts_sft_quality_gate,
+        "transcripts_dedup_yield": q.q_transcripts_dedup_yield,
     }
 
 
@@ -8352,5 +8355,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(tok) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
             FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "transcripts_sft_quality_gate": f"""
+            WITH r AS (SELECT conv_id, turn_idx, role,
+                              replace(COALESCE(text, ''), chr(0), '')
+                                  AS t, ts,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS rn
+                       FROM {transcripts}),
+            l AS (SELECT *, role || ': ' || t AS line FROM r),
+            pr AS (SELECT conv_id, rn, role, t AS resp,
+                          concat_ws(chr(10),
+                              CASE WHEN rn > 3
+                                   THEN LAG(line, 3) OVER w END,
+                              CASE WHEN rn > 2
+                                   THEN LAG(line, 2) OVER w END,
+                              CASE WHEN rn > 1
+                                   THEN LAG(line, 1) OVER w END)
+                              AS prompt
+                   FROM l WINDOW w AS (PARTITION BY conv_id
+                                       ORDER BY rn)),
+            pa AS (SELECT conv_id, rn, resp, prompt,
+                          string_split(resp, ' ') AS tk
+                   FROM pr WHERE role = 'assistant'),
+            gmax AS (SELECT conv_id, rn, MAX(m) AS mx FROM (
+                        SELECT conv_id, rn, gram,
+                               CAST(COUNT(*) AS BIGINT) AS m
+                        FROM (SELECT conv_id, rn,
+                                     unnest(list_transform(
+                                         range(1, len(tk) - 1),
+                                         i -> tk[i] || ' '
+                                              || tk[i+1] || ' '
+                                              || tk[i+2])) AS gram
+                              FROM pa WHERE len(tk) >= 3)
+                        GROUP BY 1, 2, 3)
+                     GROUP BY 1, 2),
+            fl AS (SELECT pa.conv_id, pa.rn,
+                          CASE WHEN len(tk) < 8
+                               THEN 1 ELSE 0 END AS too_short,
+                          CASE WHEN len(tk) > 2048
+                               THEN 1 ELSE 0 END AS too_long,
+                          CASE WHEN prompt = ''
+                               THEN 1 ELSE 0 END AS no_prompt,
+                          CASE WHEN COALESCE(gmax.mx, 0) >= 3
+                               THEN 1 ELSE 0 END AS looping
+                   FROM pa LEFT JOIN gmax
+                     ON pa.conv_id = gmax.conv_id
+                    AND pa.rn = gmax.rn)
+            SELECT 'too_short' AS reason,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(too_short) AS BIGINT) AS n_flagged
+            FROM fl
+            UNION ALL SELECT 'too_long', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(too_long) AS BIGINT) FROM fl
+            UNION ALL SELECT 'no_prompt', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(no_prompt) AS BIGINT) FROM fl
+            UNION ALL SELECT 'looping', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(looping) AS BIGINT) FROM fl
+            UNION ALL SELECT 'pass', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN too_short = 0
+                                  AND too_long = 0
+                                  AND no_prompt = 0
+                                  AND looping = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+        """,
+        "transcripts_dedup_yield": f"""
+            WITH r AS (SELECT conv_id, role,
+                              replace(COALESCE(text, ''), chr(0), '')
+                                  AS t,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY conv_id
+                                  ORDER BY turn_idx, role, text)
+                                  AS rn
+                       FROM {transcripts}),
+            conv AS (SELECT conv_id,
+                            md5(replace(string_agg(
+                                role || ': ' || t, chr(10)
+                                ORDER BY rn), chr(0), '')) AS digest,
+                            CAST(SUM(CASE WHEN role = 'assistant'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_pairs,
+                            CAST(SUM(CASE WHEN role = 'assistant'
+                                     THEN len(string_split(t, ' '))
+                                     ELSE 0 END) AS BIGINT) AS tok
+                     FROM r GROUP BY conv_id),
+            w AS (SELECT digest, MIN(conv_id) AS win
+                  FROM conv GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(COUNT(DISTINCT conv.digest) AS BIGINT)
+                       AS n_convs_kept,
+                   CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN conv.conv_id = w.win
+                            THEN n_pairs ELSE 0 END) AS BIGINT)
+                       AS n_pairs_kept,
+                   CAST(SUM(tok) AS BIGINT) AS resp_tokens,
+                   CAST(SUM(CASE WHEN conv.conv_id = w.win
+                            THEN tok ELSE 0 END) AS BIGINT)
+                       AS resp_tokens_kept
+            FROM conv JOIN w ON conv.digest = w.digest
         """,
     }
