@@ -688,6 +688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_sft_quality_gate":
             q.q_transcripts_sft_quality_gate,
         "transcripts_dedup_yield": q.q_transcripts_dedup_yield,
+        "documents_term_burstiness":
+            q.q_documents_term_burstiness,
+        "transcripts_length_quantiles":
+            q.q_transcripts_length_quantiles,
     }
 
 
@@ -8454,5 +8458,36 @@ def oracle_sql() -> dict[str, str]:
                             THEN tok ELSE 0 END) AS BIGINT)
                        AS resp_tokens_kept
             FROM conv JOIN w ON conv.digest = w.digest
+        """,
+        "documents_term_burstiness": """
+            WITH tk AS (SELECT doc_id, unnest(string_split(
+                               COALESCE(text, ''), ' ')) AS tok
+                        FROM documents),
+            g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf,
+                         CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                             AS df
+                  FROM tk GROUP BY 1),
+            sc AS (SELECT tok, cf, df,
+                          CAST(cf * 1000000 // df AS BIGINT)
+                              AS burst_q
+                   FROM g WHERE df >= 5),
+            r AS (SELECT tok, cf, df, burst_q,
+                         ROW_NUMBER() OVER (ORDER BY burst_q DESC,
+                                            tok) AS rank
+                  FROM sc)
+            SELECT tok, cf, df, burst_q, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 20 ORDER BY rank
+        """,
+        "transcripts_length_quantiles": f"""
+            WITH t AS (SELECT role,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts})
+            SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(quantile_disc(tok, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(tok, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(tok, 0.99) AS BIGINT) AS p99
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }
