@@ -692,6 +692,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_documents_term_burstiness,
         "transcripts_length_quantiles":
             q.q_transcripts_length_quantiles,
+        "transcripts_table_stats": q.q_transcripts_table_stats,
+        "events_type_audience_overlap":
+            q.q_events_type_audience_overlap,
+        "events_wow_contribution": q.q_events_wow_contribution,
     }
 
 
@@ -8489,5 +8493,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(tok, 0.9) AS BIGINT) AS p90,
                    CAST(quantile_disc(tok, 0.99) AS BIGINT) AS p99
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_table_stats": f"""
+            WITH c AS (SELECT conv_id,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''), '<table'))
+                                  AS nt,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''), '<tr')) AS nr,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''), '<td')) AS nc
+                       FROM {transcripts}),
+            g AS (SELECT conv_id,
+                         CAST(SUM(CASE WHEN nt > 0
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_table_turns,
+                         CAST(SUM(nt) AS BIGINT) AS n_tables,
+                         CAST(SUM(nr) AS BIGINT) AS n_rows,
+                         CAST(SUM(nc) AS BIGINT) AS n_cells
+                  FROM c GROUP BY 1)
+            SELECT conv_id, n_table_turns, n_tables, n_rows, n_cells,
+                   CASE WHEN n_rows > 0 THEN
+                       CAST(n_cells AS DOUBLE)
+                       / CAST(n_rows AS DOUBLE)
+                   ELSE 0.0 END AS cells_per_row
+            FROM g WHERE n_tables > 0 ORDER BY 1
+        """,
+        "events_type_audience_overlap": """
+            WITH tu AS (SELECT DISTINCT event_type, user_id
+                        FROM events),
+            sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM tu GROUP BY 1),
+            inter AS (SELECT a.event_type AS type_a,
+                             b.event_type AS type_b,
+                             CAST(COUNT(*) AS BIGINT) AS n_shared
+                      FROM tu a JOIN tu b
+                        ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                      GROUP BY 1, 2)
+            SELECT type_a, type_b, n_shared,
+                   sa.n + sb.n - n_shared AS n_union,
+                   CAST(n_shared AS DOUBLE)
+                   / CAST(sa.n + sb.n - n_shared AS DOUBLE)
+                       AS jaccard
+            FROM inter JOIN sz sa ON inter.type_a = sa.event_type
+                       JOIN sz sb ON inter.type_b = sb.event_type
+            ORDER BY 1, 2
+        """,
+        "events_wow_contribution": """
+            WITH g AS (SELECT event_type,
+                              date_trunc('week', ts) AS wk,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            sel AS (SELECT wk, ROW_NUMBER() OVER (ORDER BY wk DESC)
+                        AS rn
+                    FROM (SELECT DISTINCT wk FROM g)),
+            base AS (SELECT event_type,
+                            CAST(COALESCE(SUM(CASE WHEN g.wk =
+                                (SELECT wk FROM sel WHERE rn = 3)
+                                THEN n END), 0) AS BIGINT) AS n_prev,
+                            CAST(COALESCE(SUM(CASE WHEN g.wk =
+                                (SELECT wk FROM sel WHERE rn = 2)
+                                THEN n END), 0) AS BIGINT) AS n_last
+                     FROM g GROUP BY 1),
+            f AS (SELECT * FROM base WHERE n_prev + n_last > 0),
+            t AS (SELECT CAST(SUM(n_last - n_prev) AS BIGINT) AS td
+                  FROM f)
+            SELECT event_type, n_prev, n_last,
+                   n_last - n_prev AS delta,
+                   CASE WHEN (SELECT td FROM t) <> 0 THEN
+                       CAST(n_last - n_prev AS DOUBLE)
+                       / CAST((SELECT td FROM t) AS DOUBLE)
+                   ELSE 0.0 END AS delta_share
+            FROM f ORDER BY 1
         """,
     }
