@@ -696,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_audience_overlap":
             q.q_events_type_audience_overlap,
         "events_wow_contribution": q.q_events_wow_contribution,
+        "transcripts_md_links": q.q_transcripts_md_links,
     }
 
 
@@ -8566,5 +8567,27 @@ def oracle_sql() -> dict[str, str]:
                        / CAST((SELECT td FROM t) AS DOUBLE)
                    ELSE 0.0 END AS delta_share
             FROM f ORDER BY 1
+        """,
+        "transcripts_md_links": f"""
+            WITH x AS (SELECT conv_id,
+                              regexp_extract_all(COALESCE(text, ''),
+                                  '\\[[^\\]]*\\]\\(([^)]*)\\)',
+                                  1) AS tg
+                       FROM {transcripts}),
+            r AS (SELECT conv_id, unnest(tg) AS target FROM x),
+            td AS (SELECT conv_id,
+                          unnest(list_distinct(tg)) AS target
+                   FROM x),
+            tc AS (SELECT target, CAST(COUNT(*) AS BIGINT) AS n_turns
+                   FROM td GROUP BY 1),
+            lc AS (SELECT target, CAST(COUNT(*) AS BIGINT) AS n_links
+                   FROM r GROUP BY 1),
+            cc AS (SELECT target,
+                          CAST(COUNT(DISTINCT conv_id) AS BIGINT)
+                              AS n_convs
+                   FROM r GROUP BY 1)
+            SELECT target, n_links, n_turns, n_convs
+            FROM lc JOIN tc USING (target) JOIN cc USING (target)
+            ORDER BY 1
         """,
     }

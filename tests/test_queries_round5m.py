@@ -98,3 +98,32 @@ def test_wow_contribution_reference(ray_session):
     if td:
         assert abs(sum(r["delta_share"]
                        for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_md_links_reference(ray_session):
+    import re
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_md_links, transcript_paths,
+    )
+
+    df = pd.concat([pq.read_table(p).to_pandas()
+                    for p in transcript_paths(SF)],
+                   ignore_index=True)
+    pat = re.compile(r"\[[^\]]*\]\(([^)]*)\)")
+    links, turns, convs = {}, {}, {}
+    for _, row in df.iterrows():
+        found = pat.findall(row["text"] or "")
+        for t in found:
+            links[t] = links.get(t, 0) + 1
+        for t in set(found):
+            turns[t] = turns.get(t, 0) + 1
+            convs.setdefault(t, set()).add(row["conv_id"])
+    rows = {r["target"]: r for r in
+            q_transcripts_md_links(SF).take_all()}
+    assert set(rows) == set(links)
+    for t in links:
+        assert rows[t]["n_links"] == links[t]
+        assert rows[t]["n_turns"] == turns[t]
+        assert rows[t]["n_convs"] == len(convs[t])
+    assert len(links) > 0
