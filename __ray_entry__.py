@@ -697,6 +697,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_events_type_audience_overlap,
         "events_wow_contribution": q.q_events_wow_contribution,
         "transcripts_md_links": q.q_transcripts_md_links,
+        "parts_cf_cosine": q.q_parts_cf_cosine,
+        "events_forecast_backtest":
+            q.q_events_forecast_backtest,
     }
 
 
@@ -8589,5 +8592,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT target, n_links, n_turns, n_convs
             FROM lc JOIN tc USING (target) JOIN cc USING (target)
             ORDER BY 1
+        """,
+        "parts_cf_cosine": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS w
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2),
+            sz AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM op GROUP BY 1),
+            sc AS (SELECT id_a, id_b, w, sa.n AS n_a, sb.n AS n_b,
+                          CAST(w * w * 1000000000000
+                               // (sa.n * sb.n) AS BIGINT) AS cos_q
+                   FROM e0 JOIN sz sa ON e0.id_a = sa.p
+                           JOIN sz sb ON e0.id_b = sb.p),
+            r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_q DESC,
+                              id_a, id_b) AS rank
+                  FROM sc)
+            SELECT id_a, id_b, w, n_a, n_b, cos_q,
+                   CAST(w AS DOUBLE)
+                   / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                       AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 50 ORDER BY rank
+        """,
+        "events_forecast_backtest": """
+            WITH g AS (SELECT event_type,
+                              date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, day, n,
+                         LAG(n, 1) OVER w1 AS prev,
+                         CAST(SUM(n) OVER (PARTITION BY event_type
+                             ORDER BY day ROWS BETWEEN 7 PRECEDING
+                             AND 1 PRECEDING) AS BIGINT) AS win7,
+                         ROW_NUMBER() OVER w1 AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type)
+                             AS nd
+                  FROM g WINDOW w1 AS (PARTITION BY event_type
+                                       ORDER BY day))
+            SELECT event_type,
+                   CAST(MAX(nd) AS BIGINT) AS n_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(ABS(n - prev)) AS BIGINT)
+                       AS naive_abs_err,
+                   CAST(SUM(ABS(7 * n - win7)) AS BIGINT)
+                       AS ma7_abs_err_x7,
+                   CAST(SUM(ABS(n - prev)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS naive_mae,
+                   CAST(SUM(ABS(7 * n - win7)) AS DOUBLE) / 7.0
+                   / CAST(COUNT(*) AS DOUBLE) AS ma7_mae
+            FROM w WHERE rn >= 8
+            GROUP BY 1 HAVING MAX(nd) >= 9 ORDER BY 1
         """,
     }
