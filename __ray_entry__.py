@@ -700,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_cf_cosine": q.q_parts_cf_cosine,
         "events_forecast_backtest":
             q.q_events_forecast_backtest,
+        "events_did": q.q_events_did,
+        "embeddings_isotropy": q.q_embeddings_isotropy,
     }
 
 
@@ -8646,5 +8648,79 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(COUNT(*) AS DOUBLE) AS ma7_mae
             FROM w WHERE rn >= 8
             GROUP BY 1 HAVING MAX(nd) >= 9 ORDER BY 1
+        """,
+        "events_did": """
+            WITH rng AS (SELECT date_trunc('day', MIN(ts)) AS dmin,
+                                date_trunc('day', MAX(ts)) AS dmax
+                         FROM events),
+            cut AS (SELECT dmin + (date_diff('day', dmin, dmax) + 1)
+                               // 2 * INTERVAL 1 DAY AS c
+                    FROM rng),
+            c AS (SELECT CASE WHEN user_id % 2 = 0
+                              THEN 1 ELSE 0 END AS treat,
+                         CASE WHEN date_trunc('day', ts) >=
+                              (SELECT c FROM cut)
+                              THEN 1 ELSE 0 END AS post,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+            g AS (SELECT treat, post,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS s
+                  FROM c GROUP BY 1, 2),
+            m AS (SELECT
+                    MAX(CASE WHEN treat=0 AND post=0 THEN n END) AS n00,
+                    MAX(CASE WHEN treat=0 AND post=1 THEN n END) AS n01,
+                    MAX(CASE WHEN treat=1 AND post=0 THEN n END) AS n10,
+                    MAX(CASE WHEN treat=1 AND post=1 THEN n END) AS n11,
+                    CAST(MAX(CASE WHEN treat=0 AND post=0 THEN s END)
+                         AS DOUBLE)
+                    / CAST(MAX(CASE WHEN treat=0 AND post=0 THEN n END)
+                           AS DOUBLE) AS m00,
+                    CAST(MAX(CASE WHEN treat=0 AND post=1 THEN s END)
+                         AS DOUBLE)
+                    / CAST(MAX(CASE WHEN treat=0 AND post=1 THEN n END)
+                           AS DOUBLE) AS m01,
+                    CAST(MAX(CASE WHEN treat=1 AND post=0 THEN s END)
+                         AS DOUBLE)
+                    / CAST(MAX(CASE WHEN treat=1 AND post=0 THEN n END)
+                           AS DOUBLE) AS m10,
+                    CAST(MAX(CASE WHEN treat=1 AND post=1 THEN s END)
+                         AS DOUBLE)
+                    / CAST(MAX(CASE WHEN treat=1 AND post=1 THEN n END)
+                           AS DOUBLE) AS m11
+                  FROM g)
+            SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+                   n10 AS n_treat_pre, n11 AS n_treat_post,
+                   m00 AS mean_ctrl_pre, m01 AS mean_ctrl_post,
+                   m10 AS mean_treat_pre, m11 AS mean_treat_post,
+                   (m11 - m10) - (m01 - m00) AS did_cents
+            FROM m
+        """,
+        "embeddings_isotropy": """
+            WITH u AS (SELECT vec_id, i,
+                              CAST(ROUND(embedding[i] * 1048576.0)
+                                   AS BIGINT) AS q
+                       FROM embeddings,
+                            UNNEST(range(1, len(embedding) + 1))
+                                AS t(i)),
+            s AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS sj
+                  FROM u GROUP BY 1),
+            tt AS (SELECT CAST(SUM(CAST(q AS HUGEINT) * q)
+                               AS HUGEINT) AS t
+                   FROM u),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                  FROM embeddings),
+            ss AS (SELECT CAST(SUM(sj * sj) AS HUGEINT) AS s2
+                   FROM s)
+            SELECT c.n AS n_vectors,
+                   CAST(tt.t AS BIGINT) AS sum_sq_norm,
+                   CAST((ss.s2 - tt.t) // 2 AS DOUBLE)
+                       AS pair_dot_sum,
+                   CAST((ss.s2 - tt.t) // 2 AS DOUBLE)
+                   / CAST(c.n * (c.n - 1) // 2 AS DOUBLE)
+                       AS avg_pair_dot,
+                   CAST(tt.t AS DOUBLE) / CAST(c.n AS DOUBLE)
+                       AS mean_sq_norm
+            FROM ss, tt, c
         """,
     }
