@@ -702,6 +702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_events_forecast_backtest,
         "events_did": q.q_events_did,
         "embeddings_isotropy": q.q_embeddings_isotropy,
+        "transcripts_repeated_lines":
+            q.q_transcripts_repeated_lines,
+        "embeddings_fisher_ratio": q.q_embeddings_fisher_ratio,
     }
 
 
@@ -8722,5 +8725,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tt.t AS DOUBLE) / CAST(c.n AS DOUBLE)
                        AS mean_sq_norm
             FROM ss, tt, c
+        """,
+        "transcripts_repeated_lines": f"""
+            WITH l AS (SELECT conv_id, role,
+                              role || ': ' || replace(
+                                  COALESCE(text, ''), chr(0), '')
+                                  AS line
+                       FROM {transcripts}),
+            g AS (SELECT line, role, conv_id,
+                         CAST(COUNT(*) AS BIGINT) AS t
+                  FROM l GROUP BY 1, 2, 3),
+            per AS (SELECT line, MIN(role) AS role,
+                           CAST(COUNT(*) AS BIGINT) AS n_convs,
+                           CAST(SUM(t) AS BIGINT) AS n_turns
+                    FROM g GROUP BY line),
+            r AS (SELECT line, role, n_convs, n_turns,
+                         ROW_NUMBER() OVER (ORDER BY n_convs DESC,
+                             n_turns DESC, line) AS rank
+                  FROM per)
+            SELECT line, role, n_convs, n_turns,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 20 ORDER BY rank
+        """,
+        "embeddings_fisher_ratio": """
+            WITH u AS (SELECT vec_id, label, i,
+                              CAST(ROUND(embedding[i] * 1048576.0)
+                                   AS BIGINT) AS q
+                       FROM embeddings,
+                            UNNEST(range(1, len(embedding) + 1))
+                                AS t(i)),
+            g AS (SELECT label, i, CAST(SUM(q) AS HUGEINT) AS sj
+                  FROM u GROUP BY 1, 2),
+            sl AS (SELECT label, CAST(SUM(sj * sj) AS HUGEINT) AS s2
+                   FROM g GROUP BY 1),
+            tl AS (SELECT label,
+                          CAST(SUM(CAST(q AS HUGEINT) * q)
+                               AS HUGEINT) AS t,
+                          CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+                              AS n
+                   FROM u GROUP BY 1),
+            per AS (SELECT sl.label, tl.n,
+                           CAST(tl.t AS DOUBLE)
+                           - CAST(sl.s2 AS DOUBLE)
+                             / CAST(tl.n AS DOUBLE) AS w,
+                           CAST(sl.s2 AS DOUBLE)
+                           / CAST(tl.n AS DOUBLE) AS son
+                    FROM sl JOIN tl USING (label)),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                           CAST(COUNT(*) AS BIGINT) AS n_labels,
+                           list_sum(list(w ORDER BY label))
+                               AS within,
+                           list_sum(list(son ORDER BY label))
+                               AS sqon
+                    FROM per),
+            gs AS (SELECT i, CAST(SUM(sj) AS HUGEINT) AS sg
+                   FROM g GROUP BY i),
+            s2t AS (SELECT CAST(SUM(sg * sg) AS HUGEINT) AS s2
+                    FROM gs)
+            SELECT tot.n_tot AS n_vectors, tot.n_labels,
+                   within AS within_scatter,
+                   sqon - CAST(s2t.s2 AS DOUBLE)
+                          / CAST(tot.n_tot AS DOUBLE)
+                       AS between_scatter,
+                   CASE WHEN within > 0 THEN
+                       (sqon - CAST(s2t.s2 AS DOUBLE)
+                               / CAST(tot.n_tot AS DOUBLE)) / within
+                   END AS fisher_ratio
+            FROM tot, s2t
         """,
     }
