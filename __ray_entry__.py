@@ -705,6 +705,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_repeated_lines":
             q.q_transcripts_repeated_lines,
         "embeddings_fisher_ratio": q.q_embeddings_fisher_ratio,
+        "parts_copurchase_richclub":
+            q.q_parts_copurchase_richclub,
+        "documents_vocab_growth": q.q_documents_vocab_growth,
     }
 
 
@@ -8792,5 +8795,70 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(tot.n_tot AS DOUBLE)) / within
                    END AS fisher_ratio
             FROM tot, s2t
+        """,
+        "parts_copurchase_richclub": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2),
+            se AS (SELECT id_a AS a, id_b AS b FROM e0
+                   UNION ALL SELECT id_b, id_a FROM e0),
+            deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT)
+                        AS degree
+                    FROM se GROUP BY 1),
+            ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+            nr AS (SELECT ks.k,
+                          CAST(SUM(CASE WHEN deg.degree > ks.k
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_rich
+                   FROM ks, deg GROUP BY 1),
+            edeg AS (SELECT da.degree AS dg_a, db.degree AS dg_b
+                     FROM e0 JOIN deg da ON e0.id_a = da.id
+                             JOIN deg db ON e0.id_b = db.id),
+            er AS (SELECT ks.k,
+                          CAST(SUM(CASE WHEN dg_a > ks.k
+                                         AND dg_b > ks.k
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                              AS e_rich
+                   FROM ks, edeg GROUP BY 1)
+            SELECT nr.k, nr.n_rich,
+                   COALESCE(er.e_rich, 0) AS e_rich,
+                   CASE WHEN nr.n_rich > 1 THEN
+                       CAST(2 * COALESCE(er.e_rich, 0) AS DOUBLE)
+                       / CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE)
+                   ELSE 0.0 END AS phi
+            FROM nr LEFT JOIN er ON nr.k = er.k ORDER BY 1
+        """,
+        "documents_vocab_growth": """
+            WITH d AS (SELECT doc_id,
+                              string_split(COALESCE(text, ''), ' ')
+                                  AS toks
+                       FROM documents),
+            l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt
+                  FROM d),
+            o AS (SELECT doc_id,
+                         CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS off
+                  FROM l),
+            tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS t FROM l),
+            tk AS (SELECT doc_id, i AS pos, toks[i] AS tok
+                   FROM d, UNNEST(range(1, len(toks) + 1)) t(i)),
+            g AS (SELECT tok,
+                         CAST(MIN(o.off + tk.pos) AS BIGINT) AS fp
+                  FROM tk JOIN o USING (doc_id) GROUP BY 1),
+            cp AS (SELECT DISTINCT cpv FROM (
+                       SELECT CAST(256 * power(4, e) AS BIGINT)
+                           AS cpv
+                       FROM UNNEST(range(0, 16)) t(e)
+                       WHERE CAST(256 * power(4, e) AS BIGINT)
+                             < (SELECT t FROM tot)
+                       UNION ALL SELECT t FROM tot))
+            SELECT cp.cpv AS checkpoint,
+                   CAST(SUM(CASE WHEN g.fp <= cp.cpv
+                            THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+            FROM cp, g GROUP BY 1 ORDER BY 1
         """,
     }
