@@ -66,9 +66,9 @@ def test_vocab_growth_reference(ray_session):
     assert sorted(rows) == cps
     for cp in cps:
         assert rows[cp] == len(set(stream[:cp]))
-    # Heaps: non-decreasing, sub-linear (the template vocabulary
-    # saturates, so late checkpoints may tie)
+    # Heaps: non-decreasing, sub-linear (the sf0.001 template
+    # vocabulary saturates before the first checkpoint, so the curve
+    # may be entirely flat here; growth is visible at sf0.01+)
     vals = [rows[cp] for cp in cps]
     assert all(a <= b for a, b in zip(vals, vals[1:]))
-    assert vals[0] < vals[-1]
     assert vals[-1] < total
