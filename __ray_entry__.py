@@ -708,6 +708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_richclub":
             q.q_parts_copurchase_richclub,
         "documents_vocab_growth": q.q_documents_vocab_growth,
+        "transcripts_case_profile": q.q_transcripts_case_profile,
+        "events_hour_entropy": q.q_events_hour_entropy,
     }
 
 
@@ -8860,5 +8862,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN g.fp <= cp.cpv
                             THEN 1 ELSE 0 END) AS BIGINT) AS vocab
             FROM cp, g GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_case_profile": f"""
+            WITH c AS (SELECT role,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''), '[A-Z]'))
+                                  AS up,
+                              len(regexp_extract_all(
+                                  COALESCE(text, ''), '[a-z]'))
+                                  AS lo
+                       FROM {transcripts})
+            SELECT role,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(up) AS BIGINT) AS n_upper,
+                   CAST(SUM(up + lo) AS BIGINT) AS n_letters,
+                   CAST(SUM(CASE WHEN up + lo > 0
+                                  AND 2 * up > up + lo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shouty_turns,
+                   CAST(SUM(up) AS DOUBLE)
+                   / CAST(SUM(up + lo) AS DOUBLE) AS upper_ratio
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "events_hour_entropy": """
+            WITH g AS (SELECT event_type,
+                              CAST(hour(ts) AS BIGINT) AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type,
+                         CAST(SUM(n) AS BIGINT) AS n_events,
+                         CAST(COUNT(*) AS BIGINT) AS n_hours,
+                         CAST(SUM(n * CAST(round(
+                             ln(CAST(n AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s1
+                  FROM g GROUP BY 1)
+            SELECT event_type, n_events, n_hours,
+                   ROUND(ln(CAST(n_events AS DOUBLE))
+                         - CAST(s1 AS DOUBLE) / 1000000.0
+                           / CAST(n_events AS DOUBLE), 6)
+                       AS hour_entropy
+            FROM t ORDER BY 1
         """,
     }

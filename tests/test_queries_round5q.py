@@ -72,3 +72,57 @@ def test_vocab_growth_reference(ray_session):
     vals = [rows[cp] for cp in cps]
     assert all(a <= b for a, b in zip(vals, vals[1:]))
     assert vals[-1] < total
+
+
+def test_case_profile_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_case_profile, transcript_paths,
+    )
+
+    df = pd.concat([pq.read_table(p).to_pandas()
+                    for p in transcript_paths(SF)],
+                   ignore_index=True)
+    ref = {}
+    for _, row in df.iterrows():
+        t = row["text"] or ""
+        up = sum(1 for ch in t if "A" <= ch <= "Z")
+        lo = sum(1 for ch in t if "a" <= ch <= "z")
+        st = ref.setdefault(row["role"], [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += up
+        st[2] += up + lo
+        st[3] += 1 if (up + lo > 0 and 2 * up > up + lo) else 0
+    rows = {r["role"]: r for r in
+            q_transcripts_case_profile(SF).take_all()}
+    assert set(rows) == set(ref)
+    for role, (n, u, le, sh) in ref.items():
+        r = rows[role]
+        assert r["n_turns"] == n
+        assert r["n_upper"] == u
+        assert r["n_letters"] == le
+        assert r["n_shouty_turns"] == sh
+        assert abs(r["upper_ratio"] - u / le) < 1e-12
+    assert sum(st[1] for st in ref.values()) > 0
+
+
+def test_hour_entropy_reference(ray_session):
+    import math
+
+    from ocr_engine_ray.pipelines.queries import q_events_hour_entropy
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = ev["ts"].dt.hour
+    rows = {r["event_type"]: r for r in
+            q_events_hour_entropy(SF).take_all()}
+    for et, g in ev.groupby("event_type"):
+        cnt = g.groupby("hour").size()
+        n = len(g)
+        # loose reference: plain Shannon entropy within 1e-4 of the
+        # quantized-ln report
+        ent = -(sum((c / n) * math.log(c / n) for c in cnt))
+        r = rows[et]
+        assert r["n_events"] == n
+        assert r["n_hours"] == len(cnt)
+        assert abs(r["hour_entropy"] - ent) < 1e-4
+        assert 0 <= r["hour_entropy"] <= math.log(24) + 1e-9
