@@ -313,6 +313,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: q.q_documents_extractive_topsent(sf_dir).count())
     timed("transcripts_markup_overhead",
           lambda: q.q_transcripts_markup_overhead(sf_dir).count())
+    timed("transcripts_repeated_lines",
+          lambda: q.q_transcripts_repeated_lines(sf_dir).count())
+    timed("transcripts_id_leakage",
+          lambda: q.q_transcripts_id_leakage(sf_dir).count())
 
     ray.shutdown()
     headline = timings["flagship_extract"]
