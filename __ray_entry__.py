@@ -710,6 +710,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_vocab_growth": q.q_documents_vocab_growth,
         "transcripts_case_profile": q.q_transcripts_case_profile,
         "events_hour_entropy": q.q_events_hour_entropy,
+        "transcripts_tool_retry_rate":
+            q.q_transcripts_tool_retry_rate,
+        "transcripts_conv_length_hist":
+            q.q_transcripts_conv_length_hist,
     }
 
 
@@ -8902,5 +8906,37 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(n_events AS DOUBLE), 6)
                        AS hour_entropy
             FROM t ORDER BY 1
+        """,
+        "transcripts_tool_retry_rate": f"""
+            WITH s AS (SELECT conv_id, tool,
+                              COALESCE(text, '') AS tx,
+                              LAG(tool) OVER w AS ptool,
+                              LAG(COALESCE(text, '')) OVER w AS ptx
+                       FROM {transcripts}
+                       WHERE role = 'tool'
+                         AND COALESCE(tool, '') <> ''
+                       WINDOW w AS (PARTITION BY conv_id
+                                    ORDER BY turn_idx, ts))
+            SELECT tool,
+                   CAST(COUNT(*) AS BIGINT) AS n_calls,
+                   CAST(SUM(CASE WHEN tool = ptool
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_repeats,
+                   CAST(SUM(CASE WHEN tool = ptool AND tx <> ptx
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_changed_repeats,
+                   CAST(SUM(CASE WHEN tool = ptool
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_conv_length_hist": f"""
+            WITH c AS (SELECT conv_id,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM {transcripts} GROUP BY 1)
+            SELECT n AS n_turns,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(n * COUNT(*) AS BIGINT) AS total_turns
+            FROM c GROUP BY 1 ORDER BY 1
         """,
     }

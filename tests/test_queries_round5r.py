@@ -1,0 +1,66 @@
+"""Independent Python-reference tests for the round-5r wave:
+tool-retry census and the conversation-length histogram.
+"""
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _synth_df():
+    from ocr_engine_ray.pipelines.queries import transcript_paths
+
+    return pd.concat([pq.read_table(p).to_pandas()
+                      for p in transcript_paths(SF)],
+                     ignore_index=True)
+
+
+def test_tool_retry_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_tool_retry_rate,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "ts"],
+                                 kind="stable")
+    ref = {}
+    for _, g in df.groupby("conv_id", sort=False):
+        seq = [(r, t or "", x or "")
+               for r, t, x in zip(g["role"], g["tool"], g["text"])
+               if r == "tool" and (t or "") != ""]
+        prev = None
+        for _, tool, text in seq:
+            st = ref.setdefault(tool, [0, 0, 0])
+            st[0] += 1
+            if prev is not None and prev[0] == tool:
+                st[1] += 1
+                if prev[1] != text:
+                    st[2] += 1
+            prev = (tool, text)
+    rows = {r["tool"]: r for r in
+            q_transcripts_tool_retry_rate(SF).take_all()}
+    assert set(rows) == set(ref)
+    for tool, (n, rep, dif) in ref.items():
+        r = rows[tool]
+        assert r["n_calls"] == n
+        assert r["n_repeats"] == rep
+        assert r["n_changed_repeats"] == dif
+        assert abs(r["repeat_rate"] - rep / n) < 1e-12
+    assert sum(st[1] for st in ref.values()) > 0
+
+
+def test_conv_length_hist_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_conv_length_hist,
+    )
+
+    df = _synth_df()
+    sizes = df.groupby("conv_id").size()
+    ref = sizes.value_counts().to_dict()
+    rows = {r["n_turns"]: r for r in
+            q_transcripts_conv_length_hist(SF).take_all()}
+    assert set(rows) == set(ref)
+    for n, c in ref.items():
+        assert rows[n]["n_convs"] == c
+        assert rows[n]["total_turns"] == n * c
+    assert sum(r["total_turns"] for r in rows.values()) == len(df)
