@@ -714,6 +714,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_transcripts_tool_retry_rate,
         "transcripts_conv_length_hist":
             q.q_transcripts_conv_length_hist,
+        "transcripts_pr_length_joint":
+            q.q_transcripts_pr_length_joint,
+        "parts_copurchase_weight_hist":
+            q.q_parts_copurchase_weight_hist,
     }
 
 
@@ -8938,5 +8942,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_convs,
                    CAST(n * COUNT(*) AS BIGINT) AS total_turns
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "transcripts_pr_length_joint": f"""
+            WITH r AS (SELECT conv_id, turn_idx, role, ts,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts}),
+            w AS (SELECT role, tok AS y,
+                         (COALESCE(LAG(tok, 1) OVER win, 0)
+                          + COALESCE(LAG(tok, 2) OVER win, 0)
+                          + COALESCE(LAG(tok, 3) OVER win, 0)) AS x
+                  FROM r WINDOW win AS (PARTITION BY conv_id
+                                        ORDER BY turn_idx, ts)),
+            p AS (SELECT CASE WHEN x > 0
+                              THEN CAST(FLOOR(LOG2(x)) AS BIGINT)
+                              ELSE -1 END AS prompt_bucket,
+                         CASE WHEN y > 0
+                              THEN CAST(FLOOR(LOG2(y)) AS BIGINT)
+                              ELSE -1 END AS response_bucket
+                  FROM w WHERE role = 'assistant')
+            SELECT prompt_bucket, response_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "parts_copurchase_weight_hist": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS w
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0)
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT m FROM m) AS DOUBLE)
+                       AS edge_share
+            FROM e0 GROUP BY 1 ORDER BY 1
         """,
     }

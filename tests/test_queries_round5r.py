@@ -64,3 +64,56 @@ def test_conv_length_hist_reference(ray_session):
         assert rows[n]["n_convs"] == c
         assert rows[n]["total_turns"] == n * c
     assert sum(r["total_turns"] for r in rows.values()) == len(df)
+
+
+def test_pr_length_joint_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_pr_length_joint,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "ts"],
+                                 kind="stable")
+    ref = {}
+    for _, g in df.groupby("conv_id", sort=False):
+        toks = [len((t or "").split(" ")) for t in g["text"]]
+        roles = list(g["role"])
+        for i, r in enumerate(roles):
+            if r != "assistant":
+                continue
+            x = sum(toks[max(0, i - 3):i])
+            y = toks[i]
+            bp = x.bit_length() - 1 if x > 0 else -1
+            br = y.bit_length() - 1 if y > 0 else -1
+            ref[(bp, br)] = ref.get((bp, br), 0) + 1
+    rows = {(r["prompt_bucket"], r["response_bucket"]): r["n_pairs"]
+            for r in q_transcripts_pr_length_joint(SF).take_all()}
+    assert rows == ref
+    assert sum(ref.values()) == sum(
+        1 for r in df["role"] if r == "assistant")
+
+
+def test_weight_hist_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_weight_hist,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]) \
+        .to_pandas().drop_duplicates()
+    pairs = {}
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                k = (ps[i], ps[j])
+                pairs[k] = pairs.get(k, 0) + 1
+    from collections import Counter
+    ref = Counter(pairs.values())
+    m = len(pairs)
+    rows = {r["w"]: r for r in
+            q_parts_copurchase_weight_hist(SF).take_all()}
+    assert set(rows) == set(ref)
+    for w, c in ref.items():
+        assert rows[w]["n_edges"] == c
+        assert abs(rows[w]["edge_share"] - c / m) < 1e-12
+    assert sum(r["n_edges"] for r in rows.values()) == m
