@@ -718,6 +718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_transcripts_pr_length_joint,
         "parts_copurchase_weight_hist":
             q.q_parts_copurchase_weight_hist,
+        "events_xcorr": q.q_events_xcorr,
+        "transcripts_tool_depth_profile":
+            q.q_transcripts_tool_depth_profile,
     }
 
 
@@ -8980,5 +8983,57 @@ def oracle_sql() -> dict[str, str]:
                    / CAST((SELECT m FROM m) AS DOUBLE)
                        AS edge_share
             FROM e0 GROUP BY 1 ORDER BY 1
+        """,
+        "events_xcorr": """
+            WITH v AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY 1),
+            p AS (SELECT date_trunc('day', ts) AS day,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY 1),
+            lags AS (SELECT CAST(l - 7 AS BIGINT) AS lag
+                     FROM UNNEST(range(0, 15)) t(l)),
+            pairs AS (SELECT lags.lag,
+                             CAST(v.n AS HUGEINT) AS x,
+                             CAST(p.n AS HUGEINT) AS y
+                      FROM lags
+                      JOIN v ON TRUE
+                      JOIN p ON p.day = v.day
+                                + lags.lag * INTERVAL 1 DAY),
+            s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                         SUM(x * y) AS sxy
+                  FROM pairs GROUP BY 1)
+            SELECT lag, np AS n_pairs,
+                   ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                                * CAST(np * syy - sy * sy
+                                       AS DOUBLE)), 6) AS xcorr
+            FROM s
+            WHERE np >= 2 AND np * sxx - sx * sx > 0
+              AND np * syy - sy * sy > 0
+            ORDER BY 1
+        """,
+        "transcripts_tool_depth_profile": f"""
+            WITH t AS (SELECT tool,
+                              CASE WHEN turn_idx < 5 THEN 0
+                                   WHEN turn_idx < 10 THEN 1
+                                   WHEN turn_idx < 20 THEN 2
+                                   ELSE 3 END AS depth_bucket
+                       FROM {transcripts}
+                       WHERE role = 'tool'
+                         AND COALESCE(tool, '') <> ''),
+            g AS (SELECT tool, CAST(depth_bucket AS BIGINT)
+                         AS depth_bucket,
+                         CAST(COUNT(*) AS BIGINT) AS n_calls
+                  FROM t GROUP BY 1, 2)
+            SELECT tool, depth_bucket, n_calls,
+                   CAST(n_calls AS DOUBLE)
+                   / CAST(SUM(n_calls) OVER (PARTITION BY tool)
+                          AS DOUBLE) AS share
+            FROM g ORDER BY 1, 2
         """,
     }

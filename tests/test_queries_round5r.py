@@ -117,3 +117,60 @@ def test_weight_hist_reference(ray_session):
         assert rows[w]["n_edges"] == c
         assert abs(rows[w]["edge_share"] - c / m) < 1e-12
     assert sum(r["n_edges"] for r in rows.values()) == m
+
+
+def test_xcorr_reference(ray_session):
+    import math
+
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import q_events_xcorr
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    v = ev[ev.event_type == "view"].groupby("day").size()
+    p = ev[ev.event_type == "purchase"].groupby("day").size()
+    rows = {r["lag"]: r for r in q_events_xcorr(SF).take_all()}
+    import datetime as dt
+    for k in range(-7, 8):
+        xs, ys = [], []
+        for d, n in v.items():
+            d2 = d + dt.timedelta(days=k)
+            if d2 in p.index:
+                xs.append(n)
+                ys.append(p[d2])
+        if len(xs) < 2:
+            assert k not in rows
+            continue
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert rows[k]["n_pairs"] == len(xs)
+        assert abs(rows[k]["xcorr"] - r) < 1e-6
+    assert len(rows) > 5
+
+
+def test_tool_depth_profile_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_tool_depth_profile,
+    )
+
+    df = _synth_df()
+    df = df[(df.role == "tool") & (df.tool.fillna("") != "")]
+
+    def bucket(i):
+        return 0 if i < 5 else 1 if i < 10 else 2 if i < 20 else 3
+
+    ref = {}
+    for _, row in df.iterrows():
+        k = (row["tool"], bucket(row["turn_idx"]))
+        ref[k] = ref.get(k, 0) + 1
+    totals = {}
+    for (t, _), n in ref.items():
+        totals[t] = totals.get(t, 0) + n
+    out = q_transcripts_tool_depth_profile(SF)
+    rows = {(r["tool"], r["depth_bucket"]): r
+            for r in out.to_pylist()}
+    assert set(rows) == set(ref)
+    for k, n in ref.items():
+        assert rows[k]["n_calls"] == n
+        assert abs(rows[k]["share"] - n / totals[k[0]]) < 1e-12
