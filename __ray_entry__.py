@@ -721,6 +721,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_xcorr": q.q_events_xcorr,
         "transcripts_tool_depth_profile":
             q.q_transcripts_tool_depth_profile,
+        "parts_copurchase_degree_matrix":
+            q.q_parts_copurchase_degree_matrix,
+        "transcripts_weekly_role_mix":
+            q.q_transcripts_weekly_role_mix,
     }
 
 
@@ -9034,6 +9038,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_calls AS DOUBLE)
                    / CAST(SUM(n_calls) OVER (PARTITION BY tool)
                           AS DOUBLE) AS share
+            FROM g ORDER BY 1, 2
+        """,
+        "parts_copurchase_degree_matrix": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT a.p AS id_a, b.p AS id_b
+                   FROM op a JOIN op b USING (o) WHERE a.p < b.p
+                   GROUP BY 1, 2),
+            se AS (SELECT id_a AS a, id_b AS b FROM e0
+                   UNION ALL SELECT id_b, id_a FROM e0),
+            deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT)
+                        AS degree
+                    FROM se GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+            eb AS (SELECT CAST(FLOOR(LOG2(da.degree)) AS BIGINT)
+                       AS ba,
+                          CAST(FLOOR(LOG2(db.degree)) AS BIGINT)
+                       AS bb
+                   FROM e0 JOIN deg da ON e0.id_a = da.id
+                           JOIN deg db ON e0.id_b = db.id),
+            g AS (SELECT LEAST(ba, bb) AS bucket_a,
+                         GREATEST(ba, bb) AS bucket_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_edges
+                  FROM eb GROUP BY 1, 2)
+            SELECT bucket_a, bucket_b, n_edges,
+                   CAST(n_edges AS DOUBLE)
+                   / CAST((SELECT m FROM m) AS DOUBLE)
+                       AS edge_share
+            FROM g ORDER BY 1, 2
+        """,
+        "transcripts_weekly_role_mix": f"""
+            WITH t AS (SELECT date_trunc('week', ts) AS week, role,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts}),
+            g AS (SELECT week, role,
+                         CAST(COUNT(*) AS BIGINT) AS n_turns,
+                         CAST(SUM(tok) AS BIGINT) AS sum_tokens
+                  FROM t GROUP BY 1, 2)
+            SELECT week, role, n_turns, sum_tokens,
+                   CAST(sum_tokens AS DOUBLE)
+                   / CAST(SUM(sum_tokens) OVER (PARTITION BY week)
+                          AS DOUBLE) AS token_share
             FROM g ORDER BY 1, 2
         """,
     }

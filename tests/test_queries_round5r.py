@@ -174,3 +174,61 @@ def test_tool_depth_profile_reference(ray_session):
     for k, n in ref.items():
         assert rows[k]["n_calls"] == n
         assert abs(rows[k]["share"] - n / totals[k[0]]) < 1e-12
+
+
+def test_degree_matrix_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_parts_copurchase_degree_matrix,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]) \
+        .to_pandas().drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ref = {}
+    for a, b in edges:
+        ba = deg[a].bit_length() - 1
+        bb = deg[b].bit_length() - 1
+        k = (min(ba, bb), max(ba, bb))
+        ref[k] = ref.get(k, 0) + 1
+    m = len(edges)
+    rows = {(r["bucket_a"], r["bucket_b"]): r for r in
+            q_parts_copurchase_degree_matrix(SF).take_all()}
+    assert set(rows) == set(ref)
+    for k, n in ref.items():
+        assert rows[k]["n_edges"] == n
+        assert abs(rows[k]["edge_share"] - n / m) < 1e-12
+
+
+def test_weekly_role_mix_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_weekly_role_mix,
+    )
+
+    df = _synth_df()
+    df["week"] = df["ts"].dt.to_period("W-SUN").dt.start_time
+    df["tok"] = [len((t or "").split(" ")) for t in df["text"]]
+    ref = {}
+    for (w, r), g in df.groupby(["week", "role"]):
+        ref[(w, r)] = (len(g), int(g["tok"].sum()))
+    wk_tot = {}
+    for (w, _), (_, t) in ref.items():
+        wk_tot[w] = wk_tot.get(w, 0) + t
+    out = q_transcripts_weekly_role_mix(SF)
+    rows = {(pd.Timestamp(r["week"]), r["role"]): r
+            for r in out.to_pylist()}
+    assert set(rows) == set(ref)
+    for k, (n, t) in ref.items():
+        assert rows[k]["n_turns"] == n
+        assert rows[k]["sum_tokens"] == t
+        assert abs(rows[k]["token_share"] - t / wk_tot[k[0]]) \
+            < 1e-12
