@@ -725,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_parts_copurchase_degree_matrix,
         "transcripts_weekly_role_mix":
             q.q_transcripts_weekly_role_mix,
+        "documents_quality_census": q.q_documents_quality_census,
     }
 
 
@@ -9084,5 +9085,76 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(sum_tokens) OVER (PARTITION BY week)
                           AS DOUBLE) AS token_share
             FROM g ORDER BY 1, 2
+        """,
+        "documents_quality_census": """
+            WITH d AS (SELECT doc_id, text,
+                              string_split(text, ' ') AS toks
+                       FROM documents),
+            c4 AS (SELECT doc_id,
+                          (len(regexp_extract_all(text, '[.!?]'))
+                               >= 3
+                           AND NOT contains(lower(text),
+                                            'lorem ipsum')
+                           AND NOT contains(text, '{')) AS keep
+                   FROM d),
+            gs AS (SELECT doc_id,
+                          CAST(len(toks) AS BIGINT) AS n_words,
+                          CAST(length(replace(text, ' ', ''))
+                               AS BIGINT) AS sum_len,
+                          CAST(len(list_filter(toks,
+                               t -> regexp_matches(t, '[a-z]')))
+                              AS BIGINT) AS n_alpha,
+                          CAST(len(list_filter(
+                               ['the','a','of','and','to','in','be',
+                                'that'],
+                               w -> list_contains(toks, w)))
+                              AS BIGINT) AS n_stop
+                   FROM d),
+            go AS (SELECT doc_id,
+                          (n_words >= 30 AND n_words <= 100000
+                           AND CAST(sum_len AS DOUBLE) / n_words
+                               >= 3.0
+                           AND CAST(sum_len AS DOUBLE) / n_words
+                               <= 10.0
+                           AND CAST(n_alpha AS DOUBLE) / n_words
+                               >= 0.8
+                           AND n_stop >= 2) AS keep
+                   FROM gs),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              list_zip(toks[:len(toks)-1],
+                                       toks[2:len(toks)]),
+                              z -> z[1] || ' ' || z[2])) AS b
+                   FROM d WHERE len(toks) > 1),
+            cb AS (SELECT doc_id, b, COUNT(*) AS nn
+                   FROM bg GROUP BY doc_id, b),
+            mb AS (SELECT doc_id, MAX(nn) AS mx FROM cb
+                   GROUP BY doc_id),
+            rep AS (SELECT d.doc_id,
+                           (len(list_distinct(toks)) / len(toks)
+                                >= 0.5
+                            AND (CASE WHEN len(toks) > 1
+                                 THEN COALESCE(mb.mx, 0)
+                                      / (len(toks) - 1)
+                                 ELSE 0.0 END) <= 0.05) AS keep
+                    FROM d LEFT JOIN mb ON d.doc_id = mb.doc_id),
+            f AS (SELECT c4.keep AS c4k, go.keep AS gok,
+                         rep.keep AS repk
+                  FROM c4 JOIN go USING (doc_id)
+                          JOIN rep USING (doc_id))
+            SELECT 'c4' AS reason,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN NOT c4k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flagged
+            FROM f
+            UNION ALL SELECT 'gopher', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN NOT gok THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM f
+            UNION ALL SELECT 'repetition', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN NOT repk THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM f
+            UNION ALL SELECT 'pass', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN c4k AND gok AND repk
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM f
         """,
     }

@@ -232,3 +232,31 @@ def test_weekly_role_mix_reference(ray_session):
         assert rows[k]["sum_tokens"] == t
         assert abs(rows[k]["token_share"] - t / wk_tot[k[0]]) \
             < 1e-12
+
+
+def test_quality_census_consistency(ray_session):
+    """The composed census must agree with the three standalone gate
+    Datasets it reuses."""
+    from ocr_engine_ray.pipelines.queries import (
+        q_documents_c4_gate, q_documents_gopher_gate,
+        q_documents_quality_census, q_documents_repetition,
+    )
+
+    c4 = {r["doc_id"]: r["keep"]
+          for r in q_documents_c4_gate(SF).take_all()}
+    go = {r["doc_id"]: r["keep"]
+          for r in q_documents_gopher_gate(SF).take_all()}
+    rep = {r["doc_id"]: bool(r["keep"])
+           for r in q_documents_repetition(SF).take_all()}
+    rows = {r["reason"]: r for r in
+            q_documents_quality_census(SF).take_all()}
+    n = len(c4)
+    assert all(r["n_docs"] == n for r in rows.values())
+    assert rows["c4"]["n_flagged"] == sum(
+        1 for v in c4.values() if not v)
+    assert rows["gopher"]["n_flagged"] == sum(
+        1 for v in go.values() if not v)
+    assert rows["repetition"]["n_flagged"] == sum(
+        1 for v in rep.values() if not v)
+    assert rows["pass"]["n_flagged"] == sum(
+        1 for d in c4 if c4[d] and go[d] and rep[d])
