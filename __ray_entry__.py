@@ -726,6 +726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_weekly_role_mix":
             q.q_transcripts_weekly_role_mix,
         "documents_quality_census": q.q_documents_quality_census,
+        "transcripts_totals_reconciliation":
+            q.q_transcripts_totals_reconciliation,
+        "supplier_otif": q.q_supplier_otif,
     }
 
 
@@ -9156,5 +9159,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'pass', CAST(COUNT(*) AS BIGINT),
                    CAST(SUM(CASE WHEN c4k AND gok AND repk
                             THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        """,
+        "transcripts_totals_reconciliation": f"""
+            WITH n AS (SELECT conv_id, turn_idx, {_NORM_EXPR} AS t
+                       FROM {transcripts}),
+            x AS (SELECT {sub_cents} AS g, {tax_cents} AS tx,
+                         {tot_cents} AS f
+                  FROM n),
+            a AS (SELECT g, tx, f, ABS(g + tx - f) AS gap
+                  FROM x
+                  WHERE g IS NOT NULL AND tx IS NOT NULL
+                    AND f IS NOT NULL)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_all3,
+                   CAST(SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reconciled,
+                   CAST(SUM(CASE WHEN gap <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mismatch,
+                   CAST(COALESCE(MAX(gap), 0) AS BIGINT)
+                       AS max_abs_gap_cents
+            FROM a
+        """,
+        "supplier_otif": """
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CASE WHEN date_diff('day',
+                                CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) <= 30
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ontime,
+                   CAST(SUM(CASE WHEN date_diff('day',
+                                CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) <= 30
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS ontime_rate
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
     }

@@ -260,3 +260,50 @@ def test_quality_census_consistency(ray_session):
         1 for v in rep.values() if not v)
     assert rows["pass"]["n_flagged"] == sum(
         1 for d in c4 if c4[d] and go[d] and rep[d])
+
+
+def test_totals_reconciliation_consistency(ray_session):
+    """The census must agree with the bit-exact per-turn totals."""
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_totals, q_transcripts_totals_reconciliation,
+    )
+
+    rows = q_transcripts_totals(SF).take_all()
+    all3 = [(r["grand_total_cents"], r["taxes_cents"],
+             r["final_total_cents"]) for r in rows
+            if r["grand_total_cents"] is not None
+            and r["taxes_cents"] is not None
+            and r["final_total_cents"] is not None]
+    gaps = [abs(g + t - f) for g, t, f in all3]
+    rec = q_transcripts_totals_reconciliation(SF).take_all()[0]
+    assert rec["n_all3"] == len(all3)
+    assert rec["n_reconciled"] == sum(1 for g in gaps if g == 0)
+    assert rec["n_mismatch"] == sum(1 for g in gaps if g != 0)
+    assert rec["max_abs_gap_cents"] == (max(gaps) if gaps else 0)
+    assert rec["n_all3"] > 0
+
+
+def test_supplier_otif_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_supplier_otif
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey", "l_orderkey",
+                                "l_shipdate"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey",
+                                "o_orderdate"]).to_pandas()
+    m = dict(zip(od["o_orderkey"], od["o_orderdate"]))
+    ref = {}
+    for _, row in li.iterrows():
+        lag = (row["l_shipdate"].floor("D")
+               - m[row["l_orderkey"]].floor("D")).days
+        st = ref.setdefault(row["l_suppkey"], [0, 0])
+        st[0] += 1
+        st[1] += 1 if lag <= 30 else 0
+    rows = {r["l_suppkey"]: r for r in
+            q_supplier_otif(SF).take_all()}
+    assert set(rows) == set(ref)
+    for k, (n, o) in ref.items():
+        assert rows[k]["n_items"] == n
+        assert rows[k]["n_ontime"] == o
+        assert abs(rows[k]["ontime_rate"] - o / n) < 1e-12
