@@ -729,6 +729,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_totals_reconciliation":
             q.q_transcripts_totals_reconciliation,
         "supplier_otif": q.q_supplier_otif,
+        "events_week_retention_jaccard":
+            q.q_events_week_retention_jaccard,
+        "orders_weekly_priority_mix":
+            q.q_orders_weekly_priority_mix,
     }
 
 
@@ -9195,5 +9199,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_week_retention_jaccard": """
+            WITH wu AS (SELECT DISTINCT
+                               date_trunc('week', ts) AS week,
+                               user_id
+                        FROM events),
+            sz AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM wu GROUP BY 1),
+            sh AS (SELECT a.week,
+                          CAST(COUNT(*) AS BIGINT) AS n_shared
+                   FROM wu a JOIN wu b
+                     ON a.user_id = b.user_id
+                    AND b.week = a.week + INTERVAL 7 DAY
+                   GROUP BY 1)
+            SELECT sh.week,
+                   sh.week + INTERVAL 7 DAY AS next_week,
+                   sa.n AS n_week, sb.n AS n_next, sh.n_shared,
+                   CAST(sh.n_shared AS DOUBLE)
+                   / CAST(sa.n + sb.n - sh.n_shared AS DOUBLE)
+                       AS jaccard
+            FROM sh JOIN sz sa ON sa.week = sh.week
+                    JOIN sz sb ON sb.week = sh.week
+                                  + INTERVAL 7 DAY
+            ORDER BY 1
+        """,
+        "orders_weekly_priority_mix": """
+            WITH g AS (SELECT date_trunc('week', o_orderdate)
+                           AS week,
+                              o_orderpriority AS priority,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders
+                       FROM orders GROUP BY 1, 2)
+            SELECT week, priority, n_orders,
+                   CAST(n_orders AS DOUBLE)
+                   / CAST(SUM(n_orders) OVER (PARTITION BY week)
+                          AS DOUBLE) AS share
+            FROM g ORDER BY 1, 2
         """,
     }

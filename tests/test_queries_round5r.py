@@ -307,3 +307,56 @@ def test_supplier_otif_reference(ray_session):
         assert rows[k]["n_items"] == n
         assert rows[k]["n_ontime"] == o
         assert abs(rows[k]["ontime_rate"] - o / n) < 1e-12
+
+
+def test_week_retention_jaccard_reference(ray_session):
+    import datetime as dt
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_week_retention_jaccard,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["week"] = ev["ts"].dt.to_period("W-SUN").dt.start_time
+    sets = {w: set(g["user_id"]) for w, g in ev.groupby("week")}
+    weeks = sorted(sets)
+    rows = {pd.Timestamp(r["week"]): r for r in
+            q_events_week_retention_jaccard(SF).take_all()}
+    for w in weeks:
+        nxt = w + dt.timedelta(days=7)
+        if nxt not in sets:
+            assert w not in rows or rows[w]["n_shared"] == 0
+            continue
+        c = len(sets[w] & sets[nxt])
+        if c == 0:
+            assert w not in rows
+            continue
+        r = rows[w]
+        assert r["n_week"] == len(sets[w])
+        assert r["n_next"] == len(sets[nxt])
+        assert r["n_shared"] == c
+        un = len(sets[w] | sets[nxt])
+        assert abs(r["jaccard"] - c / un) < 1e-12
+    assert len(rows) > 0
+
+
+def test_weekly_priority_mix_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_orders_weekly_priority_mix,
+    )
+
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderdate",
+                                "o_orderpriority"]).to_pandas()
+    od["week"] = pd.to_datetime(od["o_orderdate"]) \
+        .dt.to_period("W-SUN").dt.start_time
+    ref = od.groupby(["week", "o_orderpriority"]).size().to_dict()
+    wk_tot = od.groupby("week").size().to_dict()
+    out = q_orders_weekly_priority_mix(SF)
+    rows = {(pd.Timestamp(r["week"]), r["priority"]): r
+            for r in out.to_pylist()}
+    assert set(rows) == set(ref)
+    for k, n in ref.items():
+        assert rows[k]["n_orders"] == n
+        assert abs(rows[k]["share"] - n / wk_tot[k[0]]) < 1e-12
