@@ -733,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_events_week_retention_jaccard,
         "orders_weekly_priority_mix":
             q.q_orders_weekly_priority_mix,
+        "transcripts_amount_stats": q.q_transcripts_amount_stats,
+        "events_weekly_gini": q.q_events_weekly_gini,
     }
 
 
@@ -9235,5 +9237,47 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(n_orders) OVER (PARTITION BY week)
                           AS DOUBLE) AS share
             FROM g ORDER BY 1, 2
+        """,
+        "transcripts_amount_stats": f"""
+            WITH m AS (SELECT role,
+                              regexp_extract_all(
+                                  COALESCE(text, ''),
+                                  '[\\d,]+\\.\\d{{2}}') AS ms
+                       FROM {transcripts}),
+            a AS (SELECT role,
+                         CAST(round(replace(unnest(ms), ',', '')
+                              ::DOUBLE * 100) AS BIGINT) AS c
+                  FROM m),
+            t AS (SELECT role,
+                         CAST(SUM(CASE WHEN len(ms) > 0
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_amount_turns
+                  FROM m GROUP BY 1)
+            SELECT a.role,
+                   CAST(COUNT(*) AS BIGINT) AS n_amounts,
+                   t.n_amount_turns,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents
+            FROM a JOIN t USING (role)
+            GROUP BY 1, 3 ORDER BY 1
+        """,
+        "events_weekly_gini": """
+            WITH g AS (SELECT date_trunc('week', ts) AS week,
+                              user_id,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT week, n,
+                         ROW_NUMBER() OVER (PARTITION BY week
+                             ORDER BY n, user_id) AS i,
+                         COUNT(*) OVER (PARTITION BY week) AS nn,
+                         SUM(n) OVER (PARTITION BY week) AS tot
+                  FROM g)
+            SELECT week,
+                   CAST(MAX(nn) AS BIGINT) AS n_users,
+                   CAST(MAX(tot) AS BIGINT) AS n_events,
+                   CAST(SUM((2 * i - nn - 1) * n) AS DOUBLE)
+                   / (CAST(MAX(nn) AS DOUBLE)
+                      * CAST(MAX(tot) AS DOUBLE)) AS gini
+            FROM r GROUP BY 1 ORDER BY 1
         """,
     }

@@ -360,3 +360,59 @@ def test_weekly_priority_mix_reference(ray_session):
     for k, n in ref.items():
         assert rows[k]["n_orders"] == n
         assert abs(rows[k]["share"] - n / wk_tot[k[0]]) < 1e-12
+
+
+def test_amount_stats_reference(ray_session):
+    import re
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_amount_stats,
+    )
+
+    df = _synth_df()
+    pat = re.compile(r"[\d,]+\.\d{2}")
+    ref = {}
+    for _, row in df.iterrows():
+        found = pat.findall(row["text"] or "")
+        if not found:
+            continue
+        st = ref.setdefault(row["role"], [0, 0, 0, 0])
+        st[1] += 1
+        for m in found:
+            c = int(round(float(m.replace(",", "")) * 100))
+            st[0] += 1
+            st[2] += c
+            st[3] = max(st[3], c)
+    rows = {r["role"]: r for r in
+            q_transcripts_amount_stats(SF).take_all()}
+    assert set(rows) == set(ref)
+    for role, (na, nt, s, mx) in ref.items():
+        r = rows[role]
+        assert r["n_amounts"] == na
+        assert r["n_amount_turns"] == nt
+        assert r["sum_cents"] == s
+        assert r["max_cents"] == mx
+    assert sum(st[0] for st in ref.values()) > 0
+
+
+def test_weekly_gini_reference(ray_session):
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import q_events_weekly_gini
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["week"] = ev["ts"].dt.to_period("W-SUN").dt.start_time
+    rows = {pd.Timestamp(r["week"]): r for r in
+            q_events_weekly_gini(SF).take_all()}
+    for w, g in ev.groupby("week"):
+        x = np.sort(g.groupby("user_id").size().to_numpy())
+        n = len(x)
+        tot = int(x.sum())
+        i = np.arange(1, n + 1)
+        gini = ((2 * i - n - 1) * x).sum() / (n * tot)
+        r = rows[pd.Timestamp(w)]
+        assert r["n_users"] == n
+        assert r["n_events"] == tot
+        assert abs(r["gini"] - gini) < 1e-12
+        assert 0 <= r["gini"] < 1
