@@ -735,6 +735,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_orders_weekly_priority_mix,
         "transcripts_amount_stats": q.q_transcripts_amount_stats,
         "events_weekly_gini": q.q_events_weekly_gini,
+        "events_session_count_hist":
+            q.q_events_session_count_hist,
+        "orders_repeat_rate": q.q_orders_repeat_rate,
+        "transcripts_start_hour_profile":
+            q.q_transcripts_start_hour_profile,
     }
 
 
@@ -9279,5 +9284,49 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(MAX(nn) AS DOUBLE)
                       * CAST(MAX(tot) AS DOUBLE)) AS gini
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "events_session_count_hist": """
+            WITH gaps AS (
+              SELECT user_id,
+                     CASE WHEN ts - LAG(ts) OVER w
+                               > INTERVAL 30 MINUTE
+                               OR LAG(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            per AS (SELECT user_id,
+                           CAST(SUM(new_sess) AS BIGINT)
+                               AS n_sessions
+                    FROM gaps GROUP BY 1)
+            SELECT n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "orders_repeat_rate": """
+            WITH per AS (SELECT o_custkey,
+                                CAST(COUNT(*) AS BIGINT) AS n
+                         FROM orders GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeat_customers,
+                   CAST(SUM(n) AS BIGINT) AS n_orders,
+                   CAST(SUM(n - 1) AS BIGINT) AS n_repeat_orders,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS repeat_customer_rate,
+                   CAST(SUM(n - 1) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE) AS repeat_order_share
+            FROM per
+        """,
+        "transcripts_start_hour_profile": f"""
+            WITH st AS (SELECT conv_id, MIN(ts) AS ts
+                        FROM {transcripts} GROUP BY 1),
+            g AS (SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                         CAST(COUNT(*) AS BIGINT) AS n_convs
+                  FROM st GROUP BY 1)
+            SELECT hour, n_convs,
+                   CAST(n_convs AS DOUBLE)
+                   / CAST(SUM(n_convs) OVER () AS DOUBLE) AS share
+            FROM g ORDER BY 1
         """,
     }

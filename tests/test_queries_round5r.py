@@ -416,3 +416,58 @@ def test_weekly_gini_reference(ray_session):
         assert r["n_events"] == tot
         assert abs(r["gini"] - gini) < 1e-12
         assert 0 <= r["gini"] < 1
+
+
+def test_session_count_hist_reference(ray_session):
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_session_count_hist,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ref = {}
+    for _, g in ev.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
+        breaks = int((np.diff(ts) > 30 * 60 * 1_000_000).sum()) \
+            if len(ts) > 1 else 0
+        k = breaks + 1
+        ref[k] = ref.get(k, 0) + 1
+    rows = {r["n_sessions"]: r["n_users"] for r in
+            q_events_session_count_hist(SF).take_all()}
+    assert rows == ref
+    assert sum(ref.values()) == ev["user_id"].nunique()
+
+
+def test_repeat_rate_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_orders_repeat_rate
+
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey"]).to_pandas()
+    per = od.groupby("o_custkey").size()
+    row = q_orders_repeat_rate(SF).take_all()[0]
+    assert row["n_customers"] == len(per)
+    assert row["n_repeat_customers"] == int((per >= 2).sum())
+    assert row["n_orders"] == int(per.sum())
+    assert row["n_repeat_orders"] == int((per - 1).sum())
+    assert abs(row["repeat_customer_rate"]
+               - (per >= 2).mean()) < 1e-12
+
+
+def test_start_hour_profile_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_start_hour_profile,
+    )
+
+    df = _synth_df()
+    starts = df.groupby("conv_id")["ts"].min()
+    ref = starts.dt.hour.value_counts().to_dict()
+    total = len(starts)
+    rows = {r["hour"]: r for r in
+            q_transcripts_start_hour_profile(SF).to_pylist()}
+    assert set(rows) == set(ref)
+    for h, n in ref.items():
+        assert rows[h]["n_convs"] == n
+        assert abs(rows[h]["share"] - n / total) < 1e-12
