@@ -740,6 +740,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_repeat_rate": q.q_orders_repeat_rate,
         "transcripts_start_hour_profile":
             q.q_transcripts_start_hour_profile,
+        "transcripts_latency_by_depth":
+            q.q_transcripts_latency_by_depth,
+        "events_revenue_by_dow": q.q_events_revenue_by_dow,
+        "lineitem_discount_profile":
+            q.q_lineitem_discount_profile,
     }
 
 
@@ -9327,6 +9332,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT hour, n_convs,
                    CAST(n_convs AS DOUBLE)
                    / CAST(SUM(n_convs) OVER () AS DOUBLE) AS share
+            FROM g ORDER BY 1
+        """,
+        "transcripts_latency_by_depth": f"""
+            WITH s AS (SELECT conv_id, turn_idx, role, ts,
+                              LAG(ts) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx, ts) AS pts
+                       FROM {transcripts}),
+            g AS (SELECT CASE WHEN turn_idx < 5 THEN 0
+                              WHEN turn_idx < 10 THEN 1
+                              WHEN turn_idx < 20 THEN 2
+                              ELSE 3 END AS depth_bucket,
+                         CAST(epoch_us(ts) - epoch_us(pts)
+                              AS BIGINT) AS gap
+                  FROM s
+                  WHERE role = 'assistant' AND pts IS NOT NULL)
+            SELECT CAST(depth_bucket AS BIGINT) AS depth_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS p50_us,
+                   CAST(quantile_disc(gap, 0.9) AS BIGINT)
+                       AS p90_us
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "events_revenue_by_dow": """
+            WITH g AS (SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                              CAST(COUNT(*) AS BIGINT) AS n_events,
+                              CAST(SUM(CAST(round(value * 100)
+                                  AS BIGINT)) AS BIGINT)
+                                  AS sum_cents
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY 1)
+            SELECT isodow, n_events, sum_cents,
+                   CAST(sum_cents AS DOUBLE)
+                   / CAST(n_events AS DOUBLE) AS mean_cents,
+                   CAST(sum_cents AS DOUBLE)
+                   / CAST(SUM(sum_cents) OVER () AS DOUBLE)
+                       AS revenue_share
+            FROM g ORDER BY 1
+        """,
+        "lineitem_discount_profile": """
+            WITH g AS (SELECT CAST(round(l_discount * 100)
+                              AS BIGINT) AS discount_pct,
+                              CAST(COUNT(*) AS BIGINT) AS n_items,
+                              CAST(SUM(CAST(round(l_extendedprice
+                                  * (1.0 - l_discount) * 100)
+                                  AS BIGINT)) AS BIGINT)
+                                  AS revenue_cents
+                       FROM lineitem GROUP BY 1)
+            SELECT discount_pct, n_items, revenue_cents,
+                   CAST(revenue_cents AS DOUBLE)
+                   / CAST(SUM(revenue_cents) OVER () AS DOUBLE)
+                       AS revenue_share
             FROM g ORDER BY 1
         """,
     }

@@ -471,3 +471,94 @@ def test_start_hour_profile_reference(ray_session):
     for h, n in ref.items():
         assert rows[h]["n_convs"] == n
         assert abs(rows[h]["share"] - n / total) < 1e-12
+
+
+def test_latency_by_depth_reference(ray_session):
+    import math
+
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_latency_by_depth,
+    )
+
+    df = _synth_df().sort_values(["conv_id", "turn_idx", "ts"],
+                                 kind="stable")
+    per = {}
+    for _, g in df.groupby("conv_id", sort=False):
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        idx = g["turn_idx"].to_numpy()
+        roles = list(g["role"])
+        for i in range(1, len(ts)):
+            if roles[i] != "assistant":
+                continue
+            d = idx[i]
+            b = 0 if d < 5 else 1 if d < 10 else 2 if d < 20 else 3
+            per.setdefault(b, []).append(int(ts[i] - ts[i - 1]))
+    rows = {r["depth_bucket"]: r for r in
+            q_transcripts_latency_by_depth(SF).take_all()}
+    assert set(rows) == set(per)
+    for b, gaps in per.items():
+        gaps = sorted(gaps)
+        n = len(gaps)
+
+        def qd(q):
+            return gaps[max(math.ceil(q * n), 1) - 1]
+
+        assert rows[b]["n_gaps"] == n
+        assert rows[b]["p50_us"] == qd(0.5)
+        assert rows[b]["p90_us"] == qd(0.9)
+
+
+def test_revenue_by_dow_reference(ray_session):
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_events_revenue_by_dow,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    ev = ev[ev["value"].notna()].copy()
+    ev["dow"] = ev["ts"].dt.dayofweek + 1
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+    tot = int(ev["cents"].sum())
+    rows = {r["isodow"]: r for r in
+            q_events_revenue_by_dow(SF).to_pylist()}
+    for d, g in ev.groupby("dow"):
+        r = rows[d]
+        assert r["n_events"] == len(g)
+        assert r["sum_cents"] == int(g["cents"].sum())
+        assert abs(r["revenue_share"]
+                   - g["cents"].sum() / tot) < 1e-12
+
+
+def test_discount_profile_reference(ray_session):
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_lineitem_discount_profile,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_discount",
+                                "l_extendedprice"]).to_pandas()
+    def half_away(x):
+        a = np.abs(x)
+        fa = np.floor(a)
+        return (np.sign(x) * np.where(a - fa >= 0.5, fa + 1, fa)) \
+            .astype(np.int64)
+
+    li["pct"] = half_away(li["l_discount"].to_numpy() * 100.0)
+    li["rev"] = half_away(li["l_extendedprice"].to_numpy()
+                          * (1.0 - li["l_discount"].to_numpy())
+                          * 100.0)
+    tot = int(li["rev"].sum())
+    rows = {r["discount_pct"]: r for r in
+            q_lineitem_discount_profile(SF).to_pylist()}
+    for p, g in li.groupby("pct"):
+        r = rows[p]
+        assert r["n_items"] == len(g)
+        assert r["revenue_cents"] == int(g["rev"].sum())
+        assert abs(r["revenue_share"] - g["rev"].sum() / tot) < 1e-12
