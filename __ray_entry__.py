@@ -745,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_revenue_by_dow": q.q_events_revenue_by_dow,
         "lineitem_discount_profile":
             q.q_lineitem_discount_profile,
+        "transcripts_daily_volume": q.q_transcripts_daily_volume,
     }
 
 
@@ -9385,5 +9386,20 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(revenue_cents) OVER () AS DOUBLE)
                        AS revenue_share
             FROM g ORDER BY 1
+        """,
+        "transcripts_daily_volume": f"""
+            WITH t AS (SELECT date_trunc('day', ts) AS day, conv_id,
+                              CAST(len(string_split(
+                                  COALESCE(text, ''), ' '))
+                                  AS BIGINT) AS tok
+                       FROM {transcripts})
+            SELECT day,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT)
+                       AS n_convs_active,
+                   CAST(SUM(tok) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS tokens_per_turn
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }

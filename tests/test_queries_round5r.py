@@ -562,3 +562,24 @@ def test_discount_profile_reference(ray_session):
         assert r["n_items"] == len(g)
         assert r["revenue_cents"] == int(g["rev"].sum())
         assert abs(r["revenue_share"] - g["rev"].sum() / tot) < 1e-12
+
+
+def test_daily_volume_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_daily_volume,
+    )
+
+    df = _synth_df()
+    df["day"] = df["ts"].dt.floor("D")
+    df["tok"] = [len((t or "").split(" ")) for t in df["text"]]
+    rows = {pd.Timestamp(r["day"]): r for r in
+            q_transcripts_daily_volume(SF).to_pylist()}
+    for d, g in df.groupby("day"):
+        r = rows[pd.Timestamp(d)]
+        assert r["n_turns"] == len(g)
+        assert r["sum_tokens"] == int(g["tok"].sum())
+        assert r["n_convs_active"] == g["conv_id"].nunique()
+        assert abs(r["tokens_per_turn"]
+                   - g["tok"].sum() / len(g)) < 1e-9
+    assert set(rows) == set(pd.Timestamp(d)
+                            for d in df["day"].unique())
