@@ -746,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discount_profile":
             q.q_lineitem_discount_profile,
         "transcripts_daily_volume": q.q_transcripts_daily_volume,
+        "events_cohort_matrix": q.q_events_cohort_matrix,
     }
 
 
@@ -9401,5 +9402,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(tok) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS tokens_per_turn
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "events_cohort_matrix": """
+            WITH wu AS (SELECT DISTINCT
+                               date_trunc('week', ts) AS week,
+                               user_id
+                        FROM events),
+            fw AS (SELECT user_id, MIN(week) AS cohort
+                   FROM wu GROUP BY 1),
+            g AS (SELECT fw.cohort,
+                         CAST(date_diff('day', fw.cohort, wu.week)
+                              // 7 AS BIGINT) AS weeks_since,
+                         CAST(COUNT(*) AS BIGINT) AS n_active
+                  FROM wu JOIN fw USING (user_id)
+                  GROUP BY 1, 2),
+            b AS (SELECT cohort, n_active AS cohort_size
+                  FROM g WHERE weeks_since = 0)
+            SELECT g.cohort, g.weeks_since, g.n_active,
+                   CAST(g.n_active AS DOUBLE)
+                   / CAST(b.cohort_size AS DOUBLE) AS retention
+            FROM g JOIN b USING (cohort)
+            ORDER BY 1, 2
         """,
     }

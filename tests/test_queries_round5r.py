@@ -583,3 +583,29 @@ def test_daily_volume_reference(ray_session):
                    - g["tok"].sum() / len(g)) < 1e-9
     assert set(rows) == set(pd.Timestamp(d)
                             for d in df["day"].unique())
+
+
+def test_cohort_matrix_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import q_events_cohort_matrix
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["week"] = ev["ts"].dt.to_period("W-SUN").dt.start_time
+    wu = ev[["week", "user_id"]].drop_duplicates()
+    first = wu.groupby("user_id")["week"].min()
+    ref = {}
+    for _, row in wu.iterrows():
+        c = first[row["user_id"]]
+        k = (row["week"] - c).days // 7
+        ref[(pd.Timestamp(c), k)] = ref.get((pd.Timestamp(c), k),
+                                            0) + 1
+    rows = {(pd.Timestamp(r["cohort"]), r["weeks_since"]): r
+            for r in q_events_cohort_matrix(SF).take_all()}
+    assert set(rows) == set(ref)
+    for (c, k), n in ref.items():
+        r = rows[(c, k)]
+        assert r["n_active"] == n
+        assert abs(r["retention"] - n / ref[(c, 0)]) < 1e-12
+    # diagonal is 1.0 by construction
+    assert all(abs(rows[(c, 0)]["retention"] - 1.0) < 1e-12
+               for (c, k) in rows if k == 0)
