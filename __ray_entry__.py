@@ -747,6 +747,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_lineitem_discount_profile,
         "transcripts_daily_volume": q.q_transcripts_daily_volume,
         "events_cohort_matrix": q.q_events_cohort_matrix,
+        "transcripts_vocab_growth":
+            q.q_transcripts_vocab_growth,
+        "lineitem_linenumber_profile":
+            q.q_lineitem_linenumber_profile,
     }
 
 
@@ -9423,5 +9427,51 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(b.cohort_size AS DOUBLE) AS retention
             FROM g JOIN b USING (cohort)
             ORDER BY 1, 2
+        """,
+        "transcripts_vocab_growth": f"""
+            WITH r AS (SELECT conv_id, turn_idx, role,
+                              COALESCE(text, '') AS t,
+                              ROW_NUMBER() OVER (ORDER BY conv_id,
+                                  turn_idx, role, text) AS rn
+                       FROM {transcripts}),
+            l AS (SELECT rn, string_split(t, ' ') AS toks FROM r),
+            o AS (SELECT rn, toks,
+                         CAST(COALESCE(SUM(len(toks)) OVER (
+                             ORDER BY rn ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0)
+                             AS BIGINT) AS off
+                  FROM l),
+            tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS t
+                    FROM l),
+            tk AS (SELECT o.off + i AS gpos, toks[i] AS tok
+                   FROM o, UNNEST(range(1, len(toks) + 1)) u(i)),
+            g AS (SELECT tok, CAST(MIN(gpos) AS BIGINT) AS fp
+                  FROM tk GROUP BY 1),
+            cp AS (SELECT DISTINCT cpv FROM (
+                       SELECT CAST(256 * power(4, e) AS BIGINT)
+                           AS cpv
+                       FROM UNNEST(range(0, 16)) x(e)
+                       WHERE CAST(256 * power(4, e) AS BIGINT)
+                             < (SELECT t FROM tot)
+                       UNION ALL SELECT t FROM tot))
+            SELECT cp.cpv AS checkpoint,
+                   CAST(SUM(CASE WHEN g.fp <= cp.cpv
+                            THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+            FROM cp, g GROUP BY 1 ORDER BY 1
+        """,
+        "lineitem_linenumber_profile": """
+            WITH g AS (SELECT CAST(l_linenumber AS BIGINT)
+                           AS l_linenumber,
+                              CAST(COUNT(*) AS BIGINT) AS n_items,
+                              CAST(SUM(CAST(round(l_extendedprice
+                                  * (1.0 - l_discount) * 100)
+                                  AS BIGINT)) AS BIGINT)
+                                  AS revenue_cents
+                       FROM lineitem GROUP BY 1)
+            SELECT l_linenumber, n_items, revenue_cents,
+                   CAST(revenue_cents AS DOUBLE)
+                   / CAST(SUM(revenue_cents) OVER () AS DOUBLE)
+                       AS revenue_share
+            FROM g ORDER BY 1
         """,
     }

@@ -609,3 +609,61 @@ def test_cohort_matrix_reference(ray_session):
     # diagonal is 1.0 by construction
     assert all(abs(rows[(c, 0)]["retention"] - 1.0) < 1e-12
                for (c, k) in rows if k == 0)
+
+
+def test_transcripts_vocab_growth_reference(ray_session):
+    from ocr_engine_ray.pipelines.queries import (
+        q_transcripts_vocab_growth,
+    )
+
+    df = _synth_df().sort_values(
+        ["conv_id", "turn_idx", "role", "text"], kind="stable")
+    stream = []
+    for t in df["text"]:
+        stream.extend((t or "").split(" "))
+    total = len(stream)
+    cps = []
+    c = 256
+    while c < total:
+        cps.append(c)
+        c *= 4
+    cps.append(total)
+    rows = {r["checkpoint"]: r["vocab"] for r in
+            q_transcripts_vocab_growth(SF).take_all()}
+    assert sorted(rows) == cps
+    for cp in cps:
+        assert rows[cp] == len(set(stream[:cp]))
+    vals = [rows[cp] for cp in cps]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    # the transcript vocabulary keeps growing across checkpoints
+    assert vals[0] < vals[-1]
+
+
+def test_linenumber_profile_reference(ray_session):
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_lineitem_linenumber_profile,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_linenumber", "l_extendedprice",
+                                "l_discount"]).to_pandas()
+
+    def half_away(x):
+        a = np.abs(x)
+        fa = np.floor(a)
+        return (np.sign(x) * np.where(a - fa >= 0.5, fa + 1, fa)) \
+            .astype(np.int64)
+
+    li["rev"] = half_away(li["l_extendedprice"].to_numpy()
+                          * (1.0 - li["l_discount"].to_numpy())
+                          * 100.0)
+    tot = int(li["rev"].sum())
+    rows = {r["l_linenumber"]: r for r in
+            q_lineitem_linenumber_profile(SF).to_pylist()}
+    for ln, g in li.groupby("l_linenumber"):
+        r = rows[ln]
+        assert r["n_items"] == len(g)
+        assert r["revenue_cents"] == int(g["rev"].sum())
+        assert abs(r["revenue_share"] - g["rev"].sum() / tot) < 1e-12
