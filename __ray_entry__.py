@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.q_transcripts_vocab_growth,
         "lineitem_linenumber_profile":
             q.q_lineitem_linenumber_profile,
+        "orders_totalprice_audit": q.q_orders_totalprice_audit,
     }
 
 
@@ -9473,5 +9474,31 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(revenue_cents) OVER () AS DOUBLE)
                        AS revenue_share
             FROM g ORDER BY 1
+        """,
+        "orders_totalprice_audit": """
+            WITH l AS (SELECT l_orderkey,
+                              CAST(SUM(CAST(round(l_extendedprice
+                                  * (1.0 - l_discount)
+                                  * (1.0 + l_tax) * 100) AS BIGINT))
+                                  AS BIGINT) AS lc
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             AS oc,
+                         l.lc
+                  FROM orders o JOIN l
+                    ON o.o_orderkey = l.l_orderkey)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN ABS(oc - lc) <= 1
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_reconciled,
+                   CAST(SUM(CASE WHEN ABS(oc - lc) > 1
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch,
+                   CAST(SUM(ABS(oc - lc)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_abs_gap_cents,
+                   CAST(MAX(ABS(oc - lc)) AS BIGINT)
+                       AS max_abs_gap_cents
+            FROM j
         """,
     }

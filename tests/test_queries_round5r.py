@@ -667,3 +667,39 @@ def test_linenumber_profile_reference(ray_session):
         assert r["n_items"] == len(g)
         assert r["revenue_cents"] == int(g["rev"].sum())
         assert abs(r["revenue_share"] - g["rev"].sum() / tot) < 1e-12
+
+
+def test_totalprice_audit_reference(ray_session):
+    import numpy as np
+
+    from ocr_engine_ray.pipelines.queries import (
+        q_orders_totalprice_audit,
+    )
+
+    def half_away(x):
+        a = np.abs(x)
+        fa = np.floor(a)
+        return (np.sign(x) * np.where(a - fa >= 0.5, fa + 1, fa)) \
+            .astype(np.int64)
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice",
+                                "l_discount", "l_tax"]).to_pandas()
+    li["c"] = half_away(li["l_extendedprice"].to_numpy()
+                        * (1.0 - li["l_discount"].to_numpy())
+                        * (1.0 + li["l_tax"].to_numpy()) * 100.0)
+    lsum = li.groupby("l_orderkey")["c"].sum()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey",
+                                "o_totalprice"]).to_pandas()
+    od["oc"] = half_away(od["o_totalprice"].to_numpy() * 100.0)
+    j = od[od["o_orderkey"].isin(lsum.index)]
+    gap = np.abs(j["oc"].to_numpy()
+                 - lsum.loc[j["o_orderkey"]].to_numpy())
+    row = q_orders_totalprice_audit(SF).take_all()[0]
+    assert row["n_orders"] == len(j)
+    assert row["n_reconciled"] == int((gap <= 1).sum())
+    assert row["n_mismatch"] == int((gap > 1).sum())
+    assert abs(row["mean_abs_gap_cents"]
+               - gap.sum() / len(j)) < 1e-9
+    assert row["max_abs_gap_cents"] == int(gap.max())
